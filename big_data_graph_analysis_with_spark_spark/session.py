@@ -1,0 +1,77 @@
+"""SparkSession factory with scale-oriented defaults.
+
+Defaults are chosen for a large cluster (AQE, broadcast thresholds,
+partial aggregation) but work identically on local[N]. Everything is a
+plain `spark.conf` so a deployment can override per-cluster without code
+changes — the reference hard-codes its five algorithm knobs in
+Typesafe config (`Utilities/src/main/resources/application.conf:39-43`);
+ours live in :mod:`.config`.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+_DEFAULTS = {
+    # Runtime re-planning: shuffle coalescing, skew-join splitting, and
+    # broadcast-join demotion/promotion based on observed sizes. At 100 TB
+    # the static plan is always wrong somewhere; AQE fixes it per-stage.
+    "spark.sql.adaptive.enabled": "true",
+    "spark.sql.adaptive.coalescePartitions.enabled": "true",
+    "spark.sql.adaptive.skewJoin.enabled": "true",
+    # Dim tables (nation/region/supplier at any SF, match tables in the
+    # driver loop) should broadcast; 64m is safe for multi-GB executors.
+    "spark.sql.autoBroadcastJoinThreshold": str(64 * 1024 * 1024),
+    # Arrow for every pandas_udf / applyInPandas boundary (the walk
+    # kernel, multimodal decode) — batch columnar transfer, not pickling.
+    "spark.sql.execution.arrow.pyspark.enabled": "true",
+    "spark.sql.execution.arrow.maxRecordsPerBatch": "10000",
+    # Stable timestamp semantics for the oracle comparisons.
+    "spark.sql.session.timeZone": "UTC",
+    # Input split sizing: 128m keeps a 100 TB scan at ~800k tasks, the
+    # sweet spot for a 1000-executor cluster; local runs see few files
+    # so this is inert there.
+    "spark.sql.files.maxPartitionBytes": str(128 * 1024 * 1024),
+    "spark.sql.parquet.filterPushdown": "true",
+    # The testdata parquet carries TIMESTAMP(NANOS) columns which Spark
+    # refuses by default; read them as nanos-since-epoch longs. Query
+    # code converts explicitly where timestamp semantics matter (the
+    # DuckDB oracles use epoch_ns() for the same representation).
+    "spark.sql.legacy.parquet.nanosAsLong": "true",
+    "spark.sql.parquet.aggregatePushdown": "true",
+    # Self-joins on derived frames are common here (dedup, simrank);
+    # let Spark disambiguate instead of erroring.
+    "spark.sql.analyzer.failAmbiguousSelfJoinResolution": "false",
+    "spark.sql.shuffle.partitions": "32",
+}
+
+
+def get_spark(
+    app_name: str = "big_data_graph_analysis_with_spark",
+    master: str | None = None,
+    shuffle_partitions: int | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    """Build (or get) a SparkSession.
+
+    `master` defaults to ``local[$SPARK_GRAFT_CPUS]`` when no cluster
+    manager is configured, so the same entry points run on a laptop, in
+    tests, and under spark-submit on a real cluster (where `master` is
+    supplied externally and must be left None).
+    """
+    builder = SparkSession.builder.appName(app_name)
+    if master is None and "SPARK_MASTER" not in os.environ:
+        cpus = os.environ.get("SPARK_GRAFT_CPUS", "*")
+        master = f"local[{cpus}]"
+    if master is not None:
+        builder = builder.master(master)
+    conf = dict(_DEFAULTS)
+    if shuffle_partitions is not None:
+        conf["spark.sql.shuffle.partitions"] = str(shuffle_partitions)
+    if extra_conf:
+        conf.update(extra_conf)
+    for k, v in conf.items():
+        builder = builder.config(k, v)
+    return builder.getOrCreate()

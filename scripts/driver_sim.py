@@ -1,0 +1,91 @@
+"""Simulate the driver's verify pass against __spark_entry__.py.
+
+Runs entry(spark) as a smoke check, then every queries()[name] at the
+given SF dir, comparing row-count / sorted columns / order-insensitive
+values against oracle_sql()[name] via DuckDB (rows-only when no oracle).
+Exit 0 iff everything matches. Usage:
+
+    python scripts/driver_sim.py [sf_dir]
+"""
+
+from __future__ import annotations
+
+import importlib
+import sys
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+import duckdb  # noqa: E402
+import numpy as np  # noqa: E402
+
+from big_data_graph_analysis_with_spark_spark import get_spark  # noqa: E402
+
+TABLES = [
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings",
+]
+
+
+def oracle(sql: str, sf_dir: str):
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+    return con.execute(sql).df()
+
+
+def compare(got, want) -> str | None:
+    if sorted(got.columns) != sorted(want.columns):
+        return f"columns {sorted(got.columns)} != {sorted(want.columns)}"
+    if len(got) != len(want):
+        return f"rows {len(got)} != {len(want)}"
+    cols = sorted(got.columns)
+    g = got[cols].sort_values(cols, ignore_index=True)
+    w = want[cols].sort_values(cols, ignore_index=True)
+    for c in cols:
+        gv, wv = g[c], w[c]
+        if gv.dtype.kind == "f" or wv.dtype.kind == "f":
+            if not np.allclose(
+                gv.astype(float), wv.astype(float), atol=0, rtol=0, equal_nan=True
+            ):
+                return f"float column {c} differs"
+        elif not (gv.astype(str) == wv.astype(str)).all():
+            return f"column {c} differs"
+    return None
+
+
+def main() -> int:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    entry_mod = importlib.import_module("__spark_entry__")
+    spark = get_spark(app_name="driver_sim")
+
+    t0 = time.time()
+    rows = entry_mod.entry(spark).collect()
+    print(f"entry(): {len(rows)} rows in {time.time()-t0:.1f}s  schema ok")
+    assert len(rows) >= 0
+
+    qs, oracles = entry_mod.queries(), entry_mod.oracle_sql()
+    failures = []
+    for name, fn in qs.items():
+        t0 = time.time()
+        try:
+            df = fn(spark, sf_dir)
+            if name in oracles:
+                err = compare(df.toPandas(), oracle(oracles[name], sf_dir))
+            else:
+                n = df.count()
+                err = None if n >= 0 else "negative count"
+                name += " (rows-only)"
+        except Exception as e:  # noqa: BLE001
+            err = f"EXCEPTION {type(e).__name__}: {e}"
+        status = "OK " if err is None else "FAIL"
+        print(f"  [{status}] {name:28s} {time.time()-t0:6.1f}s  {err or ''}")
+        if err:
+            failures.append((name, err))
+    print(f"{len(qs)-len(failures)}/{len(qs)} queries match at {sf_dir}")
+    return 1 if failures else 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
