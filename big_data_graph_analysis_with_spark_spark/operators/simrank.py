@@ -1,0 +1,168 @@
+"""SimRank node-matching (SURVEY.md §2 rows G5, G6, F6, F7).
+
+Reference semantics (`HelperFunction.scala:202-271` — SimRankv_2):
+
+* init: score(p, n) = 1 if the perturbed node p equals original node n
+  on the **full 10-field tuple** (`:219-229`), else 0;
+* one sweep over pairs p ≠ n:
+  ``score(p,n) = round₂( 1/(|P(p)|·|P(n)|) · Σ_{(p',n') ∈ P(p)×P(n)} score(p',n') )``
+  with decay C = 1 (`:240-250`), parent-pair scores falling back to the
+  accumulator's known matches when absent (`:246-247`); pairs with no
+  parents on either side score 0 (`:251-255`);
+* zero scores dropped from the output (`:264`).
+
+Scale-first reformulation: the reference enumerates all |PG|·|OG|
+pairs with in-place (Gauss-Seidel) updates — O(V²) memory and
+file-order-dependent results (deviation §7.4.2: we run batch/Jacobi
+rounds, deterministic and order-independent). Instead of enumerating
+pairs, we *propagate* nonzero scores along edges:
+
+    contrib(c_p, c_n) = Σ score(p', n')  for p'→c_p ∈ E_pg, n'→c_n ∈ E_og
+
+i.e. scores ⋈ pg_edges ⋈ og_edges → groupBy child pair → sum. Only
+pairs reachable from a nonzero seed are ever materialized — the sparse
+frontier, not the V² cross product. Both joins are equi-joins on the
+parent id (shuffle or broadcast chosen by AQE), and the aggregation
+gets map-side partial sums. Exactly the plan you'd want at 100 TB.
+
+Summation is done in DECIMAL(28,6): scores are 2-decimal fixed-point
+values after each round's HALF_UP rounding (`F.round` matches the
+reference's BigDecimal HALF_UP, `HelperFunction.scala:250`), so decimal
+summation is exact and order-independent — float sums would make
+results nondeterministic across partitionings (and break the DuckDB
+oracle hash).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..model import NetGraph, vertex_fingerprint
+
+
+def init_scores(pg: NetGraph, og: NetGraph) -> DataFrame:
+    """Identity pairs: (pg_id, og_id, 1.0) where the full 10-field tuples
+    are equal (`HelperFunction.scala:219-229`).
+
+    Joining on a 64-bit fingerprint of the tuple instead of 10 columns
+    keeps the shuffle key to 8 bytes; the fingerprint includes id, so
+    only unperturbed survivors match (same semantics as case-class
+    equality in the reference).
+    """
+    p = pg.vertices.select(
+        F.col("id").alias("pg_id"), vertex_fingerprint().alias("fp")
+    )
+    n = og.vertices.select(
+        F.col("id").alias("og_id"), vertex_fingerprint().alias("fp")
+    )
+    return p.join(n, on="fp").select(
+        "pg_id", "og_id", F.lit(1.0).cast("double").alias("score")
+    )
+
+
+def _in_degrees(edges: DataFrame) -> DataFrame:
+    return edges.groupBy("dst").agg(F.count("*").alias("indeg"))
+
+
+def simrank_round(
+    scores: DataFrame,
+    pg: NetGraph,
+    og: NetGraph,
+    matches: DataFrame | None = None,
+) -> DataFrame:
+    """One Jacobi propagation round. Returns the new (pg_id, og_id, score).
+
+    * `matches` (optional, columns pg_id/og_id/score) provides the
+      accumulator-fallback for parent pairs absent from `scores`
+      (`HelperFunction.scala:246-247`) and prunes already-matched nodes
+      from recomputation (G6, `HelperFunction.scala:203-210`).
+    * Identity pairs are not recomputed — the reference only sweeps
+      p ≠ n, so exact-equality pairs keep score 1 (`:221-229`).
+    """
+    identity = init_scores(pg, og)
+
+    if matches is not None:
+        # score-map lookup wins; accumulator matches fill the gaps
+        fallback = matches.select("pg_id", "og_id", "score").join(
+            scores.select("pg_id", "og_id"), on=["pg_id", "og_id"], how="left_anti"
+        )
+        effective = scores.unionByName(fallback)
+    else:
+        effective = scores
+
+    pg_fwd = pg.edges.select(F.col("src").alias("pg_id"), F.col("dst").alias("pg_child"))
+    og_fwd = og.edges.select(F.col("src").alias("og_id"), F.col("dst").alias("og_child"))
+
+    if matches is not None:
+        # G6 prune (HelperFunction.scala:203-210), pushed *into* the
+        # propagation: a pair whose pg or og side is already matched is
+        # dropped from the output, so edges leading to matched children
+        # can be pruned before the join. Catalyst can't push a filter
+        # through the child-pair aggregation on its own; doing it here
+        # collapses the frontier from O(Σ outdeg²) to the unmatched
+        # remainder — the difference between a dead executor and a
+        # sub-second stage once most nodes are matched.
+        pg_fwd = pg_fwd.join(
+            matches.select(F.col("pg_id").alias("pg_child")).distinct(),
+            on="pg_child",
+            how="left_anti",
+        )
+        og_fwd = og_fwd.join(
+            matches.select(F.col("og_id").alias("og_child")).distinct(),
+            on="og_child",
+            how="left_anti",
+        )
+
+    contrib = (
+        effective.join(pg_fwd, on="pg_id")
+        .join(og_fwd, on="og_id")
+        .groupBy(
+            F.col("pg_child").alias("c_pg_id"), F.col("og_child").alias("c_og_id")
+        )
+        # exact fixed-point summation (scores are 2-decimal after round 1)
+        .agg(F.sum(F.col("score").cast("decimal(28,6)")).alias("s"))
+    )
+
+    computed = (
+        contrib.join(
+            _in_degrees(pg.edges).select(
+                F.col("dst").alias("c_pg_id"), F.col("indeg").alias("dp")
+            ),
+            on="c_pg_id",
+        )
+        .join(
+            _in_degrees(og.edges).select(
+                F.col("dst").alias("c_og_id"), F.col("indeg").alias("dn")
+            ),
+            on="c_og_id",
+        )
+        .select(
+            F.col("c_pg_id").alias("pg_id"),
+            F.col("c_og_id").alias("og_id"),
+            # reciprocal coefficient (F7) + HALF_UP round-2 (F6)
+            F.round(F.col("s").cast("double") / (F.col("dp") * F.col("dn")), 2).alias(
+                "score"
+            ),
+        )
+        .filter(F.col("score") != 0)  # zero-score prune (P4)
+    )
+
+    return computed.join(
+        identity, on=["pg_id", "og_id"], how="left_anti"
+    ).unionByName(identity)
+
+
+def simrank(
+    pg: NetGraph,
+    og: NetGraph,
+    rounds: int = 1,
+    matches: DataFrame | None = None,
+) -> DataFrame:
+    """`rounds` Jacobi sweeps from the identity seed (the reference does
+    exactly one in-place sweep per walk subgraph; more rounds refine the
+    fixpoint)."""
+    scores = init_scores(pg, og)
+    for _ in range(rounds):
+        scores = simrank_round(scores, pg, og, matches)
+    return scores

@@ -67,6 +67,13 @@ def get_spark(
         master = f"local[{cpus}]"
     if master is not None:
         builder = builder.master(master)
+        if master.startswith("local"):
+            # In local mode the driver JVM hosts all executor threads; the
+            # 1g default heap dies on any real shuffle. Honored only at
+            # JVM launch — inert if a session already exists.
+            builder = builder.config(
+                "spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g")
+            )
     conf = dict(_DEFAULTS)
     if shuffle_partitions is not None:
         conf["spark.sql.shuffle.partitions"] = str(shuffle_partitions)
