@@ -27,8 +27,18 @@ from big_data_graph_analysis_with_spark_spark.operators import (  # noqa: E402
     simrank,
     topology,
 )
+from big_data_graph_analysis_with_spark_spark.config import SimConfig  # noqa: E402
+from big_data_graph_analysis_with_spark_spark.operators import topology as _topo  # noqa: E402,F401
+from big_data_graph_analysis_with_spark_spark.operators import walks as walks_mod  # noqa: E402
+from big_data_graph_analysis_with_spark_spark.plans.pipeline import run_pipeline  # noqa: E402
 from big_data_graph_analysis_with_spark_spark.sources import tpch_graph  # noqa: E402
 from big_data_graph_analysis_with_spark_spark.sources.tpch_graph import graph_sql  # noqa: E402
+
+#: small, seeded config for the rows-only pipeline/walk queries (the
+#: full reference config of 20×50 walks is exercised by bench.py)
+_SMALL_CFG = SimConfig(
+    num_of_parallel_walks=4, num_iters_per_comp_node=4, iters_before_accum=2
+)
 
 SF0001 = "/root/testdata/sf0.001"
 THRESHOLD = 0.1  # nodeMatchThreshold (application.conf:43)
@@ -254,6 +264,27 @@ def q_uncovered_valuable(spark: SparkSession, sf_dir: str) -> DataFrame:
     return matching.uncovered_valuable(best, og)
 
 
+def q_walk_kernel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """G2-G4 (rows-only: seeded-random, not SQL-expressible; property
+    checks live in tests/test_walks_pipeline.py)."""
+    _, pg = _graphs(spark, sf_dir)
+    start_ids = [
+        r["id"] for r in _topo.start_nodes(pg).select("id").collect()
+    ]
+    assignments = walks_mod.sample_start_assignments(spark, start_ids, _SMALL_CFG)
+    return walks_mod.run_walks(spark, pg, assignments, _SMALL_CFG)
+
+
+def q_mitm_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§3.1 end-to-end (rows-only): walks → per-walk SimRank → best
+    match → valuable filter → global max-merge → 8-metric stats."""
+    og, pg = _graphs(spark, sf_dir)
+    result = run_pipeline(spark, og, pg, _SMALL_CFG)
+    return spark.createDataFrame(
+        [(k, v) for k, v in result.stats.items()], "metric STRING, value STRING"
+    )
+
+
 # ---------------------------------------------------------------------------
 # contract
 # ---------------------------------------------------------------------------
@@ -278,6 +309,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "match_classes": q_match_classes,
         "valuable_matches": q_valuable_matches,
         "uncovered_valuable": q_uncovered_valuable,
+        "walk_kernel": q_walk_kernel,
+        "mitm_pipeline": q_mitm_pipeline,
     }
 
 

@@ -1,0 +1,105 @@
+"""Walk-kernel property tests + end-to-end pipeline on the reference's
+own Graph200 dumps (SURVEY.md §5 strategy: walks get property checks —
+path validity, quota bound, seeded determinism — since golden-testing
+unseeded walks is impossible; the pipeline gets determinism + sanity
+checks against the recorded reference outputs' shape)."""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from big_data_graph_analysis_with_spark_spark.config import SimConfig
+from big_data_graph_analysis_with_spark_spark.operators import topology, walks
+from big_data_graph_analysis_with_spark_spark.plans.pipeline import run_pipeline
+from big_data_graph_analysis_with_spark_spark.sources.ngs_text import load_graph
+from tests.conftest import REF_INPUT
+
+CFG = SimConfig(
+    num_of_parallel_walks=4,
+    num_iters_per_comp_node=4,
+    iters_before_accum=2,
+    seed=7,
+)
+
+
+@pytest.fixture(scope="module")
+def graph20(spark):
+    return load_graph(spark, f"{REF_INPUT}/Graph20.0.txt")
+
+
+@pytest.fixture(scope="module")
+def walk_steps(spark, graph20):
+    start_ids = [r["id"] for r in topology.start_nodes(graph20).select("id").collect()]
+    assignments = walks.sample_start_assignments(spark, start_ids, CFG)
+    return walks.run_walks(spark, graph20, assignments, CFG).cache()
+
+
+def test_walk_paths_are_valid(spark, graph20, walk_steps):
+    """Every consecutive (node, next) pair must be a pg edge."""
+    steps = walk_steps
+    nxt = steps.select(
+        "partition_key",
+        "walk_id",
+        (F.col("step") + 1).alias("step"),
+        F.col("node_id").alias("src"),
+    )
+    pairs = steps.select(
+        "partition_key", "walk_id", "step", F.col("node_id").alias("dst")
+    ).join(nxt, on=["partition_key", "walk_id", "step"])
+    bad = pairs.join(
+        graph20.edges.select("src", "dst").distinct(), on=["src", "dst"], how="left_anti"
+    )
+    assert bad.count() == 0
+
+
+def test_walk_quota_and_start(spark, graph20, walk_steps):
+    quota = math.ceil(CFG.random_walk_coeff * graph20.num_vertices())
+    lens = walk_steps.groupBy("partition_key", "walk_id").agg(
+        F.count("*").alias("n"), F.min("step").alias("s0")
+    )
+    assert lens.filter(F.col("n") > quota).count() == 0
+    assert lens.filter(F.col("s0") != 0).count() == 0
+    # every partition ran every walk
+    assert lens.count() == CFG.num_of_parallel_walks * CFG.num_iters_per_comp_node
+
+
+def test_walks_deterministic_under_seed(spark, graph20):
+    start_ids = [r["id"] for r in topology.start_nodes(graph20).select("id").collect()]
+    a = walks.sample_start_assignments(spark, start_ids, CFG)
+    run1 = walks.run_walks(spark, graph20, a, CFG).collect()
+    run2 = walks.run_walks(spark, graph20, a, CFG).collect()
+    assert sorted(map(tuple, run1)) == sorted(map(tuple, run2))
+
+
+def test_cyclic_graph_no_start_nodes_degrades(spark):
+    from big_data_graph_analysis_with_spark_spark.model import EDGE_SCHEMA, VERTEX_SCHEMA, NetGraph
+
+    vs = [(0, 1, 1, 1, 1, 1, 1, 1, 0.1, False), (1, 1, 1, 1, 1, 1, 1, 1, 0.2, False)]
+    es = [(0, 1, 0, 0, 1, None, 0.1), (1, 0, 0, 1, 0, None, 0.1)]
+    g = NetGraph(spark.createDataFrame(vs, VERTEX_SCHEMA),
+                 spark.createDataFrame(es, EDGE_SCHEMA))
+    start_ids = [r["id"] for r in topology.start_nodes(g).select("id").collect()]
+    assert start_ids == []  # cycle: reference would crash (§7.4.8)
+    a = walks.sample_start_assignments(spark, start_ids, CFG)
+    assert walks.run_walks(spark, g, a, CFG).count() == 0
+
+
+def test_pipeline_graph200_deterministic_and_sane(spark):
+    og = load_graph(spark, f"{REF_INPUT}/Graph200.txt")
+    pg = load_graph(spark, f"{REF_INPUT}/Graph200.txt.perturbed")
+    r1 = run_pipeline(spark, og, pg, CFG)
+    r2 = run_pipeline(spark, og, pg, CFG)
+    assert r1.stats == r2.stats  # determinism the reference lacks
+    # shape sanity vs the recorded reference runs (output/MitM-statistics.yaml):
+    # 103 valuable original nodes; TP >> FP
+    n_valuable = len(r1.stats["valuableOriginalNodeIds"].strip("[]").split(", "))
+    assert n_valuable == 103
+    tp = int(r1.stats["numTruePositiveMatches"])
+    fp = int(r1.stats["numFalsePositiveMatches"])
+    assert tp > 0
+    assert tp + fp <= 197  # at most one match per perturbed node
+    assert int(r1.stats["totalSuccessfulWalks"]) >= 0
+    assert r1.per_round_match_counts == sorted(r1.per_round_match_counts)
