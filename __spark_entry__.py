@@ -64,23 +64,36 @@ og_indeg AS (SELECT dst, COUNT(*) AS c FROM og_edges GROUP BY dst)
 """
 
 
-def _sr_round_ctes(k: int, prev: str, pruned: bool = False) -> str:
+def _sr_round_ctes(
+    k: int, prev: str, pruned: bool = False, bucketed: bool = False
+) -> str:
     """One Jacobi round as CTEs: sr_{k} = propagate({prev}). With
     `pruned`, edges into already-matched nodes are excluded (G6),
-    mirroring the pushed-down prune in `simrank_round`."""
+    mirroring the pushed-down prune in `simrank_round`. With `bucketed`,
+    only child pairs agreeing on the G7 tie attributes are scored
+    (candidate pruning, SURVEY.md §7.4.1)."""
     pg_prune = (
         " AND pe.dst NOT IN (SELECT pg_id FROM matched)" if pruned else ""
     )
     og_prune = (
         " AND oe.dst NOT IN (SELECT og_id FROM matched)" if pruned else ""
     )
+    bucket_join = ""
+    if bucketed:
+        eq = " AND ".join(
+            f"pv.{a} = ov.{a}"
+            for a in ["children", "props", "max_depth", "max_properties"]
+        )
+        bucket_join = f"""
+  JOIN pg_vertices pv ON pv.id = pe.dst
+  JOIN og_vertices ov ON ov.id = oe.dst AND {eq}"""
     return f"""
 contrib_{k} AS (
   SELECT pe.dst AS pg_id, oe.dst AS og_id,
          SUM(CAST(s.score AS DECIMAL(28,6))) AS s
   FROM {prev} s
   JOIN pg_edges pe ON pe.src = s.pg_id{pg_prune}
-  JOIN og_edges oe ON oe.src = s.og_id{og_prune}
+  JOIN og_edges oe ON oe.src = s.og_id{og_prune}{bucket_join}
   GROUP BY pe.dst, oe.dst
 ),
 computed_{k} AS (
@@ -223,6 +236,13 @@ def q_simrank_round1(spark: SparkSession, sf_dir: str) -> DataFrame:
     return simrank.simrank(pg, og, rounds=1)
 
 
+def q_simrank_round1_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """G5 with candidate pruning: only child pairs agreeing on the G7
+    tie attributes are scored — the scale path (SURVEY.md §7.4.1)."""
+    og, pg = _graphs(spark, sf_dir)
+    return simrank.simrank(pg, og, rounds=1, attr_bucket=True)
+
+
 def q_simrank_round2(spark: SparkSession, sf_dir: str) -> DataFrame:
     """G5+G6: a second Jacobi round with accumulator pruning — the
     reference's memoization flow (match after a batch, skip matched
@@ -304,6 +324,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_sizes": q_graph_sizes,
         "simrank_init": q_simrank_init,
         "simrank_round1": q_simrank_round1,
+        "simrank_round1_bucketed": q_simrank_round1_bucketed,
         "simrank_round2": q_simrank_round2,
         "best_match": q_best_match,
         "match_classes": q_match_classes,
@@ -354,6 +375,13 @@ def oracle_sql() -> dict[str, str]:
         "simrank_init": _sr_sql("SELECT pg_id, og_id, score FROM sr_init"),
         "simrank_round1": _sr_sql(
             "SELECT pg_id, og_id, score FROM sr_1", rounds=1
+        ),
+        "simrank_round1_bucketed": graph_sql(
+            ", "
+            + SR_BASE_CTES.strip()
+            + ","
+            + _sr_round_ctes(1, "sr_init", bucketed=True)
+            + " SELECT pg_id, og_id, score FROM sr_1"
         ),
         "simrank_round2": _sr_sql(
             "SELECT pg_id, og_id, score FROM sr_2",

@@ -1,0 +1,120 @@
+"""Benchmark harness: headline queries at $SPARK_GRAFT_SF_DIR (default
+/root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS].
+
+Prints ONE JSON line:
+  {"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+
+Each entry forces full materialization (count/collect) so the timing
+covers scan → shuffle → result, not plan construction.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent))
+
+from pyspark.sql import functions as F  # noqa: E402
+
+from big_data_graph_analysis_with_spark_spark import get_spark  # noqa: E402
+from big_data_graph_analysis_with_spark_spark.config import SimConfig  # noqa: E402
+from big_data_graph_analysis_with_spark_spark.operators import (  # noqa: E402
+    matching,
+    simrank,
+    topology,
+)
+from big_data_graph_analysis_with_spark_spark.plans.pipeline import run_pipeline  # noqa: E402
+from big_data_graph_analysis_with_spark_spark.sources import tpch_graph  # noqa: E402
+from big_data_graph_analysis_with_spark_spark.sources.ngs_text import load_graph  # noqa: E402
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+REF_INPUT = "/root/reference/input"
+
+os.environ.setdefault("SPARK_GRAFT_DRIVER_MEM", "24g")
+
+
+def main() -> None:
+    spark = get_spark(app_name="bench")
+    spark.sparkContext.setLogLevel("ERROR")
+    timings: dict[str, float] = {}
+
+    def timed(name: str):
+        def deco(fn):
+            print(f"[bench] {name} ...", file=sys.stderr, flush=True)
+            t0 = time.time()
+            fn()
+            timings[name] = round(time.time() - t0, 3)
+            print(
+                f"[bench] {name} done in {timings[name]}s", file=sys.stderr, flush=True
+            )
+
+        return deco
+
+    og, pg = tpch_graph.derive_graphs(spark, SF_DIR)
+
+    @timed("graph_ingest")
+    def _():
+        og.vertices.persist().count()
+        og.edges.persist().count()
+        pg.vertices.persist().count()
+        pg.edges.persist().count()
+
+    @timed("topology")
+    def _():
+        topology.degrees(og).agg(
+            F.sum("in_degree"), F.sum("out_degree")
+        ).collect()
+        topology.start_nodes(pg).count()
+
+    r1 = None
+
+    @timed("simrank_round1_bucketed")
+    def _():
+        # full (unbucketed) round-1 is inherently O(Σ outdeg²) dense on
+        # this bipartite-ish graph (~350M pairs at sf0.1) — the
+        # attribute-bucket candidate pruning is the scale path
+        nonlocal r1
+        r1 = simrank.simrank(pg, og, rounds=1, attr_bucket=True).persist()
+        r1.count()
+
+    @timed("best_match")
+    def _():
+        best = matching.best_match(r1, pg, og).persist()
+        best.count()
+        matching.match_class_counts(best, 0.1).collect()
+
+    @timed("mitm_pipeline_tpch")
+    def _():
+        cfg = SimConfig(
+            num_of_parallel_walks=8, num_iters_per_comp_node=10, iters_before_accum=5
+        )
+        run_pipeline(spark, og, pg, cfg)
+
+    @timed("mitm_pipeline_graph200")
+    def _():
+        # the reference's own workload at its full config (20×50 walks)
+        og200 = load_graph(spark, f"{REF_INPUT}/Graph200.txt")
+        pg200 = load_graph(spark, f"{REF_INPUT}/Graph200.txt.perturbed")
+        run_pipeline(spark, og200, pg200, SimConfig())
+
+    total = round(sum(timings.values()), 3)
+    sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
+    print(
+        json.dumps(
+            {
+                "metric": "headline_total_wall",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

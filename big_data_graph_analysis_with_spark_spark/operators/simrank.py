@@ -70,6 +70,7 @@ def simrank_round(
     pg: NetGraph,
     og: NetGraph,
     matches: DataFrame | None = None,
+    attr_bucket: bool = False,
 ) -> DataFrame:
     """One Jacobi propagation round. Returns the new (pg_id, og_id, score).
 
@@ -79,6 +80,16 @@ def simrank_round(
       from recomputation (G6, `HelperFunction.scala:203-210`).
     * Identity pairs are not recomputed — the reference only sweeps
       p ≠ n, so exact-equality pairs keep score 1 (`:221-229`).
+    * `attr_bucket=True` enables candidate pruning (SURVEY.md §7.4.1):
+      only child pairs agreeing on the G7 tie-score attributes
+      {children, props, max_depth, max_properties} are scored — the
+      attributes the best-match resolution ranks by anyway
+      (`HelperFunction.scala:286-294`). The bucket equality becomes part
+      of the propagation join key, so disagreeing pairs are never
+      materialized: on a graph where the reference's pair enumeration is
+      O(|PG|·|OG|), this divides the frontier by the bucket count. This
+      is the scale path — pruned pairs score 0, which the reference
+      drops from its output anyway (`:264`).
     """
     identity = init_scores(pg, og)
 
@@ -114,14 +125,40 @@ def simrank_round(
             how="left_anti",
         )
 
-    contrib = (
-        effective.join(pg_fwd, on="pg_id")
-        .join(og_fwd, on="og_id")
-        .groupBy(
-            F.col("pg_child").alias("c_pg_id"), F.col("og_child").alias("c_og_id")
+    if attr_bucket:
+        from ..model import TIE_SCORE_ATTRS
+
+        pg_fwd = pg_fwd.join(
+            pg.vertices.select(
+                F.col("id").alias("pg_child"),
+                *[F.col(a).alias(f"pb_{a}") for a in TIE_SCORE_ATTRS],
+            ),
+            on="pg_child",
         )
+        og_fwd = og_fwd.join(
+            og.vertices.select(
+                F.col("id").alias("og_child"),
+                *[F.col(a).alias(f"ob_{a}") for a in TIE_SCORE_ATTRS],
+            ),
+            on="og_child",
+        )
+        og_fwd = og_fwd.withColumnRenamed("og_id", "og_parent")
+        joined = effective.join(pg_fwd, on="pg_id").join(
+            og_fwd,
+            on=[F.col("og_id") == F.col("og_parent")]
+            + [
+                F.col(f"pb_{a}") == F.col(f"ob_{a}")
+                for a in TIE_SCORE_ATTRS
+            ],
+        )
+    else:
+        joined = effective.join(pg_fwd, on="pg_id").join(og_fwd, on="og_id")
+
+    contrib = joined.groupBy(
+        F.col("pg_child").alias("c_pg_id"), F.col("og_child").alias("c_og_id")
+    ).agg(
         # exact fixed-point summation (scores are 2-decimal after round 1)
-        .agg(F.sum(F.col("score").cast("decimal(28,6)")).alias("s"))
+        F.sum(F.col("score").cast("decimal(28,6)")).alias("s")
     )
 
     computed = (
@@ -158,11 +195,12 @@ def simrank(
     og: NetGraph,
     rounds: int = 1,
     matches: DataFrame | None = None,
+    attr_bucket: bool = False,
 ) -> DataFrame:
     """`rounds` Jacobi sweeps from the identity seed (the reference does
     exactly one in-place sweep per walk subgraph; more rounds refine the
     fixpoint)."""
     scores = init_scores(pg, og)
     for _ in range(rounds):
-        scores = simrank_round(scores, pg, og, matches)
+        scores = simrank_round(scores, pg, og, matches, attr_bucket=attr_bucket)
     return scores
