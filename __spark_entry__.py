@@ -28,6 +28,13 @@ from big_data_graph_analysis_with_spark_spark.operators import (  # noqa: E402
     topology,
 )
 from big_data_graph_analysis_with_spark_spark.config import SimConfig  # noqa: E402
+from big_data_graph_analysis_with_spark_spark.operators import (  # noqa: E402
+    dedup,
+    multimodal,
+    similarity,
+    textops,
+)
+from big_data_graph_analysis_with_spark_spark.plans import doc_oracles  # noqa: E402
 from big_data_graph_analysis_with_spark_spark.operators import topology as _topo  # noqa: E402,F401
 from big_data_graph_analysis_with_spark_spark.operators import walks as walks_mod  # noqa: E402
 from big_data_graph_analysis_with_spark_spark.plans.pipeline import run_pipeline  # noqa: E402
@@ -284,6 +291,159 @@ def q_uncovered_valuable(spark: SparkSession, sf_dir: str) -> DataFrame:
     return matching.uncovered_valuable(best, og)
 
 
+# ---------------------------------------------------------------------------
+# training-data pipeline operators (documents / embeddings)
+# ---------------------------------------------------------------------------
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+
+def _embs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+
+
+def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup.exact_dedup(_docs(spark, sf_dir))
+
+
+def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup.ngram_jaccard_pairs(_docs(spark, sf_dir), n=3, threshold=0.2)
+
+
+def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup.minhash_lsh_pairs(_docs(spark, sf_dir), n=3, threshold=0.2)
+
+
+def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup.simhash_pairs(_docs(spark, sf_dir), max_hamming=8)
+
+
+def q_dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup.embedding_cosine_pairs(_embs(spark, sf_dir), threshold=0.9)
+
+
+def q_similarity_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _embs(spark, sf_dir)
+    queries_df = emb.filter(F.col("vec_id") < 20)
+    return similarity.cosine_topk(emb, queries_df, k=5)
+
+
+def q_similarity_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rows-only: approximate — recall vs the exact baseline is asserted
+    in tests/test_dataops.py instead of oracle identity."""
+    emb = _embs(spark, sf_dir)
+    queries_df = emb.filter(F.col("vec_id") < 20)
+    return similarity.ann_lsh_topk(emb, queries_df, k=5)
+
+
+def q_text_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return textops.token_stats(_docs(spark, sf_dir))
+
+
+def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return textops.quality_scores(_docs(spark, sf_dir))
+
+
+def q_text_language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return textops.language_id(_docs(spark, sf_dir))
+
+
+def q_doc_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return textops.doc_fingerprints(_docs(spark, sf_dir)).select(
+        "doc_id", F.explode("fingerprint").alias("h")
+    )
+
+
+def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rows-only: mapInPandas decode plumbing with stubbed codecs."""
+    assets = multimodal.synthesize_assets(_docs(spark, sf_dir))
+    return multimodal.extract_features(assets).drop("feature")
+
+
+def q_multimodal_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rows-only: per-kind rollup of extracted features."""
+    assets = multimodal.synthesize_assets(_docs(spark, sf_dir))
+    return multimodal.asset_summary(multimodal.extract_features(assets))
+
+
+# ---------------------------------------------------------------------------
+# relational suite (windows / sorts / decimal aggregation at scale)
+# ---------------------------------------------------------------------------
+
+
+def q_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1-style scan-heavy aggregate: the canonical columnar-scan
+    + map-side partial agg benchmark shape."""
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    return (
+        li.groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum(F.col("l_quantity").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("sum_qty"),
+            F.sum(F.col("l_extendedprice").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("sum_base_price"),
+            F.sum(
+                (
+                    F.col("l_extendedprice").cast("decimal(18,2)")
+                    * (F.lit(1).cast("decimal(18,2)") - F.col("l_discount").cast("decimal(18,2)"))
+                ).cast("decimal(28,4)")
+            )
+            .cast("double")
+            .alias("sum_disc_price"),
+            F.count("*").cast("long").alias("count_order"),
+        )
+    )
+
+
+def q_top_customers_per_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join + window rank: top-3 customers by order revenue per nation."""
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    cust = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    nation = spark.read.parquet(f"{sf_dir}/nation.parquet")
+    rev = (
+        orders.groupBy("o_custkey")
+        .agg(
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias("rev_d")
+        )
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("n_name").orderBy(
+        F.desc("rev_d"), F.asc("c_custkey")
+    )
+    return (
+        rev.join(cust, rev.o_custkey == cust.c_custkey)
+        .join(nation, cust.c_nationkey == nation.n_nationkey)
+        .withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= 3)
+        .select(
+            "n_name",
+            "c_custkey",
+            F.col("rev_d").cast("double").alias("revenue"),
+            F.col("rnk").cast("long").alias("rnk"),
+        )
+    )
+
+
+def q_events_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Events per type per hour — the batch shape of the streaming
+    tumbling-window demo (streaming/walk_rates.py); ts is nanos-long."""
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    # integer floor-div on the nanos long — double division would lose
+    # precision above 2^53 ns
+    hour = F.expr("ts div 3600000000000")
+    return ev.groupBy(
+        F.col("event_type"), hour.alias("hour_bucket")
+    ).agg(
+        F.count("*").cast("long").alias("n_events"),
+        F.sum(F.col("value").cast("decimal(18,6)")).cast("double").alias("sum_value"),
+    )
+
+
 def q_walk_kernel(spark: SparkSession, sf_dir: str) -> DataFrame:
     """G2-G4 (rows-only: seeded-random, not SQL-expressible; property
     checks live in tests/test_walks_pipeline.py)."""
@@ -332,6 +492,22 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "uncovered_valuable": q_uncovered_valuable,
         "walk_kernel": q_walk_kernel,
         "mitm_pipeline": q_mitm_pipeline,
+        "dedup_exact": q_dedup_exact,
+        "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
+        "dedup_minhash_lsh": q_dedup_minhash_lsh,
+        "dedup_simhash": q_dedup_simhash,
+        "dedup_embedding_cosine": q_dedup_embedding_cosine,
+        "similarity_topk": q_similarity_topk,
+        "similarity_ann_lsh": q_similarity_ann_lsh,
+        "text_token_stats": q_text_token_stats,
+        "text_quality": q_text_quality,
+        "text_language_id": q_text_language_id,
+        "doc_fingerprints": q_doc_fingerprints,
+        "multimodal_features": q_multimodal_features,
+        "multimodal_summary": q_multimodal_summary,
+        "pricing_summary": q_pricing_summary,
+        "top_customers_per_nation": q_top_customers_per_nation,
+        "events_rollup": q_events_rollup,
     }
 
 
@@ -421,6 +597,49 @@ def oracle_sql() -> dict[str, str]:
             rounds=1,
             best=True,
         ),
+        "dedup_exact": doc_oracles.dedup_exact_sql(),
+        "dedup_ngram_jaccard": doc_oracles.ngram_jaccard_sql(n=3, threshold=0.2),
+        "dedup_minhash_lsh": doc_oracles.minhash_lsh_sql(n=3, threshold=0.2),
+        "dedup_simhash": doc_oracles.simhash_sql(max_hamming=8),
+        "dedup_embedding_cosine": doc_oracles.embedding_cosine_sql(threshold=0.9),
+        "similarity_topk": doc_oracles.cosine_topk_sql(k=5, query_max_id=20),
+        "text_token_stats": doc_oracles.token_stats_sql(),
+        "text_quality": doc_oracles.quality_sql(),
+        "text_language_id": doc_oracles.language_id_sql(),
+        "doc_fingerprints": doc_oracles.fingerprint_sql(n=5, keep=4),
+        "pricing_summary": """
+            SELECT l_returnflag, l_linestatus,
+                   CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+                   CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+                     AS sum_base_price,
+                   CAST(SUM(CAST(
+                        CAST(l_extendedprice AS DECIMAL(18,2))
+                        * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))
+                        AS DECIMAL(28,4))) AS DOUBLE) AS sum_disc_price,
+                   CAST(COUNT(*) AS BIGINT) AS count_order
+            FROM lineitem GROUP BY l_returnflag, l_linestatus
+        """,
+        "top_customers_per_nation": """
+            WITH rev AS (
+              SELECT o_custkey, SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS rev_d
+              FROM orders GROUP BY o_custkey)
+            SELECT n_name, c_custkey, CAST(rev_d AS DOUBLE) AS revenue,
+                   CAST(rnk AS BIGINT) AS rnk
+            FROM (
+              SELECT n.n_name, c.c_custkey, r.rev_d, ROW_NUMBER() OVER (
+                PARTITION BY n.n_name ORDER BY r.rev_d DESC, c.c_custkey ASC) AS rnk
+              FROM rev r
+              JOIN customer c ON r.o_custkey = c.c_custkey
+              JOIN nation n ON c.c_nationkey = n.n_nationkey)
+            WHERE rnk <= 3
+        """,
+        "events_rollup": """
+            SELECT event_type,
+                   CAST(epoch_ns(ts) // 3600000000000 AS BIGINT) AS hour_bucket,
+                   CAST(COUNT(*) AS BIGINT) AS n_events,
+                   CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+            FROM events GROUP BY 1, 2
+        """,
         "graph_sizes": graph_sql(
             """
             SELECT 'original' AS graph,

@@ -24,9 +24,13 @@ from big_data_graph_analysis_with_spark_spark import get_spark  # noqa: E402
 from big_data_graph_analysis_with_spark_spark.config import SimConfig  # noqa: E402
 from big_data_graph_analysis_with_spark_spark.operators import (  # noqa: E402
     matching,
+    multimodal,
     simrank,
+    textops,
     topology,
 )
+from big_data_graph_analysis_with_spark_spark.operators import dedup as dedup_ops  # noqa: E402
+from big_data_graph_analysis_with_spark_spark.operators import similarity as similarity_ops  # noqa: E402
 from big_data_graph_analysis_with_spark_spark.plans.pipeline import run_pipeline  # noqa: E402
 from big_data_graph_analysis_with_spark_spark.sources import tpch_graph  # noqa: E402
 from big_data_graph_analysis_with_spark_spark.sources.ngs_text import load_graph  # noqa: E402
@@ -93,6 +97,37 @@ def main() -> None:
             num_of_parallel_walks=8, num_iters_per_comp_node=10, iters_before_accum=5
         )
         run_pipeline(spark, og, pg, cfg)
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    embs = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+
+    @timed("dedup_exact")
+    def _():
+        dedup_ops.exact_dedup(docs).count()
+
+    @timed("dedup_minhash_lsh")
+    def _():
+        dedup_ops.minhash_lsh_pairs(docs, 3, 0.2).count()
+
+    @timed("dedup_simhash")
+    def _():
+        dedup_ops.simhash_pairs(docs, 8).count()
+
+    @timed("similarity_ann_lsh")
+    def _():
+        q = embs.filter(F.col("vec_id") < 100)
+        similarity_ops.ann_lsh_topk(embs, q, 5).count()
+
+    @timed("text_analysis")
+    def _():
+        textops.token_stats(docs).count()
+        textops.quality_scores(docs).count()
+        textops.language_id(docs).count()
+
+    @timed("multimodal_features")
+    def _():
+        assets = multimodal.synthesize_assets(docs)
+        multimodal.extract_features(assets).count()
 
     @timed("mitm_pipeline_graph200")
     def _():

@@ -1,0 +1,267 @@
+"""Deduplication operators for large-scale training-data pipelines.
+
+Beyond the reference's surface (per BASELINE.json north star): exact
+dedup, n-gram Jaccard, MinHash+LSH, SimHash, and embedding-cosine
+near-dup — each expressed as pure DataFrame algebra (no Python UDFs in
+any hot path) with a DuckDB-reproducible formulation so every operator
+is oracle-checkable.
+
+Scale design notes
+------------------
+* **Exact**: one hash-groupBy. At 100 TB, group on `md5(text)` (8-byte
+  shuffle key after projection) rather than the text itself.
+* **n-gram Jaccard**: candidate pairs come from an inverted shingle
+  index (explode → self-join on shingle). Σ df² of shingle frequencies
+  bounds the join; stop-shingle capping (drop shingles with df > cap)
+  keeps the quadratic term bounded at scale.
+* **MinHash+LSH**: H=16 hash functions, 4 bands × 4 rows. Banding makes
+  candidate generation a groupBy on band signatures — *linear* in corpus
+  size; only in-bucket pairs are verified with true Jaccard. This is the
+  100 TB dedup path (exact pairwise is quadratic and dead on arrival).
+* **SimHash**: 56 hyperplane bits from token hashes, aggregated as 56
+  independent signed sums (no explode — one groupBy with 56 columns),
+  then Hamming-distance pairs. Banding over bit-chunks gives the scale
+  path for candidate generation.
+* **Embedding cosine**: dot products computed over DECIMAL(18,9)-cast
+  components — exact, associative, order-independent (float sums are
+  not reproducible across partitionings, let alone engines).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.hashing import bit_of, hash56
+
+# MinHash / LSH parameters (bands × rows_per_band = num_hashes)
+NUM_HASHES = 16
+NUM_BANDS = 4
+ROWS_PER_BAND = NUM_HASHES // NUM_BANDS
+#: SimHash bit width (= usable bits of hash56)
+SIMHASH_BITS = 56
+
+
+def exact_dedup(docs: DataFrame) -> DataFrame:
+    """Exact duplicate groups: (doc_id=min of group, n_copies).
+
+    Groups on md5(text) so the shuffle key is 32 bytes regardless of
+    document size; column pruning drops `text` before the exchange.
+    """
+    return (
+        docs.select(F.col("doc_id"), F.md5("text").alias("h"))
+        .groupBy("h")
+        .agg(
+            F.min("doc_id").alias("doc_id"),
+            F.count("*").cast("long").alias("n_copies"),
+        )
+        .select("doc_id", "n_copies")
+    )
+
+
+def word_shingles(docs: DataFrame, n: int = 3) -> DataFrame:
+    """(doc_id, shingle): distinct word n-grams per document.
+
+    Built-in higher-order functions only — the transform runs in
+    whole-stage codegen, no Python boundary.
+    """
+    words = F.split(F.col("text"), " ")
+    shingles = F.when(F.size(words) < n, F.array()).otherwise(
+        F.array_distinct(
+            F.transform(
+                F.sequence(F.lit(1), F.size(words) - (n - 1)),
+                lambda i: F.array_join(F.slice(words, i, n), " "),
+            )
+        )
+    )
+    return docs.select("doc_id", F.explode(shingles).alias("shingle"))
+
+
+def _pair_jaccard(shingles: DataFrame, threshold: float) -> DataFrame:
+    """All-pairs Jaccard over an inverted shingle index."""
+    sizes = shingles.groupBy("doc_id").agg(F.count("*").alias("sz"))
+    a = shingles.select(F.col("doc_id").alias("doc_a"), "shingle")
+    b = shingles.select(F.col("doc_id").alias("doc_b"), "shingle")
+    inter = (
+        a.join(b, on="shingle")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count("*").alias("n_common"))
+    )
+    return (
+        inter.join(sizes.select(F.col("doc_id").alias("doc_a"), F.col("sz").alias("sa")), on="doc_a")
+        .join(sizes.select(F.col("doc_id").alias("doc_b"), F.col("sz").alias("sb")), on="doc_b")
+        .withColumn(
+            "jaccard",
+            F.col("n_common") / (F.col("sa") + F.col("sb") - F.col("n_common")),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("doc_a", "doc_b", F.col("n_common").cast("long"), "jaccard")
+    )
+
+
+def ngram_jaccard_pairs(
+    docs: DataFrame, n: int = 3, threshold: float = 0.2
+) -> DataFrame:
+    """Near-duplicate pairs by exact word-n-gram Jaccard ≥ threshold.
+
+    Candidate generation via the inverted index: only pairs sharing at
+    least one shingle are ever scored. The division is the single
+    floating-point op (ints otherwise) → deterministic across engines.
+    """
+    return _pair_jaccard(word_shingles(docs, n), threshold)
+
+
+def minhash_signatures(shingles: DataFrame, num_hashes: int = NUM_HASHES) -> DataFrame:
+    """(doc_id, mh_0..mh_{H-1}): MinHash signature per document —
+    min over shingles of H seeded 56-bit hashes, one groupBy."""
+    hashed = shingles.select(
+        "doc_id",
+        *[hash56("shingle", seed=i).alias(f"h{i}") for i in range(num_hashes)],
+    )
+    return hashed.groupBy("doc_id").agg(
+        *[F.min(f"h{i}").alias(f"mh_{i}") for i in range(num_hashes)]
+    )
+
+
+def minhash_lsh_pairs(
+    docs: DataFrame,
+    n: int = 3,
+    threshold: float = 0.2,
+    num_hashes: int = NUM_HASHES,
+    num_bands: int = NUM_BANDS,
+) -> DataFrame:
+    """MinHash-LSH near-dup pairs, verified with true Jaccard.
+
+    Pipeline: shingle → signature → band signatures → groupBy band
+    bucket (linear) → in-bucket candidate pairs → exact Jaccard verify.
+    Returns (doc_a, doc_b, jaccard).
+    """
+    shingles = word_shingles(docs, n)
+    sigs = minhash_signatures(shingles, num_hashes)
+    rpb = num_hashes // num_bands
+
+    bands = None
+    for b in range(num_bands):
+        cols = [F.col(f"mh_{b * rpb + r}") for r in range(rpb)]
+        one = sigs.select(
+            "doc_id",
+            F.lit(b).alias("band"),
+            F.concat_ws("_", *[c.cast("string") for c in cols]).alias("sig"),
+        )
+        bands = one if bands is None else bands.unionAll(one)
+
+    a = bands.select(F.col("doc_id").alias("doc_a"), "band", "sig")
+    b_ = bands.select(F.col("doc_id").alias("doc_b"), "band", "sig")
+    cands = (
+        a.join(b_, on=["band", "sig"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b")
+        .distinct()
+    )
+
+    verified = _pair_jaccard(shingles, threshold).join(
+        cands, on=["doc_a", "doc_b"], how="left_semi"
+    )
+    return verified.select("doc_a", "doc_b", "jaccard")
+
+
+def simhash_signatures(docs: DataFrame, bits: int = SIMHASH_BITS) -> DataFrame:
+    """(doc_id, simhash): 56-bit SimHash over token-frequency weights.
+
+    Each bit k is the sign of Σ_tokens cnt·(2·bit_k(hash(token))−1).
+    The 56 signed sums are plain aggregate columns — no explode, one
+    shuffle on doc_id with map-side partial aggregation.
+    """
+    tok = (
+        docs.select("doc_id", F.explode(F.split("text", " ")).alias("w"))
+        .groupBy("doc_id", "w")
+        .agg(F.count("*").alias("cnt"))
+        .withColumn("h", hash56("w"))
+    )
+    sums = tok.groupBy("doc_id").agg(
+        *[
+            F.sum(F.col("cnt") * (bit_of(F.col("h"), k) * 2 - 1)).alias(f"s{k}")
+            for k in range(bits)
+        ]
+    )
+    sim = None
+    for k in range(bits):
+        term = F.when(F.col(f"s{k}") > 0, F.lit(1).cast("long") * (1 << k)).otherwise(
+            F.lit(0).cast("long")
+        )
+        sim = term if sim is None else sim + term
+    return sums.select("doc_id", sim.alias("simhash"))
+
+
+def simhash_pairs(docs: DataFrame, max_hamming: int = 8) -> DataFrame:
+    """Near-dup pairs with SimHash Hamming distance ≤ max_hamming.
+
+    All-pairs XOR+popcount here (fine up to ~10⁵ docs); the scale path
+    buckets on 14-bit signature chunks first (any pair within Hamming
+    ≤ 3·chunks must agree on ≥1 chunk) — same output, linear candidates.
+    """
+    sigs = simhash_signatures(docs)
+    a = sigs.select(F.col("doc_id").alias("doc_a"), F.col("simhash").alias("ha"))
+    b = sigs.select(F.col("doc_id").alias("doc_b"), F.col("simhash").alias("hb"))
+    return (
+        a.crossJoin(b)
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .withColumn("hamming", F.bit_count(F.col("ha").bitwiseXOR(F.col("hb"))))
+        .filter(F.col("hamming") <= max_hamming)
+        .select("doc_a", "doc_b", F.col("hamming").cast("long"))
+    )
+
+
+def _decimal_components(emb: DataFrame, id_col: str = "vec_id") -> DataFrame:
+    """(id, j, x): DECIMAL(18,9)-cast embedding components — the exact
+    fixed-point representation both engines agree on."""
+    return emb.select(
+        F.col(id_col),
+        F.posexplode("embedding").alias("j", "xf"),
+    ).select(
+        id_col, "j", F.col("xf").cast("double").cast("decimal(18,9)").alias("x")
+    )
+
+
+def embedding_cosine_pairs(emb: DataFrame, threshold: float = 0.9) -> DataFrame:
+    """Near-dup pairs by embedding cosine ≥ threshold (exact,
+    decimal-arithmetic dot products → engine-reproducible).
+
+    Returns (vec_a, vec_b, cosine). Quadratic verify — at scale,
+    generate candidates with sign-random-projection LSH first
+    (similarity.ann_lsh) and verify only in-bucket pairs.
+    """
+    comp = _decimal_components(emb)
+    norms = comp.groupBy("vec_id").agg(F.sum(F.col("x") * F.col("x")).alias("nsq"))
+    a = comp.select(F.col("vec_id").alias("vec_a"), "j", F.col("x").alias("xa"))
+    b = comp.select(F.col("vec_id").alias("vec_b"), "j", F.col("x").alias("xb"))
+    dots = (
+        a.join(b, on="j")
+        .filter(F.col("vec_a") < F.col("vec_b"))
+        .groupBy("vec_a", "vec_b")
+        .agg(F.sum(F.col("xa") * F.col("xb")).alias("dot"))
+    )
+    return (
+        dots.join(
+            norms.select(F.col("vec_id").alias("vec_a"), F.col("nsq").alias("na")),
+            on="vec_a",
+        )
+        .join(
+            norms.select(F.col("vec_id").alias("vec_b"), F.col("nsq").alias("nb")),
+            on="vec_b",
+        )
+        .withColumn(
+            # round(9): DuckDB's decimal→double cast can be 1 ulp off a
+            # correctly-rounded result; 9 decimals absorbs it while the
+            # decimal dot keeps the value itself exact
+            "cosine",
+            F.round(
+                F.col("dot").cast("double")
+                / F.sqrt(F.col("na").cast("double") * F.col("nb").cast("double")),
+                9,
+            ),
+        )
+        .filter(F.col("cosine") >= threshold)
+        .select("vec_a", "vec_b", "cosine")
+    )

@@ -1,0 +1,120 @@
+"""Multimodal column plumbing: images/audio/video as opaque `binary`
+columns with typed metadata, processed via Arrow-batched `mapInPandas`.
+
+The Spark-side machinery here is real and tested — schema, batching,
+partition sizing, UDF signatures. The actual codec calls are stubbed
+(`NotImplementedError` / deterministic fake) because no image/audio
+libraries exist in this container; swapping `_decode_stub` for
+PIL/torchaudio is a one-function change that does not alter the plan.
+
+Scale notes: binary payloads dominate row size, so
+`spark.sql.files.maxPartitionBytes` (set in session.py) bounds task
+memory; `mapInPandas` streams Arrow record batches so a task never
+holds more than `arrow.maxRecordsPerBatch` assets; feature outputs are
+narrow rows that shuffle cheaply while payloads stay columnar-pruned
+away (never read unless the decode stage runs).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+ASSET_SCHEMA = (
+    "asset_id LONG, kind STRING, data BINARY, "
+    "width LONG, height LONG, sample_rate LONG, n_frames LONG"
+)
+
+FEATURE_SCHEMA = (
+    "asset_id LONG, kind STRING, n_bytes LONG, byte_mean DOUBLE, "
+    "byte_entropy_q DOUBLE, feature ARRAY<DOUBLE>"
+)
+
+
+def synthesize_assets(docs: DataFrame) -> DataFrame:
+    """Build a deterministic multimodal asset table from `documents`
+    (the container has no real media): text bytes as payload, kind
+    round-robined, plausible metadata derived from doc_id."""
+    kind = F.element_at(
+        F.array(F.lit("image"), F.lit("audio"), F.lit("video")),
+        (F.col("doc_id") % 3 + 1).cast("int"),
+    )
+    return docs.select(
+        F.col("doc_id").alias("asset_id"),
+        kind.alias("kind"),
+        F.encode("text", "utf-8").alias("data"),
+        F.when(F.col("doc_id") % 3 == 0, F.col("doc_id") % 1920 + 1).alias("width"),
+        F.when(F.col("doc_id") % 3 == 0, F.col("doc_id") % 1080 + 1).alias("height"),
+        F.when(F.col("doc_id") % 3 == 1, F.lit(16_000)).alias("sample_rate"),
+        F.when(F.col("doc_id") % 3 == 2, F.col("doc_id") % 300 + 1).alias("n_frames"),
+    )
+
+
+def _decode_stub(kind: str, payload: bytes) -> list[float]:
+    """STUB for the real decoder.
+
+    Real implementation would be:
+      image → PIL.Image.open(BytesIO(payload)).resize(...) → pixels
+      audio → torchaudio.load → resample → frames
+      video → decord/pyav frame sample
+    None of those libraries ship in this container, so we return a
+    deterministic 4-dim byte-statistics vector; raise for unknown kinds
+    exactly as the real decoder would for unsupported codecs.
+    """
+    if kind not in ("image", "audio", "video"):
+        raise NotImplementedError(f"no decoder for kind={kind!r}")
+    if not payload:
+        return [0.0, 0.0, 0.0, 0.0]
+    n = len(payload)
+    mean = sum(payload) / n
+    mx, mn = max(payload), min(payload)
+    return [float(n), round(mean, 6), float(mx), float(mn)]
+
+
+def extract_features(assets: DataFrame, batch_size_hint: int = 256) -> DataFrame:
+    """Decode + featurize every asset via Arrow-batched mapInPandas.
+
+    The kernel sees pandas batches (zero-copy from Arrow for the binary
+    column), emits narrow feature rows; Spark handles partitioning and
+    the Python worker pool. This is the pattern a real decode stage
+    (resize / frame-sample / fingerprint) drops into unchanged.
+    """
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            feats = [
+                _decode_stub(k, bytes(d) if d is not None else b"")
+                for k, d in zip(pdf["kind"], pdf["data"])
+            ]
+            n_bytes = [int(f[0]) for f in feats]
+            yield pd.DataFrame(
+                {
+                    "asset_id": pdf["asset_id"].astype("int64"),
+                    "kind": pdf["kind"],
+                    "n_bytes": pd.Series(n_bytes, dtype="int64"),
+                    "byte_mean": [f[1] for f in feats],
+                    "byte_entropy_q": [
+                        (f[2] - f[3]) / 255.0 for f in feats  # range proxy
+                    ],
+                    "feature": feats,
+                }
+            )
+
+    return assets.mapInPandas(kernel, FEATURE_SCHEMA)
+
+
+def asset_summary(features: DataFrame) -> DataFrame:
+    """Per-kind rollup of the extracted features — the query a curation
+    pipeline runs to QA a multimodal batch."""
+    return features.groupBy("kind").agg(
+        F.count("*").cast("long").alias("n_assets"),
+        F.sum("n_bytes").cast("long").alias("total_bytes"),
+        F.round(
+            F.sum(F.col("byte_mean").cast("decimal(18,6)")).cast("double")
+            / F.count("*"),
+            6,
+        ).alias("avg_byte_mean"),
+    )

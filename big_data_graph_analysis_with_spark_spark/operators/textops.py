@@ -1,0 +1,137 @@
+"""Text analysis operators for training-data curation: token counting,
+quality scoring, language ID, document fingerprinting.
+
+All pure `pyspark.sql.functions` expressions (JVM-side, codegen'd) —
+there is no reason for any of these to touch Python per row. Ratios are
+computed as a single integer/integer division so the DuckDB oracle
+reproduces them exactly.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.hashing import hash56
+
+#: tiny function-word profiles per language for the overlap heuristic.
+#: Deliberately minimal — the operator is the mechanism (per-language
+#: token-set overlap, distributed), not a linguistic model.
+LANG_PROFILES: dict[str, tuple[str, ...]] = {
+    "en": ("the", "a", "of", "and", "to", "in", "is"),
+    "fr": ("le", "la", "de", "et", "un", "est"),
+    "de": ("der", "die", "das", "und", "ist", "ein"),
+    "es": ("el", "la", "de", "y", "un", "es"),
+    "zh": ("的", "是", "和", "在", "了"),
+}
+
+#: english stopwords for the quality-score stopword ratio
+STOPWORDS = ("the", "a", "of", "and", "to", "in", "is", "for", "on", "with")
+
+
+def token_stats(docs: DataFrame) -> DataFrame:
+    """Per-document token statistics: (doc_id, n_tokens, n_distinct,
+    n_chars_measured, avg_token_len, type_token_ratio)."""
+    words = F.split(F.col("text"), " ")
+    return docs.select(
+        "doc_id",
+        F.size(words).cast("long").alias("n_tokens"),
+        F.size(F.array_distinct(words)).cast("long").alias("n_distinct"),
+        F.length("text").cast("long").alias("n_chars_measured"),
+        (
+            (F.length("text") - F.size(words) + 1) / F.size(words)
+        ).alias("avg_token_len"),
+        (F.size(F.array_distinct(words)) / F.size(words)).alias("type_token_ratio"),
+    )
+
+
+def quality_scores(docs: DataFrame) -> DataFrame:
+    """Heuristic quality score in [0,1]: length band + stopword ratio +
+    repetition penalty. (doc_id, n_tokens, stopword_ratio, quality).
+
+    Mirrors the usual Gopher/C4-style filters in spirit: too-short docs
+    score 0; heavy repetition (low type/token) is penalized; a moderate
+    stopword ratio is rewarded. Single-division ratios → deterministic.
+    """
+    words = F.split(F.col("text"), " ")
+    n = F.size(words)
+    n_stop = F.size(F.array_intersect(words, F.array(*[F.lit(s) for s in STOPWORDS])))
+    # distinct stopwords present / tokens would under-reward; count
+    # occurrences via filter instead (array_intersect dedups):
+    n_stop_occ = F.size(
+        F.filter(words, lambda w: w.isin(*[F.lit(s) for s in STOPWORDS]))
+    )
+    ttr = F.size(F.array_distinct(words)) / n
+    stop_ratio = n_stop_occ / n
+    length_ok = (n >= 20) & (n <= 1000)
+    score = (
+        F.when(~length_ok, F.lit(0.0))
+        .otherwise(
+            F.round(
+                F.least(F.lit(1.0), stop_ratio * 4) * 0.4 + ttr * 0.6, 6
+            )
+        )
+    )
+    return docs.select(
+        "doc_id",
+        n.cast("long").alias("n_tokens"),
+        F.round(stop_ratio, 6).alias("stopword_ratio"),
+        score.alias("quality"),
+        n_stop.cast("long").alias("n_distinct_stopwords"),
+    )
+
+
+def language_id(docs: DataFrame) -> DataFrame:
+    """Token-overlap language guess: (doc_id, guessed_lang, best_overlap).
+
+    Per language, count occurrences of its function words; argmax with
+    deterministic alphabetical tie-break. At scale this is one pass per
+    document over a constant-size profile array — no joins, no UDFs.
+    """
+    words = F.split(F.col("text"), " ")
+    overlaps = [
+        F.size(
+            F.filter(words, lambda w: w.isin(*[F.lit(t) for t in toks]))
+        ).alias(f"ov_{lang}")
+        for lang, toks in sorted(LANG_PROFILES.items())
+    ]
+    with_ov = docs.select("doc_id", *overlaps)
+    langs = sorted(LANG_PROFILES)
+    pairs = F.array(
+        *[F.struct(F.col(f"ov_{L}").alias("ov"), F.lit(L).alias("lang")) for L in langs]
+    )
+    # explicit fold so overlap ties keep the alphabetically-first lang
+    # (strict > means earlier array entries win ties)
+    folded = F.aggregate(
+        pairs,
+        F.struct(F.lit(-1).cast("int").alias("ov"), F.lit("").alias("lang")),
+        lambda acc, s: F.when(s["ov"] > acc["ov"], s).otherwise(acc),
+    )
+    return with_ov.select(
+        "doc_id",
+        folded["lang"].alias("guessed_lang"),
+        folded["ov"].cast("long").alias("best_overlap"),
+    )
+
+
+def doc_fingerprints(docs: DataFrame, n: int = 5, keep: int = 4) -> DataFrame:
+    """Winnowing-style fingerprint: the `keep` smallest 56-bit hashes of
+    word n-grams, as a sorted array. (doc_id, fingerprint array<long>).
+
+    Two docs sharing any fingerprint element are near-dup candidates —
+    the join-key form of MOSS-style winnowing, shuffle key = 8 bytes.
+    """
+    words = F.split(F.col("text"), " ")
+    grams = F.when(F.size(words) < n, F.array(F.col("text"))).otherwise(
+        F.transform(
+            F.sequence(F.lit(1), F.size(words) - (n - 1)),
+            lambda i: F.array_join(F.slice(words, i, n), " "),
+        )
+    )
+    exploded = docs.select("doc_id", F.explode(grams).alias("g")).select(
+        "doc_id", hash56("g").alias("h")
+    )
+    ranked = exploded.groupBy("doc_id").agg(
+        F.slice(F.array_sort(F.collect_set("h")), 1, keep).alias("fingerprint")
+    )
+    return ranked

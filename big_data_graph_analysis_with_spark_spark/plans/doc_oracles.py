@@ -1,0 +1,265 @@
+"""DuckDB oracle SQL for the documents/embeddings operators — generated
+in lockstep with operators/dedup.py, similarity.py, textops.py.
+
+Conventions that make these hash-stable cross-engine (see also
+tpch_graph.py): integer arithmetic until a single final division;
+DECIMAL fixed-point for any multi-term float sum; the shared 56-bit
+MD5 hash (functions/hashing.py) for all hashing.
+"""
+
+from __future__ import annotations
+
+from ..functions.hashing import hash56_sql
+from ..operators.dedup import NUM_BANDS, NUM_HASHES, SIMHASH_BITS
+from ..operators.textops import LANG_PROFILES, STOPWORDS
+
+
+def _shingle_ctes(n: int = 3) -> str:
+    # NB: laterally-correlated generate_series is unsupported in DuckDB
+    # 1.0 — build the shingle list with list_transform over range()
+    # (scalar list form) and unnest it instead.
+    return f"""
+words AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+shing AS (
+  SELECT DISTINCT doc_id,
+         unnest(list_transform(range(len(w) - {n - 1}),
+                i -> array_to_string(w[i+1:i+{n}], ' '))) AS shingle
+  FROM words WHERE len(w) >= {n}
+)
+"""
+
+
+def _jaccard_ctes(threshold: float) -> str:
+    return f"""
+sz AS (SELECT doc_id, COUNT(*) AS sz FROM shing GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_common
+  FROM shing a JOIN shing b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+),
+jac AS (
+  SELECT i.doc_a, i.doc_b, CAST(i.n_common AS BIGINT) AS n_common,
+         i.n_common / (sa.sz + sb.sz - i.n_common) AS jaccard
+  FROM inter i
+  JOIN sz sa ON sa.doc_id = i.doc_a
+  JOIN sz sb ON sb.doc_id = i.doc_b
+  WHERE i.n_common / (sa.sz + sb.sz - i.n_common) >= {threshold}
+)
+"""
+
+
+def dedup_exact_sql() -> str:
+    return """
+    SELECT MIN(doc_id) AS doc_id, CAST(COUNT(*) AS BIGINT) AS n_copies
+    FROM documents GROUP BY md5(text)
+    """
+
+
+def ngram_jaccard_sql(n: int = 3, threshold: float = 0.2) -> str:
+    return (
+        "WITH "
+        + _shingle_ctes(n).strip()
+        + ", "
+        + _jaccard_ctes(threshold).strip()
+        + " SELECT doc_a, doc_b, n_common, jaccard FROM jac"
+    )
+
+
+def minhash_lsh_sql(n: int = 3, threshold: float = 0.2) -> str:
+    mins = ", ".join(
+        f"MIN({hash56_sql('shingle', seed=i)}) AS mh_{i}" for i in range(NUM_HASHES)
+    )
+    rpb = NUM_HASHES // NUM_BANDS
+    band_selects = " UNION ALL ".join(
+        "SELECT doc_id, {b} AS band, concat_ws('_', {cols}) AS sig FROM mh".format(
+            b=b,
+            cols=", ".join(
+                f"CAST(mh_{b * rpb + r} AS VARCHAR)" for r in range(rpb)
+            ),
+        )
+        for b in range(NUM_BANDS)
+    )
+    return (
+        "WITH "
+        + _shingle_ctes(n).strip()
+        + ", "
+        + _jaccard_ctes(threshold).strip()
+        + f""",
+mh AS (SELECT doc_id, {mins} FROM shing GROUP BY doc_id),
+bands AS ({band_selects}),
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM bands a JOIN bands b
+    ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id
+)
+SELECT j.doc_a, j.doc_b, j.jaccard FROM jac j
+WHERE EXISTS (SELECT 1 FROM cand c
+              WHERE c.doc_a = j.doc_a AND c.doc_b = j.doc_b)
+"""
+    )
+
+
+def simhash_sql(max_hamming: int = 8) -> str:
+    h = hash56_sql("w")
+    sums = ", ".join(
+        f"SUM(cnt * ((({h} >> {k}) & 1) * 2 - 1)) AS s{k}"
+        for k in range(SIMHASH_BITS)
+    )
+    sim = " + ".join(
+        f"CASE WHEN s{k} > 0 THEN (1::BIGINT << {k}) ELSE 0 END"
+        for k in range(SIMHASH_BITS)
+    )
+    return f"""
+WITH tok AS (
+  SELECT doc_id, t.w, COUNT(*) AS cnt
+  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS w
+        FROM documents) t(doc_id, w)
+  GROUP BY doc_id, t.w
+),
+sums AS (SELECT doc_id, {sums} FROM tok GROUP BY doc_id),
+sigs AS (SELECT doc_id, {sim} AS simhash FROM sums)
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming
+FROM sigs a JOIN sigs b ON a.doc_id < b.doc_id
+WHERE bit_count(xor(a.simhash, b.simhash)) <= {max_hamming}
+"""
+
+
+_COMP_CTES = """
+comp AS (
+  SELECT vec_id, unnest(range(len(embedding))) AS j,
+         CAST(CAST(unnest(embedding) AS DOUBLE) AS DECIMAL(18,9)) AS x
+  FROM embeddings
+),
+norms AS (SELECT vec_id, SUM(x * x) AS nsq FROM comp GROUP BY vec_id)
+"""
+
+
+def embedding_cosine_sql(threshold: float = 0.9) -> str:
+    return f"""
+WITH {_COMP_CTES.strip()},
+dots AS (
+  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, SUM(a.x * b.x) AS dot
+  FROM comp a JOIN comp b ON a.j = b.j AND a.vec_id < b.vec_id
+  GROUP BY 1, 2
+)
+SELECT d.vec_a, d.vec_b,
+       ROUND(CAST(d.dot AS DOUBLE)
+             / sqrt(CAST(na.nsq AS DOUBLE) * CAST(nb.nsq AS DOUBLE)), 9) AS cosine
+FROM dots d
+JOIN norms na ON na.vec_id = d.vec_a
+JOIN norms nb ON nb.vec_id = d.vec_b
+WHERE ROUND(CAST(d.dot AS DOUBLE)
+            / sqrt(CAST(na.nsq AS DOUBLE) * CAST(nb.nsq AS DOUBLE)), 9)
+      >= {threshold}
+"""
+
+
+def cosine_topk_sql(k: int = 5, query_max_id: int = 20) -> str:
+    return f"""
+WITH {_COMP_CTES.strip()},
+dots AS (
+  SELECT q.vec_id AS query_id, n.vec_id AS neighbor_id, SUM(q.x * n.x) AS dot
+  FROM comp q JOIN comp n ON q.j = n.j AND q.vec_id <> n.vec_id
+  WHERE q.vec_id < {query_max_id}
+  GROUP BY 1, 2
+),
+scored AS (
+  SELECT d.query_id, d.neighbor_id,
+         ROUND(CAST(d.dot AS DOUBLE)
+               / sqrt(CAST(nq.nsq AS DOUBLE) * CAST(nn.nsq AS DOUBLE)), 9) AS cosine
+  FROM dots d
+  JOIN norms nq ON nq.vec_id = d.query_id
+  JOIN norms nn ON nn.vec_id = d.neighbor_id
+)
+SELECT query_id, neighbor_id, CAST(rn AS BIGINT) AS rank, cosine FROM (
+  SELECT s.*, ROW_NUMBER() OVER (
+    PARTITION BY query_id ORDER BY cosine DESC, neighbor_id ASC) AS rn
+  FROM scored s) WHERE rn <= {k}
+"""
+
+
+def token_stats_sql() -> str:
+    return """
+WITH words AS (SELECT doc_id, text, string_split(text, ' ') AS w FROM documents)
+SELECT doc_id,
+       CAST(len(w) AS BIGINT) AS n_tokens,
+       CAST(len(list_distinct(w)) AS BIGINT) AS n_distinct,
+       CAST(length(text) AS BIGINT) AS n_chars_measured,
+       (length(text) - len(w) + 1) / len(w) AS avg_token_len,
+       len(list_distinct(w)) / len(w) AS type_token_ratio
+FROM words
+"""
+
+
+def quality_sql() -> str:
+    stop_list = ", ".join(f"'{s}'" for s in STOPWORDS)
+    return f"""
+WITH words AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+m AS (
+  SELECT doc_id,
+         len(w) AS n,
+         len(list_filter(w, x -> x IN ({stop_list}))) AS n_stop_occ,
+         len(list_distinct(list_filter(w, x -> x IN ({stop_list})))) AS n_stop_d,
+         len(list_distinct(w)) AS n_d
+  FROM words)
+SELECT doc_id,
+       CAST(n AS BIGINT) AS n_tokens,
+       ROUND(n_stop_occ / n, 6) AS stopword_ratio,
+       CASE WHEN n >= 20 AND n <= 1000
+            THEN ROUND(LEAST(1.0, (n_stop_occ / n) * 4) * 0.4 + (n_d / n) * 0.6, 6)
+            ELSE 0.0 END AS quality,
+       CAST(n_stop_d AS BIGINT) AS n_distinct_stopwords
+FROM m
+"""
+
+
+def language_id_sql() -> str:
+    langs = sorted(LANG_PROFILES)
+    ovs = ", ".join(
+        "len(list_filter(w, x -> x IN ({toks}))) AS ov_{lang}".format(
+            toks=", ".join(f"'{t}'" for t in LANG_PROFILES[lang]), lang=lang
+        )
+        for lang in langs
+    )
+    # fold with strict > : earlier (alphabetical) languages win ties
+    fold = "CASE "
+    order_desc = []
+    for lang in langs:
+        cond = " AND ".join(
+            f"ov_{lang} >= ov_{o}" for o in langs if o != lang
+        )
+        strict_before = " AND ".join(
+            f"ov_{lang} > ov_{o}" for o in langs if o < lang
+        )
+        full = cond if not strict_before else f"({cond}) AND ({strict_before})"
+        order_desc.append(f"WHEN {full} THEN '{lang}'")
+    fold += " ".join(order_desc) + " END"
+    greatest = "GREATEST(" + ", ".join(f"ov_{L}" for L in langs) + ")"
+    return f"""
+WITH words AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+ov AS (SELECT doc_id, {ovs} FROM words)
+SELECT doc_id, {fold} AS guessed_lang,
+       CAST({greatest} AS BIGINT) AS best_overlap
+FROM ov
+"""
+
+
+def fingerprint_sql(n: int = 5, keep: int = 4) -> str:
+    h = hash56_sql("g")
+    return f"""
+WITH words AS (SELECT doc_id, text, string_split(text, ' ') AS w FROM documents),
+grams AS (
+  SELECT doc_id, unnest(list_transform(range(len(w) - {n - 1}),
+                 i -> array_to_string(w[i+1:i+{n}], ' '))) AS g
+  FROM words WHERE len(w) >= {n}
+  UNION ALL
+  SELECT doc_id, text AS g FROM words WHERE len(w) < {n}
+),
+hashed AS (SELECT DISTINCT doc_id, {h} AS h FROM grams),
+ranked AS (
+  SELECT doc_id, h, ROW_NUMBER() OVER (
+    PARTITION BY doc_id ORDER BY h ASC) AS rn
+  FROM hashed)
+SELECT doc_id, h FROM ranked WHERE rn <= {keep}
+"""
