@@ -444,6 +444,22 @@ def q_events_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_events_windowed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F.window tumbling aggregation — the batch twin of the streaming
+    rollup (streaming/walk_rates.py; stream ≡ batch asserted in
+    tests/test_streaming.py). Window start exported as epoch seconds so
+    both engines compare as BIGINT."""
+    from big_data_graph_analysis_with_spark_spark.streaming import walk_rates
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return walk_rates.windowed_event_counts(ev).select(
+        F.unix_timestamp("window_start").alias("window_start_epoch"),
+        "event_type",
+        "n_events",
+        "sum_value",
+    )
+
+
 def q_walk_kernel(spark: SparkSession, sf_dir: str) -> DataFrame:
     """G2-G4 (rows-only: seeded-random, not SQL-expressible; property
     checks live in tests/test_walks_pipeline.py)."""
@@ -505,6 +521,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_fingerprints": q_doc_fingerprints,
         "multimodal_features": q_multimodal_features,
         "multimodal_summary": q_multimodal_summary,
+        "events_windowed": q_events_windowed,
         "pricing_summary": q_pricing_summary,
         "top_customers_per_nation": q_top_customers_per_nation,
         "events_rollup": q_events_rollup,
@@ -607,6 +624,14 @@ def oracle_sql() -> dict[str, str]:
         "text_quality": doc_oracles.quality_sql(),
         "text_language_id": doc_oracles.language_id_sql(),
         "doc_fingerprints": doc_oracles.fingerprint_sql(n=5, keep=4),
+        "events_windowed": """
+            SELECT CAST(epoch_ns(ts) // 1000000000 // 3600 * 3600 AS BIGINT)
+                     AS window_start_epoch,
+                   event_type,
+                   CAST(COUNT(*) AS BIGINT) AS n_events,
+                   CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+            FROM events GROUP BY 1, 2
+        """,
         "pricing_summary": """
             SELECT l_returnflag, l_linestatus,
                    CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,

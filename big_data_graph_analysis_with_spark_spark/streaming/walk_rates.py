@@ -1,0 +1,128 @@
+"""Structured Streaming extension (SURVEY.md §2.10).
+
+The reference is strictly batch — no streaming exists to replicate.
+This module is the north-star extension over the `events` table: the
+same tumbling-window rollup as the batch `events_rollup` query, as a
+stream, plus a custom stateful operator via `applyInPandasWithState`
+(the Spark-idiomatic home for reference-style sequential per-key
+logic, were walks ever fed from a live event stream).
+
+Semantics: `windowed_event_counts(stream) ≡ events_rollup(batch)` on
+the same data — asserted in tests by running the stream with an
+`availableNow` trigger into a memory sink and comparing against the
+batch plan. Watermarking bounds state: late events beyond the
+watermark are dropped instead of growing window state forever — the
+knob that keeps a 100 TB/day stream's state finite.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+EVENTS_SCHEMA = (
+    "event_id LONG, ts LONG, user_id LONG, event_type STRING, "
+    "value DOUBLE, props STRING"
+)
+
+
+def read_events_stream(spark, path: str) -> DataFrame:
+    """File-source stream over events parquet (ts = nanos-since-epoch
+    long, per the testdata's TIMESTAMP(NANOS) columns read under
+    nanosAsLong)."""
+    return spark.readStream.schema(EVENTS_SCHEMA).parquet(path)
+
+
+def with_event_time(events: DataFrame) -> DataFrame:
+    """Attach a proper timestamp column from the nanos long."""
+    return events.withColumn(
+        "event_time", F.timestamp_micros(F.expr("ts div 1000"))
+    )
+
+
+def windowed_event_counts(
+    events: DataFrame,
+    window: str = "1 hour",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Tumbling-window counts + value sums per event type.
+
+    Works on both batch and streaming DataFrames (the streaming twin of
+    the batch `events_rollup` oracle query). With a stream, the
+    watermark lets Spark finalize windows and evict their state.
+    """
+    ev = with_event_time(events)
+    if ev.isStreaming:
+        ev = ev.withWatermark("event_time", watermark)
+    return ev.groupBy(
+        F.window("event_time", window).alias("win"), F.col("event_type")
+    ).agg(
+        F.count("*").cast("long").alias("n_events"),
+        F.sum(F.col("value").cast("decimal(18,6)")).cast("double").alias("sum_value"),
+    ).select(
+        F.col("win.start").alias("window_start"),
+        "event_type",
+        "n_events",
+        "sum_value",
+    )
+
+
+_STATE_SCHEMA = "n LONG, total DOUBLE"
+_OUT_SCHEMA = "user_id LONG, n_events LONG, total_value DOUBLE"
+
+
+def running_user_totals(events: DataFrame) -> DataFrame:
+    """Custom stateful operator: running per-user event count and value
+    total across micro-batches (`applyInPandasWithState`).
+
+    The per-key state is a (count, total) pair; each micro-batch folds
+    its rows into the state and emits the updated running totals. This
+    is the streaming shape for any reference-style sequential per-key
+    kernel (state ≡ the partition-local `visitedNodesList` of the walk
+    loop, `Main.scala:92-101`)."""
+
+    def fold(
+        key: tuple,
+        pdfs: Iterator[pd.DataFrame],
+        state: GroupState,
+    ) -> Iterator[pd.DataFrame]:
+        n, total = state.get if state.exists else (0, 0.0)
+        for pdf in pdfs:
+            n += len(pdf)
+            total += float(pdf["value"].sum())
+        state.update((n, total))
+        yield pd.DataFrame(
+            {
+                "user_id": [key[0]],
+                "n_events": pd.Series([n], dtype="int64"),
+                "total_value": [round(total, 6)],
+            }
+        )
+
+    return events.groupBy("user_id").applyInPandasWithState(
+        fold,
+        outputStructType=_OUT_SCHEMA,
+        stateStructType=_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+def run_to_memory_sink(
+    stream_df: DataFrame, table_name: str, output_mode: str = "complete"
+) -> None:
+    """Drain a stream into an in-memory table with availableNow (test /
+    backfill harness: process everything currently available, then
+    stop)."""
+    q = (
+        stream_df.writeStream.format("memory")
+        .queryName(table_name)
+        .outputMode(output_mode)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
