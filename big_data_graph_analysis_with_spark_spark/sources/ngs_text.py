@@ -135,4 +135,49 @@ def _check_init(g: NetGraph) -> NetGraph:
     return g
 
 
-__all__ = ["GraphParseError", "load_graph", "parse_graph_text", "EDGE_SCHEMA", "VERTEX_SCHEMA"]
+def serialize_graph(g: NetGraph) -> str:
+    """Serialize a NetGraph back to the NetGameSim text format (S8,
+    `NGStoText.scala:81-89` — the generator-side writer, kept as a
+    fixture-generation utility).
+
+    Edge endpoints are re-embedded as full NodeObject tuples (the
+    format nests them), reconstructed from the vertices table —
+    exactly the inverse of the endpoint re-canonicalization the
+    reference does on load (`HelperFunction.scala:145-149`).
+    """
+
+    def fmt_store(v: float) -> str:
+        return repr(v)
+
+    def node_str(r) -> str:
+        return (
+            f"NodeObject({r['id']},{r['children']},{r['props']},"
+            f"{r['current_depth']},{r['prop_value_range']},{r['max_depth']},"
+            f"{r['max_branching_factor']},{r['max_properties']},"
+            f"{fmt_store(r['stored_value'])},{str(r['valuable_data']).lower()})"
+        )
+
+    nodes = g.vertices.collect()
+    by_id = {r["id"]: r for r in nodes}
+    edges = g.edges.collect()
+
+    node_part = ", ".join(node_str(r) for r in nodes)
+    act_parts = []
+    for e in edges:
+        rv = "None" if e["resulting_value"] is None else f"Some({e['resulting_value']})"
+        act_parts.append(
+            f"Action({e['action_type']},{node_str(by_id[e['src']])},"
+            f"{node_str(by_id[e['dst']])},{e['from_field']},{e['to_field']},"
+            f"{rv},{repr(e['cost'])})"
+        )
+    return f"List({node_part}):List({', '.join(act_parts)})"
+
+
+__all__ = [
+    "GraphParseError",
+    "load_graph",
+    "parse_graph_text",
+    "serialize_graph",
+    "EDGE_SCHEMA",
+    "VERTEX_SCHEMA",
+]
