@@ -160,10 +160,35 @@ def minhash_lsh_pairs(
         .distinct()
     )
 
-    verified = _pair_jaccard(shingles, threshold).join(
-        cands, on=["doc_a", "doc_b"], how="left_semi"
+    # candidate-bounded verification: intersections are computed ONLY
+    # for in-bucket pairs — O(|cands|·shingles/doc), never the global
+    # Σ df² inverted-index join. This is the whole point of banding;
+    # verifying via all-pairs Jaccard would re-introduce the quadratic.
+    sizes = shingles.groupBy("doc_id").agg(F.count("*").alias("sz"))
+    sh_a = shingles.select(F.col("doc_id").alias("doc_a"), "shingle")
+    sh_b = shingles.select(F.col("doc_id").alias("doc_b"), "shingle")
+    inter = (
+        cands.join(sh_a, on="doc_a")
+        .join(sh_b, on=["doc_b", "shingle"])
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count("*").alias("n_common"))
     )
-    return verified.select("doc_a", "doc_b", "jaccard")
+    return (
+        inter.join(
+            sizes.select(F.col("doc_id").alias("doc_a"), F.col("sz").alias("sa")),
+            on="doc_a",
+        )
+        .join(
+            sizes.select(F.col("doc_id").alias("doc_b"), F.col("sz").alias("sb")),
+            on="doc_b",
+        )
+        .withColumn(
+            "jaccard",
+            F.col("n_common") / (F.col("sa") + F.col("sb") - F.col("n_common")),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("doc_a", "doc_b", "jaccard")
+    )
 
 
 def simhash_signatures(docs: DataFrame, bits: int = SIMHASH_BITS) -> DataFrame:
