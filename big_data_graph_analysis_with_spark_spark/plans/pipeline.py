@@ -60,10 +60,22 @@ def run_pipeline(
     pg: NetGraph,
     cfg: SimConfig = DEFAULT_CONFIG,
     yaml_path: str | None = None,
+    collect_round_counts: bool = False,
 ) -> PipelineResult:
     og = og.persist()
     pg = pg.persist()
     n_pg = pg.num_vertices()
+
+    # Small graphs don't need the session's full shuffle width — extra
+    # partitions are pure scheduling latency in a stage-heavy loop.
+    # (AQE coalesces shuffle reads, but windows/checkpoints still
+    # schedule the configured width.) Restored after the run.
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    if n_pg < 100_000:
+        spark.conf.set(
+            "spark.sql.shuffle.partitions",
+            str(max(8, cfg.num_of_parallel_walks)),
+        )
 
     start_ids = [r["id"] for r in topology.start_nodes(pg).select("id").collect()]
     assignments = walks.sample_start_assignments(spark, start_ids, cfg)
@@ -90,7 +102,8 @@ def run_pipeline(
         best = matching.best_match(candidates, pg, og)
         valuable = matching.valuable_matches(best, og)  # G8 before accumulate
         matches = matching.merge_matches(matches, valuable).localCheckpoint()
-        per_round_counts.append(matches.count())
+        if collect_round_counts:
+            per_round_counts.append(matches.count())
 
     assert matches is not None
     walks_for_stats = walk_steps.groupBy("partition_key", "walk_id").agg(
@@ -105,6 +118,7 @@ def run_pipeline(
     visited.unpersist()
     og.unpersist()
     pg.unpersist()
+    spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
     return PipelineResult(
         stats=stat_block,
         matches=matches,

@@ -90,8 +90,8 @@ def test_cyclic_graph_no_start_nodes_degrades(spark):
 def test_pipeline_graph200_deterministic_and_sane(spark):
     og = load_graph(spark, f"{REF_INPUT}/Graph200.txt")
     pg = load_graph(spark, f"{REF_INPUT}/Graph200.txt.perturbed")
-    r1 = run_pipeline(spark, og, pg, CFG)
-    r2 = run_pipeline(spark, og, pg, CFG)
+    r1 = run_pipeline(spark, og, pg, CFG, collect_round_counts=True)
+    r2 = run_pipeline(spark, og, pg, CFG, collect_round_counts=True)
     assert r1.stats == r2.stats  # determinism the reference lacks
     # shape sanity vs the recorded reference runs (output/MitM-statistics.yaml):
     # 103 valuable original nodes; TP >> FP
