@@ -338,6 +338,14 @@ def q_similarity_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.ann_lsh_topk(emb, queries_df, k=5)
 
 
+def q_similarity_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rows-only: IVF coarse-quantizer ANN (inverted lists + probes);
+    recall vs the exact baseline asserted in tests/test_skew_ivf.py."""
+    emb = _embs(spark, sf_dir)
+    queries_df = emb.filter(F.col("vec_id") < 20)
+    return similarity.ann_ivf_topk(emb, queries_df, k=5)
+
+
 def q_text_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return textops.token_stats(_docs(spark, sf_dir))
 
@@ -515,6 +523,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_embedding_cosine": q_dedup_embedding_cosine,
         "similarity_topk": q_similarity_topk,
         "similarity_ann_lsh": q_similarity_ann_lsh,
+        "similarity_ann_ivf": q_similarity_ann_ivf,
         "text_token_stats": q_text_token_stats,
         "text_quality": q_text_quality,
         "text_language_id": q_text_language_id,

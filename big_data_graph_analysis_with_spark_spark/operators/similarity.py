@@ -148,6 +148,117 @@ def _dot_udf():
     return dot
 
 
+def ivf_centroids(
+    emb: DataFrame, n_centroids: int = 16, sample_mod: int | None = None
+):
+    """Deterministic IVF coarse quantizer: centroids are the normalized
+    mean of seeded hash-assigned groups (one k-means half-step from a
+    deterministic partition — reproducible without iterative training).
+
+    Returns a (n_centroids × dim) numpy array, broadcastable to every
+    executor. At 100 TB you'd train real k-means on a sample; the IVF
+    *mechanics* (assign → inverted lists → probe) are identical.
+    """
+    assign = emb.select(
+        (F.xxhash64("vec_id") % n_centroids).alias("c"), "embedding"
+    ).withColumn("c", F.when(F.col("c") < 0, F.col("c") + n_centroids).otherwise(F.col("c")))
+    rows = (
+        assign.select("c", F.posexplode("embedding").alias("j", "x"))
+        .groupBy("c", "j")
+        .agg(F.avg("x").alias("m"))
+        .collect()
+    )
+    dim = max(r["j"] for r in rows) + 1
+    cents = np.zeros((n_centroids, dim))
+    for r in rows:
+        cents[r["c"], r["j"]] = r["m"]
+    norms = np.linalg.norm(cents, axis=1, keepdims=True)
+    norms[norms == 0] = 1.0
+    return cents / norms
+
+
+def ivf_assign(emb: DataFrame, centroids) -> DataFrame:
+    """(vec_id, list_id): nearest-centroid assignment (vectorized)."""
+    c = centroids
+
+    @pandas_udf("long")
+    def nearest(col: pd.Series) -> pd.Series:
+        if len(col) == 0:
+            return pd.Series([], dtype="int64")
+        x = np.stack(col.to_numpy()).astype(np.float64)
+        xn = x / np.maximum(np.linalg.norm(x, axis=1, keepdims=True), 1e-12)
+        return pd.Series(np.argmax(xn @ c.T, axis=1).astype(np.int64))
+
+    return emb.select("vec_id", nearest("embedding").alias("list_id"))
+
+
+def ann_ivf_topk(
+    emb: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    n_centroids: int = 16,
+    n_probe: int = 4,
+) -> DataFrame:
+    """IVF ANN: inverted lists by nearest centroid; queries probe their
+    `n_probe` closest lists and rerank exactly within them.
+
+    Returns (query_id, neighbor_id, rank, cosine). The inverted-list
+    assignment is a narrow map; the probe is an equi-join on list_id —
+    the candidate set shrinks ~n_centroids/n_probe-fold vs brute force.
+    """
+    cents = ivf_centroids(emb, n_centroids)
+    lists = ivf_assign(emb, cents)
+    c = cents
+    probe = n_probe
+
+    @pandas_udf("array<long>")
+    def probe_lists(col: pd.Series) -> pd.Series:
+        if len(col) == 0:
+            return pd.Series([], dtype="object")
+        x = np.stack(col.to_numpy()).astype(np.float64)
+        xn = x / np.maximum(np.linalg.norm(x, axis=1, keepdims=True), 1e-12)
+        order = np.argsort(-(xn @ c.T), axis=1)[:, :probe]
+        return pd.Series([row.astype(np.int64) for row in order])
+
+    qlists = queries.select(
+        F.col("vec_id").alias("query_id"),
+        F.explode(probe_lists("embedding")).alias("list_id"),
+    )
+    cands = (
+        qlists.join(lists, on="list_id")
+        .filter(F.col("query_id") != F.col("vec_id"))
+        .select("query_id", "vec_id")
+        .distinct()
+    )
+    dot = _dot_udf()
+    norms = emb.select("vec_id", dot("embedding", "embedding").alias("nsq"))
+    pairs = (
+        cands.join(
+            queries.select(F.col("vec_id").alias("query_id"), F.col("embedding").alias("qe")),
+            on="query_id",
+        )
+        .join(emb.select("vec_id", F.col("embedding").alias("ne")), on="vec_id")
+        .withColumn("dot", dot("qe", "ne"))
+        .join(
+            norms.select(F.col("vec_id").alias("query_id"), F.col("nsq").alias("qn")),
+            on="query_id",
+        )
+        .join(norms.select("vec_id", F.col("nsq").alias("nn")), on="vec_id")
+        .withColumn("cosine", F.col("dot") / F.sqrt(F.col("qn") * F.col("nn")))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("vec_id"))
+    return (
+        pairs.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            F.col("rank").cast("long"),
+            "cosine",
+        )
+    )
+
+
 def ann_lsh_topk(
     emb: DataFrame,
     queries: DataFrame,

@@ -36,6 +36,11 @@ def token_stats(docs: DataFrame) -> DataFrame:
     return docs.select(
         "doc_id",
         F.size(words).cast("long").alias("n_tokens"),
+        # BPE-ish pre-tokenization: word runs + isolated punctuation
+        # (the usual GPT-2-style pre-split, minus byte fallback)
+        F.size(F.regexp_extract_all("text", F.lit(r"\w+|[^\w\s]"), 0))
+        .cast("long")
+        .alias("n_tokens_regex"),
         F.size(F.array_distinct(words)).cast("long").alias("n_distinct"),
         F.length("text").cast("long").alias("n_chars_measured"),
         (

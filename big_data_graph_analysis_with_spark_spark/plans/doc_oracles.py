@@ -184,6 +184,8 @@ def token_stats_sql() -> str:
 WITH words AS (SELECT doc_id, text, string_split(text, ' ') AS w FROM documents)
 SELECT doc_id,
        CAST(len(w) AS BIGINT) AS n_tokens,
+       CAST(len(regexp_extract_all(text, '\\w+|[^\\w\\s]')) AS BIGINT)
+         AS n_tokens_regex,
        CAST(len(list_distinct(w)) AS BIGINT) AS n_distinct,
        CAST(length(text) AS BIGINT) AS n_chars_measured,
        (length(text) - len(w) + 1) / len(w) AS avg_token_len,

@@ -1,0 +1,43 @@
+"""Tests for the skew utilities and the IVF ANN variant."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from big_data_graph_analysis_with_spark_spark.functions.skew import salted_count, salted_join
+from big_data_graph_analysis_with_spark_spark.operators import similarity
+from tests.conftest import SF0001
+
+
+def test_salted_join_matches_plain_join(spark):
+    large = spark.range(0, 10_000).select(
+        (F.col("id") % 5).alias("k"), F.col("id").alias("v")
+    )
+    small = spark.createDataFrame(
+        [(i, f"name_{i}") for i in range(5)], "k LONG, name STRING"
+    )
+    plain = large.join(small, on="k").groupBy("name").count()
+    salted = salted_join(large, small, on="k", salt=8).groupBy("name").count()
+    assert sorted(map(tuple, plain.collect())) == sorted(map(tuple, salted.collect()))
+
+
+def test_salted_count_matches_plain(spark):
+    df = spark.range(0, 50_000).select((F.col("id") % 3).alias("k"))
+    plain = {r["k"]: r["c"] for r in df.groupBy("k").agg(F.count("*").alias("c")).collect()}
+    salted = {r["k"]: r["n"] for r in salted_count(df, "k", 8).collect()}
+    assert plain == salted
+
+
+def test_ivf_recall_and_determinism(spark):
+    embs = spark.read.parquet(f"{SF0001}/embeddings.parquet").cache()
+    queries = embs.filter(F.col("vec_id") < 30)
+    exact = {
+        (r["query_id"], r["neighbor_id"])
+        for r in similarity.cosine_topk(embs, queries, k=5).collect()
+    }
+    a = similarity.ann_ivf_topk(embs, queries, k=5).collect()
+    b = similarity.ann_ivf_topk(embs, queries, k=5).collect()
+    assert sorted(map(tuple, a)) == sorted(map(tuple, b))
+    got = {(r["query_id"], r["neighbor_id"]) for r in a}
+    recall = len(exact & got) / len(exact)
+    assert recall >= 0.3, f"IVF recall too low: {recall:.2f}"
