@@ -25,7 +25,12 @@ from .sources.parquet_graph import read_graph_parquet
 
 
 def _load(spark, path: str):
-    if path.rstrip("/").endswith((".txt", ".perturbed")) or ".txt" in path:
+    base = path.rstrip("/")
+    if base.endswith(".ngs") or ".ngs" in base.rsplit("/", 1)[-1]:
+        from .sources.ngs_java import load_graph_from_ngs
+
+        return load_graph_from_ngs(spark, path)
+    if base.endswith((".txt", ".perturbed")) or ".txt" in base:
         return load_graph(spark, path)
     return read_graph_parquet(spark, path)
 
