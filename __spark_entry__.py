@@ -171,8 +171,16 @@ def _sr_sql(
 # ---------------------------------------------------------------------------
 
 
+def _prep(spark: SparkSession) -> SparkSession:
+    """Harden an externally-supplied SparkSession (the driver builds its
+    own): events.parquet carries TIMESTAMP(NANOS), which Spark 4 refuses
+    unless read as nanos-longs. Runtime-settable, idempotent."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    return spark
+
+
 def _graphs(spark: SparkSession, sf_dir: str) -> tuple[NetGraph, NetGraph]:
-    return tpch_graph.derive_graphs(spark, sf_dir)
+    return tpch_graph.derive_graphs(_prep(spark), sf_dir)
 
 
 # ---------------------------------------------------------------------------
@@ -297,11 +305,11 @@ def q_uncovered_valuable(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return _prep(spark).read.parquet(f"{sf_dir}/documents.parquet")
 
 
 def _embs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return _prep(spark).read.parquet(f"{sf_dir}/embeddings.parquet")
 
 
 def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -384,7 +392,7 @@ def q_multimodal_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q1-style scan-heavy aggregate: the canonical columnar-scan
     + map-side partial agg benchmark shape."""
-    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    li = _prep(spark).read.parquet(f"{sf_dir}/lineitem.parquet")
     return (
         li.groupBy("l_returnflag", "l_linestatus")
         .agg(
@@ -409,7 +417,7 @@ def q_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_top_customers_per_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Join + window rank: top-3 customers by order revenue per nation."""
-    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    orders = _prep(spark).read.parquet(f"{sf_dir}/orders.parquet")
     cust = spark.read.parquet(f"{sf_dir}/customer.parquet")
     nation = spark.read.parquet(f"{sf_dir}/nation.parquet")
     rev = (
@@ -440,7 +448,7 @@ def q_top_customers_per_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_events_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Events per type per hour — the batch shape of the streaming
     tumbling-window demo (streaming/walk_rates.py); ts is nanos-long."""
-    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    ev = _prep(spark).read.parquet(f"{sf_dir}/events.parquet")
     # integer floor-div on the nanos long — double division would lose
     # precision above 2^53 ns
     hour = F.expr("ts div 3600000000000")
@@ -459,7 +467,7 @@ def q_events_windowed(spark: SparkSession, sf_dir: str) -> DataFrame:
     both engines compare as BIGINT."""
     from big_data_graph_analysis_with_spark_spark.streaming import walk_rates
 
-    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    ev = _prep(spark).read.parquet(f"{sf_dir}/events.parquet")
     return walk_rates.windowed_event_counts(ev).select(
         F.unix_timestamp("window_start").alias("window_start_epoch"),
         "event_type",

@@ -54,9 +54,18 @@ REMOVE_MOD = 17
 MODIFY_MOD = 13
 
 
-def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
-    """Read every testdata parquet in `sf_dir` as a DataFrame."""
-    return {t: spark.read.parquet(f"{sf_dir}/{t}.parquet") for t in TPCH_TABLES}
+GRAPH_TABLES = ["nation", "supplier", "customer", "orders", "lineitem"]
+
+
+def load_tables(
+    spark: SparkSession, sf_dir: str, tables: list[str] | None = None
+) -> dict[str, DataFrame]:
+    """Read testdata parquet tables in `sf_dir` as DataFrames (only the
+    requested subset — each read costs a schema/footer pass)."""
+    return {
+        t: spark.read.parquet(f"{sf_dir}/{t}.parquet")
+        for t in (tables if tables is not None else TPCH_TABLES)
+    }
 
 
 def _vertex_attrs(df: DataFrame) -> DataFrame:
@@ -164,7 +173,7 @@ def derive_perturbed(tables: dict[str, DataFrame], original: NetGraph) -> NetGra
 
 def derive_graphs(spark: SparkSession, sf_dir: str) -> tuple[NetGraph, NetGraph]:
     """(original, perturbed) graph pair for a testdata scale-factor dir."""
-    tables = load_tables(spark, sf_dir)
+    tables = load_tables(spark, sf_dir, GRAPH_TABLES)
     og = derive_original(tables)
     pg = derive_perturbed(tables, og)
     return og, pg

@@ -38,10 +38,15 @@ def read_events_stream(spark, path: str) -> DataFrame:
 
 
 def with_event_time(events: DataFrame) -> DataFrame:
-    """Attach a proper timestamp column from the nanos long."""
-    return events.withColumn(
-        "event_time", F.timestamp_micros(F.expr("ts div 1000"))
-    )
+    """Attach a proper timestamp column from `ts`, whichever way the
+    session surfaced it (nanos-long under nanosAsLong, timestamp
+    otherwise)."""
+    ts_type = dict(events.dtypes)["ts"]
+    if ts_type == "bigint":
+        return events.withColumn(
+            "event_time", F.timestamp_micros(F.expr("ts div 1000"))
+        )
+    return events.withColumn("event_time", F.col("ts").cast("timestamp"))
 
 
 def windowed_event_counts(

@@ -11,6 +11,7 @@ Exit 0 iff everything matches. Usage:
 from __future__ import annotations
 
 import importlib
+import os
 import sys
 import time
 from pathlib import Path
@@ -58,7 +59,18 @@ def compare(got, want) -> str | None:
 def main() -> int:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
     entry_mod = importlib.import_module("__spark_entry__")
-    spark = get_spark(app_name="driver_sim")
+    if os.environ.get("PLAIN_SESSION"):
+        # emulate a driver that builds a bare SparkSession with none of
+        # our session-factory configs — the contract must still work
+        from pyspark.sql import SparkSession
+
+        spark = (
+            SparkSession.builder.master("local[8]")
+            .appName("driver_sim_plain")
+            .getOrCreate()
+        )
+    else:
+        spark = get_spark(app_name="driver_sim")
 
     t0 = time.time()
     rows = entry_mod.entry(spark).collect()
