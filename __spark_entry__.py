@@ -626,7 +626,7 @@ def oracle_sql() -> dict[str, str]:
             """
             SELECT v.id FROM og_vertices v
             WHERE v.valuable_data
-              AND v.id NOT IN (SELECT og_id FROM best)
+              AND v.id NOT IN (SELECT pg_id FROM best)
             """,
             rounds=1,
             best=True,

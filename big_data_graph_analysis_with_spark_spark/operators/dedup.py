@@ -12,8 +12,10 @@ Scale design notes
   shuffle key after projection) rather than the text itself.
 * **n-gram Jaccard**: candidate pairs come from an inverted shingle
   index (explode → self-join on shingle). Σ df² of shingle frequencies
-  bounds the join; stop-shingle capping (drop shingles with df > cap)
-  keeps the quadratic term bounded at scale.
+  bounds the join; the optional `max_shingle_df` cap drops
+  high-frequency stop-shingles from candidate generation to keep the
+  quadratic term bounded at scale (off by default — see the
+  `ngram_jaccard_pairs` docstring for the semantic caveat).
 * **MinHash+LSH**: H=16 hash functions, 4 bands × 4 rows. Banding makes
   candidate generation a groupBy on band signatures — *linear* in corpus
   size; only in-bucket pairs are verified with true Jaccard. This is the
@@ -62,11 +64,16 @@ def exact_dedup(docs: DataFrame) -> DataFrame:
 def word_shingles(docs: DataFrame, n: int = 3) -> DataFrame:
     """(doc_id, shingle): distinct word n-grams per document.
 
+    Documents shorter than n words contribute their whole text as a
+    single shingle (same convention as textops.doc_fingerprints) — an
+    empty shingle set would make short duplicates invisible to every
+    shingle-based dedup operator.
+
     Built-in higher-order functions only — the transform runs in
     whole-stage codegen, no Python boundary.
     """
     words = F.split(F.col("text"), " ")
-    shingles = F.when(F.size(words) < n, F.array()).otherwise(
+    shingles = F.when(F.size(words) < n, F.array(F.col("text"))).otherwise(
         F.array_distinct(
             F.transform(
                 F.sequence(F.lit(1), F.size(words) - (n - 1)),
@@ -101,15 +108,35 @@ def _pair_jaccard(shingles: DataFrame, threshold: float) -> DataFrame:
 
 
 def ngram_jaccard_pairs(
-    docs: DataFrame, n: int = 3, threshold: float = 0.2
+    docs: DataFrame,
+    n: int = 3,
+    threshold: float = 0.2,
+    max_shingle_df: int | None = None,
 ) -> DataFrame:
     """Near-duplicate pairs by exact word-n-gram Jaccard ≥ threshold.
 
     Candidate generation via the inverted index: only pairs sharing at
     least one shingle are ever scored. The division is the single
     floating-point op (ints otherwise) → deterministic across engines.
+
+    `max_shingle_df` caps the inverted-index join at scale: shingles
+    appearing in more than that many documents are dropped from
+    *candidate generation* (a df-k stop-shingle contributes O(k²) join
+    rows). NB this slightly changes semantics — a pair sharing only
+    stop-shingles is missed and intersection counts exclude capped
+    shingles — so it is off by default and off in the oracle-checked
+    query; at 100 TB it is mandatory.
     """
-    return _pair_jaccard(word_shingles(docs, n), threshold)
+    shingles = word_shingles(docs, n)
+    if max_shingle_df is not None:
+        rare = (
+            shingles.groupBy("shingle")
+            .agg(F.count("*").alias("df"))
+            .filter(F.col("df") <= max_shingle_df)
+            .select("shingle")
+        )
+        shingles = shingles.join(rare, on="shingle", how="left_semi")
+    return _pair_jaccard(shingles, threshold)
 
 
 def minhash_signatures(shingles: DataFrame, num_hashes: int = NUM_HASHES) -> DataFrame:

@@ -124,9 +124,12 @@ def match_class_counts(matches: DataFrame, threshold: float) -> DataFrame:
 
 
 def uncovered_valuable(matches: DataFrame, og: NetGraph) -> DataFrame:
-    """T1/G11 (`Main.scala:167`): valuable original nodes never matched —
-    the attack's blind spot."""
+    """T1/G11 (`Main.scala:164-167`): valuable original node ids minus
+    the matched *perturbed-side* ids — the reference diffs against
+    ``mapaccnodeids = accumulator keys = pg ids`` (`Main.scala:164`),
+    i.e. "was any walk's match keyed on this id", not "was this og node
+    somebody's match target". The two differ exactly on false positives."""
     valuable = og.vertices.filter(F.col("valuable_data")).select("id")
     return valuable.join(
-        matches.select(F.col("og_id").alias("id")), on="id", how="left_anti"
+        matches.select(F.col("pg_id").alias("id")), on="id", how="left_anti"
     )

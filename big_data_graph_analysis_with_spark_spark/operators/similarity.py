@@ -25,6 +25,8 @@ higher-order array functions by ~4× here.
 
 from __future__ import annotations
 
+from typing import Any
+
 import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame, Window
@@ -87,23 +89,32 @@ def cosine_topk(
     )
 
 
+_PLANE_CACHE: dict[tuple[int, int, int], Any] = {}
+
+
 def _plane_matrix(dim: int, num_tables: int, planes_per_table: int):
     """(dim × L·r) hyperplane matrix; component (t,p,j) is the same
     56-bit-MD5 derivation as functions.hashing.hash56 over
     "table:plane:dim" — deterministic, stateless, identical on every
-    executor. A few KB total."""
+    executor. A few KB total; memoized per (dim, L, r) so each executor
+    derives it once, not once per Arrow batch."""
+    key = (dim, num_tables, planes_per_table)
+    if key in _PLANE_CACHE:
+        return _PLANE_CACHE[key]
     import hashlib
 
     def val(t: int, p: int, j: int) -> float:
         h = int(hashlib.md5(f"{t}:{p}:{j}".encode()).hexdigest()[:14], 16)
         return (h % 2_000_001 - 1_000_000) / 1_000_000.0
 
-    return np.array(
+    w = np.array(
         [
             [val(t, p, j) for t in range(num_tables) for p in range(planes_per_table)]
             for j in range(dim)
         ]
     )
+    _PLANE_CACHE[key] = w
+    return w
 
 
 def lsh_signatures(
@@ -148,6 +159,45 @@ def _dot_udf():
     return dot
 
 
+def _rerank_topk(
+    cands: DataFrame, emb: DataFrame, queries: DataFrame, k: int
+) -> DataFrame:
+    """Exact cosine rerank of (query_id, vec_id) candidate pairs →
+    (query_id, neighbor_id, rank, cosine). Shared by the LSH and IVF
+    paths. Query norms come from `queries` (which need not be a subset
+    of `emb`); corpus norms are computed once per vector, not per pair."""
+    dot = _dot_udf()
+    norms = emb.select("vec_id", dot("embedding", "embedding").alias("nsq"))
+    qnorms = queries.select(
+        F.col("vec_id").alias("query_id"),
+        dot("embedding", "embedding").alias("qn"),
+    )
+    pairs = (
+        cands.join(
+            queries.select(
+                F.col("vec_id").alias("query_id"), F.col("embedding").alias("qe")
+            ),
+            on="query_id",
+        )
+        .join(emb.select("vec_id", F.col("embedding").alias("ne")), on="vec_id")
+        .withColumn("dot", dot("qe", "ne"))
+        .join(qnorms, on="query_id")
+        .join(norms.select("vec_id", F.col("nsq").alias("nn")), on="vec_id")
+        .withColumn("cosine", F.col("dot") / F.sqrt(F.col("qn") * F.col("nn")))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("vec_id"))
+    return (
+        pairs.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            F.col("rank").cast("long"),
+            "cosine",
+        )
+    )
+
+
 def ivf_centroids(
     emb: DataFrame, n_centroids: int = 16, sample_mod: int | None = None
 ):
@@ -165,9 +215,18 @@ def ivf_centroids(
     rows = (
         assign.select("c", F.posexplode("embedding").alias("j", "x"))
         .groupBy("c", "j")
-        .agg(F.avg("x").alias("m"))
+        .agg(
+            # decimal mean: float avg() depends on partial-agg order and
+            # would make centroid assignment partitioning-dependent
+            (
+                F.sum(F.col("x").cast("double").cast("decimal(28,9)"))
+                / F.count("*")
+            ).cast("double").alias("m")
+        )
         .collect()
     )
+    if not rows:
+        return np.zeros((n_centroids, 1))
     dim = max(r["j"] for r in rows) + 1
     cents = np.zeros((n_centroids, dim))
     for r in rows:
@@ -230,33 +289,7 @@ def ann_ivf_topk(
         .select("query_id", "vec_id")
         .distinct()
     )
-    dot = _dot_udf()
-    norms = emb.select("vec_id", dot("embedding", "embedding").alias("nsq"))
-    pairs = (
-        cands.join(
-            queries.select(F.col("vec_id").alias("query_id"), F.col("embedding").alias("qe")),
-            on="query_id",
-        )
-        .join(emb.select("vec_id", F.col("embedding").alias("ne")), on="vec_id")
-        .withColumn("dot", dot("qe", "ne"))
-        .join(
-            norms.select(F.col("vec_id").alias("query_id"), F.col("nsq").alias("qn")),
-            on="query_id",
-        )
-        .join(norms.select("vec_id", F.col("nsq").alias("nn")), on="vec_id")
-        .withColumn("cosine", F.col("dot") / F.sqrt(F.col("qn") * F.col("nn")))
-    )
-    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("vec_id"))
-    return (
-        pairs.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
-        .select(
-            "query_id",
-            F.col("vec_id").alias("neighbor_id"),
-            F.col("rank").cast("long"),
-            "cosine",
-        )
-    )
+    return _rerank_topk(cands, emb, queries, k)
 
 
 def ann_lsh_topk(
@@ -279,31 +312,4 @@ def ann_lsh_topk(
         .select("query_id", "vec_id")
         .distinct()
     )
-    dot = _dot_udf()
-    # norms once per vector (not per candidate pair)
-    norms = emb.select("vec_id", dot("embedding", "embedding").alias("nsq"))
-    pairs = (
-        cands.join(
-            queries.select(F.col("vec_id").alias("query_id"), F.col("embedding").alias("qe")),
-            on="query_id",
-        )
-        .join(emb.select("vec_id", F.col("embedding").alias("ne")), on="vec_id")
-        .withColumn("dot", dot("qe", "ne"))
-        .join(
-            norms.select(F.col("vec_id").alias("query_id"), F.col("nsq").alias("qn")),
-            on="query_id",
-        )
-        .join(norms.select("vec_id", F.col("nsq").alias("nn")), on="vec_id")
-        .withColumn("cosine", F.col("dot") / F.sqrt(F.col("qn") * F.col("nn")))
-    )
-    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("vec_id"))
-    return (
-        pairs.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
-        .select(
-            "query_id",
-            F.col("vec_id").alias("neighbor_id"),
-            F.col("rank").cast("long"),
-            "cosine",
-        )
-    )
+    return _rerank_topk(cands, emb, queries, k)

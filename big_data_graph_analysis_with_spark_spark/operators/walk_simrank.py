@@ -77,7 +77,8 @@ def walk_simrank_round(
         )
         scores = walk_identity.unionByName(fallback)
 
-    wedges = walk_induced_edges(pg, walk_nodes)
+    induced = walk_induced_edges(pg, walk_nodes)
+    wedges = induced
     og_fwd = og.edges.select(
         F.col("src").alias("og_id"), F.col("dst").alias("og_child")
     )
@@ -95,12 +96,11 @@ def walk_simrank_round(
         )
 
     # per-walk in-degrees of the induced subgraph = |P(p)| in the
-    # reference's reciprocal coefficient (F7) — computed BEFORE pruning
-    # so the coefficient matches the true subgraph parent counts
-    walk_indeg = (
-        walk_induced_edges(pg, walk_nodes)
-        .groupBy("walk_id", "dst")
-        .agg(F.count("*").alias("dp"))
+    # reference's reciprocal coefficient (F7) — from the UNPRUNED
+    # induced edges so the coefficient matches true subgraph parent
+    # counts (one shared subplan with the propagation input)
+    walk_indeg = induced.groupBy("walk_id", "dst").agg(
+        F.count("*").alias("dp")
     )
     og_indeg = og.edges.groupBy("dst").agg(F.count("*").alias("dn"))
 

@@ -19,12 +19,14 @@ def _shingle_ctes(n: int = 3) -> str:
     # 1.0 — build the shingle list with list_transform over range()
     # (scalar list form) and unnest it instead.
     return f"""
-words AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+words AS (SELECT doc_id, text, string_split(text, ' ') AS w FROM documents),
 shing AS (
   SELECT DISTINCT doc_id,
          unnest(list_transform(range(len(w) - {n - 1}),
                 i -> array_to_string(w[i+1:i+{n}], ' '))) AS shingle
   FROM words WHERE len(w) >= {n}
+  UNION ALL
+  SELECT doc_id, text AS shingle FROM words WHERE len(w) < {n}
 )
 """
 

@@ -120,9 +120,19 @@ def test_classification_and_uncovered(spark, diamond):
     cc = matching.match_class_counts(matches, 0.1).collect()[0]
     # above threshold: (0,0) TP, (2,3) FP; (3,3) below threshold
     assert cc["n_true_positive"] == 1 and cc["n_false_positive"] == 1
-    # valuable og nodes: 2, 3; matched og ids: {0, 3} → uncovered: {2}
+    # valuable og nodes: 2, 3; matched PG ids: {0, 2, 3} (the reference
+    # diffs against accumulator keys = pg ids, Main.scala:164-167) → {}
     unc = [r["id"] for r in matching.uncovered_valuable(matches, og).collect()]
-    assert unc == [2]
+    assert unc == []
+    # false-positive divergence case: pg 2 matched to og 3 → og 3 counts
+    # as covered via pg-key 3? no — only pg ids {2}: uncovered = {3}
+    fp_only = spark.createDataFrame(
+        [(2, 3, 0.8)], "pg_id LONG, og_id LONG, score DOUBLE"
+    )
+    unc2 = sorted(
+        r["id"] for r in matching.uncovered_valuable(fp_only, og).collect()
+    )
+    assert unc2 == [3]
     vm = scores_dict(matching.valuable_matches(matches, og))
     assert set(vm) == {(2, 3), (3, 3)}
 
@@ -161,7 +171,8 @@ def test_assemble_stats_and_yaml(spark, diamond, tmp_path):
     assert s["numTruePositiveMatches"] == "1"
     assert s["numFalsePositiveMatches"] == "1"
     assert s["valuableOriginalNodeIds"] == "[2, 3]"
-    assert s["uncoveredValuableNodeIds"] == "[2]"
+    # valuable og {2,3} minus matched pg ids {0,2} (Main.scala:164-167)
+    assert s["uncoveredValuableNodeIds"] == "[3]"
     assert s["totalSuccessfulWalks"] == "1"
     out = tmp_path / "stats.yaml"
     write_yaml_stats(spark, s, str(out))
