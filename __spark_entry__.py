@@ -239,6 +239,40 @@ def q_graph_sizes(spark: SparkSession, sf_dir: str) -> DataFrame:
     return one("original", og).unionAll(one("perturbed", pg))
 
 
+def q_parent_map(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A1: reverse adjacency, exploded to (id, parent) rows for the
+    order-insensitive oracle compare."""
+    og, _ = _graphs(spark, sf_dir)
+    return topology.parent_map(og).select(
+        "id", F.explode("parents").alias("parent")
+    )
+
+
+def q_induced_subgraph_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J3: edges of the subgraph induced by a deterministic node set
+    (all nations + suppliers — ids below CUSTOMER_OFFSET)."""
+    from big_data_graph_analysis_with_spark_spark.operators import subgraph
+
+    og, _ = _graphs(spark, sf_dir)
+    ids = og.vertices.filter(
+        F.col("id") < tpch_graph.CUSTOMER_OFFSET
+    ).select("id")
+    sub = subgraph.induced_subgraph(og, ids)
+    return sub.edges.select("src", "dst", "action_type", "cost")
+
+
+def q_subgraph_init(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J2+O2: deterministic init node (min in-degree-0 id) of the same
+    induced subgraph."""
+    from big_data_graph_analysis_with_spark_spark.operators import subgraph
+
+    og, _ = _graphs(spark, sf_dir)
+    ids = og.vertices.filter(
+        F.col("id") < tpch_graph.CUSTOMER_OFFSET
+    ).select("id")
+    return subgraph.subgraph_init_node(subgraph.induced_subgraph(og, ids))
+
+
 def q_simrank_init(spark: SparkSession, sf_dir: str) -> DataFrame:
     """G5 init: identity pairs via full-tuple equality (score 1.0)."""
     og, pg = _graphs(spark, sf_dir)
@@ -514,6 +548,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "degrees": q_degrees,
         "valuable_nodes": q_valuable_nodes,
         "graph_sizes": q_graph_sizes,
+        "parent_map": q_parent_map,
+        "induced_subgraph_edges": q_induced_subgraph_edges,
+        "subgraph_init": q_subgraph_init,
         "simrank_init": q_simrank_init,
         "simrank_round1": q_simrank_round1,
         "simrank_round1_bucketed": q_simrank_round1_bucketed,
@@ -580,6 +617,30 @@ def oracle_sql() -> dict[str, str]:
             """
             SELECT id, stored_value, valuable_data FROM og_vertices
             WHERE valuable_data
+            """
+        ),
+        "parent_map": graph_sql(
+            "SELECT dst AS id, src AS parent FROM og_edges"
+        ),
+        "induced_subgraph_edges": graph_sql(
+            f"""
+            SELECT src, dst, action_type, cost FROM og_edges
+            WHERE src < {tpch_graph.CUSTOMER_OFFSET}
+              AND dst < {tpch_graph.CUSTOMER_OFFSET}
+            """
+        ),
+        "subgraph_init": graph_sql(
+            f"""
+            , sub_ids AS (SELECT id FROM og_vertices
+                          WHERE id < {tpch_graph.CUSTOMER_OFFSET}),
+            sub_edges AS (
+              SELECT src, dst FROM og_edges
+              WHERE src < {tpch_graph.CUSTOMER_OFFSET}
+                AND dst < {tpch_graph.CUSTOMER_OFFSET})
+            SELECT CAST(COALESCE(
+              (SELECT MIN(id) FROM sub_ids
+               WHERE id NOT IN (SELECT dst FROM sub_edges)),
+              (SELECT MIN(id) FROM sub_ids)) AS BIGINT) AS init_id
             """
         ),
         "simrank_init": _sr_sql("SELECT pg_id, og_id, score FROM sr_init"),
