@@ -21,25 +21,24 @@ from pyspark.sql import functions as F
 
 sys.path.insert(0, str(Path(__file__).resolve().parent))
 
+from big_data_graph_analysis_with_spark_spark.config import SimConfig  # noqa: E402
 from big_data_graph_analysis_with_spark_spark.model import NetGraph  # noqa: E402
 from big_data_graph_analysis_with_spark_spark.operators import (  # noqa: E402
-    matching,
-    simrank,
-    topology,
-)
-from big_data_graph_analysis_with_spark_spark.config import SimConfig  # noqa: E402
-from big_data_graph_analysis_with_spark_spark.operators import (  # noqa: E402
     dedup,
+    matching,
     multimodal,
     similarity,
+    simrank,
     textops,
+    topology,
 )
-from big_data_graph_analysis_with_spark_spark.plans import doc_oracles  # noqa: E402
-from big_data_graph_analysis_with_spark_spark.operators import topology as _topo  # noqa: E402,F401
 from big_data_graph_analysis_with_spark_spark.operators import walks as walks_mod  # noqa: E402
+from big_data_graph_analysis_with_spark_spark.plans import doc_oracles  # noqa: E402
 from big_data_graph_analysis_with_spark_spark.plans.pipeline import run_pipeline  # noqa: E402
 from big_data_graph_analysis_with_spark_spark.sources import tpch_graph  # noqa: E402
 from big_data_graph_analysis_with_spark_spark.sources.tpch_graph import graph_sql  # noqa: E402
+
+_topo = topology
 
 #: small, seeded config for the rows-only pipeline/walk queries (the
 #: full reference config of 20×50 walks is exercised by bench.py)

@@ -164,7 +164,9 @@ def minhash_lsh_pairs(
     bucket (linear) → in-bucket candidate pairs → exact Jaccard verify.
     Returns (doc_a, doc_b, jaccard).
     """
-    shingles = word_shingles(docs, n)
+    # the shingle relation feeds both the signature pass and the
+    # verification join — persist it so the explode runs once
+    shingles = word_shingles(docs, n).persist()
     sigs = minhash_signatures(shingles, num_hashes)
     rpb = num_hashes // num_bands
 
