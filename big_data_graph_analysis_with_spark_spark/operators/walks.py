@@ -85,13 +85,14 @@ def run_walks(
     n_iters = cfg.num_iters_per_comp_node
     seed = cfg.seed
 
-    adj_rows = (
-        pg.edges.select("src", "dst")
-        .groupBy("src")
-        .agg(F.sort_array(F.collect_list("dst")).alias("children"))
-        .collect()
-    )
-    adjacency = {int(r["src"]): [int(c) for c in r["children"]] for r in adj_rows}
+    # flat collect + python-side grouping: skips the groupBy shuffle and
+    # the per-group array construction; sorted children keep the seeded
+    # rng choices deterministic regardless of scan order
+    adjacency: dict[int, list[int]] = {}
+    for r in pg.edges.select("src", "dst").collect():
+        adjacency.setdefault(int(r[0]), []).append(int(r[1]))
+    for v in adjacency.values():
+        v.sort()
     adj_bv = spark.sparkContext.broadcast(adjacency)
 
     def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
