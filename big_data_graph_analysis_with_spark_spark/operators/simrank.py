@@ -204,3 +204,38 @@ def simrank(
     for _ in range(rounds):
         scores = simrank_round(scores, pg, og, matches, attr_bucket=attr_bucket)
     return scores
+
+
+def simrank_fixpoint(
+    pg: NetGraph,
+    og: NetGraph,
+    max_rounds: int = 10,
+    matches: DataFrame | None = None,
+    attr_bucket: bool = True,
+) -> tuple[DataFrame, int]:
+    """Iterate Jacobi rounds until the score table stops changing
+    (SURVEY.md §7.1.5: "Jacobi iteration to fixpoint-or-k-rounds").
+
+    Convergence test: symmetric difference of the (pg_id, og_id, score)
+    sets is empty — exact, because scores are 2-decimal fixed-point
+    after each round's HALF_UP rounding (float tolerance games are
+    unnecessary by construction). Each iterate is localCheckpointed to
+    cut lineage, same as the pipeline's match table.
+
+    Returns (scores, rounds_run). Defaults to bucketed candidate
+    pruning — the unbucketed frontier is quadratic on dense graphs and
+    a fixpoint loop multiplies that cost per round.
+    """
+    scores = init_scores(pg, og).localCheckpoint()
+    for rnd in range(1, max_rounds + 1):
+        nxt = simrank_round(
+            scores, pg, og, matches, attr_bucket=attr_bucket
+        ).localCheckpoint()
+        changed = (
+            nxt.exceptAll(scores).limit(1).count()
+            + scores.exceptAll(nxt).limit(1).count()
+        )
+        if changed == 0:
+            return nxt, rnd
+        scores = nxt
+    return scores, max_rounds

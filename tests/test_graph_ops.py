@@ -179,3 +179,16 @@ def test_assemble_stats_and_yaml(spark, diamond, tmp_path):
     text = out.read_text()
     assert text.splitlines()[0].startswith("valuableOriginalNodeIds:")
     assert "numTruePositiveMatches: '1'" in text
+
+
+def test_simrank_fixpoint_converges(spark, diamond):
+    og, pg = diamond
+    scores, rounds = simrank.simrank_fixpoint(pg, og, max_rounds=8, attr_bucket=False)
+    assert 1 <= rounds <= 8
+    got = scores_dict(scores)
+    # fixpoint must be stable under one more round
+    again = scores_dict(simrank.simrank_round(scores, pg, og))
+    assert got == again
+    # identity pairs always survive at 1.0
+    for pair in [(0, 0), (1, 1), (3, 3)]:
+        assert got[pair] == 1.0
