@@ -212,7 +212,9 @@ class _Reader:
         if tcode == "Z":
             return bool(self.u1())
         if tcode == "B":
-            return struct.unpack_from(">b", self.d, self.i)[0] or self._bump(1)
+            v = struct.unpack_from(">b", self.d, self.i)[0]
+            self.i += 1
+            return v
         if tcode == "S":
             v = struct.unpack_from(">h", self.d, self.i)[0]
             self.i += 2
@@ -220,9 +222,6 @@ class _Reader:
         if tcode == "C":
             return chr(self.u2())
         raise GraphParseError(f"unknown primitive type {tcode}")
-
-    def _bump(self, n: int) -> None:
-        self.i += n
 
     def object_body(self) -> JObject:
         desc = self.any_class_desc()

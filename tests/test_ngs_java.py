@@ -33,6 +33,33 @@ def test_ngs_equals_text(spark, ngs, txt):
     )
 
 
+def test_byte_field_class_parses():
+    """A serialized class with byte fields must decode values AND keep
+    the cursor in sync (regression: the old 'B' branch skipped the
+    cursor bump for nonzero bytes and returned None for zero)."""
+    import struct
+
+    from big_data_graph_analysis_with_spark_spark.sources.ngs_java import _Reader
+
+    buf = bytearray()
+    buf += struct.pack(">HH", 0xACED, 5)  # stream magic + version
+    buf += bytes([0x73, 0x72])  # TC_OBJECT, TC_CLASSDESC
+    name = b"Foo"
+    buf += struct.pack(">H", len(name)) + name
+    buf += struct.pack(">q", 1)  # serialVersionUID
+    buf += bytes([0x02])  # SC_SERIALIZABLE
+    buf += struct.pack(">H", 3)  # 3 fields: byte a, byte b, int c
+    for code, fname in ((b"B", b"a"), (b"B", b"b"), (b"I", b"c")):
+        buf += code + struct.pack(">H", len(fname)) + fname
+    buf += bytes([0x78, 0x70])  # TC_ENDBLOCKDATA (annotation), TC_NULL (parent)
+    buf += struct.pack(">b", 0)  # a = 0
+    buf += struct.pack(">b", -7)  # b = -7 (nonzero: would desync before)
+    buf += struct.pack(">i", 42)  # c = 42 (reads garbage if cursor slipped)
+
+    (obj,) = _Reader(bytes(buf)).parse_stream()
+    assert obj.values == {"a": 0, "b": -7, "c": 42}
+
+
 def test_missing_ngs_raises(spark):
     with pytest.raises(GraphParseError):
         load_graph_from_ngs(spark, "/root/repo/nope.ngs")
