@@ -165,7 +165,9 @@ def minhash_lsh_pairs(
     Returns (doc_a, doc_b, jaccard).
     """
     # the shingle relation feeds both the signature pass and the
-    # verification join — persist it so the explode runs once
+    # verification join — persist it so the explode runs once; the
+    # result (near-dup pairs, ≪ corpus) is materialized before return
+    # so the cache never outlives this call
     shingles = word_shingles(docs, n).persist()
     sigs = minhash_signatures(shingles, num_hashes)
     rpb = num_hashes // num_bands
@@ -202,7 +204,7 @@ def minhash_lsh_pairs(
         .groupBy("doc_a", "doc_b")
         .agg(F.count("*").alias("n_common"))
     )
-    return (
+    result = (
         inter.join(
             sizes.select(F.col("doc_id").alias("doc_a"), F.col("sz").alias("sa")),
             on="doc_a",
@@ -217,7 +219,14 @@ def minhash_lsh_pairs(
         )
         .filter(F.col("jaccard") >= threshold)
         .select("doc_a", "doc_b", "jaccard")
+        # eager: run the (bounded-output) dedup job now so the shingle
+        # cache can be dropped — a lazy return would leak it for the
+        # rest of the session (it slowed every later query in a shared
+        # session; measured as bench drift round-over-round)
+        .localCheckpoint(eager=True)
     )
+    shingles.unpersist()
+    return result
 
 
 def simhash_signatures(docs: DataFrame, bits: int = SIMHASH_BITS) -> DataFrame:
@@ -248,22 +257,61 @@ def simhash_signatures(docs: DataFrame, bits: int = SIMHASH_BITS) -> DataFrame:
     return sums.select("doc_id", sim.alias("simhash"))
 
 
-def simhash_pairs(docs: DataFrame, max_hamming: int = 8) -> DataFrame:
+def _simhash_chunks(bits: int, n_chunks: int) -> list[tuple[int, int]]:
+    """Partition [0, bits) into n_chunks contiguous (offset, width)
+    spans, widths as even as possible."""
+    base, rem = divmod(bits, n_chunks)
+    widths = [base + 1] * rem + [base] * (n_chunks - rem)
+    spans, off = [], 0
+    for w in widths:
+        spans.append((off, w))
+        off += w
+    return spans
+
+
+def simhash_pairs(
+    docs: DataFrame, max_hamming: int = 8, bits: int = SIMHASH_BITS
+) -> DataFrame:
     """Near-dup pairs with SimHash Hamming distance ≤ max_hamming.
 
-    All-pairs XOR+popcount here (fine up to ~10⁵ docs); the scale path
-    buckets on 14-bit signature chunks first (any pair within Hamming
-    ≤ 3·chunks must agree on ≥1 chunk) — same output, linear candidates.
+    Candidate generation is banded (the 100 TB path): the signature is
+    split into ``max_hamming + 1`` contiguous bit chunks; by pigeonhole,
+    any pair within Hamming ≤ max_hamming differs in at most max_hamming
+    chunks, so it agrees EXACTLY on at least one — an equi-join on
+    (chunk_index, chunk_value) finds every qualifying pair with linear
+    candidate generation, and the XOR+popcount verify then filters the
+    in-bucket false positives. Output identical to all-pairs; no
+    CartesianProduct anywhere in the plan.
+
+    Requires max_hamming + 1 ≤ bits (chunks need ≥1 bit each) — true
+    for any useful threshold; asserted, not silently degraded.
     """
-    sigs = simhash_signatures(docs)
-    a = sigs.select(F.col("doc_id").alias("doc_a"), F.col("simhash").alias("ha"))
-    b = sigs.select(F.col("doc_id").alias("doc_b"), F.col("simhash").alias("hb"))
+    assert max_hamming + 1 <= bits, "banding needs max_hamming + 1 <= bits"
+    sigs = simhash_signatures(docs, bits)
+    chunk_vals = F.array(
+        *[
+            F.shiftright(F.col("simhash"), off).bitwiseAND(F.lit((1 << w) - 1))
+            for off, w in _simhash_chunks(bits, max_hamming + 1)
+        ]
+    )
+    keyed = sigs.select(
+        "doc_id", "simhash", F.posexplode(chunk_vals).alias("chunk", "cv")
+    )
+    a = keyed.select(
+        F.col("doc_id").alias("doc_a"), F.col("simhash").alias("ha"), "chunk", "cv"
+    )
+    b = keyed.select(
+        F.col("doc_id").alias("doc_b"), F.col("simhash").alias("hb"), "chunk", "cv"
+    )
     return (
-        a.crossJoin(b)
+        a.join(b, on=["chunk", "cv"])
         .filter(F.col("doc_a") < F.col("doc_b"))
         .withColumn("hamming", F.bit_count(F.col("ha").bitwiseXOR(F.col("hb"))))
         .filter(F.col("hamming") <= max_hamming)
+        # a pair can collide in several chunks — dedup after the verify
+        # (hamming is functionally determined by the pair)
         .select("doc_a", "doc_b", F.col("hamming").cast("long"))
+        .distinct()
     )
 
 
