@@ -69,7 +69,8 @@ def run_pipeline(
     # Small graphs don't need the session's full shuffle width — extra
     # partitions are pure scheduling latency in a stage-heavy loop.
     # (AQE coalesces shuffle reads, but windows/checkpoints still
-    # schedule the configured width.) Restored after the run.
+    # schedule the configured width.) Restored on every exit path — a
+    # leaked narrow width silently throttles the rest of the session.
     prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
     if n_pg < 100_000:
         spark.conf.set(
@@ -77,48 +78,51 @@ def run_pipeline(
             str(max(8, cfg.num_of_parallel_walks)),
         )
 
-    start_ids = [r["id"] for r in topology.start_nodes(pg).select("id").collect()]
-    assignments = walks.sample_start_assignments(spark, start_ids, cfg)
-    walk_steps = walks.run_walks(spark, pg, assignments, cfg, num_vertices=n_pg)
-    walk_steps = walk_steps.localCheckpoint()  # run the kernel exactly once
+    visited: DataFrame | None = None
+    try:
+        start_ids = [r["id"] for r in topology.start_nodes(pg).select("id").collect()]
+        assignments = walks.sample_start_assignments(spark, start_ids, cfg)
+        walk_steps = walks.run_walks(spark, pg, assignments, cfg, num_vertices=n_pg)
+        walk_steps = walk_steps.localCheckpoint()  # run the kernel exactly once
 
-    visited = walks.walk_visited_sets(walk_steps).persist()
+        visited = walks.walk_visited_sets(walk_steps).persist()
 
-    matches: DataFrame | None = None
-    per_round_counts: list[int] = []
-    for rnd in range(cfg.num_rounds):
-        lo = rnd * cfg.iters_before_accum
-        hi = min((rnd + 1) * cfg.iters_before_accum, cfg.num_iters_per_comp_node)
-        # one global walk key per (partition, walk) pair for the round
-        round_nodes = (
-            visited.filter((F.col("walk_id") >= lo) & (F.col("walk_id") < hi))
-            .select(
-                (F.col("partition_key") * cfg.num_iters_per_comp_node + F.col("walk_id")).alias("walk_id"),
-                F.explode("visited").alias("id"),
+        matches: DataFrame | None = None
+        per_round_counts: list[int] = []
+        for rnd in range(cfg.num_rounds):
+            lo = rnd * cfg.iters_before_accum
+            hi = min((rnd + 1) * cfg.iters_before_accum, cfg.num_iters_per_comp_node)
+            # one global walk key per (partition, walk) pair for the round
+            round_nodes = (
+                visited.filter((F.col("walk_id") >= lo) & (F.col("walk_id") < hi))
+                .select(
+                    (F.col("partition_key") * cfg.num_iters_per_comp_node + F.col("walk_id")).alias("walk_id"),
+                    F.explode("visited").alias("id"),
+                )
             )
+            scores = walk_simrank.walk_simrank_round(pg, og, round_nodes, matches)
+            candidates = scores.select("pg_id", "og_id", "score")
+            best = matching.best_match(candidates, pg, og)
+            valuable = matching.valuable_matches(best, og)  # G8 before accumulate
+            matches = matching.merge_matches(matches, valuable).localCheckpoint()
+            if collect_round_counts:
+                per_round_counts.append(matches.count())
+
+        assert matches is not None
+        walks_for_stats = walk_steps.groupBy("partition_key", "walk_id").agg(
+            F.collect_list("node_id").alias("visited")
         )
-        scores = walk_simrank.walk_simrank_round(pg, og, round_nodes, matches)
-        candidates = scores.select("pg_id", "og_id", "score")
-        best = matching.best_match(candidates, pg, og)
-        valuable = matching.valuable_matches(best, og)  # G8 before accumulate
-        matches = matching.merge_matches(matches, valuable).localCheckpoint()
-        if collect_round_counts:
-            per_round_counts.append(matches.count())
-
-    assert matches is not None
-    walks_for_stats = walk_steps.groupBy("partition_key", "walk_id").agg(
-        F.collect_list("node_id").alias("visited")
-    )
-    stat_block = stats.assemble_stats(
-        og, matches, walks_for_stats, cfg.node_match_threshold
-    )
-    if yaml_path:
-        write_yaml_stats(spark, stat_block, yaml_path)
-
-    visited.unpersist()
-    og.unpersist()
-    pg.unpersist()
-    spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
+        stat_block = stats.assemble_stats(
+            og, matches, walks_for_stats, cfg.node_match_threshold
+        )
+        if yaml_path:
+            write_yaml_stats(spark, stat_block, yaml_path)
+    finally:
+        if visited is not None:
+            visited.unpersist()
+        og.unpersist()
+        pg.unpersist()
+        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
     return PipelineResult(
         stats=stat_block,
         matches=matches,
