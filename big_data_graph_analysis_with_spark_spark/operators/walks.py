@@ -43,6 +43,7 @@ from pyspark.sql import functions as F
 
 from ..config import SimConfig
 from ..model import NetGraph
+from . import topology
 
 WALK_SCHEMA = "partition_key LONG, walk_id LONG, step LONG, node_id LONG"
 
@@ -85,14 +86,17 @@ def run_walks(
     n_iters = cfg.num_iters_per_comp_node
     seed = cfg.seed
 
-    # flat collect + python-side grouping: skips the groupBy shuffle and
-    # the per-group array construction; sorted children keep the seeded
-    # rng choices deterministic regardless of scan order
-    adjacency: dict[int, list[int]] = {}
-    for r in pg.edges.select("src", "dst").collect():
-        adjacency.setdefault(int(r[0]), []).append(int(r[1]))
-    for v in adjacency.values():
-        v.sort()
+    # adjacency is aggregated cluster-side (topology.child_map: one
+    # groupBy, children pre-sorted for seeded-rng determinism) and the
+    # driver collects ONE compact row per vertex — never the raw edge
+    # table (a full-edge collect is the first thing to OOM the driver
+    # at 100× scale). The broadcast then ships the dict once per
+    # executor, exactly like the reference's whole-graph broadcast
+    # (`Main.scala:72-73`) but pre-indexed instead of linear-scanned.
+    adjacency: dict[int, list[int]] = {
+        int(r["id"]): [int(c) for c in r["children"]]
+        for r in topology.child_map(pg).collect()
+    }
     adj_bv = spark.sparkContext.broadcast(adjacency)
 
     def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
