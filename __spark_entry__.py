@@ -362,7 +362,11 @@ def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return dedup.embedding_cosine_pairs(_embs(spark, sf_dir), threshold=0.9)
+    """SRP-LSH candidates + decimal cosine verify. Threshold 0.4 (not
+    the production 0.9): the synthetic embeddings are near-orthogonal
+    (max pairwise cosine ≈ 0.51 at sf0.01), so a realistic near-dup
+    threshold matches on an empty set and validates nothing."""
+    return dedup.embedding_cosine_pairs(_embs(spark, sf_dir), threshold=0.4)
 
 
 def q_similarity_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -695,7 +699,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_ngram_jaccard": doc_oracles.ngram_jaccard_sql(n=3, threshold=0.2),
         "dedup_minhash_lsh": doc_oracles.minhash_lsh_sql(n=3, threshold=0.2),
         "dedup_simhash": doc_oracles.simhash_sql(max_hamming=8),
-        "dedup_embedding_cosine": doc_oracles.embedding_cosine_sql(threshold=0.9),
+        "dedup_embedding_cosine": doc_oracles.embedding_cosine_sql(threshold=0.4),
         "similarity_topk": doc_oracles.cosine_topk_sql(k=5, query_max_id=20),
         "text_token_stats": doc_oracles.token_stats_sql(),
         "text_quality": doc_oracles.quality_sql(),

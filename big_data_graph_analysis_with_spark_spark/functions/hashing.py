@@ -42,6 +42,30 @@ def hash56_sql(expr: str, seed: int | None = None) -> str:
     return f"(('0x' || substr(md5(CAST(({expr}) AS VARCHAR)), 1, 14))::BIGINT)"
 
 
+def srp_weight_int(table: int, plane: int, dim: int) -> int:
+    """Integer hyperplane weight for sign-random-projection LSH,
+    in [-1_000_000, 1_000_000]: the 56-bit MD5 hash of "t:p:j" reduced
+    mod 2_000_001 and centered. The *float* hyperplane component used by
+    the BLAS ANN path (similarity._plane_matrix) is this / 1e6; keeping
+    the integer form lets the dedup path (and its DuckDB oracle) compute
+    projection SIGNS in exact decimal arithmetic — sign(Σ x·iw) ==
+    sign(Σ x·w) since 1e6 > 0 — so bucket assignment is bit-identical
+    across engines, which float matmuls cannot guarantee."""
+    import hashlib
+
+    h = int(hashlib.md5(f"{table}:{plane}:{dim}".encode()).hexdigest()[:14], 16)
+    return h % 2_000_001 - 1_000_000
+
+
+def srp_weight_sql(t_expr: str, p_expr: str, j_expr: str) -> str:
+    """DuckDB SQL equivalent of :func:`srp_weight_int`."""
+    md5_arg = (
+        f"CAST(({t_expr}) AS VARCHAR) || ':' || CAST(({p_expr}) AS VARCHAR)"
+        f" || ':' || CAST(({j_expr}) AS VARCHAR)"
+    )
+    return f"((('0x' || substr(md5({md5_arg}), 1, 14))::BIGINT % 2000001) - 1000000)"
+
+
 def bit_of(col: Column, k: int) -> Column:
     """Bit k (0-based, LSB) of a long column — for SimHash planes."""
     return F.shiftright(col, k).bitwiseAND(F.lit(1))

@@ -24,9 +24,12 @@ Scale design notes
   independent signed sums (no explode — one groupBy with 56 columns),
   then Hamming-distance pairs. Banding over bit-chunks gives the scale
   path for candidate generation.
-* **Embedding cosine**: dot products computed over DECIMAL(18,9)-cast
-  components — exact, associative, order-independent (float sums are
-  not reproducible across partitionings, let alone engines).
+* **Embedding cosine**: sign-random-projection LSH candidates (same
+  hyperplane family as similarity.py) verified with dot products over
+  DECIMAL(18,9)-cast components — exact, associative,
+  order-independent (float sums are not reproducible across
+  partitionings, let alone engines). Candidate generation AND verify
+  are both linear-ish; the all-pairs dimension join is gone.
 """
 
 from __future__ import annotations
@@ -34,7 +37,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from ..functions.hashing import bit_of, hash56
+from ..functions.hashing import bit_of, hash56, srp_weight_int
 
 # MinHash / LSH parameters (bands × rows_per_band = num_hashes)
 NUM_HASHES = 16
@@ -326,21 +329,92 @@ def _decimal_components(emb: DataFrame, id_col: str = "vec_id") -> DataFrame:
     )
 
 
-def embedding_cosine_pairs(emb: DataFrame, threshold: float = 0.9) -> DataFrame:
-    """Near-dup pairs by embedding cosine ≥ threshold (exact,
-    decimal-arithmetic dot products → engine-reproducible).
+def srp_bucket_candidates(
+    emb: DataFrame,
+    num_tables: int = 8,
+    planes_per_table: int = 6,
+) -> DataFrame:
+    """(vec_a, vec_b) candidate pairs from sign-random-projection LSH,
+    computed in EXACT decimal arithmetic so bucket assignment is
+    engine-reproducible.
 
-    Returns (vec_a, vec_b, cosine). Quadratic verify — at scale,
-    generate candidates with sign-random-projection LSH first
-    (similarity.ann_lsh) and verify only in-bucket pairs.
+    Same hyperplane family as similarity.lsh_signatures (identical
+    md5-derived components, see functions.hashing.srp_weight_int), but
+    the projections here are Σ x·iw over DECIMAL components and INTEGER
+    weights — associative, order-independent, and byte-identical in
+    DuckDB — where the ANN path's float BLAS matmul could flip the sign
+    of a near-zero projection between engines. Candidate volume shrinks
+    ~2^planes_per_table-fold per table vs all-pairs; a vector lands in
+    exactly num_tables buckets, so generation is one equi-join.
+    """
+    spark = emb.sparkSession
+    comp = _decimal_components(emb)
+    planes = spark.createDataFrame(
+        [
+            (t, p, j, srp_weight_int(t, p, j))
+            for t in range(num_tables)
+            for p in range(planes_per_table)
+            for j in range(_emb_dim(emb))
+        ],
+        "tbl LONG, plane LONG, j LONG, iw LONG",
+    )
+    proj = (
+        comp.join(F.broadcast(planes), on="j")
+        .groupBy("vec_id", "tbl", "plane")
+        .agg(F.sum(F.col("x") * F.col("iw")).alias("s"))
+    )
+    sigs = proj.groupBy("vec_id", "tbl").agg(
+        F.sum(
+            F.when(F.col("s") > 0, F.expr("shiftleft(1L, CAST(plane AS INT))"))
+            .otherwise(F.lit(0).cast("long"))
+        ).alias("sig")
+    )
+    a = sigs.select(F.col("vec_id").alias("vec_a"), "tbl", "sig")
+    b = sigs.select(F.col("vec_id").alias("vec_b"), "tbl", "sig")
+    return (
+        a.join(b, on=["tbl", "sig"])
+        .filter(F.col("vec_a") < F.col("vec_b"))
+        .select("vec_a", "vec_b")
+        .distinct()
+    )
+
+
+def _emb_dim(emb: DataFrame) -> int:
+    """Embedding dimensionality (constant per table by schema contract);
+    one tiny head query, not a scan."""
+    row = emb.select(F.size("embedding").alias("d")).head()
+    return int(row["d"]) if row else 0
+
+
+def embedding_cosine_pairs(
+    emb: DataFrame,
+    threshold: float = 0.9,
+    num_tables: int = 8,
+    planes_per_table: int = 6,
+) -> DataFrame:
+    """Near-dup pairs by embedding cosine ≥ threshold among SRP-LSH
+    candidates (decimal-arithmetic dots → engine-reproducible).
+
+    Returns (vec_a, vec_b, cosine). Candidates come from
+    :func:`srp_bucket_candidates` — the scale path; dot products are
+    then computed ONLY for in-bucket pairs (never the all-pairs
+    dimension join). Like every LSH dedup, recall is probabilistic:
+    for true near-dups (cosine ≥ 0.9, θ ≤ 26°) a pair collides in ≥1
+    of 8 tables with prob ≈ 1−(1−(1−θ/π)^6)^8 ≈ 0.98, while
+    far-apart pairs rarely generate candidates. The DuckDB oracle
+    mirrors the candidate generation exactly, so the operator is
+    hash-checkable end-to-end despite being approximate.
     """
     comp = _decimal_components(emb)
+    cands = srp_bucket_candidates(emb, num_tables, planes_per_table)
     norms = comp.groupBy("vec_id").agg(F.sum(F.col("x") * F.col("x")).alias("nsq"))
     a = comp.select(F.col("vec_id").alias("vec_a"), "j", F.col("x").alias("xa"))
     b = comp.select(F.col("vec_id").alias("vec_b"), "j", F.col("x").alias("xb"))
+    # candidate-bounded verification, same shape as minhash_lsh_pairs:
+    # explode each candidate pair to its components, never all pairs
     dots = (
-        a.join(b, on="j")
-        .filter(F.col("vec_a") < F.col("vec_b"))
+        cands.join(a, on="vec_a")
+        .join(b, on=["vec_b", "j"])
         .groupBy("vec_a", "vec_b")
         .agg(F.sum(F.col("xa") * F.col("xb")).alias("dot"))
     )

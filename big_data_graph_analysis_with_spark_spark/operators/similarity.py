@@ -101,11 +101,10 @@ def _plane_matrix(dim: int, num_tables: int, planes_per_table: int):
     key = (dim, num_tables, planes_per_table)
     if key in _PLANE_CACHE:
         return _PLANE_CACHE[key]
-    import hashlib
+    from ..functions.hashing import srp_weight_int
 
     def val(t: int, p: int, j: int) -> float:
-        h = int(hashlib.md5(f"{t}:{p}:{j}".encode()).hexdigest()[:14], 16)
-        return (h % 2_000_001 - 1_000_000) / 1_000_000.0
+        return srp_weight_int(t, p, j) / 1_000_000.0
 
     w = np.array(
         [

@@ -9,7 +9,7 @@ MD5 hash (functions/hashing.py) for all hashing.
 
 from __future__ import annotations
 
-from ..functions.hashing import hash56_sql
+from ..functions.hashing import hash56_sql, srp_weight_sql
 from ..operators.dedup import NUM_BANDS, NUM_HASHES, SIMHASH_BITS
 from ..operators.textops import LANG_PROFILES, STOPWORDS
 
@@ -137,12 +137,44 @@ norms AS (SELECT vec_id, SUM(x * x) AS nsq FROM comp GROUP BY vec_id)
 """
 
 
-def embedding_cosine_sql(threshold: float = 0.9) -> str:
+def embedding_cosine_sql(
+    threshold: float = 0.9,
+    num_tables: int = 8,
+    planes_per_table: int = 6,
+) -> str:
+    """Mirrors dedup.embedding_cosine_pairs exactly — including the
+    SRP-LSH candidate generation (exact integer-weight decimal
+    projections, see functions.hashing.srp_weight_int), so the
+    approximate operator is still hash-checkable end-to-end."""
+    iw = srp_weight_sql("t", "p", "j")
     return f"""
 WITH {_COMP_CTES.strip()},
+planes AS (
+  SELECT t, p, j, {iw} AS iw
+  FROM range({num_tables}) AS rt(t),
+       range({planes_per_table}) AS rp(p),
+       (SELECT DISTINCT j FROM comp) AS rj(j)
+),
+proj AS (
+  SELECT c.vec_id, pl.t, pl.p, SUM(c.x * pl.iw) AS s
+  FROM comp c JOIN planes pl ON pl.j = c.j
+  GROUP BY 1, 2, 3
+),
+sigs AS (
+  SELECT vec_id, t,
+         SUM(CASE WHEN s > 0 THEN 1::BIGINT << p ELSE 0::BIGINT END) AS sig
+  FROM proj GROUP BY vec_id, t
+),
+cand AS (
+  SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
+  FROM sigs a JOIN sigs b
+    ON a.t = b.t AND a.sig = b.sig AND a.vec_id < b.vec_id
+),
 dots AS (
-  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, SUM(a.x * b.x) AS dot
-  FROM comp a JOIN comp b ON a.j = b.j AND a.vec_id < b.vec_id
+  SELECT c.vec_a, c.vec_b, SUM(a.x * b.x) AS dot
+  FROM cand c
+  JOIN comp a ON a.vec_id = c.vec_a
+  JOIN comp b ON b.vec_id = c.vec_b AND b.j = a.j
   GROUP BY 1, 2
 )
 SELECT d.vec_a, d.vec_b,

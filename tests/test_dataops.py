@@ -65,6 +65,66 @@ def test_ann_deterministic(spark, embs):
     assert a == b
 
 
+def test_embedding_cosine_lsh_planted_dups(spark):
+    """Planted near-duplicates (tiny perturbations of base vectors)
+    must all be recovered, and every reported pair must genuinely clear
+    the threshold (precision 1 by construction of the verify step)."""
+    import numpy as np
+
+    rng = np.random.default_rng(7)
+    base = rng.normal(size=(20, 16))
+    rows = []
+    for i, v in enumerate(base):
+        rows.append((i * 2, [float(x) for x in v]))
+        rows.append((i * 2 + 1, [float(x) for x in v + rng.normal(scale=0.01, size=16)]))
+    emb = spark.createDataFrame(rows, "vec_id LONG, embedding ARRAY<FLOAT>")
+    got = {
+        (r["vec_a"], r["vec_b"]): r["cosine"]
+        for r in dedup.embedding_cosine_pairs(emb, threshold=0.9).collect()
+    }
+    planted = {(i * 2, i * 2 + 1) for i in range(20)}
+    # near-identical vectors collide in ≥1 of 8 tables with prob ≈ 1
+    # (deterministic planes → this is a fixed, reproducible outcome)
+    assert planted <= set(got)
+    assert all(c >= 0.9 for c in got.values())
+
+
+def test_embedding_cosine_lsh_subset_of_exact(spark, embs):
+    """LSH candidates only ever DROP pairs vs the all-pairs scan —
+    output must be a subset of exact decimal cosine pairs."""
+    from big_data_graph_analysis_with_spark_spark.operators.dedup import (
+        _decimal_components,
+    )
+
+    comp = _decimal_components(embs)
+    a = comp.select(F.col("vec_id").alias("vec_a"), "j", F.col("x").alias("xa"))
+    b = comp.select(F.col("vec_id").alias("vec_b"), "j", F.col("x").alias("xb"))
+    norms = comp.groupBy("vec_id").agg(F.sum(F.col("x") * F.col("x")).alias("nsq"))
+    exact = {
+        (r["vec_a"], r["vec_b"])
+        for r in (
+            a.join(b, on="j")
+            .filter(F.col("vec_a") < F.col("vec_b"))
+            .groupBy("vec_a", "vec_b")
+            .agg(F.sum(F.col("xa") * F.col("xb")).alias("dot"))
+            .join(norms.select(F.col("vec_id").alias("vec_a"), F.col("nsq").alias("na")), on="vec_a")
+            .join(norms.select(F.col("vec_id").alias("vec_b"), F.col("nsq").alias("nb")), on="vec_b")
+            .filter(
+                F.col("dot").cast("double")
+                / F.sqrt(F.col("na").cast("double") * F.col("nb").cast("double"))
+                >= 0.4
+            )
+            .collect()
+        )
+    }
+    lsh = {
+        (r["vec_a"], r["vec_b"])
+        for r in dedup.embedding_cosine_pairs(embs, threshold=0.4).collect()
+    }
+    assert lsh <= exact
+    assert len(lsh) > 0
+
+
 def test_simhash_near_dup_consistency(spark, docs):
     """SimHash distance 0 pairs must have high token overlap — sanity
     link between the two near-dup definitions on identical docs."""
