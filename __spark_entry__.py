@@ -149,12 +149,16 @@ matched AS (SELECT pg_id, og_id FROM best WHERE score > {THRESHOLD})
 
 
 def _sr_sql(
-    body: str, rounds: int = 0, best: bool = False, pruned_round: bool = False
+    body: str,
+    rounds: int = 0,
+    best: bool = False,
+    pruned_round: bool = False,
+    bucketed: bool = False,
 ) -> str:
     ctes = SR_BASE_CTES
     prev = "sr_init"
     for k in range(1, rounds + 1):
-        ctes += "," + _sr_round_ctes(k, prev)
+        ctes += "," + _sr_round_ctes(k, prev, bucketed=bucketed)
         prev = f"sr_{k}"
     if best:
         ctes += "," + BEST_MATCH_CTES
@@ -302,6 +306,17 @@ def q_simrank_round2(spark: SparkSession, sf_dir: str) -> DataFrame:
     best = matching.best_match(r1, pg, og)
     matches = best.filter(F.col("score") > THRESHOLD)
     return simrank.simrank_round(r1, pg, og, matches=matches)
+
+
+def q_simrank_fixpoint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """G5 fixpoint loop (SURVEY.md §7.1.5): Jacobi rounds until the
+    2-decimal score table stops changing, capped at 3. The oracle
+    unrolls exactly 3 bucketed rounds: if the loop converges at round
+    r < 3, sr_r = sr_{r+1} = ... = sr_3 by definition of a fixpoint,
+    so early exit and the full unroll produce the same table."""
+    og, pg = _graphs(spark, sf_dir)
+    scores, _rounds = simrank.simrank_fixpoint(pg, og, max_rounds=3)
+    return scores
 
 
 def q_best_match(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -558,6 +573,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simrank_round1": q_simrank_round1,
         "simrank_round1_bucketed": q_simrank_round1_bucketed,
         "simrank_round2": q_simrank_round2,
+        "simrank_fixpoint": q_simrank_fixpoint,
         "best_match": q_best_match,
         "match_classes": q_match_classes,
         "valuable_matches": q_valuable_matches,
@@ -662,6 +678,9 @@ def oracle_sql() -> dict[str, str]:
             rounds=1,
             best=True,
             pruned_round=True,
+        ),
+        "simrank_fixpoint": _sr_sql(
+            "SELECT pg_id, og_id, score FROM sr_3", rounds=3, bucketed=True
         ),
         "best_match": _sr_sql(
             "SELECT pg_id, og_id, score FROM best", rounds=1, best=True
