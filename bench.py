@@ -129,6 +129,12 @@ def main() -> None:
     def _():
         dedup_ops.minhash_lsh_pairs(docs, 3, 0.2).count()
 
+    @timed("dedup_ngram_capped")
+    def _():
+        # the mandatory-at-scale inverted-index cap: stop-shingles
+        # (df > 100) excluded from candidate generation, exact verify
+        dedup_ops.ngram_jaccard_pairs(docs, 3, 0.2, max_shingle_df=100).count()
+
     @timed("dedup_simhash")
     def _():
         dedup_ops.simhash_pairs(docs, 8).count()

@@ -110,6 +110,41 @@ def _pair_jaccard(shingles: DataFrame, threshold: float) -> DataFrame:
     )
 
 
+def _verify_jaccard(
+    cands: DataFrame, shingles: DataFrame, threshold: float
+) -> DataFrame:
+    """Exact Jaccard over FULL shingle sets, computed ONLY for
+    (doc_a, doc_b) candidate pairs — O(|cands|·shingles/doc), never the
+    global Σ df² inverted-index join. Shared by every dedup variant
+    whose candidate generation is bounded (MinHash bands, capped
+    inverted index). Returns (doc_a, doc_b, n_common, jaccard)."""
+    sizes = shingles.groupBy("doc_id").agg(F.count("*").alias("sz"))
+    sh_a = shingles.select(F.col("doc_id").alias("doc_a"), "shingle")
+    sh_b = shingles.select(F.col("doc_id").alias("doc_b"), "shingle")
+    inter = (
+        cands.join(sh_a, on="doc_a")
+        .join(sh_b, on=["doc_b", "shingle"])
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count("*").alias("n_common"))
+    )
+    return (
+        inter.join(
+            sizes.select(F.col("doc_id").alias("doc_a"), F.col("sz").alias("sa")),
+            on="doc_a",
+        )
+        .join(
+            sizes.select(F.col("doc_id").alias("doc_b"), F.col("sz").alias("sb")),
+            on="doc_b",
+        )
+        .withColumn(
+            "jaccard",
+            F.col("n_common") / (F.col("sa") + F.col("sb") - F.col("n_common")),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("doc_a", "doc_b", F.col("n_common").cast("long"), "jaccard")
+    )
+
+
 def ngram_jaccard_pairs(
     docs: DataFrame,
     n: int = 3,
@@ -124,22 +159,33 @@ def ngram_jaccard_pairs(
 
     `max_shingle_df` caps the inverted-index join at scale: shingles
     appearing in more than that many documents are dropped from
-    *candidate generation* (a df-k stop-shingle contributes O(k²) join
-    rows). NB this slightly changes semantics — a pair sharing only
-    stop-shingles is missed and intersection counts exclude capped
-    shingles — so it is off by default and off in the oracle-checked
-    query; at 100 TB it is mandatory.
+    *candidate generation only* (a df-k stop-shingle contributes O(k²)
+    join rows); Jaccard is then verified over the FULL shingle sets of
+    the surviving candidates. Scores are therefore exact, and the
+    capped result is a strict subset of the uncapped one (capping can
+    only drop pairs whose every shared shingle is a stop-shingle) —
+    the property tests/test_dataops.py asserts. Off by default and off
+    in the oracle-checked query; at 100 TB it is mandatory.
     """
     shingles = word_shingles(docs, n)
-    if max_shingle_df is not None:
-        rare = (
-            shingles.groupBy("shingle")
-            .agg(F.count("*").alias("df"))
-            .filter(F.col("df") <= max_shingle_df)
-            .select("shingle")
-        )
-        shingles = shingles.join(rare, on="shingle", how="left_semi")
-    return _pair_jaccard(shingles, threshold)
+    if max_shingle_df is None:
+        return _pair_jaccard(shingles, threshold)
+    rare = (
+        shingles.groupBy("shingle")
+        .agg(F.count("*").alias("df"))
+        .filter(F.col("df") <= max_shingle_df)
+        .select("shingle")
+    )
+    capped = shingles.join(rare, on="shingle", how="left_semi")
+    a = capped.select(F.col("doc_id").alias("doc_a"), "shingle")
+    b = capped.select(F.col("doc_id").alias("doc_b"), "shingle")
+    cands = (
+        a.join(b, on="shingle")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b")
+        .distinct()
+    )
+    return _verify_jaccard(cands, shingles, threshold)
 
 
 def minhash_signatures(shingles: DataFrame, num_hashes: int = NUM_HASHES) -> DataFrame:
@@ -194,38 +240,15 @@ def minhash_lsh_pairs(
         .distinct()
     )
 
-    # candidate-bounded verification: intersections are computed ONLY
-    # for in-bucket pairs — O(|cands|·shingles/doc), never the global
-    # Σ df² inverted-index join. This is the whole point of banding;
-    # verifying via all-pairs Jaccard would re-introduce the quadratic.
-    sizes = shingles.groupBy("doc_id").agg(F.count("*").alias("sz"))
-    sh_a = shingles.select(F.col("doc_id").alias("doc_a"), "shingle")
-    sh_b = shingles.select(F.col("doc_id").alias("doc_b"), "shingle")
-    inter = (
-        cands.join(sh_a, on="doc_a")
-        .join(sh_b, on=["doc_b", "shingle"])
-        .groupBy("doc_a", "doc_b")
-        .agg(F.count("*").alias("n_common"))
-    )
+    # candidate-bounded verification (the whole point of banding;
+    # all-pairs Jaccard would re-introduce the quadratic), then eager:
+    # run the (bounded-output) dedup job now so the shingle cache can
+    # be dropped — a lazy return would leak it for the rest of the
+    # session (it slowed every later query in a shared session;
+    # measured as bench drift round-over-round)
     result = (
-        inter.join(
-            sizes.select(F.col("doc_id").alias("doc_a"), F.col("sz").alias("sa")),
-            on="doc_a",
-        )
-        .join(
-            sizes.select(F.col("doc_id").alias("doc_b"), F.col("sz").alias("sb")),
-            on="doc_b",
-        )
-        .withColumn(
-            "jaccard",
-            F.col("n_common") / (F.col("sa") + F.col("sb") - F.col("n_common")),
-        )
-        .filter(F.col("jaccard") >= threshold)
+        _verify_jaccard(cands, shingles, threshold)
         .select("doc_a", "doc_b", "jaccard")
-        # eager: run the (bounded-output) dedup job now so the shingle
-        # cache can be dropped — a lazy return would leak it for the
-        # rest of the session (it slowed every later query in a shared
-        # session; measured as bench drift round-over-round)
         .localCheckpoint(eager=True)
     )
     shingles.unpersist()

@@ -40,6 +40,23 @@ def test_minhash_lsh_subset_of_exact_jaccard(spark, docs):
     assert lsh <= exact
 
 
+def test_ngram_capped_subset_of_uncapped(spark, docs):
+    """max_shingle_df bounds candidate generation only (verification
+    runs on full shingle sets), so the capped result must be a subset
+    of the uncapped one — with identical scores for surviving pairs."""
+    uncapped = {
+        (r["doc_a"], r["doc_b"]): r["jaccard"]
+        for r in dedup.ngram_jaccard_pairs(docs, 3, 0.2).collect()
+    }
+    capped = {
+        (r["doc_a"], r["doc_b"]): r["jaccard"]
+        for r in dedup.ngram_jaccard_pairs(docs, 3, 0.2, max_shingle_df=5).collect()
+    }
+    assert set(capped) <= set(uncapped)
+    for pair, j in capped.items():
+        assert j == uncapped[pair]
+
+
 def test_ann_lsh_recall_vs_brute_force(spark, embs):
     """ANN must recover a reasonable fraction of the exact top-5 — and
     every ANN result must be a genuinely existing vector pair."""
