@@ -198,41 +198,51 @@ def _rerank_topk(
 
 
 def ivf_centroids(
-    emb: DataFrame, n_centroids: int = 16, sample_mod: int | None = None
+    emb: DataFrame,
+    n_centroids: int = 16,
+    sample_size: int = 4096,
+    iters: int = 10,
+    seed: int = 42,
 ):
-    """Deterministic IVF coarse quantizer: centroids are the normalized
-    mean of seeded hash-assigned groups (one k-means half-step from a
-    deterministic partition — reproducible without iterative training).
+    """Seeded sampled spherical k-means coarse quantizer.
 
-    Returns a (n_centroids × dim) numpy array, broadcastable to every
-    executor. At 100 TB you'd train real k-means on a sample; the IVF
-    *mechanics* (assign → inverted lists → probe) are identical.
+    A deterministic sample — hash-ordered top-`sample_size`, so it is
+    independent of physical partitioning — is collected to the driver
+    and Lloyd-iterated in numpy: assign by cosine, recompute normalized
+    means, reseed empty clusters from the (seeded) rng. Everything is
+    fixed by (seed, iters, sample order), so repeated calls return
+    byte-identical centroids. At 100 TB the driver still holds only
+    `sample_size` vectors; the distributed IVF mechanics
+    (assign → inverted lists → probe) are unchanged.
+
+    Returns a (k × dim) numpy array (k ≤ n_centroids when the corpus is
+    smaller), broadcastable to every executor.
     """
-    assign = emb.select(
-        (F.xxhash64("vec_id") % n_centroids).alias("c"), "embedding"
-    ).withColumn("c", F.when(F.col("c") < 0, F.col("c") + n_centroids).otherwise(F.col("c")))
     rows = (
-        assign.select("c", F.posexplode("embedding").alias("j", "x"))
-        .groupBy("c", "j")
-        .agg(
-            # decimal mean: float avg() depends on partial-agg order and
-            # would make centroid assignment partitioning-dependent
-            (
-                F.sum(F.col("x").cast("double").cast("decimal(28,9)"))
-                / F.count("*")
-            ).cast("double").alias("m")
-        )
+        emb.select("vec_id", "embedding")
+        .orderBy(F.xxhash64("vec_id"), F.col("vec_id"))
+        .limit(sample_size)
         .collect()
     )
     if not rows:
-        return np.zeros((n_centroids, 1))
-    dim = max(r["j"] for r in rows) + 1
-    cents = np.zeros((n_centroids, dim))
-    for r in rows:
-        cents[r["c"], r["j"]] = r["m"]
-    norms = np.linalg.norm(cents, axis=1, keepdims=True)
-    norms[norms == 0] = 1.0
-    return cents / norms
+        return np.zeros((1, 1))
+    x = np.array([r["embedding"] for r in rows], dtype=np.float64)
+    xn = x / np.maximum(np.linalg.norm(x, axis=1, keepdims=True), 1e-12)
+    rng = np.random.default_rng(seed)
+    k = min(n_centroids, len(xn))
+    cents = xn[rng.choice(len(xn), size=k, replace=False)]
+    for _ in range(iters):
+        assign = np.argmax(xn @ cents.T, axis=1)
+        for c in range(k):
+            members = xn[assign == c]
+            if len(members):
+                v = members.mean(axis=0)
+                nv = np.linalg.norm(v)
+                if nv > 0:
+                    cents[c] = v / nv
+            else:
+                cents[c] = xn[rng.integers(0, len(xn))]
+    return cents
 
 
 def ivf_assign(emb: DataFrame, centroids) -> DataFrame:

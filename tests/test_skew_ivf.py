@@ -40,4 +40,7 @@ def test_ivf_recall_and_determinism(spark):
     assert sorted(map(tuple, a)) == sorted(map(tuple, b))
     got = {(r["query_id"], r["neighbor_id"]) for r in a}
     recall = len(exact & got) / len(exact)
-    assert recall >= 0.3, f"IVF recall too low: {recall:.2f}"
+    # seeded sampled k-means quantizer measures 0.57 here; 4/16 probes
+    # on hash-random lists would give ~0.25 — 0.5 catches a quantizer
+    # regression while leaving headroom for fixture drift
+    assert recall >= 0.5, f"IVF recall too low: {recall:.2f}"
