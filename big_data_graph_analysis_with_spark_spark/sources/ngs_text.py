@@ -127,6 +127,29 @@ def load_graph(spark: SparkSession, path: str) -> NetGraph:
     return _check_init(_parse(spark, raw))
 
 
+def load_graph_dumps(spark: SparkSession, path: str) -> NetGraph:
+    """Concatenated multi-dump ingest (S1 at scale): a file, glob, or
+    directory holding ONE dump per line — e.g. many NetGameSim exports
+    appended together — loaded as a single union graph.
+
+    Unlike :func:`load_graph` (wholetext: one dump per file), lines are
+    the record boundary, so Spark splits the input across partitions
+    and the per-line seam split + object extraction in `_parse` run
+    distributed and codegen'd — this is the many-GB path promised in
+    the module docstring. Vertices and edges are deduplicated on their
+    full tuples across dumps (re-ingesting the same dump twice is a
+    no-op; a node perturbed between dumps keeps both variants, exactly
+    like full-tuple case-class equality in the reference).
+    """
+    raw = spark.read.text(path).filter(F.length(F.trim("value")) > 0)
+    if raw.isEmpty():
+        raise GraphParseError(f"empty or missing graph file(s): {path}")
+    g = _parse(spark, raw)
+    return _check_init(
+        NetGraph(g.vertices.distinct(), g.edges.distinct(), init_id=g.init_id)
+    )
+
+
 def _check_init(g: NetGraph) -> NetGraph:
     # Init-node existence check (HelperFunction.scala:121): NetGameSim
     # graphs start at id 0; absence means a corrupt dump.
@@ -176,6 +199,7 @@ def serialize_graph(g: NetGraph) -> str:
 __all__ = [
     "GraphParseError",
     "load_graph",
+    "load_graph_dumps",
     "parse_graph_text",
     "serialize_graph",
     "EDGE_SCHEMA",

@@ -4,6 +4,8 @@ the reference's own graph dumps (BASELINE.md counts)."""
 
 from __future__ import annotations
 
+from pathlib import Path
+
 import pytest
 
 from big_data_graph_analysis_with_spark_spark.sources.ngs_text import (
@@ -85,3 +87,25 @@ def test_missing_init_node_raises(spark):
     )
     with pytest.raises(GraphParseError):
         parse_graph_text(spark, text)
+
+
+def test_concatenated_multi_dump_ingest(spark, tmp_path):
+    """N dumps concatenated line-per-dump parse distributively to the
+    union graph: vertices/edges equal the distinct union of the graphs
+    loaded individually (ngs_text.py module docstring's many-GB path)."""
+    from big_data_graph_analysis_with_spark_spark.sources.ngs_text import load_graph_dumps
+
+    names = ["Graph20.0.txt", "Graph50.txt", "Graph20.0.txt"]  # repeat = no-op
+    singles = [load_graph(spark, f"{REF_INPUT}/{n}") for n in names]
+    cat = tmp_path / "dumps.txt"
+    cat.write_text(
+        "\n".join((Path(REF_INPUT) / n).read_text().strip() for n in names) + "\n"
+    )
+
+    g = load_graph_dumps(spark, str(cat))
+    want_v = {tuple(r) for s in singles for r in s.vertices.collect()}
+    want_e = {tuple(r) for s in singles for r in s.edges.collect()}
+    assert {tuple(r) for r in g.vertices.collect()} == want_v
+    assert {tuple(r) for r in g.edges.collect()} == want_e
+    # line-per-dump input must actually split into >1 partition record
+    assert g.vertices.count() == len(want_v)
