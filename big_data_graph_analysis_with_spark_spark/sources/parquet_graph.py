@@ -5,14 +5,29 @@ At 100 TB a graph lives as columnar Parquet `vertices`/`edges` tables.
 Writes sort edges by (src, dst) within partitions so src-keyed scans get
 row-group min/max pruning; `bucket_by` co-locates both tables on the id
 key so every id-keyed join (degree, parent-map, subgraph induction,
-SimRank parent joins) is shuffle-free.
+SimRank parent joins) is shuffle-free — PROVIDED the read goes through
+the catalog table (bucketing is catalog metadata, not file metadata;
+a plain `spark.read.parquet` of the same files re-shuffles).
 """
 
 from __future__ import annotations
 
+import hashlib
+
 from pyspark.sql import SparkSession
 
 from ..model import NetGraph
+
+
+def _table_names(path: str) -> tuple[str, str]:
+    """Deterministic catalog names for the bucketed tables at `path`.
+
+    md5 of the path — NOT the builtin hash(), which is salted per
+    process and would register a fresh orphan table pair on every run.
+    Same path → same names → `mode="overwrite"` genuinely overwrites.
+    """
+    digest = hashlib.md5(path.encode()).hexdigest()[:12]
+    return f"g_vertices_{digest}", f"g_edges_{digest}"
 
 
 def write_graph_parquet(
@@ -23,25 +38,39 @@ def write_graph_parquet(
 ) -> None:
     """Write vertices/ and edges/ under `path`.
 
-    With ``bucket_by=n``, writes as bucketed managed-style tables keyed
-    on the join column (vertices.id, edges.src), eliminating the shuffle
-    in id-keyed joins at read time.
+    With ``bucket_by=n``, writes as bucketed external tables keyed on
+    the join column (vertices.id, edges.src), eliminating the exchange
+    in id-keyed joins when read back via :func:`read_graph_parquet` in
+    a session sharing the catalog.
     """
     vw = graph.vertices.write.mode(mode)
     ew = graph.edges.sortWithinPartitions("src", "dst").write.mode(mode)
     if bucket_by:
+        vt, et = _table_names(path)
         vw.bucketBy(bucket_by, "id").sortBy("id").option(
             "path", f"{path}/vertices"
-        ).saveAsTable(f"g_vertices_{abs(hash(path)) % 10**8}")
+        ).saveAsTable(vt)
         ew.bucketBy(bucket_by, "src").sortBy("src", "dst").option(
             "path", f"{path}/edges"
-        ).saveAsTable(f"g_edges_{abs(hash(path)) % 10**8}")
+        ).saveAsTable(et)
     else:
         vw.parquet(f"{path}/vertices")
         ew.parquet(f"{path}/edges")
 
 
 def read_graph_parquet(spark: SparkSession, path: str, init_id: int = 0) -> NetGraph:
+    """Read a graph written by :func:`write_graph_parquet`.
+
+    Prefers the bucketed catalog tables when this session's catalog has
+    them — that is what lets Catalyst elide the exchange on id-keyed
+    joins (`.explain` shows no Exchange on the bucketed side). Falls
+    back to a plain parquet read (same data, bucket metadata lost) when
+    the catalog entries are absent, e.g. a fresh session with an
+    in-memory catalog.
+    """
+    vt, et = _table_names(path)
+    if spark.catalog.tableExists(vt) and spark.catalog.tableExists(et):
+        return NetGraph(spark.table(vt), spark.table(et), init_id)
     return NetGraph(
         spark.read.parquet(f"{path}/vertices"),
         spark.read.parquet(f"{path}/edges"),

@@ -22,3 +22,37 @@ def test_roundtrip(spark, tmp_path):
         map(tuple, g.edges.collect())
     )
     assert back.init_id == g.init_id
+
+
+def test_bucketed_roundtrip_overwrite_and_no_shuffle(spark, tmp_path):
+    """Bucketed write → catalog read: repeated writes overwrite (stable
+    table names), contents round-trip, and an id-keyed self-join of the
+    bucketed tables plans WITHOUT an Exchange on the bucketed key."""
+    from pyspark.sql import functions as F
+
+    g = load_graph(spark, f"{REF_INPUT}/Graph20.0.txt")
+    path = str(tmp_path / "g20b")
+    write_graph_parquet(g, path, bucket_by=4)
+    write_graph_parquet(g, path, bucket_by=4)  # stable names → clean overwrite
+
+    back = read_graph_parquet(spark, path)
+    assert sorted(map(tuple, back.vertices.collect())) == sorted(
+        map(tuple, g.vertices.collect())
+    )
+    assert sorted(map(tuple, back.edges.collect())) == sorted(
+        map(tuple, g.edges.collect())
+    )
+
+    # force a sort-merge plan (the tiny fixture would broadcast) to
+    # show bucketing itself elides the shuffle: both sides co-bucketed
+    # on the key → no "Exchange hashpartitioning" anywhere
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        joined = back.edges.join(
+            back.vertices.select(F.col("id").alias("src")), on="src"
+        )
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange hashpartitioning" not in plan, plan
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
