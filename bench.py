@@ -139,6 +139,12 @@ def main() -> None:
     def _():
         dedup_ops.simhash_pairs(docs, 8).count()
 
+    @timed("dedup_embedding_cosine")
+    def _():
+        # SRP-LSH candidates + decimal in-bucket verify (the 0.4
+        # threshold matches the oracle query on this fixture)
+        dedup_ops.embedding_cosine_pairs(embs, threshold=0.4).count()
+
     @timed("similarity_ann_lsh")
     def _():
         q = embs.filter(F.col("vec_id") < 100)

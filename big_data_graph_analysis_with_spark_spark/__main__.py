@@ -24,13 +24,25 @@ from .sources.ngs_text import load_graph
 from .sources.parquet_graph import read_graph_parquet
 
 
-def _load(spark, path: str):
-    base = path.rstrip("/")
-    if base.endswith(".ngs") or ".ngs" in base.rsplit("/", 1)[-1]:
+def _load(spark, path: str, fmt: str = "auto"):
+    """Load a graph as `fmt`; "auto" dispatches on the filename's exact
+    extension tokens (Graph200.txt.perturbed → text,
+    Graph200.ngs.perturbed → ngs, anything else → parquet dir) — token
+    match, not substring, so "my.txtlike" never routes to the text
+    parser."""
+    if fmt == "auto":
+        tokens = path.rstrip("/").rsplit("/", 1)[-1].lower().split(".")[1:]
+        if "ngs" in tokens:
+            fmt = "ngs"
+        elif "txt" in tokens:
+            fmt = "text"
+        else:
+            fmt = "parquet"
+    if fmt == "ngs":
         from .sources.ngs_java import load_graph_from_ngs
 
         return load_graph_from_ngs(spark, path)
-    if base.endswith((".txt", ".perturbed")) or ".txt" in base:
+    if fmt == "text":
         return load_graph(spark, path)
     return read_graph_parquet(spark, path)
 
@@ -40,6 +52,12 @@ def main(argv: list[str] | None = None) -> int:
     ap.add_argument("--original", required=True, help="original graph (.txt dump or parquet dir)")
     ap.add_argument("--perturbed", required=True, help="perturbed graph (.txt dump or parquet dir)")
     ap.add_argument("--out", required=True, help="output YAML path (local/hdfs/s3a URI)")
+    ap.add_argument(
+        "--format",
+        choices=["auto", "text", "ngs", "parquet"],
+        default="auto",
+        help="input graph format (default: dispatch on extension tokens)",
+    )
     ap.add_argument("--master", default=None, help="spark master (default: local[*] unless externally managed)")
     ap.add_argument("--coeff", type=float, default=0.5, help="randomWalkCoeff")
     ap.add_argument("--walks", type=int, default=20, help="numOfParallelWalks")
@@ -58,8 +76,8 @@ def main(argv: list[str] | None = None) -> int:
         seed=args.seed,
     )
     spark = get_spark(app_name="MitMStatSim", master=args.master)
-    og = _load(spark, args.original)
-    pg = _load(spark, args.perturbed)
+    og = _load(spark, args.original, args.format)
+    pg = _load(spark, args.perturbed, args.format)
     result = run_pipeline(spark, og, pg, cfg, yaml_path=args.out)
     print(f"wrote {args.out}")
     for k, v in result.stats.items():

@@ -75,9 +75,18 @@ def walk_counts(walk_classes: DataFrame) -> DataFrame:
     )
 
 
-def _ids_str(df: DataFrame, col: str) -> str:
-    ids = sorted(r[0] for r in df.select(col).collect())
-    return "[" + ", ".join(str(i) for i in ids) + "]"
+def _ids_str(df: DataFrame, col: str, cap: int) -> str:
+    """Sorted id list for the YAML block, bounded: the collect is a
+    distributed sort+limit of at most `cap` rows (valuable-node counts
+    scale with the graph, so an uncapped collect would be the one
+    data-sized driver materialization left in the pipeline). Beyond the
+    cap the YAML records the prefix plus the exact total."""
+    total = df.count()
+    ids = [r[0] for r in df.select(col).orderBy(col).limit(cap).collect()]
+    body = ", ".join(str(i) for i in ids)
+    if total > cap:
+        body += f", ... ({total} total)"
+    return "[" + body + "]"
 
 
 def assemble_stats(
@@ -85,13 +94,15 @@ def assemble_stats(
     matches: DataFrame,
     walks: DataFrame | None,
     threshold: float,
+    max_listed_ids: int = 100_000,
 ) -> dict[str, str]:
     """The 8-metric statistics block (`Main.scala:204-212`), as an
     ordered dict ready for the YAML sink.
 
-    Driver-side collect is correct here: every input to this function
-    is already an aggregate bounded by |matches| / #partitions, not by
-    data scale.
+    Driver-side collect is correct here: the id lists are capped at
+    `max_listed_ids` (reference-identical below the cap) and every
+    other input is an aggregate bounded by |matches| / #partitions,
+    not by data scale.
     """
     classified = classify_matches(matches, threshold).cache()
     valuable = og.vertices.filter(F.col("valuable_data")).select("id")
@@ -99,8 +110,10 @@ def assemble_stats(
     fp = classified.filter(~F.col("is_true_positive"))
 
     stats: dict[str, str] = {
-        "valuableOriginalNodeIds": _ids_str(valuable, "id"),
-        "uncoveredValuableNodeIds": _ids_str(uncovered_valuable(matches, og), "id"),
+        "valuableOriginalNodeIds": _ids_str(valuable, "id", max_listed_ids),
+        "uncoveredValuableNodeIds": _ids_str(
+            uncovered_valuable(matches, og), "id", max_listed_ids
+        ),
         "numTruePositiveMatches": str(tp.count()),
         "numFalsePositiveMatches": str(fp.count()),
     }
