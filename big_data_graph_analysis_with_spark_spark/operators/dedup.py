@@ -356,6 +356,7 @@ def srp_bucket_candidates(
     emb: DataFrame,
     num_tables: int = 8,
     planes_per_table: int = 6,
+    comp: DataFrame | None = None,
 ) -> DataFrame:
     """(vec_a, vec_b) candidate pairs from sign-random-projection LSH,
     computed in EXACT decimal arithmetic so bucket assignment is
@@ -371,27 +372,52 @@ def srp_bucket_candidates(
     exactly num_tables buckets, so generation is one equi-join.
     """
     spark = emb.sparkSession
-    comp = _decimal_components(emb)
-    planes = spark.createDataFrame(
+    if comp is None:
+        comp = _decimal_components(emb)
+    L, r = num_tables, planes_per_table
+    # pivoted plane table: ONE row per dimension, one column per plane.
+    # The projection join then stays at N·d rows (never N·d·L·r) and
+    # all L·r sums run as aggregate expressions in one codegen'd
+    # groupBy — same exact decimal arithmetic, so the oracle's
+    # (vec, table, plane)-grouped formulation computes identical signs.
+    pivot = spark.createDataFrame(
         [
-            (t, p, j, srp_weight_int(t, p, j))
-            for t in range(num_tables)
-            for p in range(planes_per_table)
+            tuple(
+                [j]
+                + [
+                    srp_weight_int(t, p, j)
+                    for t in range(L)
+                    for p in range(r)
+                ]
+            )
             for j in range(_emb_dim(emb))
         ],
-        "tbl LONG, plane LONG, j LONG, iw LONG",
+        ", ".join(["j LONG"] + [f"iw_{k} LONG" for k in range(L * r)]),
     )
     proj = (
-        comp.join(F.broadcast(planes), on="j")
-        .groupBy("vec_id", "tbl", "plane")
-        .agg(F.sum(F.col("x") * F.col("iw")).alias("s"))
+        comp.join(F.broadcast(pivot), on="j")
+        .groupBy("vec_id")
+        .agg(
+            *[
+                F.sum(F.col("x") * F.col(f"iw_{k}")).alias(f"s_{k}")
+                for k in range(L * r)
+            ]
+        )
     )
-    sigs = proj.groupBy("vec_id", "tbl").agg(
-        F.sum(
-            F.when(F.col("s") > 0, F.expr("shiftleft(1L, CAST(plane AS INT))"))
-            .otherwise(F.lit(0).cast("long"))
-        ).alias("sig")
-    )
+    table_sigs = []
+    for t in range(L):
+        sig = None
+        for p in range(r):
+            term = F.when(
+                F.col(f"s_{t * r + p}") > 0, F.lit(1 << p).cast("long")
+            ).otherwise(F.lit(0).cast("long"))
+            sig = term if sig is None else sig + term
+        table_sigs.append(
+            F.struct(F.lit(t).cast("long").alias("tbl"), sig.alias("sig"))
+        )
+    sigs = proj.select(
+        "vec_id", F.explode(F.array(*table_sigs)).alias("ts")
+    ).select("vec_id", F.col("ts.tbl").alias("tbl"), F.col("ts.sig").alias("sig"))
     a = sigs.select(F.col("vec_id").alias("vec_a"), "tbl", "sig")
     b = sigs.select(F.col("vec_id").alias("vec_b"), "tbl", "sig")
     return (
@@ -429,7 +455,7 @@ def embedding_cosine_pairs(
     hash-checkable end-to-end despite being approximate.
     """
     comp = _decimal_components(emb)
-    cands = srp_bucket_candidates(emb, num_tables, planes_per_table)
+    cands = srp_bucket_candidates(emb, num_tables, planes_per_table, comp=comp)
     norms = comp.groupBy("vec_id").agg(F.sum(F.col("x") * F.col("x")).alias("nsq"))
     a = comp.select(F.col("vec_id").alias("vec_a"), "j", F.col("x").alias("xa"))
     b = comp.select(F.col("vec_id").alias("vec_b"), "j", F.col("x").alias("xb"))
