@@ -59,3 +59,38 @@ def test_running_user_totals_state(spark, events_dir):
         assert got[uid][0] == n
         # float fold order differs batch vs pandas; totals agree loosely
         assert abs(got[uid][1] - _total) < 1e-6
+
+
+@pytest.fixture(scope="module")
+def docs_dir(spark, tmp_path_factory):
+    d = tmp_path_factory.mktemp("docs_stream")
+    shutil.copy(f"{SF0001}/documents.parquet", d / "documents.parquet")
+    return str(d)
+
+
+def test_streaming_exact_dedup_equals_batch(spark, docs_dir):
+    """Streaming first-copy-wins dedup must keep exactly the distinct
+    text hashes the batch operator keeps (which doc_id survives is
+    arrival-order-defined, so the comparison is on hashes + count)."""
+    from big_data_graph_analysis_with_spark_spark.operators import dedup
+    from big_data_graph_analysis_with_spark_spark.streaming import doc_dedup
+
+    stream = doc_dedup.read_docs_stream(spark, docs_dir)
+    deduped = doc_dedup.streaming_exact_dedup(stream)
+    walk_rates.run_to_memory_sink(deduped, "doc_dedup_stream", "append")
+    got = spark.table("doc_dedup_stream").collect()
+
+    batch = spark.read.parquet(f"{SF0001}/documents.parquet")
+    want_hashes = {
+        r["h"] for r in batch.select(F.md5("text").alias("h")).distinct().collect()
+    }
+    assert {r["h"] for r in got} == want_hashes
+    assert len(got) == len(want_hashes)  # exactly one survivor per hash
+    # survivor ids must be real doc ids of a doc with that hash
+    pairs = {
+        (r["doc_id"], r["h"])
+        for r in batch.select("doc_id", F.md5("text").alias("h")).collect()
+    }
+    assert {(r["doc_id"], r["h"]) for r in got} <= pairs
+    # consistency link to the batch operator's group count
+    assert len(got) == dedup.exact_dedup(batch).count()
