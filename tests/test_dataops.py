@@ -142,6 +142,53 @@ def test_embedding_cosine_lsh_subset_of_exact(spark, embs):
     assert len(lsh) > 0
 
 
+def test_simhash_banding_equals_all_pairs_randomized(spark):
+    """Pigeonhole banding must return EXACTLY the all-pairs result —
+    checked on a seeded random corpus engineered to produce pairs
+    across the whole Hamming range (shared vocabulary, perturbed
+    copies), at two max_hamming settings."""
+    import numpy as np
+
+    rng = np.random.default_rng(11)
+    vocab = [f"w{i}" for i in range(40)]
+    rows = []
+    for i in range(60):
+        base = list(rng.choice(vocab, size=12))
+        rows.append((i * 2, " ".join(base)))
+        k = int(rng.integers(0, 4))
+        for _ in range(k):  # perturb a few tokens → nearby signature
+            base[int(rng.integers(0, len(base)))] = str(rng.choice(vocab))
+        rows.append((i * 2 + 1, " ".join(base)))
+    docs_df = spark.createDataFrame(rows, "doc_id LONG, text STRING")
+
+    from big_data_graph_analysis_with_spark_spark.operators.dedup import (
+        simhash_signatures,
+    )
+
+    sigs = simhash_signatures(docs_df)
+    a = sigs.select(F.col("doc_id").alias("doc_a"), F.col("simhash").alias("ha"))
+    b = sigs.select(F.col("doc_id").alias("doc_b"), F.col("simhash").alias("hb"))
+    for mh in (4, 8):
+        brute = sorted(
+            map(
+                tuple,
+                a.crossJoin(b)
+                .filter(F.col("doc_a") < F.col("doc_b"))
+                .withColumn(
+                    "hamming", F.bit_count(F.col("ha").bitwiseXOR(F.col("hb")))
+                )
+                .filter(F.col("hamming") <= mh)
+                .select("doc_a", "doc_b", F.col("hamming").cast("long"))
+                .collect(),
+            )
+        )
+        banded = sorted(
+            map(tuple, dedup.simhash_pairs(docs_df, max_hamming=mh).collect())
+        )
+        assert banded == brute, f"max_hamming={mh}: banding diverged"
+        assert len(banded) > 0, f"max_hamming={mh}: fixture produced no pairs"
+
+
 def test_simhash_near_dup_consistency(spark, docs):
     """SimHash distance 0 pairs must have high token overlap — sanity
     link between the two near-dup definitions on identical docs."""
