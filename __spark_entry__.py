@@ -372,6 +372,13 @@ def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.minhash_lsh_pairs(_docs(spark, sf_dir), n=3, threshold=0.2)
 
 
+def q_dedup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup group resolution: MinHash-LSH pairs → connected
+    components (min-label propagation) → (doc_id, group_id)."""
+    pairs = dedup.minhash_lsh_pairs(_docs(spark, sf_dir), n=3, threshold=0.2)
+    return dedup.dup_groups(pairs)
+
+
 def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.simhash_pairs(_docs(spark, sf_dir), max_hamming=8)
 
@@ -583,6 +590,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_exact": q_dedup_exact,
         "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
         "dedup_minhash_lsh": q_dedup_minhash_lsh,
+        "dedup_groups": q_dedup_groups,
         "dedup_simhash": q_dedup_simhash,
         "dedup_embedding_cosine": q_dedup_embedding_cosine,
         "similarity_topk": q_similarity_topk,
@@ -717,6 +725,9 @@ def oracle_sql() -> dict[str, str]:
         "dedup_exact": doc_oracles.dedup_exact_sql(),
         "dedup_ngram_jaccard": doc_oracles.ngram_jaccard_sql(n=3, threshold=0.2),
         "dedup_minhash_lsh": doc_oracles.minhash_lsh_sql(n=3, threshold=0.2),
+        "dedup_groups": doc_oracles.dup_groups_sql(
+            doc_oracles.minhash_lsh_sql(n=3, threshold=0.2)
+        ),
         "dedup_simhash": doc_oracles.simhash_sql(max_hamming=8),
         "dedup_embedding_cosine": doc_oracles.embedding_cosine_sql(threshold=0.4),
         "similarity_topk": doc_oracles.cosine_topk_sql(k=5, query_max_id=20),

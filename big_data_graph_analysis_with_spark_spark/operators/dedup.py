@@ -341,6 +341,60 @@ def simhash_pairs(
     )
 
 
+def dup_groups(pairs: DataFrame, max_iters: int = 50) -> DataFrame:
+    """Resolve near-dup pairs into groups: connected components by
+    min-label propagation, the step that turns any pair list (exact,
+    MinHash, SimHash, embedding) into canonical-document groups.
+
+    Returns (doc_id, group_id) for every document appearing in a pair;
+    group_id = the minimum doc_id of its component (so "keep the
+    canonical copy" is `filter(doc_id == group_id)`). Documents in no
+    pair are implicitly their own singleton group.
+
+    Each iteration is one join+groupBy propagating the component
+    minimum one hop; convergence takes O(component diameter) rounds —
+    near-dup components are overwhelmingly tiny stars/cliques, so this
+    terminates in 2-3 rounds in practice (`max_iters` is a safety
+    bound, and iterates are localCheckpointed to keep lineage flat).
+    Deterministic: min() is order-independent.
+    """
+    und = pairs.select(F.col("doc_a").alias("a"), F.col("doc_b").alias("b"))
+    und = und.unionByName(
+        und.select(F.col("b").alias("a"), F.col("a").alias("b"))
+    ).localCheckpoint()
+    labels = (
+        und.select(F.col("a").alias("doc_id"))
+        .distinct()
+        .withColumn("group_id", F.col("doc_id"))
+        .localCheckpoint()
+    )
+    for _ in range(max_iters):
+        nbr_min = (
+            und.join(labels, on=und.b == labels.doc_id)
+            .groupBy(F.col("a").alias("doc_id"))
+            .agg(F.min("group_id").alias("nbr"))
+        )
+        new_labels = (
+            labels.join(nbr_min, on="doc_id", how="left")
+            .select(
+                "doc_id",
+                F.least(
+                    F.col("group_id"), F.coalesce("nbr", F.col("group_id"))
+                ).alias("group_id"),
+            )
+            .localCheckpoint()
+        )
+        changed = (
+            new_labels.join(labels, on=["doc_id", "group_id"], how="left_anti")
+            .limit(1)
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels
+
+
 def _decimal_components(emb: DataFrame, id_col: str = "vec_id") -> DataFrame:
     """(id, j, x): DECIMAL(18,9)-cast embedding components — the exact
     fixed-point representation both engines agree on."""

@@ -101,6 +101,26 @@ WHERE EXISTS (SELECT 1 FROM cand c
     )
 
 
+def dup_groups_sql(pairs_sql: str) -> str:
+    """Connected components over the pairs produced by `pairs_sql`
+    (any query yielding doc_a/doc_b): min reachable id per document
+    via a recursive CTE — mirrors dedup.dup_groups' min-label
+    propagation fixpoint exactly (both compute the component min)."""
+    return f"""
+WITH RECURSIVE pairs AS ({pairs_sql}),
+und AS (SELECT doc_a AS a, doc_b AS b FROM pairs
+        UNION ALL SELECT doc_b AS a, doc_a AS b FROM pairs),
+nodes AS (SELECT DISTINCT a AS doc_id FROM und),
+reach(doc_id, r) AS (
+  SELECT doc_id, doc_id FROM nodes
+  UNION
+  SELECT u.a, reach.r FROM und u JOIN reach ON reach.doc_id = u.b
+)
+SELECT CAST(doc_id AS BIGINT) AS doc_id, CAST(MIN(r) AS BIGINT) AS group_id
+FROM reach GROUP BY doc_id
+"""
+
+
 def simhash_sql(max_hamming: int = 8) -> str:
     h = hash56_sql("w")
     sums = ", ".join(

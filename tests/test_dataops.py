@@ -82,6 +82,18 @@ def test_ann_deterministic(spark, embs):
     assert a == b
 
 
+def test_dup_groups_components(spark):
+    """Min-label propagation must resolve chains, transitive links, and
+    disjoint pairs to per-component minimum ids."""
+    pairs = spark.createDataFrame(
+        # component {1,2,3,4} as a chain; {10,11}; {20,21,22} via hub 20
+        [(1, 2), (2, 3), (3, 4), (10, 11), (20, 21), (20, 22)],
+        "doc_a LONG, doc_b LONG",
+    )
+    got = {r["doc_id"]: r["group_id"] for r in dedup.dup_groups(pairs).collect()}
+    assert got == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10, 20: 20, 21: 20, 22: 20}
+
+
 def test_embedding_cosine_lsh_planted_dups(spark):
     """Planted near-duplicates (tiny perturbations of base vectors)
     must all be recovered, and every reported pair must genuinely clear
