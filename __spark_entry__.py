@@ -413,6 +413,34 @@ def q_similarity_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.ann_ivf_topk(emb, queries_df, k=5)
 
 
+def q_sample_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic hash sampling — membership is a pure function of
+    (doc_id, seed), stable across engines/partitionings."""
+    from big_data_graph_analysis_with_spark_spark.operators import sampling
+
+    return sampling.hash_sample(_docs(spark, sf_dir), rate=0.25, seed=7).select(
+        "doc_id", "lang", "source", "n_chars"
+    )
+
+
+def q_sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stratified cap: ≤50 docs per language by seeded hash order."""
+    from big_data_graph_analysis_with_spark_spark.operators import sampling
+
+    return sampling.stratified_cap(
+        _docs(spark, sf_dir), "lang", cap=50, seed=7
+    ).select("doc_id", "lang")
+
+
+def q_train_eval_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leakage-safe train/eval labeling by seeded id hash."""
+    from big_data_graph_analysis_with_spark_spark.operators import sampling
+
+    return sampling.train_eval_split(
+        _docs(spark, sf_dir), eval_frac=0.1, seed=7
+    ).select("doc_id", "split")
+
+
 def q_text_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return textops.token_stats(_docs(spark, sf_dir))
 
@@ -596,6 +624,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "similarity_topk": q_similarity_topk,
         "similarity_ann_lsh": q_similarity_ann_lsh,
         "similarity_ann_ivf": q_similarity_ann_ivf,
+        "sample_hash": q_sample_hash,
+        "sample_stratified": q_sample_stratified,
+        "train_eval_split": q_train_eval_split,
         "text_token_stats": q_text_token_stats,
         "text_quality": q_text_quality,
         "text_language_id": q_text_language_id,
@@ -731,6 +762,9 @@ def oracle_sql() -> dict[str, str]:
         "dedup_simhash": doc_oracles.simhash_sql(max_hamming=8),
         "dedup_embedding_cosine": doc_oracles.embedding_cosine_sql(threshold=0.4),
         "similarity_topk": doc_oracles.cosine_topk_sql(k=5, query_max_id=20),
+        "sample_hash": doc_oracles.hash_sample_sql(rate=0.25, seed=7),
+        "sample_stratified": doc_oracles.stratified_cap_sql("lang", cap=50, seed=7),
+        "train_eval_split": doc_oracles.train_eval_split_sql(eval_frac=0.1, seed=7),
         "text_token_stats": doc_oracles.token_stats_sql(),
         "text_quality": doc_oracles.quality_sql(),
         "text_language_id": doc_oracles.language_id_sql(),

@@ -1,0 +1,78 @@
+"""Deterministic corpus sampling for training-data pipelines.
+
+Random sampling (`df.sample`) is partitioning-dependent and
+irreproducible across engines; every operator here derives its
+decisions from the shared 56-bit MD5 hash (functions/hashing.py), so a
+sample is a pure function of (doc_id, seed) — stable under
+repartitioning, re-runs, and engine swaps, and therefore
+DuckDB-oracle-checkable like any exact query.
+
+Scale notes: `hash_sample` and `train_eval_split` are narrow maps — a
+filter/projection pushed to the scan, no shuffle at any corpus size.
+`stratified_cap` is one window shuffle keyed on the stratum; per-key
+state is a counter, and skewed strata are exactly the windows AQE
+splits.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from ..functions.hashing import hash56
+
+#: hash buckets for rate arithmetic: rates are exact multiples of 1e-6
+RATE_DENOM = 1_000_000
+
+
+def _bucket(id_col: str, seed: int):
+    """Uniform bucket in [0, RATE_DENOM) from the seeded doc hash."""
+    return hash56(F.col(id_col).cast("string"), seed=seed) % RATE_DENOM
+
+
+def hash_sample(
+    docs: DataFrame, rate: float, seed: int = 0, id_col: str = "doc_id"
+) -> DataFrame:
+    """Keep each row iff hash(seed:id) falls in the first `rate`
+    fraction of buckets — deterministic Bernoulli-style sampling with
+    EXACT membership (re-running, repartitioning, or re-deriving the
+    same ids always selects the same rows). Narrow: no shuffle."""
+    threshold = int(rate * RATE_DENOM)
+    return docs.filter(_bucket(id_col, seed) < threshold)
+
+
+def train_eval_split(
+    docs: DataFrame, eval_frac: float = 0.1, seed: int = 0, id_col: str = "doc_id"
+) -> DataFrame:
+    """Label each row 'eval' or 'train' by seeded hash bucket — the
+    standard leakage-safe split (membership depends only on the id, so
+    adding/removing other documents never moves a document across the
+    split). Narrow: a projection, no shuffle."""
+    threshold = int(eval_frac * RATE_DENOM)
+    return docs.withColumn(
+        "split",
+        F.when(_bucket(id_col, seed) < threshold, F.lit("eval")).otherwise(
+            F.lit("train")
+        ),
+    )
+
+
+def stratified_cap(
+    docs: DataFrame,
+    strata_col: str,
+    cap: int,
+    seed: int = 0,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """At most `cap` rows per stratum, chosen by seeded hash order
+    (ties broken by id → fully deterministic). The balancing step for
+    over-represented sources/languages before training. One window
+    shuffle on the stratum key."""
+    w = Window.partitionBy(strata_col).orderBy(
+        _bucket(id_col, seed).asc(), F.col(id_col).asc()
+    )
+    return (
+        docs.withColumn("_rk", F.row_number().over(w))
+        .filter(F.col("_rk") <= cap)
+        .drop("_rk")
+    )

@@ -233,6 +233,41 @@ SELECT query_id, neighbor_id, CAST(rn AS BIGINT) AS rank, cosine FROM (
 """
 
 
+def _bucket_sql(seed: int) -> str:
+    """SQL twin of sampling._bucket: seeded 56-bit hash of the doc id,
+    reduced to the rate denominator."""
+    return f"({hash56_sql('doc_id', seed=seed)} % 1000000)"
+
+
+def hash_sample_sql(rate: float, seed: int) -> str:
+    threshold = int(rate * 1_000_000)
+    return f"""
+SELECT doc_id, lang, source, n_chars FROM documents
+WHERE {_bucket_sql(seed)} < {threshold}
+"""
+
+
+def train_eval_split_sql(eval_frac: float, seed: int) -> str:
+    threshold = int(eval_frac * 1_000_000)
+    return f"""
+SELECT doc_id,
+       CASE WHEN {_bucket_sql(seed)} < {threshold}
+            THEN 'eval' ELSE 'train' END AS split
+FROM documents
+"""
+
+
+def stratified_cap_sql(strata_col: str, cap: int, seed: int) -> str:
+    return f"""
+SELECT doc_id, {strata_col} FROM (
+  SELECT doc_id, {strata_col}, ROW_NUMBER() OVER (
+    PARTITION BY {strata_col}
+    ORDER BY {_bucket_sql(seed)} ASC, doc_id ASC) AS rk
+  FROM documents)
+WHERE rk <= {cap}
+"""
+
+
 def token_stats_sql() -> str:
     return """
 WITH words AS (SELECT doc_id, text, string_split(text, ' ') AS w FROM documents)

@@ -236,3 +236,28 @@ def test_language_id_total(spark, docs):
     lid = textops.language_id(docs)
     assert lid.count() == docs.count()
     assert lid.filter(F.col("guessed_lang").isNull()).count() == 0
+
+
+def test_sampling_properties(spark, docs):
+    """Hash sampling: deterministic, repartition-invariant, subset;
+    stratified cap respects the cap; split partitions the corpus."""
+    from big_data_graph_analysis_with_spark_spark.operators import sampling
+
+    s1 = {r["doc_id"] for r in sampling.hash_sample(docs, 0.25, seed=7).collect()}
+    s2 = {
+        r["doc_id"]
+        for r in sampling.hash_sample(docs.repartition(13), 0.25, seed=7).collect()
+    }
+    assert s1 == s2 and len(s1) > 0
+    assert s1 <= {r["doc_id"] for r in docs.collect()}
+    # different seed → different (deterministic) sample
+    s3 = {r["doc_id"] for r in sampling.hash_sample(docs, 0.25, seed=8).collect()}
+    assert s3 != s1
+
+    capped = sampling.stratified_cap(docs, "lang", cap=10, seed=7)
+    per = capped.groupBy("lang").count().collect()
+    assert all(r["count"] <= 10 for r in per)
+
+    split = sampling.train_eval_split(docs, 0.1, seed=7)
+    assert split.count() == docs.count()
+    assert split.filter(F.col("split").isin("train", "eval")).count() == docs.count()
