@@ -405,6 +405,15 @@ def q_similarity_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.ann_lsh_topk(emb, queries_df, k=5)
 
 
+def q_similarity_ann_lsh_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Oracle-checked ANN: same bucket-then-rerank shape as
+    similarity_ann_lsh, but decimal SRP signatures + decimal rerank so
+    the DuckDB oracle reproduces candidates, scores, and ranks exactly."""
+    emb = _embs(spark, sf_dir)
+    queries_df = emb.filter(F.col("vec_id") < 20)
+    return similarity.ann_lsh_topk_exact(emb, queries_df, k=5)
+
+
 def q_similarity_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Rows-only: IVF coarse-quantizer ANN (inverted lists + probes);
     recall vs the exact baseline asserted in tests/test_skew_ivf.py."""
@@ -623,6 +632,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_embedding_cosine": q_dedup_embedding_cosine,
         "similarity_topk": q_similarity_topk,
         "similarity_ann_lsh": q_similarity_ann_lsh,
+        "similarity_ann_lsh_exact": q_similarity_ann_lsh_exact,
         "similarity_ann_ivf": q_similarity_ann_ivf,
         "sample_hash": q_sample_hash,
         "sample_stratified": q_sample_stratified,
@@ -762,6 +772,9 @@ def oracle_sql() -> dict[str, str]:
         "dedup_simhash": doc_oracles.simhash_sql(max_hamming=8),
         "dedup_embedding_cosine": doc_oracles.embedding_cosine_sql(threshold=0.4),
         "similarity_topk": doc_oracles.cosine_topk_sql(k=5, query_max_id=20),
+        "similarity_ann_lsh_exact": doc_oracles.ann_lsh_topk_sql(
+            k=5, query_max_id=20
+        ),
         "sample_hash": doc_oracles.hash_sample_sql(rate=0.25, seed=7),
         "sample_stratified": doc_oracles.stratified_cap_sql("lang", cap=50, seed=7),
         "train_eval_split": doc_oracles.train_eval_split_sql(eval_frac=0.1, seed=7),

@@ -406,13 +406,13 @@ def _decimal_components(emb: DataFrame, id_col: str = "vec_id") -> DataFrame:
     )
 
 
-def srp_bucket_candidates(
+def srp_signatures_decimal(
     emb: DataFrame,
     num_tables: int = 8,
     planes_per_table: int = 6,
     comp: DataFrame | None = None,
 ) -> DataFrame:
-    """(vec_a, vec_b) candidate pairs from sign-random-projection LSH,
+    """(vec_id, tbl, sig): sign-random-projection LSH bucket per table,
     computed in EXACT decimal arithmetic so bucket assignment is
     engine-reproducible.
 
@@ -421,9 +421,7 @@ def srp_bucket_candidates(
     the projections here are Σ x·iw over DECIMAL components and INTEGER
     weights — associative, order-independent, and byte-identical in
     DuckDB — where the ANN path's float BLAS matmul could flip the sign
-    of a near-zero projection between engines. Candidate volume shrinks
-    ~2^planes_per_table-fold per table vs all-pairs; a vector lands in
-    exactly num_tables buckets, so generation is one equi-join.
+    of a near-zero projection between engines.
     """
     spark = emb.sparkSession
     if comp is None:
@@ -469,9 +467,23 @@ def srp_bucket_candidates(
         table_sigs.append(
             F.struct(F.lit(t).cast("long").alias("tbl"), sig.alias("sig"))
         )
-    sigs = proj.select(
+    return proj.select(
         "vec_id", F.explode(F.array(*table_sigs)).alias("ts")
     ).select("vec_id", F.col("ts.tbl").alias("tbl"), F.col("ts.sig").alias("sig"))
+
+
+def srp_bucket_candidates(
+    emb: DataFrame,
+    num_tables: int = 8,
+    planes_per_table: int = 6,
+    comp: DataFrame | None = None,
+) -> DataFrame:
+    """(vec_a, vec_b) candidate pairs from sign-random-projection LSH —
+    an equi-join of :func:`srp_signatures_decimal` with itself on
+    (table, signature). Candidate volume shrinks ~2^planes_per_table-fold
+    per table vs all-pairs; a vector lands in exactly num_tables
+    buckets, so generation is one equi-join."""
+    sigs = srp_signatures_decimal(emb, num_tables, planes_per_table, comp=comp)
     a = sigs.select(F.col("vec_id").alias("vec_a"), "tbl", "sig")
     b = sigs.select(F.col("vec_id").alias("vec_b"), "tbl", "sig")
     return (

@@ -33,7 +33,7 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 from pyspark.sql.functions import pandas_udf
 
-from .dedup import _decimal_components
+from .dedup import _decimal_components, srp_signatures_decimal
 
 #: OR-construction: L tables × r planes each. A pair is a candidate if
 #: it collides in ANY table: P = 1 − (1 − p^r)^L for per-plane
@@ -322,3 +322,68 @@ def ann_lsh_topk(
         .distinct()
     )
     return _rerank_topk(cands, emb, queries, k)
+
+
+def ann_lsh_topk_exact(
+    emb: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    num_tables: int = NUM_TABLES,
+    planes_per_table: int = PLANES_PER_TABLE,
+) -> DataFrame:
+    """Oracle-checkable twin of :func:`ann_lsh_topk`: the SAME
+    bucket-then-rerank shape, but signatures come from
+    dedup.srp_signatures_decimal (integer hyperplane weights × DECIMAL
+    components — sign decisions identical in any engine) and the rerank
+    uses decimal dot products with round(9) cosines, so candidate set,
+    scores, and ranking are all bit-reproducible in DuckDB. ~2-3× the
+    cost of the BLAS float path (decimal arithmetic, exploded
+    components); use THIS one when results must be auditable and the
+    float path when they must be fast. Returns
+    (query_id, neighbor_id, rank, cosine).
+    """
+    comp = _decimal_components(emb)
+    sigs = srp_signatures_decimal(emb, num_tables, planes_per_table, comp=comp)
+    qsigs = srp_signatures_decimal(queries, num_tables, planes_per_table).select(
+        F.col("vec_id").alias("query_id"), "tbl", "sig"
+    )
+    cands = (
+        qsigs.join(sigs, on=["tbl", "sig"])
+        .filter(F.col("query_id") != F.col("vec_id"))
+        .select("query_id", F.col("vec_id").alias("neighbor_id"))
+        .distinct()
+    )
+    qcomp = _decimal_components(queries).select(
+        F.col("vec_id").alias("query_id"), "j", F.col("x").alias("qx")
+    )
+    norms = comp.groupBy("vec_id").agg(F.sum(F.col("x") * F.col("x")).alias("nsq"))
+    qnorms = qcomp.groupBy("query_id").agg(
+        F.sum(F.col("qx") * F.col("qx")).alias("qnsq")
+    )
+    dots = (
+        cands.join(qcomp, on="query_id")
+        .join(
+            comp.select(F.col("vec_id").alias("neighbor_id"), "j", "x"),
+            on=["neighbor_id", "j"],
+        )
+        .groupBy("query_id", "neighbor_id")
+        .agg(F.sum(F.col("qx") * F.col("x")).alias("dot"))
+    )
+    scored = (
+        dots.join(qnorms, on="query_id")
+        .join(norms.select(F.col("vec_id").alias("neighbor_id"), "nsq"), on="neighbor_id")
+        .withColumn(
+            "cosine",
+            F.round(
+                F.col("dot").cast("double")
+                / F.sqrt(F.col("qnsq").cast("double") * F.col("nsq").cast("double")),
+                9,
+            ),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", F.col("rank").cast("long"), "cosine")
+    )

@@ -166,25 +166,9 @@ def embedding_cosine_sql(
     SRP-LSH candidate generation (exact integer-weight decimal
     projections, see functions.hashing.srp_weight_int), so the
     approximate operator is still hash-checkable end-to-end."""
-    iw = srp_weight_sql("t", "p", "j")
     return f"""
 WITH {_COMP_CTES.strip()},
-planes AS (
-  SELECT t, p, j, {iw} AS iw
-  FROM range({num_tables}) AS rt(t),
-       range({planes_per_table}) AS rp(p),
-       (SELECT DISTINCT j FROM comp) AS rj(j)
-),
-proj AS (
-  SELECT c.vec_id, pl.t, pl.p, SUM(c.x * pl.iw) AS s
-  FROM comp c JOIN planes pl ON pl.j = c.j
-  GROUP BY 1, 2, 3
-),
-sigs AS (
-  SELECT vec_id, t,
-         SUM(CASE WHEN s > 0 THEN 1::BIGINT << p ELSE 0::BIGINT END) AS sig
-  FROM proj GROUP BY vec_id, t
-),
+{_srp_sig_ctes(num_tables, planes_per_table).strip()},
 cand AS (
   SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
   FROM sigs a JOIN sigs b
@@ -206,6 +190,68 @@ JOIN norms nb ON nb.vec_id = d.vec_b
 WHERE ROUND(CAST(d.dot AS DOUBLE)
             / sqrt(CAST(na.nsq AS DOUBLE) * CAST(nb.nsq AS DOUBLE)), 9)
       >= {threshold}
+"""
+
+
+def _srp_sig_ctes(num_tables: int, planes_per_table: int) -> str:
+    """planes/proj/sigs CTEs shared by the SRP-LSH oracles — the exact
+    integer-weight decimal projections of dedup.srp_signatures_decimal."""
+    iw = srp_weight_sql("t", "p", "j")
+    return f"""
+planes AS (
+  SELECT t, p, j, {iw} AS iw
+  FROM range({num_tables}) AS rt(t),
+       range({planes_per_table}) AS rp(p),
+       (SELECT DISTINCT j FROM comp) AS rj(j)
+),
+proj AS (
+  SELECT c.vec_id, pl.t, pl.p, SUM(c.x * pl.iw) AS s
+  FROM comp c JOIN planes pl ON pl.j = c.j
+  GROUP BY 1, 2, 3
+),
+sigs AS (
+  SELECT vec_id, t,
+         SUM(CASE WHEN s > 0 THEN 1::BIGINT << p ELSE 0::BIGINT END) AS sig
+  FROM proj GROUP BY vec_id, t
+)
+"""
+
+
+def ann_lsh_topk_sql(
+    k: int = 5,
+    query_max_id: int = 20,
+    num_tables: int = 8,
+    planes_per_table: int = 6,
+) -> str:
+    """Mirrors similarity.ann_lsh_topk_exact: SRP-LSH candidate
+    buckets (decimal signs) + decimal rerank + row_number top-k."""
+    return f"""
+WITH {_COMP_CTES.strip()},
+{_srp_sig_ctes(num_tables, planes_per_table).strip()},
+cand AS (
+  SELECT DISTINCT q.vec_id AS query_id, n.vec_id AS neighbor_id
+  FROM sigs q JOIN sigs n ON q.t = n.t AND q.sig = n.sig
+  WHERE q.vec_id < {query_max_id} AND q.vec_id <> n.vec_id
+),
+dots AS (
+  SELECT c.query_id, c.neighbor_id, SUM(a.x * b.x) AS dot
+  FROM cand c
+  JOIN comp a ON a.vec_id = c.query_id
+  JOIN comp b ON b.vec_id = c.neighbor_id AND b.j = a.j
+  GROUP BY 1, 2
+),
+scored AS (
+  SELECT d.query_id, d.neighbor_id,
+         ROUND(CAST(d.dot AS DOUBLE)
+               / sqrt(CAST(nq.nsq AS DOUBLE) * CAST(nn.nsq AS DOUBLE)), 9) AS cosine
+  FROM dots d
+  JOIN norms nq ON nq.vec_id = d.query_id
+  JOIN norms nn ON nn.vec_id = d.neighbor_id
+)
+SELECT query_id, neighbor_id, CAST(rn AS BIGINT) AS rank, cosine FROM (
+  SELECT s.*, ROW_NUMBER() OVER (
+    PARTITION BY query_id ORDER BY cosine DESC, neighbor_id ASC) AS rn
+  FROM scored s) WHERE rn <= {k}
 """
 
 
