@@ -25,6 +25,7 @@ from big_data_graph_analysis_with_spark_spark.config import SimConfig  # noqa: E
 from big_data_graph_analysis_with_spark_spark.model import NetGraph  # noqa: E402
 from big_data_graph_analysis_with_spark_spark.operators import (  # noqa: E402
     dedup,
+    graphalg,
     matching,
     multimodal,
     similarity,
@@ -36,7 +37,10 @@ from big_data_graph_analysis_with_spark_spark.operators import walks as walks_mo
 from big_data_graph_analysis_with_spark_spark.plans import doc_oracles  # noqa: E402
 from big_data_graph_analysis_with_spark_spark.plans.pipeline import run_pipeline  # noqa: E402
 from big_data_graph_analysis_with_spark_spark.sources import tpch_graph  # noqa: E402
-from big_data_graph_analysis_with_spark_spark.sources.tpch_graph import graph_sql  # noqa: E402
+from big_data_graph_analysis_with_spark_spark.sources.tpch_graph import (  # noqa: E402
+    GRAPH_CTES,
+    graph_sql,
+)
 
 _topo = topology
 
@@ -348,6 +352,107 @@ def q_uncovered_valuable(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# whole-graph analytics (operators/graphalg.py)
+# ---------------------------------------------------------------------------
+
+
+def q_triangle_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-vertex triangle participation over the original graph."""
+    og, _ = _graphs(spark, sf_dir)
+    return graphalg.triangle_counts(og)
+
+
+def q_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Undirected connected components (min-label fixpoint) — the
+    oracle is the recursive-CTE min-reachable-id, so the fixpoint
+    semantics (not an iteration count) is what is being checked."""
+    og, _ = _graphs(spark, sf_dir)
+    return graphalg.connected_components(og)
+
+
+def q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-point integer PageRank, 4 rounds, over the original graph."""
+    og, _ = _graphs(spark, sf_dir)
+    return graphalg.pagerank(og, iters=4)
+
+
+_UND_CTES = """
+und AS (
+  SELECT DISTINCT LEAST(src, dst) AS a, GREATEST(src, dst) AS b
+  FROM og_edges WHERE src <> dst
+)
+"""
+
+
+def _triangles_sql() -> str:
+    return graph_sql(
+        f""", {_UND_CTES.strip()},
+tri AS (
+  SELECT e1.a, e1.b, e2.b AS c
+  FROM und e1
+  JOIN und e2 ON e2.a = e1.b
+  JOIN und e3 ON e3.a = e1.a AND e3.b = e2.b
+),
+members AS (
+  SELECT a AS id FROM tri
+  UNION ALL SELECT b FROM tri
+  UNION ALL SELECT c FROM tri
+),
+cnt AS (SELECT id, COUNT(*) AS n FROM members GROUP BY id)
+SELECT v.id, CAST(COALESCE(c.n, 0) AS BIGINT) AS n_triangles
+FROM og_vertices v LEFT JOIN cnt c ON c.id = v.id
+"""
+    )
+
+
+def _components_sql() -> str:
+    # graph_sql can't host a recursive CTE (RECURSIVE must follow WITH),
+    # so compose the preamble by hand
+    return f"""
+WITH RECURSIVE {GRAPH_CTES},
+{_UND_CTES.strip()},
+sym AS (SELECT a, b FROM und UNION ALL SELECT b AS a, a AS b FROM und),
+reach(id, r) AS (
+  SELECT id, id FROM og_vertices
+  UNION
+  SELECT s.a, reach.r FROM sym s JOIN reach ON reach.id = s.b
+)
+SELECT CAST(id AS BIGINT) AS id, CAST(MIN(r) AS BIGINT) AS component_id
+FROM reach GROUP BY id
+"""
+
+
+def _pagerank_sql(iters: int = 4) -> str:
+    scale, num, den = graphalg.PR_SCALE, graphalg.PR_DAMP_NUM, graphalg.PR_DAMP_DEN
+    base = f"(({den - num} * {scale}) // ({den} * nn.n))"
+    ctes = f"""
+outdeg AS (SELECT src AS id, COUNT(*) AS od FROM og_edges GROUP BY src),
+nn AS (SELECT COUNT(*) AS n FROM og_vertices),
+pr_0 AS (
+  SELECT v.id, CAST({scale} // nn.n AS BIGINT) AS pr
+  FROM og_vertices v CROSS JOIN nn
+)"""
+    for k in range(1, iters + 1):
+        ctes += f""",
+contrib_{k} AS (
+  SELECT e.dst AS id, SUM(p.pr // o.od) AS s
+  FROM pr_{k - 1} p
+  JOIN outdeg o ON o.id = p.id
+  JOIN og_edges e ON e.src = p.id
+  GROUP BY e.dst
+),
+pr_{k} AS (
+  SELECT v.id,
+         CAST({base} + (COALESCE(c.s, 0) * {num}) // {den} AS BIGINT) AS pr
+  FROM og_vertices v CROSS JOIN nn
+  LEFT JOIN contrib_{k} c ON c.id = v.id
+)"""
+    return graph_sql(
+        f", {ctes.strip()} SELECT id, pr AS pr_scaled FROM pr_{iters}"
+    )
+
+
+# ---------------------------------------------------------------------------
 # training-data pipeline operators (documents / embeddings)
 # ---------------------------------------------------------------------------
 
@@ -622,6 +727,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "match_classes": q_match_classes,
         "valuable_matches": q_valuable_matches,
         "uncovered_valuable": q_uncovered_valuable,
+        "triangle_counts": q_triangle_counts,
+        "connected_components": q_connected_components,
+        "pagerank": q_pagerank,
         "walk_kernel": q_walk_kernel,
         "mitm_pipeline": q_mitm_pipeline,
         "dedup_exact": q_dedup_exact,
@@ -763,6 +871,9 @@ def oracle_sql() -> dict[str, str]:
             rounds=1,
             best=True,
         ),
+        "triangle_counts": _triangles_sql(),
+        "connected_components": _components_sql(),
+        "pagerank": _pagerank_sql(iters=4),
         "dedup_exact": doc_oracles.dedup_exact_sql(),
         "dedup_ngram_jaccard": doc_oracles.ngram_jaccard_sql(n=3, threshold=0.2),
         "dedup_minhash_lsh": doc_oracles.minhash_lsh_sql(n=3, threshold=0.2),

@@ -1,0 +1,170 @@
+"""Whole-graph analytics: triangles, connected components, PageRank.
+
+The reference's graph surface stops at walks/SimRank (Main.scala:52-214);
+these are the GraphX-equivalent global analyses (SURVEY.md §2 row G12
+territory) a graph-analysis engine is expected to ship. Each is pure
+DataFrame algebra with integer-exact arithmetic so the DuckDB oracle
+reproduces results bit-for-bit:
+
+* **Triangles**: canonical undirected edges (a<b), two self-joins with
+  the a<b<c ordering so each triangle is generated exactly once; counts
+  are exact integers. The join-on-ordered-edges shape is the standard
+  distributed formulation (each join key is a vertex id, AQE handles
+  the high-degree skew; at 100 TB pre-partition edges by the join key).
+* **Connected components**: min-label propagation to fixpoint — one
+  join+groupBy per round, O(component diameter) rounds, every iterate
+  localCheckpointed to keep lineage flat. Deterministic (min is
+  order-independent). Shares its convergence skeleton with
+  dedup.dup_groups; the graph variant adds isolated vertices as
+  singleton components.
+* **PageRank**: fixed-point integer arithmetic — scores are longs
+  scaled by 1e12, every division is integer `div` (truncating; all
+  operands non-negative, so identical in Spark and DuckDB's `//`).
+  Floats would make the result partition-order-dependent and
+  engine-divergent; the scaled-integer formulation is exact, so even a
+  k-round unrolled SQL oracle hash-matches. Dangling-node mass is
+  dropped (the simplified variant; documented, deterministic). Each
+  round is one edge join + one aggregation — the canonical Pregel-free
+  PageRank; at scale, co-partition pr and edges on src to make the
+  join shuffle-free.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..model import NetGraph
+
+#: PageRank fixed-point scale: scores are longs = pr · 1e12
+PR_SCALE = 1_000_000_000_000
+#: damping factor as an exact fraction (85/100)
+PR_DAMP_NUM = 85
+PR_DAMP_DEN = 100
+
+
+def undirected_edges(graph: NetGraph) -> DataFrame:
+    """Canonical undirected edge set: (a, b) with a < b, self-loops
+    dropped, duplicates (parallel / reciprocal edges) collapsed."""
+    e = graph.edges.select(
+        F.least("src", "dst").alias("a"), F.greatest("src", "dst").alias("b")
+    )
+    return e.filter(F.col("a") != F.col("b")).distinct()
+
+
+def triangle_counts(graph: NetGraph) -> DataFrame:
+    """Per-vertex triangle participation: (id, n_triangles) over ALL
+    vertices (0 for triangle-free ones).
+
+    Triangles are enumerated once each via the ordered-edge join:
+    e1=(a,b), e2=(b,c), e3=(a,c) with a<b<c — the orientation makes
+    every triangle appear exactly once, no /6 correction, no
+    CartesianProduct. Each vertex of a triangle gets +1.
+    """
+    e = undirected_edges(graph)
+    e1 = e.select(F.col("a"), F.col("b"))
+    e2 = e.select(F.col("a").alias("b"), F.col("b").alias("c"))
+    e3 = e.select(F.col("a"), F.col("b").alias("c"))
+    tri = e1.join(e2, on="b").join(e3, on=["a", "c"])
+    members = (
+        tri.select(F.col("a").alias("id"))
+        .unionAll(tri.select(F.col("b").alias("id")))
+        .unionAll(tri.select(F.col("c").alias("id")))
+    )
+    counts = members.groupBy("id").agg(F.count("*").alias("n_triangles"))
+    return (
+        graph.vertices.select("id")
+        .join(counts, on="id", how="left")
+        .select(
+            "id", F.coalesce("n_triangles", F.lit(0)).cast("long").alias("n_triangles")
+        )
+    )
+
+
+def connected_components(graph: NetGraph, max_iters: int = 50) -> DataFrame:
+    """(id, component_id): undirected connected components, labeled by
+    the minimum vertex id of each component. Isolated vertices are their
+    own singleton component.
+
+    Min-label propagation: each round every vertex takes the min of its
+    own label and its neighbors' labels; converges in O(diameter)
+    rounds. One shuffle per round (join + groupBy on id); iterates are
+    localCheckpointed so lineage stays flat over long chains.
+    """
+    und = undirected_edges(graph)
+    sym = und.unionAll(
+        und.select(F.col("b").alias("a"), F.col("a").alias("b"))
+    ).localCheckpoint()
+    labels = graph.vertices.select(
+        "id", F.col("id").alias("component_id")
+    ).localCheckpoint()
+    for _ in range(max_iters):
+        nbr_min = (
+            sym.join(labels, on=sym.b == labels.id)
+            .groupBy(F.col("a").alias("id"))
+            .agg(F.min("component_id").alias("nbr"))
+        )
+        new_labels = (
+            labels.join(nbr_min, on="id", how="left")
+            .select(
+                "id",
+                F.least(
+                    F.col("component_id"), F.coalesce("nbr", F.col("component_id"))
+                ).alias("component_id"),
+            )
+            .localCheckpoint()
+        )
+        changed = (
+            new_labels.join(labels, on=["id", "component_id"], how="left_anti")
+            .limit(1)
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels
+
+
+def pagerank(graph: NetGraph, iters: int = 4) -> DataFrame:
+    """(id, pr_scaled): fixed-point PageRank after `iters` rounds.
+
+    pr_scaled is the score × 1e12 as a long. Per round, each vertex v
+    sends ``pr(v) div out_deg(v)`` along each out-edge; then
+    ``pr'(u) = (15·SCALE div (100·N)) + (85·Σ_in contribs) div 100``.
+    All integer ops (div = truncating integer division, operands
+    non-negative) → bit-identical across engines and partitionings.
+    Dangling mass is dropped, as in the classic simplified formulation;
+    scores therefore sum to ≤ SCALE, which is fine for ranking use.
+    """
+    n = graph.vertices.count()
+    base = (PR_DAMP_DEN - PR_DAMP_NUM) * PR_SCALE // (PR_DAMP_DEN * n)
+    outdeg = graph.edges.groupBy(F.col("src").alias("id")).agg(
+        F.count("*").alias("out_deg")
+    )
+    pr = graph.vertices.select(
+        "id", F.lit(PR_SCALE // n).cast("long").alias("pr_scaled")
+    ).localCheckpoint()
+    edges = graph.edges.select("src", "dst").localCheckpoint()
+    for _ in range(iters):
+        contribs = (
+            pr.join(outdeg, on="id")
+            .withColumn("c", F.expr("pr_scaled div out_deg"))
+            .join(edges, on=F.col("id") == F.col("src"))
+            .groupBy(F.col("dst").alias("id"))
+            .agg(F.sum("c").alias("s"))
+        )
+        pr = (
+            graph.vertices.select("id")
+            .join(contribs, on="id", how="left")
+            .select(
+                "id",
+                (
+                    F.lit(base)
+                    + F.expr(
+                        f"(coalesce(s, 0L) * {PR_DAMP_NUM}) div {PR_DAMP_DEN}"
+                    )
+                ).cast("long").alias("pr_scaled"),
+            )
+            .localCheckpoint()
+        )
+    return pr

@@ -1,0 +1,92 @@
+"""Whole-graph analytics: triangles, components, fixed-point PageRank."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from big_data_graph_analysis_with_spark_spark.model import NetGraph
+from big_data_graph_analysis_with_spark_spark.operators import graphalg
+
+
+def _graph(spark, vertex_ids, edge_pairs):
+    v = spark.createDataFrame([(int(i),) for i in vertex_ids], "id LONG")
+    e = spark.createDataFrame(
+        [(int(s), int(d)) for s, d in edge_pairs], "src LONG, dst LONG"
+    )
+    return NetGraph(v, e)
+
+
+def test_triangle_counts_known_graph(spark):
+    # K3 on {1,2,3} plus a dangling edge 3-4 and an isolated vertex 5;
+    # edge directions and a reciprocal pair must not matter
+    g = _graph(
+        spark, [1, 2, 3, 4, 5], [(1, 2), (2, 1), (2, 3), (3, 1), (3, 4)]
+    )
+    got = {
+        r["id"]: r["n_triangles"] for r in graphalg.triangle_counts(g).collect()
+    }
+    assert got == {1: 1, 2: 1, 3: 1, 4: 0, 5: 0}
+
+
+def test_triangle_counts_two_triangles_shared_edge(spark):
+    # {1,2,3} and {2,3,4} share edge 2-3
+    g = _graph(spark, [1, 2, 3, 4], [(1, 2), (1, 3), (2, 3), (2, 4), (3, 4)])
+    got = {
+        r["id"]: r["n_triangles"] for r in graphalg.triangle_counts(g).collect()
+    }
+    assert got == {1: 1, 2: 2, 3: 2, 4: 1}
+
+
+def test_connected_components_labels_and_singletons(spark):
+    # two components {1,2,3}, {10,11} and an isolated vertex 20; a
+    # 4-node path checks propagation beyond one hop
+    g = _graph(
+        spark, [1, 2, 3, 10, 11, 20], [(2, 1), (2, 3), (10, 11)]
+    )
+    got = {
+        r["id"]: r["component_id"]
+        for r in graphalg.connected_components(g).collect()
+    }
+    assert got == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10, 20: 20}
+
+
+def test_connected_components_long_path(spark):
+    ids = list(range(1, 9))
+    g = _graph(spark, ids, [(i, i + 1) for i in ids[:-1]])
+    got = graphalg.connected_components(g)
+    assert got.select("component_id").distinct().collect()[0][0] == 1
+    assert got.count() == len(ids)
+
+
+def test_pagerank_mass_and_ranking(spark):
+    # star: everyone points at 1 → vertex 1 must rank strictly first;
+    # total mass never exceeds SCALE (dangling mass only shrinks it)
+    g = _graph(spark, [1, 2, 3, 4], [(2, 1), (3, 1), (4, 1)])
+    pr = {r["id"]: r["pr_scaled"] for r in graphalg.pagerank(g, iters=4).collect()}
+    assert pr[1] > pr[2] == pr[3] == pr[4]
+    assert sum(pr.values()) <= graphalg.PR_SCALE
+
+
+def test_pagerank_partitioning_invariance(spark):
+    # fixed-point integer arithmetic must be bit-identical regardless of
+    # physical partitioning — the property floats cannot give
+    ids = list(range(1, 30))
+    edges = [(i, (i * 7) % 29 + 1) for i in ids] + [(i, (i * 3) % 29 + 1) for i in ids]
+    g1 = _graph(spark, ids, edges)
+    g2 = NetGraph(g1.vertices.repartition(7), g1.edges.repartition(11), g1.init_id)
+    r1 = sorted(map(tuple, graphalg.pagerank(g1, iters=5).collect()))
+    r2 = sorted(map(tuple, graphalg.pagerank(g2, iters=5).collect()))
+    assert r1 == r2
+
+
+def test_undirected_edges_canonical(spark):
+    g = _graph(spark, [1, 2], [(1, 2), (2, 1), (1, 1)])
+    got = graphalg.undirected_edges(g).collect()
+    assert [(r["a"], r["b"]) for r in got] == [(1, 2)]
+
+
+def test_triangle_plan_has_no_cartesian(spark):
+    g = _graph(spark, [1, 2, 3], [(1, 2), (2, 3), (3, 1)])
+    plan = graphalg.triangle_counts(g)._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
