@@ -527,6 +527,29 @@ def q_similarity_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.ann_ivf_topk(emb, queries_df, k=5)
 
 
+def q_doc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Context-length chunking: consecutive ≤64-token chunks per doc."""
+    from big_data_graph_analysis_with_spark_spark.operators import chunking
+
+    return chunking.doc_chunks(_docs(spark, sf_dir), max_tokens=64)
+
+
+def q_pack_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic hash-bucketed sequence packing at a 512-token
+    budget — membership is a pure function of corpus content."""
+    from big_data_graph_analysis_with_spark_spark.operators import chunking
+
+    return chunking.pack_documents(_docs(spark, sf_dir), budget=512, n_buckets=8)
+
+
+def q_events_sessionized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization of the events table (30-min gap)."""
+    from big_data_graph_analysis_with_spark_spark.operators import sessions
+
+    ev = _prep(spark).read.parquet(f"{sf_dir}/events.parquet")
+    return sessions.sessionize_events(ev)
+
+
 def q_sample_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic hash sampling — membership is a pure function of
     (doc_id, seed), stable across engines/partitionings."""
@@ -742,6 +765,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "similarity_ann_lsh": q_similarity_ann_lsh,
         "similarity_ann_lsh_exact": q_similarity_ann_lsh_exact,
         "similarity_ann_ivf": q_similarity_ann_ivf,
+        "doc_chunks": q_doc_chunks,
+        "pack_documents": q_pack_documents,
+        "events_sessionized": q_events_sessionized,
         "sample_hash": q_sample_hash,
         "sample_stratified": q_sample_stratified,
         "train_eval_split": q_train_eval_split,
@@ -885,6 +911,11 @@ def oracle_sql() -> dict[str, str]:
         "similarity_topk": doc_oracles.cosine_topk_sql(k=5, query_max_id=20),
         "similarity_ann_lsh_exact": doc_oracles.ann_lsh_topk_sql(
             k=5, query_max_id=20
+        ),
+        "doc_chunks": doc_oracles.doc_chunks_sql(max_tokens=64),
+        "pack_documents": doc_oracles.pack_documents_sql(budget=512, n_buckets=8),
+        "events_sessionized": doc_oracles.sessionize_sql(
+            gap_us=30 * 60 * 1_000_000
         ),
         "sample_hash": doc_oracles.hash_sample_sql(rate=0.25, seed=7),
         "sample_stratified": doc_oracles.stratified_cap_sql("lang", cap=50, seed=7),

@@ -1,0 +1,61 @@
+"""Gap-based event sessionization.
+
+The classic clickstream/telemetry shaping step: a user's events belong
+to one session until a silence longer than `gap` splits it. One
+window pass (lag → flag → running sum) plus one aggregation — both
+partitioned by user_id, so the only shuffle is the hash exchange on
+user_id and every window sort is per-user-local. At 100 TB this is the
+canonical skew case (one bot user = one huge partition): cap it by
+pre-splitting pathological users on date before sessionizing, or route
+them through functions/skew.salted_keys.
+
+Deterministic: events are ordered by (ts, event_id) — the id breaks
+timestamp ties — and the value sum uses the DECIMAL pattern, so the
+DuckDB oracle hash-matches. `ts` arrives as nanos-long (the testdata
+parquet is TIMESTAMP(NANOS) read with nanosAsLong; see
+__spark_entry__._prep) but the operator works in MICROSECONDS:
+DuckDB's TIMESTAMP truncates parquet nanos to µs, so µs is the finest
+granularity both engines agree on — `ts div 1000` here ≡ epoch_us(ts)
+there.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+#: default session gap: 30 minutes, in microseconds
+DEFAULT_GAP_US = 30 * 60 * 1_000_000
+
+
+def sessionize_events(events: DataFrame, gap_us: int = DEFAULT_GAP_US) -> DataFrame:
+    """(user_id, session_id, n_events, start_us, end_us, sum_value):
+    per-user sessions split at silences > gap_us. session_id counts a
+    user's sessions from 1 in time order."""
+    order = Window.partitionBy("user_id").orderBy("tns", "event_id")
+    prev = F.lag("tns").over(order)
+    flagged = events.select(
+        "user_id", "event_id", F.expr("ts div 1000").alias("tns"), "value"
+    ).withColumn(
+        "new_s",
+        F.when(prev.isNull() | (F.col("tns") - prev > gap_us), 1).otherwise(0),
+    )
+    run = (
+        Window.partitionBy("user_id")
+        .orderBy("tns", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    sess = flagged.withColumn("session_id", F.sum("new_s").over(run))
+    return sess.groupBy("user_id", "session_id").agg(
+        F.count("*").cast("long").alias("n_events"),
+        F.min("tns").cast("long").alias("start_us"),
+        F.max("tns").cast("long").alias("end_us"),
+        F.sum(F.col("value").cast("decimal(18,6)")).cast("double").alias("sum_value"),
+    ).select(
+        "user_id",
+        F.col("session_id").cast("long").alias("session_id"),
+        "n_events",
+        "start_us",
+        "end_us",
+        "sum_value",
+    )

@@ -314,6 +314,85 @@ WHERE rk <= {cap}
 """
 
 
+def doc_chunks_sql(max_tokens: int = 64) -> str:
+    """Mirrors chunking.doc_chunks: consecutive ≤max_tokens-token
+    chunks; DuckDB list slices are 1-based end-inclusive, matching
+    Spark's F.slice(start, length) clamping."""
+    m = max_tokens
+    return f"""
+WITH words AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+c AS (
+  SELECT doc_id, w, unnest(range((len(w) + {m - 1}) // {m})) AS chunk_id
+  FROM words
+)
+SELECT doc_id,
+       CAST(chunk_id AS BIGINT) AS chunk_id,
+       CAST(len(w[chunk_id * {m} + 1 : chunk_id * {m} + {m}]) AS BIGINT)
+         AS n_tokens,
+       array_to_string(w[chunk_id * {m} + 1 : chunk_id * {m} + {m}], ' ')
+         AS chunk_text
+FROM c
+"""
+
+
+def pack_documents_sql(
+    budget: int = 512, n_buckets: int = 8, seed: int = 7, stride: int = 1_000_000
+) -> str:
+    """Mirrors chunking.pack_documents: hash-bucketed concat-then-chop
+    packing with the shared 56-bit hash order."""
+    h = hash56_sql("doc_id", seed=seed)
+    return f"""
+WITH base AS (
+  SELECT doc_id,
+         CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+         {h} AS h,
+         CAST({h} % {n_buckets} AS BIGINT) AS bucket
+  FROM documents
+),
+runs AS (
+  SELECT doc_id, n_tokens, bucket,
+         SUM(n_tokens) OVER (
+           PARTITION BY bucket ORDER BY h, doc_id
+           ROWS UNBOUNDED PRECEDING) - n_tokens AS start
+  FROM base
+)
+SELECT doc_id, n_tokens,
+       CAST(bucket * {stride} + start // {budget} AS BIGINT) AS pack_id,
+       CAST(start % {budget} AS BIGINT) AS offset_in_pack
+FROM runs
+"""
+
+
+def sessionize_sql(gap_us: int) -> str:
+    """Mirrors sessions.sessionize_events over the events table —
+    microsecond granularity (DuckDB truncates parquet nanos to µs;
+    Spark side divides its nanos-longs by 1000 to agree)."""
+    return f"""
+WITH e AS (
+  SELECT user_id, event_id, epoch_us(ts) AS tus, value FROM events
+),
+flags AS (
+  SELECT *, CASE WHEN prev IS NULL OR tus - prev > {gap_us} THEN 1 ELSE 0 END
+           AS new_s
+  FROM (SELECT *, LAG(tus) OVER (
+          PARTITION BY user_id ORDER BY tus, event_id) AS prev FROM e)
+),
+sess AS (
+  SELECT *, SUM(new_s) OVER (
+    PARTITION BY user_id ORDER BY tus, event_id
+    ROWS UNBOUNDED PRECEDING) AS session_id
+  FROM flags
+)
+SELECT user_id,
+       CAST(session_id AS BIGINT) AS session_id,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       CAST(MIN(tus) AS BIGINT) AS start_us,
+       CAST(MAX(tus) AS BIGINT) AS end_us,
+       CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+FROM sess GROUP BY user_id, session_id
+"""
+
+
 def token_stats_sql() -> str:
     return """
 WITH words AS (SELECT doc_id, text, string_split(text, ' ') AS w FROM documents)
