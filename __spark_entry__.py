@@ -613,6 +613,46 @@ def q_multimodal_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
+#: Q3 cutoff (orders/lineitem timestamps are µs TIMESTAMP_NTZ — unlike
+#: events, the only nanos table — so date-string comparison is the
+#: timezone-free cross-engine form)
+_Q3_CUT = "1998-06-01"
+
+
+def q_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3-style join pipeline: segment-filtered customers ⋈
+    date-filtered orders ⋈ lineitem, revenue per order, top 10.
+
+    The shape Catalyst is built for: both dimension filters push to the
+    parquet scans, the customer side broadcasts, and the final top-k is
+    a single ordered limit (no global sort materialization)."""
+    cust = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    orders = _prep(spark).read.parquet(f"{sf_dir}/orders.parquet")
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    cut = F.lit(_Q3_CUT).cast("timestamp_ntz")
+    revenue = (
+        F.col("l_extendedprice").cast("decimal(18,2)")
+        * (F.lit(1).cast("decimal(18,2)") - F.col("l_discount").cast("decimal(18,2)"))
+    ).cast("decimal(28,4)")
+    return (
+        cust.filter(F.col("c_mktsegment") == "BUILDING")
+        .join(orders, F.col("c_custkey") == F.col("o_custkey"))
+        .filter(F.col("o_orderdate") < cut)
+        .join(li, F.col("o_orderkey") == F.col("l_orderkey"))
+        .filter(F.col("l_shipdate") > cut)
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(F.sum(revenue).cast("double").alias("revenue"))
+        .select(
+            "l_orderkey",
+            "revenue",
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("o_orderdate"),
+            "o_orderpriority",
+        )
+        .orderBy(F.desc("revenue"), F.asc("l_orderkey"))
+        .limit(10)
+    )
+
+
 def q_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q1-style scan-heavy aggregate: the canonical columnar-scan
     + map-side partial agg benchmark shape."""
@@ -778,6 +818,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_features": q_multimodal_features,
         "multimodal_summary": q_multimodal_summary,
         "events_windowed": q_events_windowed,
+        "shipping_priority": q_shipping_priority,
         "pricing_summary": q_pricing_summary,
         "top_customers_per_nation": q_top_customers_per_nation,
         "events_rollup": q_events_rollup,
@@ -931,6 +972,24 @@ def oracle_sql() -> dict[str, str]:
                    CAST(COUNT(*) AS BIGINT) AS n_events,
                    CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
             FROM events GROUP BY 1, 2
+        """,
+        "shipping_priority": f"""
+            SELECT l_orderkey,
+                   CAST(SUM(CAST(
+                        CAST(l_extendedprice AS DECIMAL(18,2))
+                        * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))
+                        AS DECIMAL(28,4))) AS DOUBLE) AS revenue,
+                   strftime(o_orderdate, '%Y-%m-%d') AS o_orderdate,
+                   o_orderpriority
+            FROM customer
+            JOIN orders ON c_custkey = o_custkey
+            JOIN lineitem ON o_orderkey = l_orderkey
+            WHERE c_mktsegment = 'BUILDING'
+              AND o_orderdate < TIMESTAMP '{_Q3_CUT}'
+              AND l_shipdate > TIMESTAMP '{_Q3_CUT}'
+            GROUP BY l_orderkey, o_orderdate, o_orderpriority
+            ORDER BY revenue DESC, l_orderkey ASC
+            LIMIT 10
         """,
         "pricing_summary": """
             SELECT l_returnflag, l_linestatus,

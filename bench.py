@@ -118,8 +118,27 @@ def main() -> None:
         )
         run_pipeline(spark, og, pg, cfg)
 
+    @timed("graph_analytics")
+    def _():
+        from big_data_graph_analysis_with_spark_spark.operators import graphalg
+
+        graphalg.triangle_counts(og).agg(F.sum("n_triangles")).collect()
+        graphalg.pagerank(og, iters=4).agg(F.sum("pr_scaled")).collect()
+
     docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
     embs = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+
+    @timed("doc_shaping")
+    def _():
+        from big_data_graph_analysis_with_spark_spark.operators import (
+            chunking,
+            sessions,
+        )
+
+        chunking.doc_chunks(docs, 64).count()
+        chunking.pack_documents(docs, 512, 8).count()
+        ev = spark.read.parquet(f"{SF_DIR}/events.parquet")
+        sessions.sessionize_events(ev).count()
 
     @timed("dedup_exact")
     def _():

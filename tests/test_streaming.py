@@ -94,3 +94,60 @@ def test_streaming_exact_dedup_equals_batch(spark, docs_dir):
     assert {(r["doc_id"], r["h"]) for r in got} <= pairs
     # consistency link to the batch operator's group count
     assert len(got) == dedup.exact_dedup(batch).count()
+
+
+def test_session_window_stream_equals_batch(spark, events_dir):
+    """Streaming session windows must produce the same session
+    partition (per-user event grouping) as the batch operator."""
+    from big_data_graph_analysis_with_spark_spark.operators import sessions
+    from big_data_graph_analysis_with_spark_spark.streaming import (
+        sessions as ssessions,
+    )
+
+    stream = ssessions.read_events_stream(spark, events_dir)
+    # complete mode so sessions within the final watermark horizon are
+    # still emitted once the file source is exhausted
+    agg = ssessions.session_window_counts(
+        stream, gap="30 minutes", watermark=None
+    )
+    walk_rates.run_to_memory_sink(agg, "session_counts", "complete")
+    got = {
+        (r["user_id"], int(r["session_start"].timestamp() * 1_000_000)): (
+            r["n_events"],
+            r["sum_value"],
+        )
+        for r in spark.table("session_counts").collect()
+    }
+
+    batch = spark.read.parquet(f"{SF0001}/events.parquet")
+    want = {
+        (r["user_id"], r["start_us"]): (r["n_events"], r["sum_value"])
+        for r in sessions.sessionize_events(batch).collect()
+    }
+    assert got == want
+    assert len(got) > 0
+
+
+def test_session_window_batch_mode(spark):
+    """The same plan runs on a batch DataFrame (watermark=None)."""
+    from big_data_graph_analysis_with_spark_spark.streaming import (
+        sessions as ssessions,
+    )
+
+    ev = spark.createDataFrame(
+        [(1, 1, 0, 1.0), (2, 1, 60, 2.0), (3, 1, 7200, 1.0), (4, 2, 0, 1.0)],
+        "event_id LONG, user_id LONG, secs LONG, value DOUBLE",
+    ).select(
+        "event_id",
+        "user_id",
+        F.timestamp_seconds("secs").alias("ts"),
+        "value",
+    )
+    got = {
+        (r["user_id"], r["session_start"]): r["n_events"]
+        for r in ssessions.session_window_counts(
+            ev, gap="30 minutes", watermark=None
+        ).collect()
+    }
+    assert len(got) == 3  # user 1 splits at the 2h silence; user 2 single
+    assert sorted(got.values()) == [1, 1, 2]
