@@ -527,6 +527,14 @@ def q_similarity_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.ann_ivf_topk(emb, queries_df, k=5)
 
 
+def q_corpus_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The composed training-data pipeline in ONE plan: quality gate +
+    language ID + MinHash near-dup canonical resolution."""
+    from big_data_graph_analysis_with_spark_spark.operators import corpus
+
+    return corpus.clean_corpus(_docs(spark, sf_dir), quality_threshold=0.2)
+
+
 def q_doc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Context-length chunking: consecutive ≤64-token chunks per doc."""
     from big_data_graph_analysis_with_spark_spark.operators import chunking
@@ -805,6 +813,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "similarity_ann_lsh": q_similarity_ann_lsh,
         "similarity_ann_lsh_exact": q_similarity_ann_lsh_exact,
         "similarity_ann_ivf": q_similarity_ann_ivf,
+        "corpus_clean": q_corpus_clean,
         "doc_chunks": q_doc_chunks,
         "pack_documents": q_pack_documents,
         "events_sessionized": q_events_sessionized,
@@ -953,6 +962,7 @@ def oracle_sql() -> dict[str, str]:
         "similarity_ann_lsh_exact": doc_oracles.ann_lsh_topk_sql(
             k=5, query_max_id=20
         ),
+        "corpus_clean": doc_oracles.clean_corpus_sql(quality_threshold=0.2),
         "doc_chunks": doc_oracles.doc_chunks_sql(max_tokens=64),
         "pack_documents": doc_oracles.pack_documents_sql(budget=512, n_buckets=8),
         "events_sessionized": doc_oracles.sessionize_sql(

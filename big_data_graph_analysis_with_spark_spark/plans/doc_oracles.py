@@ -393,6 +393,36 @@ FROM sess GROUP BY user_id, session_id
 """
 
 
+def clean_corpus_sql(
+    quality_threshold: float = 0.2, n: int = 3, jaccard_threshold: float = 0.2
+) -> str:
+    """Mirrors corpus.clean_corpus — the composed pipeline oracle:
+    quality + language branches joined with near-dup canonical
+    resolution (the same recursive-CTE components as dup_groups_sql,
+    fed by the MinHash pair query)."""
+    return f"""
+WITH RECURSIVE pairs AS ({minhash_lsh_sql(n, jaccard_threshold)}),
+und AS (SELECT doc_a AS a, doc_b AS b FROM pairs
+        UNION ALL SELECT doc_b AS a, doc_a AS b FROM pairs),
+dnodes AS (SELECT DISTINCT a AS doc_id FROM und),
+reach(doc_id, r) AS (
+  SELECT doc_id, doc_id FROM dnodes
+  UNION
+  SELECT u.a, reach.r FROM und u JOIN reach ON reach.doc_id = u.b
+),
+groups AS (SELECT doc_id, MIN(r) AS group_id FROM reach GROUP BY doc_id),
+q AS ({quality_sql()}),
+lid AS ({language_id_sql()})
+SELECT d.doc_id, d.lang, lid.guessed_lang, q.quality, q.n_tokens
+FROM documents d
+JOIN q ON q.doc_id = d.doc_id
+JOIN lid ON lid.doc_id = d.doc_id
+LEFT JOIN groups g ON g.doc_id = d.doc_id
+WHERE q.quality >= {quality_threshold}
+  AND (g.group_id IS NULL OR g.group_id = d.doc_id)
+"""
+
+
 def token_stats_sql() -> str:
     return """
 WITH words AS (SELECT doc_id, text, string_split(text, ' ') AS w FROM documents)

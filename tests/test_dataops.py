@@ -261,3 +261,29 @@ def test_sampling_properties(spark, docs):
     split = sampling.train_eval_split(docs, 0.1, seed=7)
     assert split.count() == docs.count()
     assert split.filter(F.col("split").isin("train", "eval")).count() == docs.count()
+
+
+def test_clean_corpus_survival_rules(spark):
+    """Survivors are exactly: quality-gated AND canonical-or-ungrouped."""
+    from big_data_graph_analysis_with_spark_spark.operators import corpus, dedup, textops
+
+    docs = spark.read.parquet(f"{SF0001}/documents.parquet")
+    got = corpus.clean_corpus(docs, quality_threshold=0.2)
+    rows = got.collect()
+    assert 0 < len(rows) < docs.count()
+
+    quality = {
+        r["doc_id"]: r["quality"] for r in textops.quality_scores(docs).collect()
+    }
+    groups = {
+        r["doc_id"]: r["group_id"]
+        for r in dedup.dup_groups(
+            dedup.minhash_lsh_pairs(docs, 3, 0.2)
+        ).collect()
+    }
+    want = {
+        d
+        for d, q in quality.items()
+        if q >= 0.2 and groups.get(d, d) == d
+    }
+    assert {r["doc_id"] for r in rows} == want
