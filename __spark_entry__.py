@@ -604,6 +604,51 @@ def q_doc_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: train docs flagged by shared-n-gram
+    overlap against the (broadcast) eval split's n-gram set."""
+    from big_data_graph_analysis_with_spark_spark.operators import curation, sampling
+
+    split = sampling.train_eval_split(_docs(spark, sf_dir), eval_frac=0.1, seed=7)
+    return curation.decontaminate(
+        split.filter(F.col("split") == "train").drop("split"),
+        split.filter(F.col("split") == "eval").drop("split"),
+        n=3,
+        min_overlap=2,
+    )
+
+
+def q_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style duplicated word/2-gram/3-gram fractions per doc."""
+    from big_data_graph_analysis_with_spark_spark.operators import curation
+
+    return curation.repetition_stats(_docs(spark, sf_dir))
+
+
+def q_pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII masking over deterministically-planted addresses/numbers
+    (the fixture corpus contains none — the plant makes the redaction
+    observable; both engines plant the identical text)."""
+    from big_data_graph_analysis_with_spark_spark.operators import curation
+
+    planted = _docs(spark, sf_dir).select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.expr(
+                "repeat(concat(' u', CAST(doc_id AS STRING), '@ex.com'),"
+                " CAST(doc_id % 3 AS INT))"
+            ),
+            F.expr(
+                "repeat(concat(' +1 555 ',"
+                " lpad(CAST(doc_id % 10000 AS STRING), 7, '0')),"
+                " CAST(doc_id % 2 AS INT))"
+            ),
+        ).alias("text"),
+    )
+    return curation.redact_pii(planted)
+
+
 def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Rows-only: mapInPandas decode plumbing with stubbed codecs."""
     assets = multimodal.synthesize_assets(_docs(spark, sf_dir))
@@ -814,6 +859,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "similarity_ann_lsh_exact": q_similarity_ann_lsh_exact,
         "similarity_ann_ivf": q_similarity_ann_ivf,
         "corpus_clean": q_corpus_clean,
+        "decontaminate": q_decontaminate,
+        "repetition_stats": q_repetition_stats,
+        "pii_redaction": q_pii_redaction,
         "doc_chunks": q_doc_chunks,
         "pack_documents": q_pack_documents,
         "events_sessionized": q_events_sessionized,
@@ -963,6 +1011,11 @@ def oracle_sql() -> dict[str, str]:
             k=5, query_max_id=20
         ),
         "corpus_clean": doc_oracles.clean_corpus_sql(quality_threshold=0.2),
+        "decontaminate": doc_oracles.decontaminate_sql(
+            eval_frac=0.1, seed=7, n=3, min_overlap=2
+        ),
+        "repetition_stats": doc_oracles.repetition_stats_sql(),
+        "pii_redaction": doc_oracles.pii_redaction_sql(),
         "doc_chunks": doc_oracles.doc_chunks_sql(max_tokens=64),
         "pack_documents": doc_oracles.pack_documents_sql(budget=512, n_buckets=8),
         "events_sessionized": doc_oracles.sessionize_sql(

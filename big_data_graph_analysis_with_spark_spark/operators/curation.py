@@ -1,0 +1,144 @@
+"""Corpus-curation operators beyond dedup: benchmark decontamination,
+within-document repetition statistics, and PII redaction.
+
+These are the remaining standard passes of a pretraining data pipeline
+(C4/Gopher-style) that the dedup/textops modules don't cover:
+
+* **decontaminate** — flag training documents that share word n-grams
+  with an evaluation/benchmark set, so benchmark text can be held out
+  of training. The eval side of the join is a fixed benchmark suite —
+  megabytes, not a corpus slice — so its distinct n-gram set is
+  broadcast and the whole operator is one narrow map over the training
+  corpus plus a broadcast-hash lookup: no shuffle of the 100 TB side.
+* **repetition_stats** — duplicated word / 2-gram / 3-gram fractions
+  per document (the Gopher repetition filters). Pure higher-order
+  array expressions, whole-stage codegen, zero shuffles.
+* **redact_pii** — email/phone masking with global regexp_replace.
+  Narrow projection; the regexes are RE2-compatible so the DuckDB
+  oracle reproduces them byte-for-byte.
+
+Everything stays JVM-side; ratios are single integer/integer divisions
+so cross-engine hashes are exact.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from .dedup import word_shingles
+
+#: RE2- and Java-regex-compatible PII patterns (no lookaround, no
+#: backrefs — the intersection dialect both engines honor).
+EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+PHONE_RE = r"\+?\d[\d -]{7,}\d"
+
+
+def decontaminate(
+    train_docs: DataFrame,
+    eval_docs: DataFrame,
+    n: int = 3,
+    min_overlap: int = 2,
+    broadcast_eval: bool = True,
+) -> DataFrame:
+    """(doc_id, n_grams, n_shared, contaminated) per training document.
+
+    `n_shared` counts the training document's distinct word n-grams
+    that occur anywhere in `eval_docs`; `contaminated` is the standard
+    threshold rule (≥ `min_overlap` shared n-grams).
+
+    Scale: the benchmark suite's distinct n-gram set is small by
+    contract (benchmarks are MBs); `broadcast_eval=True` pins the
+    broadcast-hash plan so the training corpus is never shuffled —
+    one scan, map-side lookup, one partial+final aggregation on
+    doc_id (pre-aggregated map-side because shingles of a document
+    are co-located after explode).
+    """
+    eval_grams = (
+        word_shingles(eval_docs, n).select("shingle").distinct()
+        .withColumn("hit", F.lit(1))
+    )
+    if broadcast_eval:
+        eval_grams = F.broadcast(eval_grams)
+    return (
+        word_shingles(train_docs, n)
+        .join(eval_grams, on="shingle", how="left")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").cast("long").alias("n_grams"),
+            F.count("hit").cast("long").alias("n_shared"),
+        )
+        .select(
+            "doc_id",
+            "n_grams",
+            "n_shared",
+            (F.col("n_shared") >= min_overlap).alias("contaminated"),
+        )
+    )
+
+
+def _gram_counts(words, n: int):
+    """(total, distinct) n-gram counts as columns — no array is built
+    for documents shorter than n words (CASE branches evaluate lazily
+    in codegen, same guard as dedup.word_shingles)."""
+    total = F.greatest(F.lit(0), F.size(words) - (n - 1))
+    distinct = F.when(F.size(words) < n, F.lit(0)).otherwise(
+        F.size(
+            F.array_distinct(
+                F.transform(
+                    F.sequence(F.lit(1), F.size(words) - (n - 1)),
+                    lambda i: F.array_join(F.slice(words, i, n), " "),
+                )
+            )
+        )
+    )
+    return total, distinct
+
+
+def repetition_stats(docs: DataFrame) -> DataFrame:
+    """Gopher-style repetition fractions per document:
+    (doc_id, n_words, dup_word_frac, n_2grams, dup_2gram_frac,
+    n_3grams, dup_3gram_frac).
+
+    dup fraction = (total − distinct) / total, 0.0 when there are no
+    n-grams. One narrow projection — no shuffle, no Python.
+    """
+    words = F.split(F.col("text"), " ")
+
+    def frac(total, distinct):
+        return F.when(total == 0, F.lit(0.0)).otherwise(
+            (total - distinct) / total
+        )
+
+    w_total = F.size(words)
+    w_distinct = F.size(F.array_distinct(words))
+    g2_total, g2_distinct = _gram_counts(words, 2)
+    g3_total, g3_distinct = _gram_counts(words, 3)
+    return docs.select(
+        "doc_id",
+        w_total.cast("long").alias("n_words"),
+        frac(w_total, w_distinct).alias("dup_word_frac"),
+        g2_total.cast("long").alias("n_2grams"),
+        frac(g2_total, g2_distinct).alias("dup_2gram_frac"),
+        g3_total.cast("long").alias("n_3grams"),
+        frac(g3_total, g3_distinct).alias("dup_3gram_frac"),
+    )
+
+
+def redact_pii(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """(doc_id, n_emails, n_phones, clean_text): mask emails then
+    phone-like digit runs, counting each pattern before its masking
+    pass (phones are counted on the email-redacted text so an address
+    can never double-count as a phone). Narrow projection — global
+    regexp_replace runs inside codegen."""
+    t = F.col(text_col)
+    n_emails = F.size(F.regexp_extract_all(t, F.lit(EMAIL_RE), F.lit(0)))
+    t1 = F.regexp_replace(t, EMAIL_RE, "<EMAIL>")
+    n_phones = F.size(F.regexp_extract_all(t1, F.lit(PHONE_RE), F.lit(0)))
+    t2 = F.regexp_replace(t1, PHONE_RE, "<PHONE>")
+    return docs.select(
+        "doc_id",
+        n_emails.cast("long").alias("n_emails"),
+        n_phones.cast("long").alias("n_phones"),
+        t2.alias("clean_text"),
+    )

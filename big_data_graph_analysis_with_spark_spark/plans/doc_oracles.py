@@ -423,6 +423,97 @@ WHERE q.quality >= {quality_threshold}
 """
 
 
+def decontaminate_sql(
+    eval_frac: float = 0.1,
+    seed: int = 7,
+    n: int = 3,
+    min_overlap: int = 2,
+) -> str:
+    """Mirrors curation.decontaminate fed by sampling.train_eval_split:
+    shared-distinct-n-gram counts of each train doc against the eval
+    side's n-gram set."""
+    threshold = int(eval_frac * 1_000_000)
+    return f"""
+WITH {_shingle_ctes(n).strip()},
+split AS (
+  SELECT doc_id,
+         CASE WHEN {_bucket_sql(seed)} < {threshold}
+              THEN 'eval' ELSE 'train' END AS split
+  FROM documents),
+ev AS (SELECT DISTINCT s.shingle
+       FROM shing s JOIN split p ON p.doc_id = s.doc_id
+       WHERE p.split = 'eval'),
+tr AS (SELECT s.doc_id, s.shingle
+       FROM shing s JOIN split p ON p.doc_id = s.doc_id
+       WHERE p.split = 'train')
+SELECT t.doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_grams,
+       CAST(COUNT(e.shingle) AS BIGINT) AS n_shared,
+       (COUNT(e.shingle) >= {min_overlap}) AS contaminated
+FROM tr t LEFT JOIN ev e ON e.shingle = t.shingle
+GROUP BY t.doc_id
+"""
+
+
+def _gram_counts_sql(n: int) -> tuple[str, str]:
+    total = f"greatest(0, len(w) - {n - 1})"
+    distinct = f"""CASE WHEN len(w) < {n} THEN 0 ELSE
+      len(list_distinct(list_transform(range(len(w) - {n - 1}),
+          i -> array_to_string(w[i+1:i+{n}], ' ')))) END"""
+    return total, distinct
+
+
+def repetition_stats_sql() -> str:
+    g2t, g2d = _gram_counts_sql(2)
+    g3t, g3d = _gram_counts_sql(3)
+
+    def frac(total: str, distinct: str) -> str:
+        return (
+            f"CASE WHEN ({total}) = 0 THEN 0.0 "
+            f"ELSE (({total}) - ({distinct})) / ({total}) END"
+        )
+
+    return f"""
+WITH words AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents)
+SELECT doc_id,
+       CAST(len(w) AS BIGINT) AS n_words,
+       {frac('len(w)', 'len(list_distinct(w))')} AS dup_word_frac,
+       CAST({g2t} AS BIGINT) AS n_2grams,
+       {frac(g2t, g2d)} AS dup_2gram_frac,
+       CAST({g3t} AS BIGINT) AS n_3grams,
+       {frac(g3t, g3d)} AS dup_3gram_frac
+FROM words
+"""
+
+
+def pii_redaction_sql() -> str:
+    """Mirrors the pii_redaction query: deterministic PII planting
+    (the fixture corpus contains none) followed by
+    curation.redact_pii's two redaction passes."""
+    email = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+    phone = r"\+?\d[\d -]{7,}\d"
+    return f"""
+WITH planted AS (
+  SELECT doc_id,
+         text
+         || repeat(' u' || CAST(doc_id AS VARCHAR) || '@ex.com',
+                   CAST(doc_id % 3 AS INT))
+         || repeat(' +1 555 ' || lpad(CAST(doc_id % 10000 AS VARCHAR), 7, '0'),
+                   CAST(doc_id % 2 AS INT)) AS text
+  FROM documents),
+e AS (
+  SELECT doc_id,
+         len(regexp_extract_all(text, '{email}')) AS n_emails,
+         regexp_replace(text, '{email}', '<EMAIL>', 'g') AS t1
+  FROM planted)
+SELECT doc_id,
+       CAST(n_emails AS BIGINT) AS n_emails,
+       CAST(len(regexp_extract_all(t1, '{phone}')) AS BIGINT) AS n_phones,
+       regexp_replace(t1, '{phone}', '<PHONE>', 'g') AS clean_text
+FROM e
+"""
+
+
 def token_stats_sql() -> str:
     return """
 WITH words AS (SELECT doc_id, text, string_split(text, ' ') AS w FROM documents)

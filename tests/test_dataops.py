@@ -287,3 +287,61 @@ def test_clean_corpus_survival_rules(spark):
         if q >= 0.2 and groups.get(d, d) == d
     }
     assert {r["doc_id"] for r in rows} == want
+
+
+def test_decontaminate_self_and_disjoint(spark):
+    """Every doc decontaminated against itself is fully shared; a
+    gram-disjoint eval set flags nothing."""
+    from big_data_graph_analysis_with_spark_spark.operators import curation
+
+    docs = spark.createDataFrame(
+        [(1, "a b c d e f"), (2, "g h i j k l"), (3, "a b c x y z")],
+        ["doc_id", "text"],
+    )
+    self_hit = curation.decontaminate(docs, docs, n=3, min_overlap=1).collect()
+    assert all(r["n_shared"] == r["n_grams"] and r["contaminated"] for r in self_hit)
+
+    disjoint = spark.createDataFrame([(9, "q r s t u v")], ["doc_id", "text"])
+    none = curation.decontaminate(docs, disjoint, n=3, min_overlap=1).collect()
+    assert all(r["n_shared"] == 0 and not r["contaminated"] for r in none)
+    # partial overlap: doc 3 shares exactly the 'a b c' 3-gram with doc 1
+    part = {
+        r["doc_id"]: r["n_shared"]
+        for r in curation.decontaminate(
+            docs.filter("doc_id = 3"), docs.filter("doc_id = 1"), n=3, min_overlap=1
+        ).collect()
+    }
+    assert part == {3: 1}
+
+
+def test_repetition_stats_known_values(spark):
+    from big_data_graph_analysis_with_spark_spark.operators import curation
+
+    docs = spark.createDataFrame(
+        [(1, "a a a a"), (2, "a b c d"), (3, "x")], ["doc_id", "text"]
+    )
+    got = {r["doc_id"]: r for r in curation.repetition_stats(docs).collect()}
+    assert got[1]["dup_word_frac"] == 0.75
+    # 2-grams of "a a a a": three 'a a' -> 2/3 duplicated
+    assert abs(got[1]["dup_2gram_frac"] - 2 / 3) < 1e-12
+    assert got[2]["dup_word_frac"] == 0.0 and got[2]["dup_3gram_frac"] == 0.0
+    assert got[3]["n_2grams"] == 0 and got[3]["dup_2gram_frac"] == 0.0
+
+
+def test_redact_pii_masks_and_counts(spark):
+    from big_data_graph_analysis_with_spark_spark.operators import curation
+
+    docs = spark.createDataFrame(
+        [
+            (1, "mail me at jo.doe+x@ex-a.org or jo@b.io, call +1 555 123 4567"),
+            (2, "no pii here at all"),
+        ],
+        ["doc_id", "text"],
+    )
+    got = {r["doc_id"]: r for r in curation.redact_pii(docs).collect()}
+    assert got[1]["n_emails"] == 2 and got[1]["n_phones"] == 1
+    t = got[1]["clean_text"]
+    assert "<EMAIL>" in t and "<PHONE>" in t
+    assert "@" not in t and "555" not in t
+    assert got[2]["n_emails"] == 0 and got[2]["n_phones"] == 0
+    assert got[2]["clean_text"] == "no pii here at all"
