@@ -793,6 +793,59 @@ def q_events_windowed(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_events_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join: each click event picks up the latest at-or-before
+    view event of the same user (union-and-carry, one shuffle). The
+    oracle is DuckDB's native ASOF LEFT JOIN — an independent
+    implementation of the same point-in-time semantics."""
+    from big_data_graph_analysis_with_spark_spark.operators import asof
+
+    ev = _prep(spark).read.parquet(f"{sf_dir}/events.parquet").select(
+        "event_id", "user_id", "event_type", F.expr("ts div 1000").alias("tus")
+    )
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "event_id", "user_id", "tus"
+    )
+    views = (
+        ev.filter(F.col("event_type") == "view")
+        .groupBy("user_id", F.col("tus").alias("vtus"))
+        .agg(F.max("event_id").alias("view_event_id"))
+    )
+    joined = asof.asof_join(
+        clicks,
+        views,
+        key=["user_id"],
+        left_ts="tus",
+        right_ts="vtus",
+        right_payload=["view_event_id"],
+        left_tie="event_id",
+    )
+    return joined.select(
+        "event_id",
+        "user_id",
+        "tus",
+        "view_event_id",
+        F.col("vtus").alias("view_tus"),
+        (F.col("tus") - F.col("vtus")).cast("long").alias("gap_us"),
+    )
+
+
+def q_top_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus heavy hitters: global top-50 word bigrams by occurrence
+    (TakeOrderedAndProject — per-partition top-k, no global sort)."""
+    from big_data_graph_analysis_with_spark_spark.operators import corpusstats
+
+    return corpusstats.top_ngrams(_docs(spark, sf_dir), n=2, min_docs=2, k=50)
+
+
+def q_token_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact per-language token-count quantiles by integer rank
+    selection (the oracle-checkable baseline for approx_percentile)."""
+    from big_data_graph_analysis_with_spark_spark.operators import corpusstats
+
+    return corpusstats.token_quantiles(_docs(spark, sf_dir), group="lang")
+
+
 def q_walk_kernel(spark: SparkSession, sf_dir: str) -> DataFrame:
     """G2-G4 (rows-only: seeded-random, not SQL-expressible; property
     checks live in tests/test_walks_pipeline.py)."""
@@ -875,6 +928,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_features": q_multimodal_features,
         "multimodal_summary": q_multimodal_summary,
         "events_windowed": q_events_windowed,
+        "events_asof": q_events_asof,
+        "top_ngrams": q_top_ngrams,
+        "token_quantiles": q_token_quantiles,
         "shipping_priority": q_shipping_priority,
         "pricing_summary": q_pricing_summary,
         "top_customers_per_nation": q_top_customers_per_nation,
@@ -1035,6 +1091,59 @@ def oracle_sql() -> dict[str, str]:
                    CAST(COUNT(*) AS BIGINT) AS n_events,
                    CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
             FROM events GROUP BY 1, 2
+        """,
+        "events_asof": """
+            WITH clicks AS (
+              SELECT event_id, user_id, epoch_us(ts) AS tus
+              FROM events WHERE event_type = 'click'
+            ),
+            views AS (
+              SELECT user_id, epoch_us(ts) AS vtus,
+                     MAX(event_id) AS view_event_id
+              FROM events WHERE event_type = 'view'
+              GROUP BY user_id, epoch_us(ts)
+            )
+            SELECT c.event_id, c.user_id, CAST(c.tus AS BIGINT) AS tus,
+                   v.view_event_id,
+                   CAST(v.vtus AS BIGINT) AS view_tus,
+                   CAST(c.tus - v.vtus AS BIGINT) AS gap_us
+            FROM clicks c ASOF LEFT JOIN views v
+              ON c.user_id = v.user_id AND c.tus >= v.vtus
+        """,
+        "top_ngrams": """
+            WITH w AS (
+              SELECT doc_id, string_split(text, ' ') AS ws FROM documents
+            ),
+            g AS (
+              SELECT doc_id, ws[i] || ' ' || ws[i + 1] AS gram
+              FROM w, LATERAL (SELECT UNNEST(range(1, len(ws))) AS i)
+            )
+            SELECT gram,
+                   CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs,
+                   CAST(COUNT(*) AS BIGINT) AS n_occ
+            FROM g GROUP BY gram
+            HAVING COUNT(DISTINCT doc_id) >= 2
+            ORDER BY n_occ DESC, gram ASC
+            LIMIT 50
+        """,
+        "token_quantiles": """
+            WITH t AS (
+              SELECT doc_id, lang,
+                     CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+              FROM documents
+            ),
+            r AS (
+              SELECT *, ROW_NUMBER() OVER (
+                       PARTITION BY lang ORDER BY n_tokens, doc_id) AS rn,
+                     COUNT(*) OVER (PARTITION BY lang) AS cnt
+              FROM t
+            )
+            SELECT lang, q.p_label,
+                   CAST(cnt AS BIGINT) AS n_docs,
+                   n_tokens AS q_value
+            FROM r, (VALUES ('p50', 1, 2), ('p90', 9, 10), ('p99', 99, 100))
+                 AS q(p_label, num, den)
+            WHERE rn - 1 = (cnt - 1) * q.num // q.den
         """,
         "shipping_priority": f"""
             SELECT l_orderkey,

@@ -1,0 +1,118 @@
+"""Tests for the as-of join, n-gram heavy hitters, and exact quantiles."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from big_data_graph_analysis_with_spark_spark.operators import asof, corpusstats
+
+
+def _asof_frames(spark):
+    left = spark.createDataFrame(
+        [
+            # (event_id, user_id, tus)
+            (10, 1, 100),
+            (11, 1, 200),
+            (12, 1, 50),    # before any right row -> null match
+            (13, 2, 100),   # user with no right rows at all
+            (14, 1, 150),   # exactly at a right ts -> same-instant match
+        ],
+        "event_id LONG, user_id LONG, tus LONG",
+    )
+    right = spark.createDataFrame(
+        [
+            # (user_id, vtus, view_event_id)
+            (1, 90, 900),
+            (1, 150, 901),
+            (3, 10, 902),   # user with no left rows
+        ],
+        "user_id LONG, vtus LONG, view_event_id LONG",
+    )
+    return left, right
+
+
+def test_asof_join_semantics(spark):
+    left, right = _asof_frames(spark)
+    got = asof.asof_join(
+        left, right, key=["user_id"], left_ts="tus", right_ts="vtus",
+        right_payload=["view_event_id"], left_tie="event_id",
+    )
+    rows = {r["event_id"]: (r["view_event_id"], r["vtus"]) for r in got.collect()}
+    assert rows == {
+        10: (900, 90),     # latest at-or-before 100 is ts=90
+        11: (901, 150),    # latest at-or-before 200 is ts=150
+        12: (None, None),  # nothing at-or-before 50
+        13: (None, None),  # user 2 has no right rows
+        14: (901, 150),    # same-instant row included (>= semantics)
+    }
+    # every left row survives exactly once (left-join cardinality)
+    assert got.count() == left.count()
+
+
+def test_asof_join_single_shuffle_no_nested_loop(spark):
+    left, right = _asof_frames(spark)
+    got = asof.asof_join(
+        left, right, key=["user_id"], left_ts="tus", right_ts="vtus",
+        right_payload=["view_event_id"], left_tie="event_id",
+    )
+    plan = got._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    # the union-and-carry plan joins nothing — it is window-only
+    assert "SortMergeJoin" not in plan and "ShuffledHashJoin" not in plan
+
+
+def _docs(spark, texts):
+    return spark.createDataFrame(
+        [(i, "en", t) for i, t in enumerate(texts)],
+        "doc_id LONG, lang STRING, text STRING",
+    )
+
+
+def test_top_ngrams_counts_and_tiebreak(spark):
+    docs = _docs(spark, [
+        "a b c a b",      # grams: "a b" x2, "b c", "c a"
+        "a b z",          # grams: "a b", "b z"
+        "b c q",          # grams: "b c", "c q"
+        "x",              # shorter than n -> no grams
+    ])
+    got = corpusstats.top_ngrams(docs, n=2, min_docs=2, k=2).collect()
+    # "a b": 3 occ / 2 docs; "b c": 2 occ / 2 docs; others 1 doc (filtered)
+    assert [(r["gram"], r["n_docs"], r["n_occ"]) for r in got] == [
+        ("a b", 2, 3),
+        ("b c", 2, 2),
+    ]
+
+
+def test_top_ngrams_uses_partial_topk(spark):
+    docs = _docs(spark, ["a b c", "a b d"])
+    plan = (
+        corpusstats.top_ngrams(docs, n=2, min_docs=1, k=5)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_token_quantiles_rank_selection(spark):
+    # 11 docs of 1..11 tokens: p50 -> rank (10*1)//2 = 5 (0-based) -> 6
+    # tokens; p90 -> (10*9)//10 = 9 -> 10 tokens; p99 -> (10*99)//100
+    # = 9 -> 10 tokens.
+    docs = _docs(spark, [" ".join(["w"] * n) for n in range(1, 12)])
+    got = {
+        r["p_label"]: (r["n_docs"], r["q_value"])
+        for r in corpusstats.token_quantiles(docs, group="lang").collect()
+    }
+    assert got == {"p50": (11, 6), "p90": (11, 10), "p99": (11, 10)}
+
+
+def test_token_quantiles_multi_group(spark):
+    rows = [(i, "en", " ".join(["w"] * (i + 1))) for i in range(4)]
+    rows += [(10 + i, "fr", " ".join(["w"] * (5 * (i + 1)))) for i in range(2)]
+    docs = spark.createDataFrame(rows, "doc_id LONG, lang STRING, text STRING")
+    got = corpusstats.token_quantiles(docs, group="lang")
+    en = {r["p_label"]: r["q_value"] for r in got.filter(F.col("lang") == "en").collect()}
+    fr = {r["p_label"]: r["q_value"] for r in got.filter(F.col("lang") == "fr").collect()}
+    # en: counts 1,2,3,4 -> p50 at (3*1)//2=1 -> 2; p90 at (3*9)//10=2 -> 3
+    assert en == {"p50": 2, "p90": 3, "p99": 3}
+    # fr: counts 5,10 -> all quantile ranks 0 -> 5
+    assert fr == {"p50": 5, "p90": 5, "p99": 5}
