@@ -846,6 +846,29 @@ def q_token_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     return corpusstats.token_quantiles(_docs(spark, sf_dir), group="lang")
 
 
+def q_embedding_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label embedding centroids in exact decimal fixed point."""
+    return similarity.label_centroids(_embs(spark, sf_dir))
+
+
+def q_events_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OLAP rollup with subtotal levels: (event_type, day) detail rows,
+    per-type subtotals, and a grand total, tagged by grouping_id —
+    Spark's ROLLUP grouping-sets expansion keeps this a single
+    partial-aggregated shuffle (no per-level rescan)."""
+    ev = _prep(spark).read.parquet(f"{sf_dir}/events.parquet")
+    e = ev.select(
+        "event_type",
+        F.expr("ts div 86400000000000").alias("day_bucket"),
+        "value",
+    )
+    return e.rollup("event_type", "day_bucket").agg(
+        F.grouping_id().cast("long").alias("gid"),
+        F.count("*").cast("long").alias("n_events"),
+        F.sum(F.col("value").cast("decimal(18,6)")).cast("double").alias("sum_value"),
+    )
+
+
 def q_walk_kernel(spark: SparkSession, sf_dir: str) -> DataFrame:
     """G2-G4 (rows-only: seeded-random, not SQL-expressible; property
     checks live in tests/test_walks_pipeline.py)."""
@@ -931,6 +954,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_asof": q_events_asof,
         "top_ngrams": q_top_ngrams,
         "token_quantiles": q_token_quantiles,
+        "embedding_centroids": q_embedding_centroids,
+        "events_cube": q_events_cube,
         "shipping_priority": q_shipping_priority,
         "pricing_summary": q_pricing_summary,
         "top_customers_per_nation": q_top_customers_per_nation,
@@ -1125,6 +1150,32 @@ def oracle_sql() -> dict[str, str]:
             HAVING COUNT(DISTINCT doc_id) >= 2
             ORDER BY n_occ DESC, gram ASC
             LIMIT 50
+        """,
+        "embedding_centroids": """
+            WITH comp AS (
+              SELECT label, unnest(range(len(embedding))) AS j,
+                     CAST(CAST(unnest(embedding) AS DOUBLE) AS DECIMAL(18,9)) AS x
+              FROM embeddings
+            )
+            SELECT CAST(label AS BIGINT) AS label,
+                   CAST(j AS BIGINT) AS j,
+                   CAST(COUNT(*) AS BIGINT) AS n_vecs,
+                   CAST(SUM(x) AS DOUBLE) AS sum_x,
+                   CAST(SUM(x) AS DOUBLE) / COUNT(*) AS mean_x
+            FROM comp GROUP BY label, j
+        """,
+        "events_cube": """
+            WITH e AS (
+              SELECT event_type,
+                     CAST(epoch_ns(ts) // 86400000000000 AS BIGINT) AS day_bucket,
+                     value
+              FROM events
+            )
+            SELECT event_type, day_bucket,
+                   CAST(GROUPING(event_type, day_bucket) AS BIGINT) AS gid,
+                   CAST(COUNT(*) AS BIGINT) AS n_events,
+                   CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+            FROM e GROUP BY ROLLUP (event_type, day_bucket)
         """,
         "token_quantiles": """
             WITH t AS (

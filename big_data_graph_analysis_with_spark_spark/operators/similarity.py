@@ -387,3 +387,33 @@ def ann_lsh_topk_exact(
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", F.col("rank").cast("long"), "cosine")
     )
+
+
+def label_centroids(emb: DataFrame, label_col: str = "label") -> DataFrame:
+    """Per-label embedding centroids: (label, j, n_vecs, sum_x, mean_x)
+    — one row per (label, dimension).
+
+    The per-dimension sums run in DECIMAL(18,9) fixed point (the shared
+    exact representation, `_decimal_components`), so the result is
+    partition-order-independent and the DuckDB oracle hash-matches; the
+    mean is a single decimal→double division both engines evaluate
+    identically. One explode (N·d rows) + one partial-aggregated
+    groupBy on (label, j) — d is a constant, so the shuffle carries at
+    most |labels|·d pre-combined rows per map task regardless of N.
+    Centroids are the building block for IVF re-training, per-source
+    drift monitoring, and class-balanced embedding pruning.
+    """
+    comp = emb.select(
+        F.col(label_col).alias("label"), F.posexplode("embedding").alias("j", "xf")
+    ).select("label", "j", F.col("xf").cast("double").cast("decimal(18,9)").alias("x"))
+    return comp.groupBy("label", "j").agg(
+        F.count("*").cast("long").alias("n_vecs"),
+        F.sum("x").cast("double").alias("sum_x"),
+        (F.sum("x").cast("double") / F.count("*")).alias("mean_x"),
+    ).select(
+        F.col("label").cast("long").alias("label"),
+        F.col("j").cast("long").alias("j"),
+        "n_vecs",
+        "sum_x",
+        "mean_x",
+    )

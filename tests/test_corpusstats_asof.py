@@ -116,3 +116,26 @@ def test_token_quantiles_multi_group(spark):
     assert en == {"p50": 2, "p90": 3, "p99": 3}
     # fr: counts 5,10 -> all quantile ranks 0 -> 5
     assert fr == {"p50": 5, "p90": 5, "p99": 5}
+
+
+def test_label_centroids_exact_means(spark):
+    from big_data_graph_analysis_with_spark_spark.operators import similarity
+
+    emb = spark.createDataFrame(
+        [
+            (0, [1.0, 2.0], 1),
+            (1, [3.0, 4.0], 1),
+            (2, [5.0, 6.0], 2),
+        ],
+        "vec_id LONG, embedding ARRAY<FLOAT>, label INT",
+    )
+    got = {
+        (r["label"], r["j"]): (r["n_vecs"], r["sum_x"], r["mean_x"])
+        for r in similarity.label_centroids(emb).collect()
+    }
+    assert got == {
+        (1, 0): (2, 4.0, 2.0),
+        (1, 1): (2, 6.0, 3.0),
+        (2, 0): (1, 5.0, 5.0),
+        (2, 1): (1, 6.0, 6.0),
+    }
