@@ -869,6 +869,62 @@ def q_events_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_events_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keyed interval join: click events falling inside any 4-hour
+    window opened by an error event of the same user. Bucketized
+    equi-join (operators/ranges) — the oracle states the same semantics
+    as a direct inequality join, which DuckDB executes natively."""
+    from big_data_graph_analysis_with_spark_spark.operators import ranges
+
+    ev = _prep(spark).read.parquet(f"{sf_dir}/events.parquet").select(
+        "event_id", "user_id", "event_type", F.expr("ts div 1000").alias("tus")
+    )
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        F.col("event_id").alias("click_id"), "user_id", F.col("tus").alias("click_tus")
+    )
+    win_us = 14_400 * 1_000_000
+    errors = ev.filter(F.col("event_type") == "error").select(
+        F.col("event_id").alias("error_id"),
+        "user_id",
+        F.col("tus").alias("win_start"),
+        (F.col("tus") + win_us).cast("long").alias("win_end"),
+    )
+    joined = ranges.interval_join(
+        clicks,
+        errors,
+        key=["user_id"],
+        point_ts="click_tus",
+        start="win_start",
+        end="win_end",
+        bucket_width=win_us,
+    )
+    return joined.select("click_id", "user_id", "click_tus", "error_id", "win_start")
+
+
+def q_salted_supplier_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-nation lineitem revenue through an explicitly salted join
+    (functions/skew.salted_join) — result is salt-invariant, so the
+    oracle is the plain join; the salt only reshapes the shuffle."""
+    from big_data_graph_analysis_with_spark_spark.functions import skew
+
+    sess = _prep(spark)
+    li = sess.read.parquet(f"{sf_dir}/lineitem.parquet").select(
+        "l_suppkey",
+        (
+            F.col("l_extendedprice").cast("decimal(18,2)")
+            * (F.lit(1).cast("decimal(18,2)") - F.col("l_discount").cast("decimal(18,2)"))
+        ).cast("decimal(28,4)").alias("rev"),
+    )
+    supp = sess.read.parquet(f"{sf_dir}/supplier.parquet").select(
+        F.col("s_suppkey").alias("l_suppkey"), "s_nationkey"
+    )
+    joined = skew.salted_join(li, supp, on="l_suppkey", salt=8)
+    return joined.groupBy("s_nationkey").agg(
+        F.sum("rev").cast("double").alias("revenue"),
+        F.count("*").cast("long").alias("n_items"),
+    )
+
+
 def q_walk_kernel(spark: SparkSession, sf_dir: str) -> DataFrame:
     """G2-G4 (rows-only: seeded-random, not SQL-expressible; property
     checks live in tests/test_walks_pipeline.py)."""
@@ -956,6 +1012,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_quantiles": q_token_quantiles,
         "embedding_centroids": q_embedding_centroids,
         "events_cube": q_events_cube,
+        "events_range_join": q_events_range_join,
+        "salted_supplier_revenue": q_salted_supplier_revenue,
         "shipping_priority": q_shipping_priority,
         "pricing_summary": q_pricing_summary,
         "top_customers_per_nation": q_top_customers_per_nation,
@@ -1163,6 +1221,38 @@ def oracle_sql() -> dict[str, str]:
                    CAST(SUM(x) AS DOUBLE) AS sum_x,
                    CAST(SUM(x) AS DOUBLE) / COUNT(*) AS mean_x
             FROM comp GROUP BY label, j
+        """,
+        "events_range_join": """
+            WITH e AS (
+              SELECT event_id, user_id, event_type, epoch_us(ts) AS tus
+              FROM events
+            ),
+            clicks AS (
+              SELECT event_id AS click_id, user_id, tus AS click_tus
+              FROM e WHERE event_type = 'click'
+            ),
+            errors AS (
+              SELECT event_id AS error_id, user_id, tus AS win_start,
+                     tus + 14400000000 AS win_end
+              FROM e WHERE event_type = 'error'
+            )
+            SELECT c.click_id, c.user_id,
+                   CAST(c.click_tus AS BIGINT) AS click_tus,
+                   r.error_id,
+                   CAST(r.win_start AS BIGINT) AS win_start
+            FROM clicks c JOIN errors r
+              ON c.user_id = r.user_id
+             AND c.click_tus >= r.win_start AND c.click_tus <= r.win_end
+        """,
+        "salted_supplier_revenue": """
+            SELECT s_nationkey,
+                   CAST(SUM(CAST(
+                        CAST(l_extendedprice AS DECIMAL(18,2))
+                        * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))
+                        AS DECIMAL(28,4))) AS DOUBLE) AS revenue,
+                   CAST(COUNT(*) AS BIGINT) AS n_items
+            FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+            GROUP BY s_nationkey
         """,
         "events_cube": """
             WITH e AS (
