@@ -180,6 +180,21 @@ def main() -> None:
         textops.quality_scores(docs).count()
         textops.language_id(docs).count()
 
+    @timed("temporal_joins")
+    def _():
+        import __spark_entry__ as entrymod
+
+        entrymod.q_events_asof(spark, SF_DIR).count()
+        entrymod.q_events_range_join(spark, SF_DIR).count()
+
+    @timed("corpus_stats")
+    def _():
+        from big_data_graph_analysis_with_spark_spark.operators import corpusstats
+
+        corpusstats.top_ngrams(docs, n=2, min_docs=2, k=50).count()
+        corpusstats.token_quantiles(docs, group="lang").count()
+        similarity_ops.label_centroids(embs).count()
+
     @timed("multimodal_features")
     def _():
         assets = multimodal.synthesize_assets(docs)
