@@ -1,0 +1,80 @@
+"""JSONL corpus ingest/egress round-trip and corruption handling."""
+
+from __future__ import annotations
+
+import glob
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from big_data_graph_analysis_with_spark_spark.sources import corpus_io
+
+SF0001 = "/root/testdata/sf0.001"
+
+
+def _docs(spark):
+    return spark.read.parquet(f"{SF0001}/documents.parquet")
+
+
+def _sorted_rows(df):
+    cols = ["doc_id", "text", "lang", "source", "n_chars"]
+    return sorted(tuple(r[c] for c in cols) for r in df.select(*cols).collect())
+
+
+def test_jsonl_roundtrip(spark, tmp_path):
+    docs = _docs(spark)
+    out = str(tmp_path / "docs_jsonl")
+    corpus_io.write_jsonl_docs(docs, out, files=2)
+    back = corpus_io.read_jsonl_docs(spark, out)
+    assert corpus_io.corrupt_line_count(back) == 0
+    assert _sorted_rows(back) == _sorted_rows(docs)
+
+
+def test_jsonl_corrupt_lines_are_counted_not_dropped(spark, tmp_path):
+    p = tmp_path / "corrupt.jsonl"
+    p.write_text(
+        '{"doc_id": 1, "text": "ok", "lang": "en", "source": "s", "n_chars": 2}\n'
+        "this is not json\n"
+        '{"doc_id": 2, "text": "ok2", "lang": "en", "source": "s", "n_chars": 3}\n'
+    )
+    back = corpus_io.read_jsonl_docs(spark, str(p))
+    assert corpus_io.corrupt_line_count(back) == 1
+    good = back.filter(F.col("_corrupt_record").isNull())
+    assert sorted(r["doc_id"] for r in good.collect()) == [1, 2]
+
+
+def test_jsonl_fail_fast_raises(spark, tmp_path):
+    p = tmp_path / "corrupt2.jsonl"
+    p.write_text('{"doc_id": 1}\nnot json either\n')
+    with pytest.raises(Exception):
+        corpus_io.read_jsonl_docs(spark, str(p), fail_fast=True).collect()
+
+
+def test_partitioned_parquet_layout_and_roundtrip(spark, tmp_path):
+    docs = _docs(spark)
+    out = str(tmp_path / "corpus_pq")
+    corpus_io.write_corpus_parquet(docs, out, partition_by="lang",
+                                   buckets_per_partition=2)
+    langs = {r["lang"] for r in docs.select("lang").distinct().collect()}
+    dirs = {os.path.basename(d) for d in glob.glob(f"{out}/lang=*")}
+    assert dirs == {f"lang={lang}" for lang in langs}
+    # compaction: at most buckets_per_partition data files per partition
+    for d in glob.glob(f"{out}/lang=*"):
+        n_files = len(glob.glob(f"{d}/*.parquet"))
+        assert 1 <= n_files <= 2, d
+    back = spark.read.parquet(out)
+    assert _sorted_rows(back) == _sorted_rows(docs)
+
+
+def test_partition_pruning_on_lang(spark, tmp_path):
+    docs = _docs(spark)
+    out = str(tmp_path / "corpus_pq2")
+    corpus_io.write_corpus_parquet(docs, out)
+    plan = (
+        spark.read.parquet(out)
+        .filter(F.col("lang") == "en")
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    # partition filter reaches the scan: no lang dirs other than en read
+    assert "PartitionFilters" in plan and "lang" in plan.split("PartitionFilters")[1][:120]
