@@ -34,6 +34,9 @@ from big_data_graph_analysis_with_spark_spark.operators import (  # noqa: E402
     topology,
 )
 from big_data_graph_analysis_with_spark_spark.operators import walks as walks_mod  # noqa: E402
+from big_data_graph_analysis_with_spark_spark.functions.eventtime import (  # noqa: E402
+    event_micros,
+)
 from big_data_graph_analysis_with_spark_spark.plans import doc_oracles  # noqa: E402
 from big_data_graph_analysis_with_spark_spark.plans.pipeline import run_pipeline  # noqa: E402
 from big_data_graph_analysis_with_spark_spark.sources import tpch_graph  # noqa: E402
@@ -180,8 +183,10 @@ def _sr_sql(
 
 def _prep(spark: SparkSession) -> SparkSession:
     """Harden an externally-supplied SparkSession (the driver builds its
-    own): events.parquet carries TIMESTAMP(NANOS), which Spark 4 refuses
-    unless read as nanos-longs. Runtime-settable, idempotent."""
+    own): if events.parquet carries TIMESTAMP(NANOS) (one of the
+    testdata generations did), Spark 4 refuses it unless read as
+    nanos-longs; functions/eventtime then normalizes either shape.
+    Runtime-settable, idempotent."""
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     return spark
 
@@ -764,11 +769,12 @@ def q_top_customers_per_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_events_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Events per type per hour — the batch shape of the streaming
-    tumbling-window demo (streaming/walk_rates.py); ts is nanos-long."""
+    tumbling-window demo (streaming/walk_rates.py)."""
     ev = _prep(spark).read.parquet(f"{sf_dir}/events.parquet")
-    # integer floor-div on the nanos long — double division would lose
-    # precision above 2^53 ns
-    hour = F.expr("ts div 3600000000000")
+    # integer floor-div on the epoch-µs long — double division would
+    # lose precision above 2^53
+    hour = F.expr("tus div 3600000000")
+    ev = ev.withColumn("tus", event_micros(ev))
     return ev.groupBy(
         F.col("event_type"), hour.alias("hour_bucket")
     ).agg(
@@ -800,8 +806,9 @@ def q_events_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
     implementation of the same point-in-time semantics."""
     from big_data_graph_analysis_with_spark_spark.operators import asof
 
-    ev = _prep(spark).read.parquet(f"{sf_dir}/events.parquet").select(
-        "event_id", "user_id", "event_type", F.expr("ts div 1000").alias("tus")
+    raw = _prep(spark).read.parquet(f"{sf_dir}/events.parquet")
+    ev = raw.select(
+        "event_id", "user_id", "event_type", event_micros(raw).alias("tus")
     )
     clicks = ev.filter(F.col("event_type") == "click").select(
         "event_id", "user_id", "tus"
@@ -857,9 +864,9 @@ def q_events_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
     Spark's ROLLUP grouping-sets expansion keeps this a single
     partial-aggregated shuffle (no per-level rescan)."""
     ev = _prep(spark).read.parquet(f"{sf_dir}/events.parquet")
-    e = ev.select(
+    e = ev.withColumn("tus", event_micros(ev)).select(
         "event_type",
-        F.expr("ts div 86400000000000").alias("day_bucket"),
+        F.expr("tus div 86400000000").alias("day_bucket"),
         "value",
     )
     return e.rollup("event_type", "day_bucket").agg(
@@ -876,8 +883,9 @@ def q_events_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     as a direct inequality join, which DuckDB executes natively."""
     from big_data_graph_analysis_with_spark_spark.operators import ranges
 
-    ev = _prep(spark).read.parquet(f"{sf_dir}/events.parquet").select(
-        "event_id", "user_id", "event_type", F.expr("ts div 1000").alias("tus")
+    raw = _prep(spark).read.parquet(f"{sf_dir}/events.parquet")
+    ev = raw.select(
+        "event_id", "user_id", "event_type", event_micros(raw).alias("tus")
     )
     clicks = ev.filter(F.col("event_type") == "click").select(
         F.col("event_id").alias("click_id"), "user_id", F.col("tus").alias("click_tus")

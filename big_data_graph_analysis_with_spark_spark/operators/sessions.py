@@ -11,18 +11,17 @@ them through functions/skew.salted_keys.
 
 Deterministic: events are ordered by (ts, event_id) — the id breaks
 timestamp ties — and the value sum uses the DECIMAL pattern, so the
-DuckDB oracle hash-matches. `ts` arrives as nanos-long (the testdata
-parquet is TIMESTAMP(NANOS) read with nanosAsLong; see
-__spark_entry__._prep) but the operator works in MICROSECONDS:
-DuckDB's TIMESTAMP truncates parquet nanos to µs, so µs is the finest
-granularity both engines agree on — `ts div 1000` here ≡ epoch_us(ts)
-there.
+DuckDB oracle hash-matches. The operator works in MICROSECONDS via
+functions/eventtime.event_micros (≡ DuckDB's epoch_us(ts)), whatever
+physical type the reader surfaced `ts` in.
 """
 
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
+
+from ..functions.eventtime import event_micros
 
 #: default session gap: 30 minutes, in microseconds
 DEFAULT_GAP_US = 30 * 60 * 1_000_000
@@ -35,7 +34,7 @@ def sessionize_events(events: DataFrame, gap_us: int = DEFAULT_GAP_US) -> DataFr
     order = Window.partitionBy("user_id").orderBy("tns", "event_id")
     prev = F.lag("tns").over(order)
     flagged = events.select(
-        "user_id", "event_id", F.expr("ts div 1000").alias("tns"), "value"
+        "user_id", "event_id", event_micros(events).alias("tns"), "value"
     ).withColumn(
         "new_s",
         F.when(prev.isNull() | (F.col("tns") - prev > gap_us), 1).otherwise(0),

@@ -24,29 +24,25 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
-EVENTS_SCHEMA = (
-    "event_id LONG, ts LONG, user_id LONG, event_type STRING, "
-    "value DOUBLE, props STRING"
-)
-
+from ..functions.eventtime import event_micros
 
 def read_events_stream(spark, path: str) -> DataFrame:
-    """File-source stream over events parquet (ts = nanos-since-epoch
-    long, per the testdata's TIMESTAMP(NANOS) columns read under
-    nanosAsLong)."""
-    return spark.readStream.schema(EVENTS_SCHEMA).parquet(path)
+    """File-source stream over events parquet. The (mandatory) stream
+    schema is taken from one batch footer read of the same directory —
+    a single driver-side metadata pass at setup, so the stream always
+    matches the files' physical types (ts has been both
+    TIMESTAMP(NANOS)→long and TIMESTAMP(MICROS)→timestamp_ntz across
+    testdata generations)."""
+    return spark.readStream.schema(spark.read.parquet(path).schema).parquet(path)
 
 
 def with_event_time(events: DataFrame) -> DataFrame:
-    """Attach a proper timestamp column from `ts`, whichever way the
-    session surfaced it (nanos-long under nanosAsLong, timestamp
-    otherwise)."""
-    ts_type = dict(events.dtypes)["ts"]
-    if ts_type == "bigint":
-        return events.withColumn(
-            "event_time", F.timestamp_micros(F.expr("ts div 1000"))
-        )
-    return events.withColumn("event_time", F.col("ts").cast("timestamp"))
+    """Attach an absolute µs-precision timestamp column from `ts`,
+    whichever way the session surfaced it — one normalization point
+    (functions/eventtime) shared with the batch operators."""
+    return events.withColumn(
+        "event_time", F.timestamp_micros(event_micros(events))
+    )
 
 
 def windowed_event_counts(
