@@ -381,6 +381,15 @@ def q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     return graphalg.pagerank(og, iters=4)
 
 
+def q_bfs_distances(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Directed single-source BFS hop counts from the minimum vertex id
+    (frontier expansion, one shuffle per round) — the oracle is a
+    dist-capped recursive CTE taking MIN(dist) over all paths, so the
+    shortest-path semantics, not the iteration schedule, is checked."""
+    og, _ = _graphs(spark, sf_dir)
+    return graphalg.bfs_distances(og)
+
+
 _UND_CTES = """
 und AS (
   SELECT DISTINCT LEAST(src, dst) AS a, GREATEST(src, dst) AS b
@@ -424,6 +433,25 @@ reach(id, r) AS (
 )
 SELECT CAST(id AS BIGINT) AS id, CAST(MIN(r) AS BIGINT) AS component_id
 FROM reach GROUP BY id
+"""
+
+
+def _bfs_sql(max_dist: int = 64) -> str:
+    # recursive like _components_sql; UNION (distinct) over (id, dist)
+    # pairs + the dist cap bound the recursion on cyclic graphs, and
+    # MIN(dist) recovers shortest-path semantics from all-paths search
+    return f"""
+WITH RECURSIVE {GRAPH_CTES},
+bfs(id, dist) AS (
+  SELECT id, 0 FROM og_vertices
+  WHERE id = (SELECT MIN(id) FROM og_vertices)
+  UNION
+  SELECT e.dst, b.dist + 1
+  FROM bfs b JOIN og_edges e ON e.src = b.id
+  WHERE b.dist < {max_dist}
+)
+SELECT CAST(id AS BIGINT) AS id, CAST(MIN(dist) AS BIGINT) AS dist
+FROM bfs GROUP BY id
 """
 
 
@@ -607,6 +635,12 @@ def q_doc_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     return textops.doc_fingerprints(_docs(spark, sf_dir)).select(
         "doc_id", F.explode("fingerprint").alias("h")
     )
+
+
+def q_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document top-5 distinctive terms by rational tf-idf (the
+    monotone log-free form — see operators/textops.tfidf_top_terms)."""
+    return textops.tfidf_top_terms(_docs(spark, sf_dir), k=5)
 
 
 def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -986,6 +1020,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "triangle_counts": q_triangle_counts,
         "connected_components": q_connected_components,
         "pagerank": q_pagerank,
+        "bfs_distances": q_bfs_distances,
+        "tfidf_top_terms": q_tfidf_top_terms,
         "walk_kernel": q_walk_kernel,
         "mitm_pipeline": q_mitm_pipeline,
         "dedup_exact": q_dedup_exact,
@@ -1145,6 +1181,8 @@ def oracle_sql() -> dict[str, str]:
         "triangle_counts": _triangles_sql(),
         "connected_components": _components_sql(),
         "pagerank": _pagerank_sql(iters=4),
+        "bfs_distances": _bfs_sql(),
+        "tfidf_top_terms": doc_oracles.tfidf_sql(k=5),
         "dedup_exact": doc_oracles.dedup_exact_sql(),
         "dedup_ngram_jaccard": doc_oracles.ngram_jaccard_sql(n=3, threshold=0.2),
         "dedup_minhash_lsh": doc_oracles.minhash_lsh_sql(n=3, threshold=0.2),

@@ -168,3 +168,41 @@ def pagerank(graph: NetGraph, iters: int = 4) -> DataFrame:
             .localCheckpoint()
         )
     return pr
+
+
+def bfs_distances(
+    graph: NetGraph, source: int | None = None, max_iters: int = 64
+) -> DataFrame:
+    """(id, dist): directed single-source shortest hop counts from
+    `source` (default: the minimum vertex id — deterministic and
+    SQL-expressible). Unreached vertices are absent.
+
+    Frontier BFS: each round joins the current frontier to the edge
+    list and anti-joins the visited set — one shuffle per round,
+    O(diameter) rounds, frontier-bounded traffic (never the whole
+    graph). Iterates are localCheckpointed so lineage stays flat; the
+    per-round emptiness probe is limit(1).count(), not a full count.
+    """
+    if source is None:
+        source = graph.vertices.agg(F.min("id")).first()[0]
+    edges = graph.edges.select("src", "dst").distinct().localCheckpoint()
+    frontier = (
+        graph.vertices.filter(F.col("id") == source)
+        .select("id", F.lit(0).cast("long").alias("dist"))
+        .localCheckpoint()
+    )
+    visited = frontier
+    for d in range(1, max_iters + 1):
+        nxt = (
+            edges.join(frontier, on=edges.src == frontier.id)
+            .select(F.col("dst").alias("id"))
+            .distinct()
+            .join(visited, on="id", how="left_anti")
+            .select("id", F.lit(d).cast("long").alias("dist"))
+            .localCheckpoint()
+        )
+        if nxt.limit(1).count() == 0:
+            break
+        visited = visited.unionAll(nxt).localCheckpoint()
+        frontier = nxt
+    return visited

@@ -140,3 +140,35 @@ def doc_fingerprints(docs: DataFrame, n: int = 5, keep: int = 4) -> DataFrame:
         F.slice(F.array_sort(F.collect_set("h")), 1, keep).alias("fingerprint")
     )
     return ranked
+
+
+def tfidf_top_terms(docs: DataFrame, k: int = 5) -> DataFrame:
+    """Per-document top-k distinctive terms by rational tf-idf:
+    (doc_id, term, tf, df, score, rnk).
+
+    score = tf·(N+1)/(df+1) as ONE double division of exact integers.
+    The usual ln() is deliberately not applied engine-side: IEEE-754
+    makes +,·,/ exactly reproducible across engines but transcendentals
+    are libm-dependent, and ln is monotone in the ratio — rankings are
+    identical, the display layer can take the log. Two shuffles total
+    (term-keyed df window, doc-keyed ranking window); at 100 TB the df
+    side is the skew risk (stopword terms), absorbed by the partial
+    aggregation of the tf groupBy that precedes it.
+    """
+    from pyspark.sql import Window
+
+    n_docs = docs.count()
+    terms = docs.select(
+        "doc_id", F.explode(F.split(F.col("text"), " ")).alias("term")
+    )
+    tf = terms.groupBy("doc_id", "term").agg(F.count("*").cast("long").alias("tf"))
+    wd = tf.withColumn(
+        "df", F.count("*").over(Window.partitionBy("term")).cast("long")
+    )
+    scored = wd.withColumn(
+        "score", (F.col("tf") * F.lit(n_docs + 1)) / (F.col("df") + F.lit(1))
+    )
+    rnk = F.row_number().over(
+        Window.partitionBy("doc_id").orderBy(F.desc("score"), "term")
+    )
+    return scored.withColumn("rnk", rnk.cast("long")).filter(F.col("rnk") <= k)

@@ -600,3 +600,30 @@ ranked AS (
   FROM hashed)
 SELECT doc_id, h FROM ranked WHERE rn <= {keep}
 """
+
+
+def tfidf_sql(k: int = 5) -> str:
+    # score = tf·(N+1)/(df+1): BIGINT·BIGINT product, ONE double
+    # division — IEEE-exact in both engines (no transcendentals)
+    return f"""
+WITH tf AS (
+  SELECT doc_id, w AS term, CAST(COUNT(*) AS BIGINT) AS tf
+  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents)
+  GROUP BY doc_id, w
+),
+wd AS (
+  SELECT doc_id, term, tf,
+         CAST(COUNT(*) OVER (PARTITION BY term) AS BIGINT) AS df
+  FROM tf
+),
+scored AS (
+  SELECT *,
+         (tf * ((SELECT COUNT(*) FROM documents) + 1)) / (df + 1) AS score
+  FROM wd
+)
+SELECT doc_id, term, tf, df, CAST(score AS DOUBLE) AS score,
+       CAST(ROW_NUMBER() OVER (
+         PARTITION BY doc_id ORDER BY score DESC, term) AS BIGINT) AS rnk
+FROM scored
+QUALIFY rnk <= {k}
+"""

@@ -345,3 +345,27 @@ def test_redact_pii_masks_and_counts(spark):
     assert "@" not in t and "555" not in t
     assert got[2]["n_emails"] == 0 and got[2]["n_phones"] == 0
     assert got[2]["clean_text"] == "no pii here at all"
+
+
+def test_tfidf_top_terms_ranks_distinctive_terms(spark):
+    from big_data_graph_analysis_with_spark_spark.operators import textops
+
+    docs = spark.createDataFrame(
+        [
+            (1, "apple apple banana"),
+            (2, "banana cherry"),
+            (3, "cherry cherry cherry durian"),
+        ],
+        "doc_id LONG, text STRING",
+    )
+    out = textops.tfidf_top_terms(docs, k=2).collect()
+    by_doc = {}
+    for r in out:
+        by_doc.setdefault(r["doc_id"], []).append((r["rnk"], r["term"], r["score"]))
+    # doc 1: apple (tf=2, df=1) beats banana (tf=1, df=2)
+    assert [t for _, t, _ in sorted(by_doc[1])] == ["apple", "banana"]
+    # doc 3: cherry tf=3 df=2 → 3*4/3=4.0 beats durian 1*4/2=2.0
+    assert [t for _, t, _ in sorted(by_doc[3])] == ["cherry", "durian"]
+    assert sorted(by_doc[3])[0][2] == 4.0
+    # every doc emits at most k rows and ranks start at 1
+    assert all(len(v) <= 2 and sorted(v)[0][0] == 1 for v in by_doc.values())

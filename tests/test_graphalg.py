@@ -90,3 +90,30 @@ def test_triangle_plan_has_no_cartesian(spark):
     plan = graphalg.triangle_counts(g)._jdf.queryExecution().executedPlan().toString()
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_bfs_distances_known_graph(spark):
+    # diamond 1→{2,3}→4→5, cycle back-edge 5→1, unreachable 6→7
+    g = _graph(
+        spark,
+        [1, 2, 3, 4, 5, 6, 7],
+        [(1, 2), (1, 3), (2, 4), (3, 4), (4, 5), (5, 1), (6, 7)],
+    )
+    got = {r["id"]: r["dist"] for r in graphalg.bfs_distances(g).collect()}
+    assert got == {1: 0, 2: 1, 3: 1, 4: 2, 5: 3}
+
+
+def test_bfs_distances_explicit_source_and_cap(spark):
+    # path 1→2→3→4: from source 3 only {3,4} are reachable; a 1-hop
+    # cap truncates the frontier exactly at distance 1
+    g = _graph(spark, [1, 2, 3, 4], [(1, 2), (2, 3), (3, 4)])
+    got = {
+        r["id"]: r["dist"]
+        for r in graphalg.bfs_distances(g, source=3).collect()
+    }
+    assert got == {3: 0, 4: 1}
+    capped = {
+        r["id"]: r["dist"]
+        for r in graphalg.bfs_distances(g, source=1, max_iters=1).collect()
+    }
+    assert capped == {1: 0, 2: 1}
