@@ -619,6 +619,31 @@ def q_train_eval_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("doc_id", "split")
 
 
+#: training-mixture weights for the mixture_sample query — exercised
+#: over the documents table's language column
+_MIX_WEIGHTS = {"en": 0.5, "de": 1.0, "fr": 0.25}
+
+
+def q_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-domain mixture reweighting: language-keyed keep rates,
+    deterministic hash membership, narrow map (no shuffle)."""
+    from big_data_graph_analysis_with_spark_spark.operators import sampling
+
+    return sampling.mixture_sample(
+        _docs(spark, sf_dir), _MIX_WEIGHTS, strata_col="lang",
+        default_rate=0.1, seed=11,
+    ).select("doc_id", "lang", "source", "n_chars")
+
+
+def q_corpus_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic global training shuffle materialized as
+    (doc_id, shard, pos) — hash-keyed shards with per-shard local
+    sorts, never a global orderBy."""
+    from big_data_graph_analysis_with_spark_spark.operators import sampling
+
+    return sampling.shard_assignments(_docs(spark, sf_dir), n_shards=8, seed=3)
+
+
 def q_text_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return textops.token_stats(_docs(spark, sf_dir))
 
@@ -1044,6 +1069,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sample_hash": q_sample_hash,
         "sample_stratified": q_sample_stratified,
         "train_eval_split": q_train_eval_split,
+        "mixture_sample": q_mixture_sample,
+        "corpus_shards": q_corpus_shards,
         "text_token_stats": q_text_token_stats,
         "text_quality": q_text_quality,
         "text_language_id": q_text_language_id,
@@ -1209,6 +1236,10 @@ def oracle_sql() -> dict[str, str]:
         "sample_hash": doc_oracles.hash_sample_sql(rate=0.25, seed=7),
         "sample_stratified": doc_oracles.stratified_cap_sql("lang", cap=50, seed=7),
         "train_eval_split": doc_oracles.train_eval_split_sql(eval_frac=0.1, seed=7),
+        "mixture_sample": doc_oracles.mixture_sample_sql(
+            _MIX_WEIGHTS, "lang", default_rate=0.1, seed=11
+        ),
+        "corpus_shards": doc_oracles.shard_assignments_sql(n_shards=8, seed=3),
         "text_token_stats": doc_oracles.token_stats_sql(),
         "text_quality": doc_oracles.quality_sql(),
         "text_language_id": doc_oracles.language_id_sql(),

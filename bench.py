@@ -6,9 +6,11 @@ Prints ONE JSON line:
 
 Each entry forces full materialization (count/collect) so the timing
 covers scan → shuffle → result, not plan construction. Every query runs
-$SPARK_GRAFT_BENCH_ITERS times (default 2) and reports the per-query
-MINIMUM — single-shot numbers in a shared local JVM move ±30% with
-scheduling noise, which is larger than most real regressions.
+$SPARK_GRAFT_BENCH_ITERS times (default 3) and reports the per-query
+MINIMUM — single-shot numbers in a shared local JVM move ±30% (first
+iterations pay JIT/codegen warmup), which is larger than most real
+regressions; min-of-3 keeps two consecutive bench processes within
+~10% per query.
 """
 
 from __future__ import annotations
@@ -49,7 +51,7 @@ def main() -> None:
     spark.sparkContext.setLogLevel("ERROR")
     timings: dict[str, float] = {}
 
-    n_iters = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_ITERS", "2")))
+    n_iters = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_ITERS", "3")))
 
     def timed(name: str, reset=None):
         def deco(fn):

@@ -76,3 +76,51 @@ def stratified_cap(
         .filter(F.col("_rk") <= cap)
         .drop("_rk")
     )
+
+
+def mixture_sample(
+    docs: DataFrame,
+    weights: dict[str, float],
+    strata_col: str = "lang",
+    default_rate: float = 1.0,
+    seed: int = 0,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Per-domain mixture sampling: keep each row of stratum s with
+    probability weights[s] (default_rate for unlisted strata), decided
+    by the seeded id hash — the domain-reweighting step of a training
+    mixture (e.g. downsample web crawl, keep all code). Exact,
+    reproducible membership; narrow map, no shuffle at any scale (the
+    weight table is inlined into the plan as a CASE expression, not
+    even a broadcast)."""
+    thr = None
+    for k, v in sorted(weights.items()):
+        cond = F.col(strata_col) == F.lit(k)
+        lit = F.lit(int(v * RATE_DENOM))
+        thr = F.when(cond, lit) if thr is None else thr.when(cond, lit)
+    default = F.lit(int(default_rate * RATE_DENOM))
+    thr = default if thr is None else thr.otherwise(default)
+    return docs.filter(_bucket(id_col, seed) < thr)
+
+
+def shard_assignments(
+    docs: DataFrame, n_shards: int = 8, seed: int = 0, id_col: str = "doc_id"
+) -> DataFrame:
+    """(id, shard, pos): deterministic global training shuffle. Each
+    row's shard is its seeded hash mod n_shards; its position within
+    the shard is its rank in hash order (id breaks ties). Equivalent to
+    a seeded random permutation materialized as (shard, pos) — but with
+    ONE hash shuffle on the shard key and per-shard local sorts instead
+    of a global orderBy, so it scales to any corpus size. Re-running or
+    repartitioning never moves a document."""
+    h = hash56(F.col(id_col).cast("string"), seed=seed)
+    w = Window.partitionBy("shard").orderBy(F.col("_h").asc(), F.col(id_col).asc())
+    return (
+        docs.select(
+            id_col,
+            (h % n_shards).cast("long").alias("shard"),
+            h.alias("_h"),
+        )
+        .withColumn("pos", F.row_number().over(w).cast("long"))
+        .drop("_h")
+    )

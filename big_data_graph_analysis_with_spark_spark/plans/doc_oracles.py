@@ -627,3 +627,32 @@ SELECT doc_id, term, tf, df, CAST(score AS DOUBLE) AS score,
 FROM scored
 QUALIFY rnk <= {k}
 """
+
+
+def mixture_sample_sql(
+    weights: dict[str, float],
+    strata_col: str,
+    default_rate: float,
+    seed: int,
+) -> str:
+    cases = " ".join(
+        f"WHEN {strata_col} = '{k}' THEN {int(v * 1_000_000)}"
+        for k, v in sorted(weights.items())
+    )
+    default = int(default_rate * 1_000_000)
+    return f"""
+SELECT doc_id, lang, source, n_chars FROM documents
+WHERE {_bucket_sql(seed)} < CASE {cases} ELSE {default} END
+"""
+
+
+def shard_assignments_sql(n_shards: int, seed: int) -> str:
+    h = hash56_sql("doc_id", seed=seed)
+    return f"""
+SELECT doc_id, shard,
+       CAST(ROW_NUMBER() OVER (
+         PARTITION BY shard ORDER BY h ASC, doc_id ASC) AS BIGINT) AS pos
+FROM (SELECT doc_id, CAST({h} % {n_shards} AS BIGINT) AS shard,
+             {h} AS h
+      FROM documents)
+"""

@@ -369,3 +369,54 @@ def test_tfidf_top_terms_ranks_distinctive_terms(spark):
     assert sorted(by_doc[3])[0][2] == 4.0
     # every doc emits at most k rows and ranks start at 1
     assert all(len(v) <= 2 and sorted(v)[0][0] == 1 for v in by_doc.values())
+
+
+def test_mixture_sample_rates_and_determinism(spark, docs):
+    from big_data_graph_analysis_with_spark_spark.operators import sampling
+
+    # rate 1.0 for a stratum keeps every row of it; rate 0.0 drops all
+    mixed = sampling.mixture_sample(
+        docs, {"en": 1.0, "fr": 0.0}, strata_col="lang", default_rate=0.5, seed=7
+    )
+    n_en = docs.filter(F.col("lang") == "en").count()
+    assert mixed.filter(F.col("lang") == "en").count() == n_en
+    assert mixed.filter(F.col("lang") == "fr").count() == 0
+    # unlisted strata follow default_rate == hash_sample at that rate
+    other = {
+        r["doc_id"]
+        for r in mixed.filter(~F.col("lang").isin("en", "fr")).collect()
+    }
+    want = {
+        r["doc_id"]
+        for r in sampling.hash_sample(
+            docs.filter(~F.col("lang").isin("en", "fr")), 0.5, seed=7
+        ).collect()
+    }
+    assert other == want
+    # repartitioning never moves membership
+    again = sampling.mixture_sample(
+        docs.repartition(11), {"en": 1.0, "fr": 0.0},
+        strata_col="lang", default_rate=0.5, seed=7,
+    )
+    assert {r["doc_id"] for r in again.collect()} == {
+        r["doc_id"] for r in mixed.collect()
+    }
+
+
+def test_shard_assignments_partition_and_order(spark, docs):
+    from big_data_graph_analysis_with_spark_spark.operators import sampling
+
+    out = sampling.shard_assignments(docs, n_shards=4, seed=3).collect()
+    assert {r["doc_id"] for r in out} == {r["doc_id"] for r in docs.collect()}
+    assert {r["shard"] for r in out} <= set(range(4))
+    # pos is a 1..n_s dense rank inside every shard
+    by_shard = {}
+    for r in out:
+        by_shard.setdefault(r["shard"], []).append(r["pos"])
+    for poss in by_shard.values():
+        assert sorted(poss) == list(range(1, len(poss) + 1))
+    # deterministic under repartitioning: identical (shard, pos) map
+    again = sampling.shard_assignments(docs.repartition(9), n_shards=4, seed=3)
+    assert {(r["doc_id"], r["shard"], r["pos"]) for r in again.collect()} == {
+        (r["doc_id"], r["shard"], r["pos"]) for r in out
+    }
