@@ -197,6 +197,22 @@ def main() -> None:
         corpusstats.token_quantiles(docs, group="lang").count()
         similarity_ops.label_centroids(embs).count()
 
+    @timed("graph_bfs")
+    def _():
+        from big_data_graph_analysis_with_spark_spark.operators import graphalg
+
+        graphalg.bfs_distances(og).agg(F.sum("dist")).collect()
+
+    @timed("corpus_mixture")
+    def _():
+        from big_data_graph_analysis_with_spark_spark.operators import sampling
+
+        textops.tfidf_top_terms(docs, k=5).count()
+        sampling.mixture_sample(
+            docs, {"en": 0.5, "de": 1.0, "fr": 0.25}, default_rate=0.1, seed=11
+        ).count()
+        sampling.shard_assignments(docs, n_shards=8, seed=3).count()
+
     @timed("multimodal_features")
     def _():
         assets = multimodal.synthesize_assets(docs)
