@@ -896,6 +896,26 @@ def q_events_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_events_rolling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing-3-event per-user moving sum/average (operators/olap):
+    one hash shuffle on user_id, partition-local window sorts, decimal
+    sums so the rolling average is cross-engine exact."""
+    from big_data_graph_analysis_with_spark_spark.operators import olap
+
+    ev = _prep(spark).read.parquet(f"{sf_dir}/events.parquet")
+    return olap.rolling_user_stats(ev, n_last=3)
+
+
+def q_events_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user event-type pivot (counts + decimal value sums) with the
+    pivot vocabulary given explicitly — one partial-aggregated shuffle,
+    no distinct-scan."""
+    from big_data_graph_analysis_with_spark_spark.operators import olap
+
+    ev = _prep(spark).read.parquet(f"{sf_dir}/events.parquet")
+    return olap.event_type_pivot(ev)
+
+
 def q_top_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus heavy hitters: global top-50 word bigrams by occurrence
     (TakeOrderedAndProject — per-partition top-k, no global sort)."""
@@ -1079,6 +1099,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_summary": q_multimodal_summary,
         "events_windowed": q_events_windowed,
         "events_asof": q_events_asof,
+        "events_rolling": q_events_rolling,
+        "events_pivot": q_events_pivot,
         "top_ngrams": q_top_ngrams,
         "token_quantiles": q_token_quantiles,
         "embedding_centroids": q_embedding_centroids,
@@ -1251,6 +1273,33 @@ def oracle_sql() -> dict[str, str]:
                    CAST(COUNT(*) AS BIGINT) AS n_events,
                    CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
             FROM events GROUP BY 1, 2
+        """,
+        "events_rolling": """
+            WITH e AS (
+              SELECT event_id, user_id, epoch_us(ts) AS tus, value FROM events
+            )
+            SELECT event_id, user_id, CAST(tus AS BIGINT) AS tus,
+                   CAST(COUNT(*) OVER w AS BIGINT) AS n_window,
+                   CAST(SUM(CAST(value AS DECIMAL(18,6))) OVER w AS DOUBLE)
+                     AS sum_value,
+                   CAST(SUM(CAST(value AS DECIMAL(18,6))) OVER w AS DOUBLE)
+                     / (COUNT(*) OVER w) AS avg_value
+            FROM e
+            WINDOW w AS (PARTITION BY user_id ORDER BY tus, event_id
+                         ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)
+        """,
+        "events_pivot": """
+            SELECT user_id,"""
+        + ",".join(
+            f"""
+                   CAST(COUNT(*) FILTER (WHERE event_type = '{t}') AS BIGINT)
+                     AS n_{t},
+                   CAST(COALESCE(SUM(CAST(value AS DECIMAL(18,6)))
+                     FILTER (WHERE event_type = '{t}'), 0) AS DOUBLE) AS v_{t}"""
+            for t in ("click", "error", "purchase", "signup", "view")
+        )
+        + """
+            FROM events GROUP BY user_id
         """,
         "events_asof": """
             WITH clicks AS (

@@ -1,0 +1,80 @@
+"""OLAP window/pivot operators over the events table.
+
+Rolling aggregates: the classic per-entity trailing-window feature
+(last-N moving sum/average) as ONE hash shuffle on the entity key with
+partition-local window sorts — the same cost shape as sessionization.
+Averages are assembled from a DECIMAL sum cast to double, then one
+IEEE double division, so the DuckDB oracle hash-matches (decimal→
+double casts and +,·,/ round identically in both engines; a native
+float AVG would fold in partition order and drift).
+
+Pivot: written as conditional aggregation (`count/sum(CASE WHEN ...)`
+per vocabulary value) rather than `groupBy().pivot()`. With an
+explicit vocabulary the two are semantically identical, but Spark
+lowers `.pivot()` to TWO exchanges (a (key, pivot-col) pre-aggregate,
+then a pivotfirst re-aggregate on the key) while the conditional form
+is ONE partial-aggregated shuffle on the key — each map task emits one
+pre-combined row per group with every pivot column. Verified with
+`.explain`; the plan-shape test pins it. The oracle is the same
+conditional form in DuckDB (`FILTER (WHERE ...)`).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from ..functions.eventtime import event_micros
+
+#: the testdata's closed event-type vocabulary
+EVENT_TYPES: tuple[str, ...] = ("click", "error", "purchase", "signup", "view")
+
+
+def rolling_user_stats(events: DataFrame, n_last: int = 3) -> DataFrame:
+    """(event_id, user_id, tus, n_window, sum_value, avg_value): each
+    event with the trailing-`n_last`-event sum/average of `value` for
+    the same user, ordered by (event time, event_id)."""
+    ev = events.select(
+        "event_id", "user_id", event_micros(events).alias("tus"), "value"
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("tus", "event_id")
+        .rowsBetween(-(n_last - 1), Window.currentRow)
+    )
+    dec_sum = F.sum(F.col("value").cast("decimal(18,6)")).over(w)
+    n_win = F.count("*").over(w).cast("long")
+    return ev.select(
+        "event_id",
+        "user_id",
+        "tus",
+        n_win.alias("n_window"),
+        dec_sum.cast("double").alias("sum_value"),
+        (dec_sum.cast("double") / n_win).alias("avg_value"),
+    )
+
+
+def event_type_pivot(
+    events: DataFrame, types: Sequence[str] = EVENT_TYPES
+) -> DataFrame:
+    """(user_id, n_<type>..., v_<type>...): per-user event counts and
+    decimal value sums pivoted into one row per user."""
+    aggs = []
+    for t in types:
+        is_t = F.col("event_type") == F.lit(t)
+        aggs.append(F.count(F.when(is_t, 1)).cast("long").alias(f"n_{t}"))
+        aggs.append(
+            F.coalesce(
+                F.sum(F.when(is_t, F.col("value").cast("decimal(18,6)"))),
+                F.lit(0).cast("decimal(18,6)"),
+            )
+            .cast("double")
+            .alias(f"v_{t}")
+        )
+    return (
+        events.select("user_id", "event_type", "value")
+        .groupBy("user_id")
+        .agg(*aggs)
+    )
