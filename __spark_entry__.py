@@ -381,6 +381,14 @@ def q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     return graphalg.pagerank(og, iters=4)
 
 
+def q_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """3-core of the original graph by iterative peeling (early-exit
+    loop; the oracle unrolls a fixed round count — no-op past the
+    fixpoint — so both engines name the same subgraph)."""
+    og, _ = _graphs(spark, sf_dir)
+    return graphalg.kcore_vertices(og, k=3)
+
+
 def q_bfs_distances(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Directed single-source BFS hop counts from the minimum vertex id
     (frontier expansion, one shuffle per round) — the oracle is a
@@ -453,6 +461,30 @@ bfs(id, dist) AS (
 SELECT CAST(id AS BIGINT) AS id, CAST(MIN(dist) AS BIGINT) AS dist
 FROM bfs GROUP BY id
 """
+
+
+def _kcore_sql(k: int = 3, rounds: int = 16) -> str:
+    # round-unrolled peeling, the same trick as _pagerank_sql: extra
+    # rounds past the fixpoint are no-ops, so a fixed unroll depth
+    # checks the same object Spark's early-exiting loop produces
+    # MATERIALIZED is load-bearing: each round references the previous
+    # active set twice, so default CTE inlining would expand 2^rounds
+    ctes = f""",
+{_UND_CTES.strip()},
+active_0 AS MATERIALIZED (
+  SELECT a, b FROM und UNION ALL SELECT b AS a, a AS b FROM und)"""
+    for i in range(1, rounds + 1):
+        ctes += f""",
+keep_{i} AS MATERIALIZED (
+  SELECT a AS id FROM active_{i - 1} GROUP BY a HAVING COUNT(*) >= {k}),
+active_{i} AS MATERIALIZED (
+  SELECT t.a, t.b FROM active_{i - 1} t
+  JOIN keep_{i} x ON t.a = x.id
+  JOIN keep_{i} y ON t.b = y.id
+)"""
+    return graph_sql(
+        f"{ctes} SELECT CAST(id AS BIGINT) AS id FROM keep_{rounds}"
+    )
 
 
 def _pagerank_sql(iters: int = 4) -> str:
@@ -1066,6 +1098,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "connected_components": q_connected_components,
         "pagerank": q_pagerank,
         "bfs_distances": q_bfs_distances,
+        "kcore": q_kcore,
         "tfidf_top_terms": q_tfidf_top_terms,
         "walk_kernel": q_walk_kernel,
         "mitm_pipeline": q_mitm_pipeline,
@@ -1231,6 +1264,7 @@ def oracle_sql() -> dict[str, str]:
         "connected_components": _components_sql(),
         "pagerank": _pagerank_sql(iters=4),
         "bfs_distances": _bfs_sql(),
+        "kcore": _kcore_sql(k=3, rounds=16),
         "tfidf_top_terms": doc_oracles.tfidf_sql(k=5),
         "dedup_exact": doc_oracles.dedup_exact_sql(),
         "dedup_ngram_jaccard": doc_oracles.ngram_jaccard_sql(n=3, threshold=0.2),

@@ -206,3 +206,36 @@ def bfs_distances(
         visited = visited.unionAll(nxt).localCheckpoint()
         frontier = nxt
     return visited
+
+
+def kcore_vertices(graph: NetGraph, k: int = 3, rounds: int = 16) -> DataFrame:
+    """(id,): vertices of the (undirected) k-core after `rounds` peels —
+    drop vertices with degree < k, restrict edges to survivors, repeat.
+    The true k-core is the fixpoint; peeling converges in O(rounds of
+    cascading deletions), and extra rounds are no-ops, so a fixed
+    `rounds` matched by the round-unrolled SQL oracle checks the exact
+    same object on both engines. One degree aggregation + one
+    semi-join restriction per round, localCheckpointed; per-round
+    traffic shrinks with the surviving edge set."""
+    und = undirected_edges(graph)
+    active = und.unionAll(
+        und.select(F.col("b").alias("a"), F.col("a").alias("b"))
+    ).localCheckpoint()
+    keep = None
+    prev_edges = active.count()
+    for _ in range(rounds):
+        deg = active.groupBy("a").agg(F.count("*").alias("c"))
+        keep = deg.filter(F.col("c") >= k).select(F.col("a").alias("id"))
+        active = (
+            active.join(keep.withColumnRenamed("id", "a"), on="a", how="left_semi")
+            .join(keep.withColumnRenamed("id", "b"), on="b", how="left_semi")
+            .select("a", "b")
+            .localCheckpoint()
+        )
+        n_edges = active.count()
+        if n_edges == prev_edges:
+            break
+        prev_edges = n_edges
+    if keep is None:  # rounds == 0: degree filter never applied
+        keep = active.select(F.col("a").alias("id")).distinct()
+    return keep.select(F.col("id").cast("long").alias("id"))

@@ -117,3 +117,27 @@ def test_bfs_distances_explicit_source_and_cap(spark):
         for r in graphalg.bfs_distances(g, source=1, max_iters=1).collect()
     }
     assert capped == {1: 0, 2: 1}
+
+
+def test_kcore_peels_cascades(spark):
+    # K4 on {1..4} with a pendant path 4-5-6: the 3-core is exactly K4
+    # (5 and 6 peel in cascade), and the 2-core keeps nothing of the
+    # path either since it is a tree branch
+    k4 = [(1, 2), (1, 3), (1, 4), (2, 3), (2, 4), (3, 4)]
+    g = _graph(spark, [1, 2, 3, 4, 5, 6], k4 + [(4, 5), (5, 6)])
+    assert {r["id"] for r in graphalg.kcore_vertices(g, k=3).collect()} == {
+        1, 2, 3, 4,
+    }
+    assert {r["id"] for r in graphalg.kcore_vertices(g, k=2).collect()} == {
+        1, 2, 3, 4,
+    }
+
+
+def test_kcore_cycle_is_its_own_2core(spark):
+    # a 5-cycle with a pendant vertex: 2-core = the cycle, 3-core empty
+    cyc = [(1, 2), (2, 3), (3, 4), (4, 5), (5, 1), (3, 9)]
+    g = _graph(spark, [1, 2, 3, 4, 5, 9], cyc)
+    assert {r["id"] for r in graphalg.kcore_vertices(g, k=2).collect()} == {
+        1, 2, 3, 4, 5,
+    }
+    assert graphalg.kcore_vertices(g, k=3).count() == 0
