@@ -151,3 +151,29 @@ def test_session_window_batch_mode(spark):
     }
     assert len(got) == 3  # user 1 splits at the 2h silence; user 2 single
     assert sorted(got.values()) == [1, 1, 2]
+
+
+def test_stream_static_enrichment_equals_batch(spark, events_dir):
+    """Stream-static broadcast join: enriching the event stream with a
+    batch-derived user profile gives exactly the batch join's rows."""
+    from big_data_graph_analysis_with_spark_spark.streaming import enrich
+
+    batch = spark.read.parquet(f"{SF0001}/events.parquet")
+    # profile from the first half of users; the rest exercise tier='new'
+    profiles = enrich.user_profiles(batch.filter(F.col("user_id") % 2 == 0))
+
+    stream = walk_rates.read_events_stream(spark, events_dir)
+    walk_rates.run_to_memory_sink(
+        enrich.enrich_events(stream, profiles), "enriched", "append"
+    )
+    got = {
+        (r["event_id"], r["hist_events"], r["hist_value"], r["tier"])
+        for r in spark.table("enriched").collect()
+    }
+    want = {
+        (r["event_id"], r["hist_events"], r["hist_value"], r["tier"])
+        for r in enrich.enrich_events(batch, profiles).collect()
+    }
+    assert got == want and len(got) > 0
+    tiers = {r[3] for r in got}
+    assert "new" in tiers and len(tiers) > 1
