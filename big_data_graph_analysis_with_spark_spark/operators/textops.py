@@ -150,10 +150,11 @@ def tfidf_top_terms(docs: DataFrame, k: int = 5) -> DataFrame:
     The usual ln() is deliberately not applied engine-side: IEEE-754
     makes +,·,/ exactly reproducible across engines but transcendentals
     are libm-dependent, and ln is monotone in the ratio — rankings are
-    identical, the display layer can take the log. Two shuffles total
-    (term-keyed df window, doc-keyed ranking window); at 100 TB the df
-    side is the skew risk (stopword terms), absorbed by the partial
-    aggregation of the tf groupBy that precedes it.
+    identical, the display layer can take the log. Three shuffles total
+    (tf partial-aggregate on (doc, term), term-keyed df window,
+    doc-keyed ranking window); at 100 TB the df side is the skew risk
+    (stopword terms), absorbed by the partial aggregation of the tf
+    groupBy that precedes it.
     """
     from pyspark.sql import Window
 

@@ -420,3 +420,16 @@ def test_shard_assignments_partition_and_order(spark, docs):
     assert {(r["doc_id"], r["shard"], r["pos"]) for r in again.collect()} == {
         (r["doc_id"], r["shard"], r["pos"]) for r in out
     }
+
+
+def test_sampling_plan_shapes(spark, docs):
+    """mixture_sample must stay a narrow map (zero exchanges — the
+    weight CASE is inlined, no join); shard_assignments exactly one."""
+    from big_data_graph_analysis_with_spark_spark.operators import sampling
+
+    mixed = sampling.mixture_sample(docs, {"en": 0.5}, default_rate=0.1, seed=1)
+    plan = mixed._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange") == 0
+    sh = sampling.shard_assignments(docs, n_shards=8, seed=3)
+    plan = sh._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange") == 1
