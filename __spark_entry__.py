@@ -890,6 +890,23 @@ def q_events_windowed(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_events_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hopping-window rollup (1-hour windows every 15 min): each event
+    lands in 4 overlapping windows, expanded in-plan by F.window — no
+    self-join. Same engine path as the streaming twin."""
+    from big_data_graph_analysis_with_spark_spark.streaming import walk_rates
+
+    ev = _prep(spark).read.parquet(f"{sf_dir}/events.parquet")
+    return walk_rates.windowed_event_counts(
+        ev, window="1 hour", slide="15 minutes"
+    ).select(
+        F.unix_timestamp("window_start").alias("window_start_epoch"),
+        "event_type",
+        "n_events",
+        "sum_value",
+    )
+
+
 def q_events_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
     """As-of join: each click event picks up the latest at-or-before
     view event of the same user (union-and-carry, one shuffle). The
@@ -1132,6 +1149,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_summary": q_multimodal_summary,
         "events_windowed": q_events_windowed,
         "events_asof": q_events_asof,
+        "events_sliding": q_events_sliding,
         "events_rolling": q_events_rolling,
         "events_pivot": q_events_pivot,
         "top_ngrams": q_top_ngrams,
@@ -1307,6 +1325,23 @@ def oracle_sql() -> dict[str, str]:
                    CAST(COUNT(*) AS BIGINT) AS n_events,
                    CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
             FROM events GROUP BY 1, 2
+        """,
+        "events_sliding": """
+            WITH e AS (
+              SELECT event_type, value, epoch_us(ts) AS tus FROM events
+            ),
+            x AS (
+              SELECT event_type, value,
+                     ((tus // 900000000) - k) * 900 AS ws_epoch
+              FROM e CROSS JOIN (SELECT unnest(range(4)) AS k)
+              WHERE ((tus // 900000000) - k) * 900000000 + 3600000000 > tus
+            )
+            SELECT CAST(ws_epoch AS BIGINT) AS window_start_epoch,
+                   event_type,
+                   CAST(COUNT(*) AS BIGINT) AS n_events,
+                   CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE)
+                     AS sum_value
+            FROM x GROUP BY 1, 2
         """,
         "events_rolling": """
             WITH e AS (

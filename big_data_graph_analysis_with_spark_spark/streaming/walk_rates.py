@@ -49,19 +49,28 @@ def windowed_event_counts(
     events: DataFrame,
     window: str = "1 hour",
     watermark: str = "2 hours",
+    slide: str | None = None,
 ) -> DataFrame:
-    """Tumbling-window counts + value sums per event type.
+    """Tumbling — or, with `slide`, hopping — window counts + value
+    sums per event type. A sliding window assigns each event to
+    size/slide overlapping windows (Spark expands this in the plan; no
+    self-join), so state grows by that factor — the watermark still
+    bounds it.
 
     Works on both batch and streaming DataFrames (the streaming twin of
-    the batch `events_rollup` oracle query). With a stream, the
-    watermark lets Spark finalize windows and evict their state.
+    the batch `events_rollup` / `events_sliding` oracle queries). With
+    a stream, the watermark lets Spark finalize windows and evict their
+    state.
     """
     ev = with_event_time(events)
     if ev.isStreaming:
         ev = ev.withWatermark("event_time", watermark)
-    return ev.groupBy(
-        F.window("event_time", window).alias("win"), F.col("event_type")
-    ).agg(
+    win = (
+        F.window("event_time", window, slide)
+        if slide is not None
+        else F.window("event_time", window)
+    )
+    return ev.groupBy(win.alias("win"), F.col("event_type")).agg(
         F.count("*").cast("long").alias("n_events"),
         F.sum(F.col("value").cast("decimal(18,6)")).cast("double").alias("sum_value"),
     ).select(

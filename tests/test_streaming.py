@@ -177,3 +177,23 @@ def test_stream_static_enrichment_equals_batch(spark, events_dir):
     assert got == want and len(got) > 0
     tiers = {r[3] for r in got}
     assert "new" in tiers and len(tiers) > 1
+
+
+def test_sliding_counts_stream_equals_batch(spark, events_dir):
+    stream = walk_rates.read_events_stream(spark, events_dir)
+    agg = walk_rates.windowed_event_counts(stream, slide="15 minutes")
+    walk_rates.run_to_memory_sink(agg, "slide_counts", "complete")
+    got = {
+        (r["window_start"], r["event_type"]): (r["n_events"], r["sum_value"])
+        for r in spark.table("slide_counts").collect()
+    }
+    batch = spark.read.parquet(f"{SF0001}/events.parquet")
+    want = {
+        (r["window_start"], r["event_type"]): (r["n_events"], r["sum_value"])
+        for r in walk_rates.windowed_event_counts(
+            batch, slide="15 minutes"
+        ).collect()
+    }
+    assert got == want and len(got) > len(
+        walk_rates.windowed_event_counts(batch).collect()
+    )  # overlap factor: strictly more hopping windows than tumbling
