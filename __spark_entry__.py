@@ -768,6 +768,46 @@ def q_multimodal_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
 _Q3_CUT = "1998-06-01"
 
 
+def q_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5-style five-way join: revenue by nation for one region
+    and one order-date year, where supplier and customer share the
+    nation. region→nation broadcast into the fact chain; the
+    s_nationkey = c_nationkey equality rides the supplier join, so the
+    plan is a left-deep hash-join chain with both date filters pushed
+    to the scans — no join pair ever materializes outside its keys."""
+    region = spark.read.parquet(f"{sf_dir}/region.parquet")
+    nation = spark.read.parquet(f"{sf_dir}/nation.parquet")
+    cust = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    supp = spark.read.parquet(f"{sf_dir}/supplier.parquet")
+    orders = _prep(spark).read.parquet(f"{sf_dir}/orders.parquet")
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    lo = F.lit("1996-01-01").cast("timestamp_ntz")
+    hi = F.lit("1997-01-01").cast("timestamp_ntz")
+    revenue = (
+        F.col("l_extendedprice").cast("decimal(18,2)")
+        * (F.lit(1).cast("decimal(18,2)") - F.col("l_discount").cast("decimal(18,2)"))
+    ).cast("decimal(28,4)")
+    asia_nations = F.broadcast(
+        region.filter(F.col("r_name") == "ASIA").join(
+            nation, F.col("r_regionkey") == F.col("n_regionkey")
+        )
+    )
+    return (
+        cust.join(asia_nations, F.col("c_nationkey") == F.col("n_nationkey"))
+        .join(orders, F.col("c_custkey") == F.col("o_custkey"))
+        .filter((F.col("o_orderdate") >= lo) & (F.col("o_orderdate") < hi))
+        .join(li, F.col("o_orderkey") == F.col("l_orderkey"))
+        .join(
+            supp,
+            (F.col("l_suppkey") == F.col("s_suppkey"))
+            & (F.col("s_nationkey") == F.col("c_nationkey")),
+        )
+        .groupBy("n_name")
+        .agg(F.sum(revenue).cast("double").alias("revenue"))
+        .orderBy(F.desc("revenue"), F.asc("n_name"))
+    )
+
+
 def q_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q3-style join pipeline: segment-filtered customers ⋈
     date-filtered orders ⋈ lineitem, revenue per order, top 10.
@@ -1159,6 +1199,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_range_join": q_events_range_join,
         "salted_supplier_revenue": q_salted_supplier_revenue,
         "shipping_priority": q_shipping_priority,
+        "local_supplier_volume": q_local_supplier_volume,
         "pricing_summary": q_pricing_summary,
         "top_customers_per_nation": q_top_customers_per_nation,
         "events_rollup": q_events_rollup,
@@ -1480,6 +1521,25 @@ def oracle_sql() -> dict[str, str]:
             FROM r, (VALUES ('p50', 1, 2), ('p90', 9, 10), ('p99', 99, 100))
                  AS q(p_label, num, den)
             WHERE rn - 1 = (cnt - 1) * q.num // q.den
+        """,
+        "local_supplier_volume": """
+            SELECT n_name,
+                   CAST(SUM(CAST(
+                        CAST(l_extendedprice AS DECIMAL(18,2))
+                        * (CAST(1 AS DECIMAL(18,2))
+                           - CAST(l_discount AS DECIMAL(18,2)))
+                        AS DECIMAL(28,4))) AS DOUBLE) AS revenue
+            FROM customer, orders, lineitem, supplier, nation, region
+            WHERE c_custkey = o_custkey
+              AND l_orderkey = o_orderkey
+              AND l_suppkey = s_suppkey
+              AND c_nationkey = s_nationkey
+              AND s_nationkey = n_nationkey
+              AND n_regionkey = r_regionkey
+              AND r_name = 'ASIA'
+              AND o_orderdate >= TIMESTAMP '1996-01-01'
+              AND o_orderdate < TIMESTAMP '1997-01-01'
+            GROUP BY n_name
         """,
         "shipping_priority": f"""
             SELECT l_orderkey,
