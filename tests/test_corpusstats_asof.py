@@ -139,3 +139,30 @@ def test_label_centroids_exact_means(spark):
         (2, 0): (1, 5.0, 5.0),
         (2, 1): (1, 6.0, 6.0),
     }
+
+
+def test_approx_sketches_agree_with_exact(spark):
+    """The 100 TB paths for cardinality and quantiles are mergeable
+    sketches (HLL++ / t-digest via approx_count_distinct /
+    approx_percentile); pin their error against the exact operators on
+    the fixture so a Spark upgrade that degrades sketch accuracy fails
+    loudly rather than silently skewing corpus stats."""
+    from tests.conftest import SF0001
+
+    docs = spark.read.parquet(f"{SF0001}/documents.parquet")
+
+    words = docs.select(F.explode(F.split("text", " ")).alias("w"))
+    exact = words.select(F.countDistinct("w").alias("n")).first()["n"]
+    approx = words.select(
+        F.approx_count_distinct("w", rsd=0.02).alias("n")
+    ).first()["n"]
+    assert abs(approx - exact) / exact < 0.06  # 3× the configured rsd
+
+    toks = docs.select(F.size(F.split("text", " ")).alias("n_tokens"))
+    ap50, ap90 = toks.select(
+        F.percentile_approx("n_tokens", [0.5, 0.9], 10_000).alias("q")
+    ).first()["q"]
+    stats = toks.summary("50%", "90%").collect()
+    ex50, ex90 = (float(r["n_tokens"]) for r in stats)
+    # t-digest at accuracy=10k is exact on fixture-sized groups
+    assert abs(ap50 - ex50) <= 1 and abs(ap90 - ex90) <= 1
