@@ -600,6 +600,23 @@ def q_corpus_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
     return corpus.clean_corpus(_docs(spark, sf_dir), quality_threshold=0.2)
 
 
+def q_corpus_prepare(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The WHOLE corpus-preparation pass — clean → per-language mixture
+    reweight → deterministic shard shuffle — as one declarative plan
+    (operators/corpus.prepare_corpus)."""
+    from big_data_graph_analysis_with_spark_spark.operators import corpus
+
+    return corpus.prepare_corpus(
+        _docs(spark, sf_dir),
+        quality_threshold=0.2,
+        weights=_MIX_WEIGHTS,
+        default_rate=0.5,
+        mix_seed=11,
+        n_shards=4,
+        shard_seed=3,
+    )
+
+
 def q_doc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Context-length chunking: consecutive ≤64-token chunks per doc."""
     from big_data_graph_analysis_with_spark_spark.operators import chunking
@@ -1170,6 +1187,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "similarity_ann_lsh_exact": q_similarity_ann_lsh_exact,
         "similarity_ann_ivf": q_similarity_ann_ivf,
         "corpus_clean": q_corpus_clean,
+        "corpus_prepare": q_corpus_prepare,
         "decontaminate": q_decontaminate,
         "repetition_stats": q_repetition_stats,
         "pii_redaction": q_pii_redaction,
@@ -1338,6 +1356,16 @@ def oracle_sql() -> dict[str, str]:
             k=5, query_max_id=20
         ),
         "corpus_clean": doc_oracles.clean_corpus_sql(quality_threshold=0.2),
+        "corpus_prepare": doc_oracles.prepare_corpus_sql(
+            quality_threshold=0.2,
+            n=3,
+            jaccard_threshold=0.2,
+            weights=_MIX_WEIGHTS,
+            default_rate=0.5,
+            mix_seed=11,
+            n_shards=4,
+            shard_seed=3,
+        ),
         "decontaminate": doc_oracles.decontaminate_sql(
             eval_frac=0.1, seed=7, n=3, min_overlap=2
         ),

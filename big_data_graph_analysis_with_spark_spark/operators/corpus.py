@@ -50,3 +50,34 @@ def clean_corpus(
         )
         .select("doc_id", "lang", "guessed_lang", "quality", "n_tokens")
     )
+
+
+def prepare_corpus(
+    docs: DataFrame,
+    quality_threshold: float = 0.2,
+    n: int = 3,
+    jaccard_threshold: float = 0.2,
+    weights: dict[str, float] | None = None,
+    default_rate: float = 1.0,
+    mix_seed: int = 0,
+    n_shards: int = 8,
+    shard_seed: int = 0,
+) -> DataFrame:
+    """(doc_id, lang, quality, shard, pos): the full corpus-preparation
+    pass — clean (quality gate + near-dup canonical), mixture-reweight
+    per language, deterministic shard shuffle — as ONE declarative
+    plan. Catalyst plans the whole chain globally: the mixture filter
+    is a narrow CASE over the survivors relation (it composes into the
+    same stage as the final clean join), and only the shard window adds
+    a shuffle beyond clean_corpus itself.
+    """
+    from .sampling import mixture_sample, shard_assignments
+
+    survivors = clean_corpus(docs, quality_threshold, n, jaccard_threshold)
+    mixed = mixture_sample(
+        survivors, weights or {}, strata_col="lang",
+        default_rate=default_rate, seed=mix_seed,
+    )
+    return shard_assignments(
+        mixed, n_shards=n_shards, seed=shard_seed, keep=("lang", "quality")
+    ).select("doc_id", "lang", "quality", "shard", "pos")

@@ -104,7 +104,11 @@ def mixture_sample(
 
 
 def shard_assignments(
-    docs: DataFrame, n_shards: int = 8, seed: int = 0, id_col: str = "doc_id"
+    docs: DataFrame,
+    n_shards: int = 8,
+    seed: int = 0,
+    id_col: str = "doc_id",
+    keep: tuple[str, ...] = (),
 ) -> DataFrame:
     """(id, shard, pos): deterministic global training shuffle. Each
     row's shard is its seeded hash mod n_shards; its position within
@@ -118,6 +122,7 @@ def shard_assignments(
     return (
         docs.select(
             id_col,
+            *keep,
             (h % n_shards).cast("long").alias("shard"),
             h.alias("_h"),
         )

@@ -393,15 +393,13 @@ FROM sess GROUP BY user_id, session_id
 """
 
 
-def clean_corpus_sql(
-    quality_threshold: float = 0.2, n: int = 3, jaccard_threshold: float = 0.2
+def _clean_corpus_ctes(
+    quality_threshold: float, n: int, jaccard_threshold: float
 ) -> str:
-    """Mirrors corpus.clean_corpus — the composed pipeline oracle:
-    quality + language branches joined with near-dup canonical
-    resolution (the same recursive-CTE components as dup_groups_sql,
-    fed by the MinHash pair query)."""
-    return f"""
-WITH RECURSIVE pairs AS ({minhash_lsh_sql(n, jaccard_threshold)}),
+    """CTE chain (for a WITH RECURSIVE preamble) ending in `survivors`
+    — shared by the clean-corpus oracle and the composed
+    prepare-corpus oracle."""
+    return f"""pairs AS ({minhash_lsh_sql(n, jaccard_threshold)}),
 und AS (SELECT doc_a AS a, doc_b AS b FROM pairs
         UNION ALL SELECT doc_b AS a, doc_a AS b FROM pairs),
 dnodes AS (SELECT DISTINCT a AS doc_id FROM und),
@@ -412,14 +410,64 @@ reach(doc_id, r) AS (
 ),
 groups AS (SELECT doc_id, MIN(r) AS group_id FROM reach GROUP BY doc_id),
 q AS ({quality_sql()}),
-lid AS ({language_id_sql()})
-SELECT d.doc_id, d.lang, lid.guessed_lang, q.quality, q.n_tokens
-FROM documents d
-JOIN q ON q.doc_id = d.doc_id
-JOIN lid ON lid.doc_id = d.doc_id
-LEFT JOIN groups g ON g.doc_id = d.doc_id
-WHERE q.quality >= {quality_threshold}
-  AND (g.group_id IS NULL OR g.group_id = d.doc_id)
+lid AS ({language_id_sql()}),
+survivors AS (
+  SELECT d.doc_id, d.lang, lid.guessed_lang, q.quality, q.n_tokens
+  FROM documents d
+  JOIN q ON q.doc_id = d.doc_id
+  JOIN lid ON lid.doc_id = d.doc_id
+  LEFT JOIN groups g ON g.doc_id = d.doc_id
+  WHERE q.quality >= {quality_threshold}
+    AND (g.group_id IS NULL OR g.group_id = d.doc_id)
+)"""
+
+
+def clean_corpus_sql(
+    quality_threshold: float = 0.2, n: int = 3, jaccard_threshold: float = 0.2
+) -> str:
+    """Mirrors corpus.clean_corpus — the composed pipeline oracle:
+    quality + language branches joined with near-dup canonical
+    resolution (the same recursive-CTE components as dup_groups_sql,
+    fed by the MinHash pair query)."""
+    return f"""
+WITH RECURSIVE {_clean_corpus_ctes(quality_threshold, n, jaccard_threshold)}
+SELECT doc_id, lang, guessed_lang, quality, n_tokens FROM survivors
+"""
+
+
+def prepare_corpus_sql(
+    quality_threshold: float,
+    n: int,
+    jaccard_threshold: float,
+    weights: dict[str, float],
+    default_rate: float,
+    mix_seed: int,
+    n_shards: int,
+    shard_seed: int,
+) -> str:
+    """Mirrors corpus.prepare_corpus: clean → mixture-reweight →
+    shard-shuffle, chained on the survivors CTE."""
+    cases = " ".join(
+        f"WHEN lang = '{k}' THEN {int(v * 1_000_000)}"
+        for k, v in sorted(weights.items())
+    )
+    default = int(default_rate * 1_000_000)
+    h = hash56_sql("doc_id", seed=shard_seed)
+    return f"""
+WITH RECURSIVE {_clean_corpus_ctes(quality_threshold, n, jaccard_threshold)},
+mixed AS (
+  SELECT doc_id, lang, quality FROM survivors
+  WHERE {_bucket_sql(mix_seed)} < CASE {cases} ELSE {default} END
+),
+sharded AS (
+  SELECT doc_id, lang, quality,
+         CAST({h} % {n_shards} AS BIGINT) AS shard, {h} AS hh
+  FROM mixed
+)
+SELECT doc_id, lang, quality, shard,
+       CAST(ROW_NUMBER() OVER (
+         PARTITION BY shard ORDER BY hh ASC, doc_id ASC) AS BIGINT) AS pos
+FROM sharded
 """
 
 

@@ -433,3 +433,31 @@ def test_sampling_plan_shapes(spark, docs):
     sh = sampling.shard_assignments(docs, n_shards=8, seed=3)
     plan = sh._jdf.queryExecution().executedPlan().toString()
     assert plan.count("Exchange") == 1
+
+
+def test_prepare_corpus_composes_stages(spark, docs):
+    from big_data_graph_analysis_with_spark_spark.operators import corpus, sampling
+
+    out = corpus.prepare_corpus(
+        docs, weights={"en": 1.0}, default_rate=0.5,
+        mix_seed=11, n_shards=4, shard_seed=3,
+    ).collect()
+    survivors = {
+        r["doc_id"]: r["quality"]
+        for r in corpus.clean_corpus(docs).collect()
+    }
+    # every output row is a clean survivor with its quality carried
+    assert all(r["doc_id"] in survivors and r["quality"] == survivors[r["doc_id"]]
+               for r in out)
+    # english survivors pass the weight-1.0 gate untouched
+    en_out = {r["doc_id"] for r in out if r["lang"] == "en"}
+    en_survivors = {
+        r["doc_id"]
+        for r in corpus.clean_corpus(docs).filter(F.col("lang") == "en").collect()
+    }
+    assert en_out == en_survivors
+    # shard positions are dense 1..n per shard
+    by_shard = {}
+    for r in out:
+        by_shard.setdefault(r["shard"], []).append(r["pos"])
+    assert all(sorted(v) == list(range(1, len(v) + 1)) for v in by_shard.values())
