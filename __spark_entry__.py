@@ -785,6 +785,38 @@ def q_multimodal_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
 _Q3_CUT = "1998-06-01"
 
 
+def q_orders_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC merge over orders: a derived change batch (doubled price
+    for keys ≡0 mod 7 at v1, delete markers for keys ≡0 mod 13 at v2)
+    folded into the v0 base — last-writer-wins per key, change side
+    wins ties, delete winners dropped. One key shuffle, no join
+    (operators/merge.upsert)."""
+    from big_data_graph_analysis_with_spark_spark.operators import merge
+
+    orders = _prep(spark).read.parquet(f"{sf_dir}/orders.parquet").select(
+        "o_orderkey", "o_totalprice", "o_orderstatus"
+    )
+    base = orders.withColumn("v", F.lit(0).cast("long"))
+    updates = (
+        orders.filter(F.col("o_orderkey") % 7 == 0)
+        .withColumn("o_totalprice", F.col("o_totalprice") * 2)
+        .withColumn("v", F.lit(1).cast("long"))
+        .withColumn("_del", F.lit(False))
+    )
+    deletes = (
+        orders.filter(F.col("o_orderkey") % 13 == 0)
+        .withColumn("v", F.lit(2).cast("long"))
+        .withColumn("_del", F.lit(True))
+    )
+    return merge.upsert(
+        base,
+        updates.unionByName(deletes),
+        key=["o_orderkey"],
+        version_col="v",
+        delete_col="_del",
+    )
+
+
 def q_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q5-style five-way join: revenue by nation for one region
     and one order-date year, where supplier and customer share the
@@ -962,6 +994,15 @@ def q_events_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_events",
         "sum_value",
     )
+
+
+def q_event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition counts over per-user journeys
+    (lag window + vocabulary-sized aggregation)."""
+    from big_data_graph_analysis_with_spark_spark.operators import olap
+
+    ev = _prep(spark).read.parquet(f"{sf_dir}/events.parquet")
+    return olap.event_transitions(ev)
 
 
 def q_events_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1210,6 +1251,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_sliding": q_events_sliding,
         "events_rolling": q_events_rolling,
         "events_pivot": q_events_pivot,
+        "event_transitions": q_event_transitions,
         "top_ngrams": q_top_ngrams,
         "token_quantiles": q_token_quantiles,
         "embedding_centroids": q_embedding_centroids,
@@ -1218,6 +1260,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "salted_supplier_revenue": q_salted_supplier_revenue,
         "shipping_priority": q_shipping_priority,
         "local_supplier_volume": q_local_supplier_volume,
+        "orders_upsert": q_orders_upsert,
         "pricing_summary": q_pricing_summary,
         "top_customers_per_nation": q_top_customers_per_nation,
         "events_rollup": q_events_rollup,
@@ -1395,6 +1438,22 @@ def oracle_sql() -> dict[str, str]:
                    CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
             FROM events GROUP BY 1, 2
         """,
+        "event_transitions": """
+            WITH e AS (
+              SELECT user_id, event_id, epoch_us(ts) AS tus, event_type
+              FROM events
+            ),
+            lagged AS (
+              SELECT event_type AS to_type,
+                     LAG(event_type) OVER (
+                       PARTITION BY user_id ORDER BY tus, event_id)
+                       AS from_type
+              FROM e
+            )
+            SELECT from_type, to_type, CAST(COUNT(*) AS BIGINT) AS n
+            FROM lagged WHERE from_type IS NOT NULL
+            GROUP BY from_type, to_type
+        """,
         "events_sliding": """
             WITH e AS (
               SELECT event_type, value, epoch_us(ts) AS tus FROM events
@@ -1549,6 +1608,28 @@ def oracle_sql() -> dict[str, str]:
             FROM r, (VALUES ('p50', 1, 2), ('p90', 9, 10), ('p99', 99, 100))
                  AS q(p_label, num, den)
             WHERE rn - 1 = (cnt - 1) * q.num // q.den
+        """,
+        "orders_upsert": """
+            WITH allrows AS (
+              SELECT o_orderkey, o_totalprice, o_orderstatus,
+                     0 AS v, FALSE AS del, 0 AS chg
+              FROM orders
+              UNION ALL
+              SELECT o_orderkey, o_totalprice * 2, o_orderstatus,
+                     1, FALSE, 1
+              FROM orders WHERE o_orderkey % 7 = 0
+              UNION ALL
+              SELECT o_orderkey, o_totalprice, o_orderstatus, 2, TRUE, 1
+              FROM orders WHERE o_orderkey % 13 = 0
+            ),
+            ranked AS (
+              SELECT *, ROW_NUMBER() OVER (
+                PARTITION BY o_orderkey ORDER BY v DESC, chg DESC) AS rn
+              FROM allrows
+            )
+            SELECT o_orderkey, o_totalprice, o_orderstatus,
+                   CAST(v AS BIGINT) AS v
+            FROM ranked WHERE rn = 1 AND NOT del
         """,
         "local_supplier_volume": """
             SELECT n_name,

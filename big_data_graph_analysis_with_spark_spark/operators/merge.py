@@ -1,0 +1,53 @@
+"""Batch CDC merge (upsert) — last-writer-wins reconciliation.
+
+The table-maintenance primitive every lakehouse engine ships (Delta
+MERGE, Iceberg upsert): fold a change batch into a base snapshot,
+keeping the highest-version row per key and honoring delete markers.
+Expressed as union + one windowed argmax per key — ONE hash shuffle on
+the key, no join at all (a full-outer-join formulation shuffles both
+sides the same amount and then pays the join). Ties on version resolve
+to the change side (is_change DESC), the conventional
+"updates win over base at equal version" rule, then deterministically
+by nothing else — (key, version, side) is unique by contract.
+
+At 100 TB: base and changes are both key-hashed once; if the base is
+bucketed on the key (sources/parquet_graph bucketing), the exchange
+for the base side disappears entirely and only the (small) change
+batch shuffles.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def upsert(
+    base: DataFrame,
+    changes: DataFrame,
+    key: Sequence[str],
+    version_col: str,
+    delete_col: str | None = None,
+) -> DataFrame:
+    """Merged snapshot: per key, the row with the highest
+    `version_col` (change batch wins version ties); rows whose winner
+    has `delete_col` true are dropped. Schemas must match (plus the
+    optional delete marker on the change side)."""
+    key = list(key)
+    if delete_col is None:
+        delete_col = "_deleted"
+        changes = changes.withColumn(delete_col, F.lit(False))
+    base = base.withColumn(delete_col, F.lit(False))
+    tagged = base.withColumn("_chg", F.lit(0)).unionByName(
+        changes.withColumn("_chg", F.lit(1))
+    )
+    w = Window.partitionBy(*key).orderBy(
+        F.desc(version_col), F.desc("_chg")
+    )
+    return (
+        tagged.withColumn("_rn", F.row_number().over(w))
+        .filter((F.col("_rn") == 1) & ~F.col(delete_col))
+        .drop("_rn", "_chg", delete_col)
+    )

@@ -78,3 +78,21 @@ def event_type_pivot(
         .groupBy("user_id")
         .agg(*aggs)
     )
+
+
+def event_transitions(events: DataFrame) -> DataFrame:
+    """(from_type, to_type, n): first-order Markov transition counts
+    over each user's time-ordered event stream — the user-journey
+    matrix. One lag window per user (hash shuffle on user_id, local
+    sorts) then a vocabulary-sized aggregation."""
+    ev = events.select(
+        "user_id", "event_id", event_micros(events).alias("tus"), "event_type"
+    )
+    w = Window.partitionBy("user_id").orderBy("tus", "event_id")
+    prev = F.lag("event_type").over(w)
+    return (
+        ev.withColumn("from_type", prev)
+        .filter(F.col("from_type").isNotNull())
+        .groupBy("from_type", F.col("event_type").alias("to_type"))
+        .agg(F.count("*").cast("long").alias("n"))
+    )

@@ -54,3 +54,50 @@ def test_pivot_plan_single_shuffle(spark):
     plan = olap.event_type_pivot(_events(spark))._jdf.queryExecution().executedPlan().toString()
     # explicit pivot values → no distinct pre-scan, exactly one exchange
     assert plan.count("Exchange") == 1
+
+
+def test_event_transitions_known_journey(spark):
+    # user 1: click→view→click→error; user 2 contributes no transition
+    out = {
+        (r["from_type"], r["to_type"]): r["n"]
+        for r in olap.event_transitions(_events(spark)).collect()
+    }
+    assert out == {
+        ("click", "view"): 1,
+        ("view", "click"): 1,
+        ("click", "error"): 1,
+    }
+
+
+def test_upsert_last_writer_wins_and_deletes(spark):
+    from big_data_graph_analysis_with_spark_spark.operators import merge
+
+    base = spark.createDataFrame(
+        [(1, "a", 0), (2, "b", 0), (3, "c", 0)], "k LONG, val STRING, v LONG"
+    )
+    changes = spark.createDataFrame(
+        [
+            (2, "b2", 1, False),   # update wins by version
+            (3, "c2", 2, True),    # delete marker removes the key
+            (4, "d", 1, False),    # brand-new key inserts
+            (1, "a-tie", 0, False),  # version tie → change side wins
+        ],
+        "k LONG, val STRING, v LONG, _del BOOLEAN",
+    )
+    got = {
+        r["k"]: (r["val"], r["v"])
+        for r in merge.upsert(base, changes, ["k"], "v", "_del").collect()
+    }
+    assert got == {1: ("a-tie", 0), 2: ("b2", 1), 4: ("d", 1)}
+
+
+def test_upsert_plan_is_join_free(spark):
+    from big_data_graph_analysis_with_spark_spark.operators import merge
+
+    base = spark.createDataFrame([(1, "a", 0)], "k LONG, val STRING, v LONG")
+    changes = spark.createDataFrame(
+        [(1, "b", 1, False)], "k LONG, val STRING, v LONG, _del BOOLEAN"
+    )
+    plan = merge.upsert(base, changes, ["k"], "v", "_del")._jdf.queryExecution(
+    ).executedPlan().toString()
+    assert "Join" not in plan and plan.count("Exchange") == 1
