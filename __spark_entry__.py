@@ -600,6 +600,24 @@ def q_corpus_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
     return corpus.clean_corpus(_docs(spark, sf_dir), quality_threshold=0.2)
 
 
+def q_doc_expectations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-quality expectations report over documents: one
+    partial-aggregated pass however many rules, unpivoted in-plan."""
+    from big_data_graph_analysis_with_spark_spark.operators import curation
+
+    docs = _docs(spark, sf_dir)
+    return curation.expectations(
+        docs,
+        {
+            "text_not_null": F.col("text").isNotNull(),
+            "n_chars_positive": F.col("n_chars") > 0,
+            "n_chars_consistent": F.col("n_chars") == F.length("text"),
+            "lang_known": F.col("lang").isin("de", "en", "es", "fr", "zh"),
+            "text_min_tokens": F.size(F.split("text", " ")) >= 3,
+        },
+    )
+
+
 def q_corpus_prepare(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The WHOLE corpus-preparation pass — clean → per-language mixture
     reweight → deterministic shard shuffle — as one declarative plan
@@ -1229,6 +1247,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "similarity_ann_ivf": q_similarity_ann_ivf,
         "corpus_clean": q_corpus_clean,
         "corpus_prepare": q_corpus_prepare,
+        "doc_expectations": q_doc_expectations,
         "decontaminate": q_decontaminate,
         "repetition_stats": q_repetition_stats,
         "pii_redaction": q_pii_redaction,
@@ -1399,6 +1418,37 @@ def oracle_sql() -> dict[str, str]:
             k=5, query_max_id=20
         ),
         "corpus_clean": doc_oracles.clean_corpus_sql(quality_threshold=0.2),
+        "doc_expectations": """
+            WITH agg AS (
+              SELECT CAST(COUNT(*) AS BIGINT) AS n,"""
+        + ",".join(
+            f"""
+                CAST(SUM(CASE WHEN NOT COALESCE({cond}, FALSE)
+                    THEN 1 ELSE 0 END) AS BIGINT) AS r_{name}"""
+            for name, cond in [
+                ("text_not_null", "text IS NOT NULL"),
+                ("n_chars_positive", "n_chars > 0"),
+                ("n_chars_consistent", "n_chars = length(text)"),
+                ("lang_known", "lang IN ('de','en','es','fr','zh')"),
+                ("text_min_tokens", "len(string_split(text, ' ')) >= 3"),
+            ]
+        )
+        + """
+              FROM documents
+            )
+            """
+        + " UNION ALL ".join(
+            f"""
+            SELECT '{name}' AS rule, n AS n_rows, r_{name} AS n_violations,
+                   r_{name} / n AS violation_rate FROM agg"""
+            for name in [
+                "text_not_null",
+                "n_chars_positive",
+                "n_chars_consistent",
+                "lang_known",
+                "text_min_tokens",
+            ]
+        ),
         "corpus_prepare": doc_oracles.prepare_corpus_sql(
             quality_threshold=0.2,
             n=3,

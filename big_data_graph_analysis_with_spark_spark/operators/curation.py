@@ -142,3 +142,35 @@ def redact_pii(docs: DataFrame, text_col: str = "text") -> DataFrame:
         n_phones.cast("long").alias("n_phones"),
         t2.alias("clean_text"),
     )
+
+
+def expectations(df: DataFrame, rules: dict[str, "F.Column"]) -> DataFrame:
+    """(rule, n_rows, n_violations, violation_rate): declarative
+    data-quality report — each rule is a boolean Column an input row
+    is expected to satisfy; NULL evaluations count as violations
+    (coalesce-to-false), the conservative contract for quality gates.
+
+    ONE aggregation pass whatever the rule count: every rule folds to a
+    conditional sum in the same partial-aggregated global aggregate
+    (map-side combine → a single row crosses the wire per task), then
+    `stack` unpivots in-plan to the long report shape. The rate is one
+    bigint/bigint IEEE division → oracle-exact.
+    """
+    aggs = [F.count("*").cast("long").alias("_n")]
+    for name, cond in rules.items():
+        aggs.append(
+            F.sum((~F.coalesce(cond, F.lit(False))).cast("long"))
+            .cast("long")
+            .alias(name)
+        )
+    wide = df.agg(*aggs)
+    stack_expr = ", ".join(f"'{k}', {k}" for k in rules)
+    return wide.select(
+        F.expr(f"stack({len(rules)}, {stack_expr}) AS (rule, n_violations)"),
+        F.col("_n").alias("n_rows"),
+    ).select(
+        "rule",
+        "n_rows",
+        "n_violations",
+        (F.col("n_violations") / F.col("n_rows")).alias("violation_rate"),
+    )

@@ -461,3 +461,27 @@ def test_prepare_corpus_composes_stages(spark, docs):
     for r in out:
         by_shard.setdefault(r["shard"], []).append(r["pos"])
     assert all(sorted(v) == list(range(1, len(v) + 1)) for v in by_shard.values())
+
+
+def test_expectations_counts_null_as_violation(spark):
+    from big_data_graph_analysis_with_spark_spark.operators import curation
+
+    df = spark.createDataFrame(
+        [(1, "ok", 5), (2, None, 3), (3, "bad", -1)],
+        "id LONG, s STRING, x LONG",
+    )
+    out = {
+        r["rule"]: (r["n_rows"], r["n_violations"], r["violation_rate"])
+        for r in curation.expectations(
+            df,
+            {
+                "s_not_null": F.col("s").isNotNull(),
+                "x_positive": F.col("x") > 0,
+                # s = 'ok' evaluates NULL for row 2 → counted as violation
+                "s_is_ok": F.col("s") == "ok",
+            },
+        ).collect()
+    }
+    assert out["s_not_null"] == (3, 1, 1 / 3)
+    assert out["x_positive"] == (3, 1, 1 / 3)
+    assert out["s_is_ok"] == (3, 2, 2 / 3)
