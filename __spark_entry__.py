@@ -381,6 +381,13 @@ def q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     return graphalg.pagerank(og, iters=4)
 
 
+def q_sssp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted SSSP (Bellman-Ford, exact milli-unit weights) from the
+    minimum vertex id — Pregel's SSSP as join + min-agg rounds."""
+    og, _ = _graphs(spark, sf_dir)
+    return graphalg.sssp_distances(og, rounds=10)
+
+
 def q_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
     """3-core of the original graph by iterative peeling (early-exit
     loop; the oracle unrolls a fixed round count — no-op past the
@@ -461,6 +468,31 @@ bfs(id, dist) AS (
 SELECT CAST(id AS BIGINT) AS id, CAST(MIN(dist) AS BIGINT) AS dist
 FROM bfs GROUP BY id
 """
+
+
+def _sssp_sql(rounds: int = 10) -> str:
+    # Bellman-Ford unrolled; d_{k-1} is referenced twice per round
+    # (carry + relax), so MATERIALIZED again prevents 2^rounds inlining
+    ctes = """,
+wedges AS MATERIALIZED (
+  SELECT src, dst, (src * 7 + dst) % 1000 AS w FROM og_edges),
+d_0 AS (
+  SELECT id, CAST(0 AS BIGINT) AS d FROM og_vertices
+  WHERE id = (SELECT MIN(id) FROM og_vertices))"""
+    for i in range(1, rounds + 1):
+        ctes += f""",
+d_{i} AS MATERIALIZED (
+  SELECT id, MIN(d) AS d FROM (
+    SELECT id, d FROM d_{i - 1}
+    UNION ALL
+    SELECT e.dst AS id, p.d + e.w AS d
+    FROM d_{i - 1} p JOIN wedges e ON e.src = p.id
+  ) GROUP BY id
+)"""
+    return graph_sql(
+        f"{ctes} SELECT CAST(id AS BIGINT) AS id,"
+        f" CAST(d AS BIGINT) AS dist_scaled FROM d_{rounds}"
+    )
 
 
 def _kcore_sql(k: int = 3, rounds: int = 16) -> str:
@@ -1232,6 +1264,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pagerank": q_pagerank,
         "bfs_distances": q_bfs_distances,
         "kcore": q_kcore,
+        "sssp": q_sssp,
         "tfidf_top_terms": q_tfidf_top_terms,
         "walk_kernel": q_walk_kernel,
         "mitm_pipeline": q_mitm_pipeline,
@@ -1404,6 +1437,7 @@ def oracle_sql() -> dict[str, str]:
         "pagerank": _pagerank_sql(iters=4),
         "bfs_distances": _bfs_sql(),
         "kcore": _kcore_sql(k=3, rounds=16),
+        "sssp": _sssp_sql(rounds=10),
         "tfidf_top_terms": doc_oracles.tfidf_sql(k=5),
         "dedup_exact": doc_oracles.dedup_exact_sql(),
         "dedup_ngram_jaccard": doc_oracles.ngram_jaccard_sql(n=3, threshold=0.2),

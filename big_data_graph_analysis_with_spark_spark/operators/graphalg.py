@@ -239,3 +239,54 @@ def kcore_vertices(graph: NetGraph, k: int = 3, rounds: int = 16) -> DataFrame:
     if keep is None:  # rounds == 0: degree filter never applied
         keep = active.select(F.col("a").alias("id")).distinct()
     return keep.select(F.col("id").cast("long").alias("id"))
+
+
+def sssp_distances(
+    graph: NetGraph,
+    weight: "F.Column | None" = None,
+    source: int | None = None,
+    rounds: int = 10,
+) -> DataFrame:
+    """(id, dist_scaled): weighted single-source shortest paths after
+    `rounds` Bellman-Ford relaxations from `source` (default: minimum
+    vertex id). `weight` is an integer Column over the edge table
+    (default: the edge cost in exact milli-units, recomputed from its
+    (src·7+dst) mod 1000 definition rather than the stored double —
+    integer min/+ are bit-identical across engines, float addition
+    chains are not). Unreached vertices are absent.
+
+    One equi-join + one min-aggregation per round, localCheckpointed,
+    early-exiting at the fixpoint (extra rounds are no-ops, so the
+    round-unrolled oracle checks the same object). Per-round traffic is
+    the current distance frontier joined to edges — Pregel's SSSP in
+    DataFrame algebra.
+    """
+    if source is None:
+        source = graph.vertices.agg(F.min("id")).first()[0]
+    if weight is None:
+        weight = (F.col("src") * 7 + F.col("dst")) % 1000
+    wedges = graph.edges.select(
+        "src", "dst", weight.cast("long").alias("w")
+    ).localCheckpoint()
+    dist = (
+        graph.vertices.filter(F.col("id") == source)
+        .select("id", F.lit(0).cast("long").alias("d"))
+        .localCheckpoint()
+    )
+    for _ in range(rounds):
+        relaxed = wedges.join(dist, on=wedges.src == dist.id).select(
+            F.col("dst").alias("id"), (F.col("d") + F.col("w")).alias("d")
+        )
+        new_dist = (
+            dist.unionByName(relaxed)
+            .groupBy("id")
+            .agg(F.min("d").alias("d"))
+            .localCheckpoint()
+        )
+        changed = (
+            new_dist.join(dist, on=["id", "d"], how="left_anti").limit(1).count()
+        )
+        dist = new_dist
+        if changed == 0:
+            break
+    return dist.select("id", F.col("d").cast("long").alias("dist_scaled"))

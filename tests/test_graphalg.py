@@ -141,3 +141,34 @@ def test_kcore_cycle_is_its_own_2core(spark):
         1, 2, 3, 4, 5,
     }
     assert graphalg.kcore_vertices(g, k=3).count() == 0
+
+
+def test_sssp_prefers_cheaper_longer_path(spark):
+    from pyspark.sql import functions as F
+
+    # 1→2→4 costs 1+1=2, direct 1→4 costs 10; 1→3 costs 5; 5 unreachable
+    g = _graph(spark, [1, 2, 3, 4, 5], [(1, 2), (2, 4), (1, 4), (1, 3)])
+    w = (
+        F.when((F.col("src") == 1) & (F.col("dst") == 4), 10)
+        .when((F.col("src") == 1) & (F.col("dst") == 3), 5)
+        .otherwise(1)
+    )
+    got = {
+        r["id"]: r["dist_scaled"]
+        for r in graphalg.sssp_distances(g, weight=w, source=1).collect()
+    }
+    assert got == {1: 0, 2: 1, 3: 5, 4: 2}
+
+
+def test_sssp_round_cap_bounds_path_length(spark):
+    from pyspark.sql import functions as F
+
+    # chain 1→2→3→4 at weight 1: one round only relaxes one hop
+    g = _graph(spark, [1, 2, 3, 4], [(1, 2), (2, 3), (3, 4)])
+    got = {
+        r["id"]: r["dist_scaled"]
+        for r in graphalg.sssp_distances(
+            g, weight=F.lit(1), source=1, rounds=1
+        ).collect()
+    }
+    assert got == {1: 0, 2: 1}
