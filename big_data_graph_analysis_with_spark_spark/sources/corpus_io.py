@@ -105,3 +105,31 @@ def write_corpus_parquet(
         .partitionBy(partition_by)
         .parquet(path)
     )
+
+
+def write_training_shards(
+    docs: DataFrame,
+    path: str,
+    n_shards: int = 8,
+    seed: int = 0,
+    payload: tuple[str, ...] = ("text",),
+) -> None:
+    """Materialize the deterministic training shuffle
+    (operators/sampling.shard_assignments) as one parquet directory per
+    shard, rows in shuffled (pos) order within each file. The trainer
+    streams shard=K/part-*.parquet sequentially and gets the seeded
+    global permutation without any reader-side shuffle. One hash
+    shuffle + per-shard local sort — never a global orderBy, identical
+    output for any input partitioning."""
+    from ..operators.sampling import shard_assignments
+
+    assigned = shard_assignments(
+        docs, n_shards=n_shards, seed=seed, keep=payload
+    )
+    (
+        assigned.repartition(n_shards, F.col("shard"))
+        .sortWithinPartitions("pos")
+        .write.mode("overwrite")
+        .partitionBy("shard")
+        .parquet(path)
+    )

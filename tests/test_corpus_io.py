@@ -78,3 +78,36 @@ def test_partition_pruning_on_lang(spark, tmp_path):
     )
     # partition filter reaches the scan: no lang dirs other than en read
     assert "PartitionFilters" in plan and "lang" in plan.split("PartitionFilters")[1][:120]
+
+
+def test_write_training_shards_roundtrip(spark, tmp_path):
+    from big_data_graph_analysis_with_spark_spark.operators.sampling import (
+        shard_assignments,
+    )
+    from big_data_graph_analysis_with_spark_spark.sources.corpus_io import (
+        write_training_shards,
+    )
+    from tests.conftest import SF0001
+
+    docs = spark.read.parquet(f"{SF0001}/documents.parquet")
+    out = str(tmp_path / "shards")
+    write_training_shards(docs, out, n_shards=4, seed=3)
+
+    back = spark.read.parquet(out)
+    want = {
+        (r["doc_id"], r["shard"], r["pos"])
+        for r in shard_assignments(docs, n_shards=4, seed=3).collect()
+    }
+    got = {(r["doc_id"], r["shard"], r["pos"]) for r in back.collect()}
+    assert got == want
+    # partition pruning: reading one shard touches one directory
+    one = spark.read.parquet(out).filter(F.col("shard") == 2)
+    assert one.count() == len([t for t in want if t[1] == 2])
+    # within a shard file, rows are laid out in pos order
+    import pyarrow.parquet as pq
+    import glob
+
+    files = glob.glob(f"{out}/shard=2/*.parquet")
+    assert files
+    pos = pq.read_table(files[0], columns=["pos"])["pos"].to_pylist()
+    assert pos == sorted(pos)
