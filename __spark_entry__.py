@@ -381,6 +381,13 @@ def q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     return graphalg.pagerank(og, iters=4)
 
 
+def q_pagerank_personalized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Personalized PageRank (teleport mass pinned to the minimum
+    vertex id), 4 fixed-point integer rounds."""
+    og, _ = _graphs(spark, sf_dir)
+    return graphalg.personalized_pagerank(og, iters=4)
+
+
 def q_sssp(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Weighted SSSP (Bellman-Ford, exact milli-unit weights) from the
     minimum vertex id — Pregel's SSSP as join + min-agg rounds."""
@@ -492,6 +499,38 @@ d_{i} AS MATERIALIZED (
     return graph_sql(
         f"{ctes} SELECT CAST(id AS BIGINT) AS id,"
         f" CAST(d AS BIGINT) AS dist_scaled FROM d_{rounds}"
+    )
+
+
+def _ppr_sql(iters: int = 4) -> str:
+    scale, num, den = graphalg.PR_SCALE, graphalg.PR_DAMP_NUM, graphalg.PR_DAMP_DEN
+    base = (den - num) * scale // den
+    ctes = f"""
+outdeg AS (SELECT src AS id, COUNT(*) AS od FROM og_edges GROUP BY src),
+srcv AS (SELECT MIN(id) AS s FROM og_vertices),
+pr_0 AS (
+  SELECT v.id,
+         CAST(CASE WHEN v.id = srcv.s THEN {scale} ELSE 0 END AS BIGINT) AS pr
+  FROM og_vertices v CROSS JOIN srcv
+)"""
+    for k in range(1, iters + 1):
+        ctes += f""",
+contrib_{k} AS (
+  SELECT e.dst AS id, SUM(p.pr // o.od) AS s
+  FROM pr_{k - 1} p
+  JOIN outdeg o ON o.id = p.id
+  JOIN og_edges e ON e.src = p.id
+  GROUP BY e.dst
+),
+pr_{k} AS (
+  SELECT v.id,
+         CAST(CASE WHEN v.id = srcv.s THEN {base} ELSE 0 END
+              + (COALESCE(c.s, 0) * {num}) // {den} AS BIGINT) AS pr
+  FROM og_vertices v CROSS JOIN srcv
+  LEFT JOIN contrib_{k} c ON c.id = v.id
+)"""
+    return graph_sql(
+        f", {ctes.strip()} SELECT id, pr AS pr_scaled FROM pr_{iters}"
     )
 
 
@@ -1265,6 +1304,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bfs_distances": q_bfs_distances,
         "kcore": q_kcore,
         "sssp": q_sssp,
+        "pagerank_personalized": q_pagerank_personalized,
         "tfidf_top_terms": q_tfidf_top_terms,
         "walk_kernel": q_walk_kernel,
         "mitm_pipeline": q_mitm_pipeline,
@@ -1438,6 +1478,7 @@ def oracle_sql() -> dict[str, str]:
         "bfs_distances": _bfs_sql(),
         "kcore": _kcore_sql(k=3, rounds=16),
         "sssp": _sssp_sql(rounds=10),
+        "pagerank_personalized": _ppr_sql(iters=4),
         "tfidf_top_terms": doc_oracles.tfidf_sql(k=5),
         "dedup_exact": doc_oracles.dedup_exact_sql(),
         "dedup_ngram_jaccard": doc_oracles.ngram_jaccard_sql(n=3, threshold=0.2),

@@ -172,3 +172,21 @@ def test_sssp_round_cap_bounds_path_length(spark):
         ).collect()
     }
     assert got == {1: 0, 2: 1}
+
+
+def test_personalized_pagerank_localizes_mass(spark):
+    # star out of 1 → {2,3}; 4 isolated. Teleport pinned to 1: the
+    # source keeps the base mass, its neighbors split the damped mass,
+    # and the isolated vertex scores zero (uniform PR would give it
+    # base mass > 0)
+    g = _graph(spark, [1, 2, 3, 4], [(1, 2), (1, 3)])
+    ppr = {
+        r["id"]: r["pr_scaled"]
+        for r in graphalg.personalized_pagerank(g, source=1, iters=4).collect()
+    }
+    assert ppr[4] == 0
+    assert ppr[1] > ppr[2] == ppr[3] > 0
+    uni = {
+        r["id"]: r["pr_scaled"] for r in graphalg.pagerank(g, iters=4).collect()
+    }
+    assert uni[4] > 0  # the contrast that makes it "personalized"
