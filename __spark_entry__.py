@@ -37,6 +37,9 @@ from big_data_graph_analysis_with_spark_spark.operators import walks as walks_mo
 from big_data_graph_analysis_with_spark_spark.functions.eventtime import (  # noqa: E402
     event_micros,
 )
+from big_data_graph_analysis_with_spark_spark.functions.hashing import (  # noqa: E402
+    hash56_sql,
+)
 from big_data_graph_analysis_with_spark_spark.plans import doc_oracles  # noqa: E402
 from big_data_graph_analysis_with_spark_spark.plans.pipeline import run_pipeline  # noqa: E402
 from big_data_graph_analysis_with_spark_spark.sources import tpch_graph  # noqa: E402
@@ -379,6 +382,15 @@ def q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Fixed-point integer PageRank, 4 rounds, over the original graph."""
     og, _ = _graphs(spark, sf_dir)
     return graphalg.pagerank(og, iters=4)
+
+
+def q_neighbor_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seeded k-out-neighbor sampling over the original graph's edges
+    (GNN-style fan-out cap, reproducible across engines/partitionings)."""
+    from big_data_graph_analysis_with_spark_spark.operators import sampling
+
+    og, _ = _graphs(spark, sf_dir)
+    return sampling.neighbor_sample(og.edges, k=3, seed=5)
 
 
 def q_pagerank_personalized(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1305,6 +1317,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kcore": q_kcore,
         "sssp": q_sssp,
         "pagerank_personalized": q_pagerank_personalized,
+        "neighbor_sample": q_neighbor_sample,
         "tfidf_top_terms": q_tfidf_top_terms,
         "walk_kernel": q_walk_kernel,
         "mitm_pipeline": q_mitm_pipeline,
@@ -1479,6 +1492,19 @@ def oracle_sql() -> dict[str, str]:
         "kcore": _kcore_sql(k=3, rounds=16),
         "sssp": _sssp_sql(rounds=10),
         "pagerank_personalized": _ppr_sql(iters=4),
+        "neighbor_sample": graph_sql(
+            f"""
+            , uniq AS (SELECT DISTINCT src, dst FROM og_edges),
+            ranked AS (
+              SELECT src, dst, ROW_NUMBER() OVER (
+                PARTITION BY src
+                ORDER BY {hash56_sql("CAST(src AS VARCHAR) || ':' || CAST(dst AS VARCHAR)", seed=5)} ASC,
+                         dst ASC) AS rk
+              FROM uniq
+            )
+            SELECT src, dst FROM ranked WHERE rk <= 3
+            """
+        ),
         "tfidf_top_terms": doc_oracles.tfidf_sql(k=5),
         "dedup_exact": doc_oracles.dedup_exact_sql(),
         "dedup_ngram_jaccard": doc_oracles.ngram_jaccard_sql(n=3, threshold=0.2),

@@ -203,6 +203,13 @@ def main() -> None:
 
         graphalg.bfs_distances(og).agg(F.sum("dist")).collect()
 
+    @timed("graph_paths")
+    def _():
+        from big_data_graph_analysis_with_spark_spark.operators import graphalg
+
+        graphalg.sssp_distances(og, rounds=10).agg(F.sum("dist_scaled")).collect()
+        graphalg.kcore_vertices(og, k=3).count()
+
     @timed("corpus_mixture")
     def _():
         from big_data_graph_analysis_with_spark_spark.operators import sampling

@@ -129,3 +129,27 @@ def shard_assignments(
         .withColumn("pos", F.row_number().over(w).cast("long"))
         .drop("_h")
     )
+
+
+def neighbor_sample(
+    edges: DataFrame, k: int = 5, seed: int = 0
+) -> DataFrame:
+    """(src, dst): at most k out-neighbors per vertex, chosen by seeded
+    hash order over (src, dst) with dst as the tiebreak — the
+    fan-out-capping step of GNN mini-batch samplers and of any
+    supernode-safe traversal. Deterministic: membership is a pure
+    function of (edge, seed), stable under repartitioning, so sampled
+    subgraphs are reproducible across runs and engines. One window
+    shuffle on src; hub vertices are exactly the windows AQE splits."""
+    h = hash56(
+        F.concat_ws(":", F.col("src").cast("string"), F.col("dst").cast("string")),
+        seed=seed,
+    )
+    w = Window.partitionBy("src").orderBy(h.asc(), F.col("dst").asc())
+    return (
+        edges.select("src", "dst")
+        .distinct()
+        .withColumn("_rk", F.row_number().over(w))
+        .filter(F.col("_rk") <= k)
+        .drop("_rk")
+    )

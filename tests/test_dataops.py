@@ -485,3 +485,28 @@ def test_expectations_counts_null_as_violation(spark):
     assert out["s_not_null"] == (3, 1, 1 / 3)
     assert out["x_positive"] == (3, 1, 1 / 3)
     assert out["s_is_ok"] == (3, 2, 2 / 3)
+
+
+def test_neighbor_sample_caps_fanout_deterministically(spark):
+    from big_data_graph_analysis_with_spark_spark.operators import sampling
+
+    edges = spark.createDataFrame(
+        [(1, d) for d in range(2, 12)] + [(2, 3), (2, 3), (3, 4)],
+        "src LONG, dst LONG",
+    )
+    out = sampling.neighbor_sample(edges, k=3, seed=5).collect()
+    by_src = {}
+    for r in out:
+        by_src.setdefault(r["src"], set()).add(r["dst"])
+    assert len(by_src[1]) == 3          # hub capped at k
+    assert by_src[2] == {3}             # duplicate edge collapsed
+    assert by_src[3] == {4}             # under-k fanout kept whole
+    # sampled subgraph ⊆ edges and stable under repartitioning
+    again = sampling.neighbor_sample(edges.repartition(7), k=3, seed=5)
+    assert {(r["src"], r["dst"]) for r in again.collect()} == {
+        (r["src"], r["dst"]) for r in out
+    }
+    # a different seed picks a different (still size-3) hub sample
+    other = sampling.neighbor_sample(edges, k=3, seed=6).collect()
+    hub = {r["dst"] for r in other if r["src"] == 1}
+    assert len(hub) == 3 and hub != by_src[1]
