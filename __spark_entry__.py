@@ -1180,6 +1180,12 @@ def q_token_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     return corpusstats.token_quantiles(_docs(spark, sf_dir), group="lang")
 
 
+def q_embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Symmetric int8 quantization of the embeddings table (narrow
+    map; floor of correctly-rounded IEEE ops → engine-exact codes)."""
+    return similarity.quantize_embeddings(_embs(spark, sf_dir))
+
+
 def q_embedding_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-label embedding centroids in exact decimal fixed point."""
     return similarity.label_centroids(_embs(spark, sf_dir))
@@ -1360,6 +1366,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "top_ngrams": q_top_ngrams,
         "token_quantiles": q_token_quantiles,
         "embedding_centroids": q_embedding_centroids,
+        "embedding_quantize": q_embedding_quantize,
         "events_cube": q_events_cube,
         "events_range_join": q_events_range_join,
         "salted_supplier_revenue": q_salted_supplier_revenue,
@@ -1550,6 +1557,21 @@ def oracle_sql() -> dict[str, str]:
                 "text_min_tokens",
             ]
         ),
+        "embedding_quantize": """
+            WITH s AS (
+              SELECT vec_id, embedding,
+                     CAST(list_max(list_transform(embedding, x -> abs(x)))
+                          AS DOUBLE) AS scale
+              FROM embeddings
+            )
+            SELECT vec_id, scale,
+                   CAST(unnest(range(len(embedding))) AS BIGINT) AS j,
+                   CAST(unnest(list_transform(embedding,
+                        x -> CASE WHEN scale = 0 THEN 0
+                             ELSE floor(CAST(x AS DOUBLE) * 127 / scale) END))
+                        AS BIGINT) AS q
+            FROM s
+        """,
         "corpus_prepare": doc_oracles.prepare_corpus_sql(
             quality_threshold=0.2,
             n=3,

@@ -417,3 +417,31 @@ def label_centroids(emb: DataFrame, label_col: str = "label") -> DataFrame:
         "sum_x",
         "mean_x",
     )
+
+
+def quantize_embeddings(emb: DataFrame) -> DataFrame:
+    """(vec_id, scale, j, q): symmetric int8 quantization of the
+    embedding column — per-vector scale = max(|x|), q = floor(x·127/
+    scale) ∈ [-127, 127] — the 4× storage/bandwidth step before ANN
+    serving at corpus scale. Exact cross-engine: ·, / are correctly
+    rounded IEEE doubles and floor is exact, so quantized codes
+    hash-match the DuckDB oracle; all-zero vectors quantize to zeros.
+    Narrow map (explode only, no shuffle); reconstruction error is
+    bounded by scale/127 per component (property-tested)."""
+    # float32 inputs must be promoted BEFORE the arithmetic: at the
+    # extreme component (x = ±scale) float-precision x·127/scale lands
+    # a hair under ±127 and floor is then off by one vs double math —
+    # both engines compute in double explicitly
+    scale = F.array_max(F.transform("embedding", lambda x: F.abs(x)))
+    e = emb.select(
+        "vec_id", "embedding", scale.cast("double").alias("scale")
+    )
+    x = F.col("x").cast("double")
+    q = (
+        F.when(F.col("scale") == 0, F.lit(0))
+        .otherwise(F.floor(x * 127 / F.col("scale")))
+        .cast("long")
+    )
+    return e.select(
+        "vec_id", "scale", F.posexplode("embedding").alias("j", "x")
+    ).select("vec_id", "scale", F.col("j").cast("long").alias("j"), q.alias("q"))

@@ -510,3 +510,23 @@ def test_neighbor_sample_caps_fanout_deterministically(spark):
     other = sampling.neighbor_sample(edges, k=3, seed=6).collect()
     hub = {r["dst"] for r in other if r["src"] == 1}
     assert len(hub) == 3 and hub != by_src[1]
+
+
+def test_quantize_embeddings_bounds_and_roundtrip(spark, embs):
+    from big_data_graph_analysis_with_spark_spark.operators import similarity
+
+    out = similarity.quantize_embeddings(embs)
+    rows = out.collect()
+    assert all(-127 <= r["q"] <= 127 for r in rows)
+    # reconstruction error ≤ one quantization step per component
+    orig = {
+        (r["vec_id"], j): x
+        for r in embs.select("vec_id", "embedding").collect()
+        for j, x in enumerate(r["embedding"])
+    }
+    for r in rows:
+        x = orig[(r["vec_id"], r["j"])]
+        step = r["scale"] / 127 if r["scale"] else 0.0
+        assert abs(x - r["q"] * step) <= step + 1e-12
+    # extreme components hit the code boundary exactly
+    assert any(abs(r["q"]) == 127 for r in rows)
