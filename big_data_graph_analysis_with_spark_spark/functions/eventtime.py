@@ -9,10 +9,16 @@ granularity Spark and DuckDB agree on (DuckDB's TIMESTAMP is µs) —
 and goes through this one dispatch point so a regenerated dataset
 can't silently skew half the queries.
 
-The TIMESTAMP_NTZ branch uses ``to_utc_timestamp(col, 'UTC')`` to
-reinterpret the naive value as UTC *independently of the session
-timezone*, which makes ``unix_micros`` return exactly DuckDB's
-``epoch_us(ts)`` on the same parquet bytes.
+The TIMESTAMP_NTZ branch converts via *field arithmetic* —
+``unix_date(date) · 86400e6 + hour·3600e6 + minute·60e6 +
+second-with-fraction · 1e6`` — because every field extraction on an NTZ
+value is a pure wall-clock operation with no timezone in play. The
+superficially-simpler ``unix_micros(to_utc_timestamp(col, 'UTC'))`` is
+NOT session-timezone independent (the NTZ→LTZ step inside it uses the
+session zone, shifting results by the zone's UTC offset); the tz-sweep
+test in ``tests/test_corpusstats_asof.py`` pins this. The result equals
+DuckDB's ``epoch_us(ts)`` on the same parquet bytes under any session
+timezone.
 """
 
 from __future__ import annotations
@@ -31,8 +37,16 @@ def event_micros(df: DataFrame, col: str = "ts") -> Column:
     dtype = dict(df.dtypes)[col]
     if dtype == "bigint":  # nanos-long convention (nanosAsLong)
         return F.expr(f"{col} div 1000")
-    if dtype == "timestamp_ntz":  # naive µs: reinterpret as UTC
-        return F.expr(f"unix_micros(to_utc_timestamp({col}, 'UTC'))")
+    if dtype == "timestamp_ntz":  # naive µs: pure wall-clock field math
+        # every field is cast to BIGINT before the scale multiply — the
+        # minute term would otherwise be int×int (60000000 fits in int)
+        # and overflow int32 under ANSI for minute ≥ 36
+        return F.expr(
+            f"cast(unix_date(cast({col} as date)) as bigint) * 86400000000"
+            f" + cast(hour({col}) as bigint) * 3600000000"
+            f" + cast(minute({col}) as bigint) * 60000000"
+            f" + cast(extract(second from {col}) * 1000000 as bigint)"
+        )
     if dtype == "timestamp":  # absolute instant
         return F.unix_micros(F.col(col))
     raise TypeError(f"column {col!r} has unsupported event-time dtype {dtype}")

@@ -162,7 +162,39 @@ def test_approx_sketches_agree_with_exact(spark):
     ap50, ap90 = toks.select(
         F.percentile_approx("n_tokens", [0.5, 0.9], 10_000).alias("q")
     ).first()["q"]
-    stats = toks.summary("50%", "90%").collect()
-    ex50, ex90 = (float(r["n_tokens"]) for r in stats)
-    # t-digest at accuracy=10k is exact on fixture-sized groups
+    # exact baseline computed in Python (summary() is itself a sketch, so
+    # it cannot serve as the exact side)
+    vals = sorted(r["n_tokens"] for r in toks.collect())
+    ex50 = vals[int(0.5 * (len(vals) - 1))]
+    ex90 = vals[int(0.9 * (len(vals) - 1))]
+    # percentile_approx at accuracy=10k is exact on fixture-sized groups
     assert abs(ap50 - ex50) <= 1 and abs(ap90 - ex90) <= 1
+
+
+def test_event_micros_timezone_invariant(spark):
+    """event_micros must return identical epoch-µs under any session
+    timezone for every supported physical shape (ADVICE r3: the previous
+    TIMESTAMP_NTZ expression shifted by the session zone's UTC offset).
+    2024-03-10 is a US DST-transition day — the worst case — and
+    minute=45 pins the ANSI int32 overflow in the minute term
+    (minute × 60000000 > 2^31 for minute ≥ 36)."""
+    from big_data_graph_analysis_with_spark_spark.functions.eventtime import event_micros
+
+    df = spark.sql(
+        "SELECT cast('2024-03-10 07:45:45.123456' as timestamp_ntz) AS ntz,"
+        "       1710056745123456789 AS nanos_long"
+    )
+    prev = spark.conf.get("spark.sql.session.timeZone")
+    try:
+        got = {}
+        for tz in ("UTC", "America/New_York", "Asia/Kolkata"):
+            spark.conf.set("spark.sql.session.timeZone", tz)
+            r = df.select(
+                event_micros(df, "ntz").alias("a"),
+                event_micros(df, "nanos_long").alias("b"),
+            ).first()
+            got[tz] = (r["a"], r["b"])
+    finally:
+        spark.conf.set("spark.sql.session.timeZone", prev)
+    assert got["UTC"] == (1710056745123456, 1710056745123456)
+    assert len(set(got.values())) == 1, got
