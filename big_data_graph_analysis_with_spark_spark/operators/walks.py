@@ -22,23 +22,32 @@ Documented deviations (SURVEY.md §7.4):
 
 Execution model: walks are inherently sequential (step t+1 depends on
 t), so the kernel is an `applyInPandas` grouped map — one group per
-partition key, Arrow-batched both ways, the adjacency list shipped once
-per executor as a Spark broadcast (the reference broadcasts the whole
-graph the same way, `Main.scala:72-73`, but then does a **linear scan
-of the edge list per step**, `:316-318`; we pre-index child lists).
-This is the one operator that needs the graph in memory per executor —
-the MitM simulation targets graphs that fit (≤ a few GB of adjacency);
-everything downstream (subgraph induction, SimRank, matching, stats)
-is pure DataFrame algebra and scales independently.
+partition key, Arrow-batched both ways. The adjacency reaches the
+kernel **executor-side**: ``child_map`` (one compact row per vertex,
+children pre-sorted for seeded-rng determinism) is written once as a
+parquet sideload, and each Python worker builds its pre-indexed dict
+from that columnar file on first use (cached per worker process). The
+driver never materializes a single vertex — unlike the reference,
+which collects and broadcasts the whole graph through the driver
+(`Main.scala:72-73`) and then does a **linear scan of the edge list
+per step** (`:316-318`). On a cluster the sideload path lives on the
+shared FS (HDFS/S3) and executors fetch it exactly like any input
+split. This is still the one operator that needs the whole graph in
+memory *per executor* (a walk can reach anywhere), so the ceiling is
+executor RAM — ≤ a few GB of adjacency per walk job; everything
+downstream (subgraph induction, SimRank, matching, stats) is pure
+DataFrame algebra and scales independently.
 """
 
 from __future__ import annotations
 
 import math
+import os
+import tempfile
 
 import numpy as np
 import pandas as pd
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..config import SimConfig
@@ -46,6 +55,33 @@ from ..model import NetGraph
 from . import topology
 
 WALK_SCHEMA = "partition_key LONG, walk_id LONG, step LONG, node_id LONG"
+
+# Per-worker adjacency cache: Python workers are reused across tasks, so
+# each executor pays the parquet→dict build once per sideload path, not
+# once per task. Bounded — a long session walking many graphs must not
+# accumulate dead adjacencies.
+_ADJ_CACHE: dict[str, dict[int, list[int]]] = {}
+_ADJ_CACHE_MAX = 4
+
+
+def _load_adjacency(path: str) -> dict[int, list[int]]:
+    adj = _ADJ_CACHE.get(path)
+    if adj is None:
+        import pyarrow.dataset as ds
+
+        tbl = ds.dataset(path, format="parquet").to_table(
+            columns=["id", "children"]
+        )
+        adj = {
+            int(i): [int(c) for c in ch]
+            for i, ch in zip(
+                tbl.column("id").to_pylist(), tbl.column("children").to_pylist()
+            )
+        }
+        while len(_ADJ_CACHE) >= _ADJ_CACHE_MAX:
+            _ADJ_CACHE.pop(next(iter(_ADJ_CACHE)))
+        _ADJ_CACHE[path] = adj
+    return adj
 
 
 def sample_start_assignments(
@@ -68,6 +104,40 @@ def sample_start_assignments(
     return spark.createDataFrame(rows, "partition_key LONG, start_id LONG")
 
 
+def sample_start_assignments_dist(
+    spark: SparkSession,
+    start_nodes: DataFrame,
+    cfg: SimConfig,
+) -> DataFrame:
+    """Distributed twin of :func:`sample_start_assignments` — bit-identical
+    output, but the start-node *ids never reach the driver*: only their
+    count does (one scalar). The seeded draws index into the id-sorted
+    pool, so the driver materializes ``num_of_parallel_walks`` rank
+    integers and a rank-equi-join resolves them to ids cluster-side.
+
+    The rank window is unpartitioned, which sorts the start-node set on
+    one task — acceptable because start nodes are a frontier (no
+    in-edges), a small fraction of V; the full vertex table never flows
+    through it.
+    """
+    n = start_nodes.count()
+    if n == 0:
+        return spark.createDataFrame([], "partition_key LONG, start_id LONG")
+    rng = np.random.default_rng([cfg.seed, 0])
+    draws = [
+        (int(k), int(rng.integers(0, n)))
+        for k in range(1, cfg.num_of_parallel_walks + 1)
+    ]
+    draws_df = spark.createDataFrame(draws, "partition_key LONG, rank LONG")
+    ranked = start_nodes.select("id").withColumn(
+        "rank", F.row_number().over(Window.orderBy("id")) - 1
+    )
+    return (
+        ranked.join(F.broadcast(draws_df), on="rank")
+        .select("partition_key", F.col("id").alias("start_id"))
+    )
+
+
 def run_walks(
     spark: SparkSession,
     pg: NetGraph,
@@ -87,20 +157,26 @@ def run_walks(
     seed = cfg.seed
 
     # adjacency is aggregated cluster-side (topology.child_map: one
-    # groupBy, children pre-sorted for seeded-rng determinism) and the
-    # driver collects ONE compact row per vertex — never the raw edge
-    # table (a full-edge collect is the first thing to OOM the driver
-    # at 100× scale). The broadcast then ships the dict once per
-    # executor, exactly like the reference's whole-graph broadcast
-    # (`Main.scala:72-73`) but pre-indexed instead of linear-scanned.
-    adjacency: dict[int, list[int]] = {
-        int(r["id"]): [int(c) for c in r["children"]]
-        for r in topology.child_map(pg).collect()
-    }
-    adj_bv = spark.sparkContext.broadcast(adjacency)
+    # groupBy, children pre-sorted for seeded-rng determinism) and
+    # written as a parquet sideload that each executor's Python worker
+    # reads and indexes itself — NO driver materialization of any part
+    # of the graph (the round-3 version collected one compact row per
+    # vertex to the driver before broadcasting; at a 100 TB graph even
+    # that O(|V|) driver pass is the bottleneck). Locally the sideload
+    # is a temp dir; on a cluster, point `scratch_dir` at the shared FS.
+    # fresh dir per call — the per-worker cache is keyed by path, so a
+    # path must never be rewritten with different contents
+    scratch = tempfile.mkdtemp(
+        prefix="bdga_walk_adj_", dir=os.environ.get("SPARK_GRAFT_SCRATCH")
+    )
+    adj_path = os.path.join(scratch, "child_map")
+    n_files = max(1, math.ceil(n_v / 2_000_000))
+    topology.child_map(pg).coalesce(n_files).write.mode("overwrite").parquet(
+        adj_path
+    )
 
     def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
-        adj = adj_bv.value
+        adj = _load_adjacency(adj_path)
         out_part: list[int] = []
         out_walk: list[int] = []
         out_step: list[int] = []

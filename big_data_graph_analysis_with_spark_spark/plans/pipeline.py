@@ -80,8 +80,11 @@ def run_pipeline(
 
     visited: DataFrame | None = None
     try:
-        start_ids = [r["id"] for r in topology.start_nodes(pg).select("id").collect()]
-        assignments = walks.sample_start_assignments(spark, start_ids, cfg)
+        # distributed draw — start-node ids stay cluster-side; only the
+        # count reaches the driver (round-3 collected every start id)
+        assignments = walks.sample_start_assignments_dist(
+            spark, topology.start_nodes(pg), cfg
+        )
         walk_steps = walks.run_walks(spark, pg, assignments, cfg, num_vertices=n_pg)
         walk_steps = walk_steps.localCheckpoint()  # run the kernel exactly once
 

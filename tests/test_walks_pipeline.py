@@ -87,6 +87,32 @@ def test_cyclic_graph_no_start_nodes_degrades(spark):
     assert walks.run_walks(spark, g, a, CFG).count() == 0
 
 
+def test_dist_start_sampling_matches_driver_sampling(spark, graph20):
+    """sample_start_assignments_dist must be bit-identical to the
+    driver-list version (same seeded draws into the same sorted pool),
+    with only the pool COUNT crossing to the driver."""
+    sn = topology.start_nodes(graph20)
+    start_ids = [r["id"] for r in sn.select("id").collect()]
+    via_driver = sorted(
+        map(tuple, walks.sample_start_assignments(spark, start_ids, CFG).collect())
+    )
+    via_dist = sorted(
+        map(tuple, walks.sample_start_assignments_dist(spark, sn, CFG).collect())
+    )
+    assert via_dist == via_driver and len(via_dist) == CFG.num_of_parallel_walks
+
+
+def test_run_walks_has_no_driver_collect():
+    """The round-3 scale-killer (O(|V|) adjacency collect in run_walks)
+    must not regress: the kernel reads its adjacency from the parquet
+    sideload, never via DataFrame.collect()."""
+    import inspect
+
+    src = inspect.getsource(walks.run_walks)
+    assert ".collect()" not in src
+    assert "_load_adjacency" in src
+
+
 def test_pipeline_graph200_deterministic_and_sane(spark):
     og = load_graph(spark, f"{REF_INPUT}/Graph200.txt")
     pg = load_graph(spark, f"{REF_INPUT}/Graph200.txt.perturbed")
