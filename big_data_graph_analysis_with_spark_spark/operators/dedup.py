@@ -34,7 +34,7 @@ Scale design notes
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from ..functions.hashing import bit_of, hash56, srp_weight_int
@@ -309,15 +309,23 @@ def simhash_pairs(
     in-bucket false positives. Output identical to all-pairs; no
     CartesianProduct anywhere in the plan.
 
+    Exactly-once emission WITHOUT a distinct shuffle: a pair that agrees
+    in several chunks would surface once per agreeing chunk, so each
+    join row is kept only when its chunk is the FIRST chunk the pair
+    agrees on — a pure bit-arithmetic predicate on ha XOR hb over the
+    earlier chunk spans. This replaced the round-3 pair-level
+    ``.distinct()`` (an extra full shuffle of the candidate set).
+
     Requires max_hamming + 1 ≤ bits (chunks need ≥1 bit each) — true
     for any useful threshold; asserted, not silently degraded.
     """
     assert max_hamming + 1 <= bits, "banding needs max_hamming + 1 <= bits"
+    spans = _simhash_chunks(bits, max_hamming + 1)
     sigs = simhash_signatures(docs, bits)
     chunk_vals = F.array(
         *[
             F.shiftright(F.col("simhash"), off).bitwiseAND(F.lit((1 << w) - 1))
-            for off, w in _simhash_chunks(bits, max_hamming + 1)
+            for off, w in spans
         ]
     )
     keyed = sigs.select(
@@ -329,15 +337,20 @@ def simhash_pairs(
     b = keyed.select(
         F.col("doc_id").alias("doc_b"), F.col("simhash").alias("hb"), "chunk", "cv"
     )
+    xor = F.col("ha").bitwiseXOR(F.col("hb"))
+    # keep the row only if every chunk BEFORE this one disagrees — the
+    # pair's first agreeing chunk emits it, all later collisions drop
+    first_agree = F.lit(True)
+    for k, (off, w) in enumerate(spans):
+        disagrees_k = F.shiftright(xor, off).bitwiseAND(F.lit((1 << w) - 1)) != 0
+        first_agree = first_agree & ((F.col("chunk") <= F.lit(k)) | disagrees_k)
     return (
         a.join(b, on=["chunk", "cv"])
         .filter(F.col("doc_a") < F.col("doc_b"))
-        .withColumn("hamming", F.bit_count(F.col("ha").bitwiseXOR(F.col("hb"))))
+        .filter(first_agree)
+        .withColumn("hamming", F.bit_count(xor))
         .filter(F.col("hamming") <= max_hamming)
-        # a pair can collide in several chunks — dedup after the verify
-        # (hamming is functionally determined by the pair)
         .select("doc_a", "doc_b", F.col("hamming").cast("long"))
-        .distinct()
     )
 
 
@@ -393,6 +406,57 @@ def dup_groups(pairs: DataFrame, max_iters: int = 50) -> DataFrame:
         if changed == 0:
             break
     return labels
+
+
+def dedup_keep_best(
+    docs: DataFrame, pairs: DataFrame, score: Column | None = None
+) -> DataFrame:
+    """(doc_id, group_id, canonical_id, is_canonical): canonical-copy
+    selection per near-dup group — the curation step after
+    :func:`dup_groups` when "keep the minimum id" is the wrong policy.
+
+    The kept member is the group's argmax of `score` (default:
+    `n_chars`, i.e. keep the longest variant — the common heuristic for
+    crawl dedup where truncated copies should lose), ties broken by
+    minimum doc_id for determinism. Documents in no pair are their own
+    singleton group and always canonical.
+
+    Cost on top of dup_groups: one broadcast-sized join of the group
+    table (near-dup members only — a small fraction of the corpus)
+    against the doc scores, one per-group window (group sizes are tiny
+    cliques/stars), one left join back to the corpus. Nothing touches
+    `text`.
+    """
+    if score is None:
+        score = F.col("n_chars")
+    groups = dup_groups(pairs)
+    scored = docs.select("doc_id", score.alias("_score"))
+    members = groups.join(scored, on="doc_id")
+    w = Window.partitionBy("group_id").orderBy(
+        F.desc("_score"), F.asc("doc_id")
+    )
+    canon = (
+        members.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .select("group_id", F.col("doc_id").alias("canonical_id"))
+    )
+    return (
+        scored.select("doc_id")
+        .join(groups, on="doc_id", how="left")
+        .withColumn("group_id", F.coalesce("group_id", F.col("doc_id")))
+        .join(canon, on="group_id", how="left")
+        .select(
+            "doc_id",
+            F.col("group_id").cast("long").alias("group_id"),
+            F.coalesce("canonical_id", F.col("doc_id"))
+            .cast("long")
+            .alias("canonical_id"),
+            (
+                F.col("doc_id")
+                == F.coalesce("canonical_id", F.col("doc_id"))
+            ).alias("is_canonical"),
+        )
+    )
 
 
 def _decimal_components(emb: DataFrame, id_col: str = "vec_id") -> DataFrame:

@@ -58,3 +58,49 @@ def sessionize_events(events: DataFrame, gap_us: int = DEFAULT_GAP_US) -> DataFr
         "end_us",
         "sum_value",
     )
+
+
+def funnel_steps(
+    events: DataFrame, steps: tuple[str, ...] = ("view", "click", "purchase")
+) -> DataFrame:
+    """(user_id, steps_completed, t_first_us): ordered-funnel
+    progression — how far each user advanced through `steps`, where
+    step i+1 only counts if it happens AT OR AFTER the user's earliest
+    qualifying step-i event (min-time progression, the standard funnel
+    semantics).
+
+    Shape: one filtered aggregation per step chained by equi-joins on
+    user_id — k−1 joins total, each frame monotonically shrinking
+    (users who reached that depth), no window over the whole event
+    history, no UDF. At scale every join keys on user_id and the
+    left side is the (small) survivors frame, so AQE broadcasts it
+    against the filtered event scan; the event filter on event_type
+    pushes down to the parquet scan.
+    """
+    assert len(steps) >= 1
+    ev = events.select(
+        "user_id", "event_type", event_micros(events).alias("tus")
+    )
+    users = ev.select("user_id").distinct()
+    prog = (
+        ev.filter(F.col("event_type") == steps[0])
+        .groupBy("user_id")
+        .agg(F.min("tus").alias("t0"))
+    )
+    for i in range(1, len(steps)):
+        nxt = (
+            ev.filter(F.col("event_type") == steps[i])
+            .join(prog.select("user_id", f"t{i - 1}"), on="user_id")
+            .filter(F.col("tus") >= F.col(f"t{i - 1}"))
+            .groupBy("user_id")
+            .agg(F.min("tus").alias(f"t{i}"))
+        )
+        prog = prog.join(nxt, on="user_id", how="left")
+    reached = sum(
+        F.col(f"t{i}").isNotNull().cast("int") for i in range(len(steps))
+    )
+    return users.join(prog, on="user_id", how="left").select(
+        "user_id",
+        reached.cast("long").alias("steps_completed"),
+        F.col("t0").cast("long").alias("t_first_us"),
+    )

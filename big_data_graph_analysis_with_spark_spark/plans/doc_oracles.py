@@ -121,6 +121,42 @@ FROM reach GROUP BY doc_id
 """
 
 
+def keep_best_sql(pairs_sql: str) -> str:
+    """Canonical-copy selection twin of dedup.dedup_keep_best over the
+    pairs from `pairs_sql`: groups via the recursive-CTE component min,
+    canonical = argmax(n_chars, tie → min doc_id), singletons (docs in
+    no pair) canonical by construction."""
+    return f"""
+WITH RECURSIVE pairs AS ({pairs_sql}),
+und AS (SELECT doc_a AS a, doc_b AS b FROM pairs
+        UNION ALL SELECT doc_b AS a, doc_a AS b FROM pairs),
+nodes AS (SELECT DISTINCT a AS doc_id FROM und),
+reach(doc_id, r) AS (
+  SELECT doc_id, doc_id FROM nodes
+  UNION
+  SELECT u.a, reach.r FROM und u JOIN reach ON reach.doc_id = u.b
+),
+grp AS (SELECT doc_id, MIN(r) AS group_id FROM reach GROUP BY doc_id),
+alldocs AS (
+  SELECT d.doc_id, COALESCE(g.group_id, d.doc_id) AS group_id, d.n_chars
+  FROM documents d LEFT JOIN grp g ON d.doc_id = g.doc_id
+),
+canon AS (
+  SELECT group_id, doc_id AS canonical_id
+  FROM (SELECT group_id, doc_id,
+               ROW_NUMBER() OVER (PARTITION BY group_id
+                                  ORDER BY n_chars DESC, doc_id ASC) AS rn
+        FROM alldocs)
+  WHERE rn = 1
+)
+SELECT CAST(a.doc_id AS BIGINT) AS doc_id,
+       CAST(a.group_id AS BIGINT) AS group_id,
+       CAST(c.canonical_id AS BIGINT) AS canonical_id,
+       a.doc_id = c.canonical_id AS is_canonical
+FROM alldocs a JOIN canon c ON a.group_id = c.group_id
+"""
+
+
 def simhash_sql(max_hamming: int = 8) -> str:
     h = hash56_sql("w")
     sums = ", ".join(

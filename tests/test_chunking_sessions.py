@@ -120,3 +120,39 @@ def test_chunks_plan_is_shuffle_free(spark):
         .toString()
     )
     assert "Exchange" not in plan
+
+
+def test_funnel_ordering_semantics(spark):
+    """Step i+1 counts only at-or-after the earliest step-i event;
+    same-instant events count (>= semantics); users with no step-1
+    event report 0 steps and a NULL first time."""
+    us = 1000  # event_micros on a nanos-long ts divides by 1000
+    ev = spark.createDataFrame(
+        [
+            # user 1: clean view -> click -> purchase
+            (10, 1, 100 * us, "view"),
+            (11, 1, 200 * us, "click"),
+            (12, 1, 300 * us, "purchase"),
+            # user 2: click BEFORE the first view must not count; the
+            # purchase needs a qualifying click, so depth stays 1
+            (20, 2, 100 * us, "click"),
+            (21, 2, 200 * us, "view"),
+            (22, 2, 300 * us, "purchase"),
+            # user 3: no view at all -> depth 0
+            (30, 3, 100 * us, "purchase"),
+            # user 4: view and click at the SAME instant both count
+            (40, 4, 100 * us, "view"),
+            (41, 4, 100 * us, "click"),
+        ],
+        "event_id LONG, user_id LONG, ts LONG, event_type STRING",
+    )
+    got = {
+        r["user_id"]: (r["steps_completed"], r["t_first_us"])
+        for r in sessions.funnel_steps(ev).collect()
+    }
+    assert got == {
+        1: (3, 100),
+        2: (1, 200),
+        3: (0, None),
+        4: (2, 100),
+    }

@@ -74,6 +74,17 @@ def test_ann_lsh_recall_vs_brute_force(spark, embs):
     # dominate; anything under 0.3 means the bucketing is broken
     assert recall >= 0.3, f"ANN recall too low: {recall:.2f}"
 
+    # multi-probe (flip each sign bit per table) must strictly widen
+    # the candidate set → recall never decreases, and must clear the
+    # production bar on this fixture
+    mp = {
+        (r["query_id"], r["neighbor_id"])
+        for r in similarity.ann_lsh_topk(embs, queries, k=5, multi_probe=1).collect()
+    }
+    mp_recall = len(exact & mp) / len(exact)
+    assert mp_recall >= recall, (mp_recall, recall)
+    assert mp_recall >= 0.6, f"multi-probe recall too low: {mp_recall:.2f}"
+
 
 def test_ann_deterministic(spark, embs):
     queries = embs.filter(F.col("vec_id") < 10)
@@ -224,6 +235,55 @@ def test_multimodal_plumbing(spark, docs):
 def test_multimodal_unknown_kind_raises(spark):
     with pytest.raises(NotImplementedError):
         multimodal._decode_stub("hologram", b"xx")
+
+
+def test_multimodal_image_codec_import_guard(monkeypatch):
+    """The image path upgrades itself to a real decoder when PIL is
+    importable and falls back to the stub when it is missing or the
+    payload doesn't decode. PIL is absent in this container, so the
+    upgrade path is exercised with a minimal fake module exposing the
+    exact public API the decoder uses (Image.open → convert → resize →
+    getdata)."""
+    import sys
+    import types
+
+    assert multimodal._decode_image_real(b"anything") is None  # no PIL here
+
+    class _FakeIm:
+        def __init__(self, ok):
+            self._ok = ok
+
+        def __enter__(self):
+            return self
+
+        def __exit__(self, *a):
+            return False
+
+        def convert(self, mode):
+            assert mode == "L"
+            return self
+
+        def resize(self, size):
+            assert size == (8, 8)
+            return self
+
+        def getdata(self):
+            return [10, 20, 30, 40] * 16  # 64 px
+
+    class _FakeImage:
+        @staticmethod
+        def open(buf):
+            if buf.read(5) != b"valid":
+                raise OSError("cannot identify image file")
+            return _FakeIm(True)
+
+    fake_pil = types.ModuleType("PIL")
+    fake_pil.Image = _FakeImage
+    monkeypatch.setitem(sys.modules, "PIL", fake_pil)
+
+    got = multimodal._decode_image_real(b"valid-image-bytes")
+    assert got == [17.0, 25.0, 40.0, 10.0]  # len=17, mean px=25
+    assert multimodal._decode_image_real(b"corrupt") is None  # stub fallback
 
 
 def test_quality_scores_bounded(spark, docs):
@@ -487,6 +547,28 @@ def test_expectations_counts_null_as_violation(spark):
     assert out["s_is_ok"] == (3, 2, 2 / 3)
 
 
+def test_expectations_rejects_unsafe_rule_names(spark):
+    """Rule names are interpolated into a generated stack() expression
+    as SQL aliases — non-identifier names and the reserved '_n' must be
+    rejected up front, not silently corrupt the report (ADVICE r3)."""
+    import pytest
+
+    from big_data_graph_analysis_with_spark_spark.operators import curation
+
+    df = spark.createDataFrame([(1,)], "x LONG")
+    for bad in ("has space", "quote'inj", "_n", "1starts_with_digit", "semi;colon"):
+        with pytest.raises(ValueError, match="identifier-shaped"):
+            curation.expectations(df, {bad: F.col("x") > 0})
+
+
+def test_stats_id_list_truncation_records_total(spark):
+    from big_data_graph_analysis_with_spark_spark.operators.stats import _ids_str
+
+    df = spark.createDataFrame([(i,) for i in range(10)], "id LONG")
+    assert _ids_str(df, "id", cap=3) == "[0, 1, 2, ... (10 total)]"
+    assert _ids_str(df, "id", cap=10) == "[" + ", ".join(map(str, range(10))) + "]"
+
+
 def test_neighbor_sample_caps_fanout_deterministically(spark):
     from big_data_graph_analysis_with_spark_spark.operators import sampling
 
@@ -530,3 +612,34 @@ def test_quantize_embeddings_bounds_and_roundtrip(spark, embs):
         assert abs(x - r["q"] * step) <= step + 1e-12
     # extreme components hit the code boundary exactly
     assert any(abs(r["q"]) == 127 for r in rows)
+
+
+def test_dedup_keep_best_argmax_and_singletons(spark):
+    """Canonical = longest member (tie -> min doc_id); docs in no pair
+    are their own canonical singleton group."""
+    docs = spark.createDataFrame(
+        [
+            (1, "a", 10),
+            (2, "b", 50),   # longest of {1,2,3} -> canonical
+            (3, "c", 20),
+            (4, "d", 99),   # singleton
+            (5, "e", 30),   # tie with 6 -> min id wins
+            (6, "f", 30),
+        ],
+        "doc_id LONG, text STRING, n_chars LONG",
+    )
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (5, 6)], "doc_a LONG, doc_b LONG"
+    )
+    got = {
+        r["doc_id"]: (r["group_id"], r["canonical_id"], r["is_canonical"])
+        for r in dedup.dedup_keep_best(docs, pairs).collect()
+    }
+    assert got == {
+        1: (1, 2, False),
+        2: (1, 2, True),
+        3: (1, 2, False),
+        4: (4, 4, True),
+        5: (5, 5, True),
+        6: (5, 5, False),
+    }
