@@ -23,6 +23,8 @@ so cross-engine hashes are exact.
 
 from __future__ import annotations
 
+import re
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -155,7 +157,20 @@ def expectations(df: DataFrame, rules: dict[str, "F.Column"]) -> DataFrame:
     (map-side combine → a single row crosses the wire per task), then
     `stack` unpivots in-plan to the long report shape. The rate is one
     bigint/bigint IEEE division → oracle-exact.
+
+    Rule names become SQL aliases inside the generated `stack`
+    expression, so they are validated up front: identifier-shaped only,
+    and `_n` (the internal row-count alias) is reserved. Rejecting
+    loudly beats quoting — a rule named `end` or `a b` in a quality
+    report is a config typo, not a use case.
     """
+    ident = re.compile(r"[A-Za-z][A-Za-z0-9_]*\Z")
+    for name in rules:
+        if not ident.fullmatch(name) or name == "_n":
+            raise ValueError(
+                f"expectation rule name {name!r} must be identifier-shaped"
+                " ([A-Za-z][A-Za-z0-9_]*) and not the reserved '_n'"
+            )
     aggs = [F.count("*").cast("long").alias("_n")]
     for name, cond in rules.items():
         aggs.append(

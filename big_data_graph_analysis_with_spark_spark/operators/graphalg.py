@@ -125,7 +125,9 @@ def connected_components(graph: NetGraph, max_iters: int = 50) -> DataFrame:
     return labels
 
 
-def pagerank(graph: NetGraph, iters: int = 4) -> DataFrame:
+def pagerank(
+    graph: NetGraph, iters: int = 4, edges_stable: bool = False
+) -> DataFrame:
     """(id, pr_scaled): fixed-point PageRank after `iters` rounds.
 
     pr_scaled is the score × 1e12 as a long. Per round, each vertex v
@@ -135,6 +137,18 @@ def pagerank(graph: NetGraph, iters: int = 4) -> DataFrame:
     non-negative) → bit-identical across engines and partitionings.
     Dangling mass is dropped, as in the classic simplified formulation;
     scores therefore sum to ≤ SCALE, which is fine for ranking use.
+
+    ``edges_stable=True`` declares that ``graph.edges`` is already a
+    materialized table scan (e.g. the src-bucketed catalog tables from
+    sources/parquet_graph) — the edge list is then used as-is instead of
+    localCheckpointed, which PRESERVES the scan's bucket distribution
+    metadata so Catalyst elides the edge-side Exchange in every round's
+    src-keyed join. At 100 TB that per-round edge shuffle is the
+    dominant cost; bucketing the stored graph on src removes it
+    entirely. (localCheckpoint would erase the metadata — an RDD scan
+    has no outputPartitioning Catalyst can trust.) Leave False for
+    derived edge frames, where re-executing lineage each round would
+    outweigh the shuffle saving.
     """
     n = graph.vertices.count()
     base = (PR_DAMP_DEN - PR_DAMP_NUM) * PR_SCALE // (PR_DAMP_DEN * n)
@@ -144,7 +158,9 @@ def pagerank(graph: NetGraph, iters: int = 4) -> DataFrame:
     pr = graph.vertices.select(
         "id", F.lit(PR_SCALE // n).cast("long").alias("pr_scaled")
     ).localCheckpoint()
-    edges = graph.edges.select("src", "dst").localCheckpoint()
+    edges = graph.edges.select("src", "dst")
+    if not edges_stable:
+        edges = edges.localCheckpoint()
     for _ in range(iters):
         contribs = (
             pr.join(outdeg, on="id")

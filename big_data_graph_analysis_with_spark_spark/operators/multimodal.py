@@ -2,10 +2,14 @@
 columns with typed metadata, processed via Arrow-batched `mapInPandas`.
 
 The Spark-side machinery here is real and tested — schema, batching,
-partition sizing, UDF signatures. The actual codec calls are stubbed
-(`NotImplementedError` / deterministic fake) because no image/audio
-libraries exist in this container; swapping `_decode_stub` for
-PIL/torchaudio is a one-function change that does not alter the plan.
+partition sizing, UDF signatures. Codec calls are import-guarded: the
+image path upgrades itself to a real PIL decode (grayscale → 8×8
+thumbnail → pixel stats) whenever `PIL` is importable, and falls back
+to the deterministic byte-statistics stub per-asset when the library is
+absent OR the payload doesn't decode — the behavior a production
+curation stage wants anyway, since real corpora carry corrupt images.
+Audio/video remain stubbed (`torchaudio`/`pyav` also absent here); they
+follow the same guard pattern when added.
 
 Scale notes: binary payloads dominate row size, so
 `spark.sql.files.maxPartitionBytes` (set in session.py) bounds task
@@ -53,16 +57,41 @@ def synthesize_assets(docs: DataFrame) -> DataFrame:
     )
 
 
-def _decode_stub(kind: str, payload: bytes) -> list[float]:
-    """STUB for the real decoder.
+def _decode_image_real(payload: bytes) -> list[float] | None:
+    """Real image decode, active whenever PIL is importable.
 
-    Real implementation would be:
-      image → PIL.Image.open(BytesIO(payload)).resize(...) → pixels
-      audio → torchaudio.load → resample → frames
-      video → decord/pyav frame sample
-    None of those libraries ship in this container, so we return a
-    deterministic 4-dim byte-statistics vector; raise for unknown kinds
-    exactly as the real decoder would for unsupported codecs.
+    Returns the same 4-dim layout as the stub but computed over decoded
+    pixels (count, mean, max, min of the 8×8 grayscale thumbnail) with
+    the true byte length in slot 0. Returns None — caller falls back to
+    the stub — when PIL is missing or the payload is not a decodable
+    image.
+    """
+    try:
+        from PIL import Image  # import-guarded optional dependency
+    except ImportError:
+        return None
+    import io
+
+    try:
+        with Image.open(io.BytesIO(payload)) as im:
+            px = list(im.convert("L").resize((8, 8)).getdata())
+    except Exception:
+        return None  # corrupt/unsupported payload → stub fallback
+    return [
+        float(len(payload)),
+        round(sum(px) / len(px), 6),
+        float(max(px)),
+        float(min(px)),
+    ]
+
+
+def _decode_stub(kind: str, payload: bytes) -> list[float]:
+    """Fallback decoder: deterministic 4-dim byte-statistics vector.
+
+    Used when the kind's real codec library is unavailable (audio →
+    torchaudio, video → decord/pyav — neither ships in this container)
+    or the payload doesn't decode; raises for unknown kinds exactly as
+    a real decoder would for unsupported codecs.
     """
     if kind not in ("image", "audio", "video"):
         raise NotImplementedError(f"no decoder for kind={kind!r}")
@@ -84,9 +113,16 @@ def extract_features(assets: DataFrame, batch_size_hint: int = 256) -> DataFrame
     """
 
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        def decode(kind: str, payload: bytes) -> list[float]:
+            if kind == "image":
+                real = _decode_image_real(payload)
+                if real is not None:
+                    return real
+            return _decode_stub(kind, payload)
+
         for pdf in batches:
             feats = [
-                _decode_stub(k, bytes(d) if d is not None else b"")
+                decode(k, bytes(d) if d is not None else b"")
                 for k, d in zip(pdf["kind"], pdf["data"])
             ]
             n_bytes = [int(f[0]) for f in feats]

@@ -20,6 +20,8 @@ joins broadcast.
 
 from __future__ import annotations
 
+import logging
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -86,6 +88,9 @@ def _ids_str(df: DataFrame, col: str, cap: int) -> str:
     body = ", ".join(str(i) for i in ids)
     if total > cap:
         body += f", ... ({total} total)"
+        logging.getLogger(__name__).warning(
+            "stats id list %r truncated to %d of %d ids", col, cap, total
+        )
     return "[" + body + "]"
 
 

@@ -56,3 +56,52 @@ def test_bucketed_roundtrip_overwrite_and_no_shuffle(spark, tmp_path):
         assert "Exchange hashpartitioning" not in plan, plan
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+
+
+def test_bucketed_pagerank_same_result_no_edge_exchange(spark, tmp_path):
+    """pagerank(edges_stable=True) over the src-bucketed catalog tables
+    must (a) return bit-identical scores to the plain path and (b) plan
+    the per-round src-keyed join with NO Exchange on the edge side —
+    the per-round edge shuffle is the dominant cost at scale and
+    bucketing exists precisely to remove it."""
+    from pyspark.sql import functions as F
+
+    from big_data_graph_analysis_with_spark_spark.operators import graphalg
+
+    g = load_graph(spark, f"{REF_INPUT}/Graph20.0.txt")
+    path = str(tmp_path / "g20pr")
+    write_graph_parquet(g, path, bucket_by=4)
+    back = read_graph_parquet(spark, path)
+
+    plain = sorted(map(tuple, graphalg.pagerank(g, iters=2).collect()))
+    bucketed = sorted(
+        map(tuple, graphalg.pagerank(back, iters=2, edges_stable=True).collect())
+    )
+    assert bucketed == plain
+
+    # plan shape: with broadcast off (forcing the at-scale SMJ), the
+    # bucketed edge scan must feed the src-keyed join without its own
+    # Exchange — only the derived (vertex-sized) side repartitions
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+
+        def round_join(edges):
+            pr0 = back.vertices.select(
+                "id", F.lit(1_000_000).cast("long").alias("pr_scaled")
+            )
+            return pr0.join(edges, on=F.col("id") == F.col("src"))
+
+        plan_b = (
+            round_join(back.edges.select("src", "dst"))
+            ._jdf.queryExecution().executedPlan().toString()
+        )
+        plan_p = (
+            round_join(back.edges.select("src", "dst").localCheckpoint())
+            ._jdf.queryExecution().executedPlan().toString()
+        )
+        assert plan_b.count("Exchange hashpartitioning") < plan_p.count(
+            "Exchange hashpartitioning"
+        ), plan_b
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
