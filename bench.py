@@ -173,8 +173,11 @@ def main() -> None:
 
     @timed("similarity_ann_lsh")
     def _():
+        # multi_probe=1 is the configuration that clears the recall bar
+        # (≥0.6 at sf0.1; see the recall block below) — benching the
+        # plain config would time an answer quality nobody would ship
         q = embs.filter(F.col("vec_id") < 100)
-        similarity_ops.ann_lsh_topk(embs, q, 5).count()
+        similarity_ops.ann_lsh_topk(embs, q, 5, multi_probe=1).count()
 
     @timed("text_analysis")
     def _():
@@ -232,6 +235,88 @@ def main() -> None:
         pg200 = load_graph(spark, f"{REF_INPUT}/Graph200.txt.perturbed")
         run_pipeline(spark, og200, pg200, SimConfig())
 
+    # -- bucketed graph analytics: same PageRank as graph_analytics but
+    # over src-bucketed catalog tables with edges_stable=True, so every
+    # round's edge-side Exchange is elided (the at-scale win; the write
+    # below is one-time storage prep, excluded from the timing)
+    import tempfile
+
+    from big_data_graph_analysis_with_spark_spark.operators import graphalg
+    from big_data_graph_analysis_with_spark_spark.sources.parquet_graph import (
+        read_graph_parquet,
+        write_graph_parquet,
+    )
+
+    bucket_path = tempfile.mkdtemp(prefix="bdga_bench_bucketed_")
+    write_graph_parquet(og, bucket_path, bucket_by=8)
+    og_bucketed = read_graph_parquet(spark, bucket_path)
+
+    @timed("pagerank_plain")
+    def _():
+        graphalg.pagerank(og, iters=4).agg(F.sum("pr_scaled")).collect()
+
+    @timed("pagerank_bucketed")
+    def _():
+        graphalg.pagerank(og_bucketed, iters=4, edges_stable=True).agg(
+            F.sum("pr_scaled")
+        ).collect()
+
+    # -- streaming micro-batch overhead (availableNow drain to a memory
+    # sink; the batch twins are asserted equivalent in tests/)
+    from big_data_graph_analysis_with_spark_spark.streaming import (
+        doc_dedup,
+        walk_rates,
+    )
+    from big_data_graph_analysis_with_spark_spark.streaming import (
+        sessions as streaming_sessions,
+    )
+
+    stream_run = [0]
+
+    @timed("streaming_dedup")
+    def _():
+        stream_run[0] += 1
+        docs_stream = spark.readStream.schema(docs.schema).parquet(
+            f"{SF_DIR}/documents.parquet"
+        )
+        walk_rates.run_to_memory_sink(
+            doc_dedup.streaming_exact_dedup(docs_stream),
+            f"bench_doc_dedup_{stream_run[0]}",
+            "append",
+        )
+
+    @timed("streaming_sessions")
+    def _():
+        stream_run[0] += 1
+        ev_stream = walk_rates.read_events_stream(spark, f"{SF_DIR}/events.parquet")
+        walk_rates.run_to_memory_sink(
+            streaming_sessions.session_window_counts(ev_stream),
+            f"bench_sessions_{stream_run[0]}",
+            "complete",
+        )
+
+    # -- ANN answer quality at bench scale: recall@5 vs the exact top-k
+    # on the same corpus/queries. Not a timing — recorded in the same
+    # JSON so a speedup that silently trades recall away is visible.
+    print("[bench] measuring ANN recall ...", file=sys.stderr, flush=True)
+    q100 = embs.filter(F.col("vec_id") < 100)
+    exact_nn = {
+        (r["query_id"], r["neighbor_id"])
+        for r in similarity_ops.cosine_topk(embs, q100, 5).collect()
+    }
+
+    def _recall(df):
+        got = {(r["query_id"], r["neighbor_id"]) for r in df.collect()}
+        return round(len(exact_nn & got) / len(exact_nn), 4)
+
+    recalls = {
+        "ann_lsh": _recall(similarity_ops.ann_lsh_topk(embs, q100, 5)),
+        "ann_lsh_mp1": _recall(
+            similarity_ops.ann_lsh_topk(embs, q100, 5, multi_probe=1)
+        ),
+        "ann_ivf": _recall(similarity_ops.ann_ivf_topk(embs, q100, 5)),
+    }
+
     total = round(sum(timings.values()), 3)
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
     print(
@@ -241,6 +326,7 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": timings,
+                "recall_at_5": recalls,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
             }
         )
