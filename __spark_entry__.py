@@ -754,6 +754,14 @@ def q_events_sessionized(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sessions.sessionize_events(ev)
 
 
+def q_length_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Padding-efficiency batching: similar-length docs grouped into
+    fixed-size batches (hash-shuffled within each length bucket)."""
+    from big_data_graph_analysis_with_spark_spark.operators import chunking
+
+    return chunking.length_buckets(_docs(spark, sf_dir))
+
+
 def q_events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Ordered-funnel progression view → click → purchase per user
     (min-time semantics: each step must occur at or after the earliest
@@ -1360,6 +1368,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # -- new in round 4 (keep inside the driver window) -------------------
         "dedup_keep_best": q_dedup_keep_best,
         "events_funnel": q_events_funnel,
+        "length_buckets": q_length_buckets,
         # -- previously driver-green (CORRECTNESS_r03.json); re-verified while
         #    window room remains ---------------------------------------------
         "start_nodes": q_start_nodes,
@@ -1560,6 +1569,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_keep_best": doc_oracles.keep_best_sql(
             doc_oracles.minhash_lsh_sql(n=3, threshold=0.2)
         ),
+        "length_buckets": doc_oracles.length_buckets_sql(),
         "events_funnel": """
             WITH ev AS (
               SELECT user_id, event_type, epoch_us(ts) AS tus FROM events

@@ -271,13 +271,24 @@ def main() -> None:
         sessions as streaming_sessions,
     )
 
+    # the file-stream source requires a DIRECTORY; the testdata tables
+    # are single files, so stage symlinked dirs once (no data copy)
+    stream_stage = tempfile.mkdtemp(prefix="bdga_bench_stream_")
+    for table in ("documents", "events"):
+        tdir = os.path.join(stream_stage, table)
+        os.makedirs(tdir)
+        os.symlink(
+            f"{SF_DIR}/{table}.parquet",
+            os.path.join(tdir, "part-00000.parquet"),
+        )
+
     stream_run = [0]
 
     @timed("streaming_dedup")
     def _():
         stream_run[0] += 1
         docs_stream = spark.readStream.schema(docs.schema).parquet(
-            f"{SF_DIR}/documents.parquet"
+            f"{stream_stage}/documents"
         )
         walk_rates.run_to_memory_sink(
             doc_dedup.streaming_exact_dedup(docs_stream),
@@ -288,7 +299,7 @@ def main() -> None:
     @timed("streaming_sessions")
     def _():
         stream_run[0] += 1
-        ev_stream = walk_rates.read_events_stream(spark, f"{SF_DIR}/events.parquet")
+        ev_stream = walk_rates.read_events_stream(spark, f"{stream_stage}/events")
         walk_rates.run_to_memory_sink(
             streaming_sessions.session_window_counts(ev_stream),
             f"bench_sessions_{stream_run[0]}",

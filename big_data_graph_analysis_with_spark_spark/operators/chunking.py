@@ -17,6 +17,15 @@ dedup/filtering:
   local to its hash partition (no global sort, no driver state), and
   membership is a pure function of the corpus content: stable across
   partitionings, engines, and re-runs.
+* :func:`length_buckets` — group documents of similar token counts
+  into fixed-size training batches (padding-efficiency batching: a
+  batch pads every member to its longest, so batching long with short
+  wastes compute ∝ the length spread). Documents are CASE-assigned to
+  the half-open boundary bucket their token count falls in, ordered
+  inside each bucket by the seeded hash (so batch composition is a
+  shuffled but deterministic function of the corpus), and numbered
+  into ``batch_size``-row batches by one per-bucket window — the same
+  single-shuffle discipline as packing.
 
 Both are exactly mirrored by DuckDB oracles (plans/doc_oracles.py):
 integer arithmetic only, and the shared 56-bit MD5 hash for ordering.
@@ -88,4 +97,45 @@ def pack_documents(
             F.col("bucket") * PACK_STRIDE + F.expr(f"start div {budget}")
         ).cast("long").alias("pack_id"),
         (F.col("start") % budget).cast("long").alias("offset_in_pack"),
+    )
+
+
+def length_buckets(
+    docs: DataFrame,
+    boundaries: tuple[int, ...] = (16, 64, 256),
+    batch_size: int = 32,
+) -> DataFrame:
+    """(doc_id, n_tokens, bucket, batch_id, pos_in_batch): group
+    similar-length documents into fixed-size batches.
+
+    Bucket k holds token counts in [boundaries[k-1], boundaries[k])
+    (bucket 0 = below the first boundary, bucket len(boundaries) = at
+    or above the last). Within a bucket, documents are ordered by the
+    seeded 56-bit hash then doc_id (deterministic shuffle) and chopped
+    into batches of `batch_size`; the final partial batch per bucket
+    remains (trainers drop or pad it). One shuffle (the per-bucket
+    window); everything else is a narrow CASE map.
+    """
+    assert list(boundaries) == sorted(set(boundaries)) and boundaries
+    n_tokens = F.size(F.split("text", " ")).cast("long")
+    bucket = F.lit(len(boundaries))
+    for k in range(len(boundaries) - 1, -1, -1):
+        bucket = F.when(n_tokens < boundaries[k], F.lit(k)).otherwise(bucket)
+    base = docs.select(
+        "doc_id",
+        n_tokens.alias("n_tokens"),
+        bucket.cast("long").alias("bucket"),
+        hash56("doc_id", seed=PACK_SEED).alias("h"),
+    )
+    w = Window.partitionBy("bucket").orderBy("h", "doc_id")
+    rn = F.row_number().over(w) - 1
+    return base.select(
+        "doc_id",
+        "n_tokens",
+        "bucket",
+        (
+            F.col("bucket") * PACK_STRIDE
+            + (rn / batch_size).cast("long")
+        ).cast("long").alias("batch_id"),
+        (rn % batch_size).cast("long").alias("pos_in_batch"),
     )

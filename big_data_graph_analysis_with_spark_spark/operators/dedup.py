@@ -321,7 +321,15 @@ def simhash_pairs(
     """
     assert max_hamming + 1 <= bits, "banding needs max_hamming + 1 <= bits"
     spans = _simhash_chunks(bits, max_hamming + 1)
-    sigs = simhash_signatures(docs, bits)
+    # materialize the signatures once — both self-join branches read
+    # them, and a checkpoint guarantees one signature pass regardless of
+    # whether exchange reuse fires. N×8-byte rows: trivially cheap to
+    # pin at any corpus size. (Locally the join probe dominates: on the
+    # shared-vocabulary sf0.1 fixture the banded candidate volume,
+    # Σ bucket², is 22.6M rows vs 12.5M all-pairs at N=5000 — banding
+    # is a small-N overhead that wins asymptotically, since Σ bucket²
+    # grows linearly with N at fixed near-dup density while N² doesn't.)
+    sigs = simhash_signatures(docs, bits).localCheckpoint()
     chunk_vals = F.array(
         *[
             F.shiftright(F.col("simhash"), off).bitwiseAND(F.lit((1 << w) - 1))

@@ -44,6 +44,7 @@ from __future__ import annotations
 import math
 import os
 import tempfile
+import weakref
 
 import numpy as np
 import pandas as pd
@@ -62,6 +63,15 @@ WALK_SCHEMA = "partition_key LONG, walk_id LONG, step LONG, node_id LONG"
 # accumulate dead adjacencies.
 _ADJ_CACHE: dict[str, dict[int, list[int]]] = {}
 _ADJ_CACHE_MAX = 4
+
+# Driver-side sideload reuse: the same (immutable) NetGraph walked again
+# — repeated pipeline runs, bench iterations — reuses its already-written
+# sideload instead of re-materializing child_map. Weak keys: the path
+# entry dies with the graph object. Content can never go stale because a
+# NetGraph's frames are immutable and each write gets a fresh dir.
+_SIDELOAD_PATHS: "weakref.WeakKeyDictionary[NetGraph, str]" = (
+    weakref.WeakKeyDictionary()
+)
 
 
 def _load_adjacency(path: str) -> dict[int, list[int]]:
@@ -164,16 +174,19 @@ def run_walks(
     # vertex to the driver before broadcasting; at a 100 TB graph even
     # that O(|V|) driver pass is the bottleneck). Locally the sideload
     # is a temp dir; on a cluster, point `scratch_dir` at the shared FS.
-    # fresh dir per call — the per-worker cache is keyed by path, so a
-    # path must never be rewritten with different contents
-    scratch = tempfile.mkdtemp(
-        prefix="bdga_walk_adj_", dir=os.environ.get("SPARK_GRAFT_SCRATCH")
-    )
-    adj_path = os.path.join(scratch, "child_map")
-    n_files = max(1, math.ceil(n_v / 2_000_000))
-    topology.child_map(pg).coalesce(n_files).write.mode("overwrite").parquet(
-        adj_path
-    )
+    adj_path = _SIDELOAD_PATHS.get(pg)
+    if adj_path is None or not os.path.isdir(adj_path):
+        # fresh dir per write — the per-worker cache is keyed by path,
+        # so a path must never be rewritten with different contents
+        scratch = tempfile.mkdtemp(
+            prefix="bdga_walk_adj_", dir=os.environ.get("SPARK_GRAFT_SCRATCH")
+        )
+        adj_path = os.path.join(scratch, "child_map")
+        n_files = max(1, math.ceil(n_v / 2_000_000))
+        topology.child_map(pg).coalesce(n_files).write.mode(
+            "overwrite"
+        ).parquet(adj_path)
+        _SIDELOAD_PATHS[pg] = adj_path
 
     def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
         adj = _load_adjacency(adj_path)

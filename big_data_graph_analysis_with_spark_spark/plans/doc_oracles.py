@@ -399,6 +399,40 @@ FROM runs
 """
 
 
+def length_buckets_sql(
+    boundaries: tuple[int, ...] = (16, 64, 256),
+    batch_size: int = 32,
+    seed: int = 7,
+    stride: int = 1_000_000,
+) -> str:
+    """Mirrors chunking.length_buckets: boundary CASE bucketing +
+    hash-ordered fixed-size batch numbering per bucket."""
+    h = hash56_sql("doc_id", seed=seed)
+    case = "CASE " + " ".join(
+        f"WHEN n_tokens < {b} THEN {k}" for k, b in enumerate(boundaries)
+    ) + f" ELSE {len(boundaries)} END"
+    return f"""
+WITH base AS (
+  SELECT doc_id,
+         CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+         {h} AS h
+  FROM documents
+),
+b AS (
+  SELECT doc_id, n_tokens, CAST({case} AS BIGINT) AS bucket, h FROM base
+),
+r AS (
+  SELECT doc_id, n_tokens, bucket,
+         ROW_NUMBER() OVER (PARTITION BY bucket ORDER BY h, doc_id) - 1 AS rn
+  FROM b
+)
+SELECT doc_id, n_tokens, bucket,
+       CAST(bucket * {stride} + rn // {batch_size} AS BIGINT) AS batch_id,
+       CAST(rn % {batch_size} AS BIGINT) AS pos_in_batch
+FROM r
+"""
+
+
 def sessionize_sql(gap_us: int) -> str:
     """Mirrors sessions.sessionize_events over the events table —
     microsecond granularity (DuckDB truncates parquet nanos to µs;

@@ -156,3 +156,36 @@ def test_funnel_ordering_semantics(spark):
         3: (0, None),
         4: (2, 100),
     }
+
+
+def test_length_buckets_boundaries_and_batches(spark):
+    """Half-open boundary semantics, dense per-bucket batch numbering,
+    fixed batch size, and partitioning invariance."""
+    texts = (
+        ["w"] * 3                             # 1 token  -> bucket 0
+        + [" ".join(["w"] * 16)] * 5          # 16       -> bucket 1 (>= 16)
+        + [" ".join(["w"] * 255)] * 2         # 255      -> bucket 2
+        + [" ".join(["w"] * 300)] * 4         # 300      -> bucket 3
+    )
+    docs = _docs(spark, texts)
+    got = chunking.length_buckets(docs, boundaries=(16, 64, 256), batch_size=2)
+    rows = got.collect()
+    by_bucket: dict[int, list] = {}
+    for r in rows:
+        assert r["batch_id"] // 1_000_000 == r["bucket"]
+        by_bucket.setdefault(r["bucket"], []).append(r)
+    assert {b: len(v) for b, v in by_bucket.items()} == {0: 3, 1: 5, 2: 2, 3: 4}
+    for b, members in by_bucket.items():
+        batches: dict[int, list] = {}
+        for r in members:
+            batches.setdefault(r["batch_id"], []).append(r["pos_in_batch"])
+        ids = sorted(batches)
+        assert ids == list(range(b * 1_000_000, b * 1_000_000 + len(ids)))
+        for bid in ids[:-1]:
+            assert sorted(batches[bid]) == [0, 1]  # full batches
+        assert sorted(batches[ids[-1]]) == list(range(len(batches[ids[-1]])))
+    # assignment is a pure function of content — repartition-invariant
+    again = chunking.length_buckets(
+        docs.repartition(7), boundaries=(16, 64, 256), batch_size=2
+    )
+    assert sorted(map(tuple, again.collect())) == sorted(map(tuple, rows))

@@ -109,3 +109,18 @@ def test_concatenated_multi_dump_ingest(spark, tmp_path):
     assert {tuple(r) for r in g.edges.collect()} == want_e
     # line-per-dump input must actually split into >1 partition record
     assert g.vertices.count() == len(want_v)
+
+
+def test_load_graph_uri_scheme_dispatch(spark):
+    """S2: the loader takes URIs, not just bare paths — the Hadoop FS
+    layer dispatches on scheme (file:// here; hdfs:///s3a:// on a
+    cluster are the same call). Result must be identical to the bare
+    path."""
+    bare = load_graph(spark, f"{REF_INPUT}/Graph20.0.txt")
+    uri = load_graph(spark, f"file://{REF_INPUT}/Graph20.0.txt")
+    assert sorted(map(tuple, uri.vertices.collect())) == sorted(
+        map(tuple, bare.vertices.collect())
+    )
+    assert sorted(map(tuple, uri.edges.collect())) == sorted(
+        map(tuple, bare.edges.collect())
+    )
