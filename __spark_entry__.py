@@ -636,6 +636,20 @@ def q_dedup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.dup_groups(pairs)
 
 
+def q_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental exact dedup of an append batch against an existing
+    hash index (simulated: docs with doc_id % 5 == 0 are the prior
+    corpus, the rest arrive as the new batch)."""
+    docs = _docs(spark, sf_dir)
+    seen = (
+        docs.filter(F.col("doc_id") % 5 == 0)
+        .select(F.md5("text").alias("h"))
+        .distinct()
+    )
+    new = docs.filter(F.col("doc_id") % 5 != 0)
+    return dedup.incremental_dedup(new, seen)
+
+
 def q_dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Canonical-copy selection over MinHash near-dup groups: keep the
     longest member (argmax n_chars, ties → min doc_id)."""
@@ -1367,6 +1381,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_rollup": q_events_rollup,
         # -- new in round 4 (keep inside the driver window) -------------------
         "dedup_keep_best": q_dedup_keep_best,
+        "dedup_incremental": q_dedup_incremental,
         "events_funnel": q_events_funnel,
         "length_buckets": q_length_buckets,
         # -- previously driver-green (CORRECTNESS_r03.json); re-verified while
@@ -1569,6 +1584,22 @@ def oracle_sql() -> dict[str, str]:
         "dedup_keep_best": doc_oracles.keep_best_sql(
             doc_oracles.minhash_lsh_sql(n=3, threshold=0.2)
         ),
+        "dedup_incremental": """
+            WITH seen AS (
+              SELECT DISTINCT md5(text) AS h FROM documents
+              WHERE doc_id % 5 = 0
+            ),
+            keyed AS (
+              SELECT doc_id, md5(text) AS h FROM documents
+              WHERE doc_id % 5 <> 0
+            ),
+            firsts AS (
+              SELECT h, CAST(MIN(doc_id) AS BIGINT) AS doc_id
+              FROM keyed GROUP BY h
+            )
+            SELECT doc_id, h FROM firsts
+            WHERE h NOT IN (SELECT h FROM seen)
+        """,
         "length_buckets": doc_oracles.length_buckets_sql(),
         "events_funnel": """
             WITH ev AS (

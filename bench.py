@@ -247,9 +247,16 @@ def main() -> None:
         write_graph_parquet,
     )
 
+    from big_data_graph_analysis_with_spark_spark.sources.parquet_graph import (
+        read_sym_edges,
+        write_sym_edges,
+    )
+
     bucket_path = tempfile.mkdtemp(prefix="bdga_bench_bucketed_")
     write_graph_parquet(og, bucket_path, bucket_by=8)
+    write_sym_edges(og, bucket_path, bucket_by=8)
     og_bucketed = read_graph_parquet(spark, bucket_path)
+    sym_bucketed = read_sym_edges(spark, bucket_path)
 
     @timed("pagerank_plain")
     def _():
@@ -259,6 +266,18 @@ def main() -> None:
     def _():
         graphalg.pagerank(og_bucketed, iters=4, edges_stable=True).agg(
             F.sum("pr_scaled")
+        ).collect()
+
+    @timed("cc_plain")
+    def _():
+        graphalg.connected_components(og).agg(
+            F.countDistinct("component_id")
+        ).collect()
+
+    @timed("cc_bucketed")
+    def _():
+        graphalg.connected_components(og, sym_edges=sym_bucketed).agg(
+            F.countDistinct("component_id")
         ).collect()
 
     # -- streaming micro-batch overhead (availableNow drain to a memory

@@ -64,6 +64,28 @@ def exact_dedup(docs: DataFrame) -> DataFrame:
     )
 
 
+def incremental_dedup(new_docs: DataFrame, seen_hashes: DataFrame) -> DataFrame:
+    """(doc_id, h): documents from `new_docs` that survive incremental
+    exact dedup against an existing corpus — the re-crawl/append
+    ingestion step: a new document is kept iff its md5(text) is absent
+    from `seen_hashes` (one `h STRING` column — the persisted hash
+    index of everything already ingested) AND it is the first copy
+    (min doc_id) within its own batch.
+
+    Scale shape: the anti join keys on the 32-byte hash (never the
+    text), and at 100 TB the hash index is exactly the kind of table
+    to store bucketed on `h` so repeated ingests co-locate; the batch-
+    internal dedup is the same min-groupBy as `exact_dedup`. Appending
+    the survivors' hashes back to the index is the caller's write —
+    this operator stays a pure read so it composes into one plan.
+    """
+    keyed = new_docs.select("doc_id", F.md5("text").alias("h"))
+    firsts = keyed.groupBy("h").agg(F.min("doc_id").alias("doc_id"))
+    return firsts.join(seen_hashes.select("h"), on="h", how="left_anti").select(
+        "doc_id", "h"
+    )
+
+
 def word_shingles(docs: DataFrame, n: int = 3) -> DataFrame:
     """(doc_id, shingle): distinct word n-grams per document.
 

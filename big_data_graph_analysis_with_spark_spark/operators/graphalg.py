@@ -81,7 +81,11 @@ def triangle_counts(graph: NetGraph) -> DataFrame:
     )
 
 
-def connected_components(graph: NetGraph, max_iters: int = 50) -> DataFrame:
+def connected_components(
+    graph: NetGraph,
+    max_iters: int = 50,
+    sym_edges: DataFrame | None = None,
+) -> DataFrame:
     """(id, component_id): undirected connected components, labeled by
     the minimum vertex id of each component. Isolated vertices are their
     own singleton component.
@@ -90,11 +94,24 @@ def connected_components(graph: NetGraph, max_iters: int = 50) -> DataFrame:
     own label and its neighbors' labels; converges in O(diameter)
     rounds. One shuffle per round (join + groupBy on id); iterates are
     localCheckpointed so lineage stays flat over long chains.
+
+    ``sym_edges`` optionally supplies the symmetric canonical edge list
+    as a STABLE table scan — e.g. the b-bucketed catalog table written
+    by `sources.parquet_graph.write_sym_edges` — used as-is instead of
+    derived-and-checkpointed. Like `pagerank(edges_stable=True)`, a
+    bucketed scan keeps its distribution metadata, so every round's
+    b-keyed label join plans with NO Exchange on the (big) edge side;
+    at scale the per-round edge shuffle is the iteration's whole cost.
+    The caller owns the contract that `sym_edges` equals
+    undirected ∪ flipped of `graph` (the writer guarantees it).
     """
-    und = undirected_edges(graph)
-    sym = und.unionAll(
-        und.select(F.col("b").alias("a"), F.col("a").alias("b"))
-    ).localCheckpoint()
+    if sym_edges is not None:
+        sym = sym_edges.select("a", "b")
+    else:
+        und = undirected_edges(graph)
+        sym = und.unionAll(
+            und.select(F.col("b").alias("a"), F.col("a").alias("b"))
+        ).localCheckpoint()
     labels = graph.vertices.select(
         "id", F.col("id").alias("component_id")
     ).localCheckpoint()

@@ -58,6 +58,41 @@ def write_graph_parquet(
         ew.parquet(f"{path}/edges")
 
 
+def write_sym_edges(
+    graph: NetGraph, path: str, bucket_by: int = 8, mode: str = "overwrite"
+) -> None:
+    """Materialize the symmetric canonical undirected edge list
+    (a, b) ∪ (b, a) as a catalog table bucketed on the label-join key
+    `b` — the storage layout that makes every round of
+    `graphalg.connected_components(sym_edges=...)` plan without an
+    edge-side Exchange. One-time storage prep, same contract as the
+    src-bucketed tables for PageRank."""
+    from pyspark.sql import functions as F
+
+    e = graph.edges.select(
+        F.least("src", "dst").alias("a"), F.greatest("src", "dst").alias("b")
+    )
+    und = e.filter(F.col("a") != F.col("b")).distinct()
+    sym = und.unionAll(und.select(F.col("b").alias("a"), F.col("a").alias("b")))
+    (
+        sym.write.mode(mode)
+        .bucketBy(bucket_by, "b")
+        .sortBy("b")
+        .option("path", f"{path}/sym_edges")
+        .saveAsTable(f"g_sym_edges_{hashlib.md5(path.encode()).hexdigest()[:12]}")
+    )
+
+
+def read_sym_edges(spark: SparkSession, path: str):
+    """Catalog-backed read of :func:`write_sym_edges` output (bucket
+    metadata preserved); plain-parquet fallback when the catalog entry
+    is absent."""
+    t = f"g_sym_edges_{hashlib.md5(path.encode()).hexdigest()[:12]}"
+    if spark.catalog.tableExists(t):
+        return spark.table(t)
+    return spark.read.parquet(f"{path}/sym_edges")
+
+
 def read_graph_parquet(spark: SparkSession, path: str, init_id: int = 0) -> NetGraph:
     """Read a graph written by :func:`write_graph_parquet`.
 

@@ -643,3 +643,30 @@ def test_dedup_keep_best_argmax_and_singletons(spark):
         5: (5, 5, True),
         6: (5, 5, False),
     }
+
+
+def test_incremental_dedup_semantics(spark):
+    """Kept = first in-batch copy of each text whose hash is absent
+    from the seen index."""
+    new = spark.createDataFrame(
+        [
+            (10, "alpha"),   # seen -> dropped
+            (11, "beta"),    # unseen, first copy -> kept
+            (12, "beta"),    # in-batch duplicate -> dropped
+            (13, "gamma"),   # unseen unique -> kept
+        ],
+        "doc_id LONG, text STRING",
+    )
+    seen = spark.createDataFrame(
+        [("alpha",)], "text STRING"
+    ).select(F.md5("text").alias("h"))
+    got = {r["doc_id"] for r in dedup.incremental_dedup(new, seen).collect()}
+    assert got == {11, 13}
+    # empty index -> plain first-copy-wins batch dedup
+    got2 = {
+        r["doc_id"]
+        for r in dedup.incremental_dedup(
+            new, spark.createDataFrame([], "h STRING")
+        ).collect()
+    }
+    assert got2 == {10, 11, 13}

@@ -58,6 +58,54 @@ def test_bucketed_roundtrip_overwrite_and_no_shuffle(spark, tmp_path):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
 
 
+def test_bucketed_connected_components_same_result_no_edge_exchange(
+    spark, tmp_path
+):
+    """connected_components(sym_edges=<b-bucketed table>) must return
+    bit-identical labels to the derived path and plan the per-round
+    b-keyed join without an edge-side Exchange."""
+    from pyspark.sql import functions as F
+
+    from big_data_graph_analysis_with_spark_spark.operators import graphalg
+    from big_data_graph_analysis_with_spark_spark.sources.parquet_graph import (
+        read_sym_edges,
+        write_sym_edges,
+    )
+
+    g = load_graph(spark, f"{REF_INPUT}/Graph20.0.txt")
+    path = str(tmp_path / "g20cc")
+    write_sym_edges(g, path, bucket_by=4)
+    sym = read_sym_edges(spark, path)
+
+    plain = sorted(map(tuple, graphalg.connected_components(g).collect()))
+    bucketed = sorted(
+        map(tuple, graphalg.connected_components(g, sym_edges=sym).collect())
+    )
+    assert bucketed == plain
+
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        labels = g.vertices.select("id", F.col("id").alias("component_id"))
+
+        def round_join(sym_df):
+            return sym_df.join(labels, on=sym_df.b == labels.id)
+
+        plan_b = (
+            round_join(sym.select("a", "b"))
+            ._jdf.queryExecution().executedPlan().toString()
+        )
+        plan_p = (
+            round_join(sym.select("a", "b").localCheckpoint())
+            ._jdf.queryExecution().executedPlan().toString()
+        )
+        assert plan_b.count("Exchange hashpartitioning") < plan_p.count(
+            "Exchange hashpartitioning"
+        ), plan_b
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+
+
 def test_bucketed_pagerank_same_result_no_edge_exchange(spark, tmp_path):
     """pagerank(edges_stable=True) over the src-bucketed catalog tables
     must (a) return bit-identical scores to the plain path and (b) plan
