@@ -428,6 +428,34 @@ def q_bfs_distances(spark: SparkSession, sf_dir: str) -> DataFrame:
     return graphalg.bfs_distances(og)
 
 
+def q_clustering_coefficient(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-vertex local clustering coefficient as an exact fixed-point
+    integer (ppm) — triangles + degree, integer div only."""
+    og, _ = _graphs(spark, sf_dir)
+    return graphalg.clustering_coefficient(og)
+
+
+def q_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Synchronous label-propagation communities, 3 rounds,
+    deterministic (count DESC, label ASC) tie-break — the oracle
+    unrolls the identical rounds."""
+    og, _ = _graphs(spark, sf_dir)
+    return graphalg.label_propagation(og, rounds=3)
+
+
+def q_link_prediction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-100 non-adjacent pairs by common-neighbor count (integer
+    scores, wedge-join candidate generation — never all-pairs)."""
+    og, _ = _graphs(spark, sf_dir)
+    return graphalg.link_prediction(og, k=100)
+
+
+def q_degree_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Undirected degree distribution including the zero bucket."""
+    og, _ = _graphs(spark, sf_dir)
+    return graphalg.degree_histogram(og)
+
+
 _UND_CTES = """
 und AS (
   SELECT DISTINCT LEAST(src, dst) AS a, GREATEST(src, dst) AS b
@@ -601,6 +629,106 @@ pr_{k} AS (
 )"""
     return graph_sql(
         f", {ctes.strip()} SELECT id, pr AS pr_scaled FROM pr_{iters}"
+    )
+
+
+_SYM_CTES = f"""{_UND_CTES.strip()},
+sym AS (SELECT a, b FROM und UNION ALL SELECT b AS a, a AS b FROM und)
+"""
+
+
+def _clustering_sql() -> str:
+    scale = graphalg.LCC_SCALE
+    return graph_sql(
+        f""", {_SYM_CTES.strip()},
+tri AS (
+  SELECT e1.a, e1.b, e2.b AS c
+  FROM und e1
+  JOIN und e2 ON e2.a = e1.b
+  JOIN und e3 ON e3.a = e1.a AND e3.b = e2.b
+),
+members AS (
+  SELECT a AS id FROM tri
+  UNION ALL SELECT b FROM tri
+  UNION ALL SELECT c FROM tri
+),
+cnt AS (SELECT id, COUNT(*) AS n FROM members GROUP BY id),
+deg AS (SELECT a AS id, COUNT(*) AS degree FROM sym GROUP BY a)
+SELECT v.id,
+       CAST(COALESCE(d.degree, 0) AS BIGINT) AS degree,
+       CAST(COALESCE(c.n, 0) AS BIGINT) AS n_triangles,
+       CAST(CASE WHEN COALESCE(d.degree, 0) >= 2
+            THEN (2 * COALESCE(c.n, 0) * {scale}) // (d.degree * (d.degree - 1))
+            ELSE 0 END AS BIGINT) AS lcc_ppm
+FROM og_vertices v
+LEFT JOIN cnt c ON c.id = v.id
+LEFT JOIN deg d ON d.id = v.id
+"""
+    )
+
+
+def _label_propagation_sql(rounds: int = 3) -> str:
+    ctes = f"""{_SYM_CTES.strip()},
+l0 AS (SELECT id, id AS label FROM og_vertices)"""
+    for k in range(1, rounds + 1):
+        ctes += f""",
+c{k} AS (
+  SELECT s.a, l.label, COUNT(*) AS c
+  FROM sym s JOIN l{k - 1} l ON l.id = s.b
+  GROUP BY s.a, l.label
+),
+m{k} AS (
+  SELECT a, label FROM (
+    SELECT a, label,
+           ROW_NUMBER() OVER (PARTITION BY a ORDER BY c DESC, label ASC) AS rn
+    FROM c{k}
+  ) WHERE rn = 1
+),
+l{k} AS (
+  SELECT p.id, COALESCE(m.label, p.label) AS label
+  FROM l{k - 1} p LEFT JOIN m{k} m ON m.a = p.id
+)"""
+    return graph_sql(
+        f", {ctes.strip()} SELECT id, CAST(label AS BIGINT) AS label FROM l{rounds}"
+    )
+
+
+def _link_prediction_sql(k: int = 100) -> str:
+    return graph_sql(
+        f""", {_SYM_CTES.strip()},
+deg AS (SELECT a AS id, COUNT(*) AS deg FROM sym GROUP BY a),
+cand AS (
+  SELECT l.a AS a, r.a AS b, COUNT(*) AS cn
+  FROM sym l JOIN sym r ON r.b = l.b AND l.a < r.a
+  GROUP BY l.a, r.a
+),
+nonedge AS (
+  SELECT c.a, c.b, c.cn FROM cand c
+  WHERE NOT EXISTS (SELECT 1 FROM und e WHERE e.a = c.a AND e.b = c.b)
+)
+SELECT n.a, n.b,
+       CAST(n.cn AS BIGINT) AS common_neighbors,
+       CAST(da.deg * db.deg AS BIGINT) AS deg_product
+FROM nonedge n
+JOIN deg da ON da.id = n.a
+JOIN deg db ON db.id = n.b
+ORDER BY common_neighbors DESC, n.a, n.b
+LIMIT {k}
+"""
+    )
+
+
+def _degree_histogram_sql() -> str:
+    return graph_sql(
+        f""", {_SYM_CTES.strip()},
+deg AS (SELECT a AS id, COUNT(*) AS degree FROM sym GROUP BY a),
+vdeg AS (
+  SELECT CAST(COALESCE(d.degree, 0) AS BIGINT) AS degree
+  FROM og_vertices v LEFT JOIN deg d ON d.id = v.id
+)
+SELECT degree, CAST(COUNT(*) AS BIGINT) AS n_vertices
+FROM vdeg GROUP BY degree
+"""
     )
 
 
@@ -1311,6 +1439,67 @@ def q_salted_supplier_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_events_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention matrix — users bucketed by first active day,
+    counted at each returning day-offset (all-integer day arithmetic)."""
+    from big_data_graph_analysis_with_spark_spark.operators import cohorts
+
+    ev = _prep(spark).read.parquet(f"{sf_dir}/events.parquet")
+    return cohorts.retention_cohorts(ev)
+
+
+def q_events_topk_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 event types per tumbling hour (heavy hitters with a
+    deterministic count DESC / type ASC rank)."""
+    from big_data_graph_analysis_with_spark_spark.operators import cohorts
+
+    ev = _prep(spark).read.parquet(f"{sf_dir}/events.parquet")
+    return cohorts.topk_per_window(ev, k=3)
+
+
+def q_events_anomaly_days(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user burst days: daily counts > mean + 2σ of that user's own
+    history, tested in cross-multiplied integer form (no division or
+    sqrt, so both engines agree exactly)."""
+    from big_data_graph_analysis_with_spark_spark.operators import cohorts
+
+    ev = _prep(spark).read.parquet(f"{sf_dir}/events.parquet")
+    return cohorts.user_anomaly_days(ev, sigmas=2, min_days=3)
+
+
+def q_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-200 unigram vocabulary with ranks and cumulative occurrence
+    counts — the tokenizer-build coverage curve."""
+    from big_data_graph_analysis_with_spark_spark.operators import corpusstats
+
+    return corpusstats.vocab_coverage(_docs(spark, sf_dir), k=200)
+
+
+def q_winsorize_lengths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Doc lengths clipped to the exact [p5, p95] band; cutoffs from a
+    value-histogram cumulative scan (no global row sort)."""
+    from big_data_graph_analysis_with_spark_spark.operators import corpusstats
+
+    return corpusstats.winsorize_lengths(_docs(spark, sf_dir))
+
+
+def q_term_cooccurrence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document co-occurrence counts for the top-20 DF unigrams —
+    candidate pairs bounded per doc by the broadcast vocabulary."""
+    from big_data_graph_analysis_with_spark_spark.operators import corpusstats
+
+    return corpusstats.term_cooccurrence(_docs(spark, sf_dir), vocab_k=20, k=100)
+
+
+def q_temporal_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leakage-free time-ordered train/eval split of events at the
+    exact 4/5 quantile of distinct active days."""
+    from big_data_graph_analysis_with_spark_spark.operators import sampling
+
+    ev = _prep(spark).read.parquet(f"{sf_dir}/events.parquet")
+    return sampling.temporal_split(ev, train_frac=(4, 5))
+
+
 def q_walk_kernel(spark: SparkSession, sf_dir: str) -> DataFrame:
     """G2-G4 (rows-only: seeded-random, not SQL-expressible; property
     checks live in tests/test_walks_pipeline.py)."""
@@ -1384,6 +1573,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_incremental": q_dedup_incremental,
         "events_funnel": q_events_funnel,
         "length_buckets": q_length_buckets,
+        "clustering_coefficient": q_clustering_coefficient,
+        "label_propagation": q_label_propagation,
+        "link_prediction": q_link_prediction,
+        "degree_histogram": q_degree_histogram,
+        "events_retention": q_events_retention,
+        "events_topk_window": q_events_topk_window,
+        "events_anomaly_days": q_events_anomaly_days,
+        "vocab_coverage": q_vocab_coverage,
+        "winsorize_lengths": q_winsorize_lengths,
+        "term_cooccurrence": q_term_cooccurrence,
+        "temporal_split": q_temporal_split,
         # -- previously driver-green (CORRECTNESS_r03.json); re-verified while
         #    window room remains ---------------------------------------------
         "start_nodes": q_start_nodes,
@@ -1561,6 +1761,146 @@ def oracle_sql() -> dict[str, str]:
         "kcore": _kcore_sql(k=3, rounds=16),
         "sssp": _sssp_sql(rounds=10),
         "pagerank_personalized": _ppr_sql(iters=4),
+        "clustering_coefficient": _clustering_sql(),
+        "label_propagation": _label_propagation_sql(rounds=3),
+        "link_prediction": _link_prediction_sql(k=100),
+        "degree_histogram": _degree_histogram_sql(),
+        "events_retention": """
+            WITH days AS (
+              SELECT DISTINCT user_id,
+                     epoch_us(ts) // 86400000000 AS day
+              FROM events
+            ),
+            first AS (
+              SELECT user_id, MIN(day) AS cohort_day FROM days GROUP BY user_id
+            )
+            SELECT CAST(f.cohort_day AS BIGINT) AS cohort_day,
+                   CAST(d.day - f.cohort_day AS BIGINT) AS day_offset,
+                   CAST(COUNT(*) AS BIGINT) AS n_users
+            FROM days d JOIN first f ON f.user_id = d.user_id
+            GROUP BY f.cohort_day, d.day - f.cohort_day
+        """,
+        "events_topk_window": """
+            WITH counts AS (
+              SELECT epoch_us(ts) // 3600000000 AS hour, event_type,
+                     COUNT(*) AS n
+              FROM events GROUP BY 1, 2
+            ),
+            ranked AS (
+              SELECT hour, event_type, n,
+                     ROW_NUMBER() OVER (
+                       PARTITION BY hour ORDER BY n DESC, event_type) AS rank
+              FROM counts
+            )
+            SELECT CAST(hour AS BIGINT) AS hour, event_type,
+                   CAST(n AS BIGINT) AS n_events,
+                   CAST(rank AS BIGINT) AS rank
+            FROM ranked WHERE rank <= 3
+        """,
+        "events_anomaly_days": """
+            WITH daily AS (
+              SELECT user_id, epoch_us(ts) // 86400000000 AS day,
+                     COUNT(*) AS c
+              FROM events GROUP BY 1, 2
+            ),
+            m AS (
+              SELECT user_id, COUNT(*) AS n, SUM(c) AS s, SUM(c * c) AS q
+              FROM daily GROUP BY user_id
+            )
+            SELECT d.user_id, CAST(d.day AS BIGINT) AS day,
+                   CAST(d.c AS BIGINT) AS n_events
+            FROM daily d JOIN m ON m.user_id = d.user_id
+            WHERE m.n >= 3
+              AND (m.n * d.c - m.s) > 0
+              AND (m.n * d.c - m.s) * (m.n * d.c - m.s)
+                  > 4 * (m.n * m.q - m.s * m.s)
+        """,
+        "vocab_coverage": """
+            WITH words AS (
+              SELECT unnest(string_split(text, ' ')) AS token FROM documents
+            ),
+            top AS (
+              SELECT token, CAST(COUNT(*) AS BIGINT) AS n_occ
+              FROM words GROUP BY token
+              ORDER BY n_occ DESC, token LIMIT 200
+            )
+            SELECT CAST(ROW_NUMBER() OVER (ORDER BY n_occ DESC, token)
+                        AS BIGINT) AS rank,
+                   token, n_occ,
+                   CAST(SUM(n_occ) OVER (
+                     ORDER BY n_occ DESC, token
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                     AS BIGINT) AS cum_occ
+            FROM top
+        """,
+        "winsorize_lengths": """
+            WITH hist AS (
+              SELECT n_chars, COUNT(*) AS cnt FROM documents GROUP BY n_chars
+            ),
+            cum AS (
+              SELECT n_chars,
+                     SUM(cnt) OVER (ORDER BY n_chars
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+                     SUM(cnt) OVER () AS total
+              FROM hist
+            ),
+            cuts AS (
+              SELECT
+                MIN(CASE WHEN cum > (total - 1) * 1 // 20 THEN n_chars END)
+                  AS lo_cut,
+                MIN(CASE WHEN cum > (total - 1) * 19 // 20 THEN n_chars END)
+                  AS hi_cut
+              FROM cum
+            )
+            SELECT d.doc_id, CAST(d.n_chars AS BIGINT) AS n_chars,
+                   CAST(GREATEST(LEAST(d.n_chars, c.hi_cut), c.lo_cut)
+                        AS BIGINT) AS n_chars_winsorized
+            FROM documents d CROSS JOIN cuts c
+        """,
+        "term_cooccurrence": """
+            WITH toks AS (
+              SELECT DISTINCT doc_id, token FROM (
+                SELECT doc_id, unnest(string_split(text, ' ')) AS token
+                FROM documents
+              )
+            ),
+            top AS (
+              SELECT token FROM (
+                SELECT token, COUNT(*) AS df FROM toks GROUP BY token
+                ORDER BY df DESC, token LIMIT 20
+              )
+            ),
+            nar AS (
+              SELECT t.doc_id, t.token FROM toks t
+              JOIN top p ON p.token = t.token
+            )
+            SELECT a.token AS token_a, b.token AS token_b,
+                   CAST(COUNT(*) AS BIGINT) AS n_docs
+            FROM nar a JOIN nar b
+              ON a.doc_id = b.doc_id AND a.token < b.token
+            GROUP BY a.token, b.token
+            ORDER BY n_docs DESC, token_a, token_b
+            LIMIT 100
+        """,
+        "temporal_split": """
+            WITH ev AS (
+              SELECT event_id, epoch_us(ts) // 86400000000 AS day FROM events
+            ),
+            days AS (SELECT DISTINCT day FROM ev),
+            cum AS (
+              SELECT day, ROW_NUMBER() OVER (ORDER BY day) AS rn,
+                     COUNT(*) OVER () AS total
+              FROM days
+            ),
+            cut AS (
+              SELECT day AS cut_day FROM cum
+              WHERE rn - 1 = (total - 1) * 4 // 5
+            )
+            SELECT e.event_id, CAST(e.day AS BIGINT) AS day,
+                   CASE WHEN e.day < c.cut_day THEN 'train' ELSE 'eval' END
+                     AS split
+            FROM ev e CROSS JOIN cut c
+        """,
         "neighbor_sample": graph_sql(
             f"""
             , uniq AS (SELECT DISTINCT src, dst FROM og_edges),

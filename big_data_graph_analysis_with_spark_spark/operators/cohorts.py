@@ -1,0 +1,130 @@
+"""Cohort / behavioral analytics over the events table: retention
+matrices, per-window heavy hitters, and per-user anomaly days.
+
+These extend the engine's event-analysis surface (sessionization,
+funnels, transitions in `sessions.py` / `olap.py`) with the remaining
+standard product-analytics shapes. All three are pure
+`pyspark.sql.functions` plans with **integer-only arithmetic** — days
+are epoch-microseconds `div` 86400e6, anomaly thresholds are
+cross-multiplied variance comparisons — so the DuckDB oracles
+hash-match bit-for-bit (a float mean/stddev would be partition-order
+dependent and engine-divergent).
+
+Scale notes (100 TB events):
+* `retention_cohorts` — two vertex-key shuffles (per-user first-day,
+  per-(user,day) distinct) then an aggregation on the tiny
+  (cohort, offset) key space; the user-key join co-partitions with the
+  first aggregation, so AQE plans it without a second exchange on the
+  big side.
+* `topk_per_window` — counts shuffle once on (window, type) with
+  map-side combine; the rank window partitions on `window` whose
+  cardinality is time-bounded, and k·#windows rows survive.
+* `user_anomaly_days` — everything aggregates on the user key; the
+  one join (daily counts ⋈ per-user moments) is co-partitioned by
+  construction. Skewed power users are absorbed by partial aggregation
+  (each map task emits one row per (user, day)).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from ..functions.eventtime import event_micros
+
+US_PER_DAY = 86_400_000_000
+US_PER_HOUR = 3_600_000_000
+
+
+def _days(events: DataFrame) -> DataFrame:
+    """(user_id, day): one row per user-active day (epoch day index)."""
+    tus = event_micros(events)
+    return (
+        events.select("user_id", tus.alias("tus"))
+        .select("user_id", F.expr(f"tus div {US_PER_DAY}").cast("long").alias("day"))
+        .distinct()
+    )
+
+
+def retention_cohorts(events: DataFrame) -> DataFrame:
+    """(cohort_day, day_offset, n_users): classic retention matrix —
+    users grouped by their first active day (the cohort), counted on
+    each subsequent day-offset they return. Offset 0 is the cohort
+    size itself, so `n_users(offset)/n_users(0)` is the retention
+    curve."""
+    days = _days(events).localCheckpoint(eager=False)
+    first = days.groupBy("user_id").agg(F.min("day").alias("cohort_day"))
+    return (
+        days.join(first, on="user_id")
+        .select(
+            "cohort_day", (F.col("day") - F.col("cohort_day")).alias("day_offset")
+        )
+        .groupBy("cohort_day", "day_offset")
+        .agg(F.count("*").cast("long").alias("n_users"))
+        .select(
+            F.col("cohort_day").cast("long").alias("cohort_day"),
+            F.col("day_offset").cast("long").alias("day_offset"),
+            "n_users",
+        )
+    )
+
+
+def topk_per_window(events: DataFrame, k: int = 3) -> DataFrame:
+    """(hour, event_type, n_events, rank): the top-`k` event types of
+    every tumbling hour, ranked by count with the type string breaking
+    ties (total order → the k-boundary is deterministic). `hour` is the
+    epoch-hour index (tus div 3600e6)."""
+    tus = event_micros(events)
+    counts = (
+        events.select(tus.alias("tus"), "event_type")
+        .select(F.expr(f"tus div {US_PER_HOUR}").cast("long").alias("hour"), "event_type")
+        .groupBy("hour", "event_type")
+        .agg(F.count("*").cast("long").alias("n_events"))
+    )
+    w = Window.partitionBy("hour").orderBy(F.col("n_events").desc(), "event_type")
+    return (
+        counts.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("hour", "event_type", "n_events", F.col("rank").cast("long").alias("rank"))
+    )
+
+
+def user_anomaly_days(events: DataFrame, sigmas: int = 2, min_days: int = 3) -> DataFrame:
+    """(user_id, day, n_events): the user-days whose event count lies
+    more than `sigmas` standard deviations above that user's own daily
+    mean — burst detection per entity, the usual first anomaly screen
+    on behavioral data.
+
+    The test is evaluated entirely in integer cross-multiplied form:
+    with n active days, s = Σc, q = Σc², the condition
+    ``c > mean + sigmas·stddev`` (one-sided — bursts, not quiet days)
+    is equivalent to::
+
+        n·c − s > 0  AND  (n·c − s)² > sigmas²·(n·q − s²)·n / n
+                       ⇔  (n·c − s)² · 1 > sigmas² · (n·q − s²)
+
+    since var·n² = n·q − s². No division, no sqrt → bit-identical in
+    Spark and DuckDB. Users with fewer than `min_days` active days are
+    skipped (a 1-day history has zero variance)."""
+    tus = event_micros(events)
+    daily = (
+        events.select("user_id", tus.alias("tus"))
+        .select("user_id", F.expr(f"tus div {US_PER_DAY}").cast("long").alias("day"))
+        .groupBy("user_id", "day")
+        .agg(F.count("*").cast("long").alias("n_events"))
+    )
+    moments = daily.groupBy("user_id").agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum("n_events").cast("long").alias("s"),
+        F.sum(F.col("n_events") * F.col("n_events")).cast("long").alias("q"),
+    )
+    dev = F.col("n") * F.col("n_events") - F.col("s")
+    return (
+        daily.join(moments, on="user_id")
+        .filter(
+            (F.col("n") >= min_days)
+            & (dev > 0)
+            & (dev * dev > sigmas * sigmas * (F.col("n") * F.col("q") - F.col("s") * F.col("s")))
+        )
+        .select("user_id", "day", "n_events")
+    )

@@ -63,6 +63,119 @@ def top_ngrams(
     return counted.orderBy(F.desc("n_occ"), "gram").limit(k)
 
 
+def vocab_coverage(docs: DataFrame, k: int = 200) -> DataFrame:
+    """(rank, token, n_occ, cum_occ): the top-`k` unigram vocabulary by
+    occurrence count with ranks and the running cumulative count —
+    `cum_occ / Σ n_occ(all)` is the corpus coverage curve a tokenizer
+    build starts from.
+
+    The heavy-hitter cut happens FIRST (`orderBy().limit(k)` →
+    TakeOrderedAndProject: per-partition local top-k, driver merges
+    k·P rows), and the rank/cumulative window runs over only the k
+    surviving rows — never a global sort of the full vocabulary. Ties
+    break on the token string so the cut and ranks are total orders."""
+    words = docs.select(F.explode(F.split(F.col("text"), " ")).alias("token"))
+    top = (
+        words.groupBy("token")
+        .agg(F.count("*").cast("long").alias("n_occ"))
+        .orderBy(F.desc("n_occ"), "token")
+        .limit(k)
+    )
+    w = Window.orderBy(F.desc("n_occ"), "token")
+    return top.select(
+        F.row_number().over(w).cast("long").alias("rank"),
+        "token",
+        "n_occ",
+        F.sum("n_occ").over(w.rowsBetween(Window.unboundedPreceding, 0))
+        .cast("long")
+        .alias("cum_occ"),
+    )
+
+
+def winsorize_lengths(
+    docs: DataFrame,
+    lo: tuple[int, int] = (1, 20),
+    hi: tuple[int, int] = (19, 20),
+) -> DataFrame:
+    """(doc_id, n_chars, n_chars_winsorized): per-doc length clipped to
+    the exact [p5, p95] band (quantiles as rational num/den pairs).
+
+    The cutoffs come from a VALUE-HISTOGRAM cumulative scan, not a
+    global row sort: lengths aggregate to (n_chars, cnt) — a key space
+    bounded by the distinct lengths, thousands not billions — and the
+    rank-selection walks the cumulative counts of that tiny table. The
+    quantile rank is ``(total-1)·num div den`` (0-indexed, same
+    convention as `token_quantiles`), all integer, so both engines
+    name the same cutoff values. The cutoff pair is a 1-row broadcast
+    into the final projection — the doc table itself is touched by one
+    scan and zero shuffles."""
+    hist = docs.groupBy("n_chars").agg(F.count("*").alias("cnt"))
+    w = Window.orderBy("n_chars").rowsBetween(Window.unboundedPreceding, 0)
+    cum = hist.select(
+        "n_chars",
+        F.sum("cnt").over(w).alias("cum"),
+        F.sum("cnt")
+        .over(
+            Window.orderBy("n_chars").rowsBetween(
+                Window.unboundedPreceding, Window.unboundedFollowing
+            )
+        )
+        .alias("total"),
+    )
+    lo_rank = F.expr(f"(total - 1) * {lo[0]} div {lo[1]}")
+    hi_rank = F.expr(f"(total - 1) * {hi[0]} div {hi[1]}")
+    cuts = cum.agg(
+        F.min(F.when(F.col("cum") > lo_rank, F.col("n_chars"))).alias("lo_cut"),
+        F.min(F.when(F.col("cum") > hi_rank, F.col("n_chars"))).alias("hi_cut"),
+    )
+    return (
+        docs.crossJoin(F.broadcast(cuts))
+        .select(
+            "doc_id",
+            F.col("n_chars").cast("long").alias("n_chars"),
+            F.greatest(F.least(F.col("n_chars"), F.col("hi_cut")), F.col("lo_cut"))
+            .cast("long")
+            .alias("n_chars_winsorized"),
+        )
+    )
+
+
+def term_cooccurrence(
+    docs: DataFrame, vocab_k: int = 20, k: int = 100
+) -> DataFrame:
+    """(token_a, token_b, n_docs): document co-occurrence counts for
+    the top-`vocab_k` document-frequency unigrams — the integer
+    contingency table PMI / word-association measures divide over.
+    Top-`k` pairs by count, ties broken on (token_a, token_b).
+
+    Pair volume is bounded by construction: each doc contributes at
+    most C(vocab_k, 2) pairs (≤190 at the default), because tokens are
+    restricted to the broadcast top-vocabulary BEFORE the per-doc
+    self-join — never a free n² over full documents. The vocabulary cut
+    itself is a TakeOrderedAndProject heavy-hitter pass."""
+    toks = docs.select(
+        "doc_id", F.explode(F.split(F.col("text"), " ")).alias("token")
+    ).distinct()
+    top = (
+        toks.groupBy("token")
+        .agg(F.count("*").cast("long").alias("df"))
+        .orderBy(F.desc("df"), "token")
+        .limit(vocab_k)
+        .select("token")
+    )
+    narrowed = toks.join(F.broadcast(top), on="token")
+    a = narrowed.select("doc_id", F.col("token").alias("token_a"))
+    b = narrowed.select("doc_id", F.col("token").alias("token_b"))
+    return (
+        a.join(b, on="doc_id")
+        .filter(F.col("token_a") < F.col("token_b"))
+        .groupBy("token_a", "token_b")
+        .agg(F.count("*").cast("long").alias("n_docs"))
+        .orderBy(F.desc("n_docs"), "token_a", "token_b")
+        .limit(k)
+    )
+
+
 def token_quantiles(
     docs: DataFrame,
     group: str = "lang",

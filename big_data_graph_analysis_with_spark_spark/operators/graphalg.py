@@ -203,6 +203,156 @@ def pagerank(
     return pr
 
 
+#: local-clustering-coefficient fixed-point scale (parts per million)
+LCC_SCALE = 1_000_000
+
+
+def clustering_coefficient(graph: NetGraph) -> DataFrame:
+    """(id, degree, n_triangles, lcc_ppm): per-vertex local clustering
+    coefficient over the canonical undirected graph, as an exact
+    fixed-point integer — ``lcc_ppm = 2·tri·1e6 div (deg·(deg−1))``
+    (0 for degree < 2).
+
+    Builds on :func:`triangle_counts` (ordered-edge join, each triangle
+    once) plus one degree aggregation; the integer ``div`` keeps the
+    ratio bit-identical across engines, where a float division would be
+    ulp-divergent. One extra shuffle over the triangle plan (degree
+    groupBy on the same vertex key — co-partitioning the two aggregates
+    on id makes the final join exchange-free at scale)."""
+    und = undirected_edges(graph)
+    deg = (
+        und.select(F.col("a").alias("id"))
+        .unionAll(und.select(F.col("b").alias("id")))
+        .groupBy("id")
+        .agg(F.count("*").alias("degree"))
+    )
+    tri = triangle_counts(graph)
+    return (
+        tri.join(deg, on="id", how="left")
+        .select(
+            "id",
+            F.coalesce("degree", F.lit(0)).cast("long").alias("degree"),
+            "n_triangles",
+            F.when(
+                F.coalesce("degree", F.lit(0)) >= 2,
+                F.expr(f"(2 * n_triangles * {LCC_SCALE}) div (degree * (degree - 1))"),
+            )
+            .otherwise(F.lit(0))
+            .cast("long")
+            .alias("lcc_ppm"),
+        )
+    )
+
+
+def label_propagation(graph: NetGraph, rounds: int = 3) -> DataFrame:
+    """(id, label): synchronous label propagation (community detection)
+    after `rounds` rounds over the canonical undirected graph.
+
+    Every vertex starts labeled with its own id; each round it adopts
+    the most frequent label among its neighbors, ties broken by the
+    smaller label (count DESC, label ASC — deterministic and
+    order-independent, so a round-unrolled SQL oracle hash-matches).
+    Isolated vertices keep their own label.
+
+    Per round: one edge⋈label join + one (id,label) count + one
+    row_number window partitioned by id — all shuffles on the vertex
+    key, so co-partitioning edges on `a` (parquet_graph bucketing)
+    leaves the count as the only Exchange. The synchronous variant is
+    chosen over GraphX's semi-async exactly because it is
+    deterministic."""
+    from pyspark.sql import Window
+
+    und = undirected_edges(graph)
+    sym = und.unionAll(
+        und.select(F.col("b").alias("a"), F.col("a").alias("b"))
+    ).localCheckpoint()
+    labels = graph.vertices.select("id", F.col("id").alias("label")).localCheckpoint()
+    w = Window.partitionBy("a").orderBy(F.col("c").desc(), F.col("label").asc())
+    for _ in range(rounds):
+        counts = (
+            sym.join(labels, on=sym.b == labels.id)
+            .groupBy("a", "label")
+            .agg(F.count("*").alias("c"))
+        )
+        mode = (
+            counts.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .select(F.col("a").alias("id"), F.col("label").alias("new_label"))
+        )
+        labels = (
+            labels.join(mode, on="id", how="left")
+            .select(
+                "id", F.coalesce("new_label", F.col("label")).alias("label")
+            )
+            .localCheckpoint()
+        )
+    return labels.select("id", F.col("label").cast("long").alias("label"))
+
+
+def link_prediction(graph: NetGraph, k: int = 100) -> DataFrame:
+    """(a, b, common_neighbors, deg_product): top-`k` non-adjacent
+    vertex pairs ranked by shared-neighbor count (the classic
+    common-neighbors link-prediction score), with the
+    preferential-attachment score (degree product) carried alongside.
+    Both scores are exact integers; ranking ties break on (a, b) so the
+    top-k cut is deterministic.
+
+    Candidate pairs are generated only through shared neighbors (one
+    self-join of the symmetric edge list on the middle vertex, a < b) —
+    never all-pairs — so candidate volume is Σ_v deg(v)², the wedge
+    count, not |V|². High-degree hubs dominate that sum; at scale, cap
+    or sample hub adjacency (as `dedup.max_shingle_df` does for shingle
+    frequency) before the wedge join. Existing edges are removed with
+    one anti-join."""
+    und = undirected_edges(graph)
+    sym = und.unionAll(
+        und.select(F.col("b").alias("a"), F.col("a").alias("b"))
+    )
+    deg = sym.groupBy(F.col("a").alias("id")).agg(F.count("*").alias("deg"))
+    left = sym.select(F.col("b").alias("v"), F.col("a").alias("u"))
+    right = sym.select(F.col("b").alias("v"), F.col("a").alias("w"))
+    cand = (
+        left.join(right, on="v")
+        .filter(F.col("u") < F.col("w"))
+        .groupBy(F.col("u").alias("a"), F.col("w").alias("b"))
+        .agg(F.count("*").alias("common_neighbors"))
+        .join(und, on=["a", "b"], how="left_anti")
+    )
+    return (
+        cand.join(deg.select(F.col("id").alias("a"), F.col("deg").alias("da")), on="a")
+        .join(deg.select(F.col("id").alias("b"), F.col("deg").alias("db")), on="b")
+        .select(
+            "a",
+            "b",
+            F.col("common_neighbors").cast("long").alias("common_neighbors"),
+            (F.col("da") * F.col("db")).cast("long").alias("deg_product"),
+        )
+        .orderBy(F.col("common_neighbors").desc(), "a", "b")
+        .limit(k)
+    )
+
+
+def degree_histogram(graph: NetGraph) -> DataFrame:
+    """(degree, n_vertices): undirected degree distribution including
+    the zero-degree bucket — the first summary a graph engine prints.
+    Two aggregations (per-vertex degree, then per-degree count); the
+    second groups on a tiny key space so its shuffle is negligible."""
+    und = undirected_edges(graph)
+    deg = (
+        und.select(F.col("a").alias("id"))
+        .unionAll(und.select(F.col("b").alias("id")))
+        .groupBy("id")
+        .agg(F.count("*").alias("degree"))
+    )
+    return (
+        graph.vertices.select("id")
+        .join(deg, on="id", how="left")
+        .select(F.coalesce("degree", F.lit(0)).cast("long").alias("degree"))
+        .groupBy("degree")
+        .agg(F.count("*").cast("long").alias("n_vertices"))
+    )
+
+
 def bfs_distances(
     graph: NetGraph, source: int | None = None, max_iters: int = 64
 ) -> DataFrame:

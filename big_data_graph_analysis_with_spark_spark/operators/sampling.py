@@ -57,6 +57,55 @@ def train_eval_split(
     )
 
 
+def temporal_split(
+    events: DataFrame,
+    train_frac: tuple[int, int] = (4, 5),
+) -> DataFrame:
+    """(event_id, day, split): time-ordered train/eval split of the
+    events table — everything before the cutoff day is 'train', the
+    cutoff day and later are 'eval'. The leakage rule for temporal
+    data: evaluation must be strictly in the future of training, which
+    a hash split cannot guarantee.
+
+    The cutoff is the exact `train_frac` quantile of DISTINCT active
+    days, found by the same value-histogram cumulative scan as
+    `corpusstats.winsorize_lengths`: days aggregate to a tiny
+    (day, 1)-table, the 0-indexed rank ``(total−1)·num div den`` picks
+    the cutoff in integer arithmetic, and the 1-row cutoff broadcasts
+    into a narrow final projection — one scan plus one trivial
+    aggregation, no shuffle proportional to the event count."""
+    from ..functions.eventtime import event_micros
+
+    us_per_day = 86_400_000_000
+    ev = events.select(
+        "event_id", event_micros(events).alias("tus")
+    ).select("event_id", F.expr(f"tus div {us_per_day}").cast("long").alias("day"))
+    days = ev.select("day").distinct()
+    w = Window.orderBy("day")
+    cum = days.select(
+        "day",
+        F.row_number().over(w).alias("rn"),
+        F.count("*")
+        .over(
+            Window.orderBy("day").rowsBetween(
+                Window.unboundedPreceding, Window.unboundedFollowing
+            )
+        )
+        .alias("total"),
+    )
+    num, den = train_frac
+    cut = cum.filter(
+        F.col("rn") - 1 == F.expr(f"(total - 1) * {num} div {den}")
+    ).select(F.col("day").alias("cut_day"))
+    return ev.crossJoin(F.broadcast(cut)).select(
+        "event_id",
+        "day",
+        F.when(F.col("day") < F.col("cut_day"), F.lit("train"))
+        .otherwise(F.lit("eval"))
+        .alias("split"),
+    )
+
+
 def stratified_cap(
     docs: DataFrame,
     strata_col: str,
