@@ -456,6 +456,27 @@ def q_degree_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     return graphalg.degree_histogram(og)
 
 
+def q_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HITS hub/authority, 2 unnormalized rounds — exact integers, so
+    the round-unrolled oracle hash-matches (normalization is a positive
+    per-round scalar; ranking is unchanged)."""
+    og, _ = _graphs(spark, sf_dir)
+    return graphalg.hits_scores(og, rounds=2)
+
+
+def q_reciprocity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Directed-edge reciprocity summary (mutual-edge ratio in ppm)."""
+    og, _ = _graphs(spark, sf_dir)
+    return graphalg.reciprocity(og)
+
+
+def q_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact integer sufficient statistics for degree assortativity
+    (the caller finishes Pearson r with one scalar float step)."""
+    og, _ = _graphs(spark, sf_dir)
+    return graphalg.assortativity_stats(og)
+
+
 _UND_CTES = """
 und AS (
   SELECT DISTINCT LEAST(src, dst) AS a, GREATEST(src, dst) AS b
@@ -728,6 +749,75 @@ vdeg AS (
 )
 SELECT degree, CAST(COUNT(*) AS BIGINT) AS n_vertices
 FROM vdeg GROUP BY degree
+"""
+    )
+
+
+def _hits_sql(rounds: int = 2) -> str:
+    ctes = """
+hub_0 AS (SELECT id, CAST(1 AS BIGINT) AS hub FROM og_vertices)"""
+    for k in range(1, rounds + 1):
+        ctes += f""",
+auth_{k}_raw AS (
+  SELECT e.dst AS id, SUM(h.hub) AS auth
+  FROM og_edges e JOIN hub_{k - 1} h ON h.id = e.src
+  GROUP BY e.dst
+),
+auth_{k} AS (
+  SELECT v.id, CAST(COALESCE(a.auth, 0) AS BIGINT) AS auth
+  FROM og_vertices v LEFT JOIN auth_{k}_raw a ON a.id = v.id
+),
+hub_{k}_raw AS (
+  SELECT e.src AS id, SUM(a.auth) AS hub
+  FROM og_edges e JOIN auth_{k} a ON a.id = e.dst
+  GROUP BY e.src
+),
+hub_{k} AS (
+  SELECT v.id, CAST(COALESCE(h.hub, 0) AS BIGINT) AS hub
+  FROM og_vertices v LEFT JOIN hub_{k}_raw h ON h.id = v.id
+)"""
+    return graph_sql(
+        f""", {ctes.strip()}
+SELECT h.id, h.hub, a.auth
+FROM hub_{rounds} h JOIN auth_{rounds} a ON a.id = h.id
+"""
+    )
+
+
+def _reciprocity_sql() -> str:
+    scale = graphalg.LCC_SCALE
+    return graph_sql(
+        f""", e AS (
+  SELECT DISTINCT src, dst FROM og_edges WHERE src <> dst
+),
+m AS (
+  SELECT COUNT(*) AS n_mutual FROM e
+  WHERE EXISTS (SELECT 1 FROM e r WHERE r.src = e.dst AND r.dst = e.src)
+)
+SELECT CAST((SELECT COUNT(*) FROM e) AS BIGINT) AS n_directed,
+       CAST(m.n_mutual AS BIGINT) AS n_mutual,
+       CAST((m.n_mutual * {scale}) // (SELECT COUNT(*) FROM e) AS BIGINT)
+         AS reciprocity_ppm
+FROM m
+"""
+    )
+
+
+def _assortativity_sql() -> str:
+    return graph_sql(
+        f""", {_SYM_CTES.strip()},
+deg AS (SELECT a AS id, COUNT(*) AS deg FROM sym GROUP BY a),
+pairs AS (
+  SELECT da.deg AS x, db.deg AS y
+  FROM sym s
+  JOIN deg da ON da.id = s.a
+  JOIN deg db ON db.id = s.b
+)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_pairs,
+       CAST(SUM(x) AS BIGINT) AS sum_x,
+       CAST(SUM(x * y) AS BIGINT) AS sum_xy,
+       CAST(SUM(x * x) AS BIGINT) AS sum_x2
+FROM pairs
 """
     )
 
@@ -1500,6 +1590,73 @@ def q_temporal_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sampling.temporal_split(ev, train_frac=(4, 5))
 
 
+def q_orders_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD type-2 history over the same synthetic change feed as
+    `orders_upsert`: every version becomes a validity interval
+    (valid_from/valid_to/is_current) — one key shuffle, one lead
+    window, no join."""
+    from big_data_graph_analysis_with_spark_spark.operators import merge
+
+    orders = _prep(spark).read.parquet(f"{sf_dir}/orders.parquet").select(
+        "o_orderkey", "o_totalprice", "o_orderstatus"
+    )
+    base = orders.withColumn("v", F.lit(0).cast("long")).withColumn(
+        "_del", F.lit(False)
+    )
+    updates = (
+        orders.filter(F.col("o_orderkey") % 7 == 0)
+        .withColumn("o_totalprice", F.col("o_totalprice") * 2)
+        .withColumn("v", F.lit(1).cast("long"))
+        .withColumn("_del", F.lit(False))
+    )
+    deletes = (
+        orders.filter(F.col("o_orderkey") % 13 == 0)
+        .withColumn("v", F.lit(2).cast("long"))
+        .withColumn("_del", F.lit(True))
+    )
+    hist = merge.scd2_history(
+        base.unionByName(updates).unionByName(deletes),
+        key=["o_orderkey"],
+        version_col="v",
+        delete_col="_del",
+    )
+    return hist.select(
+        "o_orderkey", "o_totalprice", "o_orderstatus",
+        "valid_from", "valid_to", "is_current",
+    )
+
+
+def q_session_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact p50/p90/p99 of session duration and depth (rank-selection
+    quantiles over the sessionized events)."""
+    from big_data_graph_analysis_with_spark_spark.operators import sessions
+
+    ev = _prep(spark).read.parquet(f"{sf_dir}/events.parquet")
+    return sessions.session_quantiles(ev)
+
+
+def q_language_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source language composition with exact ppm shares."""
+    from big_data_graph_analysis_with_spark_spark.operators import corpusstats
+
+    return corpusstats.language_mix(_docs(spark, sf_dir))
+
+
+def q_user_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user running purchase value (unbounded-preceding decimal
+    cumulative sum — the LTV curve)."""
+    from big_data_graph_analysis_with_spark_spark.operators import olap
+
+    ev = _prep(spark).read.parquet(f"{sf_dir}/events.parquet")
+    return olap.user_running_value(ev, event_type="purchase")
+
+
+def q_knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact cosine 5-NN graph over the vec_id % 10 slice of the
+    embedding table (decimal dots, round(9) cosines)."""
+    return similarity.knn_graph(_embs(spark, sf_dir), k=5, sample_mod=10)
+
+
 def q_walk_kernel(spark: SparkSession, sf_dir: str) -> DataFrame:
     """G2-G4 (rows-only: seeded-random, not SQL-expressible; property
     checks live in tests/test_walks_pipeline.py)."""
@@ -1584,6 +1741,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "winsorize_lengths": q_winsorize_lengths,
         "term_cooccurrence": q_term_cooccurrence,
         "temporal_split": q_temporal_split,
+        "hits": q_hits,
+        "reciprocity": q_reciprocity,
+        "assortativity": q_assortativity,
+        "orders_scd2": q_orders_scd2,
+        "session_quantiles": q_session_quantiles,
+        "language_mix": q_language_mix,
+        "user_ltv": q_user_ltv,
+        "knn_graph": q_knn_graph,
+        # ^ the 27 rotated + 23 new round-4 entries fill the driver's
+        #   50-slot window exactly — every slot verifies a query that has
+        #   never had a driver row; everything below has standing proof
+        #   in CORRECTNESS_r03.json.
         # -- previously driver-green (CORRECTNESS_r03.json); re-verified while
         #    window room remains ---------------------------------------------
         "start_nodes": q_start_nodes,
@@ -1765,6 +1934,53 @@ def oracle_sql() -> dict[str, str]:
         "label_propagation": _label_propagation_sql(rounds=3),
         "link_prediction": _link_prediction_sql(k=100),
         "degree_histogram": _degree_histogram_sql(),
+        "hits": _hits_sql(rounds=2),
+        "reciprocity": _reciprocity_sql(),
+        "assortativity": _assortativity_sql(),
+        "orders_scd2": """
+            WITH feed AS (
+              SELECT o_orderkey, o_totalprice, o_orderstatus, 0 AS v
+              FROM orders
+              UNION ALL
+              SELECT o_orderkey, o_totalprice * 2, o_orderstatus, 1
+              FROM orders WHERE o_orderkey % 7 = 0
+              UNION ALL
+              SELECT o_orderkey, o_totalprice, o_orderstatus, 2
+              FROM orders WHERE o_orderkey % 13 = 0
+            )
+            SELECT o_orderkey, o_totalprice, o_orderstatus,
+                   CAST(v AS BIGINT) AS valid_from,
+                   CAST(LEAD(v) OVER (PARTITION BY o_orderkey ORDER BY v)
+                        AS BIGINT) AS valid_to,
+                   (LEAD(v) OVER (PARTITION BY o_orderkey ORDER BY v) IS NULL
+                    AND NOT (v = 2)) AS is_current
+            FROM feed
+        """,
+        "session_quantiles": doc_oracles.session_quantiles_sql(),
+        "language_mix": """
+            WITH per AS (
+              SELECT source, lang, CAST(COUNT(*) AS BIGINT) AS n_docs
+              FROM documents GROUP BY source, lang
+            ),
+            tot AS (SELECT source, SUM(n_docs) AS total FROM per GROUP BY source)
+            SELECT p.source, p.lang, p.n_docs,
+                   CAST((p.n_docs * 1000000) // t.total AS BIGINT) AS share_ppm
+            FROM per p JOIN tot t ON t.source = p.source
+        """,
+        "user_ltv": """
+            WITH ev AS (
+              SELECT event_id, user_id, epoch_us(ts) AS tus,
+                     CAST(value AS DECIMAL(18,6)) AS v
+              FROM events WHERE event_type = 'purchase'
+            )
+            SELECT event_id, user_id, tus,
+                   CAST(COUNT(*) OVER w AS BIGINT) AS n_so_far,
+                   CAST(SUM(v) OVER w AS DOUBLE) AS cum_value
+            FROM ev
+            WINDOW w AS (PARTITION BY user_id ORDER BY tus, event_id
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        """,
+        "knn_graph": doc_oracles.knn_graph_sql(k=5, sample_mod=10),
         "events_retention": """
             WITH days AS (
               SELECT DISTINCT user_id,

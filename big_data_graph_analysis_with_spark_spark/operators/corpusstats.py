@@ -176,6 +176,30 @@ def term_cooccurrence(
     )
 
 
+def language_mix(docs: DataFrame) -> DataFrame:
+    """(source, lang, n_docs, share_ppm): per-source language
+    composition with exact fixed-point shares —
+    ``share_ppm = n_docs·1e6 div total_docs(source)``. The first audit
+    table of any multilingual corpus (is source X really 90% English?).
+
+    Two aggregations on nested keys — (source, lang) then source — the
+    second reusing the first's partials; both key spaces are tiny, so
+    the whole plan is one map-side-combined shuffle."""
+    per = docs.groupBy("source", "lang").agg(
+        F.count("*").cast("long").alias("n_docs")
+    )
+    totals = per.groupBy("source").agg(F.sum("n_docs").alias("total"))
+    return (
+        per.join(totals, on="source")
+        .select(
+            "source",
+            "lang",
+            "n_docs",
+            F.expr("(n_docs * 1000000) div total").cast("long").alias("share_ppm"),
+        )
+    )
+
+
 def token_quantiles(
     docs: DataFrame,
     group: str = "lang",

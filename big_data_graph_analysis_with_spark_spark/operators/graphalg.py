@@ -332,6 +332,116 @@ def link_prediction(graph: NetGraph, k: int = 100) -> DataFrame:
     )
 
 
+def hits_scores(graph: NetGraph, rounds: int = 2) -> DataFrame:
+    """(id, hub, auth): HITS hub/authority scores after `rounds`
+    UNNORMALIZED power-iteration rounds, as exact integers.
+
+    Per round k: ``auth_k(v) = Σ_{(u,v)∈E} hub_{k-1}(u)`` then
+    ``hub_k(v) = Σ_{(v,w)∈E} auth_k(w)`` — two edge joins + two
+    aggregations, the mirror image of one PageRank round. The classic
+    formulation L2-normalizes each round, which would force floats;
+    dropping the normalization preserves the *ranking* exactly (it is
+    a positive scalar per round) and keeps every value an exact
+    integer, so the round-unrolled SQL oracle hash-matches. Magnitudes
+    grow like (max degree)^{2·rounds} — at the default 2 rounds that
+    is ≲ 10^12 on any graph whose max degree is ≲ 1000; rescale rounds
+    or switch to decimal for extreme hubs."""
+    edges = graph.edges.select("src", "dst").localCheckpoint()
+    hub = graph.vertices.select("id", F.lit(1).cast("long").alias("hub"))
+    auth = None
+    for _ in range(rounds):
+        auth = (
+            edges.join(hub, on=F.col("src") == F.col("id"))
+            .groupBy(F.col("dst").alias("id"))
+            .agg(F.sum("hub").alias("auth"))
+        )
+        auth = (
+            graph.vertices.select("id")
+            .join(auth, on="id", how="left")
+            .select("id", F.coalesce("auth", F.lit(0)).cast("long").alias("auth"))
+            .localCheckpoint()
+        )
+        hub = (
+            edges.join(auth, on=F.col("dst") == F.col("id"))
+            .groupBy(F.col("src").alias("id"))
+            .agg(F.sum("auth").alias("hub"))
+        )
+        hub = (
+            graph.vertices.select("id")
+            .join(hub, on="id", how="left")
+            .select("id", F.coalesce("hub", F.lit(0)).cast("long").alias("hub"))
+            .localCheckpoint()
+        )
+    return hub.join(auth, on="id").select("id", "hub", "auth")
+
+
+def reciprocity(graph: NetGraph) -> DataFrame:
+    """One summary row (n_directed, n_mutual, reciprocity_ppm): how
+    much of the directed edge set is reciprocated. `n_directed` counts
+    distinct non-loop directed edges, `n_mutual` counts the directed
+    edges whose reverse also exists (so it is 2× the mutual pair
+    count), and ``reciprocity_ppm = n_mutual·1e6 div n_directed`` —
+    the standard reciprocity ratio in exact fixed point.
+
+    One distinct + one self-semi-join on the flipped key + two tiny
+    aggregations; the join key is (src, dst) so AQE handles hub skew."""
+    e = (
+        graph.edges.select("src", "dst")
+        .filter(F.col("src") != F.col("dst"))
+        .distinct()
+        .localCheckpoint()
+    )
+    mutual = e.join(
+        e.select(F.col("dst").alias("src"), F.col("src").alias("dst")),
+        on=["src", "dst"],
+        how="left_semi",
+    )
+    return (
+        e.agg(F.count("*").cast("long").alias("n_directed"))
+        .crossJoin(mutual.agg(F.count("*").cast("long").alias("n_mutual")))
+        .select(
+            "n_directed",
+            "n_mutual",
+            F.expr(f"(n_mutual * {LCC_SCALE}) div n_directed")
+            .cast("long")
+            .alias("reciprocity_ppm"),
+        )
+    )
+
+
+def assortativity_stats(graph: NetGraph) -> DataFrame:
+    """One row of EXACT sufficient statistics for degree assortativity
+    over the canonical undirected graph: (n_pairs, sum_x, sum_xy,
+    sum_x2) where each undirected edge contributes both orientations
+    (x = deg(endpoint), y = deg(other endpoint)) — the symmetric
+    convention, under which Σx = Σy and Σx² = Σy². The Pearson r is
+    computed by the CALLER in one scalar float step:
+    r = (n·Σxy − (Σx)²) / (n·Σx² − (Σx)²). Keeping the
+    engine side integer-only makes the result bit-checkable; the one
+    float division happens on four scalars, not on data.
+
+    Cost: one degree aggregation + two broadcast-size joins keyed on
+    the endpoints + one global fold."""
+    und = undirected_edges(graph)
+    deg = (
+        und.select(F.col("a").alias("id"))
+        .unionAll(und.select(F.col("b").alias("id")))
+        .groupBy("id")
+        .agg(F.count("*").alias("deg"))
+    )
+    sym = und.unionAll(und.select(F.col("b").alias("a"), F.col("a").alias("b")))
+    pairs = (
+        sym.join(deg.select(F.col("id").alias("a"), F.col("deg").alias("x")), on="a")
+        .join(deg.select(F.col("id").alias("b"), F.col("deg").alias("y")), on="b")
+    )
+    return pairs.agg(
+        F.count("*").cast("long").alias("n_pairs"),
+        F.sum("x").cast("long").alias("sum_x"),
+        F.sum(F.col("x") * F.col("y")).cast("long").alias("sum_xy"),
+        F.sum(F.col("x") * F.col("x")).cast("long").alias("sum_x2"),
+    )
+
+
 def degree_histogram(graph: NetGraph) -> DataFrame:
     """(degree, n_vertices): undirected degree distribution including
     the zero-degree bucket — the first summary a graph engine prints.

@@ -51,3 +51,39 @@ def upsert(
         .filter((F.col("_rn") == 1) & ~F.col(delete_col))
         .drop("_rn", "_chg", delete_col)
     )
+
+
+def scd2_history(
+    changes: DataFrame,
+    key: Sequence[str],
+    version_col: str,
+    delete_col: str | None = None,
+) -> DataFrame:
+    """Slowly-changing-dimension type-2 history: every change row
+    becomes a versioned validity interval — columns `valid_from` (its
+    own version), `valid_to` (the NEXT version for the key, null while
+    open), and `is_current` (open AND not a delete). The other half of
+    the lakehouse merge story: :func:`upsert` keeps only the latest
+    snapshot, SCD2 keeps the full auditable history that time-travel /
+    point-in-time joins read (pair it with `operators/asof` to query
+    "the row as of version v").
+
+    Same cost shape as `upsert`: ONE hash shuffle on the key, one
+    window (lead) over the per-key version order — no join. Delete
+    markers stay in the history as closed, non-current rows (the
+    delete row itself records that the key ended). (key, version) must
+    be unique, as in `upsert`."""
+    key = list(key)
+    if delete_col is None:
+        delete_col = "_deleted"
+        changes = changes.withColumn(delete_col, F.lit(False))
+    w = Window.partitionBy(*key).orderBy(F.asc(version_col))
+    nxt = F.lead(version_col).over(w)
+    return (
+        changes.withColumn("valid_from", F.col(version_col).cast("long"))
+        .withColumn("valid_to", nxt.cast("long"))
+        .withColumn(
+            "is_current", F.col("valid_to").isNull() & ~F.col(delete_col)
+        )
+        .drop(delete_col)
+    )

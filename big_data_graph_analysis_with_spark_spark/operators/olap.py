@@ -80,6 +80,38 @@ def event_type_pivot(
     )
 
 
+def user_running_value(
+    events: DataFrame, event_type: str = "purchase"
+) -> DataFrame:
+    """(event_id, user_id, tus, n_so_far, cum_value): each qualifying
+    event with the user's RUNNING total of `value` up to and including
+    it — the lifetime-value (LTV) curve per user, the
+    unbounded-preceding sibling of :func:`rolling_user_stats`'s
+    trailing-N window. The decimal running sum keeps the prefix sums
+    exact (floats would make each prefix depend on partition order).
+
+    The type filter is pushed to the scan before the one hash shuffle
+    on user_id; window sorts are per-user-local."""
+    ev = events.filter(F.col("event_type") == event_type).select(
+        "event_id", "user_id", event_micros(events).alias("tus"), "value"
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("tus", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return ev.select(
+        "event_id",
+        "user_id",
+        "tus",
+        F.count("*").over(w).cast("long").alias("n_so_far"),
+        F.sum(F.col("value").cast("decimal(18,6)"))
+        .over(w)
+        .cast("double")
+        .alias("cum_value"),
+    )
+
+
 def event_transitions(events: DataFrame) -> DataFrame:
     """(from_type, to_type, n): first-order Markov transition counts
     over each user's time-ordered event stream — the user-journey

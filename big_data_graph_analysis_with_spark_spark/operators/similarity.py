@@ -89,6 +89,29 @@ def cosine_topk(
     )
 
 
+def knn_graph(
+    emb: DataFrame, k: int = 5, sample_mod: int | None = None
+) -> DataFrame:
+    """(vec_id, neighbor_id, rank, cosine): the exact cosine k-nearest-
+    neighbor GRAPH over the embedding set — every vector is a query,
+    so the output is the edge list semantic-dedup clustering and
+    graph-based diversity sampling start from. `sample_mod` restricts
+    to ``vec_id % sample_mod == 0`` (a deterministic slice — the audit
+    path builds the exact graph on a slice, the production path uses
+    `ann_lsh_topk`/`ann_ivf_topk` for the full set).
+
+    Delegates to :func:`cosine_topk` with queries = corpus: decimal
+    dot products, round(9) cosines, (cosine DESC, neighbor ASC) ranks
+    — hash-checkable against the same SQL skeleton. All-pairs by
+    construction (the exact kNN graph IS quadratic); the slice bound
+    and the ANN variants are the scale story."""
+    if sample_mod is not None:
+        emb = emb.filter(F.col("vec_id") % sample_mod == 0)
+    return cosine_topk(emb, emb, k=k).select(
+        F.col("query_id").alias("vec_id"), "neighbor_id", "rank", "cosine"
+    )
+
+
 _PLANE_CACHE: dict[tuple[int, int, int], Any] = {}
 
 

@@ -129,8 +129,19 @@ def sample_start_assignments_dist(
     one task — acceptable because start nodes are a frontier (no
     in-edges), a small fraction of V; the full vertex table never flows
     through it.
+
+    The ranked frame is localCheckpointed BEFORE the count so the
+    start-node derivation (an anti-join over the full edge table) runs
+    exactly once — counting and then re-deriving for the rank join
+    would execute that anti-join twice, and on a stage-heavy pipeline
+    the second execution is pure latency.
     """
-    n = start_nodes.count()
+    ranked = (
+        start_nodes.select("id")
+        .withColumn("rank", F.row_number().over(Window.orderBy("id")) - 1)
+        .localCheckpoint()
+    )
+    n = ranked.count()
     if n == 0:
         return spark.createDataFrame([], "partition_key LONG, start_id LONG")
     rng = np.random.default_rng([cfg.seed, 0])
@@ -139,9 +150,6 @@ def sample_start_assignments_dist(
         for k in range(1, cfg.num_of_parallel_walks + 1)
     ]
     draws_df = spark.createDataFrame(draws, "partition_key LONG, rank LONG")
-    ranked = start_nodes.select("id").withColumn(
-        "rank", F.row_number().over(Window.orderBy("id")) - 1
-    )
     return (
         ranked.join(F.broadcast(draws_df), on="rank")
         .select("partition_key", F.col("id").alias("start_id"))

@@ -315,6 +315,37 @@ SELECT query_id, neighbor_id, CAST(rn AS BIGINT) AS rank, cosine FROM (
 """
 
 
+def knn_graph_sql(k: int = 5, sample_mod: int = 10) -> str:
+    """SQL twin of similarity.knn_graph: exact cosine kNN edges over
+    the deterministic vec_id % sample_mod slice."""
+    return f"""
+WITH sub AS (SELECT * FROM embeddings WHERE vec_id % {sample_mod} = 0),
+comp AS (
+  SELECT vec_id, unnest(range(len(embedding))) AS j,
+         CAST(CAST(unnest(embedding) AS DOUBLE) AS DECIMAL(18,9)) AS x
+  FROM sub
+),
+norms AS (SELECT vec_id, SUM(x * x) AS nsq FROM comp GROUP BY vec_id),
+dots AS (
+  SELECT q.vec_id AS vec_id, n.vec_id AS neighbor_id, SUM(q.x * n.x) AS dot
+  FROM comp q JOIN comp n ON q.j = n.j AND q.vec_id <> n.vec_id
+  GROUP BY 1, 2
+),
+scored AS (
+  SELECT d.vec_id, d.neighbor_id,
+         ROUND(CAST(d.dot AS DOUBLE)
+               / sqrt(CAST(nq.nsq AS DOUBLE) * CAST(nn.nsq AS DOUBLE)), 9) AS cosine
+  FROM dots d
+  JOIN norms nq ON nq.vec_id = d.vec_id
+  JOIN norms nn ON nn.vec_id = d.neighbor_id
+)
+SELECT vec_id, neighbor_id, CAST(rn AS BIGINT) AS rank, cosine FROM (
+  SELECT s.*, ROW_NUMBER() OVER (
+    PARTITION BY vec_id ORDER BY cosine DESC, neighbor_id ASC) AS rn
+  FROM scored s) WHERE rn <= {k}
+"""
+
+
 def _bucket_sql(seed: int) -> str:
     """SQL twin of sampling._bucket: seeded 56-bit hash of the doc id,
     reduced to the rate denominator."""
@@ -460,6 +491,52 @@ SELECT user_id,
        CAST(MAX(tus) AS BIGINT) AS end_us,
        CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
 FROM sess GROUP BY user_id, session_id
+"""
+
+
+def session_quantiles_sql(gap_us: int = 30 * 60 * 1_000_000) -> str:
+    """Mirrors sessions.session_quantiles: rank-selection p50/p90/p99
+    of session duration and depth over the sessionized events."""
+    return f"""
+WITH e AS (
+  SELECT user_id, event_id, epoch_us(ts) AS tus, value FROM events
+),
+flags AS (
+  SELECT *, CASE WHEN prev IS NULL OR tus - prev > {gap_us} THEN 1 ELSE 0 END
+           AS new_s
+  FROM (SELECT *, LAG(tus) OVER (
+          PARTITION BY user_id ORDER BY tus, event_id) AS prev FROM e)
+),
+sess AS (
+  SELECT *, SUM(new_s) OVER (
+    PARTITION BY user_id ORDER BY tus, event_id
+    ROWS UNBOUNDED PRECEDING) AS session_id
+  FROM flags
+),
+stab AS (
+  SELECT user_id, session_id,
+         CAST(MAX(tus) - MIN(tus) AS BIGINT) AS duration_us,
+         CAST(COUNT(*) AS BIGINT) AS n_events
+  FROM sess GROUP BY user_id, session_id
+),
+qs(p_label, num, den) AS (VALUES ('p50', 1, 2), ('p90', 9, 10), ('p99', 99, 100)),
+dur AS (
+  SELECT q.p_label, CAST(r.cnt AS BIGINT) AS n_sessions,
+         r.duration_us AS q_duration_us
+  FROM (SELECT *, ROW_NUMBER() OVER (
+          ORDER BY duration_us, user_id, session_id) AS rn,
+          COUNT(*) OVER () AS cnt FROM stab) r, qs q
+  WHERE r.rn - 1 = (r.cnt - 1) * q.num // q.den
+),
+dep AS (
+  SELECT q.p_label, r.n_events AS q_n_events
+  FROM (SELECT *, ROW_NUMBER() OVER (
+          ORDER BY n_events, user_id, session_id) AS rn,
+          COUNT(*) OVER () AS cnt FROM stab) r, qs q
+  WHERE r.rn - 1 = (r.cnt - 1) * q.num // q.den
+)
+SELECT d.p_label, d.n_sessions, d.q_duration_us, p.q_n_events
+FROM dur d JOIN dep p ON p.p_label = d.p_label
 """
 
 

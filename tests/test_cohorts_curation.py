@@ -1,0 +1,173 @@
+"""Round-4 event/corpus curation operators: retention cohorts, windowed
+top-k, integer anomaly days, SCD2 history, winsorization, vocabulary
+coverage, temporal split, session quantiles — semantic checks on
+constructed data (SQL-oracle parity lives in test_oracle_parity.py)."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from big_data_graph_analysis_with_spark_spark.operators import (
+    cohorts,
+    corpusstats,
+    merge,
+    sampling,
+)
+
+UTC = dt.timezone.utc
+
+
+def _events(spark, rows):
+    """rows: (event_id, user_id, event_type, day, value) with `day` an
+    integer day index from the epoch (hour 1 of that day)."""
+    data = [
+        (
+            int(eid),
+            int(uid),
+            et,
+            dt.datetime(1970, 1, 1, 1, tzinfo=UTC) + dt.timedelta(days=day),
+            float(v),
+        )
+        for eid, uid, et, day, v in rows
+    ]
+    return spark.createDataFrame(
+        data, "event_id LONG, user_id LONG, event_type STRING, ts TIMESTAMP, value DOUBLE"
+    )
+
+
+def test_retention_offset_zero_is_cohort_size(spark):
+    # users 1,2 start day 0 (1 also returns day 1); user 3 starts day 1
+    ev = _events(
+        spark,
+        [
+            (1, 1, "view", 0, 0), (2, 2, "view", 0, 0),
+            (3, 1, "view", 1, 0), (4, 3, "view", 1, 0),
+            (5, 1, "view", 1, 0),  # same user-day → still one active day
+        ],
+    )
+    got = {
+        (r["cohort_day"], r["day_offset"]): r["n_users"]
+        for r in cohorts.retention_cohorts(ev).collect()
+    }
+    assert got == {(0, 0): 2, (0, 1): 1, (1, 0): 1}
+
+
+def test_topk_per_window_rank_and_tiebreak(spark):
+    # one hour: 3×click, 3×view (tie → 'click' ranks first), 1×error
+    rows = [(i, 1, t, 0, 0) for i, t in enumerate(
+        ["click", "click", "click", "view", "view", "view", "error"]
+    )]
+    ev = _events(spark, rows)
+    got = [
+        (r["event_type"], r["n_events"], r["rank"])
+        for r in cohorts.topk_per_window(ev, k=2)
+        .orderBy("hour", "rank")
+        .collect()
+    ]
+    assert got == [("click", 3, 1), ("view", 3, 2)]
+
+
+def test_anomaly_days_agrees_with_float_sigma_rule(spark):
+    # user 1: 9 quiet days of 2 events, one day of 40 → burst.
+    rows = []
+    eid = 0
+    for day in range(9):
+        for _ in range(2):
+            rows.append((eid, 1, "view", day, 0)); eid += 1
+    for _ in range(40):
+        rows.append((eid, 1, "view", 9, 0)); eid += 1
+    ev = _events(spark, rows)
+    got = cohorts.user_anomaly_days(ev, sigmas=2, min_days=3).collect()
+    assert [(r["user_id"], r["day"], r["n_events"]) for r in got] == [(1, 9, 40)]
+    # cross-check against the float mean+2σ (population) rule
+    counts = np.array([2] * 9 + [40], dtype=float)
+    assert counts[9] > counts.mean() + 2 * counts.std()
+    assert counts[0] <= counts.mean() + 2 * counts.std()
+
+
+def test_anomaly_days_min_days_guard(spark):
+    # 2 active days → below min_days, never flagged however bursty
+    ev = _events(spark, [(0, 1, "view", 0, 0)] + [(i, 1, "view", 1, 0) for i in range(1, 50)])
+    assert cohorts.user_anomaly_days(ev, min_days=3).count() == 0
+
+
+def test_scd2_history_intervals_and_current(spark):
+    changes = spark.createDataFrame(
+        [
+            (1, "a", 0, False), (1, "b", 1, False),            # live: b current
+            (2, "x", 0, False), (2, "x2", 1, False), (2, "x3", 2, True),  # deleted
+            (3, "only", 0, False),                               # single-version
+        ],
+        "k LONG, val STRING, v LONG, del BOOLEAN",
+    )
+    hist = merge.scd2_history(changes, key=["k"], version_col="v", delete_col="del")
+    rows = {(r["k"], r["valid_from"]): r for r in hist.collect()}
+    assert rows[(1, 0)]["valid_to"] == 1 and not rows[(1, 0)]["is_current"]
+    assert rows[(1, 1)]["valid_to"] is None and rows[(1, 1)]["is_current"]
+    # deleted key: chain closes, and the open delete row is NOT current
+    assert rows[(2, 1)]["valid_to"] == 2
+    assert rows[(2, 2)]["valid_to"] is None and not rows[(2, 2)]["is_current"]
+    assert rows[(3, 0)]["is_current"]
+    # exactly one current row per live key
+    cur = hist.filter("is_current").groupBy("k").count().collect()
+    assert {r["k"]: r["count"] for r in cur} == {1: 1, 3: 1}
+
+
+def test_winsorize_bounds_and_identity_inside_band(spark):
+    docs = spark.createDataFrame(
+        [(i, "t", int(l)) for i, l in enumerate([1, 5, 6, 7, 8, 9, 10, 11, 12, 100])],
+        "doc_id LONG, text STRING, n_chars LONG",
+    )
+    # default p5/p95 on 10 docs: lo rank (10-1)·1 div 20 = 0 → the min
+    # itself (no lower clip possible), hi rank 9·19 div 20 = 8 → 12
+    got = {r["doc_id"]: r for r in corpusstats.winsorize_lengths(docs).collect()}
+    assert got[9]["n_chars_winsorized"] == 12
+    for i in range(9):
+        assert got[i]["n_chars_winsorized"] == got[i]["n_chars"]
+    # wider band (p25/p75): lo rank 9·1 div 4 = 2 → 6, hi rank 6 → 10;
+    # both tails clip, interior untouched
+    got = {
+        r["doc_id"]: r
+        for r in corpusstats.winsorize_lengths(docs, lo=(1, 4), hi=(3, 4)).collect()
+    }
+    assert got[0]["n_chars_winsorized"] == 6
+    assert got[1]["n_chars_winsorized"] == 6
+    assert got[9]["n_chars_winsorized"] == 10
+    assert got[8]["n_chars_winsorized"] == 10  # 12 → 10
+    for i in (2, 3, 4, 5, 6):
+        assert got[i]["n_chars_winsorized"] == got[i]["n_chars"]
+
+
+def test_vocab_coverage_monotone_and_total(spark):
+    docs = spark.createDataFrame(
+        [(1, "a a b c"), (2, "a b b d")], "doc_id LONG, text STRING"
+    )
+    rows = corpusstats.vocab_coverage(docs, k=3).orderBy("rank").collect()
+    assert [r["token"] for r in rows] == ["a", "b", "c"]  # 3,3 tie → 'a' first
+    cums = [r["cum_occ"] for r in rows]
+    assert cums == sorted(cums) and cums[-1] == 3 + 3 + 1
+
+
+def test_temporal_split_no_leakage(spark):
+    ev = _events(spark, [(i, 1, "view", i, 0) for i in range(10)])
+    got = sampling.temporal_split(ev, train_frac=(4, 5)).collect()
+    train_days = {r["day"] for r in got if r["split"] == "train"}
+    eval_days = {r["day"] for r in got if r["split"] == "eval"}
+    assert train_days and eval_days
+    assert max(train_days) < min(eval_days)
+
+
+def test_session_quantiles_shape(spark):
+    from big_data_graph_analysis_with_spark_spark.operators import sessions
+
+    ev = _events(spark, [(i, u, "view", 0, 0) for i, u in enumerate([1, 1, 2, 2, 3])])
+    rows = sessions.session_quantiles(ev).collect()
+    labels = {r["p_label"] for r in rows}
+    assert labels == {"p50", "p90", "p99"}
+    for r in rows:
+        assert r["n_sessions"] == 3  # 3 users, one session each
+        assert r["q_duration_us"] >= 0 and r["q_n_events"] >= 1

@@ -1,0 +1,137 @@
+"""Round-4 graph analytics: clustering coefficient, label propagation,
+link prediction, degree histogram, HITS, reciprocity, assortativity —
+each pinned on small graphs with hand- or numpy-computed expectations
+(the SQL-oracle parity lives in test_oracle_parity.py; these check the
+semantics themselves)."""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import functions as F
+
+from big_data_graph_analysis_with_spark_spark.model import NetGraph
+from big_data_graph_analysis_with_spark_spark.operators import graphalg
+
+
+def _graph(spark, vertex_ids, edge_pairs):
+    v = spark.createDataFrame([(int(i),) for i in vertex_ids], "id LONG")
+    e = spark.createDataFrame(
+        [(int(s), int(d)) for s, d in edge_pairs], "src LONG, dst LONG"
+    )
+    return NetGraph(v, e)
+
+
+def test_clustering_coefficient_triangle_plus_pendant(spark):
+    # K3 on {1,2,3}; 3-4 pendant. lcc(1)=lcc(2)=1.0; vertex 3 has
+    # deg 3 and 1 triangle → 2·1/(3·2) = 1/3; 4 and isolated 5 → 0.
+    g = _graph(spark, [1, 2, 3, 4, 5], [(1, 2), (2, 3), (3, 1), (3, 4)])
+    got = {
+        r["id"]: (r["degree"], r["n_triangles"], r["lcc_ppm"])
+        for r in graphalg.clustering_coefficient(g).collect()
+    }
+    assert got[1] == (2, 1, 1_000_000)
+    assert got[2] == (2, 1, 1_000_000)
+    assert got[3] == (3, 1, 333_333)  # 2·1e6 div 6, truncating
+    assert got[4] == (1, 0, 0)
+    assert got[5] == (0, 0, 0)
+
+
+def test_label_propagation_two_cliques(spark):
+    # two triangles {1,2,3} and {10,11,12} bridged by 3-10: everyone
+    # ends with their clique's min label (ties break to smaller label).
+    g = _graph(
+        spark,
+        [1, 2, 3, 10, 11, 12],
+        [(1, 2), (2, 3), (3, 1), (10, 11), (11, 12), (12, 10), (3, 10)],
+    )
+    got = {
+        r["id"]: r["label"] for r in graphalg.label_propagation(g, rounds=4).collect()
+    }
+    assert got[1] == 1 and got[2] == 1
+    # the bridge vertex 10's neighbors are {11,12,3} whose labels tie
+    # 1-1-1 in later rounds; min-label tie-break keeps it deterministic
+    assert got[11] == got[12]
+
+
+def test_label_propagation_isolated_keeps_own(spark):
+    g = _graph(spark, [1, 2, 7], [(1, 2)])
+    got = {
+        r["id"]: r["label"] for r in graphalg.label_propagation(g, rounds=2).collect()
+    }
+    assert got[7] == 7
+    assert got[1] in (1, 2) and got[2] in (1, 2)
+
+
+def test_link_prediction_star_and_no_existing_edges(spark):
+    # star center 0 with leaves 1..4: every leaf pair shares exactly
+    # one common neighbor (0) and no pair is an edge; 6 candidates.
+    leaves = [1, 2, 3, 4]
+    g = _graph(spark, [0] + leaves, [(0, i) for i in leaves])
+    rows = graphalg.link_prediction(g, k=100).collect()
+    pairs = {(r["a"], r["b"]) for r in rows}
+    assert pairs == {(a, b) for a in leaves for b in leaves if a < b}
+    for r in rows:
+        assert r["common_neighbors"] == 1
+        assert r["deg_product"] == 1  # every leaf has degree 1
+    # existing edges (0, leaf) must never appear
+    assert all(r["a"] != 0 for r in rows)
+
+
+def test_degree_histogram_star(spark):
+    g = _graph(spark, [0, 1, 2, 3, 9], [(0, 1), (0, 2), (0, 3)])
+    got = {
+        r["degree"]: r["n_vertices"]
+        for r in graphalg.degree_histogram(g).collect()
+    }
+    assert got == {3: 1, 1: 3, 0: 1}
+
+
+def test_hits_matches_numpy_power_iteration(spark):
+    edges = [(1, 2), (1, 3), (2, 3), (3, 4), (4, 1), (2, 4)]
+    ids = [1, 2, 3, 4]
+    g = _graph(spark, ids, edges)
+    got = {r["id"]: (r["hub"], r["auth"]) for r in graphalg.hits_scores(g, rounds=2).collect()}
+    # unnormalized HITS in numpy: auth_k = Aᵀ·hub_{k-1}; hub_k = A·auth_k
+    idx = {v: i for i, v in enumerate(ids)}
+    A = np.zeros((4, 4), dtype=np.int64)
+    for s, d in edges:
+        A[idx[s], idx[d]] = 1
+    hub = np.ones(4, dtype=np.int64)
+    for _ in range(2):
+        auth = A.T @ hub
+        hub = A @ auth
+    for v in ids:
+        assert got[v] == (hub[idx[v]], auth[idx[v]])
+
+
+def test_reciprocity_mixed(spark):
+    # 4 distinct directed non-loop edges, of which 1↔2 is mutual (2
+    # directed edges), plus a self-loop that must be ignored.
+    g = _graph(spark, [1, 2, 3], [(1, 2), (2, 1), (1, 3), (2, 3), (3, 3)])
+    row = graphalg.reciprocity(g).collect()[0]
+    assert row["n_directed"] == 4
+    assert row["n_mutual"] == 2
+    assert row["reciprocity_ppm"] == 500_000
+
+
+def test_assortativity_stats_match_numpy(spark):
+    edges = [(1, 2), (2, 3), (3, 4), (4, 1), (1, 3)]
+    g = _graph(spark, [1, 2, 3, 4], edges)
+    row = graphalg.assortativity_stats(g).collect()[0]
+    deg = {1: 3, 2: 2, 3: 3, 4: 2}
+    xs, ys = [], []
+    for a, b in edges:
+        xs += [deg[a], deg[b]]
+        ys += [deg[b], deg[a]]
+    xs, ys = np.array(xs), np.array(ys)
+    assert row["n_pairs"] == len(xs)
+    assert row["sum_x"] == xs.sum()
+    assert row["sum_xy"] == (xs * ys).sum()
+    assert row["sum_x2"] == (xs * xs).sum()
+    # and the scalar finish yields the same Pearson r as numpy
+    n, sx, sxy, sx2 = (
+        row["n_pairs"], row["sum_x"], row["sum_xy"], row["sum_x2"],
+    )
+    r_engine = (n * sxy - sx * sx) / (n * sx2 - sx * sx)
+    r_numpy = np.corrcoef(xs, ys)[0, 1]
+    assert abs(r_engine - r_numpy) < 1e-12
