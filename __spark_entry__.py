@@ -445,9 +445,10 @@ def q_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_link_prediction(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-100 non-adjacent pairs by common-neighbor count (integer
-    scores, wedge-join candidate generation — never all-pairs)."""
+    scores, wedge-join candidate generation bounded by the degree-64
+    hub cap — mirrored verbatim in the oracle)."""
     og, _ = _graphs(spark, sf_dir)
-    return graphalg.link_prediction(og, k=100)
+    return graphalg.link_prediction(og, k=100, max_center_degree=64)
 
 
 def q_degree_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -714,13 +715,17 @@ l{k} AS (
     )
 
 
-def _link_prediction_sql(k: int = 100) -> str:
+def _link_prediction_sql(k: int = 100, max_center_degree: int = 64) -> str:
     return graph_sql(
         f""", {_SYM_CTES.strip()},
 deg AS (SELECT a AS id, COUNT(*) AS deg FROM sym GROUP BY a),
+wsym AS (
+  SELECT s.a, s.b FROM sym s
+  JOIN deg dc ON dc.id = s.b AND dc.deg <= {max_center_degree}
+),
 cand AS (
   SELECT l.a AS a, r.a AS b, COUNT(*) AS cn
-  FROM sym l JOIN sym r ON r.b = l.b AND l.a < r.a
+  FROM wsym l JOIN wsym r ON r.b = l.b AND l.a < r.a
   GROUP BY l.a, r.a
 ),
 nonedge AS (
@@ -1932,7 +1937,7 @@ def oracle_sql() -> dict[str, str]:
         "pagerank_personalized": _ppr_sql(iters=4),
         "clustering_coefficient": _clustering_sql(),
         "label_propagation": _label_propagation_sql(rounds=3),
-        "link_prediction": _link_prediction_sql(k=100),
+        "link_prediction": _link_prediction_sql(k=100, max_center_degree=64),
         "degree_histogram": _degree_histogram_sql(),
         "hits": _hits_sql(rounds=2),
         "reciprocity": _reciprocity_sql(),

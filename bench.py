@@ -198,6 +198,50 @@ def main() -> None:
 
         corpusstats.top_ngrams(docs, n=2, min_docs=2, k=50).count()
         corpusstats.token_quantiles(docs, group="lang").count()
+
+    @timed("graph_centralities")
+    def _():
+        # round-4 whole-graph suite: LCC + 3-round LPA + 2-round HITS
+        from big_data_graph_analysis_with_spark_spark.operators import graphalg
+
+        graphalg.clustering_coefficient(og).agg(F.sum("lcc_ppm")).collect()
+        graphalg.label_propagation(og, rounds=3).agg(
+            F.countDistinct("label")
+        ).collect()
+        graphalg.hits_scores(og, rounds=2).agg(F.sum("auth")).collect()
+
+    @timed("link_prediction")
+    def _():
+        # wedge-join candidate generation — the Σdeg² shape under test
+        from big_data_graph_analysis_with_spark_spark.operators import graphalg
+
+        graphalg.link_prediction(og, k=100).count()
+
+    @timed("event_analytics")
+    def _():
+        # round-4 behavioral suite: retention + hourly top-k + anomaly
+        # days + running LTV, all on the events table
+        from big_data_graph_analysis_with_spark_spark.operators import (
+            cohorts,
+            olap,
+        )
+
+        ev = spark.read.parquet(f"{SF_DIR}/events.parquet")
+        cohorts.retention_cohorts(ev).count()
+        cohorts.topk_per_window(ev, k=3).count()
+        cohorts.user_anomaly_days(ev).count()
+        olap.user_running_value(ev).count()
+
+    @timed("corpus_audit")
+    def _():
+        # round-4 corpus-audit suite: vocabulary coverage + histogram
+        # winsorization + language mix + bounded term co-occurrence
+        from big_data_graph_analysis_with_spark_spark.operators import corpusstats
+
+        corpusstats.vocab_coverage(docs, k=200).count()
+        corpusstats.winsorize_lengths(docs).count()
+        corpusstats.language_mix(docs).count()
+        corpusstats.term_cooccurrence(docs, vocab_k=20, k=100).count()
         similarity_ops.label_centroids(embs).count()
 
     @timed("graph_bfs")

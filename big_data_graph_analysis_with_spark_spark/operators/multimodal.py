@@ -8,8 +8,10 @@ thumbnail → pixel stats) whenever `PIL` is importable, and falls back
 to the deterministic byte-statistics stub per-asset when the library is
 absent OR the payload doesn't decode — the behavior a production
 curation stage wants anyway, since real corpora carry corrupt images.
-Audio/video remain stubbed (`torchaudio`/`pyav` also absent here); they
-follow the same guard pattern when added.
+The audio path REALLY decodes integer-PCM WAV through the stdlib
+`wave` reader (always available — sample-domain stats, u8 centering),
+falling back per-asset for other containers; video remains stubbed
+(`pyav`/decord absent here) behind the same guard pattern.
 
 Scale notes: binary payloads dominate row size, so
 `spark.sql.files.maxPartitionBytes` (set in session.py) bounds task
@@ -85,13 +87,48 @@ def _decode_image_real(payload: bytes) -> list[float] | None:
     ]
 
 
+def _decode_audio_real(payload: bytes) -> list[float] | None:
+    """Real PCM WAV decode via the stdlib `wave` reader — no external
+    dependency, so unlike the image path this codec is ALWAYS active;
+    only non-WAV / corrupt / float-format payloads fall back to the
+    stub. Emits the shared 4-slot layout computed over decoded SAMPLES:
+    [payload bytes, mean sample amplitude, max sample, min sample]
+    (8-bit audio is centered to signed before the stats, matching how
+    every resampler treats u8 PCM)."""
+    import io
+    import wave
+
+    import numpy as np
+
+    try:
+        with wave.open(io.BytesIO(payload)) as w:
+            sampwidth = w.getsampwidth()
+            raw = w.readframes(w.getnframes())
+    except Exception:
+        return None  # not a WAV / truncated header → stub fallback
+    dtype = {1: np.uint8, 2: np.int16, 4: np.int32}.get(sampwidth)
+    if dtype is None or not raw:
+        return None
+    x = np.frombuffer(raw, dtype=dtype).astype(np.float64)
+    if sampwidth == 1:
+        x = x - 128.0
+    return [
+        float(len(payload)),
+        round(float(x.mean()), 6),
+        float(x.max()),
+        float(x.min()),
+    ]
+
+
 def _decode_stub(kind: str, payload: bytes) -> list[float]:
     """Fallback decoder: deterministic 4-dim byte-statistics vector.
 
-    Used when the kind's real codec library is unavailable (audio →
-    torchaudio, video → decord/pyav — neither ships in this container)
-    or the payload doesn't decode; raises for unknown kinds exactly as
-    a real decoder would for unsupported codecs.
+    Used when the kind's real codec is unavailable or declines the
+    payload (image → PIL absent/corrupt bytes; audio → non-WAV or
+    float-format PCM, since the stdlib reader covers integer WAV only;
+    video → decord/pyav don't ship in this container); raises for
+    unknown kinds exactly as a real decoder would for unsupported
+    codecs.
     """
     if kind not in ("image", "audio", "video"):
         raise NotImplementedError(f"no decoder for kind={kind!r}")
@@ -116,6 +153,10 @@ def extract_features(assets: DataFrame, batch_size_hint: int = 256) -> DataFrame
         def decode(kind: str, payload: bytes) -> list[float]:
             if kind == "image":
                 real = _decode_image_real(payload)
+                if real is not None:
+                    return real
+            elif kind == "audio":
+                real = _decode_audio_real(payload)
                 if real is not None:
                     return real
             return _decode_stub(kind, payload)

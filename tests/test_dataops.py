@@ -237,6 +237,59 @@ def test_multimodal_unknown_kind_raises(spark):
         multimodal._decode_stub("hologram", b"xx")
 
 
+def test_multimodal_audio_wav_real_decode(spark):
+    """The audio codec REALLY decodes integer-PCM WAV (stdlib wave —
+    always present): sample-domain stats must match numpy on a
+    synthesized tone, u8 payloads are centered, and non-WAV payloads
+    fall back to the byte-statistics stub."""
+    import io
+    import wave
+
+    import numpy as np
+
+    t = np.arange(800)
+    samples = (np.sin(t / 10.0) * 12000).astype(np.int16)
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as w:
+        w.setnchannels(1)
+        w.setsampwidth(2)
+        w.setframerate(16_000)
+        w.writeframes(samples.tobytes())
+    payload = buf.getvalue()
+
+    feat = multimodal._decode_audio_real(payload)
+    assert feat is not None
+    x = samples.astype(np.float64)
+    assert feat == [
+        float(len(payload)),
+        round(float(x.mean()), 6),
+        float(x.max()),
+        float(x.min()),
+    ]
+
+    # u8 PCM is centered to signed before the stats
+    u8 = np.array([0, 128, 255], dtype=np.uint8)
+    buf8 = io.BytesIO()
+    with wave.open(buf8, "wb") as w:
+        w.setnchannels(1)
+        w.setsampwidth(1)
+        w.setframerate(8_000)
+        w.writeframes(u8.tobytes())
+    f8 = multimodal._decode_audio_real(buf8.getvalue())
+    assert f8 is not None and f8[2] == 127.0 and f8[3] == -128.0
+
+    # non-WAV bytes → None → stub fallback inside extract_features
+    assert multimodal._decode_audio_real(b"not a wav at all") is None
+    assets = spark.createDataFrame(
+        [(1, "audio", bytearray(payload), None, None, 16_000, None),
+         (2, "audio", bytearray(b"junk"), None, None, 16_000, None)],
+        multimodal.ASSET_SCHEMA,
+    )
+    rows = {r["asset_id"]: r for r in multimodal.extract_features(assets).collect()}
+    assert rows[1]["feature"] == feat          # real decode through Spark
+    assert rows[2]["feature"] == multimodal._decode_stub("audio", b"junk")
+
+
 def test_multimodal_image_codec_import_guard(monkeypatch):
     """The image path upgrades itself to a real decoder when PIL is
     importable and falls back to the stub when it is missing or the
