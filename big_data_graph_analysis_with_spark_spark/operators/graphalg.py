@@ -244,7 +244,9 @@ def clustering_coefficient(graph: NetGraph) -> DataFrame:
     )
 
 
-def label_propagation(graph: NetGraph, rounds: int = 3) -> DataFrame:
+def label_propagation(
+    graph: NetGraph, rounds: int = 3, sym_edges: DataFrame | None = None
+) -> DataFrame:
     """(id, label): synchronous label propagation (community detection)
     after `rounds` rounds over the canonical undirected graph.
 
@@ -259,13 +261,23 @@ def label_propagation(graph: NetGraph, rounds: int = 3) -> DataFrame:
     key, so co-partitioning edges on `a` (parquet_graph bucketing)
     leaves the count as the only Exchange. The synchronous variant is
     chosen over GraphX's semi-async exactly because it is
-    deterministic."""
+    deterministic.
+
+    ``sym_edges`` optionally supplies the symmetric canonical edge
+    list as a STABLE table scan (the b-bucketed catalog table from
+    `sources.parquet_graph.write_sym_edges`) — exactly as in
+    :func:`connected_components`: a bucketed scan keeps its
+    distribution metadata, so every round's b-keyed label join plans
+    with NO Exchange on the edge side."""
     from pyspark.sql import Window
 
-    und = undirected_edges(graph)
-    sym = und.unionAll(
-        und.select(F.col("b").alias("a"), F.col("a").alias("b"))
-    ).localCheckpoint()
+    if sym_edges is not None:
+        sym = sym_edges.select("a", "b")
+    else:
+        und = undirected_edges(graph)
+        sym = und.unionAll(
+            und.select(F.col("b").alias("a"), F.col("a").alias("b"))
+        ).localCheckpoint()
     labels = graph.vertices.select("id", F.col("id").alias("label")).localCheckpoint()
     w = Window.partitionBy("a").orderBy(F.col("c").desc(), F.col("label").asc())
     for _ in range(rounds):

@@ -171,3 +171,49 @@ def test_session_quantiles_shape(spark):
     for r in rows:
         assert r["n_sessions"] == 3  # 3 users, one session each
         assert r["q_duration_us"] >= 0 and r["q_n_events"] >= 1
+
+def test_round4_plan_shapes(spark):
+    """Scale-shape regressions for the round-4 operators: vocabulary
+    coverage must cut top-k via TakeOrderedAndProject BEFORE its window;
+    term co-occurrence must broadcast the top-vocabulary (and never plan
+    a cartesian product); winsorization must broadcast its 1-row cutoff
+    pair rather than shuffling the doc table against it."""
+    docs = spark.createDataFrame(
+        [(i, f"tok{i % 7} tok{i % 3} x", 10 + i) for i in range(40)],
+        "doc_id LONG, text STRING, n_chars LONG",
+    )
+    plan = (
+        corpusstats.vocab_coverage(docs, k=5)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "TakeOrderedAndProject" in plan
+
+    plan = (
+        corpusstats.term_cooccurrence(docs, vocab_k=5, k=10)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "CartesianProduct" not in plan
+    assert "BroadcastHashJoin" in plan
+
+    plan = (
+        corpusstats.winsorize_lengths(docs)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "CartesianProduct" not in plan
+    assert "Broadcast" in plan
+
+
+def test_link_prediction_plan_no_cartesian(spark):
+    from big_data_graph_analysis_with_spark_spark.model import NetGraph
+    from big_data_graph_analysis_with_spark_spark.operators import graphalg
+
+    v = spark.createDataFrame([(i,) for i in range(20)], "id LONG")
+    e = spark.createDataFrame(
+        [(i, (i * 3 + 1) % 20) for i in range(20)], "src LONG, dst LONG"
+    )
+    plan = (
+        graphalg.link_prediction(NetGraph(v, e), k=10)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "CartesianProduct" not in plan
+

@@ -106,6 +106,31 @@ def test_bucketed_connected_components_same_result_no_edge_exchange(
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
 
 
+def test_bucketed_label_propagation_same_result(spark, tmp_path):
+    """label_propagation(sym_edges=<b-bucketed table>) must return
+    bit-identical labels to the derived path (the per-round join shape
+    is the same as connected_components', whose no-Exchange plan
+    assertion covers both)."""
+    from big_data_graph_analysis_with_spark_spark.operators import graphalg
+    from big_data_graph_analysis_with_spark_spark.sources.parquet_graph import (
+        read_sym_edges,
+        write_sym_edges,
+    )
+
+    g = load_graph(spark, f"{REF_INPUT}/Graph20.0.txt")
+    path = str(tmp_path / "g20lpa")
+    write_sym_edges(g, path, bucket_by=4)
+    sym = read_sym_edges(spark, path)
+
+    plain = sorted(
+        map(tuple, graphalg.label_propagation(g, rounds=3).collect())
+    )
+    bucketed = sorted(
+        map(tuple, graphalg.label_propagation(g, rounds=3, sym_edges=sym).collect())
+    )
+    assert bucketed == plain
+
+
 def test_bucketed_pagerank_same_result_no_edge_exchange(spark, tmp_path):
     """pagerank(edges_stable=True) over the src-bucketed catalog tables
     must (a) return bit-identical scores to the plain path and (b) plan
