@@ -457,6 +457,13 @@ def q_degree_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     return graphalg.degree_histogram(og)
 
 
+def q_ktruss(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """4-truss edges (every edge in ≥2 triangles) by iterative peel;
+    the oracle unrolls a fixed round count past the fixpoint."""
+    og, _ = _graphs(spark, sf_dir)
+    return graphalg.ktruss_edges(og, k=4, rounds=5)
+
+
 def q_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
     """HITS hub/authority, 2 unnormalized rounds — exact integers, so
     the round-unrolled oracle hash-matches (normalization is a positive
@@ -755,6 +762,33 @@ vdeg AS (
 SELECT degree, CAST(COUNT(*) AS BIGINT) AS n_vertices
 FROM vdeg GROUP BY degree
 """
+    )
+
+
+def _ktruss_sql(k: int = 4, rounds: int = 5) -> str:
+    # MATERIALIZED is load-bearing: each round references the previous
+    # edge set 3× (the triangle self-joins), so plain CTEs inline into
+    # 3^rounds re-reads of the base scan
+    ctes = f"""{_UND_CTES.strip()},
+e_0 AS MATERIALIZED (SELECT a, b FROM und)"""
+    for r in range(1, rounds + 1):
+        ctes += f""",
+tri_{r} AS MATERIALIZED (
+  SELECT e1.a, e1.b, e2.b AS c
+  FROM e_{r - 1} e1
+  JOIN e_{r - 1} e2 ON e2.a = e1.b
+  JOIN e_{r - 1} e3 ON e3.a = e1.a AND e3.b = e2.b
+),
+sup_{r} AS (
+  SELECT a, b, COUNT(*) AS s FROM (
+    SELECT a, b FROM tri_{r}
+    UNION ALL SELECT b AS a, c AS b FROM tri_{r}
+    UNION ALL SELECT a, c AS b FROM tri_{r}
+  ) GROUP BY a, b
+),
+e_{r} AS MATERIALIZED (SELECT a, b FROM sup_{r} WHERE s >= {k - 2})"""
+    return graph_sql(
+        f", {ctes.strip()} SELECT CAST(a AS BIGINT) AS a, CAST(b AS BIGINT) AS b FROM e_{rounds}"
     )
 
 
@@ -1595,6 +1629,32 @@ def q_temporal_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sampling.temporal_split(ev, train_frac=(4, 5))
 
 
+def q_active_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DAU/WAU/MAU engagement rollup — trailing distinct counts via the
+    explode-forward fan-out (windowed countDistinct doesn't exist)."""
+    from big_data_graph_analysis_with_spark_spark.operators import cohorts
+
+    ev = _prep(spark).read.parquet(f"{sf_dir}/events.parquet")
+    return cohorts.active_users(ev)
+
+
+def q_interarrival_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact p50/p90/p99 of per-user inter-event gaps (lag window +
+    integer rank selection)."""
+    from big_data_graph_analysis_with_spark_spark.operators import cohorts
+
+    ev = _prep(spark).read.parquet(f"{sf_dir}/events.parquet")
+    return cohorts.interarrival_quantiles(ev)
+
+
+def q_token_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language robust center/spread: exact median and MAD of token
+    counts (two chained integer rank selections)."""
+    from big_data_graph_analysis_with_spark_spark.operators import corpusstats
+
+    return corpusstats.token_mad(_docs(spark, sf_dir))
+
+
 def q_orders_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SCD type-2 history over the same synthetic change feed as
     `orders_upsert`: every version becomes a validity interval
@@ -1758,6 +1818,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         #   50-slot window exactly — every slot verifies a query that has
         #   never had a driver row; everything below has standing proof
         #   in CORRECTNESS_r03.json.
+        # -- past the window this round; first in line for round 5 -----------
+        "ktruss": q_ktruss,
+        "active_users": q_active_users,
+        "interarrival_quantiles": q_interarrival_quantiles,
+        "token_mad": q_token_mad,
         # -- previously driver-green (CORRECTNESS_r03.json); re-verified while
         #    window room remains ---------------------------------------------
         "start_nodes": q_start_nodes,
@@ -1986,6 +2051,93 @@ def oracle_sql() -> dict[str, str]:
                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
         """,
         "knn_graph": doc_oracles.knn_graph_sql(k=5, sample_mod=10),
+        "ktruss": _ktruss_sql(k=4, rounds=5),
+        "active_users": """
+            WITH days AS (
+              SELECT DISTINCT user_id,
+                     epoch_us(ts) // 86400000000 AS day
+              FROM events
+            ),
+            observed AS (SELECT DISTINCT day FROM days),
+            dau AS (
+              SELECT day, COUNT(DISTINCT user_id) AS dau
+              FROM days GROUP BY day
+            ),
+            wau AS (
+              SELECT f.day, COUNT(DISTINCT f.user_id) AS wau FROM (
+                SELECT d.user_id, d.day + i.i AS day
+                FROM days d, (SELECT unnest(range(7)) AS i) i
+              ) f JOIN observed o ON o.day = f.day
+              GROUP BY f.day
+            ),
+            mau AS (
+              SELECT f.day, COUNT(DISTINCT f.user_id) AS mau FROM (
+                SELECT d.user_id, d.day + i.i AS day
+                FROM days d, (SELECT unnest(range(28)) AS i) i
+              ) f JOIN observed o ON o.day = f.day
+              GROUP BY f.day
+            )
+            SELECT CAST(d.day AS BIGINT) AS day,
+                   CAST(d.dau AS BIGINT) AS dau,
+                   CAST(w.wau AS BIGINT) AS wau,
+                   CAST(m.mau AS BIGINT) AS mau
+            FROM dau d JOIN wau w ON w.day = d.day JOIN mau m ON m.day = d.day
+        """,
+        "interarrival_quantiles": """
+            WITH ev AS (
+              SELECT user_id, event_id, epoch_us(ts) AS tus FROM events
+            ),
+            gaps AS (
+              SELECT user_id, event_id,
+                     tus - LAG(tus) OVER (
+                       PARTITION BY user_id ORDER BY tus, event_id) AS gap
+              FROM ev
+            ),
+            g AS (SELECT * FROM gaps WHERE gap IS NOT NULL),
+            r AS (
+              SELECT *, ROW_NUMBER() OVER (
+                       ORDER BY gap, user_id, event_id) AS rn,
+                     COUNT(*) OVER () AS cnt
+              FROM g
+            )
+            SELECT q.p_label, CAST(r.cnt AS BIGINT) AS n_gaps,
+                   CAST(r.gap AS BIGINT) AS q_gap_us
+            FROM r, (VALUES ('p50', 1, 2), ('p90', 9, 10), ('p99', 99, 100))
+                 AS q(p_label, num, den)
+            WHERE r.rn - 1 = (r.cnt - 1) * q.num // q.den
+        """,
+        "token_mad": """
+            WITH t AS (
+              SELECT doc_id, lang,
+                     CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+              FROM documents
+            ),
+            r AS (
+              SELECT *, ROW_NUMBER() OVER (
+                       PARTITION BY lang ORDER BY n_tokens, doc_id) AS rn,
+                     COUNT(*) OVER (PARTITION BY lang) AS cnt
+              FROM t
+            ),
+            med AS (
+              SELECT lang, cnt AS n_docs, n_tokens AS med
+              FROM r WHERE rn - 1 = (cnt - 1) // 2
+            ),
+            dev AS (
+              SELECT t.lang, t.doc_id, m.n_docs, m.med,
+                     ABS(t.n_tokens - m.med) AS adev
+              FROM t JOIN med m ON m.lang = t.lang
+            ),
+            dr AS (
+              SELECT *, ROW_NUMBER() OVER (
+                       PARTITION BY lang ORDER BY adev, doc_id) AS rn,
+                     COUNT(*) OVER (PARTITION BY lang) AS cnt2
+              FROM dev
+            )
+            SELECT lang, CAST(n_docs AS BIGINT) AS n_docs,
+                   CAST(med AS BIGINT) AS median_tokens,
+                   CAST(adev AS BIGINT) AS mad_tokens
+            FROM dr WHERE rn - 1 = (cnt2 - 1) // 2
+        """,
         "events_retention": """
             WITH days AS (
               SELECT DISTINCT user_id,

@@ -89,6 +89,92 @@ def topk_per_window(events: DataFrame, k: int = 3) -> DataFrame:
     )
 
 
+def active_users(events: DataFrame) -> DataFrame:
+    """(day, dau, wau, mau): daily / trailing-7-day / trailing-28-day
+    distinct active users per observed day — the canonical engagement
+    rollup.
+
+    A windowed countDistinct doesn't exist (distinctness isn't
+    decomposable over sliding frames), so the trailing windows use the
+    EXPLODE-FORWARD pattern: each (user, active-day) row is fanned out
+    to the w report-days whose trailing window contains it
+    (day+0 … day+w−1), and a plain per-day distinct count follows —
+    turning an impossible window into two ordinary aggregations. Fan-out
+    is ×7/×28 of the (user, day) DISTINCT table (already tiny next to
+    the event table), with map-side combine absorbing it. Report days
+    are restricted to days with ≥1 event, so every row is a real
+    calendar day of the dataset (leading partial windows included, the
+    standard convention)."""
+    days = _days(events).localCheckpoint(eager=False)
+    observed = days.select("day").distinct()
+
+    def trailing(w: int, alias: str) -> DataFrame:
+        fanned = days.select(
+            "user_id",
+            F.explode(
+                F.sequence(F.col("day"), F.col("day") + (w - 1))
+            ).alias("day"),
+        )
+        return (
+            fanned.join(observed, on="day", how="left_semi")
+            .groupBy("day")
+            .agg(F.countDistinct("user_id").cast("long").alias(alias))
+        )
+
+    dau = days.groupBy("day").agg(
+        F.countDistinct("user_id").cast("long").alias("dau")
+    )
+    return (
+        dau.join(trailing(7, "wau"), on="day")
+        .join(trailing(28, "mau"), on="day")
+        .select(F.col("day").cast("long").alias("day"), "dau", "wau", "mau")
+    )
+
+
+def interarrival_quantiles(events: DataFrame) -> DataFrame:
+    """(p_label, n_gaps, q_gap_us): exact p50/p90/p99 of the gaps
+    between a user's consecutive events — the base distribution for
+    session-gap tuning and bot screening. One lag window per user
+    (hash shuffle on user_id, local sorts), then the integer
+    rank-selection quantile pattern over the gap table with
+    (gap, user_id, event_id) breaking ties."""
+    tus = event_micros(events)
+    ev = events.select("user_id", "event_id", tus.alias("tus"))
+    w = Window.partitionBy("user_id").orderBy("tus", "event_id")
+    gaps = (
+        ev.withColumn("gap", F.col("tus") - F.lag("tus").over(w))
+        .filter(F.col("gap").isNotNull())
+        .select("user_id", "event_id", "gap")
+    )
+    wr = Window.orderBy("gap", "user_id", "event_id")
+    ranked = gaps.withColumn("rn", F.row_number().over(wr)).withColumn(
+        "cnt",
+        F.count("*").over(
+            Window.orderBy("gap").rowsBetween(
+                Window.unboundedPreceding, Window.unboundedFollowing
+            )
+        ),
+    )
+    targets = F.array(
+        *[
+            F.struct(
+                F.lit(label).alias("p_label"),
+                F.expr(f"(cnt - 1) * {num} div {den}").alias("target"),
+            )
+            for label, num, den in (("p50", 1, 2), ("p90", 9, 10), ("p99", 99, 100))
+        ]
+    )
+    return (
+        ranked.withColumn("q", F.explode(targets))
+        .filter(F.col("rn") - 1 == F.col("q.target"))
+        .select(
+            F.col("q.p_label").alias("p_label"),
+            F.col("cnt").cast("long").alias("n_gaps"),
+            F.col("gap").cast("long").alias("q_gap_us"),
+        )
+    )
+
+
 def user_anomaly_days(events: DataFrame, sigmas: int = 2, min_days: int = 3) -> DataFrame:
     """(user_id, day, n_events): the user-days whose event count lies
     more than `sigmas` standard deviations above that user's own daily

@@ -176,6 +176,46 @@ def term_cooccurrence(
     )
 
 
+def token_mad(docs: DataFrame, group: str = "lang") -> DataFrame:
+    """(group, n_docs, median_tokens, mad_tokens): per-group median and
+    median-absolute-deviation of token counts — the robust
+    center/spread pair outlier screens prefer over mean/stddev (one
+    100M-token document barely moves the MAD, but wrecks a stddev).
+
+    Two chained rank selections, both integer-exact: the group median
+    at 0-indexed rank ``(cnt−1) div 2`` of (n_tokens, doc_id) order,
+    then the median of ``|n_tokens − median|`` the same way —
+    deterministic and engine-identical where float interpolation would
+    drift. Cost: two window passes partitioned by the group key (the
+    same per-group-sort shape as `token_quantiles`; salt heavy groups
+    via functions/skew at extreme scale)."""
+    n_tokens = F.size(F.split(F.col("text"), " ")).cast("long")
+    t = docs.select(F.col(group).alias("grp"), "doc_id", n_tokens.alias("n_tokens"))
+    wg = Window.partitionBy("grp")
+    ranked = t.withColumn(
+        "rn", F.row_number().over(wg.orderBy("n_tokens", "doc_id"))
+    ).withColumn("cnt", F.count("*").over(wg))
+    med = (
+        ranked.filter(F.col("rn") - 1 == F.expr("(cnt - 1) div 2"))
+        .select("grp", F.col("cnt").alias("n_docs"), F.col("n_tokens").alias("med"))
+    )
+    dev = t.join(med, on="grp").withColumn(
+        "adev", F.abs(F.col("n_tokens") - F.col("med"))
+    )
+    dranked = dev.withColumn(
+        "rn", F.row_number().over(wg.orderBy("adev", "doc_id"))
+    ).withColumn("cnt2", F.count("*").over(wg))
+    return (
+        dranked.filter(F.col("rn") - 1 == F.expr("(cnt2 - 1) div 2"))
+        .select(
+            F.col("grp").alias(group),
+            F.col("n_docs").cast("long").alias("n_docs"),
+            F.col("med").cast("long").alias("median_tokens"),
+            F.col("adev").cast("long").alias("mad_tokens"),
+        )
+    )
+
+
 def language_mix(docs: DataFrame) -> DataFrame:
     """(source, lang, n_docs, share_ppm): per-source language
     composition with exact fixed-point shares —

@@ -357,6 +357,48 @@ def link_prediction(
     )
 
 
+def ktruss_edges(graph: NetGraph, k: int = 4, rounds: int = 5) -> DataFrame:
+    """(a, b): edges of the k-truss — the maximal subgraph where every
+    edge is supported by ≥ k−2 triangles — after `rounds` peels. The
+    denser, more selective sibling of the k-core (which only constrains
+    degrees): trusses are the standard community-core primitive.
+
+    Per round: enumerate triangles once via the ordered-edge join
+    (a<b<c, as `triangle_counts`), fan each triangle out to its three
+    edges, count per-edge support, drop edges under k−2, repeat on the
+    shrunk edge set — cost contracts every round with the surviving
+    edges. Early-exits at the fixpoint, so the round-unrolled SQL
+    oracle (extra rounds are no-ops) names the same subgraph. Each
+    iterate localCheckpointed; all joins are vertex-keyed (AQE handles
+    hub skew; bucketed storage co-partitions them)."""
+    edges = undirected_edges(graph).localCheckpoint()
+    prev_n = edges.count()
+    for _ in range(rounds):
+        e1 = edges.select("a", "b")
+        e2 = edges.select(F.col("a").alias("b"), F.col("b").alias("c"))
+        e3 = edges.select("a", F.col("b").alias("c"))
+        tri = e1.join(e2, on="b").join(e3, on=["a", "c"])
+        support = (
+            tri.select("a", "b")
+            .unionAll(tri.select(F.col("b").alias("a"), F.col("c").alias("b")))
+            .unionAll(tri.select("a", F.col("c").alias("b")))
+            .groupBy("a", "b")
+            .agg(F.count("*").alias("s"))
+        )
+        edges = (
+            support.filter(F.col("s") >= k - 2)
+            .select("a", "b")
+            .localCheckpoint()
+        )
+        n = edges.count()
+        if n == prev_n:
+            break
+        prev_n = n
+    return edges.select(
+        F.col("a").cast("long").alias("a"), F.col("b").cast("long").alias("b")
+    )
+
+
 def hits_scores(graph: NetGraph, rounds: int = 2) -> DataFrame:
     """(id, hub, auth): HITS hub/authority scores after `rounds`
     UNNORMALIZED power-iteration rounds, as exact integers.

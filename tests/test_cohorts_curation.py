@@ -217,3 +217,51 @@ def test_link_prediction_plan_no_cartesian(spark):
     )
     assert "CartesianProduct" not in plan
 
+def test_active_users_explode_forward(spark):
+    # user 1 active days 0 and 8; user 2 active day 1.
+    # DAU: {0:1, 1:1, 8:1}. WAU(trailing 7): day 0 ← {u1}; day 1 ←
+    # {u1(day0), u2(day1)}; day 8 ← {u1(day8)} (day 1 is 7 back — out).
+    ev = _events(spark, [(0, 1, "view", 0, 0), (1, 2, "view", 1, 0), (2, 1, "view", 8, 0)])
+    got = {r["day"]: (r["dau"], r["wau"], r["mau"]) for r in cohorts.active_users(ev).collect()}
+    assert got[0] == (1, 1, 1)
+    assert got[1] == (1, 2, 2)
+    assert got[8] == (1, 1, 2)  # MAU(8) sees day 0,1,8 → users {1,2}
+    assert set(got) == {0, 1, 8}  # only observed days reported
+
+
+def test_interarrival_quantiles_known_gaps(spark):
+    import datetime as dtm
+
+    base = dtm.datetime(1970, 1, 2, tzinfo=UTC)
+    rows = []
+    # user 1: events at +0s, +10s, +30s → gaps 10s, 20s
+    for i, sec in enumerate([0, 10, 30]):
+        rows.append((i, 1, "view", base + dtm.timedelta(seconds=sec)))
+    # user 2: events at +0s, +5s → gap 5s
+    for i, sec in enumerate([0, 5]):
+        rows.append((10 + i, 2, "view", base + dtm.timedelta(seconds=sec)))
+    ev = spark.createDataFrame(
+        [(e, u, t, ts, 0.0) for e, u, t, ts in rows],
+        "event_id LONG, user_id LONG, event_type STRING, ts TIMESTAMP, value DOUBLE",
+    )
+    got = {r["p_label"]: r for r in cohorts.interarrival_quantiles(ev).collect()}
+    # sorted gaps: [5s, 10s, 20s]; all three ranks land on index 1
+    # ((3-1)·num div den = 1 for p50/p90/p99) → 10s
+    assert got["p50"]["q_gap_us"] == 10_000_000
+    assert got["p90"]["q_gap_us"] == 10_000_000
+    assert got["p99"]["q_gap_us"] == 10_000_000
+    assert got["p50"]["n_gaps"] == 3
+
+
+def test_token_mad_matches_numpy(spark):
+    texts = ["a", "a b", "a b c", "a b c d", "a b c d e f g h i j"]
+    docs = spark.createDataFrame(
+        [(i, t, "en") for i, t in enumerate(texts)],
+        "doc_id LONG, text STRING, lang STRING",
+    )
+    row = corpusstats.token_mad(docs).collect()[0]
+    counts = np.array([len(t.split()) for t in texts])
+    med = int(np.median(counts))
+    mad = int(np.median(np.abs(counts - med)))
+    assert (row["median_tokens"], row["mad_tokens"], row["n_docs"]) == (med, mad, 5)
+

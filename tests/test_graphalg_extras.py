@@ -135,3 +135,22 @@ def test_assortativity_stats_match_numpy(spark):
     r_engine = (n * sxy - sx * sx) / (n * sx2 - sx * sx)
     r_numpy = np.corrcoef(xs, ys)[0, 1]
     assert abs(r_engine - r_numpy) < 1e-12
+
+def test_ktruss_k4_complete_graph_survives_pendant_peeled(spark):
+    # K4 on {1,2,3,4}: every edge sits in 2 triangles → 4-truss keeps
+    # all 6 edges. A pendant triangle {4,5,6} (support 1 each) peels
+    # away entirely, INCLUDING the cascade back onto its attachment.
+    k4 = [(1, 2), (1, 3), (1, 4), (2, 3), (2, 4), (3, 4)]
+    pendant = [(4, 5), (4, 6), (5, 6)]
+    g = _graph(spark, [1, 2, 3, 4, 5, 6], k4 + pendant)
+    got = sorted((r["a"], r["b"]) for r in graphalg.ktruss_edges(g, k=4).collect())
+    assert got == sorted(k4)
+
+
+def test_ktruss_single_triangle_fails_k4(spark):
+    g = _graph(spark, [1, 2, 3], [(1, 2), (2, 3), (1, 3)])
+    assert graphalg.ktruss_edges(g, k=4).count() == 0
+    # ...but IS the 3-truss (support ≥ 1)
+    got = sorted((r["a"], r["b"]) for r in graphalg.ktruss_edges(g, k=3).collect())
+    assert got == [(1, 2), (1, 3), (2, 3)]
+
