@@ -40,6 +40,9 @@ from big_data_graph_analysis_with_spark_spark.functions.eventtime import (  # no
 from big_data_graph_analysis_with_spark_spark.functions.hashing import (  # noqa: E402
     hash56_sql,
 )
+from big_data_graph_analysis_with_spark_spark.functions.zorder import (  # noqa: E402
+    morton2_sql,
+)
 from big_data_graph_analysis_with_spark_spark.plans import doc_oracles  # noqa: E402
 from big_data_graph_analysis_with_spark_spark.plans.pipeline import run_pipeline  # noqa: E402
 from big_data_graph_analysis_with_spark_spark.sources import tpch_graph  # noqa: E402
@@ -1722,6 +1725,32 @@ def q_knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.knn_graph(_embs(spark, sf_dir), k=5, sample_mod=10)
 
 
+def q_events_zorder(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order (Morton) layout codes over (user_id, day) — the
+    clustering key a lakehouse OPTIMIZE ZORDER writes files by, as a
+    pure bit-algebra projection (engine-exact, no UDF)."""
+    from big_data_graph_analysis_with_spark_spark.functions.zorder import morton2
+
+    ev = _prep(spark).read.parquet(f"{sf_dir}/events.parquet")
+    day = F.expr("tus div 86400000000").cast("long")
+    return (
+        ev.select("event_id", "user_id", event_micros(ev).alias("tus"))
+        .select("event_id", "user_id", day.alias("day"))
+        .select(
+            "event_id",
+            "user_id",
+            "day",
+            morton2(F.col("user_id"), F.col("day")).alias("zorder"),
+        )
+    )
+
+
+def q_embedding_covariance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact decimal second-moment statistics for every embedding
+    dimension pair — the distributed half of covariance/PCA/whitening."""
+    return similarity.embedding_covariance(_embs(spark, sf_dir))
+
+
 def q_walk_kernel(spark: SparkSession, sf_dir: str) -> DataFrame:
     """G2-G4 (rows-only: seeded-random, not SQL-expressible; property
     checks live in tests/test_walks_pipeline.py)."""
@@ -1823,6 +1852,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "active_users": q_active_users,
         "interarrival_quantiles": q_interarrival_quantiles,
         "token_mad": q_token_mad,
+        "events_zorder": q_events_zorder,
+        "embedding_covariance": q_embedding_covariance,
         # -- previously driver-green (CORRECTNESS_r03.json); re-verified while
         #    window room remains ---------------------------------------------
         "start_nodes": q_start_nodes,
@@ -2105,6 +2136,38 @@ def oracle_sql() -> dict[str, str]:
             FROM r, (VALUES ('p50', 1, 2), ('p90', 9, 10), ('p99', 99, 100))
                  AS q(p_label, num, den)
             WHERE r.rn - 1 = (r.cnt - 1) * q.num // q.den
+        """,
+        "events_zorder": f"""
+            WITH ev AS (
+              SELECT event_id, user_id,
+                     epoch_us(ts) // 86400000000 AS day
+              FROM events
+            )
+            SELECT event_id, user_id, CAST(day AS BIGINT) AS day,
+                   CAST({morton2_sql("user_id", "day")} AS BIGINT) AS zorder
+            FROM ev
+        """,
+        "embedding_covariance": """
+            WITH comp AS (
+              SELECT vec_id, unnest(range(len(embedding))) AS j,
+                     CAST(CAST(unnest(embedding) AS DOUBLE) AS DECIMAL(18,9)) AS x
+              FROM embeddings
+            ),
+            marg AS (SELECT j, SUM(x) AS s FROM comp GROUP BY j),
+            pairs AS (
+              SELECT a.j, b.j AS l, COUNT(*) AS n_vecs,
+                     SUM(a.x * b.x) AS sxy
+              FROM comp a JOIN comp b ON a.vec_id = b.vec_id AND a.j <= b.j
+              GROUP BY a.j, b.j
+            )
+            SELECT CAST(p.j AS BIGINT) AS j, CAST(p.l AS BIGINT) AS l,
+                   CAST(p.n_vecs AS BIGINT) AS n_vecs,
+                   ROUND(CAST(mj.s AS DOUBLE), 6) AS sum_xj,
+                   ROUND(CAST(ml.s AS DOUBLE), 6) AS sum_xl,
+                   ROUND(CAST(p.sxy AS DOUBLE), 6) AS sum_xjxl
+            FROM pairs p
+            JOIN marg mj ON mj.j = p.j
+            JOIN marg ml ON ml.j = p.l
         """,
         "token_mad": """
             WITH t AS (

@@ -464,6 +464,48 @@ def label_centroids(emb: DataFrame, label_col: str = "label") -> DataFrame:
     )
 
 
+def embedding_covariance(emb: DataFrame) -> DataFrame:
+    """(j, l, n_vecs, sum_xj, sum_xl, sum_xjxl) for every dimension
+    pair j ≤ l: the EXACT second-moment sufficient statistics of the
+    embedding distribution — covariance, PCA, and whitening all reduce
+    to a driver-side eigh over the d×d matrix these d·(d+1)/2 rows
+    assemble (d=64 → 2,080 rows, KBs; the million/billion-vector scan
+    stays distributed, the linear algebra happens on scalars).
+
+    All sums run in DECIMAL(18,9) fixed point (`_decimal_components`),
+    so the statistics are partition-order-independent and the DuckDB
+    oracle hash-matches — the audit property a drift monitor needs.
+    Cost: one self-join on vec_id expanding each vector to its
+    d·(d+1)/2 component pairs, then a partial-aggregated groupBy on
+    (j, l) — each map task emits at most 2,080 pre-combined rows
+    regardless of N."""
+    comp = _decimal_components(emb)
+    a = comp.select("vec_id", F.col("j"), F.col("x"))
+    b = comp.select(
+        "vec_id", F.col("j").alias("l"), F.col("x").alias("y")
+    )
+    pairs = a.join(b, on="vec_id").filter(F.col("j") <= F.col("l"))
+    marg = comp.groupBy("j").agg(F.sum("x").alias("s"))
+    stats = pairs.groupBy("j", "l").agg(
+        F.count("*").cast("long").alias("n_vecs"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+    )
+    return (
+        stats.join(marg.select(F.col("j"), F.col("s").alias("sj")), on="j")
+        .join(marg.select(F.col("j").alias("l"), F.col("s").alias("sl")), on="l")
+        .select(
+            F.col("j").cast("long").alias("j"),
+            F.col("l").cast("long").alias("l"),
+            "n_vecs",
+            # round(6) after the decimal→double cast absorbs the 1-ulp
+            # conversion slack between engines (the cosine ops' pattern)
+            F.round(F.col("sj").cast("double"), 6).alias("sum_xj"),
+            F.round(F.col("sl").cast("double"), 6).alias("sum_xl"),
+            F.round(F.col("sxy").cast("double"), 6).alias("sum_xjxl"),
+        )
+    )
+
+
 def quantize_embeddings(emb: DataFrame) -> DataFrame:
     """(vec_id, scale, j, q): symmetric int8 quantization of the
     embedding column — per-vector scale = max(|x|), q = floor(x·127/

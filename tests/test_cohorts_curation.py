@@ -265,3 +265,44 @@ def test_token_mad_matches_numpy(spark):
     mad = int(np.median(np.abs(counts - med)))
     assert (row["median_tokens"], row["mad_tokens"], row["n_docs"]) == (med, mad, 5)
 
+def test_morton2_matches_python_interleave(spark):
+    from big_data_graph_analysis_with_spark_spark.functions.zorder import morton2
+
+    def py_morton(x, y, bits=21):
+        code = 0
+        for i in range(bits):
+            code |= ((x >> i) & 1) << (2 * i)
+            code |= ((y >> i) & 1) << (2 * i + 1)
+        return code
+
+    rows = [(0, 0), (1, 0), (0, 1), (5, 9), (1_000_000, 2_000_000), ((1 << 21) - 1, (1 << 21) - 1)]
+    df = spark.createDataFrame(rows, "x LONG, y LONG")
+    got = [
+        r["z"] for r in df.select(morton2(F.col("x"), F.col("y")).alias("z"))
+        .collect()
+    ]
+    assert got == [py_morton(x, y) for x, y in rows]
+    # locality: interleaving bounds the code of nearby points — the max
+    # code of the 2×2 block at (x,y) stays within the dilated envelope
+    assert py_morton(2, 2) == 12 and py_morton(3, 3) == 15
+
+
+def test_embedding_covariance_matches_numpy(spark):
+    from big_data_graph_analysis_with_spark_spark.operators import similarity
+
+    vecs = [
+        (1, [1.0, 2.0, 3.0]),
+        (2, [0.5, -1.0, 2.0]),
+        (3, [2.0, 0.0, -3.0]),
+    ]
+    emb = spark.createDataFrame(vecs, "vec_id LONG, embedding ARRAY<FLOAT>")
+    rows = {(r["j"], r["l"]): r for r in similarity.embedding_covariance(emb).collect()}
+    X = np.array([v for _, v in vecs], dtype=np.float64)
+    d = X.shape[1]
+    assert set(rows) == {(j, l) for j in range(d) for l in range(d) if j <= l}
+    for (j, l), r in rows.items():
+        assert r["n_vecs"] == 3
+        assert abs(r["sum_xjxl"] - (X[:, j] * X[:, l]).sum()) < 1e-6
+        assert abs(r["sum_xj"] - X[:, j].sum()) < 1e-6
+        assert abs(r["sum_xl"] - X[:, l].sum()) < 1e-6
+
