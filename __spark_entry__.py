@@ -1751,6 +1751,24 @@ def q_embedding_covariance(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.embedding_covariance(_embs(spark, sf_dir))
 
 
+def q_sketch_audit_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact distinct-user counts per event type plus a verdict that
+    this engine's HLL estimate lands within 5% — exact values and
+    verdicts hash-match cross-engine, the sketch stays engine-local."""
+    from big_data_graph_analysis_with_spark_spark.operators import sketches
+
+    ev = _prep(spark).read.parquet(f"{sf_dir}/events.parquet")
+    return sketches.distinct_sketch_audit(ev)
+
+
+def q_sketch_audit_quantile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact p50/p90 token counts plus a verdict that the approximate-
+    percentile sketch lands within 10% of each."""
+    from big_data_graph_analysis_with_spark_spark.operators import sketches
+
+    return sketches.quantile_sketch_audit(_docs(spark, sf_dir))
+
+
 def q_walk_kernel(spark: SparkSession, sf_dir: str) -> DataFrame:
     """G2-G4 (rows-only: seeded-random, not SQL-expressible; property
     checks live in tests/test_walks_pipeline.py)."""
@@ -1854,6 +1872,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_mad": q_token_mad,
         "events_zorder": q_events_zorder,
         "embedding_covariance": q_embedding_covariance,
+        "sketch_audit_distinct": q_sketch_audit_distinct,
+        "sketch_audit_quantile": q_sketch_audit_quantile,
         # -- previously driver-green (CORRECTNESS_r03.json); re-verified while
         #    window room remains ---------------------------------------------
         "start_nodes": q_start_nodes,
@@ -2168,6 +2188,47 @@ def oracle_sql() -> dict[str, str]:
             FROM pairs p
             JOIN marg mj ON mj.j = p.j
             JOIN marg ml ON ml.j = p.l
+        """,
+        "sketch_audit_distinct": """
+            SELECT event_type,
+                   CAST(COUNT(*) AS BIGINT) AS n_events,
+                   CAST(COUNT(DISTINCT user_id) AS BIGINT) AS exact_users,
+                   ABS(approx_count_distinct(user_id)
+                       - COUNT(DISTINCT user_id)) * 1000000
+                     <= 50000 * COUNT(DISTINCT user_id) AS sketch_ok
+            FROM events GROUP BY event_type
+        """,
+        "sketch_audit_quantile": """
+            WITH t AS (
+              SELECT doc_id,
+                     CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+              FROM documents
+            ),
+            r AS (
+              SELECT *, ROW_NUMBER() OVER (ORDER BY n_tokens, doc_id) AS rn,
+                     COUNT(*) OVER () AS cnt
+              FROM t
+            ),
+            exact AS (
+              SELECT q.p_label, CAST(r.cnt AS BIGINT) AS n_docs,
+                     r.n_tokens AS exact_value, q.p
+              FROM r, (VALUES ('p50', 1, 2, 0.5), ('p90', 9, 10, 0.9))
+                   AS q(p_label, num, den, p)
+              WHERE r.rn - 1 = (r.cnt - 1) * q.num // q.den
+            ),
+            approx AS (
+              SELECT 'p50' AS p_label,
+                     CAST(approx_quantile(n_tokens, 0.5) AS BIGINT) AS av
+              FROM t
+              UNION ALL
+              SELECT 'p90',
+                     CAST(approx_quantile(n_tokens, 0.9) AS BIGINT)
+              FROM t
+            )
+            SELECT e.p_label, e.n_docs, e.exact_value,
+                   ABS(a.av - e.exact_value) * 1000000
+                     <= 100000 * e.exact_value AS sketch_ok
+            FROM exact e JOIN approx a ON a.p_label = e.p_label
         """,
         "token_mad": """
             WITH t AS (

@@ -1,0 +1,122 @@
+"""Sketch governance: approximate aggregates audited against exact.
+
+At 100 TB the production path runs sketches — HyperLogLog distinct
+counts, t-digest quantiles — because the exact forms need a full
+shuffle per key or a global sort. The audit path here runs BOTH on the
+same (sampled or per-partition-feasible) slice and emits the exact
+value plus a boolean "sketch within tolerance" verdict. The oracle
+story is deliberate: each engine computes ITS OWN sketch (Spark HLL++ /
+DuckDB HLL differ by design) and checks it against ITS OWN exact value
+— the exact columns and the verdicts hash-match cross-engine, so the
+sketch-error CONTRACT is oracle-verified even though the sketch
+estimates themselves are engine-specific.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+#: tolerance for the HLL audit, in parts-per-million of the exact count
+#: (5% — comfortably above both engines' default HLL error)
+DISTINCT_TOL_PPM = 50_000
+
+
+def distinct_sketch_audit(
+    events: DataFrame, tol_ppm: int = DISTINCT_TOL_PPM
+) -> DataFrame:
+    """(event_type, n_events, exact_users, sketch_ok): per-type event
+    count, EXACT distinct-user count, and whether this engine's HLL
+    estimate lands within `tol_ppm` of it — the check a pipeline runs
+    before trusting sketches at full scale. The tolerance comparison is
+    integer cross-multiplied (|approx−exact|·1e6 ≤ tol·exact), no
+    float division."""
+    agg = events.groupBy("event_type").agg(
+        F.count("*").cast("long").alias("n_events"),
+        F.countDistinct("user_id").cast("long").alias("exact_users"),
+        F.approx_count_distinct("user_id").cast("long").alias("approx_users"),
+    )
+    dev = F.abs(F.col("approx_users") - F.col("exact_users"))
+    return agg.select(
+        "event_type",
+        "n_events",
+        "exact_users",
+        (dev * 1_000_000 <= F.lit(tol_ppm) * F.col("exact_users")).alias(
+            "sketch_ok"
+        ),
+    )
+
+
+def quantile_sketch_audit(
+    docs: DataFrame, tol_ppm: int = 100_000, accuracy: int = 100
+) -> DataFrame:
+    """(p_label, n_docs, exact_value, sketch_ok): exact p50/p90 token
+    counts (integer rank selection — the audit baseline) beside a
+    verdict that this engine's approximate-percentile sketch lands
+    within `tol_ppm` of each. Same cross-engine contract as
+    :func:`distinct_sketch_audit`: exact values and verdicts
+    hash-match, the sketch estimate stays engine-local. `accuracy` is
+    deliberately low — the audit must exercise the sketch's error, not
+    a configuration where it degenerates to exact."""
+    n_tokens = F.size(F.split(F.col("text"), " ")).cast("long")
+    t = docs.select("doc_id", n_tokens.alias("n_tokens"))
+    ranked = t.withColumn(
+        "rn", F.row_number().over(Window.orderBy("n_tokens", "doc_id"))
+    ).withColumn(
+        "cnt",
+        F.count("*").over(
+            Window.orderBy("n_tokens").rowsBetween(
+                Window.unboundedPreceding, Window.unboundedFollowing
+            )
+        ),
+    )
+    quantiles = (("p50", 1, 2), ("p90", 9, 10))
+    targets = F.array(
+        *[
+            F.struct(
+                F.lit(label).alias("p_label"),
+                F.expr(f"(cnt - 1) * {num} div {den}").alias("target"),
+                F.lit(num / den).alias("p"),
+            )
+            for label, num, den in quantiles
+        ]
+    )
+    exact = (
+        ranked.withColumn("q", F.explode(targets))
+        .filter(F.col("rn") - 1 == F.col("q.target"))
+        .select(
+            F.col("q.p_label").alias("p_label"),
+            F.col("cnt").cast("long").alias("n_docs"),
+            F.col("n_tokens").alias("exact_value"),
+            F.col("q.p").alias("p"),
+        )
+    )
+    approx = t.agg(
+        F.percentile_approx(
+            "n_tokens", [num / den for _, num, den in quantiles], accuracy
+        ).alias("qs")
+    ).select(
+        F.explode(
+            F.arrays_zip(
+                F.array(*[F.lit(label) for label, _, _ in quantiles]).alias(
+                    "p_label"
+                ),
+                F.col("qs").alias("approx_value"),
+            )
+        ).alias("z")
+    ).select(
+        F.col("z.p_label").alias("p_label"),
+        F.col("z.approx_value").cast("long").alias("approx_value"),
+    )
+    dev = F.abs(F.col("approx_value") - F.col("exact_value"))
+    return (
+        exact.join(approx, on="p_label")
+        .select(
+            "p_label",
+            "n_docs",
+            "exact_value",
+            (dev * 1_000_000 <= F.lit(tol_ppm) * F.col("exact_value")).alias(
+                "sketch_ok"
+            ),
+        )
+    )

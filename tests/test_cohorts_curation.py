@@ -306,3 +306,23 @@ def test_embedding_covariance_matches_numpy(spark):
         assert abs(r["sum_xj"] - X[:, j].sum()) < 1e-6
         assert abs(r["sum_xl"] - X[:, l].sum()) < 1e-6
 
+def test_sketch_audits_exact_and_verdicts(spark):
+    from big_data_graph_analysis_with_spark_spark.operators import sketches
+
+    ev = _events(spark, [(i, i % 7, "view" if i % 2 else "click", i % 3, 0) for i in range(60)])
+    rows = {r["event_type"]: r for r in sketches.distinct_sketch_audit(ev).collect()}
+    assert rows["view"]["exact_users"] == 7 and rows["click"]["exact_users"] == 7
+    assert all(r["sketch_ok"] for r in rows.values())  # tiny set → HLL exact
+
+    docs = spark.createDataFrame(
+        [(i, " ".join(["w"] * (1 + i % 20))) for i in range(100)],
+        "doc_id LONG, text STRING",
+    )
+    qrows = {r["p_label"]: r for r in sketches.quantile_sketch_audit(docs).collect()}
+    assert set(qrows) == {"p50", "p90"}
+    # exact values come from the rank-selection convention
+    lens = sorted(1 + i % 20 for i in range(100))
+    assert qrows["p50"]["exact_value"] == lens[(100 - 1) * 1 // 2]
+    assert qrows["p90"]["exact_value"] == lens[(100 - 1) * 9 // 10]
+    assert all(r["sketch_ok"] for r in qrows.values())
+
