@@ -553,6 +553,46 @@ FROM bfs GROUP BY id
 """
 
 
+def _diameter_sql(max_dist: int = 64) -> str:
+    # two chained recursive BFS sweeps over the symmetric edge set; the
+    # peak CTE's (dist DESC, id ASC) pick matches diameter_double_sweep's
+    # tie-break exactly, so both engines run the second sweep from the
+    # same vertex
+    return f"""
+WITH RECURSIVE {GRAPH_CTES},
+und AS (
+  SELECT LEAST(src, dst) AS a, GREATEST(src, dst) AS b
+  FROM og_edges WHERE src <> dst
+),
+sym AS (
+  SELECT DISTINCT a, b FROM (
+    SELECT a, b FROM und UNION ALL SELECT b AS a, a AS b FROM und)
+),
+b1(id, dist) AS (
+  SELECT id, 0 FROM og_vertices
+  WHERE id = (SELECT MIN(id) FROM og_vertices)
+  UNION
+  SELECT e.b, b1.dist + 1
+  FROM b1 JOIN sym e ON e.a = b1.id
+  WHERE b1.dist < {max_dist}
+),
+d1 AS (SELECT id, MIN(dist) AS dist FROM b1 GROUP BY id),
+peak AS (SELECT id, dist FROM d1 ORDER BY dist DESC, id ASC LIMIT 1),
+b2(id, dist) AS (
+  SELECT id, 0 FROM peak
+  UNION
+  SELECT e.b, b2.dist + 1
+  FROM b2 JOIN sym e ON e.a = b2.id
+  WHERE b2.dist < {max_dist}
+),
+d2 AS (SELECT id, MIN(dist) AS dist FROM b2 GROUP BY id)
+SELECT CAST((SELECT MIN(id) FROM og_vertices) AS BIGINT) AS seed,
+       CAST((SELECT id FROM peak) AS BIGINT) AS peak_id,
+       CAST((SELECT dist FROM peak) AS BIGINT) AS ecc_seed,
+       CAST((SELECT MAX(dist) FROM d2) AS BIGINT) AS diameter_lb
+"""
+
+
 def _sssp_sql(rounds: int = 10) -> str:
     # Bellman-Ford unrolled; d_{k-1} is referenced twice per round
     # (carry + relax), so MATERIALIZED again prevents 2^rounds inlining
@@ -1769,6 +1809,88 @@ def q_sketch_audit_quantile(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sketches.quantile_sketch_audit(_docs(spark, sf_dir))
 
 
+def q_dedup_sorted_neighborhood(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sorted-neighborhood dedup: prefix-sort blocking + adjacent-pair
+    integer-ppm Jaccard — the O(n log n), single-shuffle member of the
+    dedup family (no inverted index, no candidate self-join)."""
+    return dedup.sorted_neighborhood_pairs(
+        _docs(spark, sf_dir), threshold_ppm=300_000
+    )
+
+
+def q_priority_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted sampling without replacement (Duffield-Lund-Thorup
+    priority sampling): 48-bit-exact uniform / (n_chars+1) priorities,
+    global top-k via per-partition heaps — deterministic selected SET,
+    oracle-checkable."""
+    from big_data_graph_analysis_with_spark_spark.operators import sampling
+
+    return sampling.priority_sample(_docs(spark, sf_dir), k=50, seed=7)
+
+
+def q_props_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON payload analytics: per-event-type integer stats of the
+    `$.k` property extracted JVM-side with get_json_object."""
+    from big_data_graph_analysis_with_spark_spark.operators import jsonops
+
+    ev = _prep(spark).read.parquet(f"{sf_dir}/events.parquet")
+    return jsonops.props_stats(ev)
+
+
+def q_props_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-width histogram of the JSON `$.k` property per event type
+    (bucket = k DIV 10) — payload shape inspection before thresholding."""
+    from big_data_graph_analysis_with_spark_spark.operators import jsonops
+
+    ev = _prep(spark).read.parquet(f"{sf_dir}/events.parquet")
+    return jsonops.props_histogram(ev)
+
+
+def q_type_affinity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bipartite user↔event_type projection: distinct users shared by
+    each unordered type pair (per-user fan-out bounded by the type
+    vocabulary, never by event count)."""
+    from big_data_graph_analysis_with_spark_spark.operators import cohorts
+
+    ev = _prep(spark).read.parquet(f"{sf_dir}/events.parquet")
+    return cohorts.type_affinity(ev)
+
+
+def q_stratified_priority_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-stratum weighted quota sampling: k smallest priority keys
+    per language — fixed per-domain sizes with weight-biased
+    within-stratum inclusion."""
+    from big_data_graph_analysis_with_spark_spark.operators import sampling
+
+    return sampling.stratified_priority_sample(
+        _docs(spark, sf_dir), k_per_stratum=20, strata_col="lang", seed=7
+    )
+
+
+def q_lexical_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source type-token ratio in exact ppm — the float-free
+    template-spam/boilerplate monitor."""
+    from big_data_graph_analysis_with_spark_spark.operators import corpusstats
+
+    return corpusstats.lexical_diversity(_docs(spark, sf_dir))
+
+
+def q_dup_rate_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source exact-dup triage report (digest-keyed, texts never
+    shuffled)."""
+    from big_data_graph_analysis_with_spark_spark.operators import curation
+
+    return curation.dup_rate_by_source(_docs(spark, sf_dir))
+
+
+def q_graph_diameter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Double-sweep diameter lower bound (two undirected frontier-BFS
+    sweeps; deterministic tie-broken peak, so the oracle's recursive
+    CTE picks the identical second seed)."""
+    og, _ = _graphs(spark, sf_dir)
+    return graphalg.diameter_double_sweep(og)
+
+
 def q_walk_kernel(spark: SparkSession, sf_dir: str) -> DataFrame:
     """G2-G4 (rows-only: seeded-random, not SQL-expressible; property
     checks live in tests/test_walks_pipeline.py)."""
@@ -1874,6 +1996,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_covariance": q_embedding_covariance,
         "sketch_audit_distinct": q_sketch_audit_distinct,
         "sketch_audit_quantile": q_sketch_audit_quantile,
+        "dedup_sorted_neighborhood": q_dedup_sorted_neighborhood,
+        "priority_sample": q_priority_sample,
+        "props_stats": q_props_stats,
+        "props_histogram": q_props_histogram,
+        "type_affinity": q_type_affinity,
+        "stratified_priority_sample": q_stratified_priority_sample,
+        "lexical_diversity": q_lexical_diversity,
+        "dup_rate_by_source": q_dup_rate_by_source,
+        "graph_diameter": q_graph_diameter,
         # -- previously driver-green (CORRECTNESS_r03.json); re-verified while
         #    window room remains ---------------------------------------------
         "start_nodes": q_start_nodes,
@@ -2048,6 +2179,7 @@ def oracle_sql() -> dict[str, str]:
         "connected_components": _components_sql(),
         "pagerank": _pagerank_sql(iters=4),
         "bfs_distances": _bfs_sql(),
+        "graph_diameter": _diameter_sql(),
         "kcore": _kcore_sql(k=3, rounds=16),
         "sssp": _sssp_sql(rounds=10),
         "pagerank_personalized": _ppr_sql(iters=4),
@@ -2229,6 +2361,124 @@ def oracle_sql() -> dict[str, str]:
                    ABS(a.av - e.exact_value) * 1000000
                      <= 100000 * e.exact_value AS sketch_ok
             FROM exact e JOIN approx a ON a.p_label = e.p_label
+        """,
+        "dedup_sorted_neighborhood": """
+            WITH toks AS (
+              SELECT doc_id, substr(text, 1, 8) AS blk,
+                     substr(text, 1, 32) AS srt,
+                     list_sort(list_distinct(string_split(text, ' '))) AS tok
+              FROM documents
+            ),
+            adj AS (
+              SELECT doc_id, tok,
+                     LAG(doc_id) OVER w AS prev_id,
+                     LAG(tok) OVER w AS prev_tok
+              FROM toks WINDOW w AS (PARTITION BY blk ORDER BY srt, doc_id)
+            ),
+            p AS (
+              SELECT LEAST(prev_id, doc_id) AS doc_a,
+                     GREATEST(prev_id, doc_id) AS doc_b,
+                     CAST(len(list_intersect(tok, prev_tok)) AS BIGINT) AS c,
+                     CAST(len(tok) + len(prev_tok)
+                          - len(list_intersect(tok, prev_tok)) AS BIGINT) AS u
+              FROM adj WHERE prev_id IS NOT NULL
+            )
+            SELECT doc_a, doc_b, c * 1000000 // u AS jaccard_ppm
+            FROM p WHERE c * 1000000 // u >= 300000
+        """,
+        "priority_sample": f"""
+            WITH h AS (
+              SELECT doc_id, n_chars,
+                     {hash56_sql("CAST(doc_id AS VARCHAR)", seed=7)}
+                       % 281474976710656 AS h48
+              FROM documents
+            )
+            SELECT doc_id, n_chars
+            FROM h
+            ORDER BY (CAST(h48 AS DOUBLE) / 281474976710656.0)
+                       / (CAST(n_chars AS DOUBLE) + 1.0) ASC,
+                     doc_id ASC
+            LIMIT 50
+        """,
+        "props_stats": """
+            WITH e AS (
+              SELECT event_type,
+                     CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+              FROM events
+            )
+            SELECT event_type,
+                   CAST(COUNT(*) AS BIGINT) AS n_events,
+                   CAST(COUNT(k) AS BIGINT) AS n_with_prop,
+                   CAST(SUM(k) AS BIGINT) AS sum_k,
+                   CAST(MIN(k) AS BIGINT) AS min_k,
+                   CAST(MAX(k) AS BIGINT) AS max_k,
+                   CAST(COUNT(DISTINCT k) AS BIGINT) AS n_distinct_k
+            FROM e GROUP BY event_type
+        """,
+        "props_histogram": """
+            WITH e AS (
+              SELECT event_type,
+                     CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+              FROM events
+            )
+            SELECT event_type, k // 10 AS bucket,
+                   CAST(COUNT(*) AS BIGINT) AS n
+            FROM e WHERE k IS NOT NULL
+            GROUP BY event_type, k // 10
+        """,
+        "type_affinity": """
+            WITH ut AS (SELECT DISTINCT user_id, event_type FROM events)
+            SELECT a.event_type AS type_a, b.event_type AS type_b,
+                   CAST(COUNT(*) AS BIGINT) AS n_users
+            FROM ut a JOIN ut b
+              ON a.user_id = b.user_id AND a.event_type < b.event_type
+            GROUP BY 1, 2
+        """,
+        "stratified_priority_sample": f"""
+            WITH h AS (
+              SELECT lang, doc_id, n_chars,
+                     {hash56_sql("CAST(doc_id AS VARCHAR)", seed=7)}
+                       % 281474976710656 AS h48
+              FROM documents
+            ),
+            r AS (
+              SELECT lang, doc_id, n_chars,
+                     ROW_NUMBER() OVER (
+                       PARTITION BY lang
+                       ORDER BY (CAST(h48 AS DOUBLE) / 281474976710656.0)
+                                  / (CAST(n_chars AS DOUBLE) + 1.0) ASC,
+                                doc_id ASC) AS rk
+              FROM h
+            )
+            SELECT lang, doc_id, n_chars FROM r WHERE rk <= 20
+        """,
+        "lexical_diversity": """
+            WITH t AS (
+              SELECT source, unnest(string_split(text, ' ')) AS tok
+              FROM documents
+            ),
+            g AS (
+              SELECT source,
+                     CAST(COUNT(*) AS BIGINT) AS n_tokens,
+                     CAST(COUNT(DISTINCT tok) AS BIGINT) AS n_types
+              FROM t GROUP BY source
+            )
+            SELECT source, n_tokens, n_types,
+                   n_types * 1000000 // n_tokens AS ttr_ppm
+            FROM g
+        """,
+        "dup_rate_by_source": """
+            WITH g AS (
+              SELECT source,
+                     CAST(COUNT(*) AS BIGINT) AS n_docs,
+                     CAST(COUNT(DISTINCT md5(text)) AS BIGINT)
+                       AS n_distinct_texts
+              FROM documents GROUP BY source
+            )
+            SELECT source, n_docs, n_distinct_texts,
+                   n_docs - n_distinct_texts AS n_dup_rows,
+                   (n_docs - n_distinct_texts) * 1000000 // n_docs AS dup_ppm
+            FROM g
         """,
         "token_mad": """
             WITH t AS (

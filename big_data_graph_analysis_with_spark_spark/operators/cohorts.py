@@ -214,3 +214,27 @@ def user_anomaly_days(events: DataFrame, sigmas: int = 2, min_days: int = 3) -> 
         )
         .select("user_id", "day", "n_events")
     )
+
+
+def type_affinity(events: DataFrame) -> DataFrame:
+    """Bipartite projection of the user↔event_type graph onto the type
+    side: for each unordered pair of event types, how many distinct
+    users engaged with BOTH. The co-engagement signal behind
+    "users who did X also did Y" features and mixture design.
+
+    Shape: distinct (user, type) → per-user self-join with type_a <
+    type_b → count. The fan-out per user is C(t, 2) where t is the
+    number of DISTINCT TYPES that user touched — bounded by the type
+    vocabulary (small and fixed), NOT by the user's event count, so a
+    billion-event power user costs the same as a ten-event one. One
+    distinct shuffle + one join keyed on user_id + one bounded-key agg.
+    """
+    ut = events.select("user_id", "event_type").distinct()
+    a = ut.select("user_id", F.col("event_type").alias("type_a"))
+    b = ut.select("user_id", F.col("event_type").alias("type_b"))
+    return (
+        a.join(b, on="user_id")
+        .filter(F.col("type_a") < F.col("type_b"))
+        .groupBy("type_a", "type_b")
+        .agg(F.count("*").alias("n_users"))
+    )

@@ -272,3 +272,29 @@ def token_quantiles(
         F.col("cnt").cast("long").alias("n_docs"),
         F.col("n_tokens").alias("q_value"),
     )
+
+
+def lexical_diversity(docs: DataFrame, group: str = "source") -> DataFrame:
+    """Per-group lexical diversity: total token occurrences, distinct
+    token types, and the type-token ratio in exact ppm integers
+    (`types * 1_000_000 div tokens`). The float-free stand-in for
+    token-entropy monitoring — a collapsing TTR flags template spam /
+    boilerplate floods in a crawl slice before training on it.
+
+    Shape: explode to (group, token) → two aggs. countDistinct is the
+    one true shuffle; token occurrences combine map-side. At 100 TB
+    swap countDistinct for approx_count_distinct and keep the exact
+    path for audit slices (see operators/sketches for the governance
+    pattern).
+    """
+    toks = docs.select(
+        F.col(group), F.explode(F.split(F.col("text"), " ")).alias("tok")
+    )
+    return (
+        toks.groupBy(group)
+        .agg(
+            F.count("*").alias("n_tokens"),
+            F.countDistinct("tok").alias("n_types"),
+        )
+        .withColumn("ttr_ppm", F.expr("n_types * 1000000 DIV n_tokens"))
+    )

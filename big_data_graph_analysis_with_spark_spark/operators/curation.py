@@ -189,3 +189,26 @@ def expectations(df: DataFrame, rules: dict[str, "F.Column"]) -> DataFrame:
         "n_violations",
         (F.col("n_violations") / F.col("n_rows")).alias("violation_rate"),
     )
+
+
+def dup_rate_by_source(docs: DataFrame) -> DataFrame:
+    """Per-source exact-duplicate impact report: row count, distinct
+    text count (on the md5 digest — an 8-byte-ish shuffle key, never
+    the text itself), surplus duplicate rows, and the dup rate in
+    exact ppm integers. The triage view that decides WHERE dedup
+    effort goes before any pairwise method runs — a source with 30%
+    exact dups gets hash-dedup first; near-dup passes come after.
+
+    One aggregation keyed on source; texts are pruned to digests
+    before the shuffle, so the 100 TB corpus moves 16-byte keys.
+    """
+    return (
+        docs.select("source", F.md5(F.col("text")).alias("h"))
+        .groupBy("source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.countDistinct("h").alias("n_distinct_texts"),
+        )
+        .withColumn("n_dup_rows", F.expr("n_docs - n_distinct_texts"))
+        .withColumn("dup_ppm", F.expr("(n_docs - n_distinct_texts) * 1000000 DIV n_docs"))
+    )

@@ -700,3 +700,57 @@ def personalized_pagerank(
             .localCheckpoint()
         )
     return pr
+
+
+def _bfs_sym(edges_sym: DataFrame, source: int, max_iters: int) -> DataFrame:
+    """(id, dist) hop counts from `source` over a symmetric (a, b)
+    edge DataFrame — the frontier loop of bfs_distances, factored so
+    the double-sweep can run it twice without re-deriving edges."""
+    spark = edges_sym.sparkSession
+    frontier = spark.createDataFrame(
+        [(source, 0)], "id long, dist long"
+    ).localCheckpoint()
+    visited = frontier
+    for d in range(1, max_iters + 1):
+        nxt = (
+            edges_sym.join(frontier, on=edges_sym.a == frontier.id)
+            .select(F.col("b").alias("id"))
+            .distinct()
+            .join(visited, on="id", how="left_anti")
+            .select("id", F.lit(d).cast("long").alias("dist"))
+            .localCheckpoint()
+        )
+        if nxt.limit(1).count() == 0:
+            break
+        visited = visited.unionAll(nxt).localCheckpoint()
+        frontier = nxt
+    return visited
+
+
+def diameter_double_sweep(graph: NetGraph, max_iters: int = 64) -> DataFrame:
+    """One-row (seed, peak_id, ecc_seed, diameter_lb): the classic
+    double-sweep diameter bound (Magnien, Latapy & Habib, JEA 2009)
+    over the undirected graph — BFS from the minimum vertex id, hop to
+    the farthest vertex found (ties → smallest id, so both engines
+    pick the same peak), BFS again; the second eccentricity is a lower
+    bound on the true diameter that is exact on trees and empirically
+    tight on real graphs, at the cost of TWO BFS sweeps instead of the
+    O(V) sweeps an exact diameter needs.
+
+    Scale: inherits the frontier-BFS profile (one shuffle per round,
+    frontier-bounded traffic); the only driver-side values are two
+    scalar rows (the seed and the peak)."""
+    und = undirected_edges(graph)
+    sym = und.unionAll(
+        und.select(F.col("b").alias("a"), F.col("a").alias("b"))
+    ).localCheckpoint()
+    seed = graph.vertices.agg(F.min("id")).first()[0]
+    d1 = _bfs_sym(sym, seed, max_iters)
+    peak = d1.orderBy(F.col("dist").desc(), F.col("id").asc()).first()
+    d2 = _bfs_sym(sym, peak["id"], max_iters)
+    ecc2 = d2.agg(F.max("dist")).first()[0]
+    spark = und.sparkSession
+    return spark.createDataFrame(
+        [(seed, peak["id"], peak["dist"], ecc2)],
+        "seed long, peak_id long, ecc_seed long, diameter_lb long",
+    )

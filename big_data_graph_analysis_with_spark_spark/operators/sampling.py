@@ -202,3 +202,70 @@ def neighbor_sample(
         .filter(F.col("_rk") <= k)
         .drop("_rk")
     )
+
+
+def priority_sample(
+    docs: DataFrame,
+    k: int = 100,
+    weight_col: str = "n_chars",
+    seed: int = 0,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Weighted sampling without replacement via *priority sampling*
+    (Duffield, Lund & Thorup, JACM 2007): each row draws a uniform
+    u = hash48(seed:id) / 2^48 and gets priority key u / (w + 1); the
+    k smallest keys win — inclusion probability is approximately
+    proportional to the weight, with the unbiased subset-sum estimator
+    the paper proves optimal.
+
+    Cross-engine determinism without floats-you-can't-trust: the hash
+    is truncated to 48 bits so it is EXACTLY representable as a double,
+    the /2^48 scaling is a power-of-two (exact), and the single
+    division u/(w+1) of two exact doubles is IEEE-754
+    correctly-rounded — bit-identical on the JVM and in DuckDB, so the
+    selected set (not just its distribution) is oracle-checkable.
+
+    Scale: one narrow projection + a global top-k (TakeOrderedAndProject
+    — per-partition heaps of size k, no full sort, no shuffle of
+    non-winners). The float key never reaches the output schema.
+    """
+    h48 = hash56(F.col(id_col).cast("string"), seed=seed) % F.lit(2**48)
+    key = (h48.cast("double") / F.lit(float(2**48))) / (
+        F.col(weight_col).cast("double") + F.lit(1.0)
+    )
+    return (
+        docs.withColumn("_pk", key)
+        .orderBy(F.col("_pk").asc(), F.col(id_col).asc())
+        .limit(k)
+        .select(id_col, weight_col)
+    )
+
+
+def stratified_priority_sample(
+    docs: DataFrame,
+    k_per_stratum: int = 20,
+    strata_col: str = "lang",
+    weight_col: str = "n_chars",
+    seed: int = 0,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Per-stratum weighted sampling without replacement: the k rows
+    with smallest Duffield–Lund–Thorup priority key (see
+    `priority_sample`) WITHIN each stratum — the per-domain quota
+    sampler for mixture building when strata need fixed sizes but
+    within-stratum inclusion should still favor weight.
+
+    One window shuffle on the stratum key; the same 48-bit-exact
+    double key keeps the selected set bit-identical across engines and
+    partitionings. Skewed strata are exactly the windows AQE splits.
+    """
+    h48 = hash56(F.col(id_col).cast("string"), seed=seed) % F.lit(2**48)
+    key = (h48.cast("double") / F.lit(float(2**48))) / (
+        F.col(weight_col).cast("double") + F.lit(1.0)
+    )
+    w = Window.partitionBy(strata_col).orderBy(key.asc(), F.col(id_col).asc())
+    return (
+        docs.withColumn("_rk", F.row_number().over(w))
+        .filter(F.col("_rk") <= k_per_stratum)
+        .select(strata_col, id_col, weight_col)
+    )

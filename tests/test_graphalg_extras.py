@@ -154,3 +154,30 @@ def test_ktruss_single_triangle_fails_k4(spark):
     got = sorted((r["a"], r["b"]) for r in graphalg.ktruss_edges(g, k=3).collect())
     assert got == [(1, 2), (1, 3), (2, 3)]
 
+
+
+def test_diameter_double_sweep_path_graph(spark):
+    # path 1-2-3-4-5: seed=1 (an endpoint), ecc=4, second sweep from 5
+    # → diameter_lb = 4 = true diameter (double sweep is exact on trees)
+    g = _graph(spark, [1, 2, 3, 4, 5], [(1, 2), (2, 3), (3, 4), (4, 5)])
+    row = graphalg.diameter_double_sweep(g).collect()[0]
+    assert (row["seed"], row["peak_id"]) == (1, 5)
+    assert (row["ecc_seed"], row["diameter_lb"]) == (4, 4)
+
+
+def test_diameter_double_sweep_improves_on_first_ecc(spark):
+    # star center 1, leaves 2..5: seed=1 has ecc 1, but the second
+    # sweep from a leaf finds the true diameter 2
+    g = _graph(spark, [1, 2, 3, 4, 5], [(1, i) for i in (2, 3, 4, 5)])
+    row = graphalg.diameter_double_sweep(g).collect()[0]
+    assert row["seed"] == 1
+    assert row["peak_id"] == 2  # farthest tie → smallest id
+    assert (row["ecc_seed"], row["diameter_lb"]) == (1, 2)
+
+
+def test_diameter_double_sweep_direction_blind(spark):
+    # edges all point INTO the seed-side: undirected sweep must still
+    # traverse them (5→4→3→2→1 stored reversed)
+    g = _graph(spark, [1, 2, 3, 4, 5], [(2, 1), (3, 2), (4, 3), (5, 4)])
+    row = graphalg.diameter_double_sweep(g).collect()[0]
+    assert (row["ecc_seed"], row["diameter_lb"]) == (4, 4)

@@ -1,0 +1,282 @@
+"""Unit tests for the round-4 additions: JSON property analytics,
+priority sampling, sorted-neighborhood dedup, and the bipartite
+type-affinity projection. Cross-engine parity for each lives in
+test_oracle_parity.py; these tests pin the operator semantics on
+small constructed inputs."""
+
+from __future__ import annotations
+
+import hashlib
+
+from pyspark.sql import functions as F
+
+from big_data_graph_analysis_with_spark_spark.operators import (
+    cohorts,
+    dedup,
+    jsonops,
+    sampling,
+)
+
+
+def _docs_df(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, text string, n_chars long")
+
+
+# ---------------------------------------------------------------------------
+# jsonops
+# ---------------------------------------------------------------------------
+
+
+def test_extract_prop_handles_malformed_json(spark):
+    ev = spark.createDataFrame(
+        [
+            (1, "click", '{"k": 5}'),
+            (2, "click", "not json"),
+            (3, "click", '{"other": 1}'),
+            (4, "click", None),
+        ],
+        "event_id long, event_type string, props string",
+    )
+    got = {r["event_id"]: r["k"] for r in jsonops.extract_prop(ev).collect()}
+    assert got == {1: 5, 2: None, 3: None, 4: None}
+
+
+def test_props_stats_counts_and_extremes(spark):
+    ev = spark.createDataFrame(
+        [
+            (1, "a", '{"k": 1}'),
+            (2, "a", '{"k": 9}'),
+            (3, "a", '{"k": 9}'),
+            (4, "a", "bad"),
+            (5, "b", '{"k": 4}'),
+        ],
+        "event_id long, event_type string, props string",
+    )
+    rows = {r["event_type"]: r for r in jsonops.props_stats(ev).collect()}
+    a = rows["a"]
+    assert (a["n_events"], a["n_with_prop"]) == (4, 3)
+    assert (a["sum_k"], a["min_k"], a["max_k"], a["n_distinct_k"]) == (19, 1, 9, 2)
+    b = rows["b"]
+    assert (b["n_events"], b["n_with_prop"], b["sum_k"]) == (1, 1, 4)
+
+
+def test_props_histogram_buckets(spark):
+    ev = spark.createDataFrame(
+        [(i, "a", f'{{"k": {v}}}') for i, v in enumerate([0, 9, 10, 19, 20])],
+        "event_id long, event_type string, props string",
+    )
+    got = {
+        (r["event_type"], r["bucket"]): r["n"]
+        for r in jsonops.props_histogram(ev, bucket_width=10).collect()
+    }
+    assert got == {("a", 0): 2, ("a", 1): 2, ("a", 2): 1}
+
+
+# ---------------------------------------------------------------------------
+# priority_sample
+# ---------------------------------------------------------------------------
+
+
+def _py_priority_key(doc_id: int, weight: int, seed: int) -> float:
+    h = int(hashlib.md5(f"{seed}:{doc_id}".encode()).hexdigest()[:14], 16)
+    h48 = h % 2**48
+    return (h48 / 2**48) / (weight + 1.0)
+
+
+def test_priority_sample_matches_python_reference(spark):
+    rows = [(i, f"doc {i}", (i * 37) % 500 + 1) for i in range(200)]
+    docs = _docs_df(spark, rows)
+    got = sorted(
+        r["doc_id"] for r in sampling.priority_sample(docs, k=20, seed=3).collect()
+    )
+    expect = sorted(
+        i
+        for i, _, w in sorted(
+            rows, key=lambda r: (_py_priority_key(r[0], r[2], 3), r[0])
+        )[:20]
+    )
+    assert got == expect
+
+
+def test_priority_sample_weight_bias(spark):
+    # two strata: weight 10_000 vs weight 1 — the heavy stratum must
+    # dominate the selected set (inclusion probability ∝ weight)
+    rows = [(i, "x", 10_000 if i < 100 else 1) for i in range(200)]
+    docs = _docs_df(spark, rows)
+    picked = [
+        r["doc_id"] for r in sampling.priority_sample(docs, k=40, seed=0).collect()
+    ]
+    heavy = sum(1 for i in picked if i < 100)
+    assert heavy >= 35
+
+
+def test_priority_sample_deterministic(spark):
+    docs = _docs_df(spark, [(i, "t", i + 1) for i in range(50)])
+    a = sorted(r["doc_id"] for r in sampling.priority_sample(docs, k=10).collect())
+    b = sorted(
+        r["doc_id"]
+        for r in sampling.priority_sample(docs.repartition(7), k=10).collect()
+    )
+    assert a == b
+
+
+# ---------------------------------------------------------------------------
+# sorted_neighborhood_pairs
+# ---------------------------------------------------------------------------
+
+
+def test_sorted_neighborhood_finds_prefix_sharing_dups(spark):
+    docs = _docs_df(
+        spark,
+        [
+            (1, "alpha beta gamma delta epsilon", 30),
+            (2, "alpha beta gamma delta zeta", 27),  # near-dup of 1, same prefix
+            (3, "omega psi chi phi", 17),  # unrelated
+        ],
+    )
+    pairs = dedup.sorted_neighborhood_pairs(
+        docs, key_chars=32, block_chars=8, threshold_ppm=500_000
+    ).collect()
+    assert [(p["doc_a"], p["doc_b"]) for p in pairs] == [(1, 2)]
+    # |∩|=4, |∪|=6 → 666666 ppm
+    assert pairs[0]["jaccard_ppm"] == 666_666
+
+
+def test_sorted_neighborhood_misses_cross_block_dups(spark):
+    # the documented recall dial: identical texts with different first
+    # `block_chars` characters land in different blocks → not compared
+    docs = _docs_df(
+        spark,
+        [
+            (1, "aaaaaaaa common tail words here", 31),
+            (2, "bbbbbbbb common tail words here", 31),
+        ],
+    )
+    assert (
+        dedup.sorted_neighborhood_pairs(
+            docs, block_chars=8, threshold_ppm=100_000
+        ).count()
+        == 0
+    )
+
+
+def test_sorted_neighborhood_adjacent_only(spark):
+    # three identical-prefix docs in one block: pairs are (sorted)
+    # adjacent only — (a,b) and (b,c), never (a,c)
+    docs = _docs_df(
+        spark,
+        [
+            (1, "same same a b c", 15),
+            (2, "same same a b d", 15),
+            (3, "same same a b e", 15),
+        ],
+    )
+    got = {
+        (p["doc_a"], p["doc_b"])
+        for p in dedup.sorted_neighborhood_pairs(
+            docs, threshold_ppm=400_000
+        ).collect()
+    }
+    assert got == {(1, 2), (2, 3)}
+
+
+# ---------------------------------------------------------------------------
+# type_affinity
+# ---------------------------------------------------------------------------
+
+
+def test_type_affinity_counts_shared_users(spark):
+    ev = spark.createDataFrame(
+        [
+            (1, 10, "click"),
+            (2, 10, "view"),
+            (3, 10, "view"),  # duplicate engagement — still one user
+            (4, 11, "click"),
+            (5, 11, "view"),
+            (6, 12, "click"),
+        ],
+        "event_id long, user_id long, event_type string",
+    )
+    rows = {
+        (r["type_a"], r["type_b"]): r["n_users"]
+        for r in cohorts.type_affinity(ev).collect()
+    }
+    assert rows == {("click", "view"): 2}
+
+
+def test_type_affinity_pair_ordering(spark):
+    ev = spark.createDataFrame(
+        [(1, 1, "b"), (2, 1, "a"), (3, 1, "c")],
+        "event_id long, user_id long, event_type string",
+    )
+    pairs = {
+        (r["type_a"], r["type_b"]) for r in cohorts.type_affinity(ev).collect()
+    }
+    assert pairs == {("a", "b"), ("a", "c"), ("b", "c")}
+    assert all(a < b for a, b in pairs)
+
+
+# ---------------------------------------------------------------------------
+# stratified_priority_sample / lexical_diversity / dup_rate_by_source
+# ---------------------------------------------------------------------------
+
+
+def test_stratified_priority_sample_quota_and_determinism(spark):
+    rows = [(i, "x", "a" if i % 2 == 0 else "b", (i * 13) % 97 + 1) for i in range(100)]
+    docs = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, n_chars long"
+    )
+    out = sampling.stratified_priority_sample(
+        docs, k_per_stratum=5, strata_col="lang", seed=1
+    )
+    got = out.collect()
+    by_lang = {}
+    for r in got:
+        by_lang.setdefault(r["lang"], []).append(r["doc_id"])
+    assert sorted(len(v) for v in by_lang.values()) == [5, 5]
+    # repartition-invariant selected set
+    got2 = sampling.stratified_priority_sample(
+        docs.repartition(11), k_per_stratum=5, strata_col="lang", seed=1
+    ).collect()
+    assert sorted((r["lang"], r["doc_id"]) for r in got) == sorted(
+        (r["lang"], r["doc_id"]) for r in got2
+    )
+
+
+def test_lexical_diversity_ttr(spark):
+    from big_data_graph_analysis_with_spark_spark.operators import corpusstats
+
+    docs = spark.createDataFrame(
+        [
+            (1, "a b a b", "s1"),
+            (2, "a c", "s1"),
+            (3, "x x x x", "s2"),
+        ],
+        "doc_id long, text string, source string",
+    )
+    rows = {r["source"]: r for r in corpusstats.lexical_diversity(docs).collect()}
+    # s1: 6 tokens, types {a,b,c} = 3 → 500000 ppm
+    assert (rows["s1"]["n_tokens"], rows["s1"]["n_types"]) == (6, 3)
+    assert rows["s1"]["ttr_ppm"] == 500_000
+    # s2: 4 tokens, 1 type → 250000 ppm
+    assert rows["s2"]["ttr_ppm"] == 250_000
+
+
+def test_dup_rate_by_source(spark):
+    from big_data_graph_analysis_with_spark_spark.operators import curation
+
+    docs = spark.createDataFrame(
+        [
+            (1, "same text", "s1"),
+            (2, "same text", "s1"),
+            (3, "same text", "s1"),
+            (4, "unique", "s1"),
+            (5, "only one", "s2"),
+        ],
+        "doc_id long, text string, source string",
+    )
+    rows = {r["source"]: r for r in curation.dup_rate_by_source(docs).collect()}
+    s1 = rows["s1"]
+    assert (s1["n_docs"], s1["n_distinct_texts"], s1["n_dup_rows"]) == (4, 2, 2)
+    assert s1["dup_ppm"] == 500_000
+    assert rows["s2"]["n_dup_rows"] == 0
