@@ -244,6 +244,36 @@ def main() -> None:
         corpusstats.term_cooccurrence(docs, vocab_k=20, k=100).count()
         similarity_ops.label_centroids(embs).count()
 
+    @timed("corpus_triage")
+    def _():
+        # round-4 triage suite: exact-dup rates, lexical diversity,
+        # weighted priority samples, sorted-neighborhood dedup
+        from big_data_graph_analysis_with_spark_spark.operators import (
+            corpusstats,
+            curation,
+            dedup,
+            sampling,
+        )
+
+        curation.dup_rate_by_source(docs).count()
+        corpusstats.lexical_diversity(docs).count()
+        sampling.priority_sample(docs, k=100, seed=7).count()
+        sampling.stratified_priority_sample(docs, k_per_stratum=50, seed=7).count()
+        dedup.sorted_neighborhood_pairs(docs).count()
+
+    @timed("json_analytics")
+    def _():
+        # JSON payload extraction + bipartite projection over events
+        from big_data_graph_analysis_with_spark_spark.operators import (
+            cohorts,
+            jsonops,
+        )
+
+        ev = spark.read.parquet(f"{SF_DIR}/events.parquet")
+        jsonops.props_stats(ev).count()
+        jsonops.props_histogram(ev).count()
+        cohorts.type_affinity(ev).count()
+
     @timed("graph_bfs")
     def _():
         from big_data_graph_analysis_with_spark_spark.operators import graphalg

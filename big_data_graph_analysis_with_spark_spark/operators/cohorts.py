@@ -135,43 +135,21 @@ def interarrival_quantiles(events: DataFrame) -> DataFrame:
     """(p_label, n_gaps, q_gap_us): exact p50/p90/p99 of the gaps
     between a user's consecutive events — the base distribution for
     session-gap tuning and bot screening. One lag window per user
-    (hash shuffle on user_id, local sorts), then the integer
-    rank-selection quantile pattern over the gap table with
-    (gap, user_id, event_id) breaking ties."""
+    (hash shuffle on user_id, local sorts), then value-histogram rank
+    selection (functions/quantiles) — the only global window runs over
+    DISTINCT gap values, never a row-rank of the full gap table."""
+    from ..functions.quantiles import histogram_quantiles
+
     tus = event_micros(events)
     ev = events.select("user_id", "event_id", tus.alias("tus"))
     w = Window.partitionBy("user_id").orderBy("tus", "event_id")
     gaps = (
         ev.withColumn("gap", F.col("tus") - F.lag("tus").over(w))
         .filter(F.col("gap").isNotNull())
-        .select("user_id", "event_id", "gap")
+        .select("gap")
     )
-    wr = Window.orderBy("gap", "user_id", "event_id")
-    ranked = gaps.withColumn("rn", F.row_number().over(wr)).withColumn(
-        "cnt",
-        F.count("*").over(
-            Window.orderBy("gap").rowsBetween(
-                Window.unboundedPreceding, Window.unboundedFollowing
-            )
-        ),
-    )
-    targets = F.array(
-        *[
-            F.struct(
-                F.lit(label).alias("p_label"),
-                F.expr(f"(cnt - 1) * {num} div {den}").alias("target"),
-            )
-            for label, num, den in (("p50", 1, 2), ("p90", 9, 10), ("p99", 99, 100))
-        ]
-    )
-    return (
-        ranked.withColumn("q", F.explode(targets))
-        .filter(F.col("rn") - 1 == F.col("q.target"))
-        .select(
-            F.col("q.p_label").alias("p_label"),
-            F.col("cnt").cast("long").alias("n_gaps"),
-            F.col("gap").cast("long").alias("q_gap_us"),
-        )
+    return histogram_quantiles(
+        gaps, "gap", count_alias="n_gaps", value_alias="q_gap_us"
     )
 
 

@@ -183,36 +183,42 @@ def token_mad(docs: DataFrame, group: str = "lang") -> DataFrame:
     100M-token document barely moves the MAD, but wrecks a stddev).
 
     Two chained rank selections, both integer-exact: the group median
-    at 0-indexed rank ``(cnt−1) div 2`` of (n_tokens, doc_id) order,
-    then the median of ``|n_tokens − median|`` the same way —
-    deterministic and engine-identical where float interpolation would
-    drift. Cost: two window passes partitioned by the group key (the
-    same per-group-sort shape as `token_quantiles`; salt heavy groups
-    via functions/skew at extreme scale)."""
+    at 0-indexed rank ``(cnt−1) div 2`` of value order, then the
+    median of ``|n_tokens − median|`` the same way — deterministic and
+    engine-identical where float interpolation would drift. Both run
+    as value-histogram selections (functions/quantiles): per-group
+    windows over DISTINCT values, so heavy groups cost their length
+    cardinality, not their row count; the one-row-per-group median
+    table broadcasts into the deviation pass."""
+    from ..functions.quantiles import histogram_quantiles
+
+    p50 = (("p50", 1, 2),)
     n_tokens = F.size(F.split(F.col("text"), " ")).cast("long")
-    t = docs.select(F.col(group).alias("grp"), "doc_id", n_tokens.alias("n_tokens"))
-    wg = Window.partitionBy("grp")
-    ranked = t.withColumn(
-        "rn", F.row_number().over(wg.orderBy("n_tokens", "doc_id"))
-    ).withColumn("cnt", F.count("*").over(wg))
-    med = (
-        ranked.filter(F.col("rn") - 1 == F.expr("(cnt - 1) div 2"))
-        .select("grp", F.col("cnt").alias("n_docs"), F.col("n_tokens").alias("med"))
+    t = docs.select(F.col(group).alias("grp"), n_tokens.alias("n_tokens"))
+    med = histogram_quantiles(
+        t,
+        "n_tokens",
+        quantiles=p50,
+        count_alias="n_docs",
+        value_alias="med",
+        group_cols=("grp",),
+    ).select("grp", "n_docs", "med")
+    dev = t.join(F.broadcast(med), on="grp").select(
+        "grp", "n_docs", "med", F.abs(F.col("n_tokens") - F.col("med")).alias("adev")
     )
-    dev = t.join(med, on="grp").withColumn(
-        "adev", F.abs(F.col("n_tokens") - F.col("med"))
+    mad = histogram_quantiles(
+        dev,
+        "adev",
+        quantiles=p50,
+        count_alias="_n2",
+        value_alias="mad_tokens",
+        group_cols=("grp", "n_docs", "med"),
     )
-    dranked = dev.withColumn(
-        "rn", F.row_number().over(wg.orderBy("adev", "doc_id"))
-    ).withColumn("cnt2", F.count("*").over(wg))
-    return (
-        dranked.filter(F.col("rn") - 1 == F.expr("(cnt2 - 1) div 2"))
-        .select(
-            F.col("grp").alias(group),
-            F.col("n_docs").cast("long").alias("n_docs"),
-            F.col("med").cast("long").alias("median_tokens"),
-            F.col("adev").cast("long").alias("mad_tokens"),
-        )
+    return mad.select(
+        F.col("grp").alias(group),
+        F.col("n_docs").cast("long").alias("n_docs"),
+        F.col("med").cast("long").alias("median_tokens"),
+        F.col("mad_tokens").cast("long").alias("mad_tokens"),
     )
 
 
@@ -246,31 +252,21 @@ def token_quantiles(
     quantiles: Sequence[tuple[str, int, int]] = DEFAULT_QUANTILES,
 ) -> DataFrame:
     """Exact token-count quantiles per group: (group, p_label, n_docs,
-    q_value). Rank-selection on the (n_tokens, doc_id)-sorted group —
-    doc_id breaks token-count ties so row ranks are total."""
+    q_value). Value-histogram rank selection (functions/quantiles),
+    partitioned by the group: the per-group window ranges over
+    DISTINCT token counts, so a billion-document language costs its
+    length cardinality, not its row count."""
+    from ..functions.quantiles import histogram_quantiles
+
     n_tokens = F.size(F.split(F.col("text"), " ")).cast("long")
-    t = docs.select(F.col(group).alias("grp"), "doc_id", n_tokens.alias("n_tokens"))
-    w = Window.partitionBy("grp")
-    ranked = t.withColumn(
-        "rn", F.row_number().over(w.orderBy("n_tokens", "doc_id"))
-    ).withColumn("cnt", F.count("*").over(w))
-    targets = F.array(
-        *[
-            F.struct(
-                F.lit(label).alias("p_label"),
-                (F.expr(f"(cnt - 1) * {num} div {den}")).alias("target"),
-            )
-            for label, num, den in quantiles
-        ]
-    )
-    hits = ranked.withColumn("q", F.explode(targets)).filter(
-        F.col("rn") - 1 == F.col("q.target")
-    )
-    return hits.select(
-        F.col("grp").alias(group),
-        F.col("q.p_label").alias("p_label"),
-        F.col("cnt").cast("long").alias("n_docs"),
-        F.col("n_tokens").alias("q_value"),
+    t = docs.select(F.col(group), n_tokens.alias("n_tokens"))
+    return histogram_quantiles(
+        t,
+        "n_tokens",
+        quantiles=quantiles,
+        count_alias="n_docs",
+        value_alias="q_value",
+        group_cols=(group,),
     )
 
 

@@ -67,52 +67,28 @@ def session_quantiles(
     p99 of session duration AND session depth over all sessions — the
     summary a sessionization job is usually run for.
 
-    Composes :func:`sessionize_events` with the integer rank-selection
-    quantile pattern (`corpusstats.token_quantiles`): rows are ranked
-    by (metric, user_id, session_id) so ties are total, and the
-    p = num/den quantile is the value at 0-indexed rank
-    ``(cnt−1)·num div den`` — no interpolation, bit-identical across
-    engines. Two global window sorts over the SESSION table (already
-    aggregated, ~|users|·sessions-per-user rows, far smaller than the
-    event table); at extreme scale run the same selection per
-    time-bucket or switch to approx_percentile and keep this as the
-    audit path."""
+    Composes :func:`sessionize_events` with value-histogram rank
+    selection (functions/quantiles): the p = num/den quantile is the
+    value at 0-indexed rank ``(cnt−1)·num div den`` — no
+    interpolation, bit-identical across engines. Per metric, one
+    value-keyed aggregation plus a window over DISTINCT metric values
+    (durations/depths repeat heavily) — never a global row-rank of
+    the session table."""
+    from ..functions.quantiles import histogram_quantiles
+
     sess = sessionize_events(events, gap_us).select(
-        "user_id",
-        "session_id",
         (F.col("end_us") - F.col("start_us")).alias("duration_us"),
         "n_events",
     )
-    out = []
-    for metric, alias in (("duration_us", "q_duration_us"), ("n_events", "q_n_events")):
-        w = Window.orderBy(metric, "user_id", "session_id")
-        ranked = sess.withColumn("rn", F.row_number().over(w)).withColumn(
-            "cnt",
-            F.count("*").over(
-                Window.orderBy(metric).rowsBetween(
-                    Window.unboundedPreceding, Window.unboundedFollowing
-                )
-            ),
+    out = [
+        histogram_quantiles(
+            sess.select(metric), metric, count_alias="n_sessions", value_alias=alias
         )
-        targets = F.array(
-            *[
-                F.struct(
-                    F.lit(label).alias("p_label"),
-                    F.expr(f"(cnt - 1) * {num} div {den}").alias("target"),
-                )
-                for label, num, den in (("p50", 1, 2), ("p90", 9, 10), ("p99", 99, 100))
-            ]
+        for metric, alias in (
+            ("duration_us", "q_duration_us"),
+            ("n_events", "q_n_events"),
         )
-        hits = ranked.withColumn("q", F.explode(targets)).filter(
-            F.col("rn") - 1 == F.col("q.target")
-        )
-        out.append(
-            hits.select(
-                F.col("q.p_label").alias("p_label"),
-                F.col("cnt").cast("long").alias("n_sessions"),
-                F.col(metric).cast("long").alias(alias),
-            )
-        )
+    ]
     return out[0].join(out[1].drop("n_sessions"), on="p_label")
 
 

@@ -280,3 +280,35 @@ def test_dup_rate_by_source(spark):
     assert (s1["n_docs"], s1["n_distinct_texts"], s1["n_dup_rows"]) == (4, 2, 2)
     assert s1["dup_ppm"] == 500_000
     assert rows["s2"]["n_dup_rows"] == 0
+
+
+# ---------------------------------------------------------------------------
+# functions/quantiles.histogram_quantiles
+# ---------------------------------------------------------------------------
+
+
+def test_histogram_quantiles_matches_python_rank_selection(spark):
+    from big_data_graph_analysis_with_spark_spark.functions.quantiles import (
+        histogram_quantiles,
+    )
+
+    vals = [((i * 31) % 17) for i in range(101)]  # heavy ties
+    df = spark.createDataFrame([(v,) for v in vals], "v long")
+    got = {r["p_label"]: (r["n_rows"], r["q_value"]) for r in
+           histogram_quantiles(df, "v").collect()}
+    s = sorted(vals)
+    n = len(s)
+    for label, num, den in (("p50", 1, 2), ("p90", 9, 10), ("p99", 99, 100)):
+        assert got[label] == (n, s[(n - 1) * num // den])
+
+
+def test_histogram_quantiles_single_value(spark):
+    from big_data_graph_analysis_with_spark_spark.functions.quantiles import (
+        histogram_quantiles,
+    )
+
+    df = spark.createDataFrame([(7,)] * 5, "v long")
+    got = histogram_quantiles(df, "v").collect()
+    assert {(r["p_label"], r["n_rows"], r["q_value"]) for r in got} == {
+        ("p50", 5, 7), ("p90", 5, 7), ("p99", 5, 7)
+    }
