@@ -1891,6 +1891,34 @@ def q_graph_diameter(spark: SparkSession, sf_dir: str) -> DataFrame:
     return graphalg.diameter_double_sweep(og)
 
 
+def q_value_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-half vs second-half value-distribution drift: integer-cent
+    equi-width histogram with exact ppm share deltas (Σ/2e6 = total
+    variation distance)."""
+    from big_data_graph_analysis_with_spark_spark.operators import drift
+
+    ev = _prep(spark).read.parquet(f"{sf_dir}/events.parquet")
+    return drift.value_drift(ev, n_buckets=20)
+
+
+def q_key_skew_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 heaviest user_id keys with exact ppm table shares — the
+    pre-flight skew check before joins/groupBys on the key."""
+    from big_data_graph_analysis_with_spark_spark.operators import drift
+
+    ev = _prep(spark).read.parquet(f"{sf_dir}/events.parquet")
+    return drift.key_skew_profile(ev, "user_id", k=20)
+
+
+def q_recent_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Each user's 3 most recent events (latest-N-per-key window,
+    event_id-desc tie-break)."""
+    from big_data_graph_analysis_with_spark_spark.operators import olap
+
+    ev = _prep(spark).read.parquet(f"{sf_dir}/events.parquet")
+    return olap.recent_events_per_user(ev, n=3)
+
+
 def q_walk_kernel(spark: SparkSession, sf_dir: str) -> DataFrame:
     """G2-G4 (rows-only: seeded-random, not SQL-expressible; property
     checks live in tests/test_walks_pipeline.py)."""
@@ -2005,6 +2033,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lexical_diversity": q_lexical_diversity,
         "dup_rate_by_source": q_dup_rate_by_source,
         "graph_diameter": q_graph_diameter,
+        "value_drift": q_value_drift,
+        "key_skew_profile": q_key_skew_profile,
+        "recent_events": q_recent_events,
         # -- previously driver-green (CORRECTNESS_r03.json); re-verified while
         #    window room remains ---------------------------------------------
         "start_nodes": q_start_nodes,
@@ -2466,6 +2497,79 @@ def oracle_sql() -> dict[str, str]:
             SELECT source, n_tokens, n_types,
                    n_types * 1000000 // n_tokens AS ttr_ppm
             FROM g
+        """,
+        "value_drift": """
+            WITH e AS (
+              SELECT epoch_us(ts) AS tus,
+                     CAST(round(value * 100) AS BIGINT) AS cents
+              FROM events WHERE value IS NOT NULL
+            ),
+            s AS (
+              SELECT MIN(tus) AS t_lo, MAX(tus) AS t_hi,
+                     MIN(cents) AS c_lo, MAX(cents) AS c_hi
+              FROM e
+            ),
+            b AS (
+              SELECT CASE WHEN tus <= (t_lo + t_hi) // 2
+                          THEN 0 ELSE 1 END AS half,
+                     LEAST((cents - c_lo) * 20 // (c_hi - c_lo + 1), 19)
+                       AS bucket
+              FROM e, s
+            ),
+            c AS (
+              SELECT bucket,
+                     CAST(SUM(CASE WHEN half = 0 THEN 1 ELSE 0 END)
+                       AS BIGINT) AS n_first,
+                     CAST(SUM(CASE WHEN half = 1 THEN 1 ELSE 0 END)
+                       AS BIGINT) AS n_second
+              FROM b GROUP BY bucket
+            ),
+            t AS (
+              SELECT CAST(SUM(n_first) AS BIGINT) AS t_first,
+                     CAST(SUM(n_second) AS BIGINT) AS t_second
+              FROM c
+            )
+            SELECT CAST(bucket AS BIGINT) AS bucket, n_first, n_second,
+                   CAST(n_first * 1000000 // t_first AS BIGINT)
+                     AS share_first_ppm,
+                   CAST(n_second * 1000000 // t_second AS BIGINT)
+                     AS share_second_ppm,
+                   CAST(ABS(n_first * 1000000 // t_first
+                            - n_second * 1000000 // t_second) AS BIGINT)
+                     AS abs_diff_ppm
+            FROM c, t
+        """,
+        "key_skew_profile": """
+            WITH c AS (
+              SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_rows
+              FROM events GROUP BY user_id
+            ),
+            t AS (SELECT CAST(SUM(n_rows) AS BIGINT) AS total FROM c),
+            top AS (
+              SELECT * FROM c ORDER BY n_rows DESC, user_id ASC LIMIT 20
+            )
+            SELECT CAST(ROW_NUMBER() OVER (
+                     ORDER BY n_rows DESC, user_id ASC) AS BIGINT)
+                     AS heavy_rank,
+                   user_id, n_rows,
+                   CAST(n_rows * 1000000 // total AS BIGINT) AS share_ppm
+            FROM top, t
+        """,
+        "recent_events": """
+            WITH e AS (
+              SELECT user_id, event_id, event_type, epoch_us(ts) AS tus
+              FROM events
+            ),
+            r AS (
+              SELECT user_id, event_id, event_type, tus,
+                     ROW_NUMBER() OVER (
+                       PARTITION BY user_id
+                       ORDER BY tus DESC, event_id DESC) AS rn
+              FROM e
+            )
+            SELECT user_id, CAST(rn AS BIGINT) AS recency_rank, event_id,
+                   CAST(tus AS BIGINT) AS tus, event_type
+            FROM r WHERE rn <= 3
         """,
         "dup_rate_by_source": """
             WITH g AS (

@@ -1,0 +1,93 @@
+"""Distribution-drift and skew diagnostics for training pipelines.
+
+Two monitoring primitives a 100 TB ingest loop runs continuously:
+
+* **value_drift** — compare the value distribution of the first and
+  second halves of a time range with an equi-width histogram and
+  per-bucket share deltas (the discrete L1 / total-variation view a
+  KS-style drift alarm thresholds on). All arithmetic is integer:
+  values are lifted to cents (``round(value·100)``), the time split
+  is the integer midpoint of [min, max] event time, and shares are
+  exact ppm — so the DuckDB twin hash-matches and no float boundary
+  can flip a bucket between engines.
+* **key_skew_profile** — per-key row counts for the heaviest k keys
+  with exact ppm shares of the table. The pre-flight check before any
+  join/groupBy on the key: a top key holding >5% of rows is the
+  signal to reach for functions/skew salting or AQE skew-join.
+
+Both are one map-side-combinable aggregation keyed on a bounded
+domain (buckets / distinct keys) plus a broadcast of 1-row extrema —
+no global sorts, no row-rank windows (key_skew_profile's rank window
+runs over the top-k rows only, like corpusstats.vocab_coverage).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from ..functions.eventtime import event_micros
+
+
+def value_drift(events: DataFrame, n_buckets: int = 20) -> DataFrame:
+    """(bucket, n_first, n_second, share_first_ppm, share_second_ppm,
+    abs_diff_ppm): equi-width value histogram of the first vs second
+    half of the event-time range. Σ abs_diff_ppm / 2e6 is the total
+    variation distance the drift alarm thresholds."""
+    ev = events.select(
+        event_micros(events).alias("tus"),
+        F.round(F.col("value") * 100).cast("long").alias("cents"),
+    ).filter(F.col("cents").isNotNull())
+    stats = ev.agg(
+        F.min("tus").alias("t_lo"),
+        F.max("tus").alias("t_hi"),
+        F.min("cents").alias("c_lo"),
+        F.max("cents").alias("c_hi"),
+    )
+    bucketed = ev.crossJoin(F.broadcast(stats)).select(
+        F.expr("CASE WHEN tus <= (t_lo + t_hi) DIV 2 THEN 0 ELSE 1 END").alias(
+            "half"
+        ),
+        F.expr(
+            f"least((cents - c_lo) * {int(n_buckets)}"
+            f" DIV (c_hi - c_lo + 1), {int(n_buckets) - 1})"
+        ).alias("bucket"),
+    )
+    counts = bucketed.groupBy("bucket").agg(
+        F.sum(F.expr("CASE WHEN half = 0 THEN 1 ELSE 0 END")).alias("n_first"),
+        F.sum(F.expr("CASE WHEN half = 1 THEN 1 ELSE 0 END")).alias("n_second"),
+    )
+    totals = counts.agg(
+        F.sum("n_first").alias("t_first"), F.sum("n_second").alias("t_second")
+    )
+    return counts.crossJoin(F.broadcast(totals)).select(
+        "bucket",
+        F.col("n_first").cast("long").alias("n_first"),
+        F.col("n_second").cast("long").alias("n_second"),
+        F.expr("n_first * 1000000 DIV t_first").alias("share_first_ppm"),
+        F.expr("n_second * 1000000 DIV t_second").alias("share_second_ppm"),
+        F.expr(
+            "abs(n_first * 1000000 DIV t_first"
+            " - n_second * 1000000 DIV t_second)"
+        ).alias("abs_diff_ppm"),
+    )
+
+
+def key_skew_profile(df: DataFrame, key_col: str, k: int = 20) -> DataFrame:
+    """(heavy_rank, {key_col}, n_rows, share_ppm): the k heaviest keys
+    by row count with exact table shares; ties break on the key so
+    both engines name the same top set."""
+    counts = df.groupBy(key_col).agg(F.count("*").alias("n_rows"))
+    total = counts.agg(F.sum("n_rows").alias("total"))
+    top = (
+        counts.orderBy(F.desc("n_rows"), F.col(key_col).asc())
+        .limit(k)
+        .crossJoin(F.broadcast(total))
+    )
+    w = Window.orderBy(F.desc("n_rows"), F.col(key_col).asc())
+    return top.select(
+        F.row_number().over(w).cast("long").alias("heavy_rank"),
+        key_col,
+        F.col("n_rows").cast("long").alias("n_rows"),
+        F.expr("n_rows * 1000000 DIV total").alias("share_ppm"),
+    )

@@ -128,3 +128,34 @@ def event_transitions(events: DataFrame) -> DataFrame:
         .groupBy("from_type", F.col("event_type").alias("to_type"))
         .agg(F.count("*").cast("long").alias("n"))
     )
+
+
+def recent_events_per_user(events: DataFrame, n: int = 3) -> DataFrame:
+    """(user_id, recency_rank, event_id, tus, event_type): each user's
+    n most recent events — the latest-N-per-key primitive behind
+    feature-store snapshots and "last actions before X" features.
+
+    One window shuffle keyed on user_id; Spark pushes the rank
+    predicate into the window sort (running TopNPerGroup /
+    rank-limit), so per-user state is an n-row heap, not the user's
+    history. Ties break on event_id descending — total order, both
+    engines pick identical rows."""
+    from ..functions.eventtime import event_micros
+
+    ev = events.select(
+        "user_id", "event_id", "event_type", event_micros(events).alias("tus")
+    )
+    w = Window.partitionBy("user_id").orderBy(
+        F.col("tus").desc(), F.col("event_id").desc()
+    )
+    return (
+        ev.withColumn("recency_rank", F.row_number().over(w))
+        .filter(F.col("recency_rank") <= n)
+        .select(
+            "user_id",
+            F.col("recency_rank").cast("long").alias("recency_rank"),
+            "event_id",
+            F.col("tus").cast("long").alias("tus"),
+            "event_type",
+        )
+    )

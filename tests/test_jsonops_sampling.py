@@ -312,3 +312,74 @@ def test_histogram_quantiles_single_value(spark):
     assert {(r["p_label"], r["n_rows"], r["q_value"]) for r in got} == {
         ("p50", 5, 7), ("p90", 5, 7), ("p99", 5, 7)
     }
+
+
+# ---------------------------------------------------------------------------
+# drift / skew / recent-events
+# ---------------------------------------------------------------------------
+
+
+def test_value_drift_detects_shift(spark):
+    from big_data_graph_analysis_with_spark_spark.operators import drift
+    import datetime as dt
+
+    # first half: values ~1.00; second half: values ~9.00 → full mass
+    # moves buckets, abs_diff_ppm ≈ 1e6 in both occupied buckets
+    base = dt.datetime(2024, 1, 1)
+    rows = [(i, base + dt.timedelta(hours=i), 1.00 if i < 50 else 9.00)
+            for i in range(100)]
+    ev = spark.createDataFrame(rows, "event_id long, ts timestamp, value double")
+    out = {r["bucket"]: r for r in drift.value_drift(ev, n_buckets=10).collect()}
+    assert len(out) == 2
+    lo, hi = min(out), max(out)
+    assert out[lo]["n_first"] == 50 and out[lo]["n_second"] == 0
+    assert out[hi]["n_first"] == 0 and out[hi]["n_second"] == 50
+    assert out[lo]["abs_diff_ppm"] == 1_000_000
+    assert out[hi]["abs_diff_ppm"] == 1_000_000
+
+
+def test_value_drift_no_shift(spark):
+    from big_data_graph_analysis_with_spark_spark.operators import drift
+    import datetime as dt
+
+    base = dt.datetime(2024, 1, 1)
+    rows = [(i, base + dt.timedelta(hours=i), float(i % 4)) for i in range(80)]
+    ev = spark.createDataFrame(rows, "event_id long, ts timestamp, value double")
+    out = drift.value_drift(ev, n_buckets=4).collect()
+    assert all(r["abs_diff_ppm"] == 0 for r in out)
+
+
+def test_key_skew_profile_ranks_and_shares(spark):
+    from big_data_graph_analysis_with_spark_spark.operators import drift
+
+    rows = [(i, 1) for i in range(60)] + [(100 + i, 2) for i in range(30)] + [
+        (200 + i, 3) for i in range(10)
+    ]
+    df = spark.createDataFrame(rows, "event_id long, user_id long")
+    out = [
+        (r["heavy_rank"], r["user_id"], r["n_rows"], r["share_ppm"])
+        for r in drift.key_skew_profile(df, "user_id", k=2)
+        .orderBy("heavy_rank")
+        .collect()
+    ]
+    assert out == [(1, 1, 60, 600_000), (2, 2, 30, 300_000)]
+
+
+def test_recent_events_per_user(spark):
+    from big_data_graph_analysis_with_spark_spark.operators import olap
+    import datetime as dt
+
+    base = dt.datetime(2024, 1, 1)
+    rows = [(i, base + dt.timedelta(minutes=i), 1, "t") for i in range(5)] + [
+        (10, base, 2, "t")
+    ]
+    ev = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, event_type string"
+    )
+    out = olap.recent_events_per_user(ev, n=2).collect()
+    u1 = sorted(
+        (r["recency_rank"], r["event_id"]) for r in out if r["user_id"] == 1
+    )
+    assert u1 == [(1, 4), (2, 3)]  # two most recent by ts
+    u2 = [(r["recency_rank"], r["event_id"]) for r in out if r["user_id"] == 2]
+    assert u2 == [(1, 10)]
