@@ -1919,6 +1919,33 @@ def q_recent_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     return olap.recent_events_per_user(ev, n=3)
 
 
+def q_type_purity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user Herfindahl concentration of event types in exact ppm
+    (cross-multiplied Σ n_t² · 1e6 div n² — no pre-division)."""
+    from big_data_graph_analysis_with_spark_spark.operators import cohorts
+
+    ev = _prep(spark).read.parquet(f"{sf_dir}/events.parquet")
+    return cohorts.type_purity(ev)
+
+
+def q_embedding_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source embedding join-coverage audit (docs with / without a
+    vec_id = doc_id embedding row)."""
+    return similarity.embedding_coverage(
+        _docs(spark, sf_dir), _embs(spark, sf_dir)
+    )
+
+
+def q_length_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MAD-based robust length outliers per language: |n − med| > 2·MAD,
+    pure integer test over a broadcast one-row-per-group stats table
+    (k=2 — the synthetic lengths are near-uniform, so 3·MAD flags
+    nothing; real crawls use 3)."""
+    from big_data_graph_analysis_with_spark_spark.operators import corpusstats
+
+    return corpusstats.length_outliers(_docs(spark, sf_dir), k=2)
+
+
 def q_walk_kernel(spark: SparkSession, sf_dir: str) -> DataFrame:
     """G2-G4 (rows-only: seeded-random, not SQL-expressible; property
     checks live in tests/test_walks_pipeline.py)."""
@@ -2036,6 +2063,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "value_drift": q_value_drift,
         "key_skew_profile": q_key_skew_profile,
         "recent_events": q_recent_events,
+        "type_purity": q_type_purity,
+        "embedding_coverage": q_embedding_coverage,
+        "length_outliers": q_length_outliers,
         # -- previously driver-green (CORRECTNESS_r03.json); re-verified while
         #    window room remains ---------------------------------------------
         "start_nodes": q_start_nodes,
@@ -2554,6 +2584,69 @@ def oracle_sql() -> dict[str, str]:
                    user_id, n_rows,
                    CAST(n_rows * 1000000 // total AS BIGINT) AS share_ppm
             FROM top, t
+        """,
+        "type_purity": """
+            WITH per AS (
+              SELECT user_id, event_type, CAST(COUNT(*) AS BIGINT) AS n_t
+              FROM events GROUP BY 1, 2
+            ),
+            g AS (
+              SELECT user_id,
+                     CAST(SUM(n_t) AS BIGINT) AS n_events,
+                     CAST(SUM(n_t * n_t) AS BIGINT) AS sum_sq
+              FROM per GROUP BY user_id
+            )
+            SELECT user_id, n_events,
+                   CAST(sum_sq * 1000000 // (n_events * n_events) AS BIGINT)
+                     AS hhi_ppm
+            FROM g
+        """,
+        "embedding_coverage": """
+            WITH ids AS (SELECT DISTINCT vec_id AS doc_id FROM embeddings)
+            SELECT d.source, (i.doc_id IS NOT NULL) AS covered,
+                   CAST(COUNT(*) AS BIGINT) AS n_docs
+            FROM documents d LEFT JOIN ids i USING (doc_id)
+            GROUP BY 1, 2
+        """,
+        "length_outliers": """
+            WITH t AS (
+              SELECT doc_id, lang,
+                     CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+              FROM documents
+            ),
+            h AS (SELECT lang, n_tokens AS v, COUNT(*) AS hc
+                  FROM t GROUP BY 1, 2),
+            c AS (
+              SELECT lang, v, hc,
+                     SUM(hc) OVER (PARTITION BY lang ORDER BY v) AS cum,
+                     SUM(hc) OVER (PARTITION BY lang) AS cnt
+              FROM h
+            ),
+            med AS (
+              SELECT lang, v AS med FROM c
+              WHERE cum - hc <= (cnt - 1) // 2 AND (cnt - 1) // 2 < cum
+            ),
+            d AS (
+              SELECT t.lang, ABS(t.n_tokens - med.med) AS adev
+              FROM t JOIN med USING (lang)
+            ),
+            hd AS (SELECT lang, adev AS v, COUNT(*) AS hc
+                   FROM d GROUP BY 1, 2),
+            cd AS (
+              SELECT lang, v, hc,
+                     SUM(hc) OVER (PARTITION BY lang ORDER BY v) AS cum,
+                     SUM(hc) OVER (PARTITION BY lang) AS cnt
+              FROM hd
+            ),
+            mad AS (
+              SELECT lang, v AS mad FROM cd
+              WHERE cum - hc <= (cnt - 1) // 2 AND (cnt - 1) // 2 < cum
+            )
+            SELECT t.doc_id, t.lang, t.n_tokens,
+                   CAST(med.med AS BIGINT) AS median_tokens,
+                   CAST(mad.mad AS BIGINT) AS mad_tokens
+            FROM t JOIN med USING (lang) JOIN mad USING (lang)
+            WHERE ABS(t.n_tokens - med.med) > 2 * mad.mad
         """,
         "recent_events": """
             WITH e AS (

@@ -232,6 +232,23 @@ def main() -> None:
         cohorts.user_anomaly_days(ev).count()
         olap.user_running_value(ev).count()
 
+    @timed("drift_monitoring")
+    def _():
+        # distribution-drift + skew + latest-N monitoring primitives
+        from big_data_graph_analysis_with_spark_spark.operators import (
+            cohorts,
+            drift,
+            olap,
+            sessions,
+        )
+
+        ev = spark.read.parquet(f"{SF_DIR}/events.parquet")
+        drift.value_drift(ev, n_buckets=20).count()
+        drift.key_skew_profile(ev, "user_id", k=20).count()
+        olap.recent_events_per_user(ev, n=3).count()
+        cohorts.interarrival_quantiles(ev).count()
+        sessions.session_quantiles(ev).count()
+
     @timed("corpus_audit")
     def _():
         # round-4 corpus-audit suite: vocabulary coverage + histogram

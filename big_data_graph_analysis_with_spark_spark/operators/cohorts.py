@@ -216,3 +216,32 @@ def type_affinity(events: DataFrame) -> DataFrame:
         .groupBy("type_a", "type_b")
         .agg(F.count("*").alias("n_users"))
     )
+
+
+def type_purity(events: DataFrame) -> DataFrame:
+    """(user_id, n_events, hhi_ppm): per-user Herfindahl concentration
+    of event types — Σ share² in exact ppm (1e6 = all one type,
+    1e6/k = uniform over k types). The integer-exact stand-in for
+    behavioral entropy: bot farms pin near 1e6, organic users spread.
+
+    Two nested aggregations on (user, type) then user; Σ share² is
+    computed cross-multiplied (`Σ n_t² · 1e6 div n²`) so no division
+    happens before the final projection and both engines truncate
+    identically. Map-side combinable throughout; no windows."""
+    per = events.groupBy("user_id", "event_type").agg(
+        F.count("*").alias("n_t")
+    )
+    return (
+        per.groupBy("user_id")
+        .agg(
+            F.sum("n_t").alias("n_events"),
+            F.sum(F.col("n_t") * F.col("n_t")).alias("sum_sq"),
+        )
+        .select(
+            "user_id",
+            F.col("n_events").cast("long").alias("n_events"),
+            F.expr("sum_sq * 1000000 DIV (n_events * n_events)").alias(
+                "hhi_ppm"
+            ),
+        )
+    )

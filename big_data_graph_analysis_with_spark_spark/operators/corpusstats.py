@@ -294,3 +294,27 @@ def lexical_diversity(docs: DataFrame, group: str = "source") -> DataFrame:
         )
         .withColumn("ttr_ppm", F.expr("n_types * 1000000 DIV n_tokens"))
     )
+
+
+def length_outliers(docs: DataFrame, group: str = "lang", k: int = 3) -> DataFrame:
+    """(doc_id, group, n_tokens, median_tokens, mad_tokens): documents
+    whose token count deviates from their group's median by more than
+    `k`·MAD — the robust outlier screen (`token_mad`'s docstring case:
+    one 100M-token document wrecks a stddev rule but not this one).
+    The test ``|n − med| > k·mad`` is pure integers, no float scale
+    constant, so both engines flag identical rows.
+
+    Shape: the one-row-per-group `token_mad` table broadcasts into a
+    single filtered projection over the corpus — the scan is the only
+    full-data pass."""
+    stats = token_mad(docs, group).select(group, "median_tokens", "mad_tokens")
+    n_tokens = F.size(F.split(F.col("text"), " ")).cast("long")
+    t = docs.select("doc_id", F.col(group), n_tokens.alias("n_tokens"))
+    return (
+        t.join(F.broadcast(stats), on=group)
+        .filter(
+            F.abs(F.col("n_tokens") - F.col("median_tokens"))
+            > k * F.col("mad_tokens")
+        )
+        .select("doc_id", group, "n_tokens", "median_tokens", "mad_tokens")
+    )

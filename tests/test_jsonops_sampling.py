@@ -383,3 +383,45 @@ def test_recent_events_per_user(spark):
     assert u1 == [(1, 4), (2, 3)]  # two most recent by ts
     u2 = [(r["recency_rank"], r["event_id"]) for r in out if r["user_id"] == 2]
     assert u2 == [(1, 10)]
+
+
+# ---------------------------------------------------------------------------
+# type_purity / embedding_coverage / length_outliers
+# ---------------------------------------------------------------------------
+
+
+def test_type_purity_bounds(spark):
+    ev = spark.createDataFrame(
+        [(1, 1, "a"), (2, 1, "a"), (3, 1, "a"),          # pure user
+         (4, 2, "a"), (5, 2, "b"), (6, 2, "c"), (7, 2, "d")],  # uniform user
+        "event_id long, user_id long, event_type string",
+    )
+    got = {r["user_id"]: (r["n_events"], r["hhi_ppm"])
+           for r in cohorts.type_purity(ev).collect()}
+    assert got[1] == (3, 1_000_000)          # all one type
+    assert got[2] == (4, 250_000)            # uniform over 4 types
+ 
+
+def test_embedding_coverage_split(spark):
+    from big_data_graph_analysis_with_spark_spark.operators import similarity
+
+    docs = spark.createDataFrame(
+        [(1, "s1"), (2, "s1"), (3, "s2")], "doc_id long, source string"
+    )
+    emb = spark.createDataFrame([(1, [0.1]), (1, [0.2])], "vec_id long, embedding array<float>")
+    got = {(r["source"], r["covered"]): r["n_docs"]
+           for r in similarity.embedding_coverage(docs, emb).collect()}
+    assert got == {("s1", True): 1, ("s1", False): 1, ("s2", False): 1}
+
+
+def test_length_outliers_flags_extreme_doc(spark):
+    from big_data_graph_analysis_with_spark_spark.operators import corpusstats
+
+    # 9 docs of 5 tokens (median 5, MAD 0 → any deviation flags with
+    # mad 0 ... so use spread): lengths 4..6 plus one 100-token doc
+    rows = [(i, " ".join(["w"] * (4 + i % 3)), "en") for i in range(9)]
+    rows.append((99, " ".join(["w"] * 100), "en"))
+    docs = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+    out = corpusstats.length_outliers(docs, k=3).collect()
+    assert [r["doc_id"] for r in out] == [99]
+    assert out[0]["n_tokens"] == 100
