@@ -1946,6 +1946,24 @@ def q_length_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     return corpusstats.length_outliers(_docs(spark, sf_dir), k=2)
 
 
+def q_length_cdf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document empirical length-CDF position in exact ppm
+    (value-histogram construction, broadcast back — no row-rank
+    window)."""
+    from big_data_graph_analysis_with_spark_spark.operators import corpusstats
+
+    return corpusstats.length_cdf(_docs(spark, sf_dir))
+
+
+def q_time_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Day-of-week × hour-of-day seasonality profile with exact ppm
+    shares (pure epoch arithmetic — no calendar functions)."""
+    from big_data_graph_analysis_with_spark_spark.operators import drift
+
+    ev = _prep(spark).read.parquet(f"{sf_dir}/events.parquet")
+    return drift.time_profile(ev)
+
+
 def q_walk_kernel(spark: SparkSession, sf_dir: str) -> DataFrame:
     """G2-G4 (rows-only: seeded-random, not SQL-expressible; property
     checks live in tests/test_walks_pipeline.py)."""
@@ -2066,6 +2084,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "type_purity": q_type_purity,
         "embedding_coverage": q_embedding_coverage,
         "length_outliers": q_length_outliers,
+        "length_cdf": q_length_cdf,
+        "time_profile": q_time_profile,
         # -- previously driver-green (CORRECTNESS_r03.json); re-verified while
         #    window room remains ---------------------------------------------
         "start_nodes": q_start_nodes,
@@ -2647,6 +2667,36 @@ def oracle_sql() -> dict[str, str]:
                    CAST(mad.mad AS BIGINT) AS mad_tokens
             FROM t JOIN med USING (lang) JOIN mad USING (lang)
             WHERE ABS(t.n_tokens - med.med) > 2 * mad.mad
+        """,
+        "length_cdf": """
+            WITH h AS (
+              SELECT n_chars, COUNT(*) AS c FROM documents GROUP BY 1
+            ),
+            c AS (
+              SELECT n_chars,
+                     SUM(c) OVER (ORDER BY n_chars) AS cum,
+                     SUM(c) OVER () AS total
+              FROM h
+            )
+            SELECT d.doc_id, CAST(d.n_chars AS BIGINT) AS n_chars,
+                   CAST(cum * 1000000 // total AS BIGINT) AS cdf_ppm
+            FROM documents d JOIN c USING (n_chars)
+        """,
+        "time_profile": """
+            WITH b AS (
+              SELECT (epoch_us(ts) // 86400000000 + 4) % 7 AS dow,
+                     (epoch_us(ts) // 3600000000) % 24 AS hod
+              FROM events
+            ),
+            g AS (
+              SELECT dow, hod, CAST(COUNT(*) AS BIGINT) AS n_events
+              FROM b GROUP BY 1, 2
+            ),
+            t AS (SELECT CAST(SUM(n_events) AS BIGINT) AS total FROM g)
+            SELECT CAST(dow AS BIGINT) AS dow, CAST(hod AS BIGINT) AS hod,
+                   n_events,
+                   CAST(n_events * 1000000 // total AS BIGINT) AS share_ppm
+            FROM g, t
         """,
         "recent_events": """
             WITH e AS (

@@ -318,3 +318,32 @@ def length_outliers(docs: DataFrame, group: str = "lang", k: int = 3) -> DataFra
         )
         .select("doc_id", group, "n_tokens", "median_tokens", "mad_tokens")
     )
+
+
+def length_cdf(docs: DataFrame) -> DataFrame:
+    """(doc_id, n_chars, cdf_ppm): each document's empirical
+    length-CDF position in exact ppm — the rank-normalization feature
+    quality models use instead of raw lengths (scale-free, robust to
+    the corpus length distribution).
+
+    Value-histogram construction: lengths aggregate to (n_chars, cnt);
+    the cumulative window runs over DISTINCT lengths; the resulting
+    tiny CDF table broadcasts back onto the corpus — one scan + one
+    bounded-key aggregation, no row-rank window (cume_dist over raw
+    rows would single-partition the table)."""
+    hist = docs.groupBy("n_chars").agg(F.count("*").alias("c"))
+    w = Window.orderBy("n_chars")
+    cdf = hist.select(
+        "n_chars",
+        F.sum("c").over(w.rowsBetween(Window.unboundedPreceding, 0)).alias("cum"),
+        F.sum("c")
+        .over(
+            Window.orderBy("n_chars").rowsBetween(
+                Window.unboundedPreceding, Window.unboundedFollowing
+            )
+        )
+        .alias("total"),
+    ).select("n_chars", F.expr("cum * 1000000 DIV total").alias("cdf_ppm"))
+    return docs.join(F.broadcast(cdf), on="n_chars").select(
+        "doc_id", F.col("n_chars").cast("long").alias("n_chars"), "cdf_ppm"
+    )

@@ -657,11 +657,14 @@ def sorted_neighborhood_pairs(
     key_chars: int = 32,
     block_chars: int = 8,
     threshold_ppm: int = 500_000,
+    window: int = 2,
 ) -> DataFrame:
     """Sorted-neighborhood dedup (Hernández & Stolfo's classic blocking
     strategy): sort documents by a prefix key, compare each row to its
-    immediate predecessor only, keep adjacent pairs whose token-set
-    Jaccard (in exact ppm integers) clears `threshold_ppm`.
+    `window - 1` predecessors (default 1 — adjacent only), keep pairs
+    whose token-set Jaccard (in exact ppm integers) clears
+    `threshold_ppm`. Widening `window` is the recall dial: cost grows
+    linearly (w−1 lagged comparisons per row), never quadratically.
 
     Complements the MinHash/SimHash family with an O(n log n) method
     that needs NO inverted index and exactly ONE shuffle: rows are
@@ -686,11 +689,36 @@ def sorted_neighborhood_pairs(
         F.array_sort(F.array_distinct(F.split(F.col("text"), " "))).alias("tok"),
     )
     w = Window.partitionBy("blk").orderBy(F.col("srt").asc(), F.col("doc_id").asc())
-    adj = toks.select(
+    with_lags = toks.select(
         "doc_id",
         "tok",
-        F.lag("doc_id").over(w).alias("prev_id"),
-        F.lag("tok").over(w).alias("prev_tok"),
+        *[
+            c
+            for i in range(1, window)
+            for c in (
+                F.lag("doc_id", i).over(w).alias(f"_pid{i}"),
+                F.lag("tok", i).over(w).alias(f"_ptok{i}"),
+            )
+        ],
+    )
+    lagged = with_lags.select(
+        "doc_id",
+        "tok",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.col(f"_pid{i}").alias("prev_id"),
+                        F.col(f"_ptok{i}").alias("prev_tok"),
+                    )
+                    for i in range(1, window)
+                ]
+            )
+        ).alias("p"),
+    )
+    adj = lagged.select(
+        "doc_id", "tok", F.col("p.prev_id").alias("prev_id"),
+        F.col("p.prev_tok").alias("prev_tok"),
     ).filter(F.col("prev_id").isNotNull())
     common = F.size(F.array_intersect(F.col("tok"), F.col("prev_tok"))).cast("long")
     union = (F.size("tok") + F.size("prev_tok")).cast("long") - common

@@ -91,3 +91,28 @@ def key_skew_profile(df: DataFrame, key_col: str, k: int = 20) -> DataFrame:
         F.col("n_rows").cast("long").alias("n_rows"),
         F.expr("n_rows * 1000000 DIV total").alias("share_ppm"),
     )
+
+
+def time_profile(events: DataFrame) -> DataFrame:
+    """(dow, hod, n_events, share_ppm): event volume by day-of-week ×
+    hour-of-day in exact ppm shares — the seasonality fingerprint that
+    `value_drift`-style alarms should be compared AGAINST (a Monday
+    spike that happens every Monday is not drift).
+
+    Day-of-week comes from pure epoch arithmetic — ``(epoch_day + 4)
+    mod 7`` (1970-01-01 was a Thursday; 0 = Sunday) — never from a
+    calendar function, so no engine/timezone/locale convention can
+    shift a bucket. One aggregation on a 7×24-bounded key."""
+    tus = event_micros(events)
+    b = events.select(tus.alias("tus")).select(
+        F.expr("(tus DIV 86400000000 + 4) % 7").alias("dow"),
+        F.expr("(tus DIV 3600000000) % 24").alias("hod"),
+    )
+    counts = b.groupBy("dow", "hod").agg(F.count("*").alias("n_events"))
+    total = counts.agg(F.sum("n_events").alias("total"))
+    return counts.crossJoin(F.broadcast(total)).select(
+        F.col("dow").cast("long").alias("dow"),
+        F.col("hod").cast("long").alias("hod"),
+        F.col("n_events").cast("long").alias("n_events"),
+        F.expr("n_events * 1000000 DIV total").alias("share_ppm"),
+    )

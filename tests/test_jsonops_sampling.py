@@ -425,3 +425,62 @@ def test_length_outliers_flags_extreme_doc(spark):
     out = corpusstats.length_outliers(docs, k=3).collect()
     assert [r["doc_id"] for r in out] == [99]
     assert out[0]["n_tokens"] == 100
+
+
+def test_sorted_neighborhood_window3_catches_skip_pair(spark):
+    # doc 2 sits between near-dups 1 and 3; window=2 (adjacent) only
+    # finds (1,2) and (2,3); window=3 additionally compares 1 vs 3
+    docs = _docs_df(
+        spark,
+        [
+            (1, "same same a dup words here one", 30),
+            (2, "same same m unrelated q x y z", 29),  # sorts between 1 and 3
+            (3, "same same z dup words here one", 30),
+        ],
+    )
+    adj = {
+        (p["doc_a"], p["doc_b"])
+        for p in dedup.sorted_neighborhood_pairs(docs, threshold_ppm=400_000).collect()
+    }
+    win3 = {
+        (p["doc_a"], p["doc_b"])
+        for p in dedup.sorted_neighborhood_pairs(
+            docs, threshold_ppm=400_000, window=3
+        ).collect()
+    }
+    assert (1, 3) not in adj
+    assert (1, 3) in win3
+    assert adj <= win3
+
+
+def test_length_cdf_values(spark):
+    from big_data_graph_analysis_with_spark_spark.operators import corpusstats
+
+    docs = spark.createDataFrame(
+        [(1, 10), (2, 10), (3, 20), (4, 30)], "doc_id long, n_chars long"
+    )
+    got = {r["doc_id"]: r["cdf_ppm"] for r in corpusstats.length_cdf(docs).collect()}
+    assert got == {1: 500_000, 2: 500_000, 3: 750_000, 4: 1_000_000}
+
+
+def test_time_profile_epoch_arithmetic(spark):
+    from big_data_graph_analysis_with_spark_spark.operators import drift
+    import datetime as dt
+
+    # 1970-01-01 was a Thursday (dow 4 with 0=Sunday); hours advance hod
+    ev = spark.createDataFrame(
+        [
+            (1, dt.datetime(1970, 1, 1, 0, 0)),
+            (2, dt.datetime(1970, 1, 1, 5, 0)),
+            (3, dt.datetime(1970, 1, 4, 0, 0)),  # Sunday → dow 0
+            (4, dt.datetime(1970, 1, 4, 0, 30)),
+        ],
+        "event_id long, ts timestamp",
+    )
+    got = {(r["dow"], r["hod"]): (r["n_events"], r["share_ppm"])
+           for r in drift.time_profile(ev).collect()}
+    assert got == {
+        (4, 0): (1, 250_000),
+        (4, 5): (1, 250_000),
+        (0, 0): (2, 500_000),
+    }
