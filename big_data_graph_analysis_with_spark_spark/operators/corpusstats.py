@@ -233,7 +233,7 @@ def language_mix(docs: DataFrame) -> DataFrame:
     the whole plan is one map-side-combined shuffle."""
     per = docs.groupBy("source", "lang").agg(
         F.count("*").cast("long").alias("n_docs")
-    )
+    ).localCheckpoint(eager=False)
     totals = per.groupBy("source").agg(F.sum("n_docs").alias("total"))
     return (
         per.join(totals, on="source")

@@ -53,10 +53,12 @@ def value_drift(events: DataFrame, n_buckets: int = 20) -> DataFrame:
             f" DIV (c_hi - c_lo + 1), {int(n_buckets) - 1})"
         ).alias("bucket"),
     )
+    # localCheckpoint: totals re-aggregates counts — without it the
+    # second branch would re-run the full source scan + bucketing
     counts = bucketed.groupBy("bucket").agg(
         F.sum(F.expr("CASE WHEN half = 0 THEN 1 ELSE 0 END")).alias("n_first"),
         F.sum(F.expr("CASE WHEN half = 1 THEN 1 ELSE 0 END")).alias("n_second"),
-    )
+    ).localCheckpoint(eager=False)
     totals = counts.agg(
         F.sum("n_first").alias("t_first"), F.sum("n_second").alias("t_second")
     )
@@ -77,7 +79,11 @@ def key_skew_profile(df: DataFrame, key_col: str, k: int = 20) -> DataFrame:
     """(heavy_rank, {key_col}, n_rows, share_ppm): the k heaviest keys
     by row count with exact table shares; ties break on the key so
     both engines name the same top set."""
-    counts = df.groupBy(key_col).agg(F.count("*").alias("n_rows"))
+    # localCheckpoint: both the total and the top-k read counts once
+    # instead of re-running the source aggregation twice
+    counts = df.groupBy(key_col).agg(F.count("*").alias("n_rows")).localCheckpoint(
+        eager=False
+    )
     total = counts.agg(F.sum("n_rows").alias("total"))
     top = (
         counts.orderBy(F.desc("n_rows"), F.col(key_col).asc())
@@ -108,7 +114,9 @@ def time_profile(events: DataFrame) -> DataFrame:
         F.expr("(tus DIV 86400000000 + 4) % 7").alias("dow"),
         F.expr("(tus DIV 3600000000) % 24").alias("hod"),
     )
-    counts = b.groupBy("dow", "hod").agg(F.count("*").alias("n_events"))
+    counts = b.groupBy("dow", "hod").agg(F.count("*").alias("n_events")).localCheckpoint(
+        eager=False
+    )
     total = counts.agg(F.sum("n_events").alias("total"))
     return counts.crossJoin(F.broadcast(total)).select(
         F.col("dow").cast("long").alias("dow"),
