@@ -488,6 +488,30 @@ def q_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
     return graphalg.assortativity_stats(og)
 
 
+def _scc_extra_edges(og) -> DataFrame:
+    """Deterministic reversed-edge subset (dst % 7 == 0) that gives the
+    TPC-H-derived DAG nontrivial cycles, so SCC has real work to do."""
+    return og.edges.filter(
+        (F.col("dst") % 7 == 0) & (F.col("src") != F.col("dst"))
+    ).select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+
+
+def q_scc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Strongly connected components (trim + coloring) over the
+    original graph augmented with a reversed-edge subset; the oracle is
+    the recursive-CTE mutual-reachability closure, so the FIXPOINT
+    semantics — not the round schedule — is what is checked."""
+    og, _ = _graphs(spark, sf_dir)
+    return graphalg.scc_components(og, extra_edges=_scc_extra_edges(og))
+
+
+def q_mis(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Luby maximal independent set, 6 deterministic seeded rounds;
+    the oracle unrolls the same rounds with the shared MD5 priority."""
+    og, _ = _graphs(spark, sf_dir)
+    return graphalg.maximal_independent_set(og, rounds=6)
+
+
 _UND_CTES = """
 und AS (
   SELECT DISTINCT LEAST(src, dst) AS a, GREATEST(src, dst) AS b
@@ -532,6 +556,68 @@ reach(id, r) AS (
 SELECT CAST(id AS BIGINT) AS id, CAST(MIN(r) AS BIGINT) AS component_id
 FROM reach GROUP BY id
 """
+
+
+def _scc_sql() -> str:
+    # fixpoint twin of scc_components: mutual-reachability closure over
+    # og_edges ∪ the reversed dst%7 subset (same augmentation as q_scc);
+    # scc_id = MAX mutually-reachable id, matching the coloring root.
+    # Closure size is V·avg-reach — fine at oracle scale; the Spark side
+    # is the one that has to be (and is) closure-free.
+    return f"""
+WITH RECURSIVE {GRAPH_CTES},
+fedges AS MATERIALIZED (
+  SELECT DISTINCT src, dst FROM (
+    SELECT src, dst FROM og_edges WHERE src <> dst
+    UNION ALL
+    SELECT dst AS src, src AS dst FROM og_edges
+    WHERE dst % 7 = 0 AND src <> dst)
+),
+reach(s, d) AS (
+  SELECT id, id FROM og_vertices
+  UNION
+  SELECT r.s, e.dst FROM reach r JOIN fedges e ON e.src = r.d
+)
+SELECT CAST(a.s AS BIGINT) AS id, CAST(MAX(a.d) AS BIGINT) AS scc_id
+FROM reach a JOIN reach b ON a.s = b.d AND a.d = b.s
+GROUP BY a.s
+"""
+
+
+def _mis_sql(rounds: int = 6) -> str:
+    # round-unrolled Luby: win_k = undecided vertices whose (pri, id)
+    # beats every undecided neighbor's; rem_k peels winners + their
+    # neighborhoods. MATERIALIZED stops the rem chain from inlining
+    # exponentially (each rem is referenced three times downstream).
+    pri = hash56_sql("id")
+    ctes = [
+        f""",
+{_UND_CTES.strip()},
+sym AS MATERIALIZED (
+  SELECT a, b FROM und UNION ALL SELECT b AS a, a AS b FROM und
+),
+rem0 AS MATERIALIZED (SELECT id, {pri} AS pri FROM og_vertices)"""
+    ]
+    for r in range(1, rounds + 1):
+        p, c = r - 1, r
+        ctes.append(f""",
+win{c} AS MATERIALIZED (
+  SELECT r.id FROM rem{p} r WHERE NOT EXISTS (
+    SELECT 1 FROM sym s JOIN rem{p} n ON n.id = s.b
+    WHERE s.a = r.id
+      AND (n.pri < r.pri OR (n.pri = r.pri AND n.id < r.id)))
+),
+rem{c} AS MATERIALIZED (
+  SELECT * FROM rem{p}
+  WHERE id NOT IN (SELECT id FROM win{c})
+    AND id NOT IN (SELECT s.b FROM sym s JOIN win{c} w ON w.id = s.a)
+)""")
+    union = "\nUNION ALL ".join(
+        f"SELECT CAST(id AS BIGINT) AS id, CAST({r} AS BIGINT) AS mis_round "
+        f"FROM win{r}"
+        for r in range(1, rounds + 1)
+    )
+    return graph_sql("".join(ctes) + "\n" + union)
 
 
 def _bfs_sql(max_dist: int = 64) -> str:
@@ -1818,6 +1904,29 @@ def q_dedup_sorted_neighborhood(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_prefix_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Prefix-containment dedup: block on the first 32 chars, verify by
+    exact substring compare — catches whole-doc-inside-longer-doc
+    leaks that shingle-Jaccard dilutes away."""
+    return dedup.prefix_containment_pairs(_docs(spark, sf_dir), block_chars=32)
+
+
+def q_length_matched_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution-flattening resample: every length bucket hash-gated
+    down to the smallest bucket's count with exact integer rates."""
+    from big_data_graph_analysis_with_spark_spark.operators import sampling
+
+    return sampling.length_matched_resample(
+        _docs(spark, sf_dir), bucket_width=128, n_buckets=8, seed=13
+    )
+
+
+def q_rp_project(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """±1 Johnson–Lindenstrauss projection of the embeddings to 8 dims
+    (Achlioptas signs from the shared MD5), decimal-exact sums."""
+    return similarity.rp_project(_embs(spark, sf_dir), out_dims=8)
+
+
 def q_priority_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Weighted sampling without replacement (Duffield-Lund-Thorup
     priority sampling): 48-bit-exact uniform / (n_chars+1) priorities,
@@ -2061,6 +2170,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         #   never had a driver row; everything below has standing proof
         #   in CORRECTNESS_r03.json.
         # -- past the window this round; first in line for round 5 -----------
+        "scc": q_scc,
+        "mis": q_mis,
         "ktruss": q_ktruss,
         "active_users": q_active_users,
         "interarrival_quantiles": q_interarrival_quantiles,
@@ -2070,6 +2181,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sketch_audit_distinct": q_sketch_audit_distinct,
         "sketch_audit_quantile": q_sketch_audit_quantile,
         "dedup_sorted_neighborhood": q_dedup_sorted_neighborhood,
+        "dedup_prefix_containment": q_prefix_containment,
+        "length_matched_resample": q_length_matched_resample,
+        "rp_project": q_rp_project,
         "priority_sample": q_priority_sample,
         "props_stats": q_props_stats,
         "props_histogram": q_props_histogram,
@@ -2315,6 +2429,8 @@ def oracle_sql() -> dict[str, str]:
                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
         """,
         "knn_graph": doc_oracles.knn_graph_sql(k=5, sample_mod=10),
+        "scc": _scc_sql(),
+        "mis": _mis_sql(rounds=6),
         "ktruss": _ktruss_sql(k=4, rounds=5),
         "active_users": """
             WITH days AS (
@@ -2443,6 +2559,11 @@ def oracle_sql() -> dict[str, str]:
                      <= 100000 * e.exact_value AS sketch_ok
             FROM exact e JOIN approx a ON a.p_label = e.p_label
         """,
+        "dedup_prefix_containment": doc_oracles.prefix_containment_sql(32),
+        "length_matched_resample": doc_oracles.length_matched_resample_sql(
+            bucket_width=128, n_buckets=8, seed=13
+        ),
+        "rp_project": doc_oracles.rp_project_sql(out_dims=8),
         "dedup_sorted_neighborhood": """
             WITH toks AS (
               SELECT doc_id, substr(text, 1, 8) AS blk,

@@ -733,3 +733,51 @@ def sorted_neighborhood_pairs(
             "jaccard_ppm",
         )
     )
+
+
+def prefix_containment_pairs(docs: DataFrame, block_chars: int = 32) -> DataFrame:
+    """(dup_id, container_id): documents whose ENTIRE text is a prefix
+    of another document's text — the retraining-leak shape that
+    shingle-Jaccard misses when the container is much longer (the
+    short doc's shingles are a tiny fraction of the long one's) and
+    exact dedup misses entirely.
+
+    Blocking join on the first `block_chars` characters (a prefix-
+    contained doc of length ≥ block_chars shares them with every
+    container), then in-block verification by exact substring compare.
+    Only documents with ≥ block_chars characters participate — shorter
+    ones don't share the block key with their containers; run them
+    through exact/Jaccard dedup instead (they're below any useful
+    training-doc length anyway). Equal-text pairs are oriented by
+    doc_id so each is emitted once; run AFTER exact_dedup at scale or
+    a k-copy cluster contributes k·(k−1)/2 pairs.
+
+    Shuffle profile: one exchange on the 32-char block key; the text
+    column rides the shuffle only for in-block verification (cap the
+    blocks with a df-style cap as in ngram_jaccard_pairs if a corpus
+    has pathological boilerplate prefixes).
+    """
+    a = docs.filter(F.length("text") >= block_chars).select(
+        F.col("doc_id").alias("dup_id"),
+        F.col("text").alias("dup_text"),
+        F.length("text").alias("dup_chars"),
+        F.substring("text", 1, block_chars).alias("blk"),
+    )
+    b = docs.filter(F.length("text") >= block_chars).select(
+        F.col("doc_id").alias("container_id"),
+        F.col("text").alias("c_text"),
+        F.length("text").alias("c_chars"),
+        F.substring("text", 1, block_chars).alias("blk"),
+    )
+    return (
+        a.join(b, on="blk")
+        .filter(
+            (F.col("dup_chars") < F.col("c_chars"))
+            | (
+                (F.col("dup_chars") == F.col("c_chars"))
+                & (F.col("dup_id") < F.col("container_id"))
+            )
+        )
+        .filter(F.expr("substring(c_text, 1, dup_chars) = dup_text"))
+        .select("dup_id", "container_id")
+    )

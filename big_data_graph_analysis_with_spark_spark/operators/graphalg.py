@@ -754,3 +754,250 @@ def diameter_double_sweep(graph: NetGraph, max_iters: int = 64) -> DataFrame:
         [(seed, peak["id"], peak["dist"], ecc2)],
         "seed long, peak_id long, ecc_seed long, diameter_lb long",
     )
+
+
+def scc_components(
+    graph: NetGraph,
+    extra_edges: DataFrame | None = None,
+    max_outer: int = 20,
+    max_iters: int = 50,
+) -> DataFrame:
+    """(id, scc_id): strongly connected components of the DIRECTED
+    graph, labeled by the MAXIMUM vertex id of each component.
+
+    Trim + coloring, the standard distributed SCC decomposition (Orzan
+    2004; FB-Trim of Slota, Rajamanickam & Madduri, IPDPS 2014) — the
+    reference has no SCC (its graph surface stops at walks/SimRank,
+    Main.scala:52-214); this is whole-graph analytics the engine is
+    expected to ship alongside the undirected CC. Per outer round:
+
+    1. **Trim**: peel vertices with zero in- or out-degree within the
+       remaining subgraph — each is a singleton SCC (no cycle can pass
+       through it). Iterated, this resolves the entire DAG part in
+       O(longest path) rounds, which is what makes the pivot phase
+       affordable (a bare coloring pass would need O(V) rounds on an
+       ascending chain).
+    2. **Color**: propagate the max vertex id forward to fixpoint —
+       color(v) = max id that reaches v within the remainder.
+    3. **Extract**: vertices where color == id are roots; a backward
+       frontier sweep from all roots simultaneously, restricted to
+       same-color edges, collects every v with v →* root(color(v)),
+       i.e. exactly SCC(root) for every root at once. Assign, remove,
+       repeat — each outer round removes every SCC whose root is not
+       dominated by a not-yet-removed higher SCC.
+
+    Everything is joins + aggregations, one shuffle per inner round,
+    frontier-bounded backward sweeps, iterates localCheckpointed to
+    keep lineage flat. Deterministic: max/min are order-independent,
+    no floats. `extra_edges` (src, dst) lets callers augment the edge
+    set (the oracle query adds a reversed-edge subset so the TPC-H
+    derived DAG actually has nontrivial cycles to find).
+
+    At scale: trim rounds touch only degree aggregations on the live
+    subgraph; the coloring fixpoint is the same shape as
+    connected_components and inherits its bucketed-edge story. If
+    max_outer is exhausted (pathological SCC-chain graphs), leftovers
+    are labeled by their own id and a count is logged — callers see a
+    conservative over-decomposition, never a wrong merge.
+    """
+    import logging
+
+    edges = graph.edges.select("src", "dst")
+    if extra_edges is not None:
+        edges = edges.unionAll(extra_edges.select("src", "dst"))
+    e = (
+        edges.filter(F.col("src") != F.col("dst"))
+        .distinct()
+        .localCheckpoint()
+    )
+    rem = graph.vertices.select("id").localCheckpoint()
+    spark = graph.vertices.sparkSession
+    assigned = spark.createDataFrame([], "id long, scc_id long")
+
+    def _restrict(e_df, rem_df):
+        return (
+            e_df.join(rem_df.select(F.col("id").alias("src")), on="src", how="semi")
+            .join(rem_df.select(F.col("id").alias("dst")), on="dst", how="semi")
+            .select("src", "dst")
+            .localCheckpoint()
+        )
+
+    for _ in range(max_outer):
+        if rem.limit(1).count() == 0:
+            break
+        # -- 1. trim singleton SCCs (in-deg 0 or out-deg 0 in the core)
+        for _ in range(max_iters):
+            has_in = e.select(F.col("dst").alias("id")).distinct()
+            has_out = e.select(F.col("src").alias("id")).distinct()
+            core = rem.join(has_in, on="id", how="semi").join(
+                has_out, on="id", how="semi"
+            )
+            trivial = rem.join(core, on="id", how="left_anti").localCheckpoint()
+            if trivial.limit(1).count() == 0:
+                break
+            assigned = assigned.unionAll(
+                trivial.select("id", F.col("id").alias("scc_id"))
+            ).localCheckpoint()
+            rem = rem.join(trivial, on="id", how="left_anti").localCheckpoint()
+            e = _restrict(e, rem)
+        if rem.limit(1).count() == 0:
+            break
+        # -- 2. forward max-color fixpoint
+        color = rem.select("id", F.col("id").alias("color")).localCheckpoint()
+        for _ in range(max_iters):
+            prop = (
+                e.join(
+                    color.select(F.col("id").alias("src"), "color"), on="src"
+                )
+                .groupBy(F.col("dst").alias("id"))
+                .agg(F.max("color").alias("nbr"))
+            )
+            newc = (
+                color.join(prop, on="id", how="left")
+                .select(
+                    "id",
+                    F.greatest(
+                        F.col("color"), F.coalesce("nbr", F.col("color"))
+                    ).alias("color"),
+                )
+                .localCheckpoint()
+            )
+            changed = (
+                newc.join(color, on=["id", "color"], how="left_anti")
+                .limit(1)
+                .count()
+            )
+            color = newc
+            if changed == 0:
+                break
+        # -- 3. backward sweep from roots over same-color edges
+        ce = (
+            e.join(
+                color.select(F.col("id").alias("src"), F.col("color").alias("c")),
+                on="src",
+            )
+            .join(
+                color.select(
+                    F.col("id").alias("dst"), F.col("color").alias("c_dst")
+                ),
+                on="dst",
+            )
+            .filter(F.col("c") == F.col("c_dst"))
+            .select("src", "dst", "c")
+            .localCheckpoint()
+        )
+        members = (
+            color.filter(F.col("id") == F.col("color"))
+            .select("id", F.col("color").alias("scc_id"))
+            .localCheckpoint()
+        )
+        frontier = members
+        for _ in range(max_iters):
+            preds = (
+                ce.join(
+                    frontier.select(F.col("id").alias("dst"), "scc_id"),
+                    on="dst",
+                )
+                .filter(F.col("c") == F.col("scc_id"))
+                .select(F.col("src").alias("id"), "scc_id")
+                .distinct()
+                .join(members, on="id", how="left_anti")
+                .localCheckpoint()
+            )
+            if preds.limit(1).count() == 0:
+                break
+            members = members.unionAll(preds).localCheckpoint()
+            frontier = preds
+        assigned = assigned.unionAll(members).localCheckpoint()
+        rem = rem.join(members, on="id", how="left_anti").localCheckpoint()
+        e = _restrict(e, rem)
+    leftover = rem.count()
+    if leftover:
+        logging.getLogger(__name__).warning(
+            "scc_components: max_outer=%d exhausted with %d vertices "
+            "unresolved; labeling them as singletons (conservative "
+            "over-decomposition)",
+            max_outer,
+            leftover,
+        )
+        assigned = assigned.unionAll(
+            rem.select("id", F.col("id").alias("scc_id"))
+        )
+    return assigned.select(
+        F.col("id").cast("long").alias("id"),
+        F.col("scc_id").cast("long").alias("scc_id"),
+    )
+
+
+def maximal_independent_set(graph: NetGraph, rounds: int = 6) -> DataFrame:
+    """(id, mis_round): a maximal independent set of the canonical
+    undirected graph via Luby's algorithm (Luby, SICOMP 1986) with
+    DETERMINISTIC seeded priorities — `mis_round` is the round (1-based)
+    in which the vertex entered the set.
+
+    Per round, over the still-undecided subgraph: a vertex joins the
+    MIS iff its priority tuple (hash56(id), id) is strictly smaller
+    than every undecided neighbor's (the id tiebreak makes the order
+    total, so ties cannot stall a round); winners' neighbors are
+    knocked out. Isolated undecided vertices always win. Expected
+    O(log V) rounds; a FIXED round count keeps the result a pure
+    function of the edge set, so the DuckDB oracle unrolls the same
+    rounds and hash-matches — on the oracle fixture the set is fully
+    maximal well before the default 6 rounds (asserted in tests).
+
+    Each round is one edge-pair join + one anti-join + one neighbor
+    semi-join — all on vertex-id keys, no collect, priorities computed
+    in-plan from the cross-engine MD5 hash (functions/hashing.py).
+    At scale this is the textbook distributed MIS; bucketing edges by
+    src co-locates every round's joins.
+    """
+    from ..functions.hashing import hash56
+
+    und = undirected_edges(graph)
+    sym = und.unionAll(
+        und.select(F.col("b").alias("a"), F.col("a").alias("b"))
+    ).localCheckpoint()
+    rem = graph.vertices.select(
+        "id", hash56(F.col("id").cast("string")).alias("pri")
+    ).localCheckpoint()
+    spark = graph.vertices.sparkSession
+    mis = spark.createDataFrame([], "id long, mis_round long")
+    for r in range(1, rounds + 1):
+        if rem.limit(1).count() == 0:
+            break
+        pairs = (
+            sym.join(
+                rem.select(F.col("id").alias("a"), F.col("pri").alias("pri_a")),
+                on="a",
+            )
+            .join(
+                rem.select(F.col("id").alias("b"), F.col("pri").alias("pri_b")),
+                on="b",
+            )
+        )
+        blocked = (
+            pairs.filter(
+                (F.col("pri_b") < F.col("pri_a"))
+                | ((F.col("pri_b") == F.col("pri_a")) & (F.col("b") < F.col("a")))
+            )
+            .select(F.col("a").alias("id"))
+            .distinct()
+        )
+        winners = rem.join(blocked, on="id", how="left_anti").localCheckpoint()
+        mis = mis.unionAll(
+            winners.select("id", F.lit(r).cast("long").alias("mis_round"))
+        ).localCheckpoint()
+        knocked = (
+            sym.join(winners.select(F.col("id").alias("a")), on="a", how="semi")
+            .select(F.col("b").alias("id"))
+            .distinct()
+        )
+        rem = (
+            rem.join(winners, on="id", how="left_anti")
+            .join(knocked, on="id", how="left_anti")
+            .localCheckpoint()
+        )
+    return mis.select(
+        F.col("id").cast("long").alias("id"),
+        F.col("mis_round").cast("long").alias("mis_round"),
+    )

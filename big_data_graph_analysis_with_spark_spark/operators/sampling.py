@@ -269,3 +269,44 @@ def stratified_priority_sample(
         .filter(F.col("_rk") <= k_per_stratum)
         .select(strata_col, id_col, weight_col)
     )
+
+
+def length_matched_resample(
+    docs: DataFrame,
+    bucket_width: int = 128,
+    n_buckets: int = 8,
+    seed: int = 13,
+    id_col: str = "doc_id",
+    length_col: str = "n_chars",
+) -> DataFrame:
+    """(doc_id, bucket, n_chars): downsample so every length bucket is
+    represented by (up to) the SMALLEST nonempty bucket's count — the
+    distribution-flattening resample used to stop a length-skewed crawl
+    from dominating a training mixture with one document shape.
+
+    Bucket = min(length div bucket_width, n_buckets−1); per-bucket
+    acceptance is the exact integer rate `min_count·DENOM div count_b`
+    applied through the shared seeded hash gate (`_bucket`), so the
+    kept SET is a pure function of (id, seed, bucket histogram) —
+    engine- and partitioning-independent, and any bucket's expected
+    survivor count is the min bucket's count. A two-pass plan: one
+    narrow count aggregation (broadcast back — it is ≤ n_buckets
+    rows), then a zero-shuffle filter over the source scan. At 100 TB
+    both passes stream; nothing driver-side but the n_buckets-row
+    histogram.
+    """
+    b = F.least(
+        F.expr(f"cast({length_col} as long) div {bucket_width}"),
+        F.lit(n_buckets - 1).cast("long"),
+    ).alias("bucket")
+    bucketed = docs.select(F.col(id_col), F.col(length_col), b)
+    hist = bucketed.groupBy("bucket").agg(F.count("*").alias("cnt"))
+    min_cnt = hist.agg(F.min("cnt").alias("m"))
+    rates = hist.crossJoin(F.broadcast(min_cnt)).select(
+        "bucket", F.expr(f"(m * {RATE_DENOM}) div cnt").alias("rate")
+    )
+    return (
+        bucketed.join(F.broadcast(rates), on="bucket")
+        .filter(_bucket(id_col, seed) < F.col("rate"))
+        .select(id_col, "bucket", length_col)
+    )

@@ -552,3 +552,56 @@ def embedding_coverage(docs: DataFrame, emb: DataFrame) -> DataFrame:
     return flagged.groupBy("source", "covered").agg(
         F.count("*").cast("long").alias("n_docs")
     )
+
+
+def rp_project(emb: DataFrame, out_dims: int = 8) -> DataFrame:
+    """(vec_id, k, y): deterministic signed-random-projection reduction
+    of the embedding column to `out_dims` dimensions — the Achlioptas
+    (JCSS 2003) ±1 Johnson–Lindenstrauss transform, the cheap first
+    step before coarse clustering / visualization / locality bucketing
+    when the full dimensionality is too wide to ship.
+
+    sign(k, j) = ±1 from bit 0 of the shared MD5 hash of "rp:k:j"
+    (functions/hashing.py), so the projection matrix is a pure function
+    of (k, j) — no state to persist, any engine regenerates it. The
+    projections are decimal-exact sums (the `_decimal_components`
+    fixed-point pattern): y_k = Σ_j sign(k,j)·x_j as DECIMAL, cast to
+    double and rounded once at the end, which keeps the result
+    partition-order-independent and DuckDB-hash-stable.
+
+    Plan shape mirrors srp_signatures_decimal: the sign matrix is
+    pivoted to ONE broadcast row per dimension (d rows, out_dims-wide
+    arrays), the join stays at N·d rows, and all out_dims sums run as
+    aggregate expressions in a single partial-aggregated groupBy on
+    vec_id — one shuffle of out_dims pre-combined values per vector.
+    """
+    import hashlib
+
+    from .dedup import _emb_dim
+
+    spark = emb.sparkSession
+    d = _emb_dim(emb)
+
+    def sign(k: int, j: int) -> int:
+        h = int(hashlib.md5(f"rp:{k}:{j}".encode()).hexdigest()[:14], 16)
+        return 1 if h % 2 == 0 else -1
+
+    pivot = spark.createDataFrame(
+        [(j, [sign(k, j) for k in range(out_dims)]) for j in range(d)],
+        "j int, s array<int>",
+    )
+    comp = _decimal_components(emb)
+    sums = [
+        F.sum(F.col("x") * F.element_at("s", k + 1)).alias(f"y{k}")
+        for k in range(out_dims)
+    ]
+    wide = comp.join(F.broadcast(pivot), on="j").groupBy("vec_id").agg(*sums)
+    ys = F.array(*[F.col(f"y{k}").cast("double") for k in range(out_dims)])
+    return (
+        wide.select("vec_id", F.posexplode(ys).alias("k", "yd"))
+        .select(
+            F.col("vec_id"),
+            F.col("k").cast("long").alias("k"),
+            F.round("yd", 6).alias("y"),
+        )
+    )

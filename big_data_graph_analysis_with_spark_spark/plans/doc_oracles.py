@@ -851,3 +851,65 @@ FROM (SELECT doc_id, CAST({h} % {n_shards} AS BIGINT) AS shard,
              {h} AS h
       FROM documents)
 """
+
+
+def prefix_containment_sql(block_chars: int = 32) -> str:
+    """Twin of dedup.prefix_containment_pairs: same blocking key, same
+    substring verification, same (length, id) pair orientation."""
+    return f"""
+WITH sides AS (
+  SELECT doc_id, text, LENGTH(text) AS chars,
+         SUBSTR(text, 1, {block_chars}) AS blk
+  FROM documents WHERE LENGTH(text) >= {block_chars}
+)
+SELECT a.doc_id AS dup_id, b.doc_id AS container_id
+FROM sides a JOIN sides b ON a.blk = b.blk
+WHERE (a.chars < b.chars OR (a.chars = b.chars AND a.doc_id < b.doc_id))
+  AND SUBSTR(b.text, 1, a.chars) = a.text
+"""
+
+
+def length_matched_resample_sql(
+    bucket_width: int = 128, n_buckets: int = 8, seed: int = 13
+) -> str:
+    """Twin of sampling.length_matched_resample: exact integer
+    acceptance rates from the bucket histogram, shared hash gate."""
+    return f"""
+WITH bucketed AS (
+  SELECT doc_id, n_chars,
+         LEAST(CAST(n_chars AS BIGINT) // {bucket_width},
+               {n_buckets - 1}) AS bucket
+  FROM documents
+),
+hist AS (SELECT bucket, COUNT(*) AS cnt FROM bucketed GROUP BY bucket),
+mn AS (SELECT MIN(cnt) AS m FROM hist),
+rates AS (SELECT bucket, (m * 1000000) // cnt AS rate FROM hist, mn)
+SELECT b.doc_id, CAST(b.bucket AS BIGINT) AS bucket, b.n_chars
+FROM bucketed b JOIN rates r ON r.bucket = b.bucket
+WHERE {_bucket_sql(seed)} < r.rate
+"""
+
+
+def rp_project_sql(out_dims: int = 8) -> str:
+    """Twin of similarity.rp_project: same MD5-bit ±1 sign matrix, same
+    decimal-exact sums, same final round(·, 6)."""
+    sign_hash = hash56_sql(
+        "'rp:' || CAST(k AS VARCHAR) || ':' || CAST(j AS VARCHAR)"
+    )
+    return f"""
+WITH comp AS (
+  SELECT vec_id, unnest(range(len(embedding))) AS j,
+         CAST(CAST(unnest(embedding) AS DOUBLE) AS DECIMAL(18,9)) AS x
+  FROM embeddings
+),
+signs AS (
+  SELECT k, j,
+         CASE WHEN ({sign_hash} % 2) = 0 THEN 1 ELSE -1 END AS s
+  FROM (SELECT unnest(range({out_dims})) AS k),
+       (SELECT DISTINCT j FROM comp)
+)
+SELECT c.vec_id, CAST(s.k AS BIGINT) AS k,
+       ROUND(CAST(SUM(c.x * s.s) AS DOUBLE), 6) AS y
+FROM comp c JOIN signs s ON s.j = c.j
+GROUP BY c.vec_id, s.k
+"""

@@ -723,3 +723,84 @@ def test_incremental_dedup_semantics(spark):
         ).collect()
     }
     assert got2 == {10, 11, 13}
+
+
+def test_prefix_containment_detects_prefix_and_exact(spark):
+    base = "alpha beta gamma delta epsilon zeta eta theta"  # 45 chars
+    rows = [
+        (1, base),                     # prefix of 2 and 3
+        (2, base + " iota kappa"),     # container
+        (3, base + " iota kappa"),     # exact dup of 2
+        (4, "totally different text that is long enough to block"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id LONG, text STRING")
+    got = {
+        (r["dup_id"], r["container_id"])
+        for r in dedup.prefix_containment_pairs(docs, block_chars=32).collect()
+    }
+    assert got == {(1, 2), (1, 3), (2, 3)}
+
+
+def test_prefix_containment_skips_short_docs(spark):
+    docs = spark.createDataFrame(
+        [(1, "tiny"), (2, "tiny plus a much longer continuation of the text")],
+        "doc_id LONG, text STRING",
+    )
+    assert dedup.prefix_containment_pairs(docs, block_chars=32).count() == 0
+
+
+def test_length_matched_resample_flattens_buckets(spark):
+    from big_data_graph_analysis_with_spark_spark.operators import sampling
+
+    # bucket 0: 400 docs, bucket 1: 40 docs → bucket 0 downsampled ~10×
+    rows = [(i, 10) for i in range(400)] + [(1000 + i, 200) for i in range(40)]
+    docs = spark.createDataFrame(rows, "doc_id LONG, n_chars LONG")
+    out = sampling.length_matched_resample(
+        docs, bucket_width=128, n_buckets=8, seed=13
+    )
+    by_bucket = {
+        r["bucket"]: r["n"]
+        for r in out.groupBy("bucket").agg(F.count("*").alias("n")).collect()
+    }
+    # min bucket kept in full (rate = 1e6 → every hash gate passes)
+    assert by_bucket[1] == 40
+    # big bucket lands near the min count (hash gate is uniform-ish)
+    assert 20 <= by_bucket[0] <= 70
+    # determinism: same seed → identical kept set
+    again = sampling.length_matched_resample(
+        docs, bucket_width=128, n_buckets=8, seed=13
+    )
+    assert sorted(r["doc_id"] for r in out.collect()) == sorted(
+        r["doc_id"] for r in again.collect()
+    )
+
+
+def test_rp_project_matches_numpy(spark, embs):
+    import hashlib
+
+    import numpy as np
+
+    out_dims = 4
+    got = (
+        similarity.rp_project(embs.limit(20), out_dims=out_dims)
+        .orderBy("vec_id", "k")
+        .collect()
+    )
+    src = {r["vec_id"]: np.array(r["embedding"]) for r in embs.limit(20).collect()}
+    d = len(next(iter(src.values())))
+    signs = np.array(
+        [
+            [
+                1
+                if int(hashlib.md5(f"rp:{k}:{j}".encode()).hexdigest()[:14], 16) % 2
+                == 0
+                else -1
+                for j in range(d)
+            ]
+            for k in range(out_dims)
+        ]
+    )
+    for r in got:
+        want = float(signs[r["k"]] @ src[r["vec_id"]].astype(np.float64))
+        assert abs(r["y"] - want) < 1e-4, (r["vec_id"], r["k"], r["y"], want)
+    assert len(got) == 20 * out_dims

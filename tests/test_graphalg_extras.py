@@ -181,3 +181,92 @@ def test_diameter_double_sweep_direction_blind(spark):
     g = _graph(spark, [1, 2, 3, 4, 5], [(2, 1), (3, 2), (4, 3), (5, 4)])
     row = graphalg.diameter_double_sweep(g).collect()[0]
     assert (row["ecc_seed"], row["diameter_lb"]) == (4, 4)
+
+
+def test_scc_cycle_dag_mix(spark):
+    # cycle {1,2,3}, chain 3→4→5, cycle {5,6}, isolated 9:
+    # SCCs = {1,2,3} (id 3), {4}, {5,6} (id 6), {9}.
+    g = _graph(
+        spark,
+        [1, 2, 3, 4, 5, 6, 9],
+        [(1, 2), (2, 3), (3, 1), (3, 4), (4, 5), (5, 6), (6, 5)],
+    )
+    got = {r["id"]: r["scc_id"] for r in graphalg.scc_components(g).collect()}
+    assert got == {1: 3, 2: 3, 3: 3, 4: 4, 5: 6, 6: 6, 9: 9}
+
+
+def test_scc_ascending_chain_all_singletons(spark):
+    # the trim-phase worst case for bare coloring: ascending path;
+    # trimming must resolve it without O(V) outer rounds.
+    ids = list(range(1, 11))
+    g = _graph(spark, ids, [(i, i + 1) for i in ids[:-1]])
+    got = {r["id"]: r["scc_id"] for r in graphalg.scc_components(g).collect()}
+    assert got == {i: i for i in ids}
+
+
+def test_scc_nested_cycles_one_component(spark):
+    # 1→2→3→4→1 with chord 2→4 and back-edge 3→1: single SCC labeled 4.
+    g = _graph(
+        spark, [1, 2, 3, 4], [(1, 2), (2, 3), (3, 4), (4, 1), (2, 4), (3, 1)]
+    )
+    got = {r["id"]: r["scc_id"] for r in graphalg.scc_components(g).collect()}
+    assert got == {1: 4, 2: 4, 3: 4, 4: 4}
+
+
+def test_scc_extra_edges_create_cycle(spark):
+    # DAG 1→2→3; extra edge 3→1 merges everything into one SCC.
+    g = _graph(spark, [1, 2, 3], [(1, 2), (2, 3)])
+    extra = spark.createDataFrame([(3, 1)], "src LONG, dst LONG")
+    got = {
+        r["id"]: r["scc_id"]
+        for r in graphalg.scc_components(g, extra_edges=extra).collect()
+    }
+    assert got == {1: 3, 2: 3, 3: 3}
+
+
+def _assert_is_mis(edge_pairs, vertex_ids, mis_ids):
+    """Independent (no internal edge) AND maximal (every non-member
+    has a member neighbor)."""
+    nbrs = {v: set() for v in vertex_ids}
+    for s, d in edge_pairs:
+        if s != d:
+            nbrs[s].add(d)
+            nbrs[d].add(s)
+    for v in mis_ids:
+        assert not (nbrs[v] & mis_ids), f"edge inside MIS at {v}"
+    for v in set(vertex_ids) - mis_ids:
+        assert nbrs[v] & mis_ids, f"non-member {v} has no MIS neighbor"
+
+
+def test_mis_path_and_isolated(spark):
+    ids = [1, 2, 3, 4, 5, 42]
+    edges = [(1, 2), (2, 3), (3, 4), (4, 5)]
+    g = _graph(spark, ids, edges)
+    rows = graphalg.maximal_independent_set(g, rounds=8).collect()
+    _assert_is_mis(edges, ids, {r["id"] for r in rows})
+    # isolated vertex always wins in round 1
+    assert {r["id"]: r["mis_round"] for r in rows}[42] == 1
+
+
+def test_mis_complete_graph_single_winner(spark):
+    ids = [1, 2, 3, 4]
+    edges = [(a, b) for a in ids for b in ids if a < b]
+    g = _graph(spark, ids, edges)
+    rows = graphalg.maximal_independent_set(g, rounds=4).collect()
+    assert len(rows) == 1  # K4: exactly one vertex can win
+
+
+def test_mis_deterministic_across_runs(spark):
+    ids = list(range(20))
+    edges = [(i, (i * 3 + 1) % 20) for i in ids] + [(i, (i + 7) % 20) for i in ids]
+    g = _graph(spark, ids, edges)
+    a = sorted(
+        (r["id"], r["mis_round"])
+        for r in graphalg.maximal_independent_set(g, rounds=8).collect()
+    )
+    b = sorted(
+        (r["id"], r["mis_round"])
+        for r in graphalg.maximal_independent_set(g, rounds=8).collect()
+    )
+    assert a == b
+    _assert_is_mis(edges, ids, {i for i, _ in a})
