@@ -512,6 +512,13 @@ def q_mis(spark: SparkSession, sf_dir: str) -> DataFrame:
     return graphalg.maximal_independent_set(og, rounds=6)
 
 
+def q_closeness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sampled closeness/harmonic centrality: exact BFS from the 4
+    smallest vertex ids, integer distance/harmonic aggregation."""
+    og, _ = _graphs(spark, sf_dir)
+    return graphalg.closeness_sampled(og, n_seeds=4)
+
+
 _UND_CTES = """
 und AS (
   SELECT DISTINCT LEAST(src, dst) AS a, GREATEST(src, dst) AS b
@@ -618,6 +625,45 @@ rem{c} AS MATERIALIZED (
         for r in range(1, rounds + 1)
     )
     return graph_sql("".join(ctes) + "\n" + union)
+
+
+def _closeness_sql(n_seeds: int = 4, max_dist: int = 64) -> str:
+    # one recursive BFS CTE per deterministic min-id seed (the
+    # multi-recursive-CTE chaining pattern of _diameter_sql), then the
+    # integer closeness/harmonic aggregation
+    ctes = [
+        f"""
+und AS (
+  SELECT DISTINCT LEAST(src, dst) AS a, GREATEST(src, dst) AS b
+  FROM og_edges WHERE src <> dst
+),
+sym AS (
+  SELECT a, b FROM und UNION ALL SELECT b AS a, a AS b FROM und
+)"""
+    ]
+    for k in range(n_seeds):
+        ctes.append(f""",
+b{k}(id, dist) AS (
+  SELECT id, 0 FROM og_vertices
+  WHERE id = (SELECT id FROM og_vertices ORDER BY id LIMIT 1 OFFSET {k})
+  UNION
+  SELECT e.b, s.dist + 1 FROM b{k} s JOIN sym e ON e.a = s.id
+  WHERE s.dist < {max_dist}
+),
+d{k} AS (SELECT id, MIN(dist) AS dist FROM b{k} GROUP BY id)""")
+    union = "\n  UNION ALL ".join(
+        f"SELECT id, dist FROM d{k} WHERE dist > 0" for k in range(n_seeds)
+    )
+    return f"""
+WITH RECURSIVE {GRAPH_CTES},
+{''.join(ctes)},
+alld AS ({union})
+SELECT CAST(id AS BIGINT) AS id,
+       CAST(COUNT(*) AS BIGINT) AS n_reached,
+       CAST(SUM(dist) AS BIGINT) AS sum_dist,
+       CAST(SUM(1000000 // dist) AS BIGINT) AS harmonic_ppm
+FROM alld GROUP BY id
+"""
 
 
 def _bfs_sql(max_dist: int = 64) -> str:
@@ -2172,6 +2218,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # -- past the window this round; first in line for round 5 -----------
         "scc": q_scc,
         "mis": q_mis,
+        "closeness": q_closeness,
         "ktruss": q_ktruss,
         "active_users": q_active_users,
         "interarrival_quantiles": q_interarrival_quantiles,
@@ -2431,6 +2478,7 @@ def oracle_sql() -> dict[str, str]:
         "knn_graph": doc_oracles.knn_graph_sql(k=5, sample_mod=10),
         "scc": _scc_sql(),
         "mis": _mis_sql(rounds=6),
+        "closeness": _closeness_sql(n_seeds=4),
         "ktruss": _ktruss_sql(k=4, rounds=5),
         "active_users": """
             WITH days AS (

@@ -1001,3 +1001,60 @@ def maximal_independent_set(graph: NetGraph, rounds: int = 6) -> DataFrame:
         F.col("id").cast("long").alias("id"),
         F.col("mis_round").cast("long").alias("mis_round"),
     )
+
+
+def closeness_sampled(
+    graph: NetGraph, n_seeds: int = 4, max_iters: int = 64
+) -> DataFrame:
+    """(id, n_reached, sum_dist, harmonic_ppm): sampled closeness /
+    harmonic centrality over the undirected graph — exact BFS from the
+    `n_seeds` SMALLEST vertex ids (deterministic, SQL-expressible seed
+    set), aggregated per vertex: how many seeds reach it, the total
+    hop distance, and Σ 1e6 div dist (the harmonic form, robust to
+    disconnected pairs). Eppstein & Wang (SODA 2001) show O(log n / ε²)
+    seeds estimate closeness within ε·diameter — the standard scale
+    substitute for all-pairs BFS.
+
+    Seeds-by-min-id keeps the oracle a fixed union of recursive CTEs;
+    swap in `hash_sample` seeding for production estimates. All seeds
+    advance as ONE multi-source frontier BFS keyed by (seed, id) —
+    n_seeds× frontier traffic but a single O(diameter) round loop and
+    one edge scan per round, instead of n_seeds sequential sweeps.
+    Division appears only as the integer `1e6 div dist`, so results
+    hash-match across engines.
+    """
+    und = undirected_edges(graph)
+    sym = und.unionAll(
+        und.select(F.col("b").alias("a"), F.col("a").alias("b"))
+    ).localCheckpoint()
+    spark = graph.vertices.sparkSession
+    seeds = [
+        int(r["id"])
+        for r in graph.vertices.select("id").orderBy("id").limit(n_seeds).collect()
+    ]
+    frontier = spark.createDataFrame(
+        [(s, s, 0) for s in seeds], "seed long, id long, dist long"
+    ).localCheckpoint()
+    visited = frontier
+    for d in range(1, max_iters + 1):
+        nxt = (
+            sym.join(frontier, on=sym.a == frontier.id)
+            .select("seed", F.col("b").alias("id"))
+            .distinct()
+            .join(visited, on=["seed", "id"], how="left_anti")
+            .select("seed", "id", F.lit(d).cast("long").alias("dist"))
+            .localCheckpoint()
+        )
+        if nxt.limit(1).count() == 0:
+            break
+        visited = visited.unionAll(nxt).localCheckpoint()
+        frontier = nxt
+    return (
+        visited.filter(F.col("dist") > 0)
+        .groupBy("id")
+        .agg(
+            F.count("*").cast("long").alias("n_reached"),
+            F.sum("dist").cast("long").alias("sum_dist"),
+            F.sum(F.expr("1000000 div dist")).cast("long").alias("harmonic_ppm"),
+        )
+    )

@@ -270,3 +270,25 @@ def test_mis_deterministic_across_runs(spark):
     )
     assert a == b
     _assert_is_mis(edges, ids, {i for i, _ in a})
+
+
+def test_closeness_sampled_path_graph(spark):
+    # path 1-2-3-4, seeds = all 4 ids (n_seeds=4). For vertex 1:
+    # dists from seeds 2,3,4 are 1,2,3 → n=3, sum=6,
+    # harmonic = 1e6 + 500000 + 333333.
+    g = _graph(spark, [1, 2, 3, 4], [(1, 2), (2, 3), (3, 4)])
+    got = {
+        r["id"]: (r["n_reached"], r["sum_dist"], r["harmonic_ppm"])
+        for r in graphalg.closeness_sampled(g, n_seeds=4).collect()
+    }
+    assert got[1] == (3, 6, 1_833_333)
+    assert got[2] == (3, 4, 2_500_000)  # dists 1,1,2
+    assert got[4] == (3, 6, 1_833_333)
+
+
+def test_closeness_sampled_disconnected(spark):
+    # component {1,2} and isolated 3; seeds 1,2,3: vertex 3 unreached
+    # by 1,2 and reaches nothing → absent from the output.
+    g = _graph(spark, [1, 2, 3], [(1, 2)])
+    got = {r["id"] for r in graphalg.closeness_sampled(g, n_seeds=3).collect()}
+    assert got == {1, 2}
