@@ -519,6 +519,23 @@ def q_closeness(spark: SparkSession, sf_dir: str) -> DataFrame:
     return graphalg.closeness_sampled(og, n_seeds=4)
 
 
+def q_path_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shortest-path counting (Brandes σ forward phase) from the
+    minimum vertex id — exact integer counts, 8-level cap shared with
+    the level-unrolled oracle."""
+    og, _ = _graphs(spark, sf_dir)
+    return graphalg.path_counts(og, levels=8)
+
+
+def q_betweenness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sampled Brandes betweenness (4 deterministic seeds). The δ
+    recurrence is a float ratio sum, so this is a rows-only check; its
+    σ forward phase is the oracle-checked `path_counts`, and the small-
+    graph hand-computed Brandes values live in the unit tests."""
+    og, _ = _graphs(spark, sf_dir)
+    return graphalg.betweenness_sampled(og, n_seeds=4)
+
+
 _UND_CTES = """
 und AS (
   SELECT DISTINCT LEAST(src, dst) AS a, GREATEST(src, dst) AS b
@@ -664,6 +681,39 @@ SELECT CAST(id AS BIGINT) AS id,
        CAST(SUM(1000000 // dist) AS BIGINT) AS harmonic_ppm
 FROM alld GROUP BY id
 """
+
+
+def _path_counts_sql(levels: int = 8) -> str:
+    # level-unrolled σ (shortest-path counting): each level is one
+    # join + GROUP BY over the previous frontier — plain CTEs, exact
+    # integers; both engines run the SAME level cap so the bounded
+    # semantics match by construction
+    ctes = [
+        """
+dedges AS MATERIALIZED (SELECT DISTINCT src, dst FROM og_edges),
+l0 AS MATERIALIZED (
+  SELECT (SELECT MIN(id) FROM og_vertices) AS id,
+         CAST(0 AS BIGINT) AS dist, CAST(1 AS BIGINT) AS n_paths
+),
+v0 AS MATERIALIZED (SELECT id FROM l0)"""
+    ]
+    for d in range(1, levels + 1):
+        p = d - 1
+        ctes.append(f""",
+l{d} AS MATERIALIZED (
+  SELECT e.dst AS id, CAST({d} AS BIGINT) AS dist,
+         CAST(SUM(l{p}.n_paths) AS BIGINT) AS n_paths
+  FROM l{p} JOIN dedges e ON e.src = l{p}.id
+  WHERE e.dst NOT IN (SELECT id FROM v{p})
+  GROUP BY e.dst
+),
+v{d} AS MATERIALIZED (
+  SELECT id FROM v{p} UNION ALL SELECT id FROM l{d}
+)""")
+    union = "\nUNION ALL ".join(
+        f"SELECT id, dist, n_paths FROM l{d}" for d in range(levels + 1)
+    )
+    return graph_sql("," + "".join(ctes) + "\n" + union)
 
 
 def _bfs_sql(max_dist: int = 64) -> str:
@@ -2219,6 +2269,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "scc": q_scc,
         "mis": q_mis,
         "closeness": q_closeness,
+        "path_counts": q_path_counts,
+        "betweenness": q_betweenness,
         "ktruss": q_ktruss,
         "active_users": q_active_users,
         "interarrival_quantiles": q_interarrival_quantiles,
@@ -2479,6 +2531,7 @@ def oracle_sql() -> dict[str, str]:
         "scc": _scc_sql(),
         "mis": _mis_sql(rounds=6),
         "closeness": _closeness_sql(n_seeds=4),
+        "path_counts": _path_counts_sql(levels=8),
         "ktruss": _ktruss_sql(k=4, rounds=5),
         "active_users": """
             WITH days AS (

@@ -1058,3 +1058,162 @@ def closeness_sampled(
             F.sum(F.expr("1000000 div dist")).cast("long").alias("harmonic_ppm"),
         )
     )
+
+
+def path_counts(
+    graph: NetGraph, source: int | None = None, levels: int = 16
+) -> DataFrame:
+    """(id, dist, n_paths): number of DISTINCT shortest paths from
+    `source` (default: minimum vertex id) to every reached vertex of
+    the directed graph — the σ (sigma) forward phase of Brandes'
+    betweenness algorithm (J. Math. Sociol. 2001), useful on its own
+    for path-redundancy / bottleneck analysis: a cut vertex has
+    n_paths=1 flowing through it, a well-connected pair has many.
+
+    Level-synchronous: the BFS frontier at depth d carries each
+    vertex's path count; σ(v, d+1) = Σ σ(u, d) over frontier
+    predecessors u — one join + one aggregation per level, all exact
+    integers (no floats, no recursion tricks), so a level-unrolled SQL
+    twin reproduces it bit-for-bit. `levels` bounds the sweep
+    (vertices farther than `levels` hops are absent, same convention
+    as bfs_distances' max_iters).
+
+    Scale: identical shuffle profile to frontier BFS — traffic ∝
+    frontier × in-degree, rounds ∝ diameter; counts can reach C(n, k)
+    magnitudes on dense DAG-like graphs, so σ stays a long and callers
+    working on adversarial graphs should cap levels accordingly.
+    """
+    if source is None:
+        source = graph.vertices.agg(F.min("id")).first()[0]
+    edges = graph.edges.select("src", "dst").distinct().localCheckpoint()
+    frontier = (
+        graph.vertices.filter(F.col("id") == source)
+        .select(
+            "id",
+            F.lit(0).cast("long").alias("dist"),
+            F.lit(1).cast("long").alias("n_paths"),
+        )
+        .localCheckpoint()
+    )
+    visited = frontier
+    for d in range(1, levels + 1):
+        nxt = (
+            edges.join(
+                frontier.select(F.col("id").alias("src"), "n_paths"), on="src"
+            )
+            .groupBy(F.col("dst").alias("id"))
+            .agg(F.sum("n_paths").alias("n_paths"))
+            .join(visited.select("id"), on="id", how="left_anti")
+            .select("id", F.lit(d).cast("long").alias("dist"), "n_paths")
+            .localCheckpoint()
+        )
+        if nxt.limit(1).count() == 0:
+            break
+        visited = visited.unionAll(nxt).localCheckpoint()
+        frontier = nxt
+    return visited
+
+
+def betweenness_sampled(
+    graph: NetGraph, n_seeds: int = 4, levels: int = 16
+) -> DataFrame:
+    """(id, betweenness): approximate betweenness centrality over the
+    DIRECTED graph — full Brandes (2001) pair-dependency accumulation
+    from the `n_seeds` smallest vertex ids (the Brandes–Pich 2007
+    sampled estimator, deterministic seed set as in closeness_sampled).
+
+    Two level-synchronous phases, both multi-source keyed by
+    (seed, id): the forward σ sweep (see `path_counts`), then the
+    backward dependency recurrence
+    ``δ(v) = Σ_{w : succ} σ(v)/σ(w) · (1 + δ(w))`` descending one BFS
+    level per round — each round is one edge join + one aggregation;
+    total rounds ≈ 2·eccentricity, traffic ∝ frontier. Betweenness of
+    v is Σ_seeds δ(v) over non-seed rows. δ is a float ratio sum
+    (inherent to the recurrence), so this operator is property-tested
+    (hand-computed Brandes on known graphs, determinism) rather than
+    hash-oracled — the σ phase that feeds it IS oracle-checked via
+    `path_counts`.
+
+    At scale: seeds share every edge scan; the level tables are the
+    same frontier partitions the BFS produced, so co-partitioning
+    edges by src serves both phases.
+    """
+    edges = graph.edges.select("src", "dst").distinct().localCheckpoint()
+    spark = graph.vertices.sparkSession
+    seeds = [
+        int(r["id"])
+        for r in graph.vertices.select("id").orderBy("id").limit(n_seeds).collect()
+    ]
+    frontier = spark.createDataFrame(
+        [(s, s, 0, 1) for s in seeds],
+        "seed long, id long, dist long, n_paths long",
+    ).localCheckpoint()
+    visited = frontier
+    max_d = 0
+    for d in range(1, levels + 1):
+        nxt = (
+            edges.join(
+                frontier.select("seed", F.col("id").alias("src"), "n_paths"),
+                on="src",
+            )
+            .groupBy("seed", F.col("dst").alias("id"))
+            .agg(F.sum("n_paths").alias("n_paths"))
+            .join(visited.select("seed", "id"), on=["seed", "id"], how="left_anti")
+            .select("seed", "id", F.lit(d).cast("long").alias("dist"), "n_paths")
+            .localCheckpoint()
+        )
+        if nxt.limit(1).count() == 0:
+            break
+        max_d = d
+        visited = visited.unionAll(nxt).localCheckpoint()
+        frontier = nxt
+    # backward accumulation, one level at a time
+    delta = visited.select(
+        "seed", "id", "dist", F.lit(0.0).alias("delta")
+    ).localCheckpoint()
+    for d in range(max_d - 1, -1, -1):
+        succ = delta.filter(F.col("dist") == d + 1).select(
+            "seed",
+            F.col("id").alias("dst"),
+            F.col("delta").alias("delta_w"),
+        )
+        sig_w = visited.filter(F.col("dist") == d + 1).select(
+            "seed", F.col("id").alias("dst"), F.col("n_paths").alias("sig_w")
+        )
+        contrib = (
+            edges.join(succ, on="dst")
+            .join(sig_w, on=["seed", "dst"])
+            .join(
+                visited.filter(F.col("dist") == d).select(
+                    "seed", F.col("id").alias("src"), F.col("n_paths").alias("sig_v")
+                ),
+                on=["seed", "src"],
+            )
+            .groupBy("seed", F.col("src").alias("id"))
+            .agg(
+                F.sum(
+                    F.col("sig_v").cast("double")
+                    / F.col("sig_w").cast("double")
+                    * (F.lit(1.0) + F.col("delta_w"))
+                ).alias("dsum")
+            )
+        )
+        delta = (
+            delta.join(contrib, on=["seed", "id"], how="left")
+            .select(
+                "seed",
+                "id",
+                "dist",
+                F.when(
+                    F.col("dist") == d, F.coalesce("dsum", F.lit(0.0))
+                )
+                .otherwise(F.col("delta"))
+                .alias("delta"),
+            )
+            .localCheckpoint()
+        )
+    return (
+        delta.filter(F.col("dist") > 0)
+        .groupBy("id")
+        .agg(F.sum("delta").alias("betweenness"))
+    )

@@ -156,12 +156,57 @@ def sample_start_assignments_dist(
     )
 
 
+def ensure_sideload(
+    pg: NetGraph,
+    num_vertices: int | None = None,
+    cache_key: NetGraph | None = None,
+) -> str:
+    """Materialize (or reuse) the executor-side adjacency sideload for
+    `pg` and return its path.
+
+    Adjacency is aggregated cluster-side (topology.child_map: one
+    groupBy, children pre-sorted for seeded-rng determinism) and
+    written as a parquet sideload that each executor's Python worker
+    reads and indexes itself — NO driver materialization of any part
+    of the graph (the round-3 version collected one compact row per
+    vertex to the driver before broadcasting; at a 100 TB graph even
+    that O(|V|) driver pass is the bottleneck). Locally the sideload
+    is a temp dir; on a cluster, point SPARK_GRAFT_SCRATCH at the
+    shared FS.
+
+    Reuse is keyed on `cache_key` (default: `pg` itself) in a weak-key
+    registry — callers that re-wrap the graph per run (e.g.
+    run_pipeline's persist() wrapper returns a fresh NetGraph) pass
+    their long-lived ORIGINAL object so repeated runs over the same
+    graph write the child_map exactly once. Content can never go stale:
+    a NetGraph's frames are immutable and each write gets a fresh dir.
+    """
+    key = cache_key if cache_key is not None else pg
+    adj_path = _SIDELOAD_PATHS.get(key)
+    if adj_path is not None and os.path.isdir(adj_path):
+        return adj_path
+    n_v = num_vertices if num_vertices is not None else pg.num_vertices()
+    # fresh dir per write — the per-worker cache is keyed by path,
+    # so a path must never be rewritten with different contents
+    scratch = tempfile.mkdtemp(
+        prefix="bdga_walk_adj_", dir=os.environ.get("SPARK_GRAFT_SCRATCH")
+    )
+    adj_path = os.path.join(scratch, "child_map")
+    n_files = max(1, math.ceil(n_v / 2_000_000))
+    topology.child_map(pg).coalesce(n_files).write.mode("overwrite").parquet(
+        adj_path
+    )
+    _SIDELOAD_PATHS[key] = adj_path
+    return adj_path
+
+
 def run_walks(
     spark: SparkSession,
     pg: NetGraph,
     assignments: DataFrame,
     cfg: SimConfig,
     num_vertices: int | None = None,
+    adj_path: str | None = None,
 ) -> DataFrame:
     """All walks for all partitions: (partition_key, walk_id, step, node_id).
 
@@ -174,27 +219,8 @@ def run_walks(
     n_iters = cfg.num_iters_per_comp_node
     seed = cfg.seed
 
-    # adjacency is aggregated cluster-side (topology.child_map: one
-    # groupBy, children pre-sorted for seeded-rng determinism) and
-    # written as a parquet sideload that each executor's Python worker
-    # reads and indexes itself — NO driver materialization of any part
-    # of the graph (the round-3 version collected one compact row per
-    # vertex to the driver before broadcasting; at a 100 TB graph even
-    # that O(|V|) driver pass is the bottleneck). Locally the sideload
-    # is a temp dir; on a cluster, point `scratch_dir` at the shared FS.
-    adj_path = _SIDELOAD_PATHS.get(pg)
-    if adj_path is None or not os.path.isdir(adj_path):
-        # fresh dir per write — the per-worker cache is keyed by path,
-        # so a path must never be rewritten with different contents
-        scratch = tempfile.mkdtemp(
-            prefix="bdga_walk_adj_", dir=os.environ.get("SPARK_GRAFT_SCRATCH")
-        )
-        adj_path = os.path.join(scratch, "child_map")
-        n_files = max(1, math.ceil(n_v / 2_000_000))
-        topology.child_map(pg).coalesce(n_files).write.mode(
-            "overwrite"
-        ).parquet(adj_path)
-        _SIDELOAD_PATHS[pg] = adj_path
+    if adj_path is None:
+        adj_path = ensure_sideload(pg, num_vertices=n_v)
 
     def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
         adj = _load_adjacency(adj_path)

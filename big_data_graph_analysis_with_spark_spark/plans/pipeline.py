@@ -62,6 +62,10 @@ def run_pipeline(
     yaml_path: str | None = None,
     collect_round_counts: bool = False,
 ) -> PipelineResult:
+    # the caller's graph objects are the STABLE cache identity for the
+    # walk-adjacency sideload; the persist() wrappers below are fresh
+    # objects every call and would defeat the reuse registry
+    pg_key = pg
     og = og.persist()
     pg = pg.persist()
     n_pg = pg.num_vertices()
@@ -85,7 +89,10 @@ def run_pipeline(
         assignments = walks.sample_start_assignments_dist(
             spark, topology.start_nodes(pg), cfg
         )
-        walk_steps = walks.run_walks(spark, pg, assignments, cfg, num_vertices=n_pg)
+        adj_path = walks.ensure_sideload(pg, num_vertices=n_pg, cache_key=pg_key)
+        walk_steps = walks.run_walks(
+            spark, pg, assignments, cfg, num_vertices=n_pg, adj_path=adj_path
+        )
         walk_steps = walk_steps.localCheckpoint()  # run the kernel exactly once
 
         visited = walks.walk_visited_sets(walk_steps).persist()

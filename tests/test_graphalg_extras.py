@@ -292,3 +292,71 @@ def test_closeness_sampled_disconnected(spark):
     g = _graph(spark, [1, 2, 3], [(1, 2)])
     got = {r["id"] for r in graphalg.closeness_sampled(g, n_seeds=3).collect()}
     assert got == {1, 2}
+
+
+def test_path_counts_diamond(spark):
+    # diamond 1→{2,3}→4→5: two shortest paths reach 4, both continue
+    # to 5; direct edge 1→5 would shorten — so also test that a
+    # shorter route resets nothing (5 first reached at dist 3).
+    g = _graph(
+        spark, [1, 2, 3, 4, 5], [(1, 2), (1, 3), (2, 4), (3, 4), (4, 5)]
+    )
+    got = {
+        r["id"]: (r["dist"], r["n_paths"])
+        for r in graphalg.path_counts(g, source=1).collect()
+    }
+    assert got == {1: (0, 1), 2: (1, 1), 3: (1, 1), 4: (2, 2), 5: (3, 2)}
+
+
+def test_path_counts_shortcut_wins(spark):
+    # 1→2→3 plus direct 1→3: vertex 3 is at dist 1 with ONE path (the
+    # longer route is not a shortest path and must not count).
+    g = _graph(spark, [1, 2, 3], [(1, 2), (2, 3), (1, 3)])
+    got = {
+        r["id"]: (r["dist"], r["n_paths"])
+        for r in graphalg.path_counts(g, source=1).collect()
+    }
+    assert got == {1: (0, 1), 2: (1, 1), 3: (1, 1)}
+
+
+def test_path_counts_levels_cap(spark):
+    ids = [1, 2, 3, 4]
+    g = _graph(spark, ids, [(1, 2), (2, 3), (3, 4)])
+    got = {r["id"] for r in graphalg.path_counts(g, source=1, levels=2).collect()}
+    assert got == {1, 2, 3}  # 4 is beyond the 2-level cap
+
+
+def test_betweenness_path_graph(spark):
+    # directed path 1→2→3, all vertices as seeds: only the (1,3) pair
+    # routes through 2 → betweenness(2)=1, endpoints 0.
+    g = _graph(spark, [1, 2, 3], [(1, 2), (2, 3)])
+    got = {
+        r["id"]: r["betweenness"]
+        for r in graphalg.betweenness_sampled(g, n_seeds=3).collect()
+    }
+    assert got[2] == 1.0
+    assert got.get(3, 0.0) == 0.0
+
+
+def test_betweenness_diamond_split(spark):
+    # 1→{2,3}→4: two equal shortest paths 1⇒4 → each middle vertex
+    # carries half a dependency.
+    g = _graph(spark, [1, 2, 3, 4], [(1, 2), (1, 3), (2, 4), (3, 4)])
+    got = {
+        r["id"]: r["betweenness"]
+        for r in graphalg.betweenness_sampled(g, n_seeds=4).collect()
+    }
+    assert abs(got[2] - 0.5) < 1e-12
+    assert abs(got[3] - 0.5) < 1e-12
+    assert got.get(4, 0.0) == 0.0
+
+
+def test_betweenness_chain_accumulates(spark):
+    # path 1→2→3→4 (all seeds): b(2) = pairs (1,3),(1,4) → 2;
+    # b(3) = (1,4),(2,4) → 2. Matches Brandes by hand.
+    g = _graph(spark, [1, 2, 3, 4], [(1, 2), (2, 3), (3, 4)])
+    got = {
+        r["id"]: r["betweenness"]
+        for r in graphalg.betweenness_sampled(g, n_seeds=4).collect()
+    }
+    assert got[2] == 2.0 and got[3] == 2.0
