@@ -210,6 +210,34 @@ def main() -> None:
         ).collect()
         graphalg.hits_scores(og, rounds=2).agg(F.sum("auth")).collect()
 
+    @timed("graph_structure")
+    def _():
+        # SCC (trim + coloring over og ∪ reversed dst%7 subset — the
+        # cyclic augmentation the oracle uses) + Luby MIS
+        from big_data_graph_analysis_with_spark_spark.operators import graphalg
+
+        extra = og.edges.filter(
+            (F.col("dst") % 7 == 0) & (F.col("src") != F.col("dst"))
+        ).select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+        graphalg.scc_components(og, extra_edges=extra).agg(
+            F.countDistinct("scc_id")
+        ).collect()
+        graphalg.maximal_independent_set(og, rounds=6).count()
+
+    @timed("graph_centrality_paths")
+    def _():
+        # multi-source closeness/harmonic + σ path counting + sampled
+        # Brandes betweenness — the frontier-BFS family
+        from big_data_graph_analysis_with_spark_spark.operators import graphalg
+
+        graphalg.closeness_sampled(og, n_seeds=4).agg(
+            F.sum("harmonic_ppm")
+        ).collect()
+        graphalg.path_counts(og, levels=8).agg(F.sum("n_paths")).collect()
+        graphalg.betweenness_sampled(og, n_seeds=4).agg(
+            F.sum("betweenness")
+        ).collect()
+
     @timed("link_prediction")
     def _():
         # wedge-join candidate generation — the Σdeg² shape under test
@@ -413,6 +441,20 @@ def main() -> None:
         walk_rates.run_to_memory_sink(
             streaming_sessions.session_window_counts(ev_stream),
             f"bench_sessions_{stream_run[0]}",
+            "complete",
+        )
+
+    @timed("streaming_value_hist")
+    def _():
+        from big_data_graph_analysis_with_spark_spark.streaming import (
+            drift as streaming_drift,
+        )
+
+        stream_run[0] += 1
+        ev_stream = walk_rates.read_events_stream(spark, f"{stream_stage}/events")
+        walk_rates.run_to_memory_sink(
+            streaming_drift.windowed_value_hist(ev_stream),
+            f"bench_value_hist_{stream_run[0]}",
             "complete",
         )
 

@@ -197,3 +197,48 @@ def test_sliding_counts_stream_equals_batch(spark, events_dir):
     assert got == want and len(got) > len(
         walk_rates.windowed_event_counts(batch).collect()
     )  # overlap factor: strictly more hopping windows than tumbling
+
+
+def test_windowed_value_hist_stream_equals_batch(spark, events_dir):
+    from big_data_graph_analysis_with_spark_spark.streaming import drift as sdrift
+
+    stream = sdrift.read_events_stream(spark, events_dir)
+    agg = sdrift.windowed_value_hist(
+        stream, lo_cents=0, hi_cents=5_000, n_buckets=10, window="1 day"
+    )
+    walk_rates.run_to_memory_sink(agg, "value_hist", "complete")
+    got = {
+        (r["window_start"], r["bucket"]): r["n_events"]
+        for r in spark.table("value_hist").collect()
+    }
+    batch = spark.read.parquet(events_dir)
+    want = {
+        (r["window_start"], r["bucket"]): r["n_events"]
+        for r in sdrift.windowed_value_hist(
+            batch, lo_cents=0, hi_cents=5_000, n_buckets=10,
+            window="1 day", watermark=None,
+        ).collect()
+    }
+    assert got == want
+    assert sum(got.values()) == batch.filter("value is not null").count()
+
+
+def test_windowed_value_hist_clamps_out_of_range(spark):
+    import datetime
+
+    rows = [
+        (1, datetime.datetime(2024, 1, 1, 1), -5.0),   # below lo → bucket 0
+        (2, datetime.datetime(2024, 1, 1, 2), 999.0),  # above hi → top bucket
+        (3, datetime.datetime(2024, 1, 1, 3), 5.0),    # 500 cents of 1000
+    ]
+    ev = spark.createDataFrame(rows, "user_id long, ts timestamp, value double")
+    from big_data_graph_analysis_with_spark_spark.streaming import drift as sdrift
+
+    got = {
+        r["bucket"]: r["n_events"]
+        for r in sdrift.windowed_value_hist(
+            ev, lo_cents=0, hi_cents=1_000, n_buckets=4,
+            window="1 day", watermark=None,
+        ).collect()
+    }
+    assert got == {0: 1, 3: 1, 2: 1}
