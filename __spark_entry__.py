@@ -1402,6 +1402,14 @@ def q_multimodal_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     return multimodal.asset_summary(multimodal.extract_features(assets))
 
 
+def q_multimodal_real_codecs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rows-only: REAL decode end-to-end — genuine PPM / WAV payloads
+    built batch-wise, decoded by the dependency-free codecs (pure-numpy
+    P6 reader, stdlib wave); only the video kind takes the stub path."""
+    assets = multimodal.synthesize_media_assets(_docs(spark, sf_dir))
+    return multimodal.extract_features(assets).drop("feature")
+
+
 # ---------------------------------------------------------------------------
 # relational suite (windows / sorts / decimal aggregation at scale)
 # ---------------------------------------------------------------------------
@@ -2271,6 +2279,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "closeness": q_closeness,
         "path_counts": q_path_counts,
         "betweenness": q_betweenness,
+        "multimodal_real_codecs": q_multimodal_real_codecs,
         "ktruss": q_ktruss,
         "active_users": q_active_users,
         "interarrival_quantiles": q_interarrival_quantiles,

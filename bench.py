@@ -347,6 +347,13 @@ def main() -> None:
         assets = multimodal.synthesize_assets(docs)
         multimodal.extract_features(assets).count()
 
+    @timed("multimodal_real_codecs")
+    def _():
+        # genuine PPM/WAV payloads decoded by the real codecs (build +
+        # decode both Arrow-batched)
+        assets = multimodal.synthesize_media_assets(docs)
+        multimodal.extract_features(assets).count()
+
     @timed("mitm_pipeline_graph200")
     def _():
         # the reference's own workload at its full config (20×50 walks)

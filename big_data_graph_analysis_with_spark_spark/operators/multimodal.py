@@ -2,15 +2,15 @@
 columns with typed metadata, processed via Arrow-batched `mapInPandas`.
 
 The Spark-side machinery here is real and tested — schema, batching,
-partition sizing, UDF signatures. Codec calls are import-guarded: the
-image path upgrades itself to a real PIL decode (grayscale → 8×8
-thumbnail → pixel stats) whenever `PIL` is importable, and falls back
-to the deterministic byte-statistics stub per-asset when the library is
-absent OR the payload doesn't decode — the behavior a production
-curation stage wants anyway, since real corpora carry corrupt images.
-The audio path REALLY decodes integer-PCM WAV through the stdlib
-`wave` reader (always available — sample-domain stats, u8 centering),
-falling back per-asset for other containers; video remains stubbed
+partition sizing, UDF signatures — and so are two codecs that need no
+external library: binary PPM (P6) images decode through a pure-numpy
+reader, and integer-PCM WAV through the stdlib `wave` reader, so real
+pixel/sample-domain decodes run end-to-end in this container
+(`synthesize_media_assets` builds genuine containers to prove it).
+Other image formats upgrade to PIL whenever it is importable; any
+payload no codec accepts falls back per-asset to the deterministic
+byte-statistics stub — the behavior a production curation stage wants
+anyway, since real corpora carry corrupt media. Video remains stubbed
 (`pyav`/decord absent here) behind the same guard pattern.
 
 Scale notes: binary payloads dominate row size, so
@@ -59,15 +59,135 @@ def synthesize_assets(docs: DataFrame) -> DataFrame:
     )
 
 
+def synthesize_media_assets(docs: DataFrame, batch_size_hint: int = 256) -> DataFrame:
+    """Like `synthesize_assets`, but the payloads are GENUINE media
+    containers, so the real codecs run end-to-end in this environment:
+    image assets carry an 8×8 binary PPM (P6), audio assets a 16-bit
+    PCM WAV (2,000 samples @ 16 kHz), both deterministically seeded by
+    doc_id; video assets keep opaque bytes (no video codec here — that
+    path intentionally exercises the documented stub fallback).
+
+    Built with the same Arrow-batched mapInPandas shape as the decode
+    stage — payload construction is a fixture/benchmark aid, not a hot
+    operator, but it still streams batch-wise and never gathers assets
+    on the driver.
+    """
+    import io
+    import wave
+
+    import numpy as np
+
+    def build(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        def ppm(doc_id: int) -> bytes:
+            rng = np.random.default_rng([7, doc_id])
+            px = rng.integers(0, 256, size=8 * 8 * 3, dtype=np.uint8)
+            return b"P6\n8 8\n255\n" + px.tobytes()
+
+        def wav(doc_id: int) -> bytes:
+            rng = np.random.default_rng([11, doc_id])
+            samples = rng.integers(-20_000, 20_000, size=2_000, dtype=np.int16)
+            buf = io.BytesIO()
+            with wave.open(buf, "wb") as w:
+                w.setnchannels(1)
+                w.setsampwidth(2)
+                w.setframerate(16_000)
+                w.writeframes(samples.tobytes())
+            return buf.getvalue()
+
+        for pdf in batches:
+            rows = []
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                doc_id = int(doc_id)
+                m = doc_id % 3
+                if m == 0:
+                    rows.append(
+                        (doc_id, "image", ppm(doc_id), 8, 8, None, None)
+                    )
+                elif m == 1:
+                    rows.append(
+                        (doc_id, "audio", wav(doc_id), None, None, 16_000, None)
+                    )
+                else:
+                    rows.append(
+                        (
+                            doc_id,
+                            "video",
+                            text.encode("utf-8"),
+                            None,
+                            None,
+                            None,
+                            doc_id % 300 + 1,
+                        )
+                    )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "asset_id", "kind", "data",
+                    "width", "height", "sample_rate", "n_frames",
+                ],
+            )
+
+    return docs.select("doc_id", "text").mapInPandas(build, ASSET_SCHEMA)
+
+
+def _decode_ppm(payload: bytes) -> list[float] | None:
+    """Real decode of a binary PPM (P6, maxval ≤ 255) in pure numpy —
+    no external library, so a REAL image decode path is always active
+    in this container. Grayscale is the per-pixel channel mean; stats
+    layout matches the other codecs: [bytes, mean, max, min]."""
+    import numpy as np
+
+    if not payload.startswith(b"P6"):
+        return None
+    try:
+        # header = magic, width, height, maxval as whitespace-separated
+        # tokens ('#' comments legal between any of them), then ONE
+        # whitespace byte, then raw RGB
+        tokens: list[int] = []
+        i = 2
+        while len(tokens) < 3:
+            while i < len(payload) and payload[i : i + 1].isspace():
+                i += 1
+            if payload[i : i + 1] == b"#":
+                while i < len(payload) and payload[i] != 0x0A:
+                    i += 1
+                continue
+            j = i
+            while j < len(payload) and not payload[j : j + 1].isspace():
+                j += 1
+            tokens.append(int(payload[i:j]))
+            i = j
+        i += 1  # the single whitespace after maxval
+        w, h, maxval = tokens
+        if maxval > 255 or w <= 0 or h <= 0:
+            return None
+        raw = payload[i : i + w * h * 3]
+        if len(raw) != w * h * 3:
+            return None
+        px = np.frombuffer(raw, dtype=np.uint8).reshape(-1, 3)
+        gray = px.astype(np.float64).mean(axis=1)
+    except (ValueError, IndexError):
+        return None
+    return [
+        float(len(payload)),
+        round(float(gray.mean()), 6),
+        float(gray.max()),
+        float(gray.min()),
+    ]
+
+
 def _decode_image_real(payload: bytes) -> list[float] | None:
-    """Real image decode, active whenever PIL is importable.
+    """Real image decode: the dependency-free PPM reader first (always
+    available, deterministic across environments), then PIL for every
+    other format whenever it is importable.
 
     Returns the same 4-dim layout as the stub but computed over decoded
-    pixels (count, mean, max, min of the 8×8 grayscale thumbnail) with
-    the true byte length in slot 0. Returns None — caller falls back to
-    the stub — when PIL is missing or the payload is not a decodable
-    image.
+    pixels with the true byte length in slot 0. Returns None — caller
+    falls back to the stub — when no codec accepts the payload.
     """
+    ppm = _decode_ppm(payload)
+    if ppm is not None:
+        return ppm
     try:
         from PIL import Image  # import-guarded optional dependency
     except ImportError:

@@ -804,3 +804,56 @@ def test_rp_project_matches_numpy(spark, embs):
         want = float(signs[r["k"]] @ src[r["vec_id"]].astype(np.float64))
         assert abs(r["y"] - want) < 1e-4, (r["vec_id"], r["k"], r["y"], want)
     assert len(got) == 20 * out_dims
+
+
+def test_ppm_decode_matches_hand_stats(spark):
+    import numpy as np
+
+    px = np.arange(8 * 8 * 3, dtype=np.uint8)  # 0..191 ramp
+    payload = b"P6\n# comment\n8 8\n255\n" + px.tobytes()
+    got = multimodal._decode_ppm(payload)
+    gray = px.reshape(-1, 3).astype(np.float64).mean(axis=1)
+    assert got == [
+        float(len(payload)),
+        round(float(gray.mean()), 6),
+        float(gray.max()),
+        float(gray.min()),
+    ]
+    # corrupt variants decline instead of raising
+    assert multimodal._decode_ppm(b"P6\n8 8\n255\n\x00\x01") is None
+    assert multimodal._decode_ppm(b"JFIF....") is None
+    assert multimodal._decode_ppm(b"P6\n8 8\n65535\n" + px.tobytes()) is None
+
+
+def test_media_assets_run_real_codecs(spark):
+    import io
+    import wave
+
+    import numpy as np
+
+    docs = spark.createDataFrame(
+        [(i, f"text {i}") for i in range(9)], "doc_id LONG, text STRING"
+    )
+    assets = multimodal.synthesize_media_assets(docs)
+    feats = {
+        r["asset_id"]: r for r in multimodal.extract_features(assets).collect()
+    }
+    assert len(feats) == 9
+    # image asset 0: features must equal the PPM pixel stats, not the
+    # byte-stub over the whole payload (header bytes would skew it)
+    rng = np.random.default_rng([7, 0])
+    px = rng.integers(0, 256, size=8 * 8 * 3, dtype=np.uint8)
+    gray = px.reshape(-1, 3).astype(np.float64).mean(axis=1)
+    f0 = feats[0]
+    assert f0["kind"] == "image"
+    assert abs(f0["byte_mean"] - round(float(gray.mean()), 6)) < 1e-9
+    assert f0["feature"][2] == float(gray.max())
+    # audio asset 1: sample-domain stats of the seeded int16 PCM
+    rng = np.random.default_rng([11, 1])
+    samples = rng.integers(-20_000, 20_000, size=2_000, dtype=np.int16)
+    f1 = feats[1]
+    assert f1["kind"] == "audio"
+    assert abs(f1["byte_mean"] - round(float(samples.mean()), 6)) < 1e-9
+    assert f1["feature"][3] == float(samples.min())  # negative ⇒ real decode
+    # video asset 2 exercises the stub (byte stats are non-negative)
+    assert feats[2]["kind"] == "video" and feats[2]["feature"][3] >= 0.0
