@@ -31,6 +31,8 @@ reproduces results bit-for-bit:
 
 from __future__ import annotations
 
+from contextlib import contextmanager
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -41,6 +43,46 @@ PR_SCALE = 1_000_000_000_000
 #: damping factor as an exact fraction (85/100)
 PR_DAMP_NUM = 85
 PR_DAMP_DEN = 100
+
+#: below this vertex count an iterative operator narrows the session's
+#: shuffle width for the duration of its driver loop
+_NARROW_THRESHOLD = 100_000
+_NARROW_WIDTH = 8
+
+
+@contextmanager
+def _narrow_shuffle(graph: NetGraph, n_vertices: int | None = None):
+    """Temporarily narrow spark.sql.shuffle.partitions for a driver
+    round loop over a small graph (same rationale as plans/pipeline:
+    a stage-heavy fixpoint on a sub-100k-vertex frame pays more in
+    task scheduling at full width than it gains in parallelism; AQE
+    coalesces shuffle READS but scheduled width still costs). Restored
+    on every exit path — results are unaffected, all operators here are
+    partitioning-deterministic."""
+    spark = graph.vertices.sparkSession
+    n = n_vertices if n_vertices is not None else graph.vertices.count()
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    if n < _NARROW_THRESHOLD:
+        spark.conf.set("spark.sql.shuffle.partitions", str(_NARROW_WIDTH))
+    try:
+        yield n
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+
+
+def _narrowed(fn):
+    """Decorator: run an iterative operator inside _narrow_shuffle —
+    every driver-loop action in the body executes at the narrow width;
+    the returned frame is already localCheckpoint-materialized, so the
+    caller's conf is untouched by the time it acts on it."""
+    import functools
+
+    @functools.wraps(fn)
+    def wrapper(graph, *args, **kwargs):
+        with _narrow_shuffle(graph):
+            return fn(graph, *args, **kwargs)
+
+    return wrapper
 
 
 def undirected_edges(graph: NetGraph) -> DataFrame:
@@ -81,6 +123,7 @@ def triangle_counts(graph: NetGraph) -> DataFrame:
     )
 
 
+@_narrowed
 def connected_components(
     graph: NetGraph,
     max_iters: int = 50,
@@ -142,6 +185,7 @@ def connected_components(
     return labels
 
 
+@_narrowed
 def pagerank(
     graph: NetGraph, iters: int = 4, edges_stable: bool = False
 ) -> DataFrame:
@@ -244,6 +288,7 @@ def clustering_coefficient(graph: NetGraph) -> DataFrame:
     )
 
 
+@_narrowed
 def label_propagation(
     graph: NetGraph, rounds: int = 3, sym_edges: DataFrame | None = None
 ) -> DataFrame:
@@ -357,6 +402,7 @@ def link_prediction(
     )
 
 
+@_narrowed
 def ktruss_edges(graph: NetGraph, k: int = 4, rounds: int = 5) -> DataFrame:
     """(a, b): edges of the k-truss — the maximal subgraph where every
     edge is supported by ≥ k−2 triangles — after `rounds` peels. The
@@ -399,6 +445,7 @@ def ktruss_edges(graph: NetGraph, k: int = 4, rounds: int = 5) -> DataFrame:
     )
 
 
+@_narrowed
 def hits_scores(graph: NetGraph, rounds: int = 2) -> DataFrame:
     """(id, hub, auth): HITS hub/authority scores after `rounds`
     UNNORMALIZED power-iteration rounds, as exact integers.
@@ -530,6 +577,7 @@ def degree_histogram(graph: NetGraph) -> DataFrame:
     )
 
 
+@_narrowed
 def bfs_distances(
     graph: NetGraph, source: int | None = None, max_iters: int = 64
 ) -> DataFrame:
@@ -568,6 +616,7 @@ def bfs_distances(
     return visited
 
 
+@_narrowed
 def kcore_vertices(graph: NetGraph, k: int = 3, rounds: int = 16) -> DataFrame:
     """(id,): vertices of the (undirected) k-core after `rounds` peels —
     drop vertices with degree < k, restrict edges to survivors, repeat.
@@ -601,6 +650,7 @@ def kcore_vertices(graph: NetGraph, k: int = 3, rounds: int = 16) -> DataFrame:
     return keep.select(F.col("id").cast("long").alias("id"))
 
 
+@_narrowed
 def sssp_distances(
     graph: NetGraph,
     weight: "F.Column | None" = None,
@@ -652,6 +702,7 @@ def sssp_distances(
     return dist.select("id", F.col("d").cast("long").alias("dist_scaled"))
 
 
+@_narrowed
 def personalized_pagerank(
     graph: NetGraph, source: int | None = None, iters: int = 4
 ) -> DataFrame:
@@ -727,6 +778,7 @@ def _bfs_sym(edges_sym: DataFrame, source: int, max_iters: int) -> DataFrame:
     return visited
 
 
+@_narrowed
 def diameter_double_sweep(graph: NetGraph, max_iters: int = 64) -> DataFrame:
     """One-row (seed, peak_id, ecc_seed, diameter_lb): the classic
     double-sweep diameter bound (Magnien, Latapy & Habib, JEA 2009)
@@ -756,6 +808,7 @@ def diameter_double_sweep(graph: NetGraph, max_iters: int = 64) -> DataFrame:
     )
 
 
+@_narrowed
 def scc_components(
     graph: NetGraph,
     extra_edges: DataFrame | None = None,
@@ -929,6 +982,7 @@ def scc_components(
     )
 
 
+@_narrowed
 def maximal_independent_set(graph: NetGraph, rounds: int = 6) -> DataFrame:
     """(id, mis_round): a maximal independent set of the canonical
     undirected graph via Luby's algorithm (Luby, SICOMP 1986) with
@@ -1003,6 +1057,7 @@ def maximal_independent_set(graph: NetGraph, rounds: int = 6) -> DataFrame:
     )
 
 
+@_narrowed
 def closeness_sampled(
     graph: NetGraph, n_seeds: int = 4, max_iters: int = 64
 ) -> DataFrame:
@@ -1060,6 +1115,7 @@ def closeness_sampled(
     )
 
 
+@_narrowed
 def path_counts(
     graph: NetGraph, source: int | None = None, levels: int = 16
 ) -> DataFrame:
@@ -1114,6 +1170,7 @@ def path_counts(
     return visited
 
 
+@_narrowed
 def betweenness_sampled(
     graph: NetGraph, n_seeds: int = 4, levels: int = 16
 ) -> DataFrame:
