@@ -2031,6 +2031,28 @@ def q_rp_project(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.rp_project(_embs(spark, sf_dir), out_dims=8)
 
 
+def q_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-source contamination matrix: shared distinct text digests
+    per unordered source pair (digest-keyed join, text never shuffled)."""
+    from big_data_graph_analysis_with_spark_spark.operators import curation
+
+    return curation.source_overlap_matrix(_docs(spark, sf_dir))
+
+
+def q_grid_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Coarse embedding cells from JL projection sign patterns —
+    2^6 deterministic clusters, decimal-exact assignment."""
+    return similarity.embedding_grid_clusters(_embs(spark, sf_dir), bits=6)
+
+
+def q_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Percentile-gated quality filter: keep docs at/above the median
+    quality via value-histogram rank selection (no global row sort)."""
+    from big_data_graph_analysis_with_spark_spark.operators import curation
+
+    return curation.quality_percentile_filter(_docs(spark, sf_dir), num=1, den=2)
+
+
 def q_priority_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Weighted sampling without replacement (Duffield-Lund-Thorup
     priority sampling): 48-bit-exact uniform / (n_chars+1) priorities,
@@ -2280,6 +2302,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "path_counts": q_path_counts,
         "betweenness": q_betweenness,
         "multimodal_real_codecs": q_multimodal_real_codecs,
+        "source_overlap": q_source_overlap,
+        "grid_clusters": q_grid_clusters,
+        "quality_filter": q_quality_filter,
         "ktruss": q_ktruss,
         "active_users": q_active_users,
         "interarrival_quantiles": q_interarrival_quantiles,
@@ -2674,6 +2699,9 @@ def oracle_sql() -> dict[str, str]:
             bucket_width=128, n_buckets=8, seed=13
         ),
         "rp_project": doc_oracles.rp_project_sql(out_dims=8),
+        "source_overlap": doc_oracles.source_overlap_sql(),
+        "grid_clusters": doc_oracles.grid_clusters_sql(bits=6),
+        "quality_filter": doc_oracles.quality_percentile_sql(num=1, den=2),
         "dedup_sorted_neighborhood": """
             WITH toks AS (
               SELECT doc_id, substr(text, 1, 8) AS blk,

@@ -25,7 +25,7 @@ from __future__ import annotations
 
 import re
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from .dedup import word_shingles
@@ -211,4 +211,76 @@ def dup_rate_by_source(docs: DataFrame) -> DataFrame:
         )
         .withColumn("n_dup_rows", F.expr("n_docs - n_distinct_texts"))
         .withColumn("dup_ppm", F.expr("(n_docs - n_distinct_texts) * 1000000 DIV n_docs"))
+    )
+
+
+def source_overlap_matrix(docs: DataFrame) -> DataFrame:
+    """(source_a, source_b, n_shared_texts): for every UNORDERED source
+    pair (a < b lexicographically), how many distinct text digests
+    appear in both — the cross-source contamination matrix that decides
+    whether two crawls are really one (dedup them jointly) and which
+    pairs a train/eval split must never straddle.
+
+    Shuffles only (digest, source) pairs — 16-byte keys, text pruned at
+    the scan. The self-join runs on the digest AFTER a per-(digest,
+    source) distinct, so a text's row count within a source never
+    inflates the pair count; a digest shared by k sources contributes
+    C(k,2) pairs, bounded by the (tiny) source vocabulary, not by doc
+    count.
+    """
+    ds = docs.select(F.md5("text").alias("h"), "source").distinct()
+    a = ds.select("h", F.col("source").alias("source_a"))
+    b = ds.select("h", F.col("source").alias("source_b"))
+    return (
+        a.join(b, on="h")
+        .filter(F.col("source_a") < F.col("source_b"))
+        .groupBy("source_a", "source_b")
+        .agg(F.count("*").cast("long").alias("n_shared_texts"))
+    )
+
+
+def quality_percentile_filter(
+    docs: DataFrame, num: int = 1, den: int = 2
+) -> DataFrame:
+    """(doc_id, quality_ppm): documents whose heuristic quality score
+    is at or above the corpus's num/den quantile — "keep the best
+    half" (or decile, etc.) as a single deterministic plan, the
+    percentile-gated variant of threshold filtering when the cut
+    should adapt to the corpus instead of an absolute number.
+
+    The quantile is the same integer rank-selection rule as
+    corpusstats.token_quantiles (value at 0-indexed sorted position
+    ``(total−1)·num div den``), computed over the VALUE HISTOGRAM:
+    quality is a round(·,6) score, i.e. an integer number of ppm, so a
+    distinct-value cumulative count (≤1e6+1 rows, in practice a few
+    hundred) replaces any global row sort — the histogram is
+    aggregated, the threshold value selected from it, broadcast back,
+    and applied as a zero-shuffle filter.
+    """
+    from .textops import quality_scores
+
+    qs = quality_scores(docs).select(
+        "doc_id",
+        (F.round(F.col("quality") * 1_000_000)).cast("long").alias("quality_ppm"),
+    )
+    hist = qs.groupBy("quality_ppm").agg(F.count("*").alias("cnt"))
+    w = Window.orderBy("quality_ppm").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    cum = hist.select(
+        "quality_ppm",
+        F.sum("cnt").over(w).alias("cum"),
+        F.sum("cnt").over(
+            Window.orderBy(F.lit(1)).rowsBetween(
+                Window.unboundedPreceding, Window.unboundedFollowing
+            )
+        ).alias("total"),
+    )
+    thr = cum.filter(
+        F.col("cum") > F.expr(f"(total - 1) * {num} div {den}")
+    ).agg(F.min("quality_ppm").alias("thr"))
+    return (
+        qs.crossJoin(F.broadcast(thr))
+        .filter(F.col("quality_ppm") >= F.col("thr"))
+        .select("doc_id", "quality_ppm")
     )

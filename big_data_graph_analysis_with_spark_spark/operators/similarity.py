@@ -605,3 +605,31 @@ def rp_project(emb: DataFrame, out_dims: int = 8) -> DataFrame:
             F.round("yd", 6).alias("y"),
         )
     )
+
+
+def embedding_grid_clusters(emb: DataFrame, bits: int = 6) -> DataFrame:
+    """(cluster_id, n_vecs, min_vec_id): coarse embedding clusters from
+    the SIGN PATTERN of the first `bits` JL projections (rp_project) —
+    2^bits deterministic cells, the zero-training alternative to
+    k-means for partitioning a corpus by embedding region (shard
+    assignment, per-region sampling quotas, cheap diversity buckets).
+
+    cluster_id = Σ_k [y_k > 0]·2^k over the decimal-exact projections,
+    so cell assignment is engine- and partitioning-reproducible (a
+    float matmul could flip near-zero signs between engines). Cost on
+    top of rp_project: two narrow aggregations (per-vector bit-sum,
+    per-cell count) — the N·d work happens once in the projection.
+    """
+    proj = rp_project(emb, out_dims=bits)
+    assigned = proj.groupBy("vec_id").agg(
+        F.sum(
+            F.when(
+                F.col("y") > 0,
+                F.expr("shiftleft(CAST(1 AS BIGINT), CAST(k AS INT))"),
+            ).otherwise(F.lit(0).cast("long"))
+        ).alias("cluster_id")
+    )
+    return assigned.groupBy("cluster_id").agg(
+        F.count("*").cast("long").alias("n_vecs"),
+        F.min("vec_id").alias("min_vec_id"),
+    )

@@ -913,3 +913,58 @@ SELECT c.vec_id, CAST(s.k AS BIGINT) AS k,
 FROM comp c JOIN signs s ON s.j = c.j
 GROUP BY c.vec_id, s.k
 """
+
+
+def source_overlap_sql() -> str:
+    """Twin of curation.source_overlap_matrix."""
+    return """
+WITH ds AS (SELECT DISTINCT md5(text) AS h, source FROM documents)
+SELECT a.source AS source_a, b.source AS source_b,
+       CAST(COUNT(*) AS BIGINT) AS n_shared_texts
+FROM ds a JOIN ds b ON a.h = b.h
+WHERE a.source < b.source
+GROUP BY a.source, b.source
+"""
+
+
+def grid_clusters_sql(bits: int = 6) -> str:
+    """Twin of similarity.embedding_grid_clusters, composed over the
+    rp_project oracle."""
+    rp = rp_project_sql(out_dims=bits).strip()
+    return f"""
+WITH rp AS ({rp}),
+assigned AS (
+  SELECT vec_id,
+         CAST(SUM(CASE WHEN y > 0 THEN (CAST(1 AS BIGINT) << k)
+                       ELSE 0 END) AS BIGINT) AS cluster_id
+  FROM rp GROUP BY vec_id
+)
+SELECT cluster_id, CAST(COUNT(*) AS BIGINT) AS n_vecs,
+       MIN(vec_id) AS min_vec_id
+FROM assigned GROUP BY cluster_id
+"""
+
+
+def quality_percentile_sql(num: int = 1, den: int = 2) -> str:
+    """Twin of curation.quality_percentile_filter: same quality
+    expression (quality_sql), same integer rank rule over the value
+    histogram."""
+    q = quality_sql().strip()
+    return f"""
+WITH qall AS ({q}),
+qs AS (SELECT doc_id,
+              CAST(ROUND(quality * 1000000) AS BIGINT) AS quality_ppm
+       FROM qall),
+hist AS (SELECT quality_ppm, COUNT(*) AS cnt FROM qs GROUP BY quality_ppm),
+cum AS (
+  SELECT quality_ppm,
+         SUM(cnt) OVER (ORDER BY quality_ppm
+                        ROWS UNBOUNDED PRECEDING) AS cum,
+         SUM(cnt) OVER () AS total
+  FROM hist
+),
+thr AS (SELECT MIN(quality_ppm) AS thr FROM cum
+        WHERE cum > (total - 1) * {num} // {den})
+SELECT q.doc_id, q.quality_ppm FROM qs q, thr t
+WHERE q.quality_ppm >= t.thr
+"""

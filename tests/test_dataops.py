@@ -857,3 +857,52 @@ def test_media_assets_run_real_codecs(spark):
     assert f1["feature"][3] == float(samples.min())  # negative ⇒ real decode
     # video asset 2 exercises the stub (byte stats are non-negative)
     assert feats[2]["kind"] == "video" and feats[2]["feature"][3] >= 0.0
+
+
+def test_source_overlap_counts_distinct_shared_texts(spark):
+    from big_data_graph_analysis_with_spark_spark.operators import curation
+
+    rows = [
+        (1, "shared one", "a"), (2, "shared one", "b"),
+        (3, "shared one", "b"),      # within-source dup must not inflate
+        (4, "shared two", "a"), (5, "shared two", "c"),
+        (6, "only a", "a"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id LONG, text STRING, source STRING")
+    got = {
+        (r["source_a"], r["source_b"]): r["n_shared_texts"]
+        for r in curation.source_overlap_matrix(docs).collect()
+    }
+    assert got == {("a", "b"): 1, ("a", "c"): 1}
+
+
+def test_grid_clusters_partition_all_vectors(spark, embs):
+    n = embs.count()
+    cells = similarity.embedding_grid_clusters(embs, bits=4).collect()
+    assert sum(r["n_vecs"] for r in cells) == n
+    assert all(0 <= r["cluster_id"] < 16 for r in cells)
+    # deterministic across runs
+    again = similarity.embedding_grid_clusters(embs, bits=4).collect()
+    assert sorted((r["cluster_id"], r["n_vecs"]) for r in cells) == sorted(
+        (r["cluster_id"], r["n_vecs"]) for r in again
+    )
+
+
+def test_quality_percentile_filter_median_cut(spark, docs):
+    from big_data_graph_analysis_with_spark_spark.operators import curation
+
+    kept = curation.quality_percentile_filter(docs, num=1, den=2)
+    n_total = docs.count()
+    n_kept = kept.count()
+    # at least half survive (ties at the threshold can exceed half)
+    assert n_kept >= n_total // 2
+    # everything kept is >= the max quality among the dropped
+    dropped_max = (
+        textops.quality_scores(docs)
+        .join(kept, on="doc_id", how="left_anti")
+        .agg(F.max(F.round(F.col("quality") * 1_000_000).cast("long")))
+        .first()[0]
+    )
+    kept_min = kept.agg(F.min("quality_ppm")).first()[0]
+    if dropped_max is not None:
+        assert kept_min >= dropped_max
