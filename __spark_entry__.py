@@ -527,6 +527,13 @@ def q_path_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return graphalg.path_counts(og, levels=8)
 
 
+def q_pagerank_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cost-weighted PageRank (the reference's Action.cost payload as
+    transition weights), 4 fixed-point integer rounds."""
+    og, _ = _graphs(spark, sf_dir)
+    return graphalg.pagerank_weighted(og, iters=4)
+
+
 def q_betweenness(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sampled Brandes betweenness (4 deterministic seeds). The δ
     recurrence is a float ratio sum, so this is a rows-only check; its
@@ -883,6 +890,40 @@ pr_{k} AS (
 )"""
     return graph_sql(
         f", {ctes.strip()} SELECT id, pr AS pr_scaled FROM pr_{iters}"
+    )
+
+
+def _pagerank_weighted_sql(iters: int = 4) -> str:
+    scale, num, den = graphalg.PR_SCALE, graphalg.PR_DAMP_NUM, graphalg.PR_DAMP_DEN
+    base = f"(({den - num} * {scale}) // ({den} * nn.n))"
+    ctes = f"""
+wedges_pr AS (
+  SELECT src, dst, CAST(ROUND(cost * 1000) AS BIGINT) + 1 AS w
+  FROM og_edges
+),
+wsum AS (SELECT src AS id, SUM(w) AS wtot FROM wedges_pr GROUP BY src),
+nn AS (SELECT COUNT(*) AS n FROM og_vertices),
+wpr_0 AS (
+  SELECT v.id, CAST({scale} // nn.n AS BIGINT) AS pr
+  FROM og_vertices v CROSS JOIN nn
+)"""
+    for k in range(1, iters + 1):
+        ctes += f""",
+wcontrib_{k} AS (
+  SELECT e.dst AS id, SUM((p.pr * e.w) // o.wtot) AS s
+  FROM wpr_{k - 1} p
+  JOIN wsum o ON o.id = p.id
+  JOIN wedges_pr e ON e.src = p.id
+  GROUP BY e.dst
+),
+wpr_{k} AS (
+  SELECT v.id,
+         CAST({base} + (COALESCE(c.s, 0) * {num}) // {den} AS BIGINT) AS pr
+  FROM og_vertices v CROSS JOIN nn
+  LEFT JOIN wcontrib_{k} c ON c.id = v.id
+)"""
+    return graph_sql(
+        f", {ctes.strip()} SELECT id, pr AS pr_scaled FROM wpr_{iters}"
     )
 
 
@@ -2300,6 +2341,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mis": q_mis,
         "closeness": q_closeness,
         "path_counts": q_path_counts,
+        "pagerank_weighted": q_pagerank_weighted,
         "betweenness": q_betweenness,
         "multimodal_real_codecs": q_multimodal_real_codecs,
         "source_overlap": q_source_overlap,
@@ -2566,6 +2608,7 @@ def oracle_sql() -> dict[str, str]:
         "mis": _mis_sql(rounds=6),
         "closeness": _closeness_sql(n_seeds=4),
         "path_counts": _path_counts_sql(levels=8),
+        "pagerank_weighted": _pagerank_weighted_sql(iters=4),
         "ktruss": _ktruss_sql(k=4, rounds=5),
         "active_users": """
             WITH days AS (

@@ -1274,3 +1274,61 @@ def betweenness_sampled(
         .groupBy("id")
         .agg(F.sum("delta").alias("betweenness"))
     )
+
+
+@_narrowed
+def pagerank_weighted(graph: NetGraph, iters: int = 4) -> DataFrame:
+    """(id, pr_scaled): cost-weighted fixed-point PageRank — the
+    random surfer follows each out-edge with probability proportional
+    to its integer milli-cost weight (the reference's `Action.cost`
+    payload, NetGraphComponent.scala:11, finally participating in an
+    analysis instead of riding along).
+
+    w(e) = round(cost·1000) + 1 — costs are exact multiples of 1/1000
+    in the derived graph, so the round is exact in both engines, and
+    the +1 keeps zero-cost edges reachable. Per round each vertex
+    sends ``pr·w div W(v)`` along each edge (W(v) = Σ out-weights);
+    the damping update is the same all-integer arithmetic as
+    `pagerank`, so the k-round-unrolled SQL oracle hash-matches.
+    pr·w ≤ 1e12·1000 stays far inside long range.
+
+    Same shuffle profile as unweighted PageRank (one edge join + one
+    aggregation per round) — the weight column rides the existing
+    shuffle; parallel edges each carry their own weight.
+    """
+    n = graph.vertices.count()
+    base = (PR_DAMP_DEN - PR_DAMP_NUM) * PR_SCALE // (PR_DAMP_DEN * n)
+    edges = graph.edges.select(
+        "src",
+        "dst",
+        (F.round(F.col("cost") * 1000).cast("long") + 1).alias("w"),
+    ).localCheckpoint()
+    wsum = edges.groupBy(F.col("src").alias("id")).agg(
+        F.sum("w").alias("wtot")
+    )
+    pr = graph.vertices.select(
+        "id", F.lit(PR_SCALE // n).cast("long").alias("pr_scaled")
+    ).localCheckpoint()
+    for _ in range(iters):
+        contribs = (
+            pr.join(wsum, on="id")
+            .join(edges, on=F.col("id") == F.col("src"))
+            .withColumn("c", F.expr("(pr_scaled * w) div wtot"))
+            .groupBy(F.col("dst").alias("id"))
+            .agg(F.sum("c").alias("s"))
+        )
+        pr = (
+            graph.vertices.select("id")
+            .join(contribs, on="id", how="left")
+            .select(
+                "id",
+                (
+                    F.lit(base)
+                    + F.expr(
+                        f"(coalesce(s, 0L) * {PR_DAMP_NUM}) div {PR_DAMP_DEN}"
+                    )
+                ).cast("long").alias("pr_scaled"),
+            )
+            .localCheckpoint()
+        )
+    return pr

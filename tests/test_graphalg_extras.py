@@ -360,3 +360,45 @@ def test_betweenness_chain_accumulates(spark):
         for r in graphalg.betweenness_sampled(g, n_seeds=4).collect()
     }
     assert got[2] == 2.0 and got[3] == 2.0
+
+
+def _graph_costs(spark, vertex_ids, edge_triples):
+    v = spark.createDataFrame([(int(i),) for i in vertex_ids], "id LONG")
+    e = spark.createDataFrame(
+        [(int(s), int(d), float(c)) for s, d, c in edge_triples],
+        "src LONG, dst LONG, cost DOUBLE",
+    )
+    return NetGraph(v, e)
+
+
+def test_pagerank_weighted_uniform_cost_equals_unweighted(spark):
+    # equal weights cancel exactly in the integer arithmetic:
+    # (pr·w) div (d·w) == pr div d for any positive w
+    edges = [(1, 2, 0.5), (2, 3, 0.5), (3, 1, 0.5), (1, 3, 0.5)]
+    g = _graph_costs(spark, [1, 2, 3], edges)
+    wpr = {
+        r["id"]: r["pr_scaled"]
+        for r in graphalg.pagerank_weighted(g, iters=3).collect()
+    }
+    upr = {
+        r["id"]: r["pr_scaled"] for r in graphalg.pagerank(g, iters=3).collect()
+    }
+    assert wpr == upr
+
+
+def test_pagerank_weighted_prefers_heavy_edge(spark):
+    # vertex 1 splits mass 1:999 between 2 and 3 — vertex 3 must end
+    # far ahead of vertex 2 (sinks: both drop mass, symmetric).
+    g = _graph_costs(spark, [1, 2, 3], [(1, 2, 0.0), (1, 3, 0.998)])
+    got = {
+        r["id"]: r["pr_scaled"]
+        for r in graphalg.pagerank_weighted(g, iters=2).collect()
+    }
+    # compare ABOVE the teleport base (identical for every vertex):
+    # w=1 vs w=999 must show up as ~999× the received mass
+    base = (
+        (graphalg.PR_DAMP_DEN - graphalg.PR_DAMP_NUM)
+        * graphalg.PR_SCALE
+        // (graphalg.PR_DAMP_DEN * 3)
+    )
+    assert (got[3] - base) > (got[2] - base) * 100
