@@ -2072,6 +2072,35 @@ def q_rp_project(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.rp_project(_embs(spark, sf_dir), out_dims=8)
 
 
+def q_bloom_pruned_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-filter semi-join pruning: lineitem is pre-filtered by a
+    broadcast bloom of the urgent orders' keys (a plain projection, no
+    shuffle), then joined. The ORACLE is the UNPRUNED join — green iff
+    the bloom admits every true key (no false negatives), the property
+    that makes the prune safe at 100 TB."""
+    from big_data_graph_analysis_with_spark_spark.functions import bloom
+
+    spark = _prep(spark)
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet").filter(
+        F.col("o_orderpriority") == "1-URGENT"
+    )
+    lineitem = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    pruned = bloom.bloom_prune(lineitem, orders, "l_orderkey", "o_orderkey")
+    return (
+        pruned.join(
+            orders.select("o_orderkey"),
+            on=F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        .groupBy("l_returnflag")
+        .agg(
+            F.count("*").cast("long").alias("n_items"),
+            F.sum(F.col("l_quantity").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("sum_qty"),
+        )
+    )
+
+
 def q_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cross-source contamination matrix: shared distinct text digests
     per unordered source pair (digest-keyed join, text never shuffled)."""
@@ -2344,6 +2373,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pagerank_weighted": q_pagerank_weighted,
         "betweenness": q_betweenness,
         "multimodal_real_codecs": q_multimodal_real_codecs,
+        "bloom_pruned_join": q_bloom_pruned_join,
         "source_overlap": q_source_overlap,
         "grid_clusters": q_grid_clusters,
         "quality_filter": q_quality_filter,
@@ -2742,6 +2772,16 @@ def oracle_sql() -> dict[str, str]:
             bucket_width=128, n_buckets=8, seed=13
         ),
         "rp_project": doc_oracles.rp_project_sql(out_dims=8),
+        "bloom_pruned_join": """
+            SELECT l_returnflag,
+                   CAST(COUNT(*) AS BIGINT) AS n_items,
+                   CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)
+                     AS sum_qty
+            FROM lineitem l
+            JOIN orders o ON o.o_orderkey = l.l_orderkey
+            WHERE o.o_orderpriority = '1-URGENT'
+            GROUP BY l_returnflag
+        """,
         "source_overlap": doc_oracles.source_overlap_sql(),
         "grid_clusters": doc_oracles.grid_clusters_sql(bits=6),
         "quality_filter": doc_oracles.quality_percentile_sql(num=1, den=2),

@@ -44,3 +44,43 @@ def test_ivf_recall_and_determinism(spark):
     # on hash-random lists would give ~0.25 — 0.5 catches a quantizer
     # regression while leaving headroom for fixture drift
     assert recall >= 0.5, f"IVF recall too low: {recall:.2f}"
+
+
+def test_bloom_no_false_negatives_and_low_fpr(spark):
+    from big_data_graph_analysis_with_spark_spark.functions import bloom
+    from pyspark.sql import functions as F
+
+    keys = spark.range(0, 5000).select(F.col("id").alias("k"))
+    probe = spark.range(0, 20000).select(F.col("id").alias("k"))
+    pruned = bloom.bloom_prune(probe, keys, "k", "k")
+    # every inserted key survives (the safety property of the prune)
+    assert keys.join(pruned, on="k", how="left_anti").count() == 0
+    # false-positive rate well under the designed ~1% at these sizes
+    fp = pruned.filter(F.col("k") >= 5000).count()
+    assert fp / 15000 < 0.01
+
+
+def test_bloom_pruned_join_equals_plain_join(spark):
+    from big_data_graph_analysis_with_spark_spark.functions import bloom
+    from pyspark.sql import functions as F
+
+    dim = spark.range(0, 300, 3).select(F.col("id").alias("k"))
+    fact = spark.range(0, 1000).select(
+        F.col("id").alias("k"), (F.col("id") * 2).alias("v")
+    )
+    plain = fact.join(dim, on="k").agg(F.sum("v")).first()[0]
+    pruned = (
+        bloom.bloom_prune(fact, dim, "k", "k").join(dim, on="k").agg(F.sum("v"))
+    ).first()[0]
+    assert plain == pruned
+
+
+def test_bloom_small_m_degrades_but_never_drops(spark):
+    from big_data_graph_analysis_with_spark_spark.functions import bloom
+    from pyspark.sql import functions as F
+
+    keys = spark.range(0, 2000).select(F.col("id").alias("k"))
+    probe = spark.range(0, 4000).select(F.col("id").alias("k"))
+    # absurdly small filter: high FPR is fine, false negatives never
+    pruned = bloom.bloom_prune(probe, keys, "k", "k", m_bits=256, k=2)
+    assert keys.join(pruned, on="k", how="left_anti").count() == 0
