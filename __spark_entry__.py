@@ -2101,6 +2101,14 @@ def q_bloom_pruned_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc n-gram novelty (fraction of shingles unique to the doc
+    corpus-wide, exact ppm) — diversity scoring for mixture building."""
+    from big_data_graph_analysis_with_spark_spark.operators import corpusstats
+
+    return corpusstats.ngram_novelty(_docs(spark, sf_dir), n=3)
+
+
 def q_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cross-source contamination matrix: shared distinct text digests
     per unordered source pair (digest-keyed join, text never shuffled)."""
@@ -2374,6 +2382,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "betweenness": q_betweenness,
         "multimodal_real_codecs": q_multimodal_real_codecs,
         "bloom_pruned_join": q_bloom_pruned_join,
+        "ngram_novelty": q_ngram_novelty,
         "source_overlap": q_source_overlap,
         "grid_clusters": q_grid_clusters,
         "quality_filter": q_quality_filter,
@@ -2782,6 +2791,7 @@ def oracle_sql() -> dict[str, str]:
             WHERE o.o_orderpriority = '1-URGENT'
             GROUP BY l_returnflag
         """,
+        "ngram_novelty": doc_oracles.ngram_novelty_sql(n=3),
         "source_overlap": doc_oracles.source_overlap_sql(),
         "grid_clusters": doc_oracles.grid_clusters_sql(bits=6),
         "quality_filter": doc_oracles.quality_percentile_sql(num=1, den=2),

@@ -347,3 +347,39 @@ def length_cdf(docs: DataFrame) -> DataFrame:
     return docs.join(F.broadcast(cdf), on="n_chars").select(
         "doc_id", F.col("n_chars").cast("long").alias("n_chars"), "cdf_ppm"
     )
+
+
+def ngram_novelty(docs: DataFrame, n: int = 3) -> DataFrame:
+    """(doc_id, n_shingles, n_unique_corpus, novelty_ppm): per-document
+    novelty — the exact-ppm fraction of the doc's distinct word
+    n-grams that appear in NO other document. The diversity-scoring
+    complement of dedup: boilerplate-heavy docs score near 0, fresh
+    content near 1e6; mixture builders upweight the tail.
+
+    Two aggregations over the shared shingle explode
+    (dedup.word_shingles): document frequency per shingle, then a
+    per-doc rollup counting df==1 shingles. Both shuffles key on the
+    shingle/doc id — text itself never moves. The df table is the same
+    intermediate an inverted-index dedup builds, so at scale the two
+    passes share a cached/bucketed shingle table.
+    """
+    from .dedup import word_shingles
+
+    sh = word_shingles(docs, n)
+    df_counts = sh.groupBy("shingle").agg(
+        F.countDistinct("doc_id").alias("df")
+    )
+    return (
+        sh.join(df_counts, on="shingle")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").cast("long").alias("n_shingles"),
+            F.sum(F.expr("CASE WHEN df = 1 THEN 1 ELSE 0 END"))
+            .cast("long")
+            .alias("n_unique_corpus"),
+        )
+        .withColumn(
+            "novelty_ppm",
+            F.expr("n_unique_corpus * 1000000 div n_shingles"),
+        )
+    )

@@ -968,3 +968,19 @@ thr AS (SELECT MIN(quality_ppm) AS thr FROM cum
 SELECT q.doc_id, q.quality_ppm FROM qs q, thr t
 WHERE q.quality_ppm >= t.thr
 """
+
+
+def ngram_novelty_sql(n: int = 3) -> str:
+    """Twin of corpusstats.ngram_novelty over the shared shingle CTE."""
+    return f"""
+WITH {_shingle_ctes(n).strip()},
+dfs AS (SELECT shingle, COUNT(DISTINCT doc_id) AS df FROM shing GROUP BY shingle)
+SELECT s.doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_shingles,
+       CAST(SUM(CASE WHEN d.df = 1 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_unique_corpus,
+       CAST(SUM(CASE WHEN d.df = 1 THEN 1 ELSE 0 END) * 1000000
+            // COUNT(*) AS BIGINT) AS novelty_ppm
+FROM shing s JOIN dfs d ON d.shingle = s.shingle
+GROUP BY s.doc_id
+"""
