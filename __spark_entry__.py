@@ -527,6 +527,32 @@ def q_path_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return graphalg.path_counts(og, levels=8)
 
 
+def q_node2vec_walks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rows-only: node2vec biased walk corpus (seeded, second-order
+    p/q transitions; trajectory a pure function of (seed, start, rep))
+    over the original graph — the graph-embedding training-data
+    generator. Path validity and partitioning-invariance are pinned in
+    tests; a seeded RNG kernel has no SQL twin."""
+    og, _ = _graphs(spark, sf_dir)
+    return walks_mod.node2vec_walks(
+        _prep(spark), og, walks_per_vertex=1, walk_length=10, p=2.0, q=0.5,
+        seed=9,
+    )
+
+
+def q_motif_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Directed 3-node motif census (FFL vs 3-cycle vs mutual pairs)
+    over the cycle-augmented graph — each instance counted exactly
+    once via canonical anchoring."""
+    og, _ = _graphs(spark, sf_dir)
+    aug = NetGraph(
+        og.vertices,
+        og.edges.select("src", "dst").unionAll(_scc_extra_edges(og)),
+        og.init_id,
+    )
+    return graphalg.motif_counts(aug)
+
+
 def q_pagerank_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cost-weighted PageRank (the reference's Action.cost payload as
     transition weights), 4 fixed-point integer rounds."""
@@ -891,6 +917,36 @@ pr_{k} AS (
     return graph_sql(
         f", {ctes.strip()} SELECT id, pr AS pr_scaled FROM pr_{iters}"
     )
+
+
+def _motif_sql() -> str:
+    # same reversed-subset augmentation as _scc_sql so the directed
+    # census has cycles and mutual pairs to find
+    return f"""
+WITH {GRAPH_CTES},
+fedges AS MATERIALIZED (
+  SELECT DISTINCT src, dst FROM (
+    SELECT src, dst FROM og_edges WHERE src <> dst
+    UNION ALL
+    SELECT dst AS src, src AS dst FROM og_edges
+    WHERE dst % 7 = 0 AND src <> dst)
+),
+wedges AS MATERIALIZED (
+  SELECT e1.src AS a, e1.dst AS b, e2.dst AS c
+  FROM fedges e1 JOIN fedges e2 ON e2.src = e1.dst
+  WHERE e1.src <> e2.dst
+)
+SELECT
+  CAST((SELECT COUNT(*) FROM wedges w
+        JOIN fedges e ON e.src = w.a AND e.dst = w.c) AS BIGINT) AS n_ffl,
+  CAST((SELECT COUNT(*) FROM wedges w
+        JOIN fedges e ON e.src = w.c AND e.dst = w.a
+        WHERE w.a < w.b AND w.a < w.c) AS BIGINT) AS n_cycle3,
+  CAST((SELECT COUNT(*) FROM fedges e
+        JOIN fedges r ON r.src = e.dst AND r.dst = e.src
+        WHERE e.src < e.dst) AS BIGINT) AS n_mutual,
+  CAST((SELECT COUNT(*) FROM fedges) AS BIGINT) AS n_directed
+"""
 
 
 def _pagerank_weighted_sql(iters: int = 4) -> str:
@@ -2379,6 +2435,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "closeness": q_closeness,
         "path_counts": q_path_counts,
         "pagerank_weighted": q_pagerank_weighted,
+        "motif_counts": q_motif_counts,
+        "node2vec_walks": q_node2vec_walks,
         "betweenness": q_betweenness,
         "multimodal_real_codecs": q_multimodal_real_codecs,
         "bloom_pruned_join": q_bloom_pruned_join,
@@ -2648,6 +2706,7 @@ def oracle_sql() -> dict[str, str]:
         "closeness": _closeness_sql(n_seeds=4),
         "path_counts": _path_counts_sql(levels=8),
         "pagerank_weighted": _pagerank_weighted_sql(iters=4),
+        "motif_counts": _motif_sql(),
         "ktruss": _ktruss_sql(k=4, rounds=5),
         "active_users": """
             WITH days AS (

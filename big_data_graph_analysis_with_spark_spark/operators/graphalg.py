@@ -1332,3 +1332,45 @@ def pagerank_weighted(graph: NetGraph, iters: int = 4) -> DataFrame:
             .localCheckpoint()
         )
     return pr
+
+
+def motif_counts(graph: NetGraph) -> DataFrame:
+    """One row (n_ffl, n_cycle3, n_mutual, n_directed): the directed
+    3-node / 2-node motif census — feed-forward loops (a→b→c with
+    shortcut a→c), directed 3-cycles (a→b→c→a), mutual pairs, and the
+    distinct directed edge count. The FFL/cycle ratio is the classic
+    network-type signature (Milo et al., Science 2002) that the
+    undirected triangle count cannot see.
+
+    Enumeration is exactly-once by canonical anchoring: FFLs are
+    anchored on their unique (source a, sink c) role assignment, so no
+    symmetry correction is needed; 3-cycles are rotation-invariant, so
+    the join requires a = min(a,b,c) — each cycle counted once. Two
+    self-joins on vertex-id keys over the deduplicated edge list, the
+    same Σdeg² wedge shape as triangle counting (AQE absorbs hub skew;
+    at scale pre-bucket edges by src).
+    """
+    e = (
+        graph.edges.select("src", "dst")
+        .filter(F.col("src") != F.col("dst"))
+        .distinct()
+        .localCheckpoint()
+    )
+    ab = e.select(F.col("src").alias("a"), F.col("dst").alias("b"))
+    bc = e.select(F.col("src").alias("b"), F.col("dst").alias("c"))
+    wedges = ab.join(bc, on="b").filter(F.col("a") != F.col("c"))
+    ac = e.select(F.col("src").alias("a"), F.col("dst").alias("c"))
+    ffl = wedges.join(ac, on=["a", "c"]).count()
+    ca = e.select(F.col("src").alias("c"), F.col("dst").alias("a"))
+    cyc = (
+        wedges.join(ca, on=["c", "a"])
+        .filter((F.col("a") < F.col("b")) & (F.col("a") < F.col("c")))
+        .count()
+    )
+    rev = e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    mutual = e.join(rev, on=["src", "dst"]).filter(F.col("src") < F.col("dst")).count()
+    spark = graph.vertices.sparkSession
+    return spark.createDataFrame(
+        [(ffl, cyc, mutual, e.count())],
+        "n_ffl long, n_cycle3 long, n_mutual long, n_directed long",
+    )

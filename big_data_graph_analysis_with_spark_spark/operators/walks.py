@@ -271,3 +271,102 @@ def walk_visited_sets(walk_steps: DataFrame) -> DataFrame:
 def max_walk_len(cfg: SimConfig, num_vertices: int) -> int:
     """Upper bound on path length (the reference's quota, `:320`)."""
     return math.ceil(cfg.random_walk_coeff * num_vertices)
+
+
+NODE2VEC_SCHEMA = "start_id LONG, rep LONG, step LONG, node_id LONG"
+
+
+def node2vec_walks(
+    spark: SparkSession,
+    pg: NetGraph,
+    walks_per_vertex: int = 1,
+    walk_length: int = 20,
+    p: float = 1.0,
+    q: float = 1.0,
+    seed: int = 0,
+    adj_path: str | None = None,
+) -> DataFrame:
+    """(start_id, rep, step, node_id): second-order biased random walks
+    (Grover & Leskovec, KDD 2016) from every vertex — the walk-corpus
+    generator for skip-gram graph embeddings, built on the same
+    executor-side adjacency sideload as the MitM kernel.
+
+    Transition weights from node v after arriving via t: 1/p back to
+    t (return), 1 to common neighbors of t and v (BFS-ish), 1/q
+    otherwise (DFS-ish); first step uniform. Each walk's RNG is seeded
+    by (seed, start_id, rep) — the trajectory is a pure function of
+    those, independent of grouping/partitioning, so re-runs and
+    repartitions are bit-identical (tested). Directed: walks follow
+    out-edges and stop at sinks.
+
+    Scale shape: assignments are a narrow vertices×reps frame grouped
+    into bounded hash buckets; the kernel streams Arrow batches and
+    reads the shared adjacency sideload (see ensure_sideload — the one
+    per-executor whole-graph residency this family needs). Walk output
+    is (L+1)·reps·|V| narrow rows — the dominant cost is writing the
+    corpus, as it should be.
+    """
+    adj_path = adj_path if adj_path is not None else ensure_sideload(pg)
+    n_buckets = max(8, spark.sparkContext.defaultParallelism * 2)
+    assignments = (
+        pg.vertices.select(F.col("id").alias("start_id"))
+        .select(
+            "start_id",
+            F.explode(
+                F.sequence(F.lit(1), F.lit(int(walks_per_vertex)))
+            ).alias("rep"),
+        )
+        .withColumn(
+            "bucket",
+            F.abs(F.xxhash64("start_id", "rep", F.lit(seed))) % n_buckets,
+        )
+    )
+
+    L, P, Q, SEED = int(walk_length), float(p), float(q), int(seed)
+
+    def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
+        adj = _load_adjacency(adj_path)
+        out_start: list[int] = []
+        out_rep: list[int] = []
+        out_step: list[int] = []
+        out_node: list[int] = []
+        for start, rep in zip(pdf["start_id"], pdf["rep"]):
+            start, rep = int(start), int(rep)
+            rng = np.random.default_rng([SEED, start, rep])
+            path = [start]
+            prev = None
+            cur = start
+            while len(path) <= L:
+                nbrs = adj.get(cur)
+                if not nbrs:
+                    break
+                if prev is None:
+                    nxt = nbrs[rng.integers(0, len(nbrs))]
+                else:
+                    prev_nbrs = adj.get(prev) or []
+                    w = np.empty(len(nbrs), dtype=np.float64)
+                    for i, x in enumerate(nbrs):
+                        if x == prev:
+                            w[i] = 1.0 / P
+                        elif x in prev_nbrs:
+                            w[i] = 1.0
+                        else:
+                            w[i] = 1.0 / Q
+                    w /= w.sum()
+                    nxt = nbrs[rng.choice(len(nbrs), p=w)]
+                path.append(int(nxt))
+                prev, cur = cur, int(nxt)
+            out_start.extend([start] * len(path))
+            out_rep.extend([rep] * len(path))
+            out_step.extend(range(len(path)))
+            out_node.extend(path)
+        return pd.DataFrame(
+            {
+                "start_id": pd.Series(out_start, dtype="int64"),
+                "rep": pd.Series(out_rep, dtype="int64"),
+                "step": pd.Series(out_step, dtype="int64"),
+                "node_id": pd.Series(out_node, dtype="int64"),
+            }
+        )
+
+    return assignments.groupBy("bucket").applyInPandas(kernel, NODE2VEC_SCHEMA)

@@ -402,3 +402,28 @@ def test_pagerank_weighted_prefers_heavy_edge(spark):
         // (graphalg.PR_DAMP_DEN * 3)
     )
     assert (got[3] - base) > (got[2] - base) * 100
+
+
+def test_motif_counts_known_patterns(spark):
+    # FFL {1→2, 2→3, 1→3}; separate 3-cycle {4→5, 5→6, 6→4};
+    # mutual pair {7↔8}. Every census cell hand-checkable.
+    edges = [(1, 2), (2, 3), (1, 3), (4, 5), (5, 6), (6, 4), (7, 8), (8, 7)]
+    g = _graph(spark, [1, 2, 3, 4, 5, 6, 7, 8], edges)
+    row = graphalg.motif_counts(g).collect()[0]
+    assert row["n_ffl"] == 1
+    assert row["n_cycle3"] == 1
+    assert row["n_mutual"] == 1
+    assert row["n_directed"] == 8
+
+
+def test_motif_counts_mutual_triangle(spark):
+    # fully mutual triangle on {1,2,3}: 6 directed edges. FFLs: each
+    # ordered (a,b,c) with all three edges present = 3! = 6; directed
+    # 3-cycles: 2 (one per orientation); mutual pairs: 3.
+    edges = [(a, b) for a in (1, 2, 3) for b in (1, 2, 3) if a != b]
+    g = _graph(spark, [1, 2, 3], edges)
+    row = graphalg.motif_counts(g).collect()[0]
+    assert row["n_ffl"] == 6
+    assert row["n_cycle3"] == 2
+    assert row["n_mutual"] == 3
+    assert row["n_directed"] == 6

@@ -129,3 +129,60 @@ def test_pipeline_graph200_deterministic_and_sane(spark):
     assert tp + fp <= 197  # at most one match per perturbed node
     assert int(r1.stats["totalSuccessfulWalks"]) >= 0
     assert r1.per_round_match_counts == sorted(r1.per_round_match_counts)
+
+
+def test_node2vec_paths_are_valid_and_deterministic(spark):
+    from big_data_graph_analysis_with_spark_spark.model import NetGraph
+    from big_data_graph_analysis_with_spark_spark.operators import walks
+
+    v = spark.createDataFrame([(i,) for i in range(1, 8)], "id LONG")
+    edges = [(1, 2), (2, 3), (3, 4), (4, 1), (2, 5), (5, 6), (6, 7)]
+    e = spark.createDataFrame(edges, "src LONG, dst LONG")
+    g = NetGraph(v, e)
+    out = walks.node2vec_walks(
+        spark, g, walks_per_vertex=2, walk_length=10, seed=3
+    )
+    rows = sorted(
+        (r["start_id"], r["rep"], r["step"], r["node_id"]) for r in out.collect()
+    )
+    eset = set(edges)
+    by_walk: dict = {}
+    for s, rep, step, node in rows:
+        by_walk.setdefault((s, rep), []).append((step, node))
+    for (s, rep), path in by_walk.items():
+        path = [n for _, n in sorted(path)]
+        assert path[0] == s
+        for a, b in zip(path, path[1:]):
+            assert (a, b) in eset, f"non-edge step {a}->{b}"
+    # sink-terminated: walks reaching 7 stop there
+    assert all(p[-1][1] == 7 or len(p) == 11 for p in (sorted(v) for v in by_walk.values()))
+    # determinism under a different partitioning
+    out2 = walks.node2vec_walks(
+        spark, NetGraph(v.repartition(5), e.repartition(7)), 
+        walks_per_vertex=2, walk_length=10, seed=3
+    )
+    assert rows == sorted(
+        (r["start_id"], r["rep"], r["step"], r["node_id"]) for r in out2.collect()
+    )
+
+
+def test_node2vec_return_bias(spark):
+    from big_data_graph_analysis_with_spark_spark.model import NetGraph
+    from big_data_graph_analysis_with_spark_spark.operators import walks
+
+    # from 2 (arrived via 1): neighbors {1, 3}; 3 is not a neighbor of
+    # 1, so q→∞ kills the outward step and the walk oscillates 1↔2
+    v = spark.createDataFrame([(1,), (2,), (3,)], "id LONG")
+    e = spark.createDataFrame(
+        [(1, 2), (2, 1), (2, 3), (3, 2)], "src LONG, dst LONG"
+    )
+    g = NetGraph(v, e)
+    out = walks.node2vec_walks(
+        spark, g, walks_per_vertex=1, walk_length=12, p=1.0, q=1e12, seed=1
+    )
+    path1 = [
+        r["node_id"]
+        for r in out.filter("start_id = 1").orderBy("step").collect()
+    ]
+    assert set(path1) == {1, 2}
+    assert len(path1) == 13
