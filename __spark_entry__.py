@@ -2165,6 +2165,29 @@ def q_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
     return corpusstats.ngram_novelty(_docs(spark, sf_dir), n=3)
 
 
+def q_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Governance audit: quasi-identifier equivalence classes of
+    (lang, source, length-bucket) smaller than k=3 — the groups a
+    k-anonymity release policy must suppress."""
+    from big_data_graph_analysis_with_spark_spark.operators import curation
+
+    d = _docs(spark, sf_dir).select(
+        "lang", "source", F.expr("n_chars div 100").alias("len_bucket")
+    )
+    return curation.k_anonymity_violations(
+        d, ["lang", "source", "len_bucket"], k=3
+    )
+
+
+def q_type_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bipartite one-mode projection: event types weighted by shared
+    distinct users (capped per-user fan-out)."""
+    from big_data_graph_analysis_with_spark_spark.operators import cohorts
+
+    ev = _prep(spark).read.parquet(f"{sf_dir}/events.parquet")
+    return cohorts.type_projection(ev, max_types_per_user=64)
+
+
 def q_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cross-source contamination matrix: shared distinct text digests
     per unordered source pair (digest-keyed join, text never shuffled)."""
@@ -2430,6 +2453,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         #   never had a driver row; everything below has standing proof
         #   in CORRECTNESS_r03.json.
         # -- past the window this round; first in line for round 5 -----------
+        # (everything from here to the re-verified block below is
+        #  oracle-backed but has never had a driver row — rotate these
+        #  into the head 50 at the start of round 5)
         "scc": q_scc,
         "mis": q_mis,
         "closeness": q_closeness,
@@ -2441,6 +2467,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_real_codecs": q_multimodal_real_codecs,
         "bloom_pruned_join": q_bloom_pruned_join,
         "ngram_novelty": q_ngram_novelty,
+        "k_anonymity": q_k_anonymity,
+        "type_projection": q_type_projection,
         "source_overlap": q_source_overlap,
         "grid_clusters": q_grid_clusters,
         "quality_filter": q_quality_filter,
@@ -2851,6 +2879,27 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY l_returnflag
         """,
         "ngram_novelty": doc_oracles.ngram_novelty_sql(n=3),
+        "k_anonymity": """
+            SELECT lang, source,
+                   CAST(n_chars // 100 AS BIGINT) AS len_bucket,
+                   CAST(COUNT(*) AS BIGINT) AS group_size
+            FROM documents
+            GROUP BY lang, source, n_chars // 100
+            HAVING COUNT(*) < 3
+        """,
+        "type_projection": """
+            WITH ut AS (SELECT DISTINCT user_id, event_type FROM events),
+            capped AS (
+              SELECT user_id FROM ut GROUP BY user_id HAVING COUNT(*) <= 64
+            )
+            SELECT a.event_type AS type_a, b.event_type AS type_b,
+                   CAST(COUNT(DISTINCT a.user_id) AS BIGINT) AS n_shared_users
+            FROM ut a
+            JOIN ut b ON a.user_id = b.user_id
+            JOIN capped c ON c.user_id = a.user_id
+            WHERE a.event_type < b.event_type
+            GROUP BY a.event_type, b.event_type
+        """,
         "source_overlap": doc_oracles.source_overlap_sql(),
         "grid_clusters": doc_oracles.grid_clusters_sql(bits=6),
         "quality_filter": doc_oracles.quality_percentile_sql(num=1, den=2),

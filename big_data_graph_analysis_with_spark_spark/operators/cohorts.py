@@ -245,3 +245,34 @@ def type_purity(events: DataFrame) -> DataFrame:
             ),
         )
     )
+
+
+def type_projection(events: DataFrame, max_types_per_user: int = 64) -> DataFrame:
+    """(type_a, type_b, n_shared_users): the one-mode projection of the
+    user↔event_type bipartite graph — event types linked by how many
+    users touch both (type_a < type_b, each pair once). The co-usage
+    graph that feeds "users who X also Y" analyses and behavioral
+    clustering.
+
+    The per-user fan-out is C(t,2) over that user's DISTINCT types —
+    bounded by the type vocabulary, and hard-capped by dropping users
+    with more than `max_types_per_user` types (bots/monitors; a user
+    touching every type links everything to everything and carries no
+    signal). One distinct + one self-join keyed on user_id + one
+    aggregation; the projection never touches event payloads.
+    """
+    ut = events.select("user_id", "event_type").distinct()
+    caps = ut.groupBy("user_id").agg(F.count("*").alias("nt"))
+    ut = ut.join(
+        caps.filter(F.col("nt") <= max_types_per_user).select("user_id"),
+        on="user_id",
+        how="semi",
+    )
+    a = ut.select("user_id", F.col("event_type").alias("type_a"))
+    b = ut.select("user_id", F.col("event_type").alias("type_b"))
+    return (
+        a.join(b, on="user_id")
+        .filter(F.col("type_a") < F.col("type_b"))
+        .groupBy("type_a", "type_b")
+        .agg(F.countDistinct("user_id").cast("long").alias("n_shared_users"))
+    )

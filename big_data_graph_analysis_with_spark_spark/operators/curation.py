@@ -284,3 +284,25 @@ def quality_percentile_filter(
         .filter(F.col("quality_ppm") >= F.col("thr"))
         .select("doc_id", "quality_ppm")
     )
+
+
+def k_anonymity_violations(
+    df: DataFrame, quasi_cols: list[str], k: int = 5
+) -> DataFrame:
+    """(quasi columns..., group_size): equivalence classes of the
+    quasi-identifier combination with FEWER than `k` members — the
+    groups a k-anonymity release policy requires suppressing or
+    generalizing before data leaves the curation boundary.
+
+    One partial-aggregated groupBy on the quasi columns; the violating
+    classes are by definition the small groups, so the result is tiny
+    even when the input is not. Pair with `redact_pii` (direct
+    identifiers) — this operator covers the re-identification risk
+    that survives redaction.
+    """
+    assert quasi_cols, "need at least one quasi-identifier column"
+    return (
+        df.groupBy(*quasi_cols)
+        .agg(F.count("*").cast("long").alias("group_size"))
+        .filter(F.col("group_size") < k)
+    )

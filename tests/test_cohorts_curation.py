@@ -326,3 +326,45 @@ def test_sketch_audits_exact_and_verdicts(spark):
     assert qrows["p90"]["exact_value"] == lens[(100 - 1) * 9 // 10]
     assert all(r["sketch_ok"] for r in qrows.values())
 
+
+
+def test_k_anonymity_flags_small_groups(spark):
+    from big_data_graph_analysis_with_spark_spark.operators import curation
+    from pyspark.sql import functions as F
+
+    rows = [("en", "a")] * 5 + [("en", "b")] * 2 + [("de", "a")] * 1
+    df = spark.createDataFrame(rows, "lang STRING, source STRING")
+    got = {
+        (r["lang"], r["source"]): r["group_size"]
+        for r in curation.k_anonymity_violations(df, ["lang", "source"], k=3).collect()
+    }
+    assert got == {("en", "b"): 2, ("de", "a"): 1}
+
+
+def test_type_projection_counts_and_cap(spark):
+    from big_data_graph_analysis_with_spark_spark.operators import cohorts
+    import datetime
+
+    t0 = datetime.datetime(2024, 1, 1)
+    rows = [
+        (1, t0, 10, "click", 0.0, "{}"),
+        (2, t0, 10, "view", 0.0, "{}"),
+        (3, t0, 10, "click", 0.0, "{}"),   # duplicate type must not double
+        (4, t0, 20, "click", 0.0, "{}"),
+        (5, t0, 20, "buy", 0.0, "{}"),
+        (6, t0, 30, "view", 0.0, "{}"),
+        (7, t0, 30, "buy", 0.0, "{}"),
+    ]
+    ev = spark.createDataFrame(
+        rows,
+        "event_id LONG, ts TIMESTAMP, user_id LONG, event_type STRING, "
+        "value DOUBLE, props STRING",
+    )
+    got = {
+        (r["type_a"], r["type_b"]): r["n_shared_users"]
+        for r in cohorts.type_projection(ev).collect()
+    }
+    assert got == {("click", "view"): 1, ("buy", "click"): 1, ("buy", "view"): 1}
+    # cap: a user touching more than the limit is dropped entirely
+    got2 = cohorts.type_projection(ev, max_types_per_user=1).collect()
+    assert got2 == []
