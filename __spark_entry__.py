@@ -2165,6 +2165,35 @@ def q_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
     return corpusstats.ngram_novelty(_docs(spark, sf_dir), n=3)
 
 
+def q_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Row-level snapshot diff (added/removed/changed) between orders
+    and a deterministically-churned copy; the oracle derives the same
+    churn analytically, so the full-outer-join classification is what
+    is under test."""
+    from big_data_graph_analysis_with_spark_spark.operators import merge
+
+    orders = _prep(spark).read.parquet(f"{sf_dir}/orders.parquet")
+    old = orders.select("o_orderkey", "o_totalprice")
+    new = (
+        orders.filter(F.col("o_orderkey") % 13 != 0)
+        .select(
+            "o_orderkey",
+            F.when(
+                F.col("o_orderkey") % 7 == 0, F.col("o_totalprice") + 1
+            )
+            .otherwise(F.col("o_totalprice"))
+            .alias("o_totalprice"),
+        )
+        .unionAll(
+            orders.filter(F.col("o_orderkey") % 17 == 0).select(
+                (F.col("o_orderkey") + 1_000_000_000).alias("o_orderkey"),
+                "o_totalprice",
+            )
+        )
+    )
+    return merge.snapshot_diff(old, new, ["o_orderkey"], ["o_totalprice"])
+
+
 def q_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Governance audit: quasi-identifier equivalence classes of
     (lang, source, length-bucket) smaller than k=3 — the groups a
@@ -2467,6 +2496,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_real_codecs": q_multimodal_real_codecs,
         "bloom_pruned_join": q_bloom_pruned_join,
         "ngram_novelty": q_ngram_novelty,
+        "snapshot_diff": q_snapshot_diff,
         "k_anonymity": q_k_anonymity,
         "type_projection": q_type_projection,
         "source_overlap": q_source_overlap,
@@ -2879,6 +2909,17 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY l_returnflag
         """,
         "ngram_novelty": doc_oracles.ngram_novelty_sql(n=3),
+        "snapshot_diff": """
+            SELECT CAST(o_orderkey AS BIGINT) AS o_orderkey,
+                   'removed' AS change
+            FROM orders WHERE o_orderkey % 13 = 0
+            UNION ALL
+            SELECT CAST(o_orderkey AS BIGINT), 'changed'
+            FROM orders WHERE o_orderkey % 13 <> 0 AND o_orderkey % 7 = 0
+            UNION ALL
+            SELECT CAST(o_orderkey + 1000000000 AS BIGINT), 'added'
+            FROM orders WHERE o_orderkey % 17 = 0
+        """,
         "k_anonymity": """
             SELECT lang, source,
                    CAST(n_chars // 100 AS BIGINT) AS len_bucket,

@@ -87,3 +87,46 @@ def scd2_history(
         )
         .drop(delete_col)
     )
+
+
+def snapshot_diff(
+    old: DataFrame,
+    new: DataFrame,
+    key: Sequence[str],
+    compare: Sequence[str],
+) -> DataFrame:
+    """(key columns..., change) with change ∈ {'added', 'removed',
+    'changed'}: the row-level diff between two snapshots of a keyed
+    table — the dataset-versioning primitive behind "what moved
+    between corpus v1 and v2" reports and incremental downstream
+    refreshes. Unchanged rows are omitted (they are the bulk; a diff
+    that shuffles them back out is not a diff).
+
+    One full outer join on the key; change detection compares the
+    `compare` columns null-safely (`<=>`), so NULL→value and
+    value→NULL transitions count as changes. At scale both sides hash
+    once on the key — store snapshots bucketed on it and the exchanges
+    vanish; the output is bounded by churn, not table size.
+    """
+    assert key and compare, "need key and compare columns"
+    # presence flags must come from the join sides, not value nullness
+    # (a legitimately-NULL compare column must not read as "absent")
+    o2 = old.select(*key, F.lit(1).alias("_in_old"),
+                    *[F.col(c).alias(f"_o_{c}") for c in compare])
+    n2 = new.select(*key, F.lit(1).alias("_in_new"),
+                    *[F.col(c).alias(f"_n_{c}") for c in compare])
+    j2 = o2.join(n2, on=list(key), how="full_outer")
+    same = None
+    for c in compare:
+        eq = F.col(f"_o_{c}").eqNullSafe(F.col(f"_n_{c}"))
+        same = eq if same is None else (same & eq)
+    change = (
+        F.when(F.col("_in_old").isNull(), F.lit("added"))
+        .when(F.col("_in_new").isNull(), F.lit("removed"))
+        .when(~same, F.lit("changed"))
+    )
+    return (
+        j2.withColumn("change", change)
+        .filter(F.col("change").isNotNull())
+        .select(*key, "change")
+    )

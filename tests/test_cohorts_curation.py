@@ -368,3 +368,22 @@ def test_type_projection_counts_and_cap(spark):
     # cap: a user touching more than the limit is dropped entirely
     got2 = cohorts.type_projection(ev, max_types_per_user=1).collect()
     assert got2 == []
+
+
+def test_snapshot_diff_classifies_and_omits_unchanged(spark):
+    from big_data_graph_analysis_with_spark_spark.operators import merge
+
+    old = spark.createDataFrame(
+        [(1, 10.0), (2, 20.0), (3, None), (4, 40.0)],
+        "k LONG, v DOUBLE",
+    )
+    new = spark.createDataFrame(
+        [(1, 10.0), (2, 21.0), (3, 30.0), (5, 50.0)],
+        "k LONG, v DOUBLE",
+    )
+    got = {
+        r["k"]: r["change"]
+        for r in merge.snapshot_diff(old, new, ["k"], ["v"]).collect()
+    }
+    # 1 unchanged → absent; 3: NULL→30 counts as changed (null-safe eq)
+    assert got == {2: "changed", 3: "changed", 4: "removed", 5: "added"}
