@@ -53,10 +53,14 @@ def main() -> None:
 
     n_iters = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_ITERS", "3")))
 
-    def timed(name: str, reset=None):
+    def timed(name: str, reset=None, iters: int | None = None):
+        # iters caps this entry below the global count — used on the
+        # multi-operator suites (>8s each) so total bench wall stays
+        # bounded as coverage grows; min-of-2 vs min-of-3 noise is
+        # well under the regressions worth flagging at that size
         def deco(fn):
             best = None
-            for it in range(n_iters):
+            for it in range(min(n_iters, iters) if iters else n_iters):
                 if reset is not None:
                     reset()
                 print(
@@ -199,7 +203,7 @@ def main() -> None:
         corpusstats.top_ngrams(docs, n=2, min_docs=2, k=50).count()
         corpusstats.token_quantiles(docs, group="lang").count()
 
-    @timed("graph_centralities")
+    @timed("graph_centralities", iters=2)
     def _():
         # round-4 whole-graph suite: LCC + 3-round LPA + 2-round HITS
         from big_data_graph_analysis_with_spark_spark.operators import graphalg
@@ -210,7 +214,7 @@ def main() -> None:
         ).collect()
         graphalg.hits_scores(og, rounds=2).agg(F.sum("auth")).collect()
 
-    @timed("graph_structure")
+    @timed("graph_structure", iters=2)
     def _():
         # SCC (trim + coloring over og ∪ reversed dst%7 subset — the
         # cyclic augmentation the oracle uses) + Luby MIS
@@ -224,7 +228,7 @@ def main() -> None:
         ).collect()
         graphalg.maximal_independent_set(og, rounds=6).count()
 
-    @timed("graph_centrality_paths")
+    @timed("graph_centrality_paths", iters=2)
     def _():
         # multi-source closeness/harmonic + σ path counting + sampled
         # Brandes betweenness — the frontier-BFS family
@@ -306,6 +310,29 @@ def main() -> None:
         sampling.stratified_priority_sample(docs, k_per_stratum=50, seed=7).count()
         dedup.sorted_neighborhood_pairs(docs).count()
 
+    @timed("data_management", iters=2)
+    def _():
+        # round-4 table/governance suite: snapshot diff, bloom-pruned
+        # join, k-anonymity audit, source overlap, type projection
+        import __spark_entry__ as entrymod
+
+        entrymod.q_snapshot_diff(spark, SF_DIR).count()
+        entrymod.q_bloom_pruned_join(spark, SF_DIR).count()
+        entrymod.q_k_anonymity(spark, SF_DIR).count()
+        entrymod.q_source_overlap(spark, SF_DIR).count()
+        entrymod.q_type_projection(spark, SF_DIR).count()
+
+    @timed("corpus_quality")
+    def _():
+        # quality-percentile gate, length-matched resample, novelty,
+        # JL projection + grid cells
+        import __spark_entry__ as entrymod
+
+        entrymod.q_quality_filter(spark, SF_DIR).count()
+        entrymod.q_length_matched_resample(spark, SF_DIR).count()
+        entrymod.q_ngram_novelty(spark, SF_DIR).count()
+        entrymod.q_grid_clusters(spark, SF_DIR).count()
+
     @timed("json_analytics")
     def _():
         # JSON payload extraction + bipartite projection over events
@@ -354,7 +381,7 @@ def main() -> None:
         assets = multimodal.synthesize_media_assets(docs)
         multimodal.extract_features(assets).count()
 
-    @timed("mitm_pipeline_graph200")
+    @timed("mitm_pipeline_graph200", iters=2)
     def _():
         # the reference's own workload at its full config (20×50 walks)
         og200 = load_graph(spark, f"{REF_INPUT}/Graph200.txt")
