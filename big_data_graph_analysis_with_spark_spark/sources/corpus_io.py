@@ -133,3 +133,39 @@ def write_training_shards(
         .partitionBy("shard")
         .parquet(path)
     )
+
+
+def write_events_by_day(events: DataFrame, path: str) -> None:
+    """Day-partitioned event sink: `day=YYYY-MM-DD/part-*.parquet`,
+    one compacted file per day (repartition on the partition column),
+    rows sorted by event time within each file.
+
+    This is the layout that makes time-ranged event queries PARTITION-
+    PRUNED: a filter on `day` never opens other days' files — at
+    100 TB/year the difference between scanning a day and scanning a
+    year. `read_events_by_day` pins the pruning in its test by
+    asserting the filter lands in the scan's PartitionFilters.
+    Within-file time order additionally gives min/max row-group
+    statistics their best selectivity for intra-day ranges.
+    """
+    from ..functions.eventtime import event_micros
+
+    tus = event_micros(events)
+    with_day = events.withColumn(
+        "day", F.date_format(F.timestamp_micros(tus), "yyyy-MM-dd")
+    ).withColumn("_tus", tus)
+    (
+        with_day.repartition(F.col("day"))
+        .sortWithinPartitions("_tus")
+        .drop("_tus")
+        .write.mode("overwrite")
+        .partitionBy("day")
+        .parquet(path)
+    )
+
+
+def read_events_by_day(spark, path: str, day: str) -> DataFrame:
+    """One day's events from a `write_events_by_day` layout — the
+    filter is a partition predicate, so only that day's files are
+    listed and read."""
+    return spark.read.parquet(path).filter(F.col("day") == day)

@@ -111,3 +111,41 @@ def test_write_training_shards_roundtrip(spark, tmp_path):
     assert files
     pos = pq.read_table(files[0], columns=["pos"])["pos"].to_pylist()
     assert pos == sorted(pos)
+
+
+def test_events_day_partitioning_prunes(spark, tmp_path):
+    from big_data_graph_analysis_with_spark_spark.sources import corpus_io
+
+    ev = spark.read.parquet(f"{SF0001}/events.parquet")
+    path = str(tmp_path / "events_by_day")
+    corpus_io.write_events_by_day(ev, path)
+    # layout: day=YYYY-MM-DD dirs, one file each
+    days = sorted(
+        p.name for p in (tmp_path / "events_by_day").iterdir()
+        if p.name.startswith("day=")
+    )
+    assert len(days) >= 2
+    day = days[0].split("=", 1)[1]
+    got = corpus_io.read_events_by_day(spark, path, day)
+    # the day filter must be a PARTITION filter (pruned listing), not a
+    # post-scan data filter
+    plan = got._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [" in plan
+    assert f"day = {day}" in plan or "isnotnull(day" in plan
+    # row counts: partitioned day equals filtering the source by date
+    from big_data_graph_analysis_with_spark_spark.functions.eventtime import (
+        event_micros,
+    )
+    from pyspark.sql import functions as F
+
+    want = ev.filter(
+        F.date_format(F.timestamp_micros(event_micros(ev)), "yyyy-MM-dd")
+        == day
+    ).count()
+    assert got.count() == want
+    # within-file time ordering held
+    import pyarrow.parquet as pq
+
+    f = next((tmp_path / "events_by_day" / days[0]).glob("*.parquet"))
+    ts = pq.read_table(str(f), columns=["ts"]).column("ts").to_pylist()
+    assert ts == sorted(ts)
