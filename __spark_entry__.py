@@ -2165,6 +2165,13 @@ def q_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
     return corpusstats.ngram_novelty(_docs(spark, sf_dir), n=3)
 
 
+def q_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Greedy BPE merge-table induction, 4 rounds — one bigram count +
+    one rewrite pass per round; only the winning pair reaches the
+    driver. Oracle = the same loop as chained CTEs."""
+    return textops.bpe_merges(_docs(spark, sf_dir), rounds=4)
+
+
 def q_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Row-level snapshot diff (added/removed/changed) between orders
     and a deterministically-churned copy; the oracle derives the same
@@ -2496,6 +2503,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_real_codecs": q_multimodal_real_codecs,
         "bloom_pruned_join": q_bloom_pruned_join,
         "ngram_novelty": q_ngram_novelty,
+        "bpe_merges": q_bpe_merges,
         "snapshot_diff": q_snapshot_diff,
         "k_anonymity": q_k_anonymity,
         "type_projection": q_type_projection,
@@ -2909,6 +2917,7 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY l_returnflag
         """,
         "ngram_novelty": doc_oracles.ngram_novelty_sql(n=3),
+        "bpe_merges": doc_oracles.bpe_merges_sql(rounds=4),
         "snapshot_diff": """
             SELECT CAST(o_orderkey AS BIGINT) AS o_orderkey,
                    'removed' AS change

@@ -173,3 +173,68 @@ def tfidf_top_terms(docs: DataFrame, k: int = 5) -> DataFrame:
         Window.partitionBy("doc_id").orderBy(F.desc("score"), "term")
     )
     return scored.withColumn("rnk", rnk.cast("long")).filter(F.col("rnk") <= k)
+
+
+def bpe_merges(docs: DataFrame, rounds: int = 4, sep: str = "_") -> DataFrame:
+    """(round, pair, merged, n_occ): greedy BPE-style merge-table
+    induction over the word stream — per round, the most frequent
+    adjacent token pair (ties → lexicographically smallest) becomes a
+    merged token and the corpus is rewritten before the next count.
+    The merge TABLE is the tokenizer-training artifact (apply order =
+    round order); `rounds` bounds it like a vocab-size budget.
+
+    Execution is the textbook distributed formulation: each round is
+    one bigram count aggregation (explode adjacent pairs → groupBy →
+    global top-1, a TakeOrderedAndProject) plus one narrow rewrite
+    pass; only the single winning pair ever reaches the driver.
+    Rewrite semantics are STRING-level leftmost non-overlapping
+    (boundary-padded literal replace): "a a a" merges once, not twice
+    — the convention both engines implement identically, which is what
+    makes the whole merge table hash-comparable against the chained-CTE
+    DuckDB oracle. Assumes `sep` does not occur in the corpus (true
+    for the fixtures; pick any unused byte otherwise).
+    """
+    spark = docs.sparkSession
+    t = docs.select(
+        F.concat(F.lit(" "), F.col("text"), F.lit(" ")).alias("t")
+    ).localCheckpoint()
+    out: list[tuple[int, str, str, int]] = []
+    for r in range(1, rounds + 1):
+        words = F.split(F.trim(F.col("t")), " ")
+        pairs = t.select(
+            F.explode(
+                F.when(F.size(words) < 2, F.array().cast("array<string>"))
+                .otherwise(
+                    F.transform(
+                        F.sequence(F.lit(1), F.size(words) - 1),
+                        lambda i: F.concat(
+                            F.element_at(words, i),
+                            F.lit(" "),
+                            F.element_at(words, i + 1),
+                        ),
+                    )
+                )
+            ).alias("pair")
+        )
+        best = (
+            pairs.groupBy("pair")
+            .agg(F.count("*").alias("c"))
+            .orderBy(F.desc("c"), F.asc("pair"))
+            .limit(1)
+            .collect()
+        )
+        if not best:
+            break
+        pair, c = best[0]["pair"], int(best[0]["c"])
+        merged = pair.replace(" ", sep)
+        out.append((r, pair, merged, c))
+        t = t.select(
+            F.expr(
+                "replace(t, ' {p} ', ' {m} ')".format(
+                    p=pair.replace("'", "\\'"), m=merged.replace("'", "\\'")
+                )
+            ).alias("t")
+        ).localCheckpoint()
+    return spark.createDataFrame(
+        out, "round long, pair string, merged string, n_occ long"
+    )

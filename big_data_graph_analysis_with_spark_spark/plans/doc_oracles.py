@@ -984,3 +984,35 @@ SELECT s.doc_id,
 FROM shing s JOIN dfs d ON d.shingle = s.shingle
 GROUP BY s.doc_id
 """
+
+
+def bpe_merges_sql(rounds: int = 4, sep: str = "_") -> str:
+    """Twin of textops.bpe_merges — the greedy merge loop as chained
+    CTEs (count → argmax with (c DESC, pair ASC) tiebreak → padded
+    literal replace), one trio per round."""
+    ctes = ["t0 AS (SELECT ' ' || text || ' ' AS t FROM documents)"]
+    finals = []
+    for k in range(1, rounds + 1):
+        p = k - 1
+        ctes.append(f"""
+tok{k} AS (SELECT string_split(trim(t), ' ') AS w FROM t{p}),
+bg{k} AS (
+  SELECT w[i+1] || ' ' || w[i+2] AS pair, COUNT(*) AS c
+  FROM (SELECT w, unnest(range(len(w) - 1)) AS i
+        FROM tok{k} WHERE len(w) >= 2)
+  GROUP BY pair
+),
+best{k} AS MATERIALIZED (
+  SELECT pair, replace(pair, ' ', '{sep}') AS merged, c
+  FROM bg{k} ORDER BY c DESC, pair ASC LIMIT 1
+),
+t{k} AS MATERIALIZED (
+  SELECT replace(t, ' ' || (SELECT pair FROM best{k}) || ' ',
+                 ' ' || (SELECT merged FROM best{k}) || ' ') AS t
+  FROM t{p}
+)""")
+        finals.append(
+            f"SELECT CAST({k} AS BIGINT) AS round, pair, merged,"
+            f" CAST(c AS BIGINT) AS n_occ FROM best{k}"
+        )
+    return "WITH " + ",".join(ctes) + "\n" + "\nUNION ALL ".join(finals)

@@ -906,3 +906,28 @@ def test_quality_percentile_filter_median_cut(spark, docs):
     kept_min = kept.agg(F.min("quality_ppm")).first()[0]
     if dropped_max is not None:
         assert kept_min >= dropped_max
+
+
+def test_bpe_merges_greedy_and_nonoverlapping(spark):
+    rows = [
+        (1, "the cat sat"),
+        (2, "the cat ran"),
+        (3, "the cat the cat"),
+        (4, "a a a"),
+    ]
+    d = spark.createDataFrame(rows, "doc_id LONG, text STRING")
+    got = [
+        (r["round"], r["pair"], r["merged"], r["n_occ"])
+        for r in textops.bpe_merges(d, rounds=2).orderBy("round").collect()
+    ]
+    # round 1: 'the cat' occurs 4 times (doc 3 twice) — top pair
+    assert got[0] == (1, "the cat", "the_cat", 4)
+    # round 2: after rewriting, 'a a' has 2 token-adjacent occurrences
+    # counted, 'cat the' is gone (doc 3 is now 'the_cat the_cat')
+    assert got[1][1] in ("a a", "the_cat the_cat")
+    # determinism across runs
+    again = [
+        (r["round"], r["pair"], r["merged"], r["n_occ"])
+        for r in textops.bpe_merges(d, rounds=2).orderBy("round").collect()
+    ]
+    assert got == again
