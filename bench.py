@@ -131,6 +131,17 @@ def main() -> None:
         graphalg.triangle_counts(og).agg(F.sum("n_triangles")).collect()
         graphalg.pagerank(og, iters=4).agg(F.sum("pr_scaled")).collect()
 
+    @timed("mitm_pipeline_graph200")
+    def _():
+        # the reference's own workload at its full config (20×50 walks).
+        # Runs EARLY: this is the headline reference-parity number, and
+        # late in a long bench process the accumulated JVM state (JIT
+        # deopt, checkpoint blocks, GC pressure) was measured to triple
+        # the stage latency of these tiny 200-vertex rounds.
+        og200 = load_graph(spark, f"{REF_INPUT}/Graph200.txt")
+        pg200 = load_graph(spark, f"{REF_INPUT}/Graph200.txt.perturbed")
+        run_pipeline(spark, og200, pg200, SimConfig())
+
     docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
     embs = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
 
@@ -380,13 +391,6 @@ def main() -> None:
         # decode both Arrow-batched)
         assets = multimodal.synthesize_media_assets(docs)
         multimodal.extract_features(assets).count()
-
-    @timed("mitm_pipeline_graph200", iters=2)
-    def _():
-        # the reference's own workload at its full config (20×50 walks)
-        og200 = load_graph(spark, f"{REF_INPUT}/Graph200.txt")
-        pg200 = load_graph(spark, f"{REF_INPUT}/Graph200.txt.perturbed")
-        run_pipeline(spark, og200, pg200, SimConfig())
 
     # -- bucketed graph analytics: same PageRank as graph_analytics but
     # over src-bucketed catalog tables with edges_stable=True, so every
