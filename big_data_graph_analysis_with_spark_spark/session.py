@@ -45,6 +45,14 @@ _DEFAULTS = {
     # let Spark disambiguate instead of erroring.
     "spark.sql.analyzer.failAmbiguousSelfJoinResolution": "false",
     "spark.sql.shuffle.partitions": "32",
+    # Long-lived many-query processes (bench, the driver's verify pass)
+    # generate thousands of codegen classes and stages; keep the UI's
+    # event bookkeeping off and leave the JIT room to keep compiling —
+    # an exhausted code cache silently de-optimizes late queries (the
+    # measured effect: tail bench entries ~1.7× slower than the same
+    # suite in a fresh JVM).
+    "spark.ui.enabled": "false",
+    "spark.ui.showConsoleProgress": "true",
 }
 
 
@@ -73,6 +81,14 @@ def get_spark(
             # JVM launch — inert if a session already exists.
             builder = builder.config(
                 "spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g")
+            )
+            # JVM-launch-only: widen the JIT code cache (Spark's own
+            # recommendation for many-query processes; whole-stage
+            # codegen emits a class per stage and the HotSpot default
+            # fills after a few thousand, after which compilation stops)
+            builder = builder.config(
+                "spark.driver.extraJavaOptions",
+                "-XX:ReservedCodeCacheSize=512m",
             )
     conf = dict(_DEFAULTS)
     if shuffle_partitions is not None:

@@ -427,3 +427,17 @@ def test_motif_counts_mutual_triangle(spark):
     assert row["n_cycle3"] == 2
     assert row["n_mutual"] == 3
     assert row["n_directed"] == 6
+
+
+def test_narrow_shuffle_restores_on_error(spark):
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    g = _graph(spark, [1, 2], [(1, 2)])
+    try:
+        with graphalg._narrow_shuffle(g):
+            assert spark.conf.get("spark.sql.shuffle.partitions") == str(
+                graphalg._NARROW_WIDTH
+            )
+            raise RuntimeError("boom")
+    except RuntimeError:
+        pass
+    assert spark.conf.get("spark.sql.shuffle.partitions") == prev
