@@ -919,6 +919,39 @@ pr_{k} AS (
     )
 
 
+def _condensation_sql() -> str:
+    # scc labels from the mutual-reachability closure (see _scc_sql),
+    # then inter-component edge contraction
+    return f"""
+WITH RECURSIVE {GRAPH_CTES},
+fedges AS MATERIALIZED (
+  SELECT DISTINCT src, dst FROM (
+    SELECT src, dst FROM og_edges WHERE src <> dst
+    UNION ALL
+    SELECT dst AS src, src AS dst FROM og_edges
+    WHERE dst % 7 = 0 AND src <> dst)
+),
+reach(s, d) AS (
+  SELECT id, id FROM og_vertices
+  UNION
+  SELECT r.s, e.dst FROM reach r JOIN fedges e ON e.src = r.d
+),
+scc AS MATERIALIZED (
+  SELECT a.s AS id, MAX(a.d) AS scc_id
+  FROM reach a JOIN reach b ON a.s = b.d AND a.d = b.s
+  GROUP BY a.s
+)
+SELECT DISTINCT CAST(ls.scc_id AS BIGINT) AS src_scc,
+                CAST(ld.scc_id AS BIGINT) AS dst_scc
+FROM (SELECT src, dst FROM og_edges
+      UNION ALL
+      SELECT dst AS src, src AS dst FROM og_edges WHERE dst % 7 = 0) e
+JOIN scc ls ON ls.id = e.src
+JOIN scc ld ON ld.id = e.dst
+WHERE ls.scc_id <> ld.scc_id
+"""
+
+
 def _motif_sql() -> str:
     # same reversed-subset augmentation as _scc_sql so the directed
     # census has cycles and mutual pairs to find
@@ -2021,6 +2054,25 @@ def q_orders_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_orders_point_in_time(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-time lookup over the SCD2 history: the table state
+    AS OF version 1 (updates applied, deletes not yet) — the
+    time-travel read the versioned-interval layout exists for."""
+    hist = q_orders_scd2(spark, sf_dir)
+    asof_v = 1
+    return hist.filter(
+        (F.col("valid_from") <= asof_v)
+        & (F.col("valid_to").isNull() | (F.col("valid_to") > asof_v))
+    ).select("o_orderkey", "o_totalprice", "o_orderstatus", "valid_from")
+
+
+def q_condensation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Condensation DAG of the cycle-augmented graph: SCCs contracted
+    to their max-id labels, inter-component edges kept once."""
+    og, _ = _graphs(spark, sf_dir)
+    return graphalg.condensation_edges(og, extra_edges=_scc_extra_edges(og))
+
+
 def q_session_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact p50/p90/p99 of session duration and depth (rank-selection
     quantiles over the sessionized events)."""
@@ -2504,6 +2556,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bloom_pruned_join": q_bloom_pruned_join,
         "ngram_novelty": q_ngram_novelty,
         "bpe_merges": q_bpe_merges,
+        "orders_point_in_time": q_orders_point_in_time,
+        "condensation": q_condensation,
         "snapshot_diff": q_snapshot_diff,
         "k_anonymity": q_k_anonymity,
         "type_projection": q_type_projection,
@@ -2918,6 +2972,29 @@ def oracle_sql() -> dict[str, str]:
         """,
         "ngram_novelty": doc_oracles.ngram_novelty_sql(n=3),
         "bpe_merges": doc_oracles.bpe_merges_sql(rounds=4),
+        "orders_point_in_time": """
+            WITH feed AS (
+              SELECT o_orderkey, o_totalprice, o_orderstatus, 0 AS v
+              FROM orders
+              UNION ALL
+              SELECT o_orderkey, o_totalprice * 2, o_orderstatus, 1
+              FROM orders WHERE o_orderkey % 7 = 0
+              UNION ALL
+              SELECT o_orderkey, o_totalprice, o_orderstatus, 2
+              FROM orders WHERE o_orderkey % 13 = 0
+            ),
+            hist AS (
+              SELECT o_orderkey, o_totalprice, o_orderstatus,
+                     CAST(v AS BIGINT) AS valid_from,
+                     CAST(LEAD(v) OVER (PARTITION BY o_orderkey ORDER BY v)
+                          AS BIGINT) AS valid_to
+              FROM feed
+            )
+            SELECT o_orderkey, o_totalprice, o_orderstatus, valid_from
+            FROM hist
+            WHERE valid_from <= 1 AND (valid_to IS NULL OR valid_to > 1)
+        """,
+        "condensation": _condensation_sql(),
         "snapshot_diff": """
             SELECT CAST(o_orderkey AS BIGINT) AS o_orderkey,
                    'removed' AS change

@@ -1374,3 +1374,36 @@ def motif_counts(graph: NetGraph) -> DataFrame:
         [(ffl, cyc, mutual, e.count())],
         "n_ffl long, n_cycle3 long, n_mutual long, n_directed long",
     )
+
+
+def condensation_edges(
+    graph: NetGraph, extra_edges: DataFrame | None = None, **scc_kwargs
+) -> DataFrame:
+    """(src_scc, dst_scc): the condensation DAG — every strongly
+    connected component contracted to one vertex (labeled by its max
+    member id, as in scc_components), keeping each inter-component
+    edge once and dropping intra-component ones. The result is always
+    acyclic; it is the graph coarsening that makes dependency-order
+    processing (topological batches, reachability caching) tractable
+    on a cyclic input.
+
+    Cost on top of SCC: two label joins on the edge endpoints + one
+    distinct — all keyed on vertex/component ids.
+    """
+    labels = scc_components(graph, extra_edges=extra_edges, **scc_kwargs)
+    edges = graph.edges.select("src", "dst")
+    if extra_edges is not None:
+        edges = edges.unionAll(extra_edges.select("src", "dst"))
+    return (
+        edges.join(
+            labels.select(F.col("id").alias("src"), F.col("scc_id").alias("src_scc")),
+            on="src",
+        )
+        .join(
+            labels.select(F.col("id").alias("dst"), F.col("scc_id").alias("dst_scc")),
+            on="dst",
+        )
+        .filter(F.col("src_scc") != F.col("dst_scc"))
+        .select("src_scc", "dst_scc")
+        .distinct()
+    )

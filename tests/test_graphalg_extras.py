@@ -441,3 +441,17 @@ def test_narrow_shuffle_restores_on_error(spark):
     except RuntimeError:
         pass
     assert spark.conf.get("spark.sql.shuffle.partitions") == prev
+
+
+def test_condensation_contracts_cycles_to_dag(spark):
+    # cycle {1,2,3} → 4 → cycle {5,6}; condensation: 3 → 4 → 6
+    g = _graph(
+        spark,
+        [1, 2, 3, 4, 5, 6],
+        [(1, 2), (2, 3), (3, 1), (3, 4), (4, 5), (5, 6), (6, 5)],
+    )
+    got = sorted(
+        (r["src_scc"], r["dst_scc"])
+        for r in graphalg.condensation_edges(g).collect()
+    )
+    assert got == [(3, 4), (4, 6)]
