@@ -919,6 +919,33 @@ pr_{k} AS (
     )
 
 
+def _neighborhood_features_sql() -> str:
+    return graph_sql("""
+, de AS (SELECT DISTINCT src, dst FROM og_edges),
+one AS (
+  SELECT e.src AS id, COUNT(*) AS od,
+         SUM(CASE WHEN v.valuable_data THEN 1 ELSE 0 END) AS nv,
+         CAST(SUM(CAST(v.stored_value AS DECIMAL(18,6))) AS DOUBLE) AS sv
+  FROM de e JOIN og_vertices v ON v.id = e.dst
+  GROUP BY e.src
+),
+two AS (
+  SELECT src AS id, COUNT(*) AS n2
+  FROM (SELECT DISTINCT a.src, b.dst AS hop2
+        FROM de a JOIN de b ON b.src = a.dst)
+  GROUP BY src
+)
+SELECT v.id,
+       CAST(COALESCE(o.od, 0) AS BIGINT) AS out_deg,
+       CAST(COALESCE(o.nv, 0) AS BIGINT) AS n_valuable_nbrs,
+       COALESCE(o.sv, 0.0) AS sum_nbr_value,
+       CAST(COALESCE(t.n2, 0) AS BIGINT) AS n_2hop
+FROM og_vertices v
+LEFT JOIN one o ON o.id = v.id
+LEFT JOIN two t ON t.id = v.id
+""")
+
+
 def _condensation_sql() -> str:
     # scc labels from the mutual-reachability closure (see _scc_sql),
     # then inter-component edge contraction
@@ -2073,6 +2100,26 @@ def q_condensation(spark: SparkSession, sf_dir: str) -> DataFrame:
     return graphalg.condensation_edges(og, extra_edges=_scc_extra_edges(og))
 
 
+def q_neighborhood_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Message-passing feature layer: per-vertex 1-hop aggregates
+    (degree, valuable-neighbor count, decimal-exact value sum) and the
+    distinct 2-hop reach count."""
+    og, _ = _graphs(spark, sf_dir)
+    return graphalg.neighborhood_features(og)
+
+
+def q_ego_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rows-only: layered GraphSAGE-style ego-net batch from the 8
+    smallest vertex ids, fanouts (3, 2) — deterministic membership is
+    pinned by repartitioning-invariance tests; the per-layer hash-rank
+    machinery is oracle-checked via `neighbor_sample`."""
+    from big_data_graph_analysis_with_spark_spark.operators import sampling
+
+    og, _ = _graphs(spark, sf_dir)
+    seeds = og.vertices.select("id").orderBy("id").limit(8)
+    return sampling.ego_batch(og.edges, seeds, fanouts=(3, 2), seed=5)
+
+
 def q_session_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact p50/p90/p99 of session duration and depth (rank-selection
     quantiles over the sessionized events)."""
@@ -2558,6 +2605,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bpe_merges": q_bpe_merges,
         "orders_point_in_time": q_orders_point_in_time,
         "condensation": q_condensation,
+        "neighborhood_features": q_neighborhood_features,
+        "ego_batch": q_ego_batch,
         "snapshot_diff": q_snapshot_diff,
         "k_anonymity": q_k_anonymity,
         "type_projection": q_type_projection,
@@ -2995,6 +3044,7 @@ def oracle_sql() -> dict[str, str]:
             WHERE valid_from <= 1 AND (valid_to IS NULL OR valid_to > 1)
         """,
         "condensation": _condensation_sql(),
+        "neighborhood_features": _neighborhood_features_sql(),
         "snapshot_diff": """
             SELECT CAST(o_orderkey AS BIGINT) AS o_orderkey,
                    'removed' AS change

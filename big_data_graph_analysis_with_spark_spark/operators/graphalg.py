@@ -1407,3 +1407,60 @@ def condensation_edges(
         .select("src_scc", "dst_scc")
         .distinct()
     )
+
+
+def neighborhood_features(graph: NetGraph) -> DataFrame:
+    """(id, out_deg, n_valuable_nbrs, sum_nbr_value, n_2hop): the
+    message-passing feature layer — per vertex, aggregates over its
+    out-neighborhood (degree, how many neighbors hold valuable data,
+    exact decimal sum of their stored_value) plus the DISTINCT 2-hop
+    out-reach count. These are the handcrafted structural features a
+    tabular model (or a GNN baseline) trains on before anyone reaches
+    for learned embeddings.
+
+    One edge⋈vertex join + groupBy for the 1-hop aggregates; the 2-hop
+    count is one more self-join with a distinct on (id, hop2) —
+    the Σdeg² wedge shape, bucketable on src at scale. Decimal sums
+    keep the float feature engine-reproducible. Vertices with no
+    out-edges appear with zeros (left join at the end).
+    """
+    e = graph.edges.select("src", "dst").distinct().localCheckpoint()
+    nbr_attrs = e.join(
+        graph.vertices.select(
+            F.col("id").alias("dst"),
+            F.col("valuable_data"),
+            F.col("stored_value").cast("decimal(18,6)").alias("sv"),
+        ),
+        on="dst",
+    )
+    one_hop = nbr_attrs.groupBy(F.col("src").alias("id")).agg(
+        F.count("*").cast("long").alias("out_deg"),
+        F.sum(F.col("valuable_data").cast("long")).cast("long").alias(
+            "n_valuable_nbrs"
+        ),
+        F.sum("sv").cast("double").alias("sum_nbr_value"),
+    )
+    two_hop = (
+        e.join(
+            e.select(F.col("src").alias("dst"), F.col("dst").alias("hop2")),
+            on="dst",
+        )
+        .select("src", "hop2")
+        .distinct()
+        .groupBy(F.col("src").alias("id"))
+        .agg(F.count("*").cast("long").alias("n_2hop"))
+    )
+    return (
+        graph.vertices.select("id")
+        .join(one_hop, on="id", how="left")
+        .join(two_hop, on="id", how="left")
+        .select(
+            "id",
+            F.coalesce("out_deg", F.lit(0)).cast("long").alias("out_deg"),
+            F.coalesce("n_valuable_nbrs", F.lit(0))
+            .cast("long")
+            .alias("n_valuable_nbrs"),
+            F.coalesce("sum_nbr_value", F.lit(0.0)).alias("sum_nbr_value"),
+            F.coalesce("n_2hop", F.lit(0)).cast("long").alias("n_2hop"),
+        )
+    )

@@ -16,6 +16,8 @@ splits.
 
 from __future__ import annotations
 
+from collections.abc import Sequence
+
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -310,3 +312,44 @@ def length_matched_resample(
         .filter(_bucket(id_col, seed) < F.col("rate"))
         .select(id_col, "bucket", length_col)
     )
+
+
+def ego_batch(
+    edges: DataFrame,
+    seeds: DataFrame,
+    fanouts: Sequence[int] = (3, 2),
+    seed: int = 0,
+) -> DataFrame:
+    """(seed_id, hop, src, dst): layered GraphSAGE-style ego-net
+    sampling — starting from `seeds` (an `id` column), expand hop h
+    through at most fanouts[h-1] seeded out-neighbors per frontier
+    vertex (the `neighbor_sample` cap applied per layer), recording
+    every sampled edge with the seed that pulled it in. This is the
+    mini-batch subgraph loader for GNN training: bounded fan-out per
+    layer ⇒ each ego-net has ≤ Π fanouts edges regardless of hub
+    degrees.
+
+    Determinism: layer membership reuses neighbor_sample's pure
+    (edge, seed)-hash order, so a batch is reproducible across runs,
+    partitionings, and engines. Frontier joins key on vertex ids; a
+    vertex reached via several seeds is expanded once per seed (ego
+    nets are per-seed by definition) — the multiplicity is bounded by
+    the seed count, not the graph.
+    """
+    out = None
+    frontier = seeds.select(F.col("id").alias("seed_id"), F.col("id").alias("node"))
+    for h, k in enumerate(fanouts, start=1):
+        capped = neighbor_sample(edges, k=k, seed=seed + h)
+        layer = (
+            frontier.join(capped, on=frontier.node == capped.src)
+            .select(
+                "seed_id",
+                F.lit(h).cast("long").alias("hop"),
+                "src",
+                "dst",
+            )
+            .distinct()
+        )
+        out = layer if out is None else out.unionAll(layer)
+        frontier = layer.select("seed_id", F.col("dst").alias("node")).distinct()
+    return out

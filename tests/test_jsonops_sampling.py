@@ -484,3 +484,41 @@ def test_time_profile_epoch_arithmetic(spark):
         (4, 5): (1, 250_000),
         (0, 0): (2, 500_000),
     }
+
+
+def test_ego_batch_fanout_caps_and_determinism(spark):
+    from big_data_graph_analysis_with_spark_spark.operators import sampling
+    from pyspark.sql import functions as F
+
+    # hub 1 with 6 out-neighbors, each with 4 out-neighbors
+    edges = [(1, 10 + i) for i in range(6)]
+    edges += [(10 + i, 100 + 10 * i + j) for i in range(6) for j in range(4)]
+    e = spark.createDataFrame(edges, "src LONG, dst LONG")
+    seeds = spark.createDataFrame([(1,)], "id LONG")
+    out = sampling.ego_batch(e, seeds, fanouts=(3, 2), seed=5).collect()
+    hop1 = [(r["src"], r["dst"]) for r in out if r["hop"] == 1]
+    hop2 = [(r["src"], r["dst"]) for r in out if r["hop"] == 2]
+    assert len(hop1) == 3  # hub capped to fanout 3
+    # every hop-2 edge leaves a sampled hop-1 destination, ≤2 each
+    h1_dsts = {d for _, d in hop1}
+    from collections import Counter
+
+    c = Counter(s for s, _ in hop2)
+    assert set(c) <= h1_dsts and all(v <= 2 for v in c.values())
+    # deterministic under repartitioning
+    again = sampling.ego_batch(
+        e.repartition(7), seeds, fanouts=(3, 2), seed=5
+    ).collect()
+    key = lambda r: (r["seed_id"], r["hop"], r["src"], r["dst"])
+    assert sorted(map(key, out)) == sorted(map(key, again))
+
+
+def test_ego_batch_per_seed_nets(spark):
+    from big_data_graph_analysis_with_spark_spark.operators import sampling
+
+    e = spark.createDataFrame([(1, 2), (2, 3), (4, 2)], "src LONG, dst LONG")
+    seeds = spark.createDataFrame([(1,), (4,)], "id LONG")
+    out = sampling.ego_batch(e, seeds, fanouts=(2, 2), seed=0).collect()
+    # both seeds independently pull the 2→3 edge at hop 2
+    hop2_seeds = {r["seed_id"] for r in out if r["hop"] == 2}
+    assert hop2_seeds == {1, 4}
