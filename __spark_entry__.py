@@ -2108,6 +2108,17 @@ def q_neighborhood_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     return graphalg.neighborhood_features(og)
 
 
+def q_churned_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Churn cohort: users active in the first half of the day range
+    with zero activity after — exact integer cutoff, one anti join."""
+    from big_data_graph_analysis_with_spark_spark.operators import cohorts
+
+    ev = _prep(spark).read.parquet(f"{sf_dir}/events.parquet")
+    # the synthetic users are active nearly everywhere; only a thin
+    # "after" window (the last ~5% of days) yields a nonempty cohort
+    return cohorts.churned_users(ev, split=(19, 20))
+
+
 def q_ego_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Rows-only: layered GraphSAGE-style ego-net batch from the 8
     smallest vertex ids, fanouts (3, 2) — deterministic membership is
@@ -2606,6 +2617,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "orders_point_in_time": q_orders_point_in_time,
         "condensation": q_condensation,
         "neighborhood_features": q_neighborhood_features,
+        "churned_users": q_churned_users,
         "ego_batch": q_ego_batch,
         "snapshot_diff": q_snapshot_diff,
         "k_anonymity": q_k_anonymity,
@@ -3045,6 +3057,25 @@ def oracle_sql() -> dict[str, str]:
         """,
         "condensation": _condensation_sql(),
         "neighborhood_features": _neighborhood_features_sql(),
+        "churned_users": """
+            WITH d AS (
+              SELECT DISTINCT user_id,
+                     epoch_us(ts) // 86400000000 AS day
+              FROM events
+            ),
+            rng AS (SELECT MIN(day) AS lo, MAX(day) AS hi FROM d),
+            lab AS (SELECT d.user_id, d.day,
+                           r.lo + (r.hi - r.lo) * 19 // 20 AS cut
+                    FROM d, rng r),
+            after AS (SELECT DISTINCT user_id FROM lab WHERE day > cut)
+            SELECT b.user_id,
+                   CAST(COUNT(*) AS BIGINT) AS n_days_before,
+                   CAST(MAX(b.day) AS BIGINT) AS last_day_before
+            FROM lab b
+            WHERE b.day <= b.cut
+              AND b.user_id NOT IN (SELECT user_id FROM after)
+            GROUP BY b.user_id
+        """,
         "snapshot_diff": """
             SELECT CAST(o_orderkey AS BIGINT) AS o_orderkey,
                    'removed' AS change

@@ -276,3 +276,34 @@ def type_projection(events: DataFrame, max_types_per_user: int = 64) -> DataFram
         .groupBy("type_a", "type_b")
         .agg(F.countDistinct("user_id").cast("long").alias("n_shared_users"))
     )
+
+
+def churned_users(events: DataFrame, split: tuple[int, int] = (1, 2)) -> DataFrame:
+    """(user_id, n_days_before, last_day_before): users active in the
+    first `split` fraction of the observed day range with NO activity
+    after it — the churn cohort a re-engagement pipeline targets, and
+    the label generator for churn-prediction training data.
+
+    The cutoff day is exact integer arithmetic on the observed range
+    (min + (max−min)·num div den); both halves aggregate to per-user
+    day sets once, and churn is one anti join on user_id. Shuffles key
+    on user_id only.
+    """
+    num, den = split
+    d = _days(events)
+    rng = d.agg(
+        F.min("day").alias("lo"), F.max("day").alias("hi")
+    )
+    labeled = d.crossJoin(F.broadcast(rng)).withColumn(
+        "cut", F.expr(f"lo + (hi - lo) * {num} div {den}")
+    )
+    before = labeled.filter(F.col("day") <= F.col("cut"))
+    after = labeled.filter(F.col("day") > F.col("cut")).select("user_id").distinct()
+    return (
+        before.groupBy("user_id")
+        .agg(
+            F.count("*").cast("long").alias("n_days_before"),
+            F.max("day").cast("long").alias("last_day_before"),
+        )
+        .join(after, on="user_id", how="left_anti")
+    )

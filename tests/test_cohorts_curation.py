@@ -387,3 +387,29 @@ def test_snapshot_diff_classifies_and_omits_unchanged(spark):
     }
     # 1 unchanged → absent; 3: NULL→30 counts as changed (null-safe eq)
     assert got == {2: "changed", 3: "changed", 4: "removed", 5: "added"}
+
+
+def test_churned_users_anti_join_semantics(spark):
+    import datetime
+
+    from big_data_graph_analysis_with_spark_spark.operators import cohorts
+
+    def ev(eid, day, user):
+        return (eid, datetime.datetime(2024, 1, day, 12), user, "click", 1.0, "{}")
+
+    rows = [
+        ev(1, 1, 10), ev(2, 2, 10),             # churned: active early only
+        ev(3, 1, 20), ev(4, 9, 20),             # retained: active both halves
+        ev(5, 8, 30),                           # late joiner: never "before"
+    ]
+    e = spark.createDataFrame(
+        rows,
+        "event_id LONG, ts TIMESTAMP, user_id LONG, event_type STRING, "
+        "value DOUBLE, props STRING",
+    )
+    got = {
+        r["user_id"]: (r["n_days_before"], r["last_day_before"])
+        for r in cohorts.churned_users(e, split=(1, 2)).collect()
+    }
+    assert set(got) == {10}
+    assert got[10][0] == 2  # two distinct active days before the cutoff
