@@ -1710,6 +1710,67 @@ def q_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6-style: one-row revenue-change forecast — a pure
+    pushdown-filter + single decimal aggregate; the scan should read 3
+    columns with every predicate pushed (PLAN_AUDIT checks)."""
+    li = _prep(spark).read.parquet(f"{sf_dir}/lineitem.parquet")
+    return (
+        li.filter(
+            (F.col("l_discount") >= 0.05)
+            & (F.col("l_discount") <= 0.07)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(
+            F.sum(
+                (
+                    F.col("l_extendedprice").cast("decimal(18,2)")
+                    * F.col("l_discount").cast("decimal(18,2)")
+                ).cast("decimal(28,4)")
+            )
+            .cast("double")
+            .alias("revenue"),
+            F.count("*").cast("long").alias("n_items"),
+        )
+    )
+
+
+def q_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q10-style: revenue lost to returned items per customer
+    (top 20) — the 3-table join + aggregate + deterministic top-k."""
+    li = _prep(spark).read.parquet(f"{sf_dir}/lineitem.parquet")
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    cust = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    rev = (
+        li.filter(F.col("l_returnflag") == "R")
+        .join(orders, on=F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(cust, on=F.col("o_custkey") == F.col("c_custkey"))
+        .groupBy("c_custkey", "c_name")
+        .agg(
+            F.sum(
+                (
+                    F.col("l_extendedprice").cast("decimal(18,2)")
+                    * (
+                        F.lit(1).cast("decimal(18,2)")
+                        - F.col("l_discount").cast("decimal(18,2)")
+                    )
+                ).cast("decimal(28,4)")
+            ).alias("rev_dec"),
+            F.count("*").cast("long").alias("n_items"),
+        )
+    )
+    return (
+        rev.orderBy(F.desc("rev_dec"), F.asc("c_custkey"))
+        .limit(20)
+        .select(
+            "c_custkey",
+            "c_name",
+            F.col("rev_dec").cast("double").alias("revenue"),
+            "n_items",
+        )
+    )
+
+
 def q_top_customers_per_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Join + window rank: top-3 customers by order revenue per nation."""
     orders = _prep(spark).read.parquet(f"{sf_dir}/orders.parquet")
@@ -2618,6 +2679,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "condensation": q_condensation,
         "neighborhood_features": q_neighborhood_features,
         "churned_users": q_churned_users,
+        "forecast_revenue": q_forecast_revenue,
+        "returned_items": q_returned_items,
         "ego_batch": q_ego_batch,
         "snapshot_diff": q_snapshot_diff,
         "k_anonymity": q_k_anonymity,
@@ -3057,6 +3120,33 @@ def oracle_sql() -> dict[str, str]:
         """,
         "condensation": _condensation_sql(),
         "neighborhood_features": _neighborhood_features_sql(),
+        "forecast_revenue": """
+            SELECT CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,2))
+                       * CAST(l_discount AS DECIMAL(18,2))
+                       AS DECIMAL(28,4))) AS DOUBLE) AS revenue,
+                   CAST(COUNT(*) AS BIGINT) AS n_items
+            FROM lineitem
+            WHERE l_discount >= 0.05 AND l_discount <= 0.07
+              AND l_quantity < 24
+        """,
+        "returned_items": """
+            WITH rev AS (
+              SELECT c.c_custkey, c.c_name,
+                     SUM(CAST(CAST(l.l_extendedprice AS DECIMAL(18,2))
+                         * (CAST(1 AS DECIMAL(18,2))
+                            - CAST(l.l_discount AS DECIMAL(18,2)))
+                         AS DECIMAL(28,4))) AS rev_dec,
+                     CAST(COUNT(*) AS BIGINT) AS n_items
+              FROM lineitem l
+              JOIN orders o ON o.o_orderkey = l.l_orderkey
+              JOIN customer c ON c.c_custkey = o.o_custkey
+              WHERE l.l_returnflag = 'R'
+              GROUP BY c.c_custkey, c.c_name
+            )
+            SELECT c_custkey, c_name,
+                   CAST(rev_dec AS DOUBLE) AS revenue, n_items
+            FROM rev ORDER BY rev_dec DESC, c_custkey ASC LIMIT 20
+        """,
         "churned_users": """
             WITH d AS (
               SELECT DISTINCT user_id,
