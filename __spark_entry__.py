@@ -2180,6 +2180,15 @@ def q_churned_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cohorts.churned_users(ev, split=(19, 20))
 
 
+def q_user_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user event-type sequences in exact (time, id) order, capped
+    at the first 50 events — behavior-sequence training-data export."""
+    from big_data_graph_analysis_with_spark_spark.operators import olap
+
+    ev = _prep(spark).read.parquet(f"{sf_dir}/events.parquet")
+    return olap.user_sequences(ev, max_len=50)
+
+
 def q_ego_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Rows-only: layered GraphSAGE-style ego-net batch from the 8
     smallest vertex ids, fanouts (3, 2) — deterministic membership is
@@ -2679,6 +2688,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "condensation": q_condensation,
         "neighborhood_features": q_neighborhood_features,
         "churned_users": q_churned_users,
+        "user_sequences": q_user_sequences,
         "forecast_revenue": q_forecast_revenue,
         "returned_items": q_returned_items,
         "ego_batch": q_ego_batch,
@@ -3120,6 +3130,16 @@ def oracle_sql() -> dict[str, str]:
         """,
         "condensation": _condensation_sql(),
         "neighborhood_features": _neighborhood_features_sql(),
+        "user_sequences": """
+            WITH seqs AS (
+              SELECT user_id,
+                     list(event_type ORDER BY epoch_us(ts), event_id) AS s
+              FROM events GROUP BY user_id
+            )
+            SELECT user_id, array_to_string(s[1:50], ' ') AS seq,
+                   CAST(LEAST(len(s), 50) AS BIGINT) AS n_events
+            FROM seqs
+        """,
         "forecast_revenue": """
             SELECT CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,2))
                        * CAST(l_discount AS DECIMAL(18,2))

@@ -159,3 +159,42 @@ def recent_events_per_user(events: DataFrame, n: int = 3) -> DataFrame:
             "event_type",
         )
     )
+
+
+def user_sequences(events: DataFrame, max_len: int = 100) -> DataFrame:
+    """(user_id, seq, n_events): each user's event-type sequence in
+    exact time order (ties broken by event_id — a total order, so the
+    sequence is deterministic across engines and partitionings), capped
+    at the FIRST `max_len` events and space-joined to a string — the
+    standard sequence-corpus export (next-event prediction,
+    session2vec): one row per user, ready to tokenize like any text
+    document or shard with `sampling.shard_assignments`.
+
+    One groupBy on user_id; ordering happens inside the row via
+    sort_array over (time, id, type) structs — no window shuffle, and
+    map-side partial aggregation keeps hub users' lists growing on one
+    reducer only. The cap bounds row width against bot-like users.
+    """
+    from ..functions.eventtime import event_micros
+
+    tus = event_micros(events)
+    packed = events.select(
+        "user_id",
+        F.struct(
+            tus.alias("tus"),
+            F.col("event_id").alias("eid"),
+            F.col("event_type").alias("et"),
+        ).alias("p"),
+    )
+    return (
+        packed.groupBy("user_id")
+        .agg(F.sort_array(F.collect_list("p")).alias("ps"))
+        .select(
+            "user_id",
+            F.array_join(
+                F.slice(F.transform(F.col("ps"), lambda s: s["et"]), 1, max_len),
+                " ",
+            ).alias("seq"),
+            F.least(F.size("ps"), F.lit(max_len)).cast("long").alias("n_events"),
+        )
+    )

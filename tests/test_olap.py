@@ -101,3 +101,28 @@ def test_upsert_plan_is_join_free(spark):
     plan = merge.upsert(base, changes, ["k"], "v", "_del")._jdf.queryExecution(
     ).executedPlan().toString()
     assert "Join" not in plan and plan.count("Exchange") == 1
+
+
+def test_user_sequences_order_and_cap(spark):
+    import datetime
+
+    from big_data_graph_analysis_with_spark_spark.operators import olap
+
+    t = datetime.datetime
+    rows = [
+        (2, t(2024, 1, 1, 0, 0, 5), 7, "b", 0.0, "{}"),
+        (1, t(2024, 1, 1, 0, 0, 5), 7, "a", 0.0, "{}"),  # same ts: id order
+        (3, t(2024, 1, 1, 0, 0, 9), 7, "c", 0.0, "{}"),
+        (4, t(2024, 1, 1, 0, 0, 1), 9, "z", 0.0, "{}"),
+    ]
+    ev = spark.createDataFrame(
+        rows,
+        "event_id LONG, ts TIMESTAMP, user_id LONG, event_type STRING, "
+        "value DOUBLE, props STRING",
+    )
+    got = {
+        r["user_id"]: (r["seq"], r["n_events"])
+        for r in olap.user_sequences(ev, max_len=2).collect()
+    }
+    assert got[7] == ("a b", 2)  # time order, id tiebreak, capped at 2
+    assert got[9] == ("z", 1)
