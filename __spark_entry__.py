@@ -2180,6 +2180,16 @@ def q_churned_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cohorts.churned_users(ev, split=(19, 20))
 
 
+def q_knn_label_prop(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-supervised label propagation over the exact cosine kNN
+    graph (deterministic vec_id %% 2 audit slice): seeds = vec_id %% 3
+    == 0, two majority-vote rounds with deterministic tie-breaks."""
+    return similarity.knn_label_propagation(
+        _embs(spark, sf_dir).filter(F.col("vec_id") % 2 == 0),
+        k=5, rounds=2, known_mod=3,
+    )
+
+
 def q_user_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-user event-type sequences in exact (time, id) order, capped
     at the first 50 events — behavior-sequence training-data export."""
@@ -2688,6 +2698,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "condensation": q_condensation,
         "neighborhood_features": q_neighborhood_features,
         "churned_users": q_churned_users,
+        "knn_label_prop": q_knn_label_prop,
         "user_sequences": q_user_sequences,
         "forecast_revenue": q_forecast_revenue,
         "returned_items": q_returned_items,
@@ -3130,6 +3141,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "condensation": _condensation_sql(),
         "neighborhood_features": _neighborhood_features_sql(),
+        "knn_label_prop": doc_oracles.knn_label_prop_sql(k=5, rounds=2, known_mod=3, sample_mod=2),
         "user_sequences": """
             WITH seqs AS (
               SELECT user_id,

@@ -633,3 +633,59 @@ def embedding_grid_clusters(emb: DataFrame, bits: int = 6) -> DataFrame:
         F.count("*").cast("long").alias("n_vecs"),
         F.min("vec_id").alias("min_vec_id"),
     )
+
+
+def knn_label_propagation(
+    emb: DataFrame, k: int = 5, rounds: int = 2, known_mod: int = 3
+) -> DataFrame:
+    """(vec_id, label, is_seed): semi-supervised label propagation over
+    the exact cosine kNN graph — seed labels are kept only for vectors
+    with ``vec_id % known_mod == 0`` (the deterministic "labeled
+    subset"); everyone else takes the MAJORITY label of their k nearest
+    neighbors' current labels, iterated `rounds` times (ties → smallest
+    label, so the outcome is a pure function of the embedding table).
+    Vectors none of whose neighbors are labeled after `rounds` are
+    absent — honest "no prediction" rather than a default class.
+
+    This is the classic graph-SSL baseline (Zhu & Ghahramani 2002)
+    composed from engine primitives: the kNN edge list feeds one
+    vote join + one windowed argmax per round, all keyed on vec_id.
+    At corpus scale swap the exact kNN for `ann_lsh_topk` edges —
+    the propagation loop is unchanged.
+    """
+    known = emb.filter(F.col("vec_id") % known_mod == 0).select(
+        "vec_id", F.col("label").cast("long").alias("label")
+    ).localCheckpoint()
+    edges = (
+        knn_graph(emb, k=k)
+        .select("vec_id", "neighbor_id")
+        .localCheckpoint()
+    )
+    labels = known
+    for _ in range(rounds):
+        votes = (
+            edges.join(
+                labels.select(
+                    F.col("vec_id").alias("neighbor_id"), "label"
+                ),
+                on="neighbor_id",
+            )
+            .groupBy("vec_id", "label")
+            .agg(F.count("*").alias("c"))
+        )
+        w = Window.partitionBy("vec_id").orderBy(
+            F.desc("c"), F.asc("label")
+        )
+        pred = (
+            votes.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") == 1)
+            .select("vec_id", "label")
+        )
+        labels = known.unionAll(
+            pred.join(known.select("vec_id"), on="vec_id", how="left_anti")
+        ).localCheckpoint()
+    return labels.select(
+        "vec_id",
+        "label",
+        (F.col("vec_id") % known_mod == 0).alias("is_seed"),
+    )

@@ -1016,3 +1016,47 @@ t{k} AS MATERIALIZED (
             f" CAST(c AS BIGINT) AS n_occ FROM best{k}"
         )
     return "WITH " + ",".join(ctes) + "\n" + "\nUNION ALL ".join(finals)
+
+
+def knn_label_prop_sql(
+    k: int = 5, rounds: int = 2, known_mod: int = 3, sample_mod: int = 1
+) -> str:
+    """Twin of similarity.knn_label_propagation: the kNN edge CTE plus
+    round-unrolled vote/argmax/merge CTEs. `sample_mod` slices the
+    vector set (the audit-scale bound, as in knn_graph_sql)."""
+    knn = knn_graph_sql(k=k, sample_mod=sample_mod).strip()
+    ctes = [
+        f"""edges AS MATERIALIZED (
+  SELECT vec_id, neighbor_id FROM ({knn})
+),
+lab0 AS MATERIALIZED (
+  SELECT vec_id, CAST(label AS BIGINT) AS label
+  FROM embeddings
+  WHERE vec_id % {sample_mod} = 0 AND vec_id % {known_mod} = 0
+)"""
+    ]
+    for r in range(1, rounds + 1):
+        p = r - 1
+        ctes.append(f""",
+votes{r} AS (
+  SELECT e.vec_id, l.label, COUNT(*) AS c
+  FROM edges e JOIN lab{p} l ON l.vec_id = e.neighbor_id
+  GROUP BY e.vec_id, l.label
+),
+pred{r} AS (
+  SELECT vec_id, label FROM (
+    SELECT vec_id, label, ROW_NUMBER() OVER (
+      PARTITION BY vec_id ORDER BY c DESC, label ASC) AS rn
+    FROM votes{r}) WHERE rn = 1
+),
+lab{r} AS MATERIALIZED (
+  SELECT * FROM lab0
+  UNION ALL
+  SELECT p.vec_id, p.label FROM pred{r} p
+  WHERE p.vec_id NOT IN (SELECT vec_id FROM lab0)
+)""")
+    return (
+        "WITH " + "".join(ctes)
+        + f"\nSELECT vec_id, label, vec_id % {known_mod} = 0 AS is_seed"
+        + f" FROM lab{rounds}"
+    )

@@ -931,3 +931,27 @@ def test_bpe_merges_greedy_and_nonoverlapping(spark):
         for r in textops.bpe_merges(d, rounds=2).orderBy("round").collect()
     ]
     assert got == again
+
+
+def test_knn_label_prop_seeds_fixed_and_majority(spark, embs):
+    out = similarity.knn_label_propagation(
+        embs.limit(60), k=3, rounds=2, known_mod=3
+    )
+    rows = {r["vec_id"]: (r["label"], r["is_seed"]) for r in out.collect()}
+    src = {r["vec_id"]: r["label"] for r in embs.limit(60).collect()}
+    # seeds keep their true label, always
+    for vid, (lab, is_seed) in rows.items():
+        if vid % 3 == 0:
+            assert is_seed and lab == src[vid]
+        else:
+            assert not is_seed
+    # determinism
+    again = {
+        r["vec_id"]: (r["label"], r["is_seed"])
+        for r in similarity.knn_label_propagation(
+            embs.limit(60), k=3, rounds=2, known_mod=3
+        ).collect()
+    }
+    assert rows == again
+    # propagation labeled at least some non-seeds
+    assert any(not s for _, s in rows.values())
