@@ -2180,6 +2180,28 @@ def q_churned_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cohorts.churned_users(ev, split=(19, 20))
 
 
+def q_attributed_purchases(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Purchase→prior-click attribution pairs within a 1-hour horizon
+    (the batch twin of the stream-stream watermark join; the streaming
+    equivalence is asserted in tests)."""
+    from big_data_graph_analysis_with_spark_spark.streaming import correlate
+
+    ev = _prep(spark).read.parquet(f"{sf_dir}/events.parquet")
+    return correlate.attributed_purchases(
+        ev, horizon="1 hour", watermark=None
+    ).select("user_id", "purchase_id", "click_id", "value")
+
+
+def q_vocab_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heaps'-law vocabulary growth: distinct-token and hapax counts at
+    doc-count checkpoints, from ONE token aggregation."""
+    from big_data_graph_analysis_with_spark_spark.operators import corpusstats
+
+    return corpusstats.vocab_growth(
+        _docs(spark, sf_dir), checkpoints=(100, 500, 2_000, 10_000)
+    )
+
+
 def q_knn_label_prop(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Semi-supervised label propagation over the exact cosine kNN
     graph (deterministic vec_id %% 2 audit slice): seeds = vec_id %% 3
@@ -2698,6 +2720,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "condensation": q_condensation,
         "neighborhood_features": q_neighborhood_features,
         "churned_users": q_churned_users,
+        "attributed_purchases": q_attributed_purchases,
+        "vocab_growth": q_vocab_growth,
         "knn_label_prop": q_knn_label_prop,
         "user_sequences": q_user_sequences,
         "forecast_revenue": q_forecast_revenue,
@@ -3141,6 +3165,47 @@ def oracle_sql() -> dict[str, str]:
         """,
         "condensation": _condensation_sql(),
         "neighborhood_features": _neighborhood_features_sql(),
+        "attributed_purchases": """
+            SELECT p.user_id, p.event_id AS purchase_id,
+                   c.event_id AS click_id, p.value
+            FROM events p
+            JOIN events c
+              ON c.user_id = p.user_id
+             AND c.event_type = 'click'
+             AND epoch_us(c.ts) <= epoch_us(p.ts)
+             AND epoch_us(c.ts) >= epoch_us(p.ts) - 3600000000
+            WHERE p.event_type = 'purchase'
+        """,
+        "vocab_growth": """
+            WITH toks AS (
+              SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+              FROM documents
+            ),
+            per AS (
+              SELECT tok,
+                     SUM(CASE WHEN doc_id < 100 THEN 1 ELSE 0 END) AS o100,
+                     SUM(CASE WHEN doc_id < 500 THEN 1 ELSE 0 END) AS o500,
+                     SUM(CASE WHEN doc_id < 2000 THEN 1 ELSE 0 END) AS o2000,
+                     SUM(CASE WHEN doc_id < 10000 THEN 1 ELSE 0 END) AS o10000
+              FROM toks GROUP BY tok
+            )
+            SELECT CAST(c AS BIGINT) AS n_docs,
+                   CAST(v AS BIGINT) AS vocab_size,
+                   CAST(h AS BIGINT) AS n_hapax
+            FROM (
+              SELECT 100 AS c, SUM(CASE WHEN o100 > 0 THEN 1 ELSE 0 END) v,
+                     SUM(CASE WHEN o100 = 1 THEN 1 ELSE 0 END) h FROM per
+              UNION ALL
+              SELECT 500, SUM(CASE WHEN o500 > 0 THEN 1 ELSE 0 END),
+                     SUM(CASE WHEN o500 = 1 THEN 1 ELSE 0 END) FROM per
+              UNION ALL
+              SELECT 2000, SUM(CASE WHEN o2000 > 0 THEN 1 ELSE 0 END),
+                     SUM(CASE WHEN o2000 = 1 THEN 1 ELSE 0 END) FROM per
+              UNION ALL
+              SELECT 10000, SUM(CASE WHEN o10000 > 0 THEN 1 ELSE 0 END),
+                     SUM(CASE WHEN o10000 = 1 THEN 1 ELSE 0 END) FROM per
+            )
+        """,
         "knn_label_prop": doc_oracles.knn_label_prop_sql(k=5, rounds=2, known_mod=3, sample_mod=2),
         "user_sequences": """
             WITH seqs AS (

@@ -383,3 +383,53 @@ def ngram_novelty(docs: DataFrame, n: int = 3) -> DataFrame:
             F.expr("n_unique_corpus * 1000000 div n_shingles"),
         )
     )
+
+
+def vocab_growth(
+    docs: DataFrame, checkpoints: Sequence[int] = (100, 1000, 10_000, 100_000)
+) -> DataFrame:
+    """(n_docs, vocab_size, n_hapax): the vocabulary-growth (Heaps'
+    law) curve — distinct-token and hapax counts over the corpus
+    prefix of the first `c` documents (by doc_id order) for each
+    checkpoint c. The tokenizer-budget diagnostic: where the curve
+    flattens tells you how much corpus a vocab build actually needs.
+
+    ONE token aggregation serves every checkpoint: a token's
+    contribution to prefix c is decided by its MINIMUM doc_id (vocab
+    membership) and its occurrence count within the prefix (hapax =
+    exactly one). Tokens aggregate to (min_doc_id per checkpoint-
+    bounded count) via conditional sums, so the plan is explode →
+    one groupBy(token) → one tiny rollup — no per-checkpoint rescans.
+    Checkpoints beyond the corpus clamp to the full corpus (reported
+    n_docs is the checkpoint, monotone in vocab_size regardless).
+    """
+    toks = docs.select(
+        "doc_id", F.explode(F.split("text", " ")).alias("tok")
+    )
+    aggs = []
+    for c in checkpoints:
+        inpfx = F.col("doc_id") < c
+        aggs.append(
+            F.sum(F.when(inpfx, 1).otherwise(0)).alias(f"occ_{c}")
+        )
+    per_tok = toks.groupBy("tok").agg(*aggs)
+    # one global aggregate computes every checkpoint's pair of counts,
+    # then stack unpivots in-plan — per_tok is scanned exactly once
+    final_aggs = []
+    for c in checkpoints:
+        final_aggs.append(
+            F.sum((F.col(f"occ_{c}") > 0).cast("long")).alias(f"v_{c}")
+        )
+        final_aggs.append(
+            F.sum((F.col(f"occ_{c}") == 1).cast("long")).alias(f"h_{c}")
+        )
+    wide = per_tok.agg(*final_aggs)
+    stack = ", ".join(
+        f"CAST({int(c)} AS BIGINT), v_{c}, h_{c}" for c in checkpoints
+    )
+    return wide.select(
+        F.expr(
+            f"stack({len(checkpoints)}, {stack})"
+            " AS (n_docs, vocab_size, n_hapax)"
+        )
+    )

@@ -242,3 +242,28 @@ def test_windowed_value_hist_clamps_out_of_range(spark):
         ).collect()
     }
     assert got == {0: 1, 3: 1, 2: 1}
+
+
+def test_stream_stream_attribution_equals_batch(spark, events_dir):
+    from big_data_graph_analysis_with_spark_spark.streaming import correlate
+
+    stream = correlate.read_events_stream(spark, events_dir)
+    joined = correlate.attributed_purchases(stream, horizon="1 hour")
+    walk_rates.run_to_memory_sink(joined, "attrib", "append")
+    got = {
+        (r["purchase_id"], r["click_id"])
+        for r in spark.table("attrib").collect()
+    }
+    batch = spark.read.parquet(events_dir)
+    want = {
+        (r["purchase_id"], r["click_id"])
+        for r in correlate.attributed_purchases(
+            batch, horizon="1 hour", watermark=None
+        ).collect()
+    }
+    assert got == want
+    assert len(want) > 0
+    # every pair's click is really within the hour before its purchase
+    for r in spark.table("attrib").collect():
+        dt = (r["purchase_time"] - r["click_time"]).total_seconds()
+        assert 0 <= dt <= 3600
