@@ -540,6 +540,13 @@ def q_node2vec_walks(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_hub_attack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Targeted-attack robustness: connectivity summary after removing
+    the 10 highest-degree vertices (deterministic tie-break)."""
+    og, _ = _graphs(spark, sf_dir)
+    return graphalg.hub_attack_robustness(og, n_remove=10)
+
+
 def q_motif_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Directed 3-node motif census (FFL vs 3-cycle vs mutual pairs)
     over the cycle-augmented graph — each instance counted exactly
@@ -976,6 +983,44 @@ FROM (SELECT src, dst FROM og_edges
 JOIN scc ls ON ls.id = e.src
 JOIN scc ld ON ld.id = e.dst
 WHERE ls.scc_id <> ld.scc_id
+"""
+
+
+def _hub_attack_sql(n_remove: int = 10) -> str:
+    # hubs by (degree DESC, id ASC), then the CC closure restricted to
+    # the survivors — same recursive skeleton as _components_sql
+    return f"""
+WITH RECURSIVE {GRAPH_CTES},
+{_UND_CTES.strip()},
+deg AS (
+  SELECT id, COUNT(*) AS d FROM (
+    SELECT a AS id FROM und UNION ALL SELECT b FROM und)
+  GROUP BY id
+),
+hubs AS MATERIALIZED (
+  SELECT id FROM deg ORDER BY d DESC, id ASC LIMIT {n_remove}
+),
+vleft AS MATERIALIZED (
+  SELECT id FROM og_vertices WHERE id NOT IN (SELECT id FROM hubs)
+),
+syml AS MATERIALIZED (
+  SELECT a, b FROM (
+    SELECT a, b FROM und UNION ALL SELECT b AS a, a AS b FROM und)
+  WHERE a NOT IN (SELECT id FROM hubs)
+    AND b NOT IN (SELECT id FROM hubs)
+),
+reach(id, r) AS (
+  SELECT id, id FROM vleft
+  UNION
+  SELECT s.a, reach.r FROM syml s JOIN reach ON reach.id = s.b
+),
+cc AS (SELECT id, MIN(r) AS component_id FROM reach GROUP BY id),
+sizes AS (SELECT component_id, COUNT(*) AS n FROM cc GROUP BY component_id)
+SELECT CAST({n_remove} AS BIGINT) AS n_removed,
+       CAST(SUM(n) AS BIGINT) AS n_vertices_left,
+       CAST(COUNT(*) AS BIGINT) AS n_components,
+       CAST(MAX(n) AS BIGINT) AS largest_component
+FROM sizes
 """
 
 
@@ -2709,6 +2754,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "closeness": q_closeness,
         "path_counts": q_path_counts,
         "pagerank_weighted": q_pagerank_weighted,
+        "hub_attack": q_hub_attack,
         "motif_counts": q_motif_counts,
         "node2vec_walks": q_node2vec_walks,
         "betweenness": q_betweenness,
@@ -2995,6 +3041,7 @@ def oracle_sql() -> dict[str, str]:
         "closeness": _closeness_sql(n_seeds=4),
         "path_counts": _path_counts_sql(levels=8),
         "pagerank_weighted": _pagerank_weighted_sql(iters=4),
+        "hub_attack": _hub_attack_sql(n_remove=10),
         "motif_counts": _motif_sql(),
         "ktruss": _ktruss_sql(k=4, rounds=5),
         "active_users": """

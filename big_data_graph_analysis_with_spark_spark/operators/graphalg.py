@@ -1464,3 +1464,49 @@ def neighborhood_features(graph: NetGraph) -> DataFrame:
             F.coalesce("n_2hop", F.lit(0)).cast("long").alias("n_2hop"),
         )
     )
+
+
+def hub_attack_robustness(graph: NetGraph, n_remove: int = 10) -> DataFrame:
+    """One row (n_removed, n_vertices_left, n_components,
+    largest_component): connectivity of the undirected graph after
+    deleting the `n_remove` highest-degree vertices (ties → smaller
+    id, so the removed set is deterministic) — the targeted-attack
+    robustness probe (Albert, Jeong & Barabási, Nature 2000). For a
+    MitM surface: how much of the network stays mutually reachable
+    when the best-connected nodes are compromised and quarantined.
+
+    Degree top-k is a TakeOrderedAndProject (per-partition heaps);
+    removal is two anti joins; the remainder reuses the
+    connected_components fixpoint. Only the 4-field summary ever
+    reaches the driver.
+    """
+    und = undirected_edges(graph)
+    deg = (
+        und.select(F.col("a").alias("id"))
+        .unionAll(und.select(F.col("b").alias("id")))
+        .groupBy("id")
+        .agg(F.count("*").alias("d"))
+    )
+    hubs = (
+        deg.orderBy(F.desc("d"), F.asc("id"))
+        .limit(n_remove)
+        .select("id")
+        .localCheckpoint()
+    )
+    vleft = graph.vertices.select("id").join(hubs, on="id", how="left_anti")
+    eleft = graph.edges.join(
+        hubs.select(F.col("id").alias("src")), on="src", how="left_anti"
+    ).join(hubs.select(F.col("id").alias("dst")), on="dst", how="left_anti")
+    cc = connected_components(NetGraph(vleft, eleft.select("src", "dst")))
+    sizes = cc.groupBy("component_id").agg(F.count("*").alias("n"))
+    summary = sizes.agg(
+        F.count("*").cast("long").alias("n_components"),
+        F.max("n").cast("long").alias("largest_component"),
+        F.sum("n").cast("long").alias("n_vertices_left"),
+    )
+    return summary.select(
+        F.lit(int(n_remove)).cast("long").alias("n_removed"),
+        "n_vertices_left",
+        "n_components",
+        "largest_component",
+    )

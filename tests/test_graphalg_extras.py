@@ -455,3 +455,21 @@ def test_condensation_contracts_cycles_to_dag(spark):
         for r in graphalg.condensation_edges(g).collect()
     )
     assert got == [(3, 4), (4, 6)]
+
+
+def test_hub_attack_star_disconnects(spark):
+    # star center 1 with 5 leaves: removing the single hub leaves 5
+    # singletons
+    g = _graph(spark, [1, 2, 3, 4, 5, 6], [(1, i) for i in (2, 3, 4, 5, 6)])
+    row = graphalg.hub_attack_robustness(g, n_remove=1).collect()[0]
+    assert row["n_removed"] == 1
+    assert row["n_vertices_left"] == 5
+    assert row["n_components"] == 5
+    assert row["largest_component"] == 1
+
+
+def test_hub_attack_resilient_cycle(spark):
+    # a 6-cycle survives removing any single vertex as one path
+    g = _graph(spark, list(range(6)), [(i, (i + 1) % 6) for i in range(6)])
+    row = graphalg.hub_attack_robustness(g, n_remove=1).collect()[0]
+    assert (row["n_components"], row["largest_component"]) == (1, 5)
