@@ -2687,6 +2687,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # previously-unwindowed queries (mixture_sample .. events_rollup) to the
     # head so they receive driver rows, keeps new round-4 queries inside the
     # window, and pushes the no-oracle queries (rows-only checks) to the tail.
+    # Everything added LATER in round 4 (scc .. attributed_purchases, ~40
+    # oracle-backed queries) sits immediately past the window — rotate those
+    # into the head 50 at the start of round 5.
     # Local parity (tests/test_oracle_parity.py) always covers ALL entries.
     return {
         # -- round-3 tail, rotated in for driver verification -----------------
