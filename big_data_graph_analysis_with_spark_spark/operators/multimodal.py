@@ -6,12 +6,14 @@ partition sizing, UDF signatures — and so are two codecs that need no
 external library: binary PPM (P6) images decode through a pure-numpy
 reader, and integer-PCM WAV through the stdlib `wave` reader, so real
 pixel/sample-domain decodes run end-to-end in this container
-(`synthesize_media_assets` builds genuine containers to prove it).
-Other image formats upgrade to PIL whenever it is importable; any
-payload no codec accepts falls back per-asset to the deterministic
-byte-statistics stub — the behavior a production curation stage wants
-anyway, since real corpora carry corrupt media. Video remains stubbed
-(`pyav`/decord absent here) behind the same guard pattern.
+(`synthesize_media_assets` builds genuine containers to prove it),
+and so is a minimal RIFF/AVI reader for uncompressed DIB video frames
+— all three modalities decode for real in this container. Other image
+formats upgrade to PIL whenever it is importable; compressed video
+(H.264 etc.) needs `pyav`/decord, absent here; any payload no codec
+accepts falls back per-asset to the deterministic byte-statistics stub
+— the behavior a production curation stage wants anyway, since real
+corpora carry corrupt media.
 
 Scale notes: binary payloads dominate row size, so
 `spark.sql.files.maxPartitionBytes` (set in session.py) bounds task
@@ -64,8 +66,8 @@ def synthesize_media_assets(docs: DataFrame, batch_size_hint: int = 256) -> Data
     containers, so the real codecs run end-to-end in this environment:
     image assets carry an 8×8 binary PPM (P6), audio assets a 16-bit
     PCM WAV (2,000 samples @ 16 kHz), both deterministically seeded by
-    doc_id; video assets keep opaque bytes (no video codec here — that
-    path intentionally exercises the documented stub fallback).
+    doc_id; video assets a minimal RIFF/AVI container of uncompressed
+    8×8 DIB frames — so ALL THREE real codecs run end-to-end here.
 
     Built with the same Arrow-batched mapInPandas shape as the decode
     stage — payload construction is a fixture/benchmark aid, not a hot
@@ -82,6 +84,32 @@ def synthesize_media_assets(docs: DataFrame, batch_size_hint: int = 256) -> Data
             rng = np.random.default_rng([7, doc_id])
             px = rng.integers(0, 256, size=8 * 8 * 3, dtype=np.uint8)
             return b"P6\n8 8\n255\n" + px.tobytes()
+
+        def avi(doc_id: int) -> bytes:
+            import struct
+
+            rng = np.random.default_rng([13, doc_id])
+            n_frames = int(doc_id % 4 + 2)
+            avih = struct.pack(
+                "<14I", 100_000, 0, 0, 0, n_frames, 0, 1, 0, 8, 8,
+                0, 0, 0, 0,
+            )
+            hdrl = (
+                b"LIST" + struct.pack("<I", 4 + 8 + len(avih)) + b"hdrl"
+                + b"avih" + struct.pack("<I", len(avih)) + avih
+            )
+            movi_frames = b""
+            for _ in range(n_frames):
+                raw = rng.integers(
+                    0, 256, size=8 * 8 * 3, dtype=np.uint8
+                ).tobytes()
+                movi_frames += b"00db" + struct.pack("<I", len(raw)) + raw
+            movi = (
+                b"LIST" + struct.pack("<I", 4 + len(movi_frames)) + b"movi"
+                + movi_frames
+            )
+            body = b"AVI " + hdrl + movi
+            return b"RIFF" + struct.pack("<I", len(body)) + body
 
         def wav(doc_id: int) -> bytes:
             rng = np.random.default_rng([11, doc_id])
@@ -112,11 +140,11 @@ def synthesize_media_assets(docs: DataFrame, batch_size_hint: int = 256) -> Data
                         (
                             doc_id,
                             "video",
-                            text.encode("utf-8"),
+                            avi(doc_id),
+                            8,
+                            8,
                             None,
-                            None,
-                            None,
-                            doc_id % 300 + 1,
+                            doc_id % 4 + 2,
                         )
                     )
             yield pd.DataFrame(
@@ -173,6 +201,62 @@ def _decode_ppm(payload: bytes) -> list[float] | None:
         round(float(gray.mean()), 6),
         float(gray.max()),
         float(gray.min()),
+    ]
+
+
+def _decode_avi(payload: bytes) -> list[float] | None:
+    """Real decode of a minimal RIFF/AVI container carrying
+    uncompressed DIB frames ('00db'/'00dc' chunks) — the published
+    RIFF chunk grammar, parsed in pure numpy/struct, so a REAL video
+    path runs in this container too. Stats are over per-frame
+    grayscale (channel mean): [bytes, mean over all frames, max
+    frame-mean, min frame-mean] — the frame-summary layout a
+    frame-sampling stage feeds from. Declines (→ stub) anything that
+    is not RIFF/AVI, has no frames, or whose frame sizes don't match
+    w·h·3."""
+    import struct
+
+    import numpy as np
+
+    if len(payload) < 12 or payload[:4] != b"RIFF" or payload[8:12] != b"AVI ":
+        return None
+    dims: list[int] = []
+    frames: list[bytes] = []
+
+    def walk(off: int, end: int) -> None:
+        while off + 8 <= end:
+            cid = payload[off : off + 4]
+            size = struct.unpack("<I", payload[off + 4 : off + 8])[0]
+            data = off + 8
+            if data + size > len(payload):
+                raise ValueError("truncated chunk")
+            if cid == b"LIST":
+                walk(data + 4, data + size)
+            elif cid == b"avih" and size >= 56:
+                vals = struct.unpack("<14I", payload[data : data + 56])
+                dims[:] = [vals[8], vals[9]]
+            elif cid in (b"00db", b"00dc"):
+                frames.append(payload[data : data + size])
+            off = data + size + (size % 2)
+
+    try:
+        walk(12, len(payload))
+    except (ValueError, struct.error):
+        return None
+    if not dims or not frames:
+        return None
+    w, h = dims
+    if w <= 0 or h <= 0 or any(len(f) != w * h * 3 for f in frames):
+        return None
+    means = []
+    for f in frames:
+        px = np.frombuffer(f, dtype=np.uint8).reshape(-1, 3)
+        means.append(float(px.astype(np.float64).mean()))
+    return [
+        float(len(payload)),
+        round(float(np.mean(means)), 6),
+        round(max(means), 6),
+        round(min(means), 6),
     ]
 
 
@@ -277,6 +361,10 @@ def extract_features(assets: DataFrame, batch_size_hint: int = 256) -> DataFrame
                     return real
             elif kind == "audio":
                 real = _decode_audio_real(payload)
+                if real is not None:
+                    return real
+            elif kind == "video":
+                real = _decode_avi(payload)
                 if real is not None:
                     return real
             return _decode_stub(kind, payload)

@@ -855,8 +855,21 @@ def test_media_assets_run_real_codecs(spark):
     assert f1["kind"] == "audio"
     assert abs(f1["byte_mean"] - round(float(samples.mean()), 6)) < 1e-9
     assert f1["feature"][3] == float(samples.min())  # negative ⇒ real decode
-    # video asset 2 exercises the stub (byte stats are non-negative)
-    assert feats[2]["kind"] == "video" and feats[2]["feature"][3] >= 0.0
+    # video asset 2: real AVI decode — frame-mean stats of the seeded
+    # DIB frames, not byte stats over the container (headers would skew)
+    rng = np.random.default_rng([13, 2])
+    n_frames = 2 % 4 + 2
+    means = []
+    for _ in range(n_frames):
+        fr = rng.integers(0, 256, size=8 * 8 * 3, dtype=np.uint8)
+        means.append(float(fr.reshape(-1, 3).astype(np.float64).mean()))
+    f2 = feats[2]
+    assert f2["kind"] == "video"
+    assert abs(f2["byte_mean"] - round(float(np.mean(means)), 6)) < 1e-9
+    assert f2["feature"][2] == round(max(means), 6)
+    # corrupt/foreign payloads still decline to the stub
+    assert multimodal._decode_avi(b"RIFF....AVI ") is None
+    assert multimodal._decode_avi(b"not a riff at all") is None
 
 
 def test_source_overlap_counts_distinct_shared_texts(spark):
