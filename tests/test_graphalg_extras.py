@@ -473,3 +473,34 @@ def test_hub_attack_resilient_cycle(spark):
     g = _graph(spark, list(range(6)), [(i, (i + 1) % 6) for i in range(6)])
     row = graphalg.hub_attack_robustness(g, n_remove=1).collect()[0]
     assert (row["n_components"], row["largest_component"]) == (1, 5)
+
+
+def test_scc_partitions_reference_graph(spark):
+    # the reference's own 200-vertex random digraph (cycles included):
+    # SCC must assign every vertex exactly once, label components by a
+    # member (scc_id ∈ component), and agree with undirected CC as a
+    # refinement (every SCC sits inside one weak component)
+    from tests.conftest import REF_INPUT
+
+    from big_data_graph_analysis_with_spark_spark.sources.ngs_text import (
+        load_graph,
+    )
+
+    g = load_graph(spark, f"{REF_INPUT}/Graph200.txt")
+    rows = graphalg.scc_components(g).collect()
+    assigned = [r["id"] for r in rows]
+    assert sorted(assigned) == sorted(
+        r["id"] for r in g.vertices.select("id").collect()
+    )
+    groups: dict = {}
+    for r in rows:
+        groups.setdefault(r["scc_id"], set()).add(r["id"])
+    for scc_id, members in groups.items():
+        assert scc_id in members  # label is the max MEMBER id
+        assert scc_id == max(members)
+    cc = {
+        r["id"]: r["component_id"]
+        for r in graphalg.connected_components(g).collect()
+    }
+    for members in groups.values():
+        assert len({cc[m] for m in members}) == 1  # SCC refines weak CC
