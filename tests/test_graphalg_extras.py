@@ -504,3 +504,27 @@ def test_scc_partitions_reference_graph(spark):
     }
     for members in groups.values():
         assert len({cc[m] for m in members}) == 1  # SCC refines weak CC
+
+
+def test_condensation_is_acyclic_on_augmented_graph(spark):
+    # cycle-augmented 40-vertex graph: the condensation must peel to
+    # empty by repeated source removal (i.e., be a DAG)
+    import random
+
+    rnd = random.Random(5)
+    ids = list(range(40))
+    edges = [(i, rnd.randrange(40)) for i in ids for _ in range(3)]
+    edges = [(a, b) for a, b in edges if a != b]
+    g = _graph(spark, ids, edges)
+    dag = [
+        (r["src_scc"], r["dst_scc"])
+        for r in graphalg.condensation_edges(g).collect()
+    ]
+    nodes = {x for e in dag for x in e}
+    remaining = set(dag)
+    while remaining:
+        dsts = {d for _, d in remaining}
+        sources = {s for s, _ in remaining} - dsts
+        assert sources, f"cycle left in condensation: {remaining}"
+        remaining = {(s, d) for s, d in remaining if s not in sources}
+    assert len(nodes) >= 1
