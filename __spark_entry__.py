@@ -2681,77 +2681,21 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    # Ordering note: the external driver verifies the first 50 insertion-ordered
-    # entries against the DuckDB oracles each round. Round 3 verified the 46
-    # oracle rows recorded in CORRECTNESS_r03.json; this round rotates the 27
-    # previously-unwindowed queries (mixture_sample .. events_rollup) to the
-    # head so they receive driver rows, keeps new round-4 queries inside the
-    # window, and pushes the no-oracle queries (rows-only checks) to the tail.
-    # Everything added LATER in round 4 (scc .. attributed_purchases, ~40
-    # oracle-backed queries) sits immediately past the window — rotate those
-    # into the head 50 at the start of round 5.
-    # Local parity (tests/test_oracle_parity.py) always covers ALL entries.
+    # Ordering note: the external driver verifies the FIRST 50 insertion-ordered
+    # entries against the DuckDB oracles each round; local parity
+    # (tests/test_oracle_parity.py) always covers ALL entries.
+    #
+    # Round-5 rotation (executes the plan documented in round 4): the 58
+    # queries added in round 4 past the window (scc .. time_profile) had no
+    # driver row; 54 of them are oracle-backed. The head 50 below are all
+    # oracle-backed queries that have NEVER had a driver row, so every slot
+    # of CORRECTNESS_r05.json hash-verifies new surface. Remaining
+    # driver-unverified after this round: 4 oracle-backed (positions 51-54,
+    # first in line for round 6) + 6 rows-only tail entries that cannot
+    # hash-verify by design. Query growth is frozen this round so the hard
+    # signal catches up (r3 rows cover the r3 block, r4 rows the r4 block).
     return {
-        # -- round-3 tail, rotated in for driver verification -----------------
-        "mixture_sample": q_mixture_sample,
-        "corpus_shards": q_corpus_shards,
-        "text_token_stats": q_text_token_stats,
-        "text_quality": q_text_quality,
-        "text_language_id": q_text_language_id,
-        "doc_fingerprints": q_doc_fingerprints,
-        "multimodal_features": q_multimodal_features,
-        "multimodal_summary": q_multimodal_summary,
-        "events_windowed": q_events_windowed,
-        "events_asof": q_events_asof,
-        "events_sliding": q_events_sliding,
-        "events_rolling": q_events_rolling,
-        "events_pivot": q_events_pivot,
-        "event_transitions": q_event_transitions,
-        "top_ngrams": q_top_ngrams,
-        "token_quantiles": q_token_quantiles,
-        "embedding_centroids": q_embedding_centroids,
-        "embedding_quantize": q_embedding_quantize,
-        "events_cube": q_events_cube,
-        "events_range_join": q_events_range_join,
-        "salted_supplier_revenue": q_salted_supplier_revenue,
-        "shipping_priority": q_shipping_priority,
-        "local_supplier_volume": q_local_supplier_volume,
-        "orders_upsert": q_orders_upsert,
-        "pricing_summary": q_pricing_summary,
-        "top_customers_per_nation": q_top_customers_per_nation,
-        "events_rollup": q_events_rollup,
-        # -- new in round 4 (keep inside the driver window) -------------------
-        "dedup_keep_best": q_dedup_keep_best,
-        "dedup_incremental": q_dedup_incremental,
-        "events_funnel": q_events_funnel,
-        "length_buckets": q_length_buckets,
-        "clustering_coefficient": q_clustering_coefficient,
-        "label_propagation": q_label_propagation,
-        "link_prediction": q_link_prediction,
-        "degree_histogram": q_degree_histogram,
-        "events_retention": q_events_retention,
-        "events_topk_window": q_events_topk_window,
-        "events_anomaly_days": q_events_anomaly_days,
-        "vocab_coverage": q_vocab_coverage,
-        "winsorize_lengths": q_winsorize_lengths,
-        "term_cooccurrence": q_term_cooccurrence,
-        "temporal_split": q_temporal_split,
-        "hits": q_hits,
-        "reciprocity": q_reciprocity,
-        "assortativity": q_assortativity,
-        "orders_scd2": q_orders_scd2,
-        "session_quantiles": q_session_quantiles,
-        "language_mix": q_language_mix,
-        "user_ltv": q_user_ltv,
-        "knn_graph": q_knn_graph,
-        # ^ the 27 rotated + 23 new round-4 entries fill the driver's
-        #   50-slot window exactly — every slot verifies a query that has
-        #   never had a driver row; everything below has standing proof
-        #   in CORRECTNESS_r03.json.
-        # -- past the window this round; first in line for round 5 -----------
-        # (everything from here to the re-verified block below is
-        #  oracle-backed but has never had a driver row — rotate these
-        #  into the head 50 at the start of round 5)
+        # -- never driver-verified, oracle-backed: the round-5 window --------
         "scc": q_scc,
         "mis": q_mis,
         "closeness": q_closeness,
@@ -2759,9 +2703,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pagerank_weighted": q_pagerank_weighted,
         "hub_attack": q_hub_attack,
         "motif_counts": q_motif_counts,
-        "node2vec_walks": q_node2vec_walks,
-        "betweenness": q_betweenness,
-        "multimodal_real_codecs": q_multimodal_real_codecs,
         "bloom_pruned_join": q_bloom_pruned_join,
         "ngram_novelty": q_ngram_novelty,
         "bpe_merges": q_bpe_merges,
@@ -2775,7 +2716,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "user_sequences": q_user_sequences,
         "forecast_revenue": q_forecast_revenue,
         "returned_items": q_returned_items,
-        "ego_batch": q_ego_batch,
         "snapshot_diff": q_snapshot_diff,
         "k_anonymity": q_k_anonymity,
         "type_projection": q_type_projection,
@@ -2806,12 +2746,62 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "key_skew_profile": q_key_skew_profile,
         "recent_events": q_recent_events,
         "type_purity": q_type_purity,
+        # ^ 50 entries — fills the driver window exactly.
+        # -- never driver-verified, oracle-backed, past the window (round 6) -
         "embedding_coverage": q_embedding_coverage,
         "length_outliers": q_length_outliers,
         "length_cdf": q_length_cdf,
         "time_profile": q_time_profile,
-        # -- previously driver-green (CORRECTNESS_r03.json); re-verified while
-        #    window room remains ---------------------------------------------
+        # -- driver-green in CORRECTNESS_r04.json ----------------------------
+        "mixture_sample": q_mixture_sample,
+        "corpus_shards": q_corpus_shards,
+        "text_token_stats": q_text_token_stats,
+        "text_quality": q_text_quality,
+        "text_language_id": q_text_language_id,
+        "doc_fingerprints": q_doc_fingerprints,
+        "events_windowed": q_events_windowed,
+        "events_asof": q_events_asof,
+        "events_sliding": q_events_sliding,
+        "events_rolling": q_events_rolling,
+        "events_pivot": q_events_pivot,
+        "event_transitions": q_event_transitions,
+        "top_ngrams": q_top_ngrams,
+        "token_quantiles": q_token_quantiles,
+        "embedding_centroids": q_embedding_centroids,
+        "embedding_quantize": q_embedding_quantize,
+        "events_cube": q_events_cube,
+        "events_range_join": q_events_range_join,
+        "salted_supplier_revenue": q_salted_supplier_revenue,
+        "shipping_priority": q_shipping_priority,
+        "local_supplier_volume": q_local_supplier_volume,
+        "orders_upsert": q_orders_upsert,
+        "pricing_summary": q_pricing_summary,
+        "top_customers_per_nation": q_top_customers_per_nation,
+        "events_rollup": q_events_rollup,
+        "dedup_keep_best": q_dedup_keep_best,
+        "dedup_incremental": q_dedup_incremental,
+        "events_funnel": q_events_funnel,
+        "length_buckets": q_length_buckets,
+        "clustering_coefficient": q_clustering_coefficient,
+        "label_propagation": q_label_propagation,
+        "link_prediction": q_link_prediction,
+        "degree_histogram": q_degree_histogram,
+        "events_retention": q_events_retention,
+        "events_topk_window": q_events_topk_window,
+        "events_anomaly_days": q_events_anomaly_days,
+        "vocab_coverage": q_vocab_coverage,
+        "winsorize_lengths": q_winsorize_lengths,
+        "term_cooccurrence": q_term_cooccurrence,
+        "temporal_split": q_temporal_split,
+        "hits": q_hits,
+        "reciprocity": q_reciprocity,
+        "assortativity": q_assortativity,
+        "orders_scd2": q_orders_scd2,
+        "session_quantiles": q_session_quantiles,
+        "language_mix": q_language_mix,
+        "user_ltv": q_user_ltv,
+        "knn_graph": q_knn_graph,
+        # -- driver-green in CORRECTNESS_r03.json ----------------------------
         "start_nodes": q_start_nodes,
         "start_node_stats": q_start_node_stats,
         "degrees": q_degrees,
@@ -2858,12 +2848,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sample_hash": q_sample_hash,
         "sample_stratified": q_sample_stratified,
         "train_eval_split": q_train_eval_split,
-        # -- no-oracle (rows-only driver check) — keep at the tail so the
-        #    window is spent on hash-verifiable queries -----------------------
+        # -- no-oracle (rows-only / seeded-random / codec output): kept at the
+        #    tail so the window is spent on hash-verifiable queries ----------
+        "multimodal_features": q_multimodal_features,
+        "multimodal_summary": q_multimodal_summary,
         "walk_kernel": q_walk_kernel,
         "mitm_pipeline": q_mitm_pipeline,
         "similarity_ann_lsh": q_similarity_ann_lsh,
         "similarity_ann_ivf": q_similarity_ann_ivf,
+        "node2vec_walks": q_node2vec_walks,
+        "betweenness": q_betweenness,
+        "multimodal_real_codecs": q_multimodal_real_codecs,
+        "ego_batch": q_ego_batch,
     }
 
 

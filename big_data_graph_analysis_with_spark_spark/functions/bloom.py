@@ -97,10 +97,17 @@ def bloom_prune(
     `small[small_col]` — the shuffle-free pre-join prune. Compose as
     ``bloom_prune(fact, dim_filtered, "k", "k").join(dim_filtered, ...)``:
     the subsequent join output is byte-identical to joining unpruned.
+
+    The broadcast filter rides along under a collision-proof internal
+    name, so a probe side that itself has a `bloom` column passes
+    through untouched.
     """
-    bloom = build_bloom(small, small_col, m_bits, k)
+    internal = "__bloom_filter__"
+    bloom = build_bloom(small, small_col, m_bits, k).select(
+        F.col("bloom").alias(internal)
+    )
     return (
         big.crossJoin(F.broadcast(bloom))
-        .filter(might_contain(big_col, m_bits, k))
-        .drop("bloom")
+        .filter(might_contain(big_col, m_bits, k, bloom_col=internal))
+        .drop(internal)
     )

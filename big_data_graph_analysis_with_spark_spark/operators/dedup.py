@@ -614,7 +614,10 @@ def embedding_cosine_pairs(
     mirrors the candidate generation exactly, so the operator is
     hash-checkable end-to-end despite being approximate.
     """
-    comp = _decimal_components(emb)
+    # the exploded decimal components feed FOUR scans below (signature
+    # projection, norms, and both sides of the dot join) — materialize
+    # once instead of re-running scan+posexplode+cast per consumer
+    comp = _decimal_components(emb).localCheckpoint()
     cands = srp_bucket_candidates(emb, num_tables, planes_per_table, comp=comp)
     norms = comp.groupBy("vec_id").agg(F.sum(F.col("x") * F.col("x")).alias("nsq"))
     a = comp.select(F.col("vec_id").alias("vec_a"), "j", F.col("x").alias("xa"))

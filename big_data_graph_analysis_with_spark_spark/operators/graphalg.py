@@ -58,7 +58,13 @@ def _narrow_shuffle(graph: NetGraph, n_vertices: int | None = None):
     task scheduling at full width than it gains in parallelism; AQE
     coalesces shuffle READS but scheduled width still costs). Restored
     on every exit path — results are unaffected, all operators here are
-    partitioning-deterministic."""
+    partitioning-deterministic.
+
+    The override is session-scoped: a CONCURRENT query on the same
+    session that plans while this context is open runs narrowed too
+    (harmless for results, suboptimal for width). The `_narrowed`
+    wrapper keeps that window as small as possible by materializing
+    the operator's final frame before the width is restored."""
     spark = graph.vertices.sparkSession
     n = n_vertices if n_vertices is not None else graph.vertices.count()
     prev = spark.conf.get("spark.sql.shuffle.partitions")
@@ -72,15 +78,20 @@ def _narrow_shuffle(graph: NetGraph, n_vertices: int | None = None):
 
 def _narrowed(fn):
     """Decorator: run an iterative operator inside _narrow_shuffle —
-    every driver-loop action in the body executes at the narrow width;
-    the returned frame is already localCheckpoint-materialized, so the
-    caller's conf is untouched by the time it acts on it."""
+    every driver-loop action in the body executes at the narrow width,
+    and the returned frame is localCheckpoint-materialized INSIDE the
+    context (several operators end on a lazy aggregation — closeness,
+    path counts, betweenness; without the checkpoint that last stage
+    would execute after the width is restored)."""
     import functools
 
     @functools.wraps(fn)
     def wrapper(graph, *args, **kwargs):
         with _narrow_shuffle(graph):
-            return fn(graph, *args, **kwargs)
+            out = fn(graph, *args, **kwargs)
+            if isinstance(out, DataFrame):
+                out = out.localCheckpoint()
+            return out
 
     return wrapper
 
@@ -852,8 +863,30 @@ def scc_components(
     max_outer is exhausted (pathological SCC-chain graphs), leftovers
     are labeled by their own id and a count is logged — callers see a
     conservative over-decomposition, never a wrong merge.
+
+    The three INNER loops (trim / coloring / backward sweep) always
+    run to fixpoint: each is guaranteed to terminate (trim strictly
+    shrinks the remainder, colors strictly increase on a finite
+    lattice, the sweep's member set strictly grows), in O(longest
+    internal path) rounds. `max_iters` is a soft visibility threshold,
+    not a cap — exceeding it logs a warning (a >max_iters-hop SCC is
+    worth knowing about) but iteration continues, so a directed cycle
+    of length ≫ max_iters still resolves to ONE component instead of
+    being silently split by a premature coloring stop.
     """
     import logging
+
+    log = logging.getLogger(__name__)
+
+    def _soft_cap(phase: str, n_rounds: int) -> None:
+        if n_rounds == max_iters:
+            log.warning(
+                "scc_components: %s phase passed max_iters=%d rounds "
+                "without converging; continuing to fixpoint "
+                "(termination is guaranteed in O(longest path) rounds)",
+                phase,
+                max_iters,
+            )
 
     edges = graph.edges.select("src", "dst")
     if extra_edges is not None:
@@ -879,7 +912,10 @@ def scc_components(
         if rem.limit(1).count() == 0:
             break
         # -- 1. trim singleton SCCs (in-deg 0 or out-deg 0 in the core)
-        for _ in range(max_iters):
+        trim_round = 0
+        while True:
+            _soft_cap("trim", trim_round)
+            trim_round += 1
             has_in = e.select(F.col("dst").alias("id")).distinct()
             has_out = e.select(F.col("src").alias("id")).distinct()
             core = rem.join(has_in, on="id", how="semi").join(
@@ -897,7 +933,10 @@ def scc_components(
             break
         # -- 2. forward max-color fixpoint
         color = rem.select("id", F.col("id").alias("color")).localCheckpoint()
-        for _ in range(max_iters):
+        color_round = 0
+        while True:
+            _soft_cap("coloring", color_round)
+            color_round += 1
             prop = (
                 e.join(
                     color.select(F.col("id").alias("src"), "color"), on="src"
@@ -945,7 +984,10 @@ def scc_components(
             .localCheckpoint()
         )
         frontier = members
-        for _ in range(max_iters):
+        sweep_round = 0
+        while True:
+            _soft_cap("backward sweep", sweep_round)
+            sweep_round += 1
             preds = (
                 ce.join(
                     frontier.select(F.col("id").alias("dst"), "scc_id"),
@@ -1059,7 +1101,10 @@ def maximal_independent_set(graph: NetGraph, rounds: int = 6) -> DataFrame:
 
 @_narrowed
 def closeness_sampled(
-    graph: NetGraph, n_seeds: int = 4, max_iters: int = 64
+    graph: NetGraph,
+    n_seeds: int = 4,
+    max_iters: int = 64,
+    sym_edges: DataFrame | None = None,
 ) -> DataFrame:
     """(id, n_reached, sum_dist, harmonic_ppm): sampled closeness /
     harmonic centrality over the undirected graph — exact BFS from the
@@ -1077,11 +1122,25 @@ def closeness_sampled(
     one edge scan per round, instead of n_seeds sequential sweeps.
     Division appears only as the integer `1e6 div dist`, so results
     hash-match across engines.
+
+    ``sym_edges`` optionally supplies the symmetric canonical edge
+    list as a STABLE table scan (same contract as
+    `connected_components(sym_edges=...)`: the b-bucketed catalog
+    table from `sources.parquet_graph.write_sym_edges`) — used as-is
+    instead of derived-and-checkpointed, so the per-level frontier
+    join plans with NO Exchange on the (big) edge side: the frontier
+    probes on `b` (the bucket key; the table is symmetric, so
+    neighbors-of-id via the b side ≡ via the a side) and only the
+    small frontier shuffles into the bucket distribution. At 100 TB
+    the per-level edge shuffle is the sweep's whole cost.
     """
-    und = undirected_edges(graph)
-    sym = und.unionAll(
-        und.select(F.col("b").alias("a"), F.col("a").alias("b"))
-    ).localCheckpoint()
+    if sym_edges is not None:
+        sym = sym_edges.select("a", "b")
+    else:
+        und = undirected_edges(graph)
+        sym = und.unionAll(
+            und.select(F.col("b").alias("a"), F.col("a").alias("b"))
+        ).localCheckpoint()
     spark = graph.vertices.sparkSession
     seeds = [
         int(r["id"])
@@ -1093,8 +1152,8 @@ def closeness_sampled(
     visited = frontier
     for d in range(1, max_iters + 1):
         nxt = (
-            sym.join(frontier, on=sym.a == frontier.id)
-            .select("seed", F.col("b").alias("id"))
+            sym.join(frontier, on=sym.b == frontier.id)
+            .select("seed", F.col("a").alias("id"))
             .distinct()
             .join(visited, on=["seed", "id"], how="left_anti")
             .select("seed", "id", F.lit(d).cast("long").alias("dist"))
@@ -1117,7 +1176,10 @@ def closeness_sampled(
 
 @_narrowed
 def path_counts(
-    graph: NetGraph, source: int | None = None, levels: int = 16
+    graph: NetGraph,
+    source: int | None = None,
+    levels: int = 16,
+    edges_stable: bool = False,
 ) -> DataFrame:
     """(id, dist, n_paths): number of DISTINCT shortest paths from
     `source` (default: minimum vertex id) to every reached vertex of
@@ -1138,10 +1200,21 @@ def path_counts(
     frontier × in-degree, rounds ∝ diameter; counts can reach C(n, k)
     magnitudes on dense DAG-like graphs, so σ stays a long and callers
     working on adversarial graphs should cap levels accordingly.
+
+    ``edges_stable=True`` declares `graph.edges` is already a
+    materialized table scan (e.g. the src-bucketed catalog tables from
+    sources/parquet_graph) — the edge frame is then used without
+    localCheckpoint, preserving the scan's bucket metadata so every
+    level's src-keyed join plans with no edge-side Exchange (the
+    `distinct` is kept: HashPartitioning(src) satisfies the
+    (src, dst) clustering, so it adds no shuffle on a bucketed scan).
+    Same contract as `pagerank(edges_stable=True)`.
     """
     if source is None:
         source = graph.vertices.agg(F.min("id")).first()[0]
-    edges = graph.edges.select("src", "dst").distinct().localCheckpoint()
+    edges = graph.edges.select("src", "dst").distinct()
+    if not edges_stable:
+        edges = edges.localCheckpoint()
     frontier = (
         graph.vertices.filter(F.col("id") == source)
         .select(
@@ -1172,7 +1245,10 @@ def path_counts(
 
 @_narrowed
 def betweenness_sampled(
-    graph: NetGraph, n_seeds: int = 4, levels: int = 16
+    graph: NetGraph,
+    n_seeds: int = 4,
+    levels: int = 16,
+    edges_stable: bool = False,
 ) -> DataFrame:
     """(id, betweenness): approximate betweenness centrality over the
     DIRECTED graph — full Brandes (2001) pair-dependency accumulation
@@ -1193,9 +1269,16 @@ def betweenness_sampled(
 
     At scale: seeds share every edge scan; the level tables are the
     same frontier partitions the BFS produced, so co-partitioning
-    edges by src serves both phases.
+    edges by src serves both phases. ``edges_stable=True`` (same
+    contract as `path_counts`) keeps the src-bucketed scan's
+    distribution metadata, eliding the edge-side Exchange in every
+    forward level; the backward phase joins edges on `dst` with a
+    one-level frontier, which AQE broadcast-converts, so the bucketed
+    scan stays unshuffled there too.
     """
-    edges = graph.edges.select("src", "dst").distinct().localCheckpoint()
+    edges = graph.edges.select("src", "dst").distinct()
+    if not edges_stable:
+        edges = edges.localCheckpoint()
     spark = graph.vertices.sparkSession
     seeds = [
         int(r["id"])

@@ -228,11 +228,14 @@ def bpe_merges(docs: DataFrame, rounds: int = 4, sep: str = "_") -> DataFrame:
         pair, c = best[0]["pair"], int(best[0]["c"])
         merged = pair.replace(" ", sep)
         out.append((r, pair, merged, c))
+        # column-based literals, NOT SQL-string splicing: a pair
+        # containing a quote/backslash round-trips exactly (the DuckDB
+        # oracle never splices literals either, so both engines see the
+        # identical byte sequence); the per-round localCheckpoint keeps
+        # plan depth at one replace regardless of `rounds`
         t = t.select(
-            F.expr(
-                "replace(t, ' {p} ', ' {m} ')".format(
-                    p=pair.replace("'", "\\'"), m=merged.replace("'", "\\'")
-                )
+            F.replace(
+                F.col("t"), F.lit(f" {pair} "), F.lit(f" {merged} ")
             ).alias("t")
         ).localCheckpoint()
     return spark.createDataFrame(

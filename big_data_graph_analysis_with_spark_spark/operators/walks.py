@@ -37,6 +37,17 @@ memory *per executor* (a walk can reach anywhere), so the ceiling is
 executor RAM — ≤ a few GB of adjacency per walk job; everything
 downstream (subgraph induction, SimRank, matching, stats) is pure
 DataFrame algebra and scales independently.
+
+Above that per-executor memory ceiling a second tier takes over
+(:func:`run_walks_frontier`, dispatched by vertex count in
+:func:`run_walks`): walks step by JOINING the frontier against the
+child-map table — no worker ever indexes the whole graph — with a
+counter-based hash RNG (a pure function of (seed, partition, walk,
+step)) replacing the sequential numpy stream, trading per-step join
+latency for O(frontier) memory. Both tiers are deterministic and
+seeded; trajectories differ between tiers (different RNG stream), so
+the dispatch threshold defaults far above any graph the small tier
+handles and the small path's trajectories never change.
 """
 
 from __future__ import annotations
@@ -56,6 +67,12 @@ from ..model import NetGraph
 from . import topology
 
 WALK_SCHEMA = "partition_key LONG, walk_id LONG, step LONG, node_id LONG"
+
+#: above this vertex count run_walks dispatches to the frontier-join
+#: tier — the per-worker adjacency index (dict of |V| lists, roughly
+#: 100 bytes/vertex + 16 bytes/edge) no longer fits a normally-sized
+#: executor. Overridable per call (tests force it to 0).
+FRONTIER_TIER_THRESHOLD = 50_000_000
 
 # Per-worker adjacency cache: Python workers are reused across tasks, so
 # each executor pays the parquet→dict build once per sideload path, not
@@ -207,14 +224,29 @@ def run_walks(
     cfg: SimConfig,
     num_vertices: int | None = None,
     adj_path: str | None = None,
+    frontier_threshold: int | None = None,
 ) -> DataFrame:
     """All walks for all partitions: (partition_key, walk_id, step, node_id).
 
     walk_id is globally ordered per partition (0-based across all
     rounds); the driver loop slices rounds by
     ``walk_id // iters_before_accum``.
+
+    Dispatch: below ``frontier_threshold`` vertices (default
+    FRONTIER_TIER_THRESHOLD) the sideload kernel runs — the small
+    path, whose seeded trajectories are pinned by tests and never
+    change. Above it, :func:`run_walks_frontier` takes over: same walk
+    semantics (quota, sink termination, cross-walk exploration bias),
+    O(frontier) executor memory, per-step frontier joins.
     """
     n_v = num_vertices if num_vertices is not None else pg.num_vertices()
+    thr = (
+        frontier_threshold
+        if frontier_threshold is not None
+        else FRONTIER_TIER_THRESHOLD
+    )
+    if n_v > thr:
+        return run_walks_frontier(spark, pg, assignments, cfg, num_vertices=n_v)
     quota = cfg.random_walk_coeff * n_v
     n_iters = cfg.num_iters_per_comp_node
     seed = cfg.seed
@@ -258,6 +290,133 @@ def run_walks(
         )
 
     return assignments.groupBy("partition_key").applyInPandas(kernel, WALK_SCHEMA)
+
+
+def run_walks_frontier(
+    spark: SparkSession,
+    pg: NetGraph,
+    assignments: DataFrame,
+    cfg: SimConfig,
+    num_vertices: int | None = None,
+    child_map_df: DataFrame | None = None,
+) -> DataFrame:
+    """Extreme-scale walk tier: (partition_key, walk_id, step, node_id)
+    with the SAME semantics as the sideload kernel — per partition,
+    `num_iters_per_comp_node` sequential walks of at most
+    ceil(random_walk_coeff·|V|) nodes, stepping to a random child with
+    the cross-walk exploration bias (children unvisited by EARLIER
+    walks of the same partition are preferred; the preference set
+    updates when a walk completes, exactly like the kernel's
+    ``partition_visited.update(path)``), terminating at sinks — but NO
+    worker ever holds the adjacency: each step joins the one-row-per-
+    active-partition frontier against the child-map table, flags the
+    exploded children against the partition's visited table, and picks
+    ``pool[h mod |pool|]`` where ``h`` is the 56-bit MD5 hash of
+    ``seed:pkey:walk:step`` (functions/hashing.hash56) — a
+    counter-based RNG that is a pure function of the walk coordinates,
+    so trajectories are deterministic under any partitioning, re-run,
+    or cluster size (the property the kernel gets from its seeded
+    numpy stream; the two tiers' streams differ, which is why the
+    dispatch threshold sits far above every small-tier graph).
+
+    Cost model (the honest trade): memory per executor is O(frontier +
+    visited partition) instead of O(|V| + |E|), paid for with one
+    child-map join + one pkey-grouped aggregation PER STEP — walks are
+    inherently sequential, so a graph too big to index per-worker
+    costs a join round per hop. All partitions' current walks advance
+    in the same round (the frontier has ≤ num_of_parallel_walks rows),
+    so rounds = Σ max walk length, not Σ total steps. At 100 TB, store
+    child_map as an id-bucketed catalog table (sources/parquet_graph)
+    so the per-step join is a pruned bucketed probe rather than a full
+    scan, and keep random_walk_coeff·|V| (the per-walk hop budget)
+    bounded — the tier exists for huge graphs with bounded walks, not
+    for walks that themselves traverse a meaningful fraction of 100 TB.
+    """
+    from ..functions.hashing import hash56
+
+    n_v = num_vertices if num_vertices is not None else pg.num_vertices()
+    max_len = max_walk_len(cfg, n_v)
+    n_iters = cfg.num_iters_per_comp_node
+    seed = cfg.seed
+    cmap = (
+        child_map_df if child_map_df is not None else topology.child_map(pg)
+    ).select(F.col("id").alias("__cm_id"), "children")
+
+    starts = assignments.select("partition_key", "start_id").localCheckpoint()
+    out = spark.createDataFrame([], WALK_SCHEMA).localCheckpoint()
+    visited = spark.createDataFrame(
+        [], "partition_key LONG, node_id LONG"
+    ).localCheckpoint()
+
+    for walk_id in range(n_iters):
+        frontier = starts.select(
+            "partition_key",
+            F.lit(walk_id).cast("long").alias("walk_id"),
+            F.lit(0).cast("long").alias("step"),
+            F.col("start_id").alias("node_id"),
+        ).localCheckpoint()
+        walk_rows = frontier
+        for step in range(1, max_len):
+            ch = frontier.join(
+                cmap, frontier["node_id"] == cmap["__cm_id"], "inner"
+            ).select("partition_key", "children")
+            ex = ch.select(
+                "partition_key", F.posexplode("children").alias("pos", "child")
+            )
+            flagged = ex.join(
+                visited.select(
+                    "partition_key",
+                    F.col("node_id").alias("child"),
+                    F.lit(True).alias("seen"),
+                ),
+                on=["partition_key", "child"],
+                how="left",
+            )
+            # pools keep the child-map's sorted order via pos;
+            # collect_list drops the nulls the `when` leaves on
+            # already-visited children
+            pools = flagged.groupBy("partition_key").agg(
+                F.sort_array(
+                    F.collect_list(F.struct("pos", "child"))
+                ).alias("all_ch"),
+                F.sort_array(
+                    F.collect_list(
+                        F.when(F.col("seen").isNull(), F.struct("pos", "child"))
+                    )
+                ).alias("unv"),
+            )
+            pool = F.when(F.size("unv") > 0, F.col("unv")).otherwise(
+                F.col("all_ch")
+            )
+            h = hash56(
+                F.concat_ws(
+                    ":",
+                    F.lit(str(seed)),
+                    F.col("partition_key").cast("string"),
+                    F.lit(str(walk_id)),
+                    F.lit(str(step)),
+                )
+            )
+            frontier = pools.select(
+                "partition_key",
+                F.lit(walk_id).cast("long").alias("walk_id"),
+                F.lit(step).cast("long").alias("step"),
+                F.element_at(
+                    pool, (F.pmod(h, F.size(pool)) + 1).cast("int")
+                )["child"].alias("node_id"),
+            ).localCheckpoint()
+            if frontier.limit(1).count() == 0:
+                break
+            walk_rows = walk_rows.unionAll(frontier).localCheckpoint()
+        out = out.unionAll(walk_rows).localCheckpoint()
+        # the exploration-bias set updates per completed walk, exactly
+        # like the kernel's partition_visited.update(path)
+        visited = (
+            visited.unionAll(walk_rows.select("partition_key", "node_id"))
+            .distinct()
+            .localCheckpoint()
+        )
+    return out
 
 
 def walk_visited_sets(walk_steps: DataFrame) -> DataFrame:

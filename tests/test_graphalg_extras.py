@@ -213,6 +213,21 @@ def test_scc_nested_cycles_one_component(spark):
     assert got == {1: 4, 2: 4, 3: 4, 4: 4}
 
 
+def test_scc_long_cycle_exceeding_max_iters(spark):
+    # a directed cycle LONGER than max_iters: the coloring and backward
+    # sweeps must keep iterating to fixpoint past the soft cap (warning
+    # only), or the single SCC would be silently split into fragments.
+    n = 12
+    ids = list(range(1, n + 1))
+    edges = [(i, i + 1) for i in ids[:-1]] + [(n, 1)]
+    g = _graph(spark, ids, edges)
+    got = {
+        r["id"]: r["scc_id"]
+        for r in graphalg.scc_components(g, max_iters=5).collect()
+    }
+    assert got == {i: n for i in ids}
+
+
 def test_scc_extra_edges_create_cycle(spark):
     # DAG 1→2→3; extra edge 3→1 merges everything into one SCC.
     g = _graph(spark, [1, 2, 3], [(1, 2), (2, 3)])

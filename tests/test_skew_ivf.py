@@ -75,6 +75,23 @@ def test_bloom_pruned_join_equals_plain_join(spark):
     assert plain == pruned
 
 
+def test_bloom_prune_preserves_user_bloom_column(spark):
+    # a probe side that already carries a column literally named
+    # 'bloom' must pass through untouched (the broadcast filter rides
+    # along under an internal name)
+    from big_data_graph_analysis_with_spark_spark.functions import bloom
+    from pyspark.sql import functions as F
+
+    keys = spark.range(0, 50).select(F.col("id").alias("k"))
+    probe = spark.range(0, 100).select(
+        F.col("id").alias("k"), (F.col("id") + 7).alias("bloom")
+    )
+    pruned = bloom.bloom_prune(probe, keys, "k", "k")
+    assert pruned.columns == ["k", "bloom"]
+    got = {(r["k"], r["bloom"]) for r in pruned.collect()}
+    assert {(i, i + 7) for i in range(50)} <= got
+
+
 def test_bloom_small_m_degrades_but_never_drops(spark):
     from big_data_graph_analysis_with_spark_spark.functions import bloom
     from pyspark.sql import functions as F

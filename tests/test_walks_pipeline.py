@@ -113,6 +113,85 @@ def test_run_walks_has_no_driver_collect():
     assert "_load_adjacency" in src
 
 
+def test_frontier_tier_forced_dispatch_properties(spark, graph20):
+    """run_walks(frontier_threshold=0) must route to the frontier-join
+    tier and deliver the kernel's contract: valid paths, quota bound,
+    step-0 starts, every (partition, walk) present, determinism."""
+    start_ids = [r["id"] for r in topology.start_nodes(graph20).select("id").collect()]
+    a = walks.sample_start_assignments(spark, start_ids, CFG)
+    fr = walks.run_walks(spark, graph20, a, CFG, frontier_threshold=0).cache()
+    again = walks.run_walks(spark, graph20, a, CFG, frontier_threshold=0)
+    assert sorted(map(tuple, fr.collect())) == sorted(map(tuple, again.collect()))
+
+    nxt = fr.select(
+        "partition_key",
+        "walk_id",
+        (F.col("step") + 1).alias("step"),
+        F.col("node_id").alias("src"),
+    )
+    pairs = fr.select(
+        "partition_key", "walk_id", "step", F.col("node_id").alias("dst")
+    ).join(nxt, on=["partition_key", "walk_id", "step"])
+    bad = pairs.join(
+        graph20.edges.select("src", "dst").distinct(),
+        on=["src", "dst"],
+        how="left_anti",
+    )
+    assert bad.count() == 0
+
+    quota = math.ceil(CFG.random_walk_coeff * graph20.num_vertices())
+    lens = fr.groupBy("partition_key", "walk_id").agg(
+        F.count("*").alias("n"), F.min("step").alias("s0")
+    )
+    assert lens.filter(F.col("n") > quota).count() == 0
+    assert lens.filter(F.col("s0") != 0).count() == 0
+    assert lens.count() == CFG.num_of_parallel_walks * CFG.num_iters_per_comp_node
+    # no step skipped inside a walk
+    gaps = fr.groupBy("partition_key", "walk_id").agg(
+        F.max("step").alias("mx"), F.count("*").alias("n")
+    )
+    assert gaps.filter(F.col("mx") != F.col("n") - 1).count() == 0
+    fr.unpersist()
+
+
+def test_frontier_tier_exploration_bias(spark):
+    """Cross-walk bias: a later walk must prefer the child its
+    predecessor did NOT visit (pool = unvisited when non-empty)."""
+    from big_data_graph_analysis_with_spark_spark.model import (
+        EDGE_SCHEMA,
+        VERTEX_SCHEMA,
+        NetGraph,
+    )
+
+    # S → A → {B, C}; B and C are sinks. Walk 0 takes one of B/C,
+    # walk 1 MUST take the other.
+    vs = [(i, 1, 1, 1, 1, 1, 1, 1, 0.1, False) for i in (0, 1, 2, 3)]
+    es = [
+        (0, 1, 0, 0, 1, None, 0.1),
+        (1, 2, 0, 0, 1, None, 0.1),
+        (1, 3, 0, 0, 1, None, 0.1),
+    ]
+    g = NetGraph(
+        spark.createDataFrame(vs, VERTEX_SCHEMA),
+        spark.createDataFrame(es, EDGE_SCHEMA),
+    )
+    cfg = SimConfig(
+        num_of_parallel_walks=1,
+        num_iters_per_comp_node=2,
+        iters_before_accum=1,
+        random_walk_coeff=1.0,
+        seed=3,
+    )
+    a = walks.sample_start_assignments(spark, [0], cfg)
+    fr = walks.run_walks_frontier(spark, g, a, cfg)
+    leaves = {
+        (r["walk_id"], r["node_id"])
+        for r in fr.filter(F.col("step") == 2).collect()
+    }
+    assert {w for w, _ in leaves} == {0, 1}
+    assert {n for _, n in leaves} == {2, 3}  # one walk each
+
+
 def test_pipeline_graph200_deterministic_and_sane(spark):
     og = load_graph(spark, f"{REF_INPUT}/Graph200.txt")
     pg = load_graph(spark, f"{REF_INPUT}/Graph200.txt.perturbed")
