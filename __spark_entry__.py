@@ -2267,10 +2267,11 @@ def q_user_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_ego_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Rows-only: layered GraphSAGE-style ego-net batch from the 8
-    smallest vertex ids, fanouts (3, 2) — deterministic membership is
-    pinned by repartitioning-invariance tests; the per-layer hash-rank
-    machinery is oracle-checked via `neighbor_sample`."""
+    """Layered GraphSAGE-style ego-net batch from the 8 smallest vertex
+    ids, fanouts (3, 2). Membership is a pure function of (edge, seed)
+    hash rank, so the whole two-layer expansion unrolls into chained
+    SQL CTEs — oracle-checked end to end (plus repartitioning-
+    invariance tests)."""
     from big_data_graph_analysis_with_spark_spark.operators import sampling
 
     og, _ = _graphs(spark, sf_dir)
@@ -2690,10 +2691,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # driver row; 54 of them are oracle-backed. The head 50 below are all
     # oracle-backed queries that have NEVER had a driver row, so every slot
     # of CORRECTNESS_r05.json hash-verifies new surface. Remaining
-    # driver-unverified after this round: 4 oracle-backed (positions 51-54,
-    # first in line for round 6) + 6 rows-only tail entries that cannot
-    # hash-verify by design. Query growth is frozen this round so the hard
-    # signal catches up (r3 rows cover the r3 block, r4 rows the r4 block).
+    # driver-unverified after this round: 5 oracle-backed (positions 51-55,
+    # first in line for round 6; ego_batch gained an oracle this round) +
+    # 5 rows-only tail entries that cannot hash-verify by design. Query
+    # growth is frozen this round so the hard signal catches up (r3 rows
+    # cover the r3 block, r4 rows the r4 block).
     return {
         # -- never driver-verified, oracle-backed: the round-5 window --------
         "scc": q_scc,
@@ -2752,6 +2754,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "length_outliers": q_length_outliers,
         "length_cdf": q_length_cdf,
         "time_profile": q_time_profile,
+        "ego_batch": q_ego_batch,
         # -- driver-green in CORRECTNESS_r04.json ----------------------------
         "mixture_sample": q_mixture_sample,
         "corpus_shards": q_corpus_shards,
@@ -2859,7 +2862,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "node2vec_walks": q_node2vec_walks,
         "betweenness": q_betweenness,
         "multimodal_real_codecs": q_multimodal_real_codecs,
-        "ego_batch": q_ego_batch,
     }
 
 
@@ -3807,6 +3809,42 @@ def oracle_sql() -> dict[str, str]:
               FROM uniq
             )
             SELECT src, dst FROM ranked WHERE rk <= 3
+            """
+        ),
+        "ego_batch": graph_sql(
+            f"""
+            , uniq AS (SELECT DISTINCT src, dst FROM og_edges),
+            cap1 AS (
+              SELECT src, dst FROM (
+                SELECT src, dst, ROW_NUMBER() OVER (
+                  PARTITION BY src
+                  ORDER BY {hash56_sql("CAST(src AS VARCHAR) || ':' || CAST(dst AS VARCHAR)", seed=6)} ASC,
+                           dst ASC) AS rk
+                FROM uniq) WHERE rk <= 3
+            ),
+            cap2 AS (
+              SELECT src, dst FROM (
+                SELECT src, dst, ROW_NUMBER() OVER (
+                  PARTITION BY src
+                  ORDER BY {hash56_sql("CAST(src AS VARCHAR) || ':' || CAST(dst AS VARCHAR)", seed=7)} ASC,
+                           dst ASC) AS rk
+                FROM uniq) WHERE rk <= 2
+            ),
+            seeds AS (SELECT id FROM og_vertices ORDER BY id LIMIT 8),
+            layer1 AS (
+              SELECT DISTINCT s.id AS seed_id, CAST(1 AS BIGINT) AS hop,
+                     c.src, c.dst
+              FROM seeds s JOIN cap1 c ON c.src = s.id
+            ),
+            front1 AS (SELECT DISTINCT seed_id, dst AS node FROM layer1),
+            layer2 AS (
+              SELECT DISTINCT f.seed_id, CAST(2 AS BIGINT) AS hop,
+                     c.src, c.dst
+              FROM front1 f JOIN cap2 c ON c.src = f.node
+            )
+            SELECT seed_id, hop, src, dst FROM layer1
+            UNION ALL
+            SELECT seed_id, hop, src, dst FROM layer2
             """
         ),
         "tfidf_top_terms": doc_oracles.tfidf_sql(k=5),

@@ -1289,6 +1289,7 @@ def betweenness_sampled(
         "seed long, id long, dist long, n_paths long",
     ).localCheckpoint()
     visited = frontier
+    level_of = {0: frontier}
     max_d = 0
     for d in range(1, levels + 1):
         nxt = (
@@ -1305,26 +1306,33 @@ def betweenness_sampled(
         if nxt.limit(1).count() == 0:
             break
         max_d = d
+        level_of[d] = nxt
         visited = visited.unionAll(nxt).localCheckpoint()
         frontier = nxt
-    # backward accumulation, one level at a time
-    delta = visited.select(
-        "seed", "id", "dist", F.lit(0.0).alias("delta")
-    ).localCheckpoint()
+    # backward accumulation, one level at a time. Each round touches
+    # ONLY the two adjacent level slices (the frames the forward sweep
+    # already materialized), never the whole visited table — rewriting
+    # the full (seed, id, dist, delta) frame per round, as a naive
+    # formulation does, costs O(|visited|) per level instead of
+    # O(|level|) and dominates the suite's wall time.
+    # delta at the deepest level is 0 (no successors)
+    delta_levels = [
+        level_of[max_d].select("seed", "id", F.lit(0.0).alias("delta"))
+    ]
     for d in range(max_d - 1, -1, -1):
-        succ = delta.filter(F.col("dist") == d + 1).select(
+        succ = delta_levels[-1].select(
             "seed",
             F.col("id").alias("dst"),
             F.col("delta").alias("delta_w"),
         )
-        sig_w = visited.filter(F.col("dist") == d + 1).select(
+        sig_w = level_of[d + 1].select(
             "seed", F.col("id").alias("dst"), F.col("n_paths").alias("sig_w")
         )
         contrib = (
             edges.join(succ, on="dst")
             .join(sig_w, on=["seed", "dst"])
             .join(
-                visited.filter(F.col("dist") == d).select(
+                level_of[d].select(
                     "seed", F.col("id").alias("src"), F.col("n_paths").alias("sig_v")
                 ),
                 on=["seed", "src"],
@@ -1338,25 +1346,22 @@ def betweenness_sampled(
                 ).alias("dsum")
             )
         )
-        delta = (
-            delta.join(contrib, on=["seed", "id"], how="left")
-            .select(
-                "seed",
-                "id",
-                "dist",
-                F.when(
-                    F.col("dist") == d, F.coalesce("dsum", F.lit(0.0))
-                )
-                .otherwise(F.col("delta"))
-                .alias("delta"),
-            )
+        delta_levels.append(
+            level_of[d]
+            .select("seed", "id")
+            .join(contrib, on=["seed", "id"], how="left")
+            .select("seed", "id", F.coalesce("dsum", F.lit(0.0)).alias("delta"))
             .localCheckpoint()
         )
-    return (
-        delta.filter(F.col("dist") > 0)
-        .groupBy("id")
-        .agg(F.sum("delta").alias("betweenness"))
-    )
+    # delta_levels[-1] is level 0 (the seeds themselves) — excluded,
+    # matching the dist > 0 convention of Brandes' accumulation
+    non_seed = delta_levels[:-1]
+    if not non_seed:
+        return spark.createDataFrame([], "id long, betweenness double")
+    out = non_seed[0]
+    for lv in non_seed[1:]:
+        out = out.unionAll(lv)
+    return out.groupBy("id").agg(F.sum("delta").alias("betweenness"))
 
 
 @_narrowed

@@ -388,7 +388,10 @@ def ann_lsh_topk_exact(
     float path when they must be fast. Returns
     (query_id, neighbor_id, rank, cosine).
     """
-    comp = _decimal_components(emb)
+    # comp feeds the signature projection, the norms, and the dot join
+    # below — materialize the explode+cast once (same rationale as
+    # dedup.embedding_cosine_pairs)
+    comp = _decimal_components(emb).localCheckpoint()
     sigs = srp_signatures_decimal(emb, num_tables, planes_per_table, comp=comp)
     qsigs = srp_signatures_decimal(queries, num_tables, planes_per_table).select(
         F.col("vec_id").alias("query_id"), "tbl", "sig"

@@ -131,6 +131,51 @@ def test_bucketed_label_propagation_same_result(spark, tmp_path):
     assert bucketed == plain
 
 
+def test_bucketed_centrality_family_same_results(spark, tmp_path):
+    """closeness_sampled(sym_edges=...) / path_counts(edges_stable=True)
+    / betweenness_sampled(edges_stable=True) over bucketed catalog
+    tables must return bit-identical results to the derived paths (the
+    per-level join shapes match connected_components'/pagerank's, whose
+    no-Exchange plan assertions cover the shuffle claim)."""
+    from big_data_graph_analysis_with_spark_spark.operators import graphalg
+    from big_data_graph_analysis_with_spark_spark.sources.parquet_graph import (
+        read_sym_edges,
+        write_sym_edges,
+    )
+
+    g = load_graph(spark, f"{REF_INPUT}/Graph20.0.txt")
+    path = str(tmp_path / "g20cf")
+    write_graph_parquet(g, path, bucket_by=4)
+    write_sym_edges(g, path, bucket_by=4)
+    back = read_graph_parquet(spark, path)
+    sym = read_sym_edges(spark, path)
+
+    assert sorted(
+        map(
+            tuple,
+            graphalg.closeness_sampled(back, n_seeds=3, sym_edges=sym).collect(),
+        )
+    ) == sorted(map(tuple, graphalg.closeness_sampled(g, n_seeds=3).collect()))
+
+    assert sorted(
+        map(
+            tuple,
+            graphalg.path_counts(back, levels=6, edges_stable=True).collect(),
+        )
+    ) == sorted(map(tuple, graphalg.path_counts(g, levels=6).collect()))
+
+    assert sorted(
+        map(
+            tuple,
+            graphalg.betweenness_sampled(
+                back, n_seeds=3, edges_stable=True
+            ).collect(),
+        )
+    ) == sorted(
+        map(tuple, graphalg.betweenness_sampled(g, n_seeds=3).collect())
+    )
+
+
 def test_bucketed_pagerank_same_result_no_edge_exchange(spark, tmp_path):
     """pagerank(edges_stable=True) over the src-bucketed catalog tables
     must (a) return bit-identical scores to the plain path and (b) plan
