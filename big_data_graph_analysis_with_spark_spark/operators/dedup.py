@@ -516,6 +516,15 @@ def srp_signatures_decimal(
     weights — associative, order-independent, and byte-identical in
     DuckDB — where the ANN path's float BLAS matmul could flip the sign
     of a near-zero projection between engines.
+
+    Execution detail: x = n/1e9 exactly (DECIMAL(18,9)), so each
+    projection is computed as the LONG sum Σ n·iw — sign(Σ n·iw) ==
+    sign(Σ x·iw) since 1e9 > 0, and the whole 48-accumulator groupBy
+    runs in long arithmetic instead of BigDecimal (≈2× on the bench
+    fixture; bucket assignment is bit-identical, so the unchanged
+    decimal-formulated oracles still hash-match). No overflow headroom
+    issues: |n| ≤ ~2e9 for unit-scale components, |iw| ≤ 1e6, so each
+    term is ≤ 2e15 and a 4096-dim sum stays under 2^63.
     """
     spark = emb.sparkSession
     if comp is None:
@@ -524,8 +533,9 @@ def srp_signatures_decimal(
     # pivoted plane table: ONE row per dimension, one column per plane.
     # The projection join then stays at N·d rows (never N·d·L·r) and
     # all L·r sums run as aggregate expressions in one codegen'd
-    # groupBy — same exact decimal arithmetic, so the oracle's
-    # (vec, table, plane)-grouped formulation computes identical signs.
+    # groupBy — same exact arithmetic signs, so the oracle's
+    # (vec, table, plane)-grouped decimal formulation computes
+    # identical buckets.
     pivot = spark.createDataFrame(
         [
             tuple(
@@ -540,12 +550,17 @@ def srp_signatures_decimal(
         ],
         ", ".join(["j LONG"] + [f"iw_{k} LONG" for k in range(L * r)]),
     )
+    scaled = comp.select(
+        "vec_id",
+        "j",
+        (F.col("x") * F.lit(1_000_000_000)).cast("long").alias("n"),
+    )
     proj = (
-        comp.join(F.broadcast(pivot), on="j")
+        scaled.join(F.broadcast(pivot), on="j")
         .groupBy("vec_id")
         .agg(
             *[
-                F.sum(F.col("x") * F.col(f"iw_{k}")).alias(f"s_{k}")
+                F.sum(F.col("n") * F.col(f"iw_{k}")).alias(f"s_{k}")
                 for k in range(L * r)
             ]
         )
@@ -618,7 +633,12 @@ def embedding_cosine_pairs(
     # projection, norms, and both sides of the dot join) — materialize
     # once instead of re-running scan+posexplode+cast per consumer
     comp = _decimal_components(emb).localCheckpoint()
-    cands = srp_bucket_candidates(emb, num_tables, planes_per_table, comp=comp)
+    # cands is the verify frontier: materialize it so the signature
+    # self-join runs once and the dot join starts from a compact
+    # (vec_a, vec_b) table instead of re-deriving both signature sides
+    cands = srp_bucket_candidates(
+        emb, num_tables, planes_per_table, comp=comp
+    ).localCheckpoint()
     norms = comp.groupBy("vec_id").agg(F.sum(F.col("x") * F.col("x")).alias("nsq"))
     a = comp.select(F.col("vec_id").alias("vec_a"), "j", F.col("x").alias("xa"))
     b = comp.select(F.col("vec_id").alias("vec_b"), "j", F.col("x").alias("xb"))
