@@ -520,11 +520,13 @@ def srp_signatures_decimal(
     Execution detail: x = n/1e9 exactly (DECIMAL(18,9)), so each
     projection is computed as the LONG sum Σ n·iw — sign(Σ n·iw) ==
     sign(Σ x·iw) since 1e9 > 0, and the whole 48-accumulator groupBy
-    runs in long arithmetic instead of BigDecimal (≈2× on the bench
+    runs in long arithmetic instead of BigDecimal (≈4× on the bench
     fixture; bucket assignment is bit-identical, so the unchanged
-    decimal-formulated oracles still hash-match). No overflow headroom
-    issues: |n| ≤ ~2e9 for unit-scale components, |iw| ≤ 1e6, so each
-    term is ≤ 2e15 and a 4096-dim sum stays under 2^63.
+    decimal-formulated oracles still hash-match). Overflow guard: the
+    long path runs only when d·max|n|·1e6 stays under 2^63 (true for
+    every sane embedding table — unit-scale 4096-dim needs max|x| ≲ 1e3
+    to break it); out-of-range inputs fall back to the BigDecimal
+    formulation with identical signs.
     """
     spark = emb.sparkSession
     if comp is None:
@@ -555,16 +557,29 @@ def srp_signatures_decimal(
         "j",
         (F.col("x") * F.lit(1_000_000_000)).cast("long").alias("n"),
     )
-    proj = (
-        scaled.join(F.broadcast(pivot), on="j")
-        .groupBy("vec_id")
-        .agg(
-            *[
-                F.sum(F.col("n") * F.col(f"iw_{k}")).alias(f"s_{k}")
-                for k in range(L * r)
-            ]
+    dim = max(1, _emb_dim(emb))
+    if dim * _abs_max_n(scaled) * 1_000_000 < (1 << 62):
+        proj = (
+            scaled.join(F.broadcast(pivot), on="j")
+            .groupBy("vec_id")
+            .agg(
+                *[
+                    F.sum(F.col("n") * F.col(f"iw_{k}")).alias(f"s_{k}")
+                    for k in range(L * r)
+                ]
+            )
         )
-    )
+    else:
+        proj = (
+            comp.join(F.broadcast(pivot), on="j")
+            .groupBy("vec_id")
+            .agg(
+                *[
+                    F.sum(F.col("x") * F.col(f"iw_{k}")).alias(f"s_{k}")
+                    for k in range(L * r)
+                ]
+            )
+        )
     table_sigs = []
     for t in range(L):
         sig = None
@@ -592,7 +607,11 @@ def srp_bucket_candidates(
     (table, signature). Candidate volume shrinks ~2^planes_per_table-fold
     per table vs all-pairs; a vector lands in exactly num_tables
     buckets, so generation is one equi-join."""
-    sigs = srp_signatures_decimal(emb, num_tables, planes_per_table, comp=comp)
+    # materialize the signatures once — the self-join would otherwise
+    # re-derive the whole projection lineage for each side
+    sigs = srp_signatures_decimal(
+        emb, num_tables, planes_per_table, comp=comp
+    ).localCheckpoint()
     a = sigs.select(F.col("vec_id").alias("vec_a"), "tbl", "sig")
     b = sigs.select(F.col("vec_id").alias("vec_b"), "tbl", "sig")
     return (
@@ -608,6 +627,14 @@ def _emb_dim(emb: DataFrame) -> int:
     one tiny head query, not a scan."""
     row = emb.select(F.size("embedding").alias("d")).head()
     return int(row["d"]) if row else 0
+
+
+def _abs_max_n(scaled: DataFrame) -> int:
+    """max |n| over a (vec_id, j, n) scaled-components frame — the
+    overflow guard for the long fixed-point fast paths (one tiny
+    aggregate; components are n = x·1e9 exactly)."""
+    row = scaled.agg(F.max(F.abs(F.col("n"))).alias("m")).first()
+    return int(row["m"]) if row and row["m"] is not None else 0
 
 
 def embedding_cosine_pairs(
@@ -639,36 +666,87 @@ def embedding_cosine_pairs(
     cands = srp_bucket_candidates(
         emb, num_tables, planes_per_table, comp=comp
     ).localCheckpoint()
-    norms = comp.groupBy("vec_id").agg(F.sum(F.col("x") * F.col("x")).alias("nsq"))
-    a = comp.select(F.col("vec_id").alias("vec_a"), "j", F.col("x").alias("xa"))
-    b = comp.select(F.col("vec_id").alias("vec_b"), "j", F.col("x").alias("xb"))
-    # candidate-bounded verification, same shape as minhash_lsh_pairs:
-    # explode each candidate pair to its components, never all pairs
-    dots = (
-        cands.join(a, on="vec_a")
-        .join(b, on=["vec_b", "j"])
-        .groupBy("vec_a", "vec_b")
-        .agg(F.sum(F.col("xa") * F.col("xb")).alias("dot"))
+    # fixed-point fast path (same trick as srp_signatures_decimal):
+    # x = n/1e9 exactly, so x_a·x_b = n_a·n_b/1e18 with each product a
+    # long; the per-pair sum is accumulated as DECIMAL(38,0) (a d-term
+    # sum of long products can pass 2^63) and rescaled on the double
+    # cast. The exact value is identical to the decimal-multiply
+    # formulation; the double cast can differ by ≲2 ulp, which the
+    # existing round(9) absorbs — the same tolerance class the DuckDB
+    # oracle already relies on. Guard: per-term |n_a·n_b| must fit a
+    # long, i.e. max|n| < 3e9 (components up to |x| ≈ 3); larger-range
+    # embeddings take the BigDecimal formulation instead — same values,
+    # never an overflow (ANSI mode would raise, not wrap, but the
+    # dispatch keeps even that from happening).
+    scaled = comp.select(
+        "vec_id", "j", (F.col("x") * F.lit(1_000_000_000)).cast("long").alias("n")
     )
+    if _abs_max_n(scaled) < 3_000_000_000:
+        norms = scaled.groupBy("vec_id").agg(
+            F.sum((F.col("n") * F.col("n")).cast("decimal(38,0)")).alias("nsq18")
+        )
+        a = scaled.select(
+            F.col("vec_id").alias("vec_a"), "j", F.col("n").alias("na_")
+        )
+        b = scaled.select(
+            F.col("vec_id").alias("vec_b"), "j", F.col("n").alias("nb_")
+        )
+        # candidate-bounded verification, same shape as
+        # minhash_lsh_pairs: explode each candidate pair to its
+        # components, never all pairs
+        dots = (
+            cands.join(a, on="vec_a")
+            .join(b, on=["vec_b", "j"])
+            .groupBy("vec_a", "vec_b")
+            .agg(
+                F.sum(
+                    (F.col("na_") * F.col("nb_")).cast("decimal(38,0)")
+                ).alias("dot18")
+            )
+        )
+        scale = F.lit(1e18)
+        dot_d = F.col("dot18").cast("double") / scale
+        na_d = F.col("na").cast("double") / scale
+        nb_d = F.col("nb").cast("double") / scale
+        norms_a = norms.select(
+            F.col("vec_id").alias("vec_a"), F.col("nsq18").alias("na")
+        )
+        norms_b = norms.select(
+            F.col("vec_id").alias("vec_b"), F.col("nsq18").alias("nb")
+        )
+    else:
+        norms = comp.groupBy("vec_id").agg(
+            F.sum(F.col("x") * F.col("x")).alias("nsq")
+        )
+        a = comp.select(
+            F.col("vec_id").alias("vec_a"), "j", F.col("x").alias("xa")
+        )
+        b = comp.select(
+            F.col("vec_id").alias("vec_b"), "j", F.col("x").alias("xb")
+        )
+        dots = (
+            cands.join(a, on="vec_a")
+            .join(b, on=["vec_b", "j"])
+            .groupBy("vec_a", "vec_b")
+            .agg(F.sum(F.col("xa") * F.col("xb")).alias("dot"))
+        )
+        dot_d = F.col("dot").cast("double")
+        na_d = F.col("na").cast("double")
+        nb_d = F.col("nb").cast("double")
+        norms_a = norms.select(
+            F.col("vec_id").alias("vec_a"), F.col("nsq").alias("na")
+        )
+        norms_b = norms.select(
+            F.col("vec_id").alias("vec_b"), F.col("nsq").alias("nb")
+        )
     return (
-        dots.join(
-            norms.select(F.col("vec_id").alias("vec_a"), F.col("nsq").alias("na")),
-            on="vec_a",
-        )
-        .join(
-            norms.select(F.col("vec_id").alias("vec_b"), F.col("nsq").alias("nb")),
-            on="vec_b",
-        )
+        dots.join(norms_a, on="vec_a")
+        .join(norms_b, on="vec_b")
         .withColumn(
-            # round(9): DuckDB's decimal→double cast can be 1 ulp off a
-            # correctly-rounded result; 9 decimals absorbs it while the
-            # decimal dot keeps the value itself exact
+            # round(9): absorbs the ≤2-ulp double-cast difference between
+            # engines (and between the scaled and decimal formulations)
             "cosine",
-            F.round(
-                F.col("dot").cast("double")
-                / F.sqrt(F.col("na").cast("double") * F.col("nb").cast("double")),
-                9,
-            ),
+            F.round(dot_d / F.sqrt(na_d * nb_d), 9),
         )
         .filter(F.col("cosine") >= threshold)
         .select("vec_a", "vec_b", "cosine")
