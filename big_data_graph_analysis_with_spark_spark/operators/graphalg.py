@@ -169,6 +169,13 @@ def connected_components(
     labels = graph.vertices.select(
         "id", F.col("id").alias("component_id")
     ).localCheckpoint()
+    # convergence via the MONOTONE label sum: min-labels only ever
+    # decrease, so an unchanged Σ ⇔ fixpoint — one scan aggregate per
+    # round instead of an anti-join job (decimal accumulation so the
+    # sum cannot overflow at any graph size)
+    prev_sum = labels.agg(
+        F.sum(F.col("component_id").cast("decimal(38,0)"))
+    ).first()[0]
     for _ in range(max_iters):
         nbr_min = (
             sym.join(labels, on=sym.b == labels.id)
@@ -185,14 +192,13 @@ def connected_components(
             )
             .localCheckpoint()
         )
-        changed = (
-            new_labels.join(labels, on=["id", "component_id"], how="left_anti")
-            .limit(1)
-            .count()
-        )
+        new_sum = new_labels.agg(
+            F.sum(F.col("component_id").cast("decimal(38,0)"))
+        ).first()[0]
         labels = new_labels
-        if changed == 0:
+        if new_sum == prev_sum:
             break
+        prev_sum = new_sum
     return labels
 
 
@@ -898,7 +904,10 @@ def scc_components(
     )
     rem = graph.vertices.select("id").localCheckpoint()
     spark = graph.vertices.sparkSession
-    assigned = spark.createDataFrame([], "id long, scc_id long")
+    # assignment accumulator: write-only until the final union — keep
+    # the parts in a driver-side LIST of (checkpointed) frames instead
+    # of union-and-checkpointing a growing table every trim round
+    assigned_parts: list[DataFrame] = []
 
     def _restrict(e_df, rem_df):
         return (
@@ -924,15 +933,19 @@ def scc_components(
             trivial = rem.join(core, on="id", how="left_anti").localCheckpoint()
             if trivial.limit(1).count() == 0:
                 break
-            assigned = assigned.unionAll(
+            assigned_parts.append(
                 trivial.select("id", F.col("id").alias("scc_id"))
-            ).localCheckpoint()
+            )
             rem = rem.join(trivial, on="id", how="left_anti").localCheckpoint()
             e = _restrict(e, rem)
         if rem.limit(1).count() == 0:
             break
-        # -- 2. forward max-color fixpoint
+        # -- 2. forward max-color fixpoint. Convergence is detected by
+        # the MONOTONE color sum: colors only ever increase, so an
+        # unchanged Σcolor ⇔ no vertex changed ⇔ fixpoint — one scan
+        # aggregate per round instead of an anti-join job.
         color = rem.select("id", F.col("id").alias("color")).localCheckpoint()
+        prev_sum = color.agg(F.sum(F.col("color").cast("decimal(38,0)"))).first()[0]
         color_round = 0
         while True:
             _soft_cap("coloring", color_round)
@@ -954,14 +967,11 @@ def scc_components(
                 )
                 .localCheckpoint()
             )
-            changed = (
-                newc.join(color, on=["id", "color"], how="left_anti")
-                .limit(1)
-                .count()
-            )
+            new_sum = newc.agg(F.sum(F.col("color").cast("decimal(38,0)"))).first()[0]
             color = newc
-            if changed == 0:
+            if new_sum == prev_sum:
                 break
+            prev_sum = new_sum
         # -- 3. backward sweep from roots over same-color edges
         ce = (
             e.join(
@@ -1003,7 +1013,7 @@ def scc_components(
                 break
             members = members.unionAll(preds).localCheckpoint()
             frontier = preds
-        assigned = assigned.unionAll(members).localCheckpoint()
+        assigned_parts.append(members)
         rem = rem.join(members, on="id", how="left_anti").localCheckpoint()
         e = _restrict(e, rem)
     leftover = rem.count()
@@ -1015,9 +1025,10 @@ def scc_components(
             max_outer,
             leftover,
         )
-        assigned = assigned.unionAll(
-            rem.select("id", F.col("id").alias("scc_id"))
-        )
+        assigned_parts.append(rem.select("id", F.col("id").alias("scc_id")))
+    assigned = spark.createDataFrame([], "id long, scc_id long")
+    for part in assigned_parts:
+        assigned = assigned.unionAll(part)
     return assigned.select(
         F.col("id").cast("long").alias("id"),
         F.col("scc_id").cast("long").alias("scc_id"),
