@@ -132,6 +132,26 @@ def test_embedding_cosine_lsh_planted_dups(spark):
     assert all(c >= 0.9 for c in got.values())
 
 
+def test_embedding_cosine_fast_and_fallback_paths_agree(spark, embs, monkeypatch):
+    """The long fixed-point fast path and the BigDecimal fallback must
+    produce identical pairs and cosines on the same input (forcing the
+    fallback by faking an out-of-range component max)."""
+    import big_data_graph_analysis_with_spark_spark.operators.dedup as dd
+
+    sub = embs.filter(F.col("vec_id") < 300)
+    # threshold -1 keeps every in-bucket candidate, so the comparison
+    # covers the full cosine range, not just the near-dup tail
+    fast = sorted(
+        map(tuple, dd.embedding_cosine_pairs(sub, threshold=-1.0).collect())
+    )
+    monkeypatch.setattr(dd, "_abs_max_n", lambda scaled: 10**12)
+    slow = sorted(
+        map(tuple, dd.embedding_cosine_pairs(sub, threshold=-1.0).collect())
+    )
+    assert fast == slow
+    assert fast  # clustered fixture: buckets must produce candidates
+
+
 def test_embedding_cosine_lsh_subset_of_exact(spark, embs):
     """LSH candidates only ever DROP pairs vs the all-pairs scan —
     output must be a subset of exact decimal cosine pairs."""
@@ -947,6 +967,25 @@ def test_bpe_merges_greedy_and_nonoverlapping(spark):
         for r in textops.bpe_merges(d, rounds=2).orderBy("round").collect()
     ]
     assert got == again
+
+
+def test_bpe_merges_deep_round_count(spark):
+    """rounds=20: the per-round localCheckpoint keeps plan depth at one
+    replace regardless of R — 20 rounds must complete with a monotone,
+    well-formed merge table (one row per productive round)."""
+    rows = [(i, " ".join("abcdefgh"[j] for j in range(8))) for i in range(30)]
+    d = spark.createDataFrame(rows, "doc_id LONG, text STRING")
+    got = textops.bpe_merges(d, rounds=20).orderBy("round").collect()
+    assert 1 <= len(got) <= 20
+    assert [r["round"] for r in got] == list(range(1, len(got) + 1))
+    for r in got:
+        assert r["merged"] == r["pair"].replace(" ", "_")
+        assert r["n_occ"] >= 1
+    # every merge round strictly shrinks or preserves the bigram pool;
+    # the winning counts never increase between consecutive rounds on
+    # this uniform corpus
+    counts = [r["n_occ"] for r in got]
+    assert counts == sorted(counts, reverse=True)
 
 
 def test_bpe_merges_hostile_literals(spark):
