@@ -237,10 +237,12 @@ def main() -> None:
     @timed("graph_centralities", iters=2)
     def _():
         # round-4 whole-graph suite: LCC + 3-round LPA + 2-round HITS
+        # (LPA rides the b-bucketed symmetric table — same lever as
+        # cc_bucketed; results are identical either way)
         from big_data_graph_analysis_with_spark_spark.operators import graphalg
 
         graphalg.clustering_coefficient(og).agg(F.sum("lcc_ppm")).collect()
-        graphalg.label_propagation(og, rounds=3).agg(
+        graphalg.label_propagation(og, rounds=3, sym_edges=sym_bucketed).agg(
             F.countDistinct("label")
         ).collect()
         graphalg.hits_scores(og, rounds=2).agg(F.sum("auth")).collect()

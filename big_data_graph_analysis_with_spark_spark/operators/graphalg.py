@@ -700,6 +700,18 @@ def sssp_distances(
         .select("id", F.lit(0).cast("long").alias("d"))
         .localCheckpoint()
     )
+    # convergence via the monotone (reached-count, Σdist) pair:
+    # distances only ever decrease pointwise and the reached set only
+    # grows, so the pair is unchanged ⇔ fixpoint — one scan aggregate
+    # per round instead of an anti-join job
+    def _state(df):
+        row = df.agg(
+            F.count("*").alias("n"),
+            F.sum(F.col("d").cast("decimal(38,0)")).alias("s"),
+        ).first()
+        return (row["n"], row["s"])
+
+    prev = _state(dist)
     for _ in range(rounds):
         relaxed = wedges.join(dist, on=wedges.src == dist.id).select(
             F.col("dst").alias("id"), (F.col("d") + F.col("w")).alias("d")
@@ -710,12 +722,11 @@ def sssp_distances(
             .agg(F.min("d").alias("d"))
             .localCheckpoint()
         )
-        changed = (
-            new_dist.join(dist, on=["id", "d"], how="left_anti").limit(1).count()
-        )
+        cur = _state(new_dist)
         dist = new_dist
-        if changed == 0:
+        if cur == prev:
             break
+        prev = cur
     return dist.select("id", F.col("d").cast("long").alias("dist_scaled"))
 
 
