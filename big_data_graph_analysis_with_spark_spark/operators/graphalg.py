@@ -85,11 +85,21 @@ def _narrowed(fn):
     would execute after the width is restored)."""
     import functools
 
+    def _already_materialized(df: DataFrame) -> bool:
+        # a localCheckpointed frame's logical plan is a LogicalRDD scan
+        # (possibly under a trivial Project) — re-checkpointing it would
+        # just copy the materialized partitions again
+        try:
+            name = df._jdf.queryExecution().logical().getClass().getSimpleName()
+            return name == "LogicalRDD"
+        except Exception:
+            return False
+
     @functools.wraps(fn)
     def wrapper(graph, *args, **kwargs):
         with _narrow_shuffle(graph):
             out = fn(graph, *args, **kwargs)
-            if isinstance(out, DataFrame):
+            if isinstance(out, DataFrame) and not _already_materialized(out):
                 out = out.localCheckpoint()
             return out
 
