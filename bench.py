@@ -245,7 +245,9 @@ def main() -> None:
         graphalg.label_propagation(og, rounds=3, sym_edges=sym_bucketed).agg(
             F.countDistinct("label")
         ).collect()
-        graphalg.hits_scores(og, rounds=2).agg(F.sum("auth")).collect()
+        graphalg.hits_scores(
+            og_bucketed, rounds=2, edges_stable=True
+        ).agg(F.sum("auth")).collect()
 
     @timed("graph_structure", iters=2)
     def _():

@@ -473,7 +473,9 @@ def ktruss_edges(graph: NetGraph, k: int = 4, rounds: int = 5) -> DataFrame:
 
 
 @_narrowed
-def hits_scores(graph: NetGraph, rounds: int = 2) -> DataFrame:
+def hits_scores(
+    graph: NetGraph, rounds: int = 2, edges_stable: bool = False
+) -> DataFrame:
     """(id, hub, auth): HITS hub/authority scores after `rounds`
     UNNORMALIZED power-iteration rounds, as exact integers.
 
@@ -486,8 +488,16 @@ def hits_scores(graph: NetGraph, rounds: int = 2) -> DataFrame:
     integer, so the round-unrolled SQL oracle hash-matches. Magnitudes
     grow like (max degree)^{2·rounds} — at the default 2 rounds that
     is ≲ 10^12 on any graph whose max degree is ≲ 1000; rescale rounds
-    or switch to decimal for extreme hubs."""
-    edges = graph.edges.select("src", "dst").localCheckpoint()
+    or switch to decimal for extreme hubs.
+
+    ``edges_stable=True`` (same contract as `pagerank`/`path_counts`)
+    uses the edge frame as-is, preserving a src-bucketed scan's
+    distribution metadata for the auth half of every round; the hub
+    half joins on dst, where the per-round score side is vertex-sized
+    and shuffles regardless."""
+    edges = graph.edges.select("src", "dst")
+    if not edges_stable:
+        edges = edges.localCheckpoint()
     hub = graph.vertices.select("id", F.lit(1).cast("long").alias("hub"))
     auth = None
     for _ in range(rounds):

@@ -175,6 +175,13 @@ def test_bucketed_centrality_family_same_results(spark, tmp_path):
         map(tuple, graphalg.betweenness_sampled(g, n_seeds=3).collect())
     )
 
+    assert sorted(
+        map(
+            tuple,
+            graphalg.hits_scores(back, rounds=2, edges_stable=True).collect(),
+        )
+    ) == sorted(map(tuple, graphalg.hits_scores(g, rounds=2).collect()))
+
 
 def test_bucketed_pagerank_same_result_no_edge_exchange(spark, tmp_path):
     """pagerank(edges_stable=True) over the src-bucketed catalog tables
