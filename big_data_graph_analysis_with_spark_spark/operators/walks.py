@@ -444,6 +444,7 @@ def node2vec_walks(
     q: float = 1.0,
     seed: int = 0,
     adj_path: str | None = None,
+    frontier_threshold: int | None = None,
 ) -> DataFrame:
     """(start_id, rep, step, node_id): second-order biased random walks
     (Grover & Leskovec, KDD 2016) from every vertex — the walk-corpus
@@ -464,7 +465,25 @@ def node2vec_walks(
     per-executor whole-graph residency this family needs). Walk output
     is (L+1)·reps·|V| narrow rows — the dominant cost is writing the
     corpus, as it should be.
+
+    Above ``frontier_threshold`` vertices (default
+    FRONTIER_TIER_THRESHOLD, same dispatch as `run_walks`) the
+    sideload never materializes: :func:`node2vec_walks_frontier` steps
+    every walk by joining the walk-state frame against the child-map
+    table — O(walk-state) memory per executor, no whole-graph
+    residency anywhere. Trajectories between the tiers differ
+    (numpy-stream vs counter-hash RNG), so the threshold sits far
+    above every small-tier graph.
     """
+    thr = (
+        frontier_threshold
+        if frontier_threshold is not None
+        else FRONTIER_TIER_THRESHOLD
+    )
+    if adj_path is None and pg.num_vertices() > thr:
+        return node2vec_walks_frontier(
+            spark, pg, walks_per_vertex, walk_length, p, q, seed
+        )
     adj_path = adj_path if adj_path is not None else ensure_sideload(pg)
     n_buckets = max(8, spark.sparkContext.defaultParallelism * 2)
     assignments = (
@@ -529,3 +548,147 @@ def node2vec_walks(
         )
 
     return assignments.groupBy("bucket").applyInPandas(kernel, NODE2VEC_SCHEMA)
+
+
+def node2vec_walks_frontier(
+    spark: SparkSession,
+    pg: NetGraph,
+    walks_per_vertex: int = 1,
+    walk_length: int = 20,
+    p: float = 1.0,
+    q: float = 1.0,
+    seed: int = 0,
+    child_map_df: DataFrame | None = None,
+) -> DataFrame:
+    """Extreme-scale node2vec tier: same walk semantics as the kernel
+    (second-order p/q bias, first step uniform, directed, sinks stop)
+    with NO per-worker adjacency — each step joins the walk-state
+    frame (start_id, rep, prev, cur) against the child-map table
+    twice (cur's children for the candidate set, prev's children for
+    the common-neighbor test) and picks the next node with a
+    counter-based integer-weighted draw:
+
+    * weights are MILLI-INTEGERS — w_back = round(1e6/p), w_common =
+      1e6, w_else = round(1e6/q) — so the cumulative-sum draw is pure
+      long arithmetic, deterministic under any partitioning (bias
+      ratios match the kernel's float weights to 1e-6);
+    * the uniform variate is ``hash56(seed:start:rep:step) mod Σw`` —
+      a pure function of the walk coordinates, like
+      `run_walks_frontier`'s choice (the two tiers' RNG streams
+      differ from the kernel's numpy streams by design).
+
+    Cost model: L rounds of two child-map joins over an O(|V|·reps)
+    state frame — walks from every vertex advance in the same round,
+    so the per-round join IS the corpus-scale scan, and executor
+    memory stays O(state). Store child_map as an id-bucketed catalog
+    table so both probes co-locate.
+    """
+    from ..functions.hashing import hash56
+
+    cmap = (
+        child_map_df if child_map_df is not None else topology.child_map(pg)
+    ).select(F.col("id").alias("__cm_id"), "children")
+    w_back = max(1, round(1_000_000 / float(p)))
+    w_common = 1_000_000
+    w_else = max(1, round(1_000_000 / float(q)))
+    L = int(walk_length)
+
+    state = (
+        pg.vertices.select(F.col("id").alias("start_id"))
+        .select(
+            "start_id",
+            F.explode(
+                F.sequence(F.lit(1), F.lit(int(walks_per_vertex)))
+            ).alias("rep"),
+        )
+        .select(
+            "start_id",
+            F.col("rep").cast("long").alias("rep"),
+            F.lit(None).cast("long").alias("prev"),
+            F.col("start_id").alias("cur"),
+        )
+        .localCheckpoint()
+    )
+    out = state.select(
+        "start_id", "rep", F.lit(0).cast("long").alias("step"),
+        F.col("cur").alias("node_id"),
+    ).localCheckpoint()
+
+    empty_arr = F.array().cast("array<long>")
+    for step in range(1, L + 1):
+        cur_nbrs = state.join(
+            cmap, state["cur"] == cmap["__cm_id"], "inner"
+        ).select(
+            "start_id", "rep", "prev", "cur",
+            F.col("children").alias("cur_ch"),
+        )
+        with_prev = cur_nbrs.join(
+            cmap.select(
+                F.col("__cm_id").alias("prev"),
+                F.col("children").alias("prev_ch"),
+            ),
+            on="prev",
+            how="left",
+        )
+        ws = F.transform(
+            F.col("cur_ch"),
+            lambda c: F.when(F.col("prev").isNull(), F.lit(1).cast("long"))
+            .when(c == F.col("prev"), F.lit(w_back).cast("long"))
+            .when(
+                F.array_contains(F.coalesce(F.col("prev_ch"), empty_arr), c),
+                F.lit(w_common).cast("long"),
+            )
+            .otherwise(F.lit(w_else).cast("long")),
+        )
+        h = hash56(
+            F.concat_ws(
+                ":",
+                F.lit(str(int(seed))),
+                F.col("start_id").cast("string"),
+                F.col("rep").cast("string"),
+                F.lit(str(step)),
+            )
+        )
+        stepped = (
+            with_prev.withColumn("ws", ws)
+            .withColumn(
+                "total",
+                F.aggregate("ws", F.lit(0).cast("long"), lambda a, w: a + w),
+            )
+            .withColumn("r", F.pmod(h, F.col("total")))
+        )
+        # first index whose cumulative weight exceeds r (0-based)
+        chosen = F.aggregate(
+            "ws",
+            F.struct(
+                F.lit(0).cast("long").alias("s"),
+                F.lit(-1).alias("idx"),
+                F.lit(0).alias("pos"),
+            ),
+            lambda acc, w: F.struct(
+                (acc["s"] + w).alias("s"),
+                F.when(acc["idx"] >= 0, acc["idx"])
+                .otherwise(
+                    F.when(acc["s"] + w > F.col("r"), acc["pos"]).otherwise(
+                        F.lit(-1)
+                    )
+                )
+                .alias("idx"),
+                (acc["pos"] + F.lit(1)).alias("pos"),
+            ),
+        )["idx"]
+        state = stepped.select(
+            "start_id",
+            "rep",
+            F.col("cur").alias("prev"),
+            F.element_at("cur_ch", chosen + F.lit(1)).alias("cur"),
+        ).localCheckpoint()
+        if state.limit(1).count() == 0:
+            break
+        out = out.unionAll(
+            state.select(
+                "start_id", "rep", F.lit(step).cast("long").alias("step"),
+                F.col("cur").alias("node_id"),
+            )
+        ).localCheckpoint()
+    return out

@@ -265,3 +265,61 @@ def test_node2vec_return_bias(spark):
     ]
     assert set(path1) == {1, 2}
     assert len(path1) == 13
+
+
+def test_node2vec_frontier_valid_deterministic_and_biased(spark):
+    """The frontier tier must deliver the kernel's contract — valid
+    directed paths, step-0 starts, sink termination, determinism under
+    repartitioning — and honor the second-order q bias; dispatch via
+    node2vec_walks(frontier_threshold=0) must route to it."""
+    from big_data_graph_analysis_with_spark_spark.model import NetGraph
+    from big_data_graph_analysis_with_spark_spark.operators import walks
+
+    v = spark.createDataFrame([(i,) for i in range(1, 8)], "id LONG")
+    edges = [(1, 2), (2, 3), (3, 4), (4, 1), (2, 5), (5, 6), (6, 7)]
+    e = spark.createDataFrame(edges, "src LONG, dst LONG")
+    g = NetGraph(v, e)
+    out = walks.node2vec_walks(
+        spark, g, walks_per_vertex=2, walk_length=10, seed=3,
+        frontier_threshold=0,
+    )
+    rows = sorted(
+        (r["start_id"], r["rep"], r["step"], r["node_id"]) for r in out.collect()
+    )
+    eset = set(edges)
+    by_walk: dict = {}
+    for s, rep, step, node in rows:
+        by_walk.setdefault((s, rep), []).append((step, node))
+    assert len(by_walk) == 14  # 7 vertices × 2 reps, all present
+    for (s, rep), path in by_walk.items():
+        path = [n for _, n in sorted(path)]
+        assert path[0] == s
+        for a, b in zip(path, path[1:]):
+            assert (a, b) in eset, f"non-edge step {a}->{b}"
+        # sink-terminated or full length
+        assert path[-1] == 7 or len(path) == 11
+    # determinism under a different partitioning
+    out2 = walks.node2vec_walks_frontier(
+        spark, NetGraph(v.repartition(5), e.repartition(7)),
+        walks_per_vertex=2, walk_length=10, seed=3,
+    )
+    assert rows == sorted(
+        (r["start_id"], r["rep"], r["step"], r["node_id"]) for r in out2.collect()
+    )
+
+    # q→huge: outward weight collapses to 1 vs 1e6 — the walk from 1
+    # oscillates 1↔2 instead of escaping to 3
+    v3 = spark.createDataFrame([(1,), (2,), (3,)], "id LONG")
+    e3 = spark.createDataFrame(
+        [(1, 2), (2, 1), (2, 3), (3, 2)], "src LONG, dst LONG"
+    )
+    out3 = walks.node2vec_walks_frontier(
+        spark, NetGraph(v3, e3), walks_per_vertex=1, walk_length=12,
+        p=1.0, q=1e12, seed=1,
+    )
+    path1 = [
+        r["node_id"]
+        for r in out3.filter("start_id = 1").orderBy("step").collect()
+    ]
+    assert set(path1) == {1, 2}
+    assert len(path1) == 13
