@@ -86,12 +86,22 @@ def _narrowed(fn):
     import functools
 
     def _already_materialized(df: DataFrame) -> bool:
-        # a localCheckpointed frame's logical plan is a LogicalRDD scan
-        # (possibly under a trivial Project) — re-checkpointing it would
-        # just copy the materialized partitions again
+        # a localCheckpointed frame's logical plan is a LogicalRDD scan,
+        # possibly under Project/alias wrappers (an operator returning
+        # checkpointed.select(...)) — re-checkpointing either shape
+        # would just copy the materialized partitions again
         try:
-            name = df._jdf.queryExecution().logical().getClass().getSimpleName()
-            return name == "LogicalRDD"
+            node = df._jdf.queryExecution().logical()
+            while True:
+                name = node.getClass().getSimpleName()
+                if name == "LogicalRDD":
+                    return True
+                if name in ("Project", "SubqueryAlias") and (
+                    node.children().size() == 1
+                ):
+                    node = node.children().head()
+                    continue
+                return False
         except Exception:
             return False
 

@@ -245,7 +245,11 @@ def run_walks(
         if frontier_threshold is not None
         else FRONTIER_TIER_THRESHOLD
     )
-    if n_v > thr:
+    # an explicitly-passed adj_path pins the sideload tier (matching
+    # node2vec_walks): the caller already paid the sideload write, and
+    # the tiers' RNG streams differ — silently switching would both
+    # waste that write and change trajectories
+    if adj_path is None and n_v > thr:
         return run_walks_frontier(spark, pg, assignments, cfg, num_vertices=n_v)
     quota = cfg.random_walk_coeff * n_v
     n_iters = cfg.num_iters_per_comp_node
@@ -332,6 +336,8 @@ def run_walks_frontier(
     bounded — the tier exists for huge graphs with bounded walks, not
     for walks that themselves traverse a meaningful fraction of 100 TB.
     """
+    from functools import reduce
+
     from ..functions.hashing import hash56
 
     n_v = num_vertices if num_vertices is not None else pg.num_vertices()
@@ -339,11 +345,23 @@ def run_walks_frontier(
     n_iters = cfg.num_iters_per_comp_node
     seed = cfg.seed
     cmap = (
-        child_map_df if child_map_df is not None else topology.child_map(pg)
+        child_map_df
+        if child_map_df is not None
+        # materialize the derived child map ONCE — every per-step join
+        # probes it, and without the checkpoint each probe would re-run
+        # the full groupBy+collect_list over the edge set (one whole
+        # child-map recomputation per hop on the tier meant for graphs
+        # too big to index per-worker). A caller-supplied frame (e.g. a
+        # bucketed catalog table) is used as-is.
+        else topology.child_map(pg).localCheckpoint()
     ).select(F.col("id").alias("__cm_id"), "children")
 
     starts = assignments.select("partition_key", "start_id").localCheckpoint()
-    out = spark.createDataFrame([], WALK_SCHEMA).localCheckpoint()
+    # per-step frontiers are already materialized by their own
+    # localCheckpoint; accumulate the frames driver-side and union once
+    # at the end instead of re-checkpointing the growing walk prefix
+    # every hop (which copied O(max_len^2) rows per walk)
+    all_frames: list[DataFrame] = []
     visited = spark.createDataFrame(
         [], "partition_key LONG, node_id LONG"
     ).localCheckpoint()
@@ -355,7 +373,7 @@ def run_walks_frontier(
             F.lit(0).cast("long").alias("step"),
             F.col("start_id").alias("node_id"),
         ).localCheckpoint()
-        walk_rows = frontier
+        walk_frames = [frontier]
         for step in range(1, max_len):
             ch = frontier.join(
                 cmap, frontier["node_id"] == cmap["__cm_id"], "inner"
@@ -407,16 +425,21 @@ def run_walks_frontier(
             ).localCheckpoint()
             if frontier.limit(1).count() == 0:
                 break
-            walk_rows = walk_rows.unionAll(frontier).localCheckpoint()
-        out = out.unionAll(walk_rows).localCheckpoint()
+            walk_frames.append(frontier)
+        all_frames.extend(walk_frames)
         # the exploration-bias set updates per completed walk, exactly
-        # like the kernel's partition_visited.update(path)
-        visited = (
-            visited.unionAll(walk_rows.select("partition_key", "node_id"))
-            .distinct()
-            .localCheckpoint()
+        # like the kernel's partition_visited.update(path); this is the
+        # one per-walk checkpoint the next walk's joins genuinely need
+        walk_nodes = reduce(
+            DataFrame.unionAll,
+            [f.select("partition_key", "node_id") for f in walk_frames],
         )
-    return out
+        visited = (
+            visited.unionAll(walk_nodes).distinct().localCheckpoint()
+        )
+    if not all_frames:
+        return spark.createDataFrame([], WALK_SCHEMA)
+    return reduce(DataFrame.unionAll, all_frames)
 
 
 def walk_visited_sets(walk_steps: DataFrame) -> DataFrame:
@@ -583,10 +606,15 @@ def node2vec_walks_frontier(
     memory stays O(state). Store child_map as an id-bucketed catalog
     table so both probes co-locate.
     """
+    from functools import reduce
+
     from ..functions.hashing import hash56
 
     cmap = (
-        child_map_df if child_map_df is not None else topology.child_map(pg)
+        child_map_df
+        if child_map_df is not None
+        # materialized once — both per-step probes (cur + prev) reuse it
+        else topology.child_map(pg).localCheckpoint()
     ).select(F.col("id").alias("__cm_id"), "children")
     w_back = max(1, round(1_000_000 / float(p)))
     w_common = 1_000_000
@@ -609,10 +637,15 @@ def node2vec_walks_frontier(
         )
         .localCheckpoint()
     )
-    out = state.select(
-        "start_id", "rep", F.lit(0).cast("long").alias("step"),
-        F.col("cur").alias("node_id"),
-    ).localCheckpoint()
+    # each step's state frame is materialized by its own localCheckpoint;
+    # collect the per-step output frames driver-side and union once at
+    # the end instead of re-checkpointing the growing corpus every hop
+    out_frames = [
+        state.select(
+            "start_id", "rep", F.lit(0).cast("long").alias("step"),
+            F.col("cur").alias("node_id"),
+        )
+    ]
 
     empty_arr = F.array().cast("array<long>")
     for step in range(1, L + 1):
@@ -685,10 +718,10 @@ def node2vec_walks_frontier(
         ).localCheckpoint()
         if state.limit(1).count() == 0:
             break
-        out = out.unionAll(
+        out_frames.append(
             state.select(
                 "start_id", "rep", F.lit(step).cast("long").alias("step"),
                 F.col("cur").alias("node_id"),
             )
-        ).localCheckpoint()
-    return out
+        )
+    return reduce(DataFrame.unionAll, out_frames)
