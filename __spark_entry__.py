@@ -461,10 +461,12 @@ def q_degree_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_ktruss(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """4-truss edges (every edge in ≥2 triangles) by iterative peel;
-    the oracle unrolls a fixed round count past the fixpoint."""
+    """3-truss edges (every edge in ≥1 triangle) by iterative peel;
+    the oracle unrolls a fixed round count past the fixpoint. k=3, not
+    4: the sf0.01 graph has no 4-truss, and a 0=0 hash match would
+    verify nothing (round-5 verdict)."""
     og, _ = _graphs(spark, sf_dir)
-    return graphalg.ktruss_edges(og, k=4, rounds=5)
+    return graphalg.ktruss_edges(og, k=3, rounds=5)
 
 
 def q_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2484,10 +2486,21 @@ def q_type_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cross-source contamination matrix: shared distinct text digests
-    per unordered source pair (digest-keyed join, text never shuffled)."""
+    per unordered source pair (digest-keyed join, text never shuffled).
+
+    The synthetic corpus has no cross-source duplicate texts, so the
+    matrix over the raw table is empty and a 0=0 hash match verifies
+    nothing (round-5 verdict). The fixture therefore unions in a
+    deterministic 'mirror' source — every doc_id % 10 == 0 row
+    relabeled — seeding real cross-source duplicates the oracle
+    reproduces with the same union."""
     from big_data_graph_analysis_with_spark_spark.operators import curation
 
-    return curation.source_overlap_matrix(_docs(spark, sf_dir))
+    docs = _docs(spark, sf_dir)
+    mirror = docs.filter(F.col("doc_id") % 10 == 0).withColumn(
+        "source", F.lit("mirror")
+    )
+    return curation.source_overlap_matrix(docs.unionByName(mirror))
 
 
 def q_grid_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3044,7 +3057,7 @@ def oracle_sql() -> dict[str, str]:
         "pagerank_weighted": _pagerank_weighted_sql(iters=4),
         "hub_attack": _hub_attack_sql(n_remove=10),
         "motif_counts": _motif_sql(),
-        "ktruss": _ktruss_sql(k=4, rounds=5),
+        "ktruss": _ktruss_sql(k=3, rounds=5),
         "active_users": """
             WITH days AS (
               SELECT DISTINCT user_id,

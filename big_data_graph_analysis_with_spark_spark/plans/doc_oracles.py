@@ -916,9 +916,17 @@ GROUP BY c.vec_id, s.k
 
 
 def source_overlap_sql() -> str:
-    """Twin of curation.source_overlap_matrix."""
+    """Twin of q_source_overlap: curation.source_overlap_matrix over
+    the corpus plus its deterministic 'mirror' source (doc_id % 10 == 0
+    relabeled) — the seeded cross-source duplicates that make the
+    matrix non-vacuous on the synthetic corpus."""
     return """
-WITH ds AS (SELECT DISTINCT md5(text) AS h, source FROM documents)
+WITH docs2 AS (
+  SELECT text, source FROM documents
+  UNION ALL
+  SELECT text, 'mirror' AS source FROM documents WHERE doc_id % 10 = 0
+),
+ds AS (SELECT DISTINCT md5(text) AS h, source FROM docs2)
 SELECT a.source AS source_a, b.source AS source_b,
        CAST(COUNT(*) AS BIGINT) AS n_shared_texts
 FROM ds a JOIN ds b ON a.h = b.h
