@@ -387,16 +387,24 @@ def main() -> None:
 
     @timed("graph_bfs")
     def _():
+        # frontier BFS over the src-bucketed catalog table — every
+        # level's edge-side Exchange elided (same lever as
+        # pagerank_bucketed; results identical either way)
         from big_data_graph_analysis_with_spark_spark.operators import graphalg
 
-        graphalg.bfs_distances(og).agg(F.sum("dist")).collect()
+        graphalg.bfs_distances(og_bucketed, edges_stable=True).agg(
+            F.sum("dist")
+        ).collect()
 
     @timed("graph_paths")
     def _():
+        # Bellman-Ford + k-core peel over the bucketed tables
         from big_data_graph_analysis_with_spark_spark.operators import graphalg
 
-        graphalg.sssp_distances(og, rounds=10).agg(F.sum("dist_scaled")).collect()
-        graphalg.kcore_vertices(og, k=3).count()
+        graphalg.sssp_distances(og_bucketed, rounds=10, edges_stable=True).agg(
+            F.sum("dist_scaled")
+        ).collect()
+        graphalg.kcore_vertices(og_bucketed, k=3, sym_edges=sym_bucketed).count()
 
     @timed("corpus_mixture")
     def _():

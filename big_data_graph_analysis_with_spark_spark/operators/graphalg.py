@@ -626,7 +626,10 @@ def degree_histogram(graph: NetGraph) -> DataFrame:
 
 @_narrowed
 def bfs_distances(
-    graph: NetGraph, source: int | None = None, max_iters: int = 64
+    graph: NetGraph,
+    source: int | None = None,
+    max_iters: int = 64,
+    edges_stable: bool = False,
 ) -> DataFrame:
     """(id, dist): directed single-source shortest hop counts from
     `source` (default: the minimum vertex id — deterministic and
@@ -637,10 +640,20 @@ def bfs_distances(
     O(diameter) rounds, frontier-bounded traffic (never the whole
     graph). Iterates are localCheckpointed so lineage stays flat; the
     per-round emptiness probe is limit(1).count(), not a full count.
+
+    ``edges_stable=True`` declares `graph.edges` is already a
+    materialized table scan (e.g. the src-bucketed catalog tables from
+    sources/parquet_graph) — used as-is, no distinct/localCheckpoint,
+    preserving the scan's bucket metadata so every level's src-keyed
+    frontier join plans with NO edge-side Exchange (duplicate edges
+    are harmless: the frontier distincts after the join). Same contract
+    as `pagerank(edges_stable=True)`.
     """
     if source is None:
         source = graph.vertices.agg(F.min("id")).first()[0]
-    edges = graph.edges.select("src", "dst").distinct().localCheckpoint()
+    edges = graph.edges.select("src", "dst")
+    if not edges_stable:
+        edges = edges.distinct().localCheckpoint()
     frontier = (
         graph.vertices.filter(F.col("id") == source)
         .select("id", F.lit(0).cast("long").alias("dist"))
@@ -664,7 +677,12 @@ def bfs_distances(
 
 
 @_narrowed
-def kcore_vertices(graph: NetGraph, k: int = 3, rounds: int = 16) -> DataFrame:
+def kcore_vertices(
+    graph: NetGraph,
+    k: int = 3,
+    rounds: int = 16,
+    sym_edges: DataFrame | None = None,
+) -> DataFrame:
     """(id,): vertices of the (undirected) k-core after `rounds` peels —
     drop vertices with degree < k, restrict edges to survivors, repeat.
     The true k-core is the fixpoint; peeling converges in O(rounds of
@@ -672,11 +690,21 @@ def kcore_vertices(graph: NetGraph, k: int = 3, rounds: int = 16) -> DataFrame:
     `rounds` matched by the round-unrolled SQL oracle checks the exact
     same object on both engines. One degree aggregation + one
     semi-join restriction per round, localCheckpointed; per-round
-    traffic shrinks with the surviving edge set."""
-    und = undirected_edges(graph)
-    active = und.unionAll(
-        und.select(F.col("b").alias("a"), F.col("a").alias("b"))
-    ).localCheckpoint()
+    traffic shrinks with the surviving edge set.
+
+    ``sym_edges`` optionally supplies the symmetric canonical edge set
+    as a stable table scan (`sources.parquet_graph.write_sym_edges`),
+    used as-is instead of derived-and-checkpointed — the first (and
+    heaviest) peel round's degree aggregation and semi-joins then run
+    off the bucketed scan without re-deriving und ∪ flipped. Same
+    contract as `connected_components(sym_edges=...)`."""
+    if sym_edges is not None:
+        active = sym_edges.select("a", "b")
+    else:
+        und = undirected_edges(graph)
+        active = und.unionAll(
+            und.select(F.col("b").alias("a"), F.col("a").alias("b"))
+        ).localCheckpoint()
     keep = None
     prev_edges = active.count()
     for _ in range(rounds):
@@ -703,6 +731,7 @@ def sssp_distances(
     weight: "F.Column | None" = None,
     source: int | None = None,
     rounds: int = 10,
+    edges_stable: bool = False,
 ) -> DataFrame:
     """(id, dist_scaled): weighted single-source shortest paths after
     `rounds` Bellman-Ford relaxations from `source` (default: minimum
@@ -717,14 +746,21 @@ def sssp_distances(
     round-unrolled oracle checks the same object). Per-round traffic is
     the current distance frontier joined to edges — Pregel's SSSP in
     DataFrame algebra.
+
+    ``edges_stable=True`` declares `graph.edges` is already a
+    materialized table scan (src-bucketed catalog tables) — the
+    weighted projection stays a narrow map over the scan, preserving
+    its bucket metadata so every relaxation round's src-keyed join
+    plans with NO edge-side Exchange. Same contract as
+    `pagerank(edges_stable=True)`.
     """
     if source is None:
         source = graph.vertices.agg(F.min("id")).first()[0]
     if weight is None:
         weight = (F.col("src") * 7 + F.col("dst")) % 1000
-    wedges = graph.edges.select(
-        "src", "dst", weight.cast("long").alias("w")
-    ).localCheckpoint()
+    wedges = graph.edges.select("src", "dst", weight.cast("long").alias("w"))
+    if not edges_stable:
+        wedges = wedges.localCheckpoint()
     dist = (
         graph.vertices.filter(F.col("id") == source)
         .select("id", F.lit(0).cast("long").alias("d"))
@@ -762,13 +798,17 @@ def sssp_distances(
 
 @_narrowed
 def personalized_pagerank(
-    graph: NetGraph, source: int | None = None, iters: int = 4
+    graph: NetGraph,
+    source: int | None = None,
+    iters: int = 4,
+    edges_stable: bool = False,
 ) -> DataFrame:
     """(id, pr_scaled): personalized PageRank — the teleport mass
     returns to `source` (default: minimum vertex id) instead of
     spreading uniformly, so scores measure proximity to the source.
-    Same fixed-point integer arithmetic and per-round cost as
-    :func:`pagerank`; only the base vector changes."""
+    Same fixed-point integer arithmetic, per-round cost and
+    ``edges_stable`` contract as :func:`pagerank`; only the base
+    vector changes."""
     if source is None:
         source = graph.vertices.agg(F.min("id")).first()[0]
     base = (PR_DAMP_DEN - PR_DAMP_NUM) * PR_SCALE // PR_DAMP_DEN
@@ -785,7 +825,9 @@ def personalized_pagerank(
         .cast("long")
         .alias("pr_scaled"),
     ).localCheckpoint()
-    edges = graph.edges.select("src", "dst").localCheckpoint()
+    edges = graph.edges.select("src", "dst")
+    if not edges_stable:
+        edges = edges.localCheckpoint()
     for _ in range(iters):
         contribs = (
             pr.join(outdeg, on="id")

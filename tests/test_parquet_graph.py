@@ -230,3 +230,48 @@ def test_bucketed_pagerank_same_result_no_edge_exchange(spark, tmp_path):
         ), plan_b
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+
+
+def test_bucketed_traversal_family_same_results(spark, tmp_path):
+    """bfs_distances/sssp_distances/personalized_pagerank
+    (edges_stable=True) and kcore_vertices(sym_edges=...) over bucketed
+    catalog tables must return bit-identical results to the derived
+    paths (the per-round join shapes match pagerank's /
+    connected_components', whose no-Exchange plan assertions cover the
+    shuffle claim)."""
+    from big_data_graph_analysis_with_spark_spark.operators import graphalg
+    from big_data_graph_analysis_with_spark_spark.sources.parquet_graph import (
+        read_sym_edges,
+        write_sym_edges,
+    )
+
+    g = load_graph(spark, f"{REF_INPUT}/Graph20.0.txt")
+    path = str(tmp_path / "g20tf")
+    write_graph_parquet(g, path, bucket_by=4)
+    write_sym_edges(g, path, bucket_by=4)
+    back = read_graph_parquet(spark, path)
+    sym = read_sym_edges(spark, path)
+
+    assert sorted(
+        map(tuple, graphalg.bfs_distances(back, edges_stable=True).collect())
+    ) == sorted(map(tuple, graphalg.bfs_distances(g).collect()))
+
+    assert sorted(
+        map(
+            tuple,
+            graphalg.sssp_distances(back, rounds=6, edges_stable=True).collect(),
+        )
+    ) == sorted(map(tuple, graphalg.sssp_distances(g, rounds=6).collect()))
+
+    assert sorted(
+        map(tuple, graphalg.kcore_vertices(back, k=2, sym_edges=sym).collect())
+    ) == sorted(map(tuple, graphalg.kcore_vertices(g, k=2).collect()))
+
+    assert sorted(
+        map(
+            tuple,
+            graphalg.personalized_pagerank(
+                back, iters=2, edges_stable=True
+            ).collect(),
+        )
+    ) == sorted(map(tuple, graphalg.personalized_pagerank(g, iters=2).collect()))
