@@ -11,6 +11,16 @@ MINIMUM — single-shot numbers in a shared local JVM move ±30% (first
 iterations pay JIT/codegen warmup), which is larger than most real
 regressions; min-of-3 keeps two consecutive bench processes within
 ~10% per query.
+
+Load robustness (round-5 verdict: ambient machine load fabricated 3
+phantom regressions and hid a real win): 1-minute os.getloadavg() is
+recorded at start/end and before every suite (the "load" key). After
+the full pass, any suite whose best exceeds the previous round's
+recorded time (latest BENCH_r*.json next to this file, override with
+$SPARK_GRAFT_BENCH_PRIOR) by >25% is automatically RE-RUN for up to 2
+extra iterations and the overall minimum kept; the "reruns" key records
+prior/first/final/load per re-run suite, so a reported regression
+always carries its A/B evidence and a load indicator.
 """
 
 from __future__ import annotations
@@ -46,12 +56,46 @@ REF_INPUT = "/root/reference/input"
 os.environ.setdefault("SPARK_GRAFT_DRIVER_MEM", "24g")
 
 
+def _prior_timings() -> dict[str, float]:
+    """Per-suite timings from the latest BENCH_r*.json next to this
+    file (or $SPARK_GRAFT_BENCH_PRIOR) — the A/B baseline for the
+    regression re-run pass. Empty when none exists."""
+    override = os.environ.get("SPARK_GRAFT_BENCH_PRIOR")
+    if override:
+        candidates = [Path(override)]
+    else:
+        candidates = sorted(Path(__file__).resolve().parent.glob("BENCH_r*.json"))
+    sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
+    for p in reversed(candidates):
+        try:
+            rec = json.loads(p.read_text().strip().splitlines()[-1])
+            qs = rec.get("queries", {})
+            if str(rec.get("sf")) != sf:
+                # prior record is for a different scale factor — its
+                # timings are not an A/B baseline for this run
+                continue
+            if isinstance(qs, dict) and qs:
+                print(f"[bench] prior baseline: {p.name}", file=sys.stderr)
+                return {k: float(v) for k, v in qs.items()}
+        except Exception:
+            continue
+    return {}
+
+
 def main() -> None:
     spark = get_spark(app_name="bench")
     spark.sparkContext.setLogLevel("ERROR")
     timings: dict[str, float] = {}
+    loads: dict[str, float] = {}
+    load_start = round(os.getloadavg()[0], 2)
 
     n_iters = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_ITERS", "3")))
+
+    # suites register here and run AFTER all definitions (definition
+    # order preserved) so the regression pass below can re-run any
+    # single suite; bodies may depend on earlier suites' side effects
+    # (r1, persisted caches), which re-runs keep intact
+    suites: list[tuple] = []
 
     def timed(name: str, reset=None, iters: int | None = None):
         # iters caps this entry below the global count — used on the
@@ -59,23 +103,30 @@ def main() -> None:
         # bounded as coverage grows; min-of-2 vs min-of-3 noise is
         # well under the regressions worth flagging at that size
         def deco(fn):
-            best = None
-            for it in range(min(n_iters, iters) if iters else n_iters):
-                if reset is not None:
-                    reset()
-                print(
-                    f"[bench] {name} iter {it + 1}/{n_iters} ...",
-                    file=sys.stderr,
-                    flush=True,
-                )
-                t0 = time.time()
-                fn()
-                dt = round(time.time() - t0, 3)
-                print(f"[bench] {name} iter done in {dt}s", file=sys.stderr, flush=True)
-                best = dt if best is None else min(best, dt)
-            timings[name] = best
+            suites.append((name, fn, reset, iters))
 
         return deco
+
+    def run_suite(name, fn, reset, iters, extra: bool = False) -> float:
+        count = 2 if extra else (min(n_iters, iters) if iters else n_iters)
+        tag = "rerun" if extra else "iter"
+        best = None
+        for it in range(count):
+            if reset is not None:
+                reset()
+            print(
+                f"[bench] {name} {tag} {it + 1}/{count} ...",
+                file=sys.stderr,
+                flush=True,
+            )
+            t0 = time.time()
+            fn()
+            dt = round(time.time() - t0, 3)
+            print(
+                f"[bench] {name} {tag} done in {dt}s", file=sys.stderr, flush=True
+            )
+            best = dt if best is None else min(best, dt)
+        return best
 
     og, pg = tpch_graph.derive_graphs(spark, SF_DIR)
 
@@ -406,6 +457,36 @@ def main() -> None:
         ).collect()
         graphalg.kcore_vertices(og_bucketed, k=3, sym_edges=sym_bucketed).count()
 
+    @timed("walks_frontier", iters=2)
+    def _():
+        # the extreme-scale walk tier, force-dispatched
+        # (frontier_threshold=0) on the sf graph with a bounded hop
+        # budget — times the per-step child-map join loop so a
+        # regression there becomes visible (round-5 verdict task 4).
+        # Narrowed shuffle: the frontier frames are tiny; full width
+        # would time task scheduling, not the join loop.
+        from big_data_graph_analysis_with_spark_spark.operators import walks as walks_ops
+
+        n_v = og.vertices.count()
+        cfg = SimConfig(
+            num_of_parallel_walks=8,
+            num_iters_per_comp_node=2,
+            iters_before_accum=2,
+            random_walk_coeff=16.0 / n_v,  # 16-hop budget per walk
+            seed=7,
+        )
+        prev_w = spark.conf.get("spark.sql.shuffle.partitions")
+        spark.conf.set("spark.sql.shuffle.partitions", "8")
+        try:
+            a = walks_ops.sample_start_assignments_dist(
+                spark, topology.start_nodes(og), cfg
+            )
+            walks_ops.run_walks(
+                spark, og, a, cfg, num_vertices=n_v, frontier_threshold=0
+            ).count()
+        finally:
+            spark.conf.set("spark.sql.shuffle.partitions", prev_w)
+
     @timed("corpus_mixture")
     def _():
         from big_data_graph_analysis_with_spark_spark.operators import sampling
@@ -512,6 +593,37 @@ def main() -> None:
             "complete",
         )
 
+    # -- run all registered suites in definition order, then A/B any
+    # suite that looks slower than the prior round's record: ambient
+    # load on this box swings single runs up to 2×, so a "regression"
+    # without a re-run is noise until proven otherwise
+    for name, fn, reset, iters in suites:
+        loads[name] = round(os.getloadavg()[0], 2)
+        timings[name] = run_suite(name, fn, reset, iters)
+
+    reruns: dict[str, dict] = {}
+    prior = _prior_timings()
+    for name, fn, reset, iters in suites:
+        p = prior.get(name)
+        if p is None or timings[name] <= p * 1.25:
+            continue
+        load_now = round(os.getloadavg()[0], 2)
+        print(
+            f"[bench] {name}: {timings[name]}s > 1.25x prior {p}s — re-running",
+            file=sys.stderr,
+            flush=True,
+        )
+        again = run_suite(name, fn, reset, iters, extra=True)
+        final = min(timings[name], again)
+        reruns[name] = {
+            "prior": p,
+            "first": timings[name],
+            "rerun": again,
+            "final": final,
+            "load": load_now,
+        }
+        timings[name] = final
+
     # -- ANN answer quality at bench scale: recall@5 vs the exact top-k
     # on the same corpus/queries. Not a timing — recorded in the same
     # JSON so a speedup that silently trades recall away is visible.
@@ -548,6 +660,13 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "recall_at_5": recalls,
+                "load": {
+                    "start": load_start,
+                    "end": round(os.getloadavg()[0], 2),
+                    "per_suite": loads,
+                    "cpus": os.cpu_count(),
+                },
+                "reruns": reruns,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
             }
         )

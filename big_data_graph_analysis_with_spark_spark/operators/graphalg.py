@@ -1692,3 +1692,156 @@ def hub_attack_robustness(graph: NetGraph, n_remove: int = 10) -> DataFrame:
         "n_components",
         "largest_component",
     )
+
+
+def neighbor_jaccard(
+    graph: NetGraph, max_center_degree: int | None = 64
+) -> DataFrame:
+    """(a, b, n_common, jaccard_ppm): per-EDGE neighborhood overlap —
+    for every canonical undirected edge (a < b), the Jaccard similarity
+    of the two endpoints' neighbor sets as an exact ppm integer
+    (``common·1e6 div (deg(a)+deg(b)−common)``, inclusion–exclusion on
+    the union). The classic tie-strength / community-edge signal:
+    bridge edges score near 0, intra-community edges high — the edge
+    filter Jaccard-graph clustering (e.g. Rosvall-style sparsification)
+    runs on.
+
+    Candidates come only from the wedge join (common neighbor as the
+    middle vertex), restricted to actual edges by an inner join with
+    the edge list — never all-pairs. `max_center_degree` applies the
+    same hub-center cap as :func:`link_prediction` (Σ deg² is
+    hub-dominated; the cap changes counts and is mirrored verbatim in
+    the SQL oracle; None = exact). Edges whose endpoints share no
+    (counted) neighbor get n_common = 0 via the left join — every edge
+    appears exactly once.
+    """
+    und = undirected_edges(graph)
+    sym = und.unionAll(
+        und.select(F.col("b").alias("a"), F.col("a").alias("b"))
+    )
+    deg = sym.groupBy(F.col("a").alias("id")).agg(F.count("*").alias("deg"))
+    wedge_sym = sym
+    if max_center_degree is not None:
+        ok_center = deg.filter(F.col("deg") <= max_center_degree).select(
+            F.col("id").alias("b")
+        )
+        wedge_sym = sym.join(ok_center, on="b", how="left_semi")
+    left = wedge_sym.select(F.col("b").alias("v"), F.col("a").alias("u"))
+    right = wedge_sym.select(F.col("b").alias("v"), F.col("a").alias("w"))
+    common = (
+        left.join(right, on="v")
+        .filter(F.col("u") < F.col("w"))
+        .groupBy(F.col("u").alias("a"), F.col("w").alias("b"))
+        .agg(F.count("*").alias("n_common"))
+    )
+    return (
+        und.join(common, on=["a", "b"], how="left")
+        .withColumn("n_common", F.coalesce("n_common", F.lit(0)))
+        .join(deg.select(F.col("id").alias("a"), F.col("deg").alias("da")), on="a")
+        .join(deg.select(F.col("id").alias("b"), F.col("deg").alias("db")), on="b")
+        .select(
+            "a",
+            "b",
+            F.col("n_common").cast("long").alias("n_common"),
+            F.expr("n_common * 1000000 div (da + db - n_common)")
+            .cast("long")
+            .alias("jaccard_ppm"),
+        )
+    )
+
+
+#: resource-allocation fixed-point scale (1/deg in parts per billion)
+RA_SCALE = 1_000_000_000
+
+
+def resource_allocation_scores(
+    graph: NetGraph, k: int = 100, max_center_degree: int | None = 64
+) -> DataFrame:
+    """(a, b, ra_ppb, common_neighbors): top-`k` non-adjacent pairs by
+    the resource-allocation link-prediction index (Zhou, Lü &
+    Zhang 2009) — ``Σ_z 1/deg(z)`` over common neighbors z — in exact
+    parts-per-billion integers (``Σ 1e9 div deg(z)``), so ranking is
+    bit-identical across engines where the float formulation would be
+    sum-order-dependent. RA is the hub-discounting refinement of
+    common-neighbors (a shared hub contributes ~nothing, a shared
+    degree-2 node half a unit); Adamic-Adar's 1/log(deg) needs floats,
+    RA's 1/deg doesn't — which is why RA is the fixed-point choice.
+
+    Same wedge-join candidate generation, `max_center_degree` hub cap
+    (mirrored in the oracle), existing-edge anti-join, and
+    deterministic (score DESC, a, b) top-k cut as
+    :func:`link_prediction`; the only change is the per-wedge payload:
+    the center's ``1e9 div deg`` rides the wedge row and sums per pair.
+    """
+    und = undirected_edges(graph)
+    sym = und.unionAll(
+        und.select(F.col("b").alias("a"), F.col("a").alias("b"))
+    )
+    deg = sym.groupBy(F.col("a").alias("id")).agg(F.count("*").alias("deg"))
+    wedge_sym = sym.join(
+        deg.select(F.col("id").alias("b"), "deg"), on="b"
+    )
+    if max_center_degree is not None:
+        wedge_sym = wedge_sym.filter(F.col("deg") <= max_center_degree)
+    wedge_sym = wedge_sym.withColumn("w_ppb", F.expr(f"{RA_SCALE} div deg"))
+    left = wedge_sym.select(
+        F.col("b").alias("v"), F.col("a").alias("u"), "w_ppb"
+    )
+    right = wedge_sym.select(F.col("b").alias("v"), F.col("a").alias("w"))
+    cand = (
+        left.join(right, on="v")
+        .filter(F.col("u") < F.col("w"))
+        .groupBy(F.col("u").alias("a"), F.col("w").alias("b"))
+        .agg(
+            F.sum("w_ppb").cast("long").alias("ra_ppb"),
+            F.count("*").cast("long").alias("common_neighbors"),
+        )
+        .join(und, on=["a", "b"], how="left_anti")
+    )
+    return cand.orderBy(F.col("ra_ppb").desc(), "a", "b").limit(k)
+
+
+def two_hop_reach(graph: NetGraph) -> DataFrame:
+    """(id, n_reach_2): per vertex, the number of DISTINCT vertices
+    reachable in one or two directed hops, excluding the vertex itself
+    — the 2-hop neighborhood size that drives sampling fan-out budgets
+    (GraphSAGE-style) and influence/coverage estimates. Vertices with
+    no out-edges report 0.
+
+    One self-join of the (distinct) edge list on the middle vertex +
+    one distinct-count per source — candidate volume is the 2-path
+    count Σ_v in(v)·out(v), never |V|². At 100 TB run it over the
+    src-bucketed edge table so the e1.dst = e2.src join co-locates.
+    """
+    e = graph.edges.select("src", "dst").distinct()
+    two = e.alias("e1").join(
+        e.alias("e2"), on=F.col("e1.dst") == F.col("e2.src")
+    ).select(F.col("e1.src").alias("src"), F.col("e2.dst").alias("dst"))
+    reach = (
+        e.unionAll(two)
+        .filter(F.col("src") != F.col("dst"))
+        .groupBy(F.col("src").alias("id"))
+        .agg(F.countDistinct("dst").cast("long").alias("n_reach_2"))
+    )
+    return (
+        graph.vertices.select("id")
+        .join(reach, on="id", how="left")
+        .select("id", F.coalesce("n_reach_2", F.lit(0)).cast("long").alias("n_reach_2"))
+    )
+
+
+def component_size_histogram(
+    graph: NetGraph, max_iters: int = 50, sym_edges: DataFrame | None = None
+) -> DataFrame:
+    """(component_size, n_components): the connectivity fingerprint —
+    how many connected components exist at each size, built on
+    :func:`connected_components` (same `sym_edges` stable-scan option)
+    with two more tiny aggregations (labels → sizes → histogram).
+    The giant-component check ("is 99% of the graph one blob?") and the
+    singleton count fall straight out of this one relation.
+    """
+    cc = connected_components(graph, max_iters=max_iters, sym_edges=sym_edges)
+    sizes = cc.groupBy("component_id").agg(F.count("*").alias("n"))
+    return sizes.groupBy(F.col("n").cast("long").alias("component_size")).agg(
+        F.count("*").cast("long").alias("n_components")
+    )
