@@ -1180,6 +1180,96 @@ LIMIT {k}
     )
 
 
+def _neighbor_jaccard_sql(max_center_degree: int = 64) -> str:
+    return graph_sql(
+        f""", {_SYM_CTES.strip()},
+deg AS (SELECT a AS id, COUNT(*) AS deg FROM sym GROUP BY a),
+wsym AS (
+  SELECT s.a, s.b FROM sym s
+  JOIN deg dc ON dc.id = s.b AND dc.deg <= {max_center_degree}
+),
+common AS (
+  SELECT l.a AS a, r.a AS b, COUNT(*) AS nc
+  FROM wsym l JOIN wsym r ON r.b = l.b AND l.a < r.a
+  GROUP BY l.a, r.a
+)
+SELECT e.a, e.b,
+       CAST(COALESCE(c.nc, 0) AS BIGINT) AS n_common,
+       CAST(COALESCE(c.nc, 0) * 1000000
+            // (da.deg + db.deg - COALESCE(c.nc, 0)) AS BIGINT) AS jaccard_ppm
+FROM und e
+LEFT JOIN common c ON c.a = e.a AND c.b = e.b
+JOIN deg da ON da.id = e.a
+JOIN deg db ON db.id = e.b
+"""
+    )
+
+
+def _resource_allocation_sql(k: int = 100, max_center_degree: int = 64) -> str:
+    scale = graphalg.RA_SCALE
+    return graph_sql(
+        f""", {_SYM_CTES.strip()},
+deg AS (SELECT a AS id, COUNT(*) AS deg FROM sym GROUP BY a),
+wsym AS (
+  SELECT s.a, s.b, dc.deg FROM sym s
+  JOIN deg dc ON dc.id = s.b AND dc.deg <= {max_center_degree}
+),
+cand AS (
+  SELECT l.a AS a, r.a AS b,
+         SUM({scale} // l.deg) AS ra, COUNT(*) AS cn
+  FROM wsym l JOIN wsym r ON r.b = l.b AND l.a < r.a
+  GROUP BY l.a, r.a
+),
+nonedge AS (
+  SELECT c.a, c.b, c.ra, c.cn FROM cand c
+  WHERE NOT EXISTS (SELECT 1 FROM und e WHERE e.a = c.a AND e.b = c.b)
+)
+SELECT a, b, CAST(ra AS BIGINT) AS ra_ppb,
+       CAST(cn AS BIGINT) AS common_neighbors
+FROM nonedge
+ORDER BY ra_ppb DESC, a, b
+LIMIT {k}
+"""
+    )
+
+
+def _two_hop_reach_sql() -> str:
+    return graph_sql(
+        """, e AS (SELECT DISTINCT src, dst FROM og_edges),
+two AS (
+  SELECT e1.src AS src, e2.dst AS dst
+  FROM e e1 JOIN e e2 ON e2.src = e1.dst
+),
+reach AS (
+  SELECT src, COUNT(DISTINCT dst) AS n FROM (
+    SELECT src, dst FROM e UNION ALL SELECT src, dst FROM two
+  ) WHERE src <> dst GROUP BY src
+)
+SELECT v.id, CAST(COALESCE(r.n, 0) AS BIGINT) AS n_reach_2
+FROM og_vertices v LEFT JOIN reach r ON r.src = v.id
+"""
+    )
+
+
+def _component_sizes_sql() -> str:
+    # same recursive reach as _components_sql, rolled up to a histogram
+    return f"""
+WITH RECURSIVE {GRAPH_CTES},
+{_UND_CTES.strip()},
+sym AS (SELECT a, b FROM und UNION ALL SELECT b AS a, a AS b FROM und),
+reach(id, r) AS (
+  SELECT id, id FROM og_vertices
+  UNION
+  SELECT s.a, reach.r FROM sym s JOIN reach ON reach.id = s.b
+),
+labels AS (SELECT id, MIN(r) AS component_id FROM reach GROUP BY id),
+sizes AS (SELECT component_id, COUNT(*) AS n FROM labels GROUP BY component_id)
+SELECT CAST(n AS BIGINT) AS component_size,
+       CAST(COUNT(*) AS BIGINT) AS n_components
+FROM sizes GROUP BY n
+"""
+
+
 def _degree_histogram_sql() -> str:
     return graph_sql(
         f""", {_SYM_CTES.strip()},
@@ -2663,6 +2753,151 @@ def q_time_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     return drift.time_profile(ev)
 
 
+# ---------------------------------------------------------------------------
+# round-6 additions (new operators; every one oracle-backed)
+# ---------------------------------------------------------------------------
+
+
+def q_neighbor_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-edge neighborhood Jaccard ppm (tie-strength / bridge-edge
+    signal), wedge-join candidates with the degree-64 hub-center cap
+    mirrored in the oracle."""
+    og, _ = _graphs(spark, sf_dir)
+    return graphalg.neighbor_jaccard(og, max_center_degree=64)
+
+
+def q_resource_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-100 non-adjacent pairs by the resource-allocation index in
+    exact ppb integers (1e9 div deg), hub cap mirrored in the oracle."""
+    og, _ = _graphs(spark, sf_dir)
+    return graphalg.resource_allocation_scores(og, k=100, max_center_degree=64)
+
+
+def q_two_hop_reach(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct ≤2-hop directed reach per vertex (sampling fan-out /
+    coverage estimate), 2-path join — never all-pairs."""
+    og, _ = _graphs(spark, sf_dir)
+    return graphalg.two_hop_reach(og)
+
+
+def q_component_sizes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Connected-component size histogram (giant-component check)."""
+    og, _ = _graphs(spark, sf_dir)
+    return graphalg.component_size_histogram(og)
+
+
+def q_char_trigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-10 character trigrams per language — the Cavnar-Trenkle
+    profile table a language identifier trains from."""
+    from big_data_graph_analysis_with_spark_spark.operators import corpusstats
+
+    return corpusstats.char_trigram_profile(_docs(spark, sf_dir), k=10)
+
+
+def q_token_length_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus token-length distribution (tokenizer sizing profile)."""
+    from big_data_graph_analysis_with_spark_spark.operators import corpusstats
+
+    return corpusstats.token_length_histogram(_docs(spark, sf_dir))
+
+
+def q_quality_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Doc + token mass per quality decile — the profile that sizes a
+    percentile quality gate before anyone commits to a threshold."""
+    from big_data_graph_analysis_with_spark_spark.operators import curation
+
+    return curation.quality_deciles(_docs(spark, sf_dir))
+
+
+def q_text_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Canonical normalization digests (lower / strip punctuation /
+    collapse whitespace) — the C4/CCNet-style key exact dedup should
+    use when casing+punctuation jitter must not split duplicates."""
+    return textops.normalize_text(_docs(spark, sf_dir))
+
+
+def q_promo_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14-style: monthly PROMO-part revenue vs total revenue
+    (decimal-exact sums, broadcastable part dimension)."""
+    li = _prep(spark).read.parquet(f"{sf_dir}/lineitem.parquet")
+    p = _prep(spark).read.parquet(f"{sf_dir}/part.parquet")
+    disc = (
+        F.col("l_extendedprice").cast("decimal(18,2)")
+        * (F.lit(1).cast("decimal(18,2)") - F.col("l_discount").cast("decimal(18,2)"))
+    ).cast("decimal(28,4)")
+    return (
+        li.join(
+            F.broadcast(p.select("p_partkey", "p_type")),
+            on=F.col("l_partkey") == F.col("p_partkey"),
+        )
+        .groupBy(
+            (F.year("l_shipdate") * 100 + F.month("l_shipdate"))
+            .cast("long")
+            .alias("ship_month")
+        )
+        .agg(
+            F.sum(F.when(F.col("p_type") == "PROMO", disc).otherwise(
+                F.lit(0).cast("decimal(28,4)")
+            ))
+            .cast("double")
+            .alias("promo_revenue"),
+            F.sum(disc).cast("double").alias("total_revenue"),
+            F.count("*").cast("long").alias("n_items"),
+        )
+    )
+
+
+def q_customer_order_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q13-style: distribution of per-customer order counts,
+    zero-order customers included via the left join."""
+    c = _prep(spark).read.parquet(f"{sf_dir}/customer.parquet")
+    o = _prep(spark).read.parquet(f"{sf_dir}/orders.parquet")
+    per_cust = (
+        c.select("c_custkey")
+        .join(o.select("o_custkey", "o_orderkey"),
+              on=F.col("o_custkey") == F.col("c_custkey"), how="left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return per_cust.groupBy(
+        F.col("c_count").cast("long").alias("n_orders")
+    ).agg(F.count("*").cast("long").alias("n_customers"))
+
+
+def q_late_shipment_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4-style: orders with any lineitem shipped >60 days after
+    the order date, counted per priority (existence semi-join)."""
+    o = _prep(spark).read.parquet(f"{sf_dir}/orders.parquet")
+    li = _prep(spark).read.parquet(f"{sf_dir}/lineitem.parquet")
+    late = o.join(
+        li.select("l_orderkey", "l_shipdate"),
+        on=(F.col("l_orderkey") == F.col("o_orderkey"))
+        & (F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS")),
+        how="left_semi",
+    )
+    return late.groupBy("o_orderpriority").agg(
+        F.count("*").cast("long").alias("n_late_orders")
+    )
+
+
+def q_embedding_norms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact fixed-point squared L2 norms (the pre-cosine audit)."""
+    return similarity.embedding_norms(_embs(spark, sf_dir))
+
+
+def q_dim_variance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-8 embedding dimensions by exact integer variance numerator
+    (dead-dimension / feature-selection audit)."""
+    return similarity.dim_variance_stats(_embs(spark, sf_dir), k=8)
+
+
+def q_dedup_cluster_sizes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup cluster size histogram over the MinHash-LSH pairs —
+    the 'one giant boilerplate cluster' detector."""
+    pairs = dedup.minhash_lsh_pairs(_docs(spark, sf_dir), n=3, threshold=0.2)
+    return dedup.dup_group_size_histogram(pairs)
+
+
 def q_walk_kernel(spark: SparkSession, sf_dir: str) -> DataFrame:
     """G2-G4 (rows-only: seeded-random, not SQL-expressible; property
     checks live in tests/test_walks_pipeline.py)."""
@@ -2699,18 +2934,90 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # entries against the DuckDB oracles each round; local parity
     # (tests/test_oracle_parity.py) always covers ALL entries.
     #
-    # Round-5 rotation (executes the plan documented in round 4): the 58
-    # queries added in round 4 past the window (scc .. time_profile) had no
-    # driver row; 54 of them are oracle-backed. The head 50 below are all
-    # oracle-backed queries that have NEVER had a driver row, so every slot
-    # of CORRECTNESS_r05.json hash-verifies new surface. Remaining
-    # driver-unverified after this round: 5 oracle-backed (positions 51-55,
-    # first in line for round 6; ego_batch gained an oracle this round) +
-    # 5 rows-only tail entries that cannot hash-verify by design. Query
-    # growth is frozen this round so the hard signal catches up (r3 rows
-    # cover the r3 block, r4 rows the r4 block).
+    # Round-6 rotation (executes the round-5 verdict plan): window =
+    # the 5 oracle-backed queries that had never had a driver row
+    # (positions 1-5) + the 14 NEW round-6 queries (growth resumed,
+    # capped at the window size, inserted at the head so every addition
+    # gets a driver row the round it ships — the standing invariant) +
+    # 31 re-verification slots backfilled with the STALEST green rows
+    # (the r3 block, last driver-verified in CORRECTNESS_r03). After
+    # this round 0 oracle-backed queries are driver-unverified; the 9
+    # rows-only tail entries cannot hash-verify by design. Invariant
+    # going forward: new oracle-backed queries are always inserted at
+    # the window head; CORRECTNESS_rN never reports a query older than
+    # one round without a driver row.
     return {
-        # -- never driver-verified, oracle-backed: the round-5 window --------
+        # -- never driver-verified, oracle-backed (the last 5) ---------------
+        "embedding_coverage": q_embedding_coverage,
+        "length_outliers": q_length_outliers,
+        "length_cdf": q_length_cdf,
+        "time_profile": q_time_profile,
+        "ego_batch": q_ego_batch,
+        # -- NEW in round 6 (all oracle-backed) ------------------------------
+        "neighbor_jaccard": q_neighbor_jaccard,
+        "resource_allocation": q_resource_allocation,
+        "two_hop_reach": q_two_hop_reach,
+        "component_sizes": q_component_sizes,
+        "char_trigrams": q_char_trigrams,
+        "token_length_hist": q_token_length_hist,
+        "quality_deciles": q_quality_deciles,
+        "text_normalize": q_text_normalize,
+        "promo_revenue_share": q_promo_revenue_share,
+        "customer_order_histogram": q_customer_order_histogram,
+        "late_shipment_priority": q_late_shipment_priority,
+        "embedding_norms": q_embedding_norms,
+        "dim_variance": q_dim_variance,
+        "dedup_cluster_sizes": q_dedup_cluster_sizes,
+        # -- re-verification backfill: stalest green rows (r3 block) ---------
+        "start_nodes": q_start_nodes,
+        "start_node_stats": q_start_node_stats,
+        "degrees": q_degrees,
+        "valuable_nodes": q_valuable_nodes,
+        "graph_sizes": q_graph_sizes,
+        "parent_map": q_parent_map,
+        "induced_subgraph_edges": q_induced_subgraph_edges,
+        "subgraph_init": q_subgraph_init,
+        "simrank_init": q_simrank_init,
+        "simrank_round1": q_simrank_round1,
+        "simrank_round1_bucketed": q_simrank_round1_bucketed,
+        "simrank_round2": q_simrank_round2,
+        "simrank_fixpoint": q_simrank_fixpoint,
+        "best_match": q_best_match,
+        "match_classes": q_match_classes,
+        "valuable_matches": q_valuable_matches,
+        "uncovered_valuable": q_uncovered_valuable,
+        "triangle_counts": q_triangle_counts,
+        "connected_components": q_connected_components,
+        "pagerank": q_pagerank,
+        "bfs_distances": q_bfs_distances,
+        "kcore": q_kcore,
+        "sssp": q_sssp,
+        "pagerank_personalized": q_pagerank_personalized,
+        "neighbor_sample": q_neighbor_sample,
+        "tfidf_top_terms": q_tfidf_top_terms,
+        "dedup_exact": q_dedup_exact,
+        "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
+        "dedup_minhash_lsh": q_dedup_minhash_lsh,
+        "dedup_groups": q_dedup_groups,
+        "dedup_simhash": q_dedup_simhash,
+        # ^ 50 entries — fills the driver window exactly.
+        # -- rest of the r3-green block (driver rows r3 + r6-local parity) ---
+        "dedup_embedding_cosine": q_dedup_embedding_cosine,
+        "similarity_topk": q_similarity_topk,
+        "similarity_ann_lsh_exact": q_similarity_ann_lsh_exact,
+        "corpus_clean": q_corpus_clean,
+        "corpus_prepare": q_corpus_prepare,
+        "doc_expectations": q_doc_expectations,
+        "decontaminate": q_decontaminate,
+        "repetition_stats": q_repetition_stats,
+        "pii_redaction": q_pii_redaction,
+        "doc_chunks": q_doc_chunks,
+        "pack_documents": q_pack_documents,
+        "events_sessionized": q_events_sessionized,
+        "sample_hash": q_sample_hash,
+        "sample_stratified": q_sample_stratified,
+        "train_eval_split": q_train_eval_split,
+        # -- driver-green in CORRECTNESS_r05.json ----------------------------
         "scc": q_scc,
         "mis": q_mis,
         "closeness": q_closeness,
@@ -2761,13 +3068,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "key_skew_profile": q_key_skew_profile,
         "recent_events": q_recent_events,
         "type_purity": q_type_purity,
-        # ^ 50 entries — fills the driver window exactly.
-        # -- never driver-verified, oracle-backed, past the window (round 6) -
-        "embedding_coverage": q_embedding_coverage,
-        "length_outliers": q_length_outliers,
-        "length_cdf": q_length_cdf,
-        "time_profile": q_time_profile,
-        "ego_batch": q_ego_batch,
         # -- driver-green in CORRECTNESS_r04.json ----------------------------
         "mixture_sample": q_mixture_sample,
         "corpus_shards": q_corpus_shards,
@@ -2817,53 +3117,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "language_mix": q_language_mix,
         "user_ltv": q_user_ltv,
         "knn_graph": q_knn_graph,
-        # -- driver-green in CORRECTNESS_r03.json ----------------------------
-        "start_nodes": q_start_nodes,
-        "start_node_stats": q_start_node_stats,
-        "degrees": q_degrees,
-        "valuable_nodes": q_valuable_nodes,
-        "graph_sizes": q_graph_sizes,
-        "parent_map": q_parent_map,
-        "induced_subgraph_edges": q_induced_subgraph_edges,
-        "subgraph_init": q_subgraph_init,
-        "simrank_init": q_simrank_init,
-        "simrank_round1": q_simrank_round1,
-        "simrank_round1_bucketed": q_simrank_round1_bucketed,
-        "simrank_round2": q_simrank_round2,
-        "simrank_fixpoint": q_simrank_fixpoint,
-        "best_match": q_best_match,
-        "match_classes": q_match_classes,
-        "valuable_matches": q_valuable_matches,
-        "uncovered_valuable": q_uncovered_valuable,
-        "triangle_counts": q_triangle_counts,
-        "connected_components": q_connected_components,
-        "pagerank": q_pagerank,
-        "bfs_distances": q_bfs_distances,
-        "kcore": q_kcore,
-        "sssp": q_sssp,
-        "pagerank_personalized": q_pagerank_personalized,
-        "neighbor_sample": q_neighbor_sample,
-        "tfidf_top_terms": q_tfidf_top_terms,
-        "dedup_exact": q_dedup_exact,
-        "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
-        "dedup_minhash_lsh": q_dedup_minhash_lsh,
-        "dedup_groups": q_dedup_groups,
-        "dedup_simhash": q_dedup_simhash,
-        "dedup_embedding_cosine": q_dedup_embedding_cosine,
-        "similarity_topk": q_similarity_topk,
-        "similarity_ann_lsh_exact": q_similarity_ann_lsh_exact,
-        "corpus_clean": q_corpus_clean,
-        "corpus_prepare": q_corpus_prepare,
-        "doc_expectations": q_doc_expectations,
-        "decontaminate": q_decontaminate,
-        "repetition_stats": q_repetition_stats,
-        "pii_redaction": q_pii_redaction,
-        "doc_chunks": q_doc_chunks,
-        "pack_documents": q_pack_documents,
-        "events_sessionized": q_events_sessionized,
-        "sample_hash": q_sample_hash,
-        "sample_stratified": q_sample_stratified,
-        "train_eval_split": q_train_eval_split,
         # -- no-oracle (rows-only / seeded-random / codec output): kept at the
         #    tail so the window is spent on hash-verifiable queries ----------
         "multimodal_features": q_multimodal_features,
@@ -2880,6 +3133,134 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 def oracle_sql() -> dict[str, str]:
     return {
+        # -- round-6 additions ----------------------------------------------
+        "neighbor_jaccard": _neighbor_jaccard_sql(max_center_degree=64),
+        "resource_allocation": _resource_allocation_sql(
+            k=100, max_center_degree=64
+        ),
+        "two_hop_reach": _two_hop_reach_sql(),
+        "component_sizes": _component_sizes_sql(),
+        "char_trigrams": """
+            WITH tri AS (
+              SELECT lang,
+                     substring(text,
+                               CAST(unnest(range(1, length(text) - 1)) AS INT),
+                               3) AS trigram
+              FROM documents WHERE length(text) >= 3
+            ),
+            counts AS (
+              SELECT lang, trigram, COUNT(*) AS n
+              FROM tri GROUP BY lang, trigram
+            ),
+            ranked AS (
+              SELECT lang, trigram, n,
+                     ROW_NUMBER() OVER (PARTITION BY lang
+                                        ORDER BY n DESC, trigram) AS rnk
+              FROM counts
+            )
+            SELECT lang, trigram, CAST(n AS BIGINT) AS n_occurrences,
+                   CAST(rnk AS BIGINT) AS "rank"
+            FROM ranked WHERE rnk <= 10
+        """,
+        "token_length_hist": r"""
+            WITH toks AS (
+              SELECT unnest(string_split_regex(text, '\s+')) AS tok
+              FROM documents
+            )
+            SELECT CAST(length(tok) AS BIGINT) AS token_len,
+                   CAST(COUNT(*) AS BIGINT) AS n_tokens,
+                   CAST(COUNT(DISTINCT tok) AS BIGINT) AS n_distinct_tokens
+            FROM toks WHERE tok <> '' GROUP BY length(tok)
+        """,
+        "quality_deciles": f"""
+            WITH qall AS ({doc_oracles.quality_sql().strip()})
+            SELECT LEAST(9, CAST(ROUND(quality * 1000000) AS BIGINT) // 100000)
+                     AS decile,
+                   CAST(COUNT(*) AS BIGINT) AS n_docs,
+                   CAST(SUM(n_tokens) AS BIGINT) AS sum_tokens
+            FROM qall GROUP BY 1
+        """,
+        "text_normalize": """
+            WITH n AS (
+              SELECT doc_id,
+                     trim(regexp_replace(
+                       regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'),
+                       ' +', ' ', 'g')) AS norm
+              FROM documents
+            )
+            SELECT doc_id, md5(norm) AS norm_digest,
+                   CAST(length(norm) AS BIGINT) AS n_norm_chars
+            FROM n
+        """,
+        "promo_revenue_share": """
+            SELECT CAST(year(l_shipdate) * 100 + month(l_shipdate) AS BIGINT)
+                     AS ship_month,
+                   CAST(SUM(CASE WHEN p_type = 'PROMO'
+                        THEN CAST(CAST(l_extendedprice AS DECIMAL(18,2))
+                             * (CAST(1 AS DECIMAL(18,2))
+                                - CAST(l_discount AS DECIMAL(18,2)))
+                             AS DECIMAL(28,4))
+                        ELSE CAST(0 AS DECIMAL(28,4)) END) AS DOUBLE)
+                     AS promo_revenue,
+                   CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,2))
+                        * (CAST(1 AS DECIMAL(18,2))
+                           - CAST(l_discount AS DECIMAL(18,2)))
+                        AS DECIMAL(28,4))) AS DOUBLE) AS total_revenue,
+                   CAST(COUNT(*) AS BIGINT) AS n_items
+            FROM lineitem JOIN part ON p_partkey = l_partkey
+            GROUP BY 1
+        """,
+        "customer_order_histogram": """
+            WITH co AS (
+              SELECT c.c_custkey, COUNT(o.o_orderkey) AS c_count
+              FROM customer c LEFT JOIN orders o ON o.o_custkey = c.c_custkey
+              GROUP BY c.c_custkey
+            )
+            SELECT CAST(c_count AS BIGINT) AS n_orders,
+                   CAST(COUNT(*) AS BIGINT) AS n_customers
+            FROM co GROUP BY c_count
+        """,
+        "late_shipment_priority": """
+            SELECT o_orderpriority,
+                   CAST(COUNT(*) AS BIGINT) AS n_late_orders
+            FROM orders o
+            WHERE EXISTS (SELECT 1 FROM lineitem l
+                          WHERE l.l_orderkey = o.o_orderkey
+                            AND l.l_shipdate > o.o_orderdate
+                                               + INTERVAL 60 DAY)
+            GROUP BY o_orderpriority
+        """,
+        "embedding_norms": """
+            WITH comp AS (
+              SELECT vec_id,
+                     CAST(FLOOR(CAST(unnest(embedding) AS DOUBLE) * 1000000)
+                          AS BIGINT) AS nx
+              FROM embeddings
+            )
+            SELECT vec_id, CAST(SUM(nx * nx) AS BIGINT) AS norm_sq_scaled
+            FROM comp GROUP BY vec_id
+        """,
+        "dim_variance": """
+            WITH comp AS (
+              SELECT unnest(range(len(embedding))) AS dim,
+                     CAST(FLOOR(CAST(unnest(embedding) AS DOUBLE) * 1000000)
+                          AS BIGINT) AS nx
+              FROM embeddings
+            ),
+            stats AS (
+              SELECT CAST(dim AS BIGINT) AS dim, COUNT(*) AS n,
+                     SUM(nx) AS s, SUM(nx * nx) AS ss
+              FROM comp GROUP BY dim
+            )
+            SELECT dim, CAST(n AS BIGINT) AS n,
+                   CAST(s AS BIGINT) AS sum_scaled,
+                   CAST(ss AS BIGINT) AS sumsq_scaled,
+                   CAST(n * ss - s * s AS BIGINT) AS var_num
+            FROM stats ORDER BY var_num DESC, dim LIMIT 8
+        """,
+        "dedup_cluster_sizes": doc_oracles.dup_group_sizes_sql(
+            doc_oracles.minhash_lsh_sql(n=3, threshold=0.2)
+        ),
         "start_nodes": graph_sql(
             """
             SELECT v.* FROM og_vertices v

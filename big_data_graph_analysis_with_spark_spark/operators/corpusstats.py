@@ -433,3 +433,64 @@ def vocab_growth(
             " AS (n_docs, vocab_size, n_hapax)"
         )
     )
+
+
+def char_trigram_profile(docs: DataFrame, k: int = 10) -> DataFrame:
+    """(lang, trigram, n_occurrences, rank): the top-`k` character
+    3-grams per language by occurrence count (ties → trigram ASC, so
+    the cut is deterministic) — the classic feature table an n-gram
+    language identifier is trained from (Cavnar & Trenkle 1994); the
+    runtime `textops.language_id` consumes exactly this kind of
+    profile.
+
+    The position explode stays JVM-side: ``transform(sequence(...))``
+    materializes each doc's trigram list in one codegen'd expression
+    (no UDF), counts aggregate with map-side combine on the (lang,
+    trigram) key — 3-byte grams, text never shuffles — and the final
+    per-lang top-k is a window row_number over the (small) distinct
+    gram table, partition-pruned per language. Docs shorter than 3
+    chars contribute nothing (explicit filter: Spark's sequence(1, n)
+    DESCENDS for n < 1 where DuckDB's generate_series is empty — the
+    filter pins both engines to the same domain).
+    """
+    tri = docs.filter(F.length("text") >= 3).select(
+        "lang",
+        F.explode(
+            F.expr(
+                "transform(sequence(1, length(text) - 2),"
+                " i -> substring(text, i, 3))"
+            )
+        ).alias("trigram"),
+    )
+    counts = tri.groupBy("lang", "trigram").agg(
+        F.count("*").cast("long").alias("n_occurrences")
+    )
+    w = Window.partitionBy("lang").orderBy(
+        F.desc("n_occurrences"), F.asc("trigram")
+    )
+    return (
+        counts.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= k)
+    )
+
+
+def token_length_histogram(docs: DataFrame) -> DataFrame:
+    """(token_len, n_tokens, n_distinct_tokens): corpus-wide token
+    length distribution — the one-scan profile that sizes tokenizer
+    vocab buckets, flags digit/punctuation blowups (a spike at len 1),
+    and estimates bytes-per-token before a BPE run.
+
+    One explode over whitespace tokens, one aggregation keyed by the
+    integer length — text itself never shuffles (tokens are projected
+    to their lengths map-side; the distinct count shuffles the token
+    string, bounded by vocabulary not corpus size).
+    """
+    toks = docs.select(
+        F.explode(F.split("text", "\\s+")).alias("tok")
+    ).filter(F.col("tok") != "")
+    return toks.groupBy(
+        F.length("tok").cast("long").alias("token_len")
+    ).agg(
+        F.count("*").cast("long").alias("n_tokens"),
+        F.countDistinct("tok").cast("long").alias("n_distinct_tokens"),
+    )

@@ -306,3 +306,36 @@ def k_anonymity_violations(
         .agg(F.count("*").cast("long").alias("group_size"))
         .filter(F.col("group_size") < k)
     )
+
+
+def quality_deciles(docs: DataFrame) -> DataFrame:
+    """(decile, n_docs, sum_tokens): the corpus quality PROFILE —
+    document and token mass per quality decile — that decides where a
+    percentile gate (quality_percentile_filter) should cut before
+    anyone commits to a threshold: "decile 9 holds 4% of docs but 1%
+    of tokens" is the shape that justifies (or kills) aggressive
+    filtering.
+
+    Value-based bucketing, not rank-based: quality is a round(·,6)
+    score, so ``decile = least(9, quality_ppm div 100000)`` is a pure
+    per-row integer function — one narrow map + one 10-row aggregation,
+    no global sort, no window. Deterministic and engine-identical by
+    construction.
+    """
+    from .textops import quality_scores
+
+    qs = quality_scores(docs).select(
+        F.round(F.col("quality") * 1_000_000).cast("long").alias("quality_ppm"),
+        "n_tokens",
+    )
+    return (
+        qs.groupBy(
+            F.least(F.lit(9), F.expr("quality_ppm div 100000"))
+            .cast("long")
+            .alias("decile")
+        )
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.sum("n_tokens").cast("long").alias("sum_tokens"),
+        )
+    )

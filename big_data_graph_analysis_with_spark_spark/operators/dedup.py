@@ -882,3 +882,19 @@ def prefix_containment_pairs(docs: DataFrame, block_chars: int = 32) -> DataFram
         .filter(F.expr("substring(c_text, 1, dup_chars) = dup_text"))
         .select("dup_id", "container_id")
     )
+
+
+def dup_group_size_histogram(pairs: DataFrame) -> DataFrame:
+    """(group_size, n_groups): the size distribution of near-duplicate
+    clusters resolved from a candidate-pair relation — the report that
+    distinguishes "many doc-pairs" (harmless) from "one 80k-doc
+    boilerplate cluster" (a template crawl that will dominate training
+    unless capped). Composes :func:`dup_groups` (min-label resolution)
+    with two tiny aggregations; singleton documents are not clustered
+    and so don't appear (every reported size ≥ 2).
+    """
+    groups = dup_groups(pairs)
+    sizes = groups.groupBy("group_id").agg(F.count("*").alias("n"))
+    return sizes.groupBy(F.col("n").cast("long").alias("group_size")).agg(
+        F.count("*").cast("long").alias("n_groups")
+    )

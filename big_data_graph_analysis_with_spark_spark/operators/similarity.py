@@ -693,3 +693,67 @@ def knn_label_propagation(
         "label",
         (F.col("vec_id") % known_mod == 0).alias("is_seed"),
     )
+
+
+def embedding_norms(emb: DataFrame) -> DataFrame:
+    """(vec_id, norm_sq_scaled): exact squared L2 norm of each
+    embedding in fixed-point — components scaled to micro-unit longs
+    (``floor(x·1e6)`` in double math; floor is exact where round's
+    half-way rule can differ cross-engine — the quantize_embeddings
+    convention), so ``Σ n_j²`` is pure integer arithmetic and
+    bit-identical across engines (a float Σx² is sum-order-dependent).
+    The norm audit that runs before any cosine pass: un-normalized rows
+    (norm far from 1e12) break cosine-as-dot shortcuts, zero vectors
+    divide by zero downstream.
+
+    One zip-free aggregate per row (F.aggregate over the array), zero
+    shuffle — a narrow map at any scale. norm_sq_scaled is the squared
+    norm × 1e12; a unit vector reports ≈1_000_000_000_000.
+    """
+    n = F.transform(
+        F.col("embedding"),
+        lambda x: F.floor(x.cast("double") * 1_000_000).cast("long"),
+    )
+    return emb.select(
+        "vec_id",
+        F.aggregate(
+            n, F.lit(0).cast("long"), lambda acc, v: acc + v * v
+        ).alias("norm_sq_scaled"),
+    )
+
+
+def dim_variance_stats(emb: DataFrame, k: int = 8) -> DataFrame:
+    """(dim, n, sum_scaled, sumsq_scaled, var_num): the top-`k`
+    embedding dimensions by variance, reported as exact integer
+    sufficient statistics — components scaled to micro-unit longs
+    (``floor(x·1e6)``, the exact-cross-engine convention), and
+    ``var_num = n·Σx² − (Σx)²`` (= n²·variance, exact) as the ranking
+    key, ties → dim ASC. The feature-selection / dead-dimension audit:
+    near-zero-variance dims are wasted storage ANN distance ignores,
+    and candidates for pruning before quantization.
+
+    One posexplode + one aggregation keyed by dim (64-ish rows out),
+    then a top-k over the tiny per-dim table — the heavy shuffle moves
+    (dim, scaled-long) pairs, never the arrays. The caller finishes
+    float variance as var_num / n² off-engine if wanted; ranking never
+    needs the division.
+    """
+    comp = emb.select(
+        F.posexplode("embedding").alias("dim", "x")
+    ).select(
+        F.col("dim").cast("long").alias("dim"),
+        F.floor(F.col("x").cast("double") * 1_000_000).cast("long").alias("n_x"),
+    )
+    stats = comp.groupBy("dim").agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum("n_x").cast("long").alias("sum_scaled"),
+        F.sum(F.col("n_x") * F.col("n_x")).cast("long").alias("sumsq_scaled"),
+    )
+    return (
+        stats.withColumn(
+            "var_num",
+            (F.col("n") * F.col("sumsq_scaled") - F.col("sum_scaled") * F.col("sum_scaled")).cast("long"),
+        )
+        .orderBy(F.col("var_num").desc(), F.col("dim").asc())
+        .limit(k)
+    )

@@ -241,3 +241,31 @@ def bpe_merges(docs: DataFrame, rounds: int = 4, sep: str = "_") -> DataFrame:
     return spark.createDataFrame(
         out, "round long, pair string, merged string, n_occ long"
     )
+
+
+def normalize_text(docs: DataFrame) -> DataFrame:
+    """(doc_id, norm_digest, n_norm_chars): canonical text
+    normalization — lowercase, non-alphanumerics to spaces, runs of
+    whitespace collapsed, trimmed — reported as digest + length so the
+    normalized text itself never leaves the executors. This is the
+    canonicalization pass exact dedup should key on when "same doc"
+    must survive casing/punctuation jitter (the C4/CCNet convention),
+    and the digest column is drop-in for exact_dedup/incremental_dedup.
+
+    Pure codegen'd expressions (lower/regexp_replace/trim/md5), zero
+    shuffle — a narrow map over the scan at any scale. The two regexes
+    ([^a-z0-9 ] and ' +') sit in the portable intersection of Java
+    regex and RE2, so Spark and the DuckDB oracle rewrite identically.
+    """
+    norm = F.trim(
+        F.regexp_replace(
+            F.regexp_replace(F.lower(F.col("text")), "[^a-z0-9 ]", " "),
+            " +",
+            " ",
+        )
+    )
+    return docs.select(
+        "doc_id",
+        F.md5(norm).alias("norm_digest"),
+        F.length(norm).cast("long").alias("n_norm_chars"),
+    )

@@ -1068,3 +1068,24 @@ lab{r} AS MATERIALIZED (
         + f"\nSELECT vec_id, label, vec_id % {known_mod} = 0 AS is_seed"
         + f" FROM lab{rounds}"
     )
+
+
+def dup_group_sizes_sql(pairs_sql: str) -> str:
+    """Histogram twin of dedup.dup_group_size_histogram over the pairs
+    from `pairs_sql`: the dup_groups_sql component resolution, rolled
+    up to (group_size, n_groups)."""
+    return f"""
+WITH RECURSIVE pairs AS ({pairs_sql}),
+und AS (SELECT doc_a AS a, doc_b AS b FROM pairs
+        UNION ALL SELECT doc_b AS a, doc_a AS b FROM pairs),
+nodes AS (SELECT DISTINCT a AS doc_id FROM und),
+reach(doc_id, r) AS (
+  SELECT doc_id, doc_id FROM nodes
+  UNION
+  SELECT u.a, reach.r FROM und u JOIN reach ON reach.doc_id = u.b
+),
+labels AS (SELECT doc_id, MIN(r) AS group_id FROM reach GROUP BY doc_id),
+sizes AS (SELECT group_id, COUNT(*) AS n FROM labels GROUP BY group_id)
+SELECT CAST(n AS BIGINT) AS group_size, CAST(COUNT(*) AS BIGINT) AS n_groups
+FROM sizes GROUP BY n
+"""
