@@ -46,11 +46,19 @@ AUDIT = [
     "snapshot_diff", "k_anonymity", "type_projection",
     "neighborhood_features", "orders_point_in_time", "churned_users",
     "forecast_revenue", "returned_items",
+    # round-6 additions (the non-iterative ones)
+    "neighbor_jaccard", "resource_allocation", "two_hop_reach",
+    "char_trigrams", "token_length_hist", "quality_deciles",
+    "text_normalize", "promo_revenue_share", "customer_order_histogram",
+    "late_shipment_priority", "embedding_norms", "dim_variance",
 ]
 # motif_counts is deliberately NOT in AUDIT: its builder runs the full
 # census via driver-side .count() actions, so the final frame is just a
 # createDataFrame literal scan — auditing it measures nothing while
-# executing the census twice (once per explain mode).
+# executing the census twice (once per explain mode). Same reason for
+# component_sizes / dedup_cluster_sizes (their CC fixpoints execute at
+# plan-construction time; the loop shuffles are covered by the
+# connected_components / dup_groups per-round tests).
 
 FAIL_PATTERNS = {
     "CartesianProduct": "cartesian product",
