@@ -879,7 +879,11 @@ def _bfs_sym(edges_sym: DataFrame, source: int, max_iters: int) -> DataFrame:
 
 
 @_narrowed
-def diameter_double_sweep(graph: NetGraph, max_iters: int = 64) -> DataFrame:
+def diameter_double_sweep(
+    graph: NetGraph,
+    max_iters: int = 64,
+    sym_edges: DataFrame | None = None,
+) -> DataFrame:
     """One-row (seed, peak_id, ecc_seed, diameter_lb): the classic
     double-sweep diameter bound (Magnien, Latapy & Habib, JEA 2009)
     over the undirected graph — BFS from the minimum vertex id, hop to
@@ -891,17 +895,23 @@ def diameter_double_sweep(graph: NetGraph, max_iters: int = 64) -> DataFrame:
 
     Scale: inherits the frontier-BFS profile (one shuffle per round,
     frontier-bounded traffic); the only driver-side values are two
-    scalar rows (the seed and the peak)."""
-    und = undirected_edges(graph)
-    sym = und.unionAll(
-        und.select(F.col("b").alias("a"), F.col("a").alias("b"))
-    ).localCheckpoint()
+    scalar rows (the seed and the peak). ``sym_edges`` optionally
+    supplies the symmetric edge set as a stable bucketed scan (same
+    contract as `connected_components`), serving both sweeps without
+    the derive-and-checkpoint."""
+    if sym_edges is not None:
+        sym = sym_edges.select("a", "b")
+    else:
+        und = undirected_edges(graph)
+        sym = und.unionAll(
+            und.select(F.col("b").alias("a"), F.col("a").alias("b"))
+        ).localCheckpoint()
     seed = graph.vertices.agg(F.min("id")).first()[0]
     d1 = _bfs_sym(sym, seed, max_iters)
     peak = d1.orderBy(F.col("dist").desc(), F.col("id").asc()).first()
     d2 = _bfs_sym(sym, peak["id"], max_iters)
     ecc2 = d2.agg(F.max("dist")).first()[0]
-    spark = und.sparkSession
+    spark = sym.sparkSession
     return spark.createDataFrame(
         [(seed, peak["id"], peak["dist"], ecc2)],
         "seed long, peak_id long, ecc_seed long, diameter_lb long",
