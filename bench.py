@@ -68,7 +68,15 @@ def _prior_timings() -> dict[str, float]:
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
     for p in reversed(candidates):
         try:
-            rec = json.loads(p.read_text().strip().splitlines()[-1])
+            text = p.read_text().strip()
+            try:
+                rec = json.loads(text)
+            except json.JSONDecodeError:
+                rec = json.loads(text.splitlines()[-1])
+            # the external driver wraps the bench line in a record with
+            # the parsed JSON under "parsed"
+            if "parsed" in rec and isinstance(rec["parsed"], dict):
+                rec = rec["parsed"]
             qs = rec.get("queries", {})
             if str(rec.get("sf")) != sf:
                 # prior record is for a different scale factor — its
