@@ -2898,6 +2898,15 @@ def q_dedup_cluster_sizes(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.dup_group_size_histogram(pairs)
 
 
+def q_copurchase_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket co-purchase pairs: top-100 part pairs by shared
+    order count (within-basket self-join — never all-pairs)."""
+    from big_data_graph_analysis_with_spark_spark.operators import olap
+
+    li = _prep(spark).read.parquet(f"{sf_dir}/lineitem.parquet")
+    return olap.copurchase_pairs(li, k=100, min_orders=2)
+
+
 def q_walk_kernel(spark: SparkSession, sf_dir: str) -> DataFrame:
     """G2-G4 (rows-only: seeded-random, not SQL-expressible; property
     checks live in tests/test_walks_pipeline.py)."""
@@ -2936,10 +2945,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     #
     # Round-6 rotation (executes the round-5 verdict plan): window =
     # the 5 oracle-backed queries that had never had a driver row
-    # (positions 1-5) + the 14 NEW round-6 queries (growth resumed,
+    # (positions 1-5) + the 15 NEW round-6 queries (growth resumed,
     # capped at the window size, inserted at the head so every addition
     # gets a driver row the round it ships — the standing invariant) +
-    # 31 re-verification slots backfilled with the STALEST green rows
+    # 30 re-verification slots backfilled with the STALEST green rows
     # (the r3 block, last driver-verified in CORRECTNESS_r03). After
     # this round 0 oracle-backed queries are driver-unverified; the 9
     # rows-only tail entries cannot hash-verify by design. Invariant
@@ -2968,6 +2977,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_norms": q_embedding_norms,
         "dim_variance": q_dim_variance,
         "dedup_cluster_sizes": q_dedup_cluster_sizes,
+        "copurchase_pairs": q_copurchase_pairs,
         # -- re-verification backfill: stalest green rows (r3 block) ---------
         "start_nodes": q_start_nodes,
         "start_node_stats": q_start_node_stats,
@@ -2999,9 +3009,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
         "dedup_minhash_lsh": q_dedup_minhash_lsh,
         "dedup_groups": q_dedup_groups,
-        "dedup_simhash": q_dedup_simhash,
         # ^ 50 entries — fills the driver window exactly.
         # -- rest of the r3-green block (driver rows r3 + r6-local parity) ---
+        "dedup_simhash": q_dedup_simhash,
         "dedup_embedding_cosine": q_dedup_embedding_cosine,
         "similarity_topk": q_similarity_topk,
         "similarity_ann_lsh_exact": q_similarity_ann_lsh_exact,
@@ -3261,6 +3271,21 @@ def oracle_sql() -> dict[str, str]:
         "dedup_cluster_sizes": doc_oracles.dup_group_sizes_sql(
             doc_oracles.minhash_lsh_sql(n=3, threshold=0.2)
         ),
+        "copurchase_pairs": """
+            WITH op AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+            pairs AS (
+              SELECT a.l_partkey AS part_a, b.l_partkey AS part_b,
+                     COUNT(*) AS n
+              FROM op a JOIN op b
+                ON a.l_orderkey = b.l_orderkey
+               AND a.l_partkey < b.l_partkey
+              GROUP BY 1, 2
+            )
+            SELECT part_a, part_b, CAST(n AS BIGINT) AS n_orders
+            FROM pairs WHERE n >= 2
+            ORDER BY n_orders DESC, part_a, part_b
+            LIMIT 100
+        """,
         "start_nodes": graph_sql(
             """
             SELECT v.* FROM og_vertices v

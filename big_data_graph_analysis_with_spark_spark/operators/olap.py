@@ -198,3 +198,36 @@ def user_sequences(events: DataFrame, max_len: int = 100) -> DataFrame:
             F.least(F.size("ps"), F.lit(max_len)).cast("long").alias("n_events"),
         )
     )
+
+
+def copurchase_pairs(
+    lineitem: DataFrame, k: int = 100, min_orders: int = 2
+) -> DataFrame:
+    """(part_a, part_b, n_orders): top-`k` part pairs by the number of
+    orders containing BOTH (a < b; ties → part_a, part_b ASC) — the
+    market-basket co-occurrence table driving "bought together"
+    recommendations and cross-sell analysis, restricted to pairs seen
+    in ≥ `min_orders` baskets.
+
+    Pairs are generated only WITHIN an order via a self-join on
+    l_orderkey after a per-order distinct — candidate volume is
+    Σ_orders C(parts-in-order, 2), bounded by basket size (single-digit
+    in TPC-H-shaped data), never |parts|². The distinct first:
+    duplicate lineitems of the same part must not inflate pair counts.
+    At 100 TB the orderkey self-join co-locates if lineitem is stored
+    orderkey-bucketed; map-side combine collapses hot pairs before the
+    (16-byte) pair-keyed shuffle. The min_orders cut prunes the long
+    tail before the top-k.
+    """
+    op = lineitem.select("l_orderkey", "l_partkey").distinct()
+    a = op.select(F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("part_a"))
+    b = op.select(F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("part_b"))
+    return (
+        a.join(b, on="o")
+        .filter(F.col("part_a") < F.col("part_b"))
+        .groupBy("part_a", "part_b")
+        .agg(F.count("*").cast("long").alias("n_orders"))
+        .filter(F.col("n_orders") >= min_orders)
+        .orderBy(F.col("n_orders").desc(), "part_a", "part_b")
+        .limit(k)
+    )

@@ -199,3 +199,25 @@ def test_dup_group_size_histogram(spark):
         for r in dedup.dup_group_size_histogram(pairs).collect()
     }
     assert got == {3: 1, 2: 1}
+
+
+def test_copurchase_pairs_baskets(spark):
+    from big_data_graph_analysis_with_spark_spark.operators import olap
+
+    # orders: 1 = {A,B,C}, 2 = {A,B}, 3 = {A,B} with a duplicate B row
+    # (must not inflate), 4 = {C}. (A,B) in 3 orders; (A,C)/(B,C) in 1.
+    li = spark.createDataFrame(
+        [(1, 10), (1, 20), (1, 30), (2, 10), (2, 20),
+         (3, 10), (3, 20), (3, 20), (4, 30)],
+        "l_orderkey LONG, l_partkey LONG",
+    )
+    got = {
+        (r["part_a"], r["part_b"]): r["n_orders"]
+        for r in olap.copurchase_pairs(li, k=10, min_orders=1).collect()
+    }
+    assert got == {(10, 20): 3, (10, 30): 1, (20, 30): 1}
+    cut = {
+        (r["part_a"], r["part_b"]): r["n_orders"]
+        for r in olap.copurchase_pairs(li, k=10, min_orders=2).collect()
+    }
+    assert cut == {(10, 20): 3}
