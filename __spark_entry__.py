@@ -2907,6 +2907,149 @@ def q_copurchase_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return olap.copurchase_pairs(li, k=100, min_orders=2)
 
 
+def q_supplier_pareto(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pareto/ABC cut: the minimal set of suppliers covering 80% of
+    discounted lineitem revenue (cumulative window over the
+    pre-aggregated supplier frame, integer cross-multiplied share
+    test — no float division)."""
+    from big_data_graph_analysis_with_spark_spark.operators import olap
+
+    li = _prep(spark).read.parquet(f"{sf_dir}/lineitem.parquet")
+    rev = (
+        F.col("l_extendedprice").cast("decimal(18,2)")
+        * (F.lit(1).cast("decimal(18,2)") - F.col("l_discount").cast("decimal(18,2)"))
+    ).cast("decimal(28,4)")
+    per_supp = li.groupBy(F.col("l_suppkey").alias("suppkey")).agg(
+        F.sum(rev).cast("decimal(38,4)").alias("revenue")
+    )
+    cut = olap.pareto_coverage(
+        per_supp, "suppkey", "revenue", share_num=4, share_den=5
+    )
+    return cut.select(
+        "suppkey",
+        F.col("revenue").cast("double").alias("revenue"),
+        F.col("cum_weight").cast("double").alias("cum_revenue"),
+    )
+
+
+def q_part_supplier_variety(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q16-style: distinct-supplier variety per (p_brand, p_size)
+    from observed lineitems, excluding negative-balance suppliers (the
+    broadcast anti-join exclusion shape)."""
+    sess = _prep(spark)
+    li = sess.read.parquet(f"{sf_dir}/lineitem.parquet").select(
+        "l_partkey", "l_suppkey"
+    )
+    p = sess.read.parquet(f"{sf_dir}/part.parquet").select(
+        "p_partkey", "p_brand", "p_size"
+    )
+    bad = sess.read.parquet(f"{sf_dir}/supplier.parquet").filter(
+        F.col("s_acctbal") < 0
+    ).select(F.col("s_suppkey").alias("l_suppkey"))
+    return (
+        li.join(F.broadcast(bad), on="l_suppkey", how="left_anti")
+        .join(F.broadcast(p), on=F.col("l_partkey") == F.col("p_partkey"))
+        .groupBy("p_brand", F.col("p_size").cast("long").alias("p_size"))
+        .agg(F.countDistinct("l_suppkey").cast("long").alias("supplier_cnt"))
+    )
+
+
+def q_idle_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22-style: per-nation count and balance of above-average-
+    balance customers who never ordered (broadcast scalar threshold +
+    anti join)."""
+    sess = _prep(spark)
+    c = sess.read.parquet(f"{sf_dir}/customer.parquet")
+    o = sess.read.parquet(f"{sf_dir}/orders.parquet")
+    bal = F.col("c_acctbal").cast("decimal(18,2)")
+    # decimal avg: exact sum / exact count, one double division at the end
+    thresh = (
+        c.filter(F.col("c_acctbal") > 0)
+        .agg(
+            (
+                F.sum(bal).cast("double") / F.count("*").cast("double")
+            ).alias("__avg_bal__")
+        )
+    )
+    return (
+        c.join(F.broadcast(thresh))
+        .filter(F.col("c_acctbal").cast("double") > F.col("__avg_bal__"))
+        .join(
+            o.select(F.col("o_custkey").alias("c_custkey")),
+            on="c_custkey",
+            how="left_anti",
+        )
+        .groupBy(F.col("c_nationkey").cast("long").alias("nationkey"))
+        .agg(
+            F.count("*").cast("long").alias("n_custs"),
+            F.sum(bal).cast("double").alias("total_acctbal"),
+        )
+    )
+
+
+def q_nation_trade_flow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q7-style: yearly discounted revenue between every
+    (supplier nation → customer nation) pair, cross-nation flows only.
+    Broadcast supplier/customer/nation dims; the one big shuffle is
+    lineitem ⋈ orders on orderkey (co-located when both are
+    orderkey-bucketed at scale)."""
+    sess = _prep(spark)
+    li = sess.read.parquet(f"{sf_dir}/lineitem.parquet")
+    o = sess.read.parquet(f"{sf_dir}/orders.parquet").select(
+        "o_orderkey", "o_custkey"
+    )
+    cu = sess.read.parquet(f"{sf_dir}/customer.parquet").select(
+        "c_custkey", "c_nationkey"
+    )
+    su = sess.read.parquet(f"{sf_dir}/supplier.parquet").select(
+        "s_suppkey", "s_nationkey"
+    )
+    na = sess.read.parquet(f"{sf_dir}/nation.parquet").select(
+        "n_nationkey", "n_name"
+    )
+    rev = (
+        F.col("l_extendedprice").cast("decimal(18,2)")
+        * (F.lit(1).cast("decimal(18,2)") - F.col("l_discount").cast("decimal(18,2)"))
+    ).cast("decimal(28,4)")
+    return (
+        li.select("l_orderkey", "l_suppkey", F.year("l_shipdate").alias("year"), rev.alias("rev"))
+        .join(F.broadcast(su), on=F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(o, on=F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(cu), on=F.col("o_custkey") == F.col("c_custkey"))
+        .filter(F.col("s_nationkey") != F.col("c_nationkey"))
+        .join(
+            F.broadcast(na.select(F.col("n_nationkey").alias("s_nationkey"),
+                                  F.col("n_name").alias("supp_nation"))),
+            on="s_nationkey",
+        )
+        .join(
+            F.broadcast(na.select(F.col("n_nationkey").alias("c_nationkey"),
+                                  F.col("n_name").alias("cust_nation"))),
+            on="c_nationkey",
+        )
+        .groupBy("supp_nation", "cust_nation", F.col("year").cast("long").alias("year"))
+        .agg(
+            F.sum("rev").cast("double").alias("revenue"),
+            F.count("*").cast("long").alias("n_lineitems"),
+        )
+    )
+
+
+def q_length_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact Gini-coefficient sufficient statistics over document
+    lengths — the corpus length-inequality audit (grouped-lengths rank
+    identity, no global per-document sort)."""
+    from big_data_graph_analysis_with_spark_spark.operators import corpusstats
+
+    return corpusstats.length_gini_stats(_docs(spark, sf_dir))
+
+
+def q_centroid_distances(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact fixed-point squared distances between per-label embedding
+    centroids (class-separation / IVF-balance audit)."""
+    return similarity.centroid_distances(_embs(spark, sf_dir))
+
+
 def q_walk_kernel(spark: SparkSession, sf_dir: str) -> DataFrame:
     """G2-G4 (rows-only: seeded-random, not SQL-expressible; property
     checks live in tests/test_walks_pipeline.py)."""
@@ -2945,10 +3088,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     #
     # Round-6 rotation (executes the round-5 verdict plan): window =
     # the 5 oracle-backed queries that had never had a driver row
-    # (positions 1-5) + the 15 NEW round-6 queries (growth resumed,
+    # (positions 1-5) + the 21 NEW round-6 queries (growth resumed,
     # capped at the window size, inserted at the head so every addition
     # gets a driver row the round it ships — the standing invariant) +
-    # 30 re-verification slots backfilled with the STALEST green rows
+    # 24 re-verification slots backfilled with the STALEST green rows
     # (the r3 block, last driver-verified in CORRECTNESS_r03). After
     # this round 0 oracle-backed queries are driver-unverified; the 9
     # rows-only tail entries cannot hash-verify by design. Invariant
@@ -2978,6 +3121,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dim_variance": q_dim_variance,
         "dedup_cluster_sizes": q_dedup_cluster_sizes,
         "copurchase_pairs": q_copurchase_pairs,
+        "supplier_pareto": q_supplier_pareto,
+        "part_supplier_variety": q_part_supplier_variety,
+        "idle_customers": q_idle_customers,
+        "nation_trade_flow": q_nation_trade_flow,
+        "length_gini": q_length_gini,
+        "centroid_distances": q_centroid_distances,
         # -- re-verification backfill: stalest green rows (r3 block) ---------
         "start_nodes": q_start_nodes,
         "start_node_stats": q_start_node_stats,
@@ -3003,14 +3152,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kcore": q_kcore,
         "sssp": q_sssp,
         "pagerank_personalized": q_pagerank_personalized,
+        # ^ 50 entries — fills the driver window exactly.
+        # -- rest of the r3-green block (driver rows r3 + r6-local parity) ---
         "neighbor_sample": q_neighbor_sample,
         "tfidf_top_terms": q_tfidf_top_terms,
         "dedup_exact": q_dedup_exact,
         "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
         "dedup_minhash_lsh": q_dedup_minhash_lsh,
         "dedup_groups": q_dedup_groups,
-        # ^ 50 entries — fills the driver window exactly.
-        # -- rest of the r3-green block (driver rows r3 + r6-local parity) ---
         "dedup_simhash": q_dedup_simhash,
         "dedup_embedding_cosine": q_dedup_embedding_cosine,
         "similarity_topk": q_similarity_topk,

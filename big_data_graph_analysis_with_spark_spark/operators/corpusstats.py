@@ -494,3 +494,64 @@ def token_length_histogram(docs: DataFrame) -> DataFrame:
         F.count("*").cast("long").alias("n_tokens"),
         F.countDistinct("tok").cast("long").alias("n_distinct_tokens"),
     )
+
+
+def length_gini_stats(docs: DataFrame, length_col: str = "n_chars") -> DataFrame:
+    """One row of EXACT Gini-coefficient sufficient statistics over the
+    document length distribution: (n_docs, total_len, sum_rank_len,
+    gini_num, gini_den) with
+
+        gini = gini_num / gini_den
+             = (2·Σᵢ rankᵢ·lenᵢ − (n+1)·Σlen) / (n·Σlen)
+
+    — the standard sorted-rank Gini identity. Length inequality is the
+    single best early-warning signal for corpus skew (a few giant docs
+    dominating token mass); the exact integer form hash-matches the
+    DuckDB oracle where any float assembly would drift.
+
+    Σ rank·len is computed WITHOUT a global per-document sort: lengths
+    are first aggregated to (len, cnt) — bounded by |distinct lengths|,
+    not |docs| — and for a tie-group of cnt docs at length L whose
+    predecessors total `before` docs, the ranks are before+1 … before+cnt
+    regardless of tie order, contributing L·(cnt·before + cnt·(cnt+1)/2).
+    The cumulative `before` window therefore sorts only the tiny grouped
+    frame; the 100 TB scan reduces map-side to one row per distinct
+    length. All products run in DECIMAL(38,0) so the statistics stay
+    exact far past BIGINT range.
+    """
+    grouped = docs.groupBy(F.col(length_col).cast("long").alias("len")).agg(
+        F.count("*").cast("long").alias("cnt")
+    )
+    w = Window.orderBy("len").rowsBetween(Window.unboundedPreceding, -1)
+    dec = "decimal(38,0)"
+    per_group = grouped.withColumn(
+        "before", F.coalesce(F.sum("cnt").over(w), F.lit(0)).cast("long")
+    ).select(
+        F.col("cnt"),
+        (F.col("len").cast(dec) * F.col("cnt").cast(dec)).alias("group_len"),
+        (
+            F.col("len").cast(dec)
+            * (
+                F.col("cnt").cast(dec) * F.col("before").cast(dec)
+                + (
+                    F.col("cnt").cast(dec) * (F.col("cnt").cast(dec) + F.lit(1))
+                    / F.lit(2)
+                ).cast(dec)
+            )
+        ).alias("group_rank_len"),
+    )
+    agg = per_group.agg(
+        F.sum("cnt").cast("long").alias("n_docs"),
+        F.sum("group_len").cast(dec).alias("total_len"),
+        F.sum("group_rank_len").cast(dec).alias("sum_rank_len"),
+    )
+    return agg.select(
+        "n_docs",
+        "total_len",
+        "sum_rank_len",
+        (
+            F.lit(2).cast(dec) * F.col("sum_rank_len")
+            - (F.col("n_docs").cast(dec) + F.lit(1)) * F.col("total_len")
+        ).cast(dec).alias("gini_num"),
+        (F.col("n_docs").cast(dec) * F.col("total_len")).cast(dec).alias("gini_den"),
+    )

@@ -231,3 +231,45 @@ def copurchase_pairs(
         .orderBy(F.col("n_orders").desc(), "part_a", "part_b")
         .limit(k)
     )
+
+
+def pareto_coverage(
+    weighted: DataFrame,
+    key_col: str,
+    weight_col: str,
+    share_num: int = 4,
+    share_den: int = 5,
+) -> DataFrame:
+    """(key, weight, cum_weight): the minimal prefix of keys, taken in
+    descending weight order (key ASC on ties), whose cumulative weight
+    reaches `share_num/share_den` of the total — the Pareto/ABC cut
+    ("which suppliers cover 80% of revenue", "which sources cover 90%
+    of tokens") that drives curation and procurement triage.
+
+    `weighted` must already be one row per key (pre-aggregated), so the
+    window below sorts |keys| rows, not the fact table. A key is kept
+    iff the cumulative weight STRICTLY BEFORE it is < the target, i.e.
+    the crossing row is included and everything after it cut — the
+    unique minimal covering prefix under the deterministic order. The
+    share test is integer cross-multiplication (den·cum_before <
+    num·total on decimals), no float division anywhere.
+
+    The total comes from a broadcast single-row aggregate (no
+    window-over-() single-partition global frame for the grand total);
+    the ordered cumulative window is the one necessarily-global sort,
+    and it runs over pre-aggregated keys — at 100 TB that is |suppliers|,
+    not |lineitems|. If even |keys| is too large to window, the same
+    prefix is computable with a two-pass range-partitioned rank, but a
+    dimension-sized frame never needs it.
+    """
+    w = Window.orderBy(F.col(weight_col).desc(), F.col(key_col).asc())
+    total = weighted.agg(F.sum(weight_col).alias("__total__"))
+    return (
+        weighted.withColumn("cum_weight", F.sum(weight_col).over(w))
+        .join(F.broadcast(total))
+        .filter(
+            (F.col("cum_weight") - F.col(weight_col)) * share_den
+            < F.col("__total__") * share_num
+        )
+        .drop("__total__")
+    )

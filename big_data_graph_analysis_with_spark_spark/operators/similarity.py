@@ -757,3 +757,64 @@ def dim_variance_stats(emb: DataFrame, k: int = 8) -> DataFrame:
         .orderBy(F.col("var_num").desc(), F.col("dim").asc())
         .limit(k)
     )
+
+
+def centroid_distances(emb: DataFrame, label_col: str = "label") -> DataFrame:
+    """(label_a, label_b, n_a, n_b, dist_num): EXACT squared distance
+    between every pair of per-label centroids (a < b), as the integer
+    numerator
+
+        dist_num = Σⱼ (n_b·S_aj − n_a·S_bj)²   (true dist² = dist_num / (n_a·n_b)²)
+
+    over micro-unit fixed-point component sums S_lj = Σ floor(x·1e6)
+    (the exact-cross-engine convention shared with embedding_norms /
+    quantize). Cross-multiplying by the counts instead of dividing
+    keeps everything integer — no mean, no float, hash-stable. This is
+    the class-separation audit behind IVF list balance and label-drift
+    monitoring: collapsing centroid pairs mean lists that shed no
+    candidates and labels a classifier can't split.
+
+    Plan: one posexplode → one (label, j) partial-aggregated shuffle
+    (≤ |labels|·d rows out of the entire scan), then a broadcast
+    self-join on j over that tiny frame and a second tiny aggregate.
+    The per-dim cross terms run in DECIMAL(38,0) — exact up to ~1e9
+    vectors/label at 1e6 scaling; beyond that, audit per-shard or drop
+    to double means and accept approximate separation.
+    """
+    n = F.transform(
+        F.col("embedding"),
+        lambda x: F.floor(x.cast("double") * 1_000_000).cast("long"),
+    )
+    sums = (
+        emb.select(F.col(label_col).alias("label"), F.posexplode(n).alias("j", "s"))
+        .groupBy("label", "j")
+        .agg(F.sum("s").alias("s"), F.count("*").cast("long").alias("n"))
+    )
+    a = sums.select(
+        F.col("j"),
+        F.col("label").alias("label_a"),
+        F.col("s").alias("s_a"),
+        F.col("n").alias("n_a"),
+    )
+    b = sums.select(
+        F.col("j"),
+        F.col("label").alias("label_b"),
+        F.col("s").alias("s_b"),
+        F.col("n").alias("n_b"),
+    )
+    dec = "decimal(38,0)"
+    term = (
+        F.col("n_b").cast(dec) * F.col("s_a").cast(dec)
+        - F.col("n_a").cast(dec) * F.col("s_b").cast(dec)
+    )
+    return (
+        a.join(F.broadcast(b), on="j")
+        .filter(F.col("label_a") < F.col("label_b"))
+        .groupBy(
+            F.col("label_a").cast("long").alias("label_a"),
+            F.col("label_b").cast("long").alias("label_b"),
+            "n_a",
+            "n_b",
+        )
+        .agg(F.sum((term * term).cast(dec)).cast(dec).alias("dist_num"))
+    )
