@@ -20,13 +20,23 @@ recorded time (latest BENCH_r*.json next to this file, override with
 $SPARK_GRAFT_BENCH_PRIOR) by >25% is automatically RE-RUN for up to 2
 extra iterations and the overall minimum kept; the "reruns" key records
 prior/first/final/load per re-run suite, so a reported regression
-always carries its A/B evidence and a load indicator.
+always carries its A/B evidence and a load indicator. Suites whose
+backing modules changed since the round-start commit get a tighter
+1.10x trigger (round-6 verdict: 1.25x missed exactly the suites whose
+code changed).
+
+Output: the FULL record (per-suite loads, complete rerun evidence) is
+written to BENCH_LOCAL.json next to this file; stdout gets one compact
+final JSON line kept under 1900 chars, because the external driver
+records only the last ~2000 chars of output — round 6's oversized line
+lost its head there and the round's record became unparseable.
 """
 
 from __future__ import annotations
 
 import json
 import os
+import subprocess
 import sys
 import time
 from pathlib import Path
@@ -59,12 +69,21 @@ os.environ.setdefault("SPARK_GRAFT_DRIVER_MEM", "24g")
 def _prior_timings() -> dict[str, float]:
     """Per-suite timings from the latest BENCH_r*.json next to this
     file (or $SPARK_GRAFT_BENCH_PRIOR) — the A/B baseline for the
-    regression re-run pass. Empty when none exists."""
+    regression re-run pass. Falls back to the committed BENCH_LOCAL.json
+    full record when no driver-wrapped record parses (the r6 failure
+    mode: the driver keeps only the last 2000 output chars, and an
+    oversized JSON line loses its head). Empty when none exists."""
     override = os.environ.get("SPARK_GRAFT_BENCH_PRIOR")
+    here = Path(__file__).resolve().parent
     if override:
         candidates = [Path(override)]
     else:
-        candidates = sorted(Path(__file__).resolve().parent.glob("BENCH_r*.json"))
+        # preference (the loop scans reversed): newest driver record,
+        # then the committed full local record, then older driver
+        # records — BENCH_LOCAL is the same round as the newest driver
+        # record, so it outranks everything but that record itself
+        candidates = sorted(here.glob("BENCH_r*.json"))
+        candidates = candidates[:-1] + [here / "BENCH_LOCAL.json"] + candidates[-1:]
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
     for p in reversed(candidates):
         try:
@@ -88,6 +107,85 @@ def _prior_timings() -> dict[str, float]:
         except Exception:
             continue
     return {}
+
+
+#: module stem -> suite-name substrings it feeds. Drives the tighter
+#: A/B trigger: a suite whose backing module changed this round re-runs
+#: at >1.10x its prior record instead of >1.25x (round-6 verdict: the
+#: 1.25x trigger missed graph_centralities at 1.20x with changed
+#: graphalg.py — exactly the suites where a recorded slowdown matters).
+_MODULE_SUITES: dict[str, list[str]] = {
+    "graphalg": ["graph_", "pagerank", "cc_", "link_prediction"],
+    "topology": ["topology", "graph_ingest", "mitm"],
+    "walks": ["walks_frontier", "mitm"],
+    "walk_simrank": ["mitm"],
+    "simrank": ["simrank", "mitm"],
+    "matching": ["best_match", "mitm"],
+    "stats": ["mitm", "topology"],
+    "subgraph": ["mitm"],
+    "pipeline": ["mitm"],
+    "dedup": ["dedup_"],
+    "similarity": ["similarity_", "dedup_embedding_cosine", "link_prediction"],
+    "textops": ["text_analysis", "corpus_"],
+    "corpusstats": ["corpus_", "text_analysis"],
+    "corpus": ["doc_shaping", "corpus_"],
+    "corpus_io": ["corpus_", "doc_shaping"],
+    "curation": ["corpus_audit", "corpus_triage", "corpus_quality"],
+    "chunking": ["doc_shaping"],
+    "sessions": ["event_analytics", "streaming_sessions"],
+    "sampling": ["corpus_mixture"],
+    "cohorts": ["event_analytics"],
+    "olap": ["event_analytics", "data_management"],
+    "merge": ["data_management"],
+    "asof": ["temporal_joins"],
+    "ranges": ["temporal_joins"],
+    "jsonops": ["json_analytics"],
+    "sketches": ["corpus_audit", "data_management"],
+    "drift": ["drift_monitoring", "streaming_value_hist"],
+    "multimodal": ["multimodal_"],
+    "doc_dedup": ["streaming_dedup"],
+    "enrich": ["drift_monitoring"],
+    "correlate": ["drift_monitoring"],
+    "walk_rates": ["streaming_"],
+    "ngs_text": ["graph_ingest", "mitm_pipeline_graph200"],
+    "ngs_java": ["graph_ingest"],
+    "parquet_graph": [
+        "graph_bfs", "graph_paths", "pagerank_bucketed", "cc_bucketed",
+        "simrank_round1_bucketed", "graph_ingest",
+    ],
+    "tpch_graph": ["graph_", "topology", "mitm_pipeline_tpch"],
+}
+
+
+def _changed_suites(all_names: list[str]) -> set[str]:
+    """Suite names whose backing modules changed since the round-start
+    commit (the driver's 'round N: verdict/...' commit) or in the
+    working tree. Best-effort: any git failure returns the empty set
+    and every suite keeps the default trigger."""
+    try:
+        here = Path(__file__).resolve().parent
+        base = subprocess.run(
+            ["git", "log", "--grep", "^round .*: verdict", "-1", "--format=%H"],
+            cwd=here, capture_output=True, text=True, timeout=30,
+        ).stdout.strip()
+        files: set[str] = set()
+        specs = [f"{base}..HEAD"] if base else []
+        for spec in specs + ["HEAD"]:
+            out = subprocess.run(
+                ["git", "diff", "--name-only", spec],
+                cwd=here, capture_output=True, text=True, timeout=30,
+            )
+            files.update(out.stdout.split())
+    except Exception:
+        return set()
+    stems = {Path(f).stem for f in files if f.endswith(".py")}
+    changed: set[str] = set()
+    for stem, subs in _MODULE_SUITES.items():
+        if stem in stems:
+            changed.update(
+                n for n in all_names if any(s in n for s in subs)
+            )
+    return changed
 
 
 def main() -> None:
@@ -611,13 +709,23 @@ def main() -> None:
 
     reruns: dict[str, dict] = {}
     prior = _prior_timings()
+    changed = _changed_suites([s[0] for s in suites])
+    if changed:
+        print(
+            f"[bench] changed-module suites (1.10x trigger): "
+            f"{sorted(changed)}",
+            file=sys.stderr,
+            flush=True,
+        )
     for name, fn, reset, iters in suites:
         p = prior.get(name)
-        if p is None or timings[name] <= p * 1.25:
+        trigger = 1.10 if name in changed else 1.25
+        if p is None or timings[name] <= p * trigger:
             continue
         load_now = round(os.getloadavg()[0], 2)
         print(
-            f"[bench] {name}: {timings[name]}s > 1.25x prior {p}s — re-running",
+            f"[bench] {name}: {timings[name]}s > {trigger}x prior {p}s"
+            " — re-running",
             file=sys.stderr,
             flush=True,
         )
@@ -660,25 +768,57 @@ def main() -> None:
 
     total = round(sum(timings.values()), 3)
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
-    print(
-        json.dumps(
-            {
-                "metric": "headline_total_wall",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "recall_at_5": recalls,
-                "load": {
-                    "start": load_start,
-                    "end": round(os.getloadavg()[0], 2),
-                    "per_suite": loads,
-                    "cpus": os.cpu_count(),
-                },
-                "reruns": reruns,
-                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
-            }
-        )
+    record = {
+        "metric": "headline_total_wall",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "recall_at_5": recalls,
+        "load": {
+            "start": load_start,
+            "end": round(os.getloadavg()[0], 2),
+            "per_suite": loads,
+            "cpus": os.cpu_count(),
+        },
+        "reruns": reruns,
+        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+    }
+    # Full record to a committed file: the durable copy of per-suite
+    # loads + rerun A/B evidence, and the _prior_timings fallback when
+    # the driver-wrapped record doesn't parse. Only the default-SF run
+    # owns BENCH_LOCAL.json — a dev run at another SF must not clobber
+    # the committed sf0.1 record (it would also be rejected as a
+    # baseline by the sf check and mask the real prior).
+    base = Path(SF_DIR.rstrip("/")).name
+    full_name = (
+        "BENCH_LOCAL.json" if base == "sf0.1" else f"bench_local_{base}.json"
     )
+    (Path(__file__).resolve().parent / full_name).write_text(
+        json.dumps(record, indent=1) + "\n"
+    )
+    # Stdout gets ONE compact final line. The external driver keeps only
+    # the last ~2000 chars of combined output; round 6's full record
+    # outgrew that and lost its head ("parsed": null). Keep the line
+    # under 1900 chars by rounding timings and dropping optional keys
+    # (load detail first, then rerun detail, then recall) if needed —
+    # the full versions are always in BENCH_LOCAL.json.
+    compact = dict(record)
+    compact["queries"] = {k: round(v, 2) for k, v in timings.items()}
+    compact["load"] = {
+        "start": load_start,
+        "end": round(os.getloadavg()[0], 2),
+        "cpus": os.cpu_count(),
+    }
+    compact["reruns"] = {
+        k: {"prior": v["prior"], "final": v["final"]}
+        for k, v in reruns.items()
+    }
+    for drop in ("load", "reruns", "recall_at_5"):
+        line = json.dumps(compact, separators=(",", ":"))
+        if len(line) <= 1900:
+            break
+        compact.pop(drop, None)
+    print(json.dumps(compact, separators=(",", ":")), flush=True)
 
 
 if __name__ == "__main__":

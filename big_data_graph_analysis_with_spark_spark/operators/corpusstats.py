@@ -484,9 +484,15 @@ def token_length_histogram(docs: DataFrame) -> DataFrame:
     integer length — text itself never shuffles (tokens are projected
     to their lengths map-side; the distinct count shuffles the token
     string, bounded by vocabulary not corpus size).
+
+    The whitespace class is the explicit [ \\t\\n\\r\\f]+ rather than
+    \\s+: Java regex \\s includes \\x0B (vertical tab) while RE2's does
+    not, so \\s+ is a latent cross-engine parity hazard — the explicit
+    class means the same thing to Spark and the DuckDB oracle (the
+    'portable regex subset' convention normalize_text documents).
     """
     toks = docs.select(
-        F.explode(F.split("text", "\\s+")).alias("tok")
+        F.explode(F.split("text", "[ \\t\\n\\r\\f]+")).alias("tok")
     ).filter(F.col("tok") != "")
     return toks.groupBy(
         F.length("tok").cast("long").alias("token_len")
@@ -554,4 +560,65 @@ def length_gini_stats(docs: DataFrame, length_col: str = "n_chars") -> DataFrame
             - (F.col("n_docs").cast(dec) + F.lit(1)) * F.col("total_len")
         ).cast(dec).alias("gini_num"),
         (F.col("n_docs").cast(dec) * F.col("total_len")).cast(dec).alias("gini_den"),
+    )
+
+
+def source_length_quantiles(docs: DataFrame) -> DataFrame:
+    """(source, p_label, n_docs, q_chars): exact p50/p90/p99 of
+    document character length PER SOURCE — the curation dashboard's
+    "which feed is sending us tweets vs books" split, via the shared
+    value-histogram rank selection (functions/quantiles): the only
+    window runs over distinct (source, length) values, so a
+    billion-doc source costs its length cardinality, never a
+    per-source sort of the corpus.
+    """
+    from ..functions.quantiles import histogram_quantiles
+
+    return histogram_quantiles(
+        docs.select("source", F.col("n_chars").cast("long").alias("n_chars")),
+        "n_chars",
+        count_alias="n_docs",
+        value_alias="q_chars",
+        group_cols=["source"],
+    )
+
+
+def charclass_profile(docs: DataFrame) -> DataFrame:
+    """(lang, n_docs, n_chars, n_alpha, n_digit, n_space, n_other):
+    per-language character-class census — the encoding/quality
+    tripwire (a digit or 'other' spike flags scraped tables, markup,
+    or mojibake before tokenization sees it).
+
+    Per-class counts are length differences after removing the class
+    (`length(text) − length(regexp_replace(text, class, ''))`) over
+    the PORTABLE regex subset ([A-Za-z], [0-9], [ \\t\\n\\r\\f] — the
+    explicit whitespace class, not \\s, per the normalize_text
+    convention): identical semantics in Spark's Java regex and the
+    oracle's RE2. All expressions are codegen'd string ops projected
+    map-side; the shuffle carries one partial row per language.
+    """
+    ln = F.length("text")
+
+    def _cnt(cls: str):
+        return ln - F.length(F.regexp_replace("text", cls, ""))
+
+    return (
+        docs.select(
+            "lang",
+            ln.alias("n"),
+            _cnt("[A-Za-z]").alias("a"),
+            _cnt("[0-9]").alias("d"),
+            _cnt("[ \\t\\n\\r\\f]").alias("s"),
+        )
+        .groupBy("lang")
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.sum("n").cast("long").alias("n_chars"),
+            F.sum("a").cast("long").alias("n_alpha"),
+            F.sum("d").cast("long").alias("n_digit"),
+            F.sum("s").cast("long").alias("n_space"),
+            F.sum(F.col("n") - F.col("a") - F.col("d") - F.col("s"))
+            .cast("long")
+            .alias("n_other"),
+        )
     )

@@ -273,3 +273,351 @@ def pareto_coverage(
         )
         .drop("__total__")
     )
+
+
+def part_supplier_variety(
+    lineitem: DataFrame, part: DataFrame, supplier: DataFrame
+) -> DataFrame:
+    """(p_brand, p_size, supplier_cnt): distinct-supplier variety per
+    (brand, size) from OBSERVED lineitems, excluding negative-balance
+    suppliers — the TPC-H Q16 shape (anti-join exclusion, then
+    COUNT(DISTINCT) over the fact table).
+
+    The exclusion list and the part dim are broadcast (suppliers and
+    parts are dimension-sized at every SF); the one shuffle is the
+    (p_brand, p_size) aggregate, and countDistinct runs as Spark's
+    two-phase partial-distinct — per-partition (brand, size, suppkey)
+    dedup BEFORE the exchange, so the shuffle carries at most
+    |brands|·|sizes|·|suppliers| rows regardless of fact-table size.
+    """
+    bad = supplier.filter(F.col("s_acctbal") < 0).select(
+        F.col("s_suppkey").alias("l_suppkey")
+    )
+    p = part.select("p_partkey", "p_brand", "p_size")
+    return (
+        lineitem.select("l_partkey", "l_suppkey")
+        .join(F.broadcast(bad), on="l_suppkey", how="left_anti")
+        .join(F.broadcast(p), on=F.col("l_partkey") == F.col("p_partkey"))
+        .groupBy("p_brand", F.col("p_size").cast("long").alias("p_size"))
+        .agg(F.countDistinct("l_suppkey").cast("long").alias("supplier_cnt"))
+    )
+
+
+def idle_customers(
+    customer: DataFrame, orders: DataFrame, cutoff: str
+) -> DataFrame:
+    """(nationkey, n_custs, total_acctbal): per-nation count and total
+    balance of above-average-balance customers with NO order on/after
+    `cutoff` — the TPC-H Q22 shape (broadcast scalar threshold + anti
+    join), recency-idle instead of never-ordered.
+
+    The average-balance threshold is a one-row aggregate broadcast to
+    every task (no correlated subquery, no second scan per row); the
+    anti join's right side is orders date-pruned BEFORE the join, so at
+    100 TB the anti-join build input is only the trailing window, and
+    with orders custkey-bucketed it degenerates to a co-located probe.
+    The threshold is an exact DECIMAL sum with ONE double division so
+    the boundary predicate is bit-identical cross-engine.
+    """
+    bal = F.col("c_acctbal").cast("decimal(18,2)")
+    thresh = customer.filter(F.col("c_acctbal") > 0).agg(
+        (F.sum(bal).cast("double") / F.count("*").cast("double")).alias(
+            "__avg_bal__"
+        )
+    )
+    recent = orders.filter(
+        F.col("o_orderdate") >= F.lit(cutoff).cast("timestamp")
+    ).select(F.col("o_custkey").alias("c_custkey"))
+    return (
+        customer.join(F.broadcast(thresh))
+        .filter(F.col("c_acctbal").cast("double") > F.col("__avg_bal__"))
+        .join(recent, on="c_custkey", how="left_anti")
+        .groupBy(F.col("c_nationkey").cast("long").alias("nationkey"))
+        .agg(
+            F.count("*").cast("long").alias("n_custs"),
+            F.sum(bal).cast("double").alias("total_acctbal"),
+        )
+    )
+
+
+def nation_trade_flow(
+    lineitem: DataFrame,
+    orders: DataFrame,
+    customer: DataFrame,
+    supplier: DataFrame,
+    nation: DataFrame,
+) -> DataFrame:
+    """(supp_nation, cust_nation, year, revenue, n_lineitems): yearly
+    discounted revenue between every (supplier nation → customer
+    nation) pair, cross-nation flows only — the TPC-H Q7 shape.
+
+    Supplier, customer, and nation dims broadcast; the ONE big shuffle
+    is lineitem ⋈ orders on orderkey (co-located when both sides are
+    orderkey-bucketed at scale). The cross-nation filter runs as soon
+    as both nationkeys are bound, before the nation-name joins, so
+    same-nation rows never reach the final aggregate. Revenue is the
+    exact DECIMAL(28,4) per-item product summed to DECIMAL(38,4) and
+    cast to double once — the cross-engine hash convention.
+    """
+    rev = (
+        F.col("l_extendedprice").cast("decimal(18,2)")
+        * (F.lit(1).cast("decimal(18,2)") - F.col("l_discount").cast("decimal(18,2)"))
+    ).cast("decimal(28,4)")
+    return (
+        lineitem.select(
+            "l_orderkey",
+            "l_suppkey",
+            F.year("l_shipdate").alias("year"),
+            rev.alias("rev"),
+        )
+        .join(
+            F.broadcast(supplier.select("s_suppkey", "s_nationkey")),
+            on=F.col("l_suppkey") == F.col("s_suppkey"),
+        )
+        .join(
+            orders.select("o_orderkey", "o_custkey"),
+            on=F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        .join(
+            F.broadcast(customer.select("c_custkey", "c_nationkey")),
+            on=F.col("o_custkey") == F.col("c_custkey"),
+        )
+        .filter(F.col("s_nationkey") != F.col("c_nationkey"))
+        .join(
+            F.broadcast(
+                nation.select(
+                    F.col("n_nationkey").alias("s_nationkey"),
+                    F.col("n_name").alias("supp_nation"),
+                )
+            ),
+            on="s_nationkey",
+        )
+        .join(
+            F.broadcast(
+                nation.select(
+                    F.col("n_nationkey").alias("c_nationkey"),
+                    F.col("n_name").alias("cust_nation"),
+                )
+            ),
+            on="c_nationkey",
+        )
+        .groupBy(
+            "supp_nation",
+            "cust_nation",
+            F.col("year").cast("long").alias("year"),
+        )
+        .agg(
+            F.sum("rev").cast("double").alias("revenue"),
+            F.count("*").cast("long").alias("n_lineitems"),
+        )
+    )
+
+
+def order_priority_funnel(
+    lineitem: DataFrame, orders: DataFrame, late_days: int = 60
+) -> DataFrame:
+    """(o_orderpriority, quarter, n_orders, n_late): per order-priority
+    per calendar quarter, the total order count and how many of those
+    orders contain at least one lineitem shipped more than `late_days`
+    after the order date — the full TPC-H Q4 shape (existence
+    semi-join per order) extended with the total as denominator, so
+    the funnel ("how does lateness trend by quarter and priority")
+    reads off one frame with no float division.
+
+    The late flag comes from one per-orderkey aggregation over the
+    date-predicate join — lineitem ⋈ orders on orderkey (co-located
+    when both are orderkey-bucketed), then MAX(flag) per order; at
+    100 TB this is the same single big shuffle as every orderkey
+    rollup, and the final (priority, quarter) aggregate is
+    dimension-sized with map-side combine.
+    """
+    quarter = (
+        F.year("o_orderdate") * 10 + F.quarter("o_orderdate")
+    ).cast("long")
+    flagged = (
+        lineitem.select("l_orderkey", "l_shipdate")
+        .join(
+            orders.select("o_orderkey", "o_orderdate"),
+            on=F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        .filter(
+            F.col("l_shipdate")
+            > F.col("o_orderdate") + F.expr(f"INTERVAL {late_days} DAYS")
+        )
+        .select(F.col("o_orderkey").alias("late_key"))
+        .distinct()
+    )
+    return (
+        orders.join(
+            flagged, on=F.col("o_orderkey") == F.col("late_key"), how="left"
+        )
+        .groupBy("o_orderpriority", quarter.alias("quarter"))
+        .agg(
+            F.count("*").cast("long").alias("n_orders"),
+            F.count("late_key").cast("long").alias("n_late"),
+        )
+    )
+
+
+def large_orders(
+    lineitem: DataFrame,
+    orders: DataFrame,
+    min_qty: int = 300,
+    k: int = 100,
+) -> DataFrame:
+    """(o_orderkey, o_custkey, o_orderdate, sum_qty): the top-`k`
+    orders whose total lineitem quantity exceeds `min_qty` — the
+    TPC-H Q18 large-volume-order shape (HAVING over a per-order
+    rollup, then a deterministic top-k by (sum_qty DESC, orderkey)).
+
+    The quantity rollup is the one orderkey-keyed shuffle (map-side
+    combined; co-located against orders when both are orderkey-
+    bucketed); the HAVING cut runs BEFORE the join back to orders, so
+    only qualifying orders (a tiny fraction under any realistic
+    threshold) are joined and sorted — the top-k sort input is the
+    filtered survivors, never the order table. Quantities sum as
+    DECIMAL(18,2) so the threshold and the ordering are exact.
+    """
+    qty = (
+        lineitem.groupBy("l_orderkey")
+        .agg(
+            F.sum(F.col("l_quantity").cast("decimal(18,2)"))
+            .cast("decimal(38,2)")
+            .alias("sum_qty_d")
+        )
+        .filter(F.col("sum_qty_d") > min_qty)
+    )
+    return (
+        orders.select("o_orderkey", "o_custkey", "o_orderdate")
+        .join(qty, on=F.col("o_orderkey") == F.col("l_orderkey"))
+        .select(
+            "o_orderkey",
+            "o_custkey",
+            "o_orderdate",
+            F.col("sum_qty_d").cast("double").alias("sum_qty"),
+        )
+        .orderBy(F.col("sum_qty_d").desc(), "o_orderkey")
+        .limit(k)
+    )
+
+
+def small_lot_revenue(lineitem: DataFrame, part: DataFrame) -> DataFrame:
+    """(p_brand, n_small_lots, revenue): per brand, the count and
+    discounted revenue of lineitems whose quantity is below 1/5 of
+    that part's average lineitem quantity — the TPC-H Q17
+    small-lot shape (per-part average threshold joined back to the
+    fact table), summarized per brand instead of the single global
+    scalar so the hash check has real rows.
+
+    The per-part average is never materialized as a float: the
+    predicate `qty < avg(qty)/5` is cross-multiplied to
+    `5·n·qty < sum` on exact decimals. Two passes over lineitem
+    (per-part sums, then the re-join) keyed on partkey — both
+    co-located if lineitem is partkey-bucketed for this pipeline; the
+    per-part frame is dimension-sized, so AQE broadcasts it. Brand
+    rollup is dimension-sized with map-side combine.
+    """
+    qd = F.col("l_quantity").cast("decimal(18,2)")
+    per_part = (
+        lineitem.groupBy(F.col("l_partkey").alias("pk"))
+        .agg(
+            F.sum(qd).cast("decimal(38,2)").alias("qty_sum"),
+            F.count("*").cast("long").alias("qty_n"),
+        )
+    )
+    rev = (
+        F.col("l_extendedprice").cast("decimal(18,2)")
+        * (F.lit(1).cast("decimal(18,2)") - F.col("l_discount").cast("decimal(18,2)"))
+    ).cast("decimal(28,4)")
+    small = (
+        lineitem.select("l_partkey", qd.alias("qty"), rev.alias("rev"))
+        .join(F.broadcast(per_part), on=F.col("l_partkey") == F.col("pk"))
+        .filter(
+            F.col("qty") * 5 * F.col("qty_n") < F.col("qty_sum")
+        )
+    )
+    return (
+        small.join(
+            F.broadcast(part.select("p_partkey", "p_brand")),
+            on=F.col("l_partkey") == F.col("p_partkey"),
+        )
+        .groupBy("p_brand")
+        .agg(
+            F.count("*").cast("long").alias("n_small_lots"),
+            F.sum("rev").cast("double").alias("revenue"),
+        )
+    )
+
+
+def top_inactivity_gaps(events: DataFrame, k: int = 100) -> DataFrame:
+    """(user_id, gap_us, gap_end_event): the `k` longest per-user
+    inter-event gaps corpus-wide (ties → user_id, event_id ASC) — the
+    churn-risk / session-boundary audit that shows whether a proposed
+    session gap threshold sits in the distribution's knee.
+
+    One user-keyed shuffle for the LAG window (identical cost shape to
+    sessionization), then a global top-k on the (tiny) per-event gap
+    frame via orderBy+limit — Spark runs that as TakeOrdered (per-
+    partition heaps + driver merge of k·partitions rows), never a full
+    sort of the event table.
+    """
+    from ..functions.eventtime import event_micros
+
+    ev = events.select(
+        "user_id", "event_id", event_micros(events).alias("tus")
+    )
+    w = Window.partitionBy("user_id").orderBy("tus", "event_id")
+    gaps = ev.select(
+        "user_id",
+        "event_id",
+        (F.col("tus") - F.lag("tus").over(w)).alias("gap_us"),
+    ).filter(F.col("gap_us").isNotNull())
+    return (
+        gaps.select(
+            "user_id",
+            F.col("gap_us").cast("long").alias("gap_us"),
+            F.col("event_id").alias("gap_end_event"),
+        )
+        .orderBy(F.col("gap_us").desc(), "user_id", "gap_end_event")
+        .limit(k)
+    )
+
+
+def supplier_leadtime_quantiles(
+    lineitem: DataFrame, orders: DataFrame
+) -> DataFrame:
+    """(suppkey, p_label, n_items, q_lead_days): exact p50/p90/p99 of
+    per-supplier order-to-ship lead time (days between o_orderdate and
+    l_shipdate) — the supplier-SLA audit, computed with the shared
+    value-histogram rank selection (functions/quantiles) instead of a
+    per-supplier sort: the quantile window runs over DISTINCT
+    (supplier, lead-day) values, bounded by suppliers × the few
+    thousand possible day counts, not by lineitem rows.
+
+    The lineitem ⋈ orders shuffle on orderkey is the one fact-sized
+    exchange (co-located when both are orderkey-bucketed); everything
+    after is histogram-sized. Lead time is an integer day difference —
+    no timestamp arithmetic hazards cross-engine.
+    """
+    from ..functions.quantiles import histogram_quantiles
+
+    lead = (
+        lineitem.select("l_orderkey", "l_suppkey", "l_shipdate")
+        .join(
+            orders.select("o_orderkey", "o_orderdate"),
+            on=F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        .select(
+            F.col("l_suppkey").alias("suppkey"),
+            F.datediff(F.col("l_shipdate"), F.col("o_orderdate"))
+            .cast("long")
+            .alias("lead_days"),
+        )
+    )
+    return histogram_quantiles(
+        lead,
+        "lead_days",
+        count_alias="n_items",
+        value_alias="q_lead_days",
+        group_cols=["suppkey"],
+    )
