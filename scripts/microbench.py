@@ -72,6 +72,17 @@ def main() -> None:
                 og_bucketed, n_seeds=4, edges_stable=True
             ).agg(F.sum("betweenness")).collect(),
         ),
+        "graph_centralities": lambda: (
+            graphalg.clustering_coefficient(og)
+            .agg(F.sum("lcc_ppm"))
+            .collect(),
+            graphalg.label_propagation(og, rounds=3, sym_edges=sym_bucketed)
+            .agg(F.countDistinct("label"))
+            .collect(),
+            graphalg.hits_scores(og_bucketed, rounds=2, edges_stable=True)
+            .agg(F.sum("auth"))
+            .collect(),
+        ),
         "graph_centrality_paths_plain": lambda: (
             graphalg.closeness_sampled(og, n_seeds=4)
             .agg(F.sum("harmonic_ppm"))
