@@ -3151,6 +3151,85 @@ def q_charclass_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     return corpusstats.charclass_profile(_docs(spark, sf_dir))
 
 
+def q_rich_club(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rich-club curve: induced-subgraph size/edges/density (exact
+    ppm) above power-of-two degree thresholds."""
+    og, _ = _graphs(spark, sf_dir)
+    return graphalg.rich_club_profile(og)
+
+
+def q_joint_degree_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Joint degree histogram: per-edge (bit-length lo, hi) bucket
+    counts — the assortativity heatmap."""
+    og, _ = _graphs(spark, sf_dir)
+    return graphalg.joint_degree_profile(og)
+
+
+def q_user_activity_pareto(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pareto cut over per-user event counts: the minimal user set
+    covering 90% of events (integer cross-multiplied share)."""
+    from big_data_graph_analysis_with_spark_spark.operators import olap
+
+    ev = _prep(spark).read.parquet(f"{sf_dir}/events.parquet")
+    counts = ev.groupBy("user_id").agg(
+        F.count("*").cast("long").alias("n_events")
+    )
+    cut = olap.pareto_coverage(
+        counts, "user_id", "n_events", share_num=9, share_den=10
+    )
+    return cut.select(
+        "user_id",
+        "n_events",
+        F.col("cum_weight").cast("long").alias("cum_events"),
+    )
+
+
+def q_weekly_active_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WAU trendline: events and distinct users per integer 7-day
+    epoch bucket (no ISO-week cross-engine hazard)."""
+    from big_data_graph_analysis_with_spark_spark.operators import olap
+
+    return olap.weekly_active_users(
+        _prep(spark).read.parquet(f"{sf_dir}/events.parquet")
+    )
+
+
+def q_stopword_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language stopword token share (fixed 20-word list, integer
+    ppm) — the fluency / language-mix audit."""
+    from big_data_graph_analysis_with_spark_spark.operators import corpusstats
+
+    return corpusstats.stopword_coverage(_docs(spark, sf_dir))
+
+
+def q_embedding_grid_occupancy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact cell-size quantiles of the sign-pattern embedding grid —
+    the IVF/shard balance audit."""
+    return similarity.embedding_grid_occupancy(_embs(spark, sf_dir), bits=6)
+
+
+def q_disjunctive_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q19 shape: per-branch revenue of an OR-of-ANDs
+    (brand, quantity-range) predicate — pushdown-friendly disjunction."""
+    from big_data_graph_analysis_with_spark_spark.operators import olap
+
+    sess = _prep(spark)
+    return olap.disjunctive_revenue(
+        sess.read.parquet(f"{sf_dir}/lineitem.parquet"),
+        sess.read.parquet(f"{sf_dir}/part.parquet"),
+    )
+
+
+def q_cheapest_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2 shape over observed prices: per-part argmin supplier
+    (decimal-exact ordering, pair pre-aggregate before the window)."""
+    from big_data_graph_analysis_with_spark_spark.operators import olap
+
+    return olap.cheapest_supplier_per_part(
+        _prep(spark).read.parquet(f"{sf_dir}/lineitem.parquet")
+    )
+
+
 def q_walk_kernel(spark: SparkSession, sf_dir: str) -> DataFrame:
     """G2-G4 (rows-only: seeded-random, not SQL-expressible; property
     checks live in tests/test_walks_pipeline.py)."""
@@ -3218,6 +3297,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "top_inactivity_gaps": q_top_inactivity_gaps,
         "source_length_quantiles": q_source_length_quantiles,
         "charclass_profile": q_charclass_profile,
+        "rich_club": q_rich_club,
+        "joint_degree_profile": q_joint_degree_profile,
+        "user_activity_pareto": q_user_activity_pareto,
+        "weekly_active_users": q_weekly_active_users,
+        "stopword_coverage": q_stopword_coverage,
+        "embedding_grid_occupancy": q_embedding_grid_occupancy,
+        "disjunctive_revenue": q_disjunctive_revenue,
+        "cheapest_supplier": q_cheapest_supplier,
         # -- re-verification backfill: stalest green rows (r4 block; the 50-
         #    slot window cuts inside this block — the rest cycle next round) -
         "mixture_sample": q_mixture_sample,
@@ -3774,6 +3861,149 @@ def oracle_sql() -> dict[str, str]:
                    r.n_chars AS q_chars
             FROM r, qs q
             WHERE r.rn - 1 = (r.cnt - 1) * q.num // q.den
+        """,
+        "rich_club": graph_sql(
+            f""", {_SYM_CTES.strip()},
+deg AS (SELECT a AS id, COUNT(*) AS degree FROM sym GROUP BY a),
+ks(k) AS (VALUES (1), (2), (4), (8), (16), (32)),
+nodes AS (
+  SELECT k.k, COUNT(*) AS n_nodes FROM deg d, ks k
+  WHERE d.degree > k.k GROUP BY k.k
+),
+tagged AS (
+  SELECT LEAST(da.degree, db.degree) AS min_deg
+  FROM und e JOIN deg da ON da.id = e.a JOIN deg db ON db.id = e.b
+),
+redges AS (
+  SELECT k.k, COUNT(*) AS n_edges FROM tagged t, ks k
+  WHERE t.min_deg > k.k GROUP BY k.k
+)
+SELECT CAST(n.k AS BIGINT) AS k,
+       CAST(n.n_nodes AS BIGINT) AS n_nodes,
+       CAST(COALESCE(e.n_edges, 0) AS BIGINT) AS n_edges,
+       CAST(CASE WHEN n.n_nodes >= 2
+            THEN (2 * COALESCE(e.n_edges, 0) * 1000000)
+                 // (n.n_nodes * (n.n_nodes - 1))
+            ELSE 0 END AS BIGINT) AS density_ppm
+FROM nodes n LEFT JOIN redges e ON e.k = n.k
+"""
+        ),
+        "joint_degree_profile": graph_sql(
+            f""", {_SYM_CTES.strip()},
+deg AS (SELECT a AS id, COUNT(*) AS degree FROM sym GROUP BY a)
+SELECT CAST(LEAST(length(bin(da.degree)), length(bin(db.degree)))
+            AS BIGINT) AS bits_lo,
+       CAST(GREATEST(length(bin(da.degree)), length(bin(db.degree)))
+            AS BIGINT) AS bits_hi,
+       CAST(COUNT(*) AS BIGINT) AS n_edges
+FROM und e JOIN deg da ON da.id = e.a JOIN deg db ON db.id = e.b
+GROUP BY 1, 2
+"""
+        ),
+        "user_activity_pareto": """
+            WITH pu AS (
+              SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_events
+              FROM events GROUP BY 1
+            ),
+            tot AS (SELECT SUM(n_events) AS total FROM pu),
+            cum AS (
+              SELECT user_id, n_events,
+                     SUM(n_events) OVER (ORDER BY n_events DESC,
+                                         user_id ASC) AS cum_events
+              FROM pu
+            )
+            SELECT user_id, n_events,
+                   CAST(cum_events AS BIGINT) AS cum_events
+            FROM cum, tot
+            WHERE (cum_events - n_events) * 10 < total * 9
+        """,
+        "weekly_active_users": """
+            SELECT CAST((epoch_us(ts) // 86400000000) // 7 AS BIGINT)
+                     AS week_bucket,
+                   CAST(COUNT(*) AS BIGINT) AS n_events,
+                   CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
+            FROM events GROUP BY 1
+        """,
+        "stopword_coverage": """
+            WITH toks AS (
+              SELECT lang, unnest(string_split(text, ' ')) AS tok
+              FROM documents
+            ),
+            agg AS (
+              SELECT lang, COUNT(*) AS n_tokens,
+                     COUNT(*) FILTER (tok IN (
+                       'the','of','and','a','to','in','is','it','that',
+                       'for','on','was','with','as','be','at','by',
+                       'this','are','or')) AS n_stop
+              FROM toks WHERE tok <> '' GROUP BY lang
+            )
+            SELECT lang, CAST(n_tokens AS BIGINT) AS n_tokens,
+                   CAST(n_stop AS BIGINT) AS n_stopword_tokens,
+                   CAST((n_stop * 1000000) // n_tokens AS BIGINT)
+                     AS coverage_ppm
+            FROM agg
+        """,
+        "embedding_grid_occupancy": f"""
+            WITH gc AS ({doc_oracles.grid_clusters_sql(bits=6).strip()}),
+            sizes AS (
+              SELECT CAST(n_vecs AS BIGINT) AS cell_size, cluster_id
+              FROM gc
+            ),
+            qs(p_label, num, den) AS (
+              VALUES ('p50', 1, 2), ('p90', 9, 10), ('p99', 99, 100)
+            ),
+            r AS (
+              SELECT cell_size,
+                     ROW_NUMBER() OVER (ORDER BY cell_size, cluster_id)
+                       AS rn,
+                     COUNT(*) OVER () AS cnt
+              FROM sizes
+            )
+            SELECT q.p_label, CAST(r.cnt AS BIGINT) AS n_cells,
+                   r.cell_size AS q_cell_size
+            FROM r, qs q
+            WHERE r.rn - 1 = (r.cnt - 1) * q.num // q.den
+        """,
+        "disjunctive_revenue": """
+            WITH j AS (
+              SELECT p.p_brand,
+                     CAST(l.l_quantity AS DECIMAL(9,2)) AS qty,
+                     CAST(CAST(l.l_extendedprice AS DECIMAL(18,2))
+                          * (CAST(1 AS DECIMAL(18,2))
+                             - CAST(l.l_discount AS DECIMAL(18,2)))
+                          AS DECIMAL(28,4)) AS rev
+              FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+            )
+            SELECT 'b12_small' AS branch,
+                   CAST(COUNT(*) AS BIGINT) AS n_items,
+                   CAST(COALESCE(SUM(rev), 0) AS DOUBLE) AS revenue
+            FROM j WHERE p_brand = 'Brand#12' AND qty >= 1 AND qty <= 11
+            UNION ALL
+            SELECT 'b23_mid',
+                   CAST(COUNT(*) AS BIGINT),
+                   CAST(COALESCE(SUM(rev), 0) AS DOUBLE)
+            FROM j WHERE p_brand = 'Brand#23' AND qty >= 10 AND qty <= 20
+            UNION ALL
+            SELECT 'b34_large',
+                   CAST(COUNT(*) AS BIGINT),
+                   CAST(COALESCE(SUM(rev), 0) AS DOUBLE)
+            FROM j WHERE p_brand = 'Brand#34' AND qty >= 20 AND qty <= 30
+        """,
+        "cheapest_supplier": """
+            WITH pairs AS (
+              SELECT l_partkey, l_suppkey,
+                     MIN(CAST(l_extendedprice AS DECIMAL(18,2)))
+                       AS pair_min
+              FROM lineitem GROUP BY 1, 2
+            ),
+            r AS (
+              SELECT *, ROW_NUMBER() OVER (PARTITION BY l_partkey
+                       ORDER BY pair_min, l_suppkey) AS rn
+              FROM pairs
+            )
+            SELECT l_partkey AS partkey, l_suppkey AS suppkey,
+                   CAST(pair_min AS DOUBLE) AS min_price
+            FROM r WHERE rn = 1
         """,
         "charclass_profile": r"""
             WITH c AS (

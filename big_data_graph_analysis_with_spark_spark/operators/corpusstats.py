@@ -622,3 +622,47 @@ def charclass_profile(docs: DataFrame) -> DataFrame:
             .alias("n_other"),
         )
     )
+
+
+#: compact English stopword list (public-domain, the usual top
+#: function words) — deliberately small and FIXED so the coverage
+#: statistic is reproducible across runs and engines
+STOPWORDS: tuple[str, ...] = (
+    "the", "of", "and", "a", "to", "in", "is", "it", "that", "for",
+    "on", "was", "with", "as", "be", "at", "by", "this", "are", "or",
+)
+
+
+def stopword_coverage(
+    docs: DataFrame, stopwords: tuple[str, ...] = STOPWORDS
+) -> DataFrame:
+    """(lang, n_tokens, n_stopword_tokens, coverage_ppm): per-language
+    share of tokens drawn from a fixed stopword list — the classic
+    fluency / language-mix audit (natural English runs ~30-40%; near
+    zero flags code, tables, or a mislabeled language).
+
+    Tokens split on the single-space convention shared by the corpus
+    operators; the membership test is a literal IN over a ~20-word
+    broadcast list evaluated map-side, so the only shuffle is the
+    per-language partial-aggregated rollup. coverage_ppm is integer
+    `1e6·stop div total` — exact cross-engine.
+    """
+    toks = docs.select(
+        "lang", F.explode(F.split(F.col("text"), " ")).alias("tok")
+    ).filter(F.col("tok") != "")
+    is_stop = F.col("tok").isin(*stopwords).cast("long")
+    return (
+        toks.groupBy("lang")
+        .agg(
+            F.count("*").cast("long").alias("n_tokens"),
+            F.sum(is_stop).cast("long").alias("n_stopword_tokens"),
+        )
+        .select(
+            "lang",
+            "n_tokens",
+            "n_stopword_tokens",
+            F.expr("(n_stopword_tokens * 1000000) div n_tokens")
+            .cast("long")
+            .alias("coverage_ppm"),
+        )
+    )

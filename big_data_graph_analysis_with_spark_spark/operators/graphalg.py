@@ -1899,3 +1899,101 @@ def degree_clustering_profile(graph: NetGraph) -> DataFrame:
             ),
         )
     )
+
+
+def rich_club_profile(
+    graph: NetGraph, thresholds: tuple[int, ...] = (1, 2, 4, 8, 16, 32)
+) -> DataFrame:
+    """(k, n_nodes, n_edges, density_ppm): the rich-club curve — for
+    each degree threshold `k`, the subgraph induced by vertices of
+    degree > k: how many such vertices, how many (canonical
+    undirected) edges connect them, and the edge density as exact ppm
+    `2·E·1e6 div (n·(n−1))` (0 when n < 2). A rising curve exposes a
+    densely interlinked hub elite ("rich club"), a classic resilience /
+    influence diagnostic.
+
+    One degree aggregation + one edge×degree join tag each edge with
+    min(deg_a, deg_b); the per-threshold rollup then explodes a
+    ≤|thresholds| literal array — the fact-sized work happens once,
+    never per threshold. All counts and the density are integers, so
+    the DuckDB oracle hash-matches exactly.
+    """
+    und = undirected_edges(graph)
+    deg = (
+        und.select(F.col("a").alias("id"))
+        .unionAll(und.select(F.col("b").alias("id")))
+        .groupBy("id")
+        .agg(F.count("*").alias("degree"))
+    )
+    ks = F.array(*[F.lit(int(k)) for k in thresholds])
+    node_counts = (
+        deg.select(F.explode(ks).alias("k"), "degree")
+        .filter(F.col("degree") > F.col("k"))
+        .groupBy("k")
+        .agg(F.count("*").cast("long").alias("n_nodes"))
+    )
+    tagged = (
+        und.join(deg.select(F.col("id").alias("a"), F.col("degree").alias("da")), on="a")
+        .join(deg.select(F.col("id").alias("b"), F.col("degree").alias("db")), on="b")
+        .select(F.least("da", "db").alias("min_deg"))
+    )
+    edge_counts = (
+        tagged.select(F.explode(ks).alias("k"), "min_deg")
+        .filter(F.col("min_deg") > F.col("k"))
+        .groupBy("k")
+        .agg(F.count("*").cast("long").alias("n_edges"))
+    )
+    return (
+        node_counts.join(edge_counts, on="k", how="left")
+        .select(
+            F.col("k").cast("long").alias("k"),
+            "n_nodes",
+            F.coalesce("n_edges", F.lit(0)).cast("long").alias("n_edges"),
+            F.when(
+                F.col("n_nodes") >= 2,
+                F.expr(
+                    "(2 * coalesce(n_edges, 0) * 1000000)"
+                    " div (n_nodes * (n_nodes - 1))"
+                ),
+            )
+            .otherwise(F.lit(0))
+            .cast("long")
+            .alias("density_ppm"),
+        )
+    )
+
+
+def joint_degree_profile(graph: NetGraph) -> DataFrame:
+    """(bits_lo, bits_hi, n_edges): the joint degree histogram — every
+    canonical undirected edge bucketed by the BIT LENGTHS of its two
+    endpoint degrees (lo ≤ hi) — the assortativity heatmap behind the
+    single-number assortativity coefficient: hub–hub vs hub–leaf
+    wiring is visible per cell.
+
+    Same bit-length bucket convention as degree_clustering_profile
+    (`length(conv(deg, 10, 2))` ≡ DuckDB `length(bin(deg))`). One
+    degree aggregation, two dimension-broadcast joins to tag edges,
+    and a ≤64² rollup with map-side combine.
+    """
+    und = undirected_edges(graph)
+    deg = (
+        und.select(F.col("a").alias("id"))
+        .unionAll(und.select(F.col("b").alias("id")))
+        .groupBy("id")
+        .agg(F.count("*").alias("degree"))
+    )
+
+    def _bits(col):
+        return F.length(F.conv(col.cast("string"), 10, 2)).cast("long")
+
+    tagged = (
+        und.join(deg.select(F.col("id").alias("a"), F.col("degree").alias("da")), on="a")
+        .join(deg.select(F.col("id").alias("b"), F.col("degree").alias("db")), on="b")
+        .select(
+            F.least(_bits(F.col("da")), _bits(F.col("db"))).alias("bits_lo"),
+            F.greatest(_bits(F.col("da")), _bits(F.col("db"))).alias("bits_hi"),
+        )
+    )
+    return tagged.groupBy("bits_lo", "bits_hi").agg(
+        F.count("*").cast("long").alias("n_edges")
+    )

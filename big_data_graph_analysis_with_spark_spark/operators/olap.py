@@ -621,3 +621,121 @@ def supplier_leadtime_quantiles(
         value_alias="q_lead_days",
         group_cols=["suppkey"],
     )
+
+
+def weekly_active_users(events: DataFrame) -> DataFrame:
+    """(week_bucket, n_events, n_users): event volume and DISTINCT
+    active users per 7-day epoch bucket — the WAU trendline. The bucket
+    is `epoch_day div 7` (pure integer arithmetic on the microsecond
+    timestamp), NOT a calendar week number: ISO-week conventions differ
+    subtly across engines, an integer day quotient cannot.
+
+    countDistinct runs as the two-phase partial distinct — per-partition
+    (bucket, user) dedup before the exchange — so the shuffle carries at
+    most |buckets|·|users| rows at any corpus size.
+    """
+    from ..functions.eventtime import event_micros
+
+    return (
+        events.select(event_micros(events).alias("tus"), "user_id")
+        .select(
+            F.expr("(tus div 86400000000) div 7").cast("long").alias(
+                "week_bucket"
+            ),
+            "user_id",
+        )
+        .groupBy("week_bucket")
+        .agg(
+            F.count("*").cast("long").alias("n_events"),
+            F.countDistinct("user_id").cast("long").alias("n_users"),
+        )
+    )
+
+
+#: TPC-H Q19-style disjunctive predicate branches over the synthetic
+#: brand vocabulary: (branch label, brand, qty_lo, qty_hi)
+DISJUNCTIVE_BRANCHES: tuple[tuple[str, str, int, int], ...] = (
+    ("b12_small", "Brand#12", 1, 11),
+    ("b23_mid", "Brand#23", 10, 20),
+    ("b34_large", "Brand#34", 20, 30),
+)
+
+
+def disjunctive_revenue(
+    lineitem: DataFrame,
+    part: DataFrame,
+    branches: tuple[tuple[str, str, int, int], ...] = DISJUNCTIVE_BRANCHES,
+) -> DataFrame:
+    """(branch, n_items, revenue): discounted revenue per disjunct of a
+    TPC-H Q19-style OR-of-ANDs predicate ((brand, quantity-range)
+    pairs) — reported per branch rather than Q19's single scalar so
+    the hash check has one row per disjunct.
+
+    The brand dim is broadcast; the OR predicate collapses to one scan
+    of lineitem with the combined filter pushed below the join (each
+    branch's quantity range prunes row-groups via parquet min/max
+    stats — a disjunction of range predicates is exactly what
+    predicate pushdown is for). A lineitem matching several branches
+    counts in each, which keeps branch rows independent (and the
+    semantics trivially parallel).
+    """
+    qd = F.col("l_quantity").cast("decimal(9,2)")
+    rev = (
+        F.col("l_extendedprice").cast("decimal(18,2)")
+        * (F.lit(1).cast("decimal(18,2)") - F.col("l_discount").cast("decimal(18,2)"))
+    ).cast("decimal(28,4)")
+    joined = lineitem.join(
+        F.broadcast(part.select("p_partkey", "p_brand")),
+        on=F.col("l_partkey") == F.col("p_partkey"),
+    ).select("p_brand", qd.alias("qty"), rev.alias("rev"))
+    out = None
+    for label, brand, lo, hi in branches:
+        b = (
+            joined.filter(
+                (F.col("p_brand") == brand)
+                & (F.col("qty") >= lo)
+                & (F.col("qty") <= hi)
+            )
+            .agg(
+                F.count("*").cast("long").alias("n_items"),
+                F.coalesce(
+                    F.sum("rev").cast("double"), F.lit(0.0)
+                ).alias("revenue"),
+            )
+            .select(F.lit(label).alias("branch"), "n_items", "revenue")
+        )
+        out = b if out is None else out.unionAll(b)
+    return out
+
+
+def cheapest_supplier_per_part(lineitem: DataFrame) -> DataFrame:
+    """(partkey, suppkey, min_price): for every part observed in the
+    fact table, the supplier offering its single cheapest lineitem
+    (ties → smallest suppkey) — the TPC-H Q2 minimum-cost-supplier
+    shape re-expressed over observed prices (this corpus has no
+    partsupp table).
+
+    One (part, supplier) pre-aggregate takes each pair's MIN price
+    map-side (the shuffle carries |part×supp observed| rows, not
+    lineitems), then a per-part argmin window over that pair frame —
+    dimension-sized, never a window over the fact table. Price
+    comparisons are on DECIMAL(18,2) so ordering is exact.
+    """
+    pd_ = F.col("l_extendedprice").cast("decimal(18,2)")
+    pairs = (
+        lineitem.select("l_partkey", "l_suppkey", pd_.alias("price"))
+        .groupBy("l_partkey", "l_suppkey")
+        .agg(F.min("price").alias("pair_min"))
+    )
+    w = Window.partitionBy("l_partkey").orderBy(
+        F.col("pair_min").asc(), F.col("l_suppkey").asc()
+    )
+    return (
+        pairs.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            F.col("l_partkey").alias("partkey"),
+            F.col("l_suppkey").alias("suppkey"),
+            F.col("pair_min").cast("double").alias("min_price"),
+        )
+    )

@@ -818,3 +818,28 @@ def centroid_distances(emb: DataFrame, label_col: str = "label") -> DataFrame:
         )
         .agg(F.sum((term * term).cast(dec)).cast(dec).alias("dist_num"))
     )
+
+
+def embedding_grid_occupancy(emb: DataFrame, bits: int = 6) -> DataFrame:
+    """(p_label, n_cells, q_cell_size): exact p50/p90/p99 of the
+    occupied-cell size distribution of the deterministic sign-pattern
+    grid (embedding_grid_clusters) — the IVF/shard balance audit: a
+    p99 far above p50 means a few cells hold most of the corpus and a
+    cell-per-shard layout would hotspot.
+
+    Composes the grid assignment (N·d work, decimal-exact) with the
+    shared value-histogram rank selection: the quantile window runs
+    over distinct cell SIZES (≤ 2^bits values), never a sort of cells
+    or vectors.
+    """
+    from ..functions.quantiles import histogram_quantiles
+
+    cells = embedding_grid_clusters(emb, bits=bits).select(
+        F.col("n_vecs").cast("long").alias("cell_size")
+    )
+    return histogram_quantiles(
+        cells,
+        "cell_size",
+        count_alias="n_cells",
+        value_alias="q_cell_size",
+    )

@@ -51,6 +51,16 @@ AUDIT = [
     "char_trigrams", "token_length_hist", "quality_deciles",
     "text_normalize", "promo_revenue_share", "customer_order_histogram",
     "late_shipment_priority", "embedding_norms", "dim_variance",
+    # round-7 additions (the non-iterative ones)
+    "supplier_pareto", "part_supplier_variety", "idle_customers",
+    "nation_trade_flow", "length_gini", "centroid_distances",
+    "degree_clustering", "order_priority_funnel",
+    "supplier_leadtime_quantiles", "large_orders", "small_lot_revenue",
+    "top_inactivity_gaps", "source_length_quantiles",
+    "charclass_profile", "rich_club", "joint_degree_profile",
+    "user_activity_pareto", "weekly_active_users", "stopword_coverage",
+    "embedding_grid_occupancy", "disjunctive_revenue",
+    "cheapest_supplier",
 ]
 # motif_counts is deliberately NOT in AUDIT: its builder runs the full
 # census via driver-side .count() actions, so the final frame is just a

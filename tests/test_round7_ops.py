@@ -359,3 +359,143 @@ def test_charclass_profile_census(spark):
     # "ab1 ?\n": 6 chars = 2 alpha + 1 digit + 2 ws (space, \n) + 1 other
     assert out["en"] == (2, 8, 4, 1, 2, 1)
     assert out["de"] == (1, 2, 0, 2, 0, 0)
+
+
+# ----------------------------------------------- round-7 growth batch 2
+
+
+def test_rich_club_profile_star_plus_core(spark):
+    from big_data_graph_analysis_with_spark_spark.operators import graphalg
+
+    # core triangle {1,2,3} (degrees 3,3,2 after pendants) + pendants:
+    # 1-4, 2-5. degrees: 1→3, 2→3, 3→2, 4→1, 5→1
+    g = _graph(
+        spark, [1, 2, 3, 4, 5],
+        [(1, 2), (2, 3), (3, 1), (1, 4), (2, 5)],
+    )
+    out = {
+        r["k"]: (r["n_nodes"], r["n_edges"], r["density_ppm"])
+        for r in graphalg.rich_club_profile(g, thresholds=(1, 2, 4)).collect()
+    }
+    # k=1: nodes deg>1 = {1,2,3}; edges among them = 3 (the triangle);
+    # density = 2*3/(3*2) = 1.0
+    assert out[1] == (3, 3, 1_000_000)
+    # k=2: nodes deg>2 = {1,2}; edge 1-2 kept; density = 2/(2*1) = 1.0
+    assert out[2] == (2, 1, 1_000_000)
+    # k=4: no nodes → absent row (node_counts drives the frame)
+    assert 4 not in out
+
+
+def test_joint_degree_profile_buckets(spark):
+    from big_data_graph_analysis_with_spark_spark.operators import graphalg
+
+    # path 1-2-3: degrees 1,2,1 → edges (1,2): bits (1,2) twice
+    g = _graph(spark, [1, 2, 3], [(1, 2), (2, 3)])
+    out = {
+        (r["bits_lo"], r["bits_hi"]): r["n_edges"]
+        for r in graphalg.joint_degree_profile(g).collect()
+    }
+    assert out == {(1, 2): 2}
+
+
+def test_weekly_active_users_integer_buckets(spark):
+    from big_data_graph_analysis_with_spark_spark.operators import olap
+
+    base = datetime.datetime(2024, 1, 1)  # epoch day 19723 → bucket 2817
+    ev = spark.createDataFrame(
+        [
+            (1, base, 1, "click", 0.0, ""),
+            (2, base + datetime.timedelta(days=1), 2, "click", 0.0, ""),
+            (3, base + datetime.timedelta(days=1), 1, "view", 0.0, ""),
+            (4, base + datetime.timedelta(days=8), 1, "view", 0.0, ""),
+        ],
+        "event_id LONG, ts TIMESTAMP_NTZ, user_id LONG, event_type STRING, "
+        "value DOUBLE, props STRING",
+    )
+    out = {
+        r["week_bucket"]: (r["n_events"], r["n_users"])
+        for r in olap.weekly_active_users(ev).collect()
+    }
+    b0 = 19723 // 7
+    # Jan 1 2024 is epoch day 19723; days 19723-19724 share bucket, day
+    # 19731 is the next
+    assert out[b0] == (3, 2)
+    assert out[19731 // 7] == (1, 1)
+    assert len(out) == 2
+
+
+def test_stopword_coverage_ppm(spark):
+    docs = spark.createDataFrame(
+        [(1, "the cat sat on the mat", "en"), (2, "zzz qqq", "xx")],
+        "doc_id LONG, text STRING, lang STRING",
+    )
+    out = {
+        r["lang"]: (r["n_tokens"], r["n_stopword_tokens"], r["coverage_ppm"])
+        for r in corpusstats.stopword_coverage(docs).collect()
+    }
+    # en: 6 tokens, stopwords {the, on, the} = 3 → 500000 ppm
+    assert out["en"] == (6, 3, 500_000)
+    assert out["xx"] == (2, 0, 0)
+
+
+def test_cheapest_supplier_argmin_and_ties(spark):
+    from big_data_graph_analysis_with_spark_spark.operators import olap
+
+    li = spark.createDataFrame(
+        [
+            (1, 10, 5.0), (1, 10, 9.0),  # pair (1,10) min 5.0
+            (1, 20, 5.0),                 # tie at 5.0 → suppkey 10 wins
+            (2, 30, 7.0), (2, 20, 8.0),
+        ],
+        "l_partkey LONG, l_suppkey LONG, l_extendedprice DOUBLE",
+    )
+    out = {
+        r["partkey"]: (r["suppkey"], r["min_price"])
+        for r in olap.cheapest_supplier_per_part(li).collect()
+    }
+    assert out == {1: (10, 5.0), 2: (30, 7.0)}
+
+
+def test_disjunctive_revenue_branches(spark):
+    from big_data_graph_analysis_with_spark_spark.operators import olap
+
+    part = spark.createDataFrame(
+        [(1, "Brand#12"), (2, "Brand#23")], "p_partkey LONG, p_brand STRING"
+    )
+    li = spark.createDataFrame(
+        [
+            (1, 5.0, 100.0, 0.0),    # b12_small (qty 1-11)
+            (1, 50.0, 100.0, 0.0),   # qty out of range: no branch
+            (2, 15.0, 200.0, 0.5),   # b23_mid → 100.0
+        ],
+        "l_partkey LONG, l_quantity DOUBLE, l_extendedprice DOUBLE, "
+        "l_discount DOUBLE",
+    )
+    out = {
+        r["branch"]: (r["n_items"], r["revenue"])
+        for r in olap.disjunctive_revenue(li, part).collect()
+    }
+    assert out == {
+        "b12_small": (1, 100.0),
+        "b23_mid": (1, 100.0),
+        "b34_large": (0, 0.0),  # empty branch still emits its row
+    }
+
+
+def test_embedding_grid_occupancy_quantiles(spark):
+    # 2 vectors land in deterministic grid cells; with tiny input the
+    # quantile selection must still pick real cell sizes
+    emb = spark.createDataFrame(
+        [(i, [float(i + 1), float(-i - 1)]) for i in range(6)],
+        "vec_id LONG, embedding ARRAY<DOUBLE>",
+    )
+    rows = similarity.embedding_grid_occupancy(emb, bits=2).collect()
+    got = {r["p_label"]: r for r in rows}
+    assert set(got) == {"p50", "p90", "p99"}
+    n_cells = got["p50"]["n_cells"]
+    total = sum(
+        r["n_vecs"]
+        for r in similarity.embedding_grid_clusters(emb, bits=2).collect()
+    )
+    assert total == 6 and n_cells >= 1
+    assert got["p50"]["q_cell_size"] <= got["p99"]["q_cell_size"]
