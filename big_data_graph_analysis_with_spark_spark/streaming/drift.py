@@ -23,7 +23,7 @@ from pyspark.sql import functions as F
 
 from .walk_rates import read_events_stream, with_event_time
 
-__all__ = ["read_events_stream", "windowed_value_hist"]
+__all__ = ["read_events_stream", "windowed_value_hist", "windowed_user_activity", "wau_rollup"]
 
 
 def windowed_value_hist(
@@ -62,4 +62,47 @@ def windowed_value_hist(
             F.col("bucket").cast("long").alias("bucket"),
             "n_events",
         )
+    )
+
+
+def windowed_user_activity(
+    events: DataFrame,
+    window: str = "7 days",
+    watermark: str | None = "1 hour",
+) -> DataFrame:
+    """(window_start, user_id, n_events): per-user event counts per
+    tumbling event-time window — the streaming working set behind a WAU
+    metric, as ONE stateful aggregation (state = active users per open
+    window, exactly the WAU working set; the watermark closes windows
+    and releases it).
+
+    A COUNT(DISTINCT user) per window cannot stream as a single
+    incremental metric, and chaining a second stateful aggregation on
+    top trips Spark's global-watermark correctness check (the rolled-up
+    row could emit before late per-user rows arrive). The production
+    shape is therefore: this operator in the stream, and the
+    dimension-sized :func:`wau_rollup` in the sink/foreachBatch — which
+    is also what the stream ≡ batch test does. With `watermark=None`
+    the identical plan runs on a batch DataFrame.
+    """
+    ev = with_event_time(events)
+    if watermark is not None:
+        ev = ev.withWatermark("event_time", watermark)
+    return (
+        ev.groupBy(F.window("event_time", window).alias("w"), "user_id")
+        .agg(F.count("*").cast("long").alias("n_events"))
+        .select(
+            F.col("w.start").alias("window_start"), "user_id", "n_events"
+        )
+    )
+
+
+def wau_rollup(activity: DataFrame) -> DataFrame:
+    """(window_start, n_events, n_users): finish the WAU metric from
+    :func:`windowed_user_activity` output — a stateless dimension-sized
+    rollup meant for the sink side (foreachBatch, a downstream batch
+    job, or the memory-sink table in tests)."""
+    return activity.groupBy("window_start").agg(
+        F.sum("n_events").cast("long").alias("n_events"),
+        F.count("*").cast("long").alias("n_users"),
     )

@@ -267,3 +267,29 @@ def test_stream_stream_attribution_equals_batch(spark, events_dir):
     for r in spark.table("attrib").collect():
         dt = (r["purchase_time"] - r["click_time"]).total_seconds()
         assert 0 <= dt <= 3600
+
+
+def test_windowed_user_activity_stream_equals_batch(spark, events_dir):
+    from big_data_graph_analysis_with_spark_spark.streaming import drift as sdrift
+
+    stream = sdrift.read_events_stream(spark, events_dir)
+    agg = sdrift.windowed_user_activity(stream, window="7 days")
+    walk_rates.run_to_memory_sink(agg, "wau_activity", "complete")
+    # sink-side rollup (the foreachBatch step in production)
+    got = {
+        r["window_start"]: (r["n_events"], r["n_users"])
+        for r in sdrift.wau_rollup(spark.table("wau_activity")).collect()
+    }
+    batch = spark.read.parquet(events_dir)
+    want = {
+        r["window_start"]: (r["n_events"], r["n_users"])
+        for r in sdrift.wau_rollup(
+            sdrift.windowed_user_activity(
+                batch, window="7 days", watermark=None
+            )
+        ).collect()
+    }
+    assert got == want
+    assert sum(v[0] for v in got.values()) == batch.count()
+    global_users = batch.select("user_id").distinct().count()
+    assert all(v[1] <= global_users for v in got.values())
