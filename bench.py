@@ -125,7 +125,10 @@ _MODULE_SUITES: dict[str, list[str]] = {
     "subgraph": ["mitm"],
     "pipeline": ["mitm"],
     "dedup": ["dedup_"],
-    "similarity": ["similarity_", "dedup_embedding_cosine", "link_prediction"],
+    "similarity": [
+        "similarity_", "dedup_embedding_cosine", "link_prediction",
+        "activity_profiles",
+    ],
     "textops": ["text_analysis", "corpus_"],
     "corpusstats": ["corpus_", "text_analysis"],
     "corpus": ["doc_shaping", "corpus_"],
@@ -135,7 +138,10 @@ _MODULE_SUITES: dict[str, list[str]] = {
     "sessions": ["event_analytics", "streaming_sessions"],
     "sampling": ["corpus_mixture"],
     "cohorts": ["event_analytics"],
-    "olap": ["event_analytics", "data_management"],
+    "olap": [
+        "event_analytics", "data_management", "olap_tpch_shapes",
+        "activity_profiles",
+    ],
     "merge": ["data_management"],
     "asof": ["temporal_joins"],
     "ranges": ["temporal_joins"],
@@ -517,6 +523,58 @@ def main() -> None:
         entrymod.q_k_anonymity(spark, SF_DIR).count()
         entrymod.q_source_overlap(spark, SF_DIR).count()
         entrymod.q_type_projection(spark, SF_DIR).count()
+
+    @timed("olap_tpch_shapes", iters=2)
+    def _():
+        # round-7 TPC-H shape suite: Pareto cut + Q16/Q22/Q7/Q4/Q18/
+        # Q17/Q19/Q2 — broadcast dims, one orderkey-co-located big
+        # shuffle per query, decimal-exact aggregates
+        import __spark_entry__ as entrymod
+
+        entrymod.q_supplier_pareto(spark, SF_DIR).count()
+        entrymod.q_part_supplier_variety(spark, SF_DIR).count()
+        entrymod.q_idle_customers(spark, SF_DIR).count()
+        entrymod.q_nation_trade_flow(spark, SF_DIR).count()
+        entrymod.q_order_priority_funnel(spark, SF_DIR).count()
+        entrymod.q_large_orders(spark, SF_DIR).count()
+        entrymod.q_small_lot_revenue(spark, SF_DIR).count()
+        entrymod.q_disjunctive_revenue(spark, SF_DIR).count()
+        entrymod.q_cheapest_supplier(spark, SF_DIR).count()
+
+    @timed("graph_degree_profiles", iters=2)
+    def _():
+        # round-7 degree-profile suite on the cached graph: bucketed
+        # clustering curve, rich-club, joint degree histogram
+        from big_data_graph_analysis_with_spark_spark.operators import graphalg
+
+        graphalg.degree_clustering_profile(og).count()
+        graphalg.rich_club_profile(og).count()
+        graphalg.joint_degree_profile(og).count()
+
+    @timed("corpus_profiles")
+    def _():
+        # round-7 corpus audit suite: charclass census, stopword
+        # coverage, per-source quantiles, exact Gini statistics
+        import __spark_entry__ as entrymod
+
+        entrymod.q_charclass_profile(spark, SF_DIR).count()
+        entrymod.q_stopword_coverage(spark, SF_DIR).count()
+        entrymod.q_source_length_quantiles(spark, SF_DIR).count()
+        entrymod.q_length_gini(spark, SF_DIR).count()
+
+    @timed("activity_profiles")
+    def _():
+        # round-7 behavioral/embedding audit suite: lead-time
+        # quantiles, inactivity gaps, WAU, power-user Pareto, grid
+        # occupancy, centroid distances
+        import __spark_entry__ as entrymod
+
+        entrymod.q_supplier_leadtime_quantiles(spark, SF_DIR).count()
+        entrymod.q_top_inactivity_gaps(spark, SF_DIR).count()
+        entrymod.q_weekly_active_users(spark, SF_DIR).count()
+        entrymod.q_user_activity_pareto(spark, SF_DIR).count()
+        entrymod.q_embedding_grid_occupancy(spark, SF_DIR).count()
+        entrymod.q_centroid_distances(spark, SF_DIR).count()
 
     @timed("corpus_quality")
     def _():
