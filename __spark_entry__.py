@@ -607,6 +607,31 @@ FROM og_vertices v LEFT JOIN cnt c ON c.id = v.id
     )
 
 
+def _edge_support_sql() -> str:
+    return graph_sql(
+        f""", {_UND_CTES.strip()},
+tri AS (
+  SELECT e1.a, e1.b, e2.b AS c
+  FROM und e1
+  JOIN und e2 ON e2.a = e1.b
+  JOIN und e3 ON e3.a = e1.a AND e3.b = e2.b
+),
+esup AS (
+  SELECT a, b FROM tri
+  UNION ALL SELECT b, c FROM tri
+  UNION ALL SELECT a, c FROM tri
+),
+scnt AS (SELECT a, b, COUNT(*) AS s FROM esup GROUP BY a, b),
+per_edge AS (
+  SELECT CAST(COALESCE(s.s, 0) AS BIGINT) AS support
+  FROM und e LEFT JOIN scnt s ON s.a = e.a AND s.b = e.b
+)
+SELECT support, CAST(COUNT(*) AS BIGINT) AS n_edges
+FROM per_edge GROUP BY support
+"""
+    )
+
+
 def _components_sql() -> str:
     # graph_sql can't host a recursive CTE (RECURSIVE must follow WITH),
     # so compose the preamble by hand
@@ -3230,6 +3255,93 @@ def q_cheapest_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q8 shape: per (customer region, year) the revenue of each
+    supplier nation plus the region-year market total — numerator and
+    denominator exposed, no float division."""
+    from big_data_graph_analysis_with_spark_spark.operators import olap
+
+    sess = _prep(spark)
+    return olap.market_share(
+        sess.read.parquet(f"{sf_dir}/lineitem.parquet"),
+        sess.read.parquet(f"{sf_dir}/orders.parquet"),
+        sess.read.parquet(f"{sf_dir}/customer.parquet"),
+        sess.read.parquet(f"{sf_dir}/supplier.parquet"),
+        sess.read.parquet(f"{sf_dir}/nation.parquet"),
+        sess.read.parquet(f"{sf_dir}/region.parquet"),
+    )
+
+
+def q_supplier_nation_margin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q9 shape: per supplier nation per ship year, discounted
+    revenue and retail-priced cost of goods (no partsupp in this
+    corpus; both profit terms exact, consumers subtract)."""
+    from big_data_graph_analysis_with_spark_spark.operators import olap
+
+    sess = _prep(spark)
+    return olap.supplier_nation_margin(
+        sess.read.parquet(f"{sf_dir}/lineitem.parquet"),
+        sess.read.parquet(f"{sf_dir}/supplier.parquet"),
+        sess.read.parquet(f"{sf_dir}/part.parquet"),
+        sess.read.parquet(f"{sf_dir}/nation.parquet"),
+    )
+
+
+def q_top_supplier_quarter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q15 shape: the max-revenue supplier(s) of every calendar
+    quarter, ties kept, selection on the exact decimal sum."""
+    from big_data_graph_analysis_with_spark_spark.operators import olap
+
+    sess = _prep(spark)
+    return olap.top_supplier_by_quarter(
+        sess.read.parquet(f"{sf_dir}/lineitem.parquet"),
+        sess.read.parquet(f"{sf_dir}/supplier.parquet"),
+    )
+
+
+def q_monthly_revenue_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Month-over-month revenue frame: per calendar month the exact
+    order-revenue total with the previous month's total alongside."""
+    from big_data_graph_analysis_with_spark_spark.operators import olap
+
+    return olap.monthly_revenue_growth(
+        _prep(spark).read.parquet(f"{sf_dir}/orders.parquet")
+    )
+
+
+def q_customer_acquisition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort acquisition curve: customers whose first order lands in
+    each month, with the running acquired total (all-integer)."""
+    from big_data_graph_analysis_with_spark_spark.operators import olap
+
+    return olap.customer_acquisition(
+        _prep(spark).read.parquet(f"{sf_dir}/orders.parquet")
+    )
+
+
+def q_hapax_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source lexical richness: token occurrences, vocabulary size,
+    and hapax-legomena count (all-integer)."""
+    from big_data_graph_analysis_with_spark_spark.operators import corpusstats
+
+    return corpusstats.hapax_by_source(_docs(spark, sf_dir))
+
+
+def q_sentence_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source sentence-granularity profile: non-empty terminal-
+    punctuation segments and their total trimmed length."""
+    from big_data_graph_analysis_with_spark_spark.operators import corpusstats
+
+    return corpusstats.sentence_stats(_docs(spark, sf_dir))
+
+
+def q_edge_support_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-edge triangle-support histogram over the original graph
+    (support 0 included) — the truss-k planning profile."""
+    og, _ = _graphs(spark, sf_dir)
+    return graphalg.edge_support_histogram(og)
+
+
 def q_walk_kernel(spark: SparkSession, sf_dir: str) -> DataFrame:
     """G2-G4 (rows-only: seeded-random, not SQL-expressible; property
     checks live in tests/test_walks_pipeline.py)."""
@@ -3305,6 +3417,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_grid_occupancy": q_embedding_grid_occupancy,
         "disjunctive_revenue": q_disjunctive_revenue,
         "cheapest_supplier": q_cheapest_supplier,
+        # -- NEW in round 7, second batch (all oracle-backed) ----------------
+        "market_share": q_market_share,
+        "supplier_nation_margin": q_supplier_nation_margin,
+        "top_supplier_quarter": q_top_supplier_quarter,
+        "monthly_revenue_growth": q_monthly_revenue_growth,
+        "customer_acquisition": q_customer_acquisition,
+        "hapax_by_source": q_hapax_by_source,
+        "sentence_stats": q_sentence_stats,
+        "edge_support_hist": q_edge_support_hist,
         # -- re-verification backfill: stalest green rows (r4 block; the 50-
         #    slot window cuts inside this block — the rest cycle next round) -
         "mixture_sample": q_mixture_sample,
@@ -4005,6 +4126,130 @@ GROUP BY 1, 2
                    CAST(pair_min AS DOUBLE) AS min_price
             FROM r WHERE rn = 1
         """,
+        "market_share": """
+            WITH g AS (
+              SELECT r.r_name AS cust_region, year(l_shipdate) AS yr,
+                     n1.n_name AS supp_nation,
+                     SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,2))
+                         * (CAST(1 AS DECIMAL(18,2))
+                            - CAST(l_discount AS DECIMAL(18,2)))
+                         AS DECIMAL(28,4))) AS rev_dec
+              FROM lineitem
+              JOIN supplier ON l_suppkey = s_suppkey
+              JOIN nation n1 ON s_nationkey = n1.n_nationkey
+              JOIN orders ON l_orderkey = o_orderkey
+              JOIN customer ON o_custkey = c_custkey
+              JOIN nation n2 ON c_nationkey = n2.n_nationkey
+              JOIN region r ON n2.n_regionkey = r.r_regionkey
+              GROUP BY 1, 2, 3
+            )
+            SELECT cust_region, CAST(yr AS BIGINT) AS "year", supp_nation,
+                   CAST(rev_dec AS DOUBLE) AS revenue,
+                   CAST(SUM(rev_dec) OVER (PARTITION BY cust_region, yr)
+                        AS DOUBLE) AS region_total
+            FROM g
+        """,
+        "supplier_nation_margin": """
+            SELECT n_name AS nation,
+                   CAST(year(l_shipdate) AS BIGINT) AS "year",
+                   CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,2))
+                        * (CAST(1 AS DECIMAL(18,2))
+                           - CAST(l_discount AS DECIMAL(18,2)))
+                        AS DECIMAL(28,4))) AS DOUBLE) AS revenue,
+                   CAST(SUM(CAST(CAST(p_retailprice AS DECIMAL(18,2))
+                        * CAST(l_quantity AS DECIMAL(18,2))
+                        AS DECIMAL(28,4))) AS DOUBLE) AS retail_cost,
+                   CAST(COUNT(*) AS BIGINT) AS n_items
+            FROM lineitem
+            JOIN part ON l_partkey = p_partkey
+            JOIN supplier ON l_suppkey = s_suppkey
+            JOIN nation ON s_nationkey = n_nationkey
+            GROUP BY 1, 2
+        """,
+        "top_supplier_quarter": """
+            WITH pq AS (
+              SELECT year(l_shipdate) * 10 + quarter(l_shipdate) AS quarter,
+                     l_suppkey,
+                     SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,2))
+                         * (CAST(1 AS DECIMAL(18,2))
+                            - CAST(l_discount AS DECIMAL(18,2)))
+                         AS DECIMAL(28,4))) AS rev_dec
+              FROM lineitem GROUP BY 1, 2
+            ),
+            rk AS (
+              SELECT pq.*, RANK() OVER (PARTITION BY quarter
+                       ORDER BY rev_dec DESC) AS rk
+              FROM pq
+            )
+            SELECT CAST(quarter AS BIGINT) AS quarter,
+                   CAST(l_suppkey AS BIGINT) AS suppkey, s_name,
+                   CAST(rev_dec AS DOUBLE) AS total_revenue
+            FROM rk JOIN supplier ON l_suppkey = s_suppkey
+            WHERE rk = 1
+        """,
+        "monthly_revenue_growth": """
+            WITH m AS (
+              SELECT year(o_orderdate) * 100 + month(o_orderdate) AS month,
+                     SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS rev_dec,
+                     CAST(COUNT(*) AS BIGINT) AS n_orders
+              FROM orders GROUP BY 1
+            )
+            SELECT CAST(month AS BIGINT) AS month,
+                   CAST(rev_dec AS DOUBLE) AS revenue,
+                   CAST(LAG(rev_dec) OVER (ORDER BY month) AS DOUBLE)
+                     AS prev_revenue,
+                   n_orders
+            FROM m
+        """,
+        "customer_acquisition": """
+            WITH fm AS (
+              SELECT o_custkey,
+                     MIN(year(o_orderdate) * 100 + month(o_orderdate))
+                       AS month
+              FROM orders GROUP BY 1
+            ),
+            m AS (
+              SELECT month, CAST(COUNT(*) AS BIGINT) AS n_new
+              FROM fm GROUP BY 1
+            )
+            SELECT CAST(month AS BIGINT) AS month, n_new,
+                   CAST(SUM(n_new) OVER (ORDER BY month
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                        AS BIGINT) AS cum_customers
+            FROM m
+        """,
+        "hapax_by_source": """
+            WITH toks AS (
+              SELECT source, unnest(string_split(text, ' ')) AS tok
+              FROM documents
+            ),
+            tc AS (
+              SELECT source, tok, COUNT(*) AS c
+              FROM toks WHERE tok <> '' GROUP BY 1, 2
+            )
+            SELECT source, CAST(SUM(c) AS BIGINT) AS n_tokens,
+                   CAST(COUNT(*) AS BIGINT) AS n_distinct,
+                   CAST(SUM(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT)
+                     AS n_hapax
+            FROM tc GROUP BY 1
+        """,
+        "sentence_stats": r"""
+            WITH segs AS (
+              SELECT source, doc_id,
+                     trim(unnest(string_split_regex(text, '[.!?]+'))) AS seg
+              FROM documents
+            ),
+            pd AS (
+              SELECT source, doc_id, COUNT(*) AS n_seg,
+                     SUM(length(seg)) AS seg_chars
+              FROM segs WHERE seg <> '' GROUP BY 1, 2
+            )
+            SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+                   CAST(SUM(n_seg) AS BIGINT) AS n_sentences,
+                   CAST(SUM(seg_chars) AS BIGINT) AS total_sentence_chars
+            FROM pd GROUP BY 1
+        """,
+        "edge_support_hist": _edge_support_sql(),
         "charclass_profile": r"""
             WITH c AS (
               SELECT lang, length(text) AS n,

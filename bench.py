@@ -139,7 +139,7 @@ _MODULE_SUITES: dict[str, list[str]] = {
     "sampling": ["corpus_mixture"],
     "cohorts": ["event_analytics"],
     "olap": [
-        "event_analytics", "data_management", "olap_tpch_shapes",
+        "event_analytics", "data_management", "olap_",
         "activity_profiles",
     ],
     "merge": ["data_management"],
@@ -540,6 +540,36 @@ def main() -> None:
         entrymod.q_small_lot_revenue(spark, SF_DIR).count()
         entrymod.q_disjunctive_revenue(spark, SF_DIR).count()
         entrymod.q_cheapest_supplier(spark, SF_DIR).count()
+
+    @timed("olap_market_cohorts", iters=2)
+    def _():
+        # round-7 second batch: Q8/Q9/Q15 shapes + month-over-month
+        # revenue + cohort acquisition — broadcast dims, windows only
+        # over pre-aggregated dimension/calendar-sized frames
+        import __spark_entry__ as entrymod
+
+        entrymod.q_market_share(spark, SF_DIR).count()
+        entrymod.q_supplier_nation_margin(spark, SF_DIR).count()
+        entrymod.q_top_supplier_quarter(spark, SF_DIR).count()
+        entrymod.q_monthly_revenue_growth(spark, SF_DIR).count()
+        entrymod.q_customer_acquisition(spark, SF_DIR).count()
+
+    @timed("corpus_lexical_profiles")
+    def _():
+        # round-7 second batch: hapax-legomena richness + sentence
+        # segmentation census over the documents table
+        import __spark_entry__ as entrymod
+
+        entrymod.q_hapax_by_source(spark, SF_DIR).count()
+        entrymod.q_sentence_stats(spark, SF_DIR).count()
+
+    @timed("graph_edge_support")
+    def _():
+        # per-edge triangle-support histogram on the cached graph —
+        # one ordered-edge triangle enumeration + two small aggs
+        from big_data_graph_analysis_with_spark_spark.operators import graphalg
+
+        graphalg.edge_support_histogram(og).count()
 
     @timed("graph_degree_profiles", iters=2)
     def _():

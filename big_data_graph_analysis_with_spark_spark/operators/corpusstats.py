@@ -666,3 +666,64 @@ def stopword_coverage(
             .alias("coverage_ppm"),
         )
     )
+
+
+def hapax_by_source(docs: DataFrame) -> DataFrame:
+    """(source, n_tokens, n_distinct, n_hapax): per source feed, total
+    token occurrences, distinct vocabulary size, and how many of those
+    vocabulary items occur exactly once (hapax legomena) — the classic
+    lexical-richness audit (a high hapax share flags noisy OCR or
+    boilerplate-free natural text; near zero flags templated spam).
+
+    Tokens split on the single-space convention shared by the corpus
+    operators. Two shuffles, both pre-combined map-side: the
+    (source, token) count, then the per-source rollup over the
+    vocabulary-sized frame — never a second pass over the raw token
+    stream. All-integer output, hash-exact by construction.
+    """
+    tok_counts = (
+        docs.select(
+            "source", F.explode(F.split(F.col("text"), " ")).alias("tok")
+        )
+        .filter(F.col("tok") != "")
+        .groupBy("source", "tok")
+        .agg(F.count("*").alias("c"))
+    )
+    return tok_counts.groupBy("source").agg(
+        F.sum("c").cast("long").alias("n_tokens"),
+        F.count("*").cast("long").alias("n_distinct"),
+        F.sum((F.col("c") == 1).cast("long")).cast("long").alias("n_hapax"),
+    )
+
+
+def sentence_stats(docs: DataFrame) -> DataFrame:
+    """(source, n_docs, n_sentences, total_sentence_chars): per source
+    feed, how many sentence-like segments the corpus splits into on
+    terminal punctuation ([.!?] runs) and their total trimmed length —
+    the sentence-granularity profile a chunker needs before picking
+    split points.
+
+    Segments are counted only when non-empty after trimming the
+    single-space convention's padding, which makes the count identical
+    across engines regardless of how each regex engine treats trailing
+    empty splits. One explode + one map-side-combined rollup on
+    source; all-integer output.
+    """
+    segs = docs.select(
+        "source",
+        F.col("doc_id"),
+        F.explode(F.split(F.col("text"), "[.!?]+")).alias("seg"),
+    ).select("source", "doc_id", F.trim(F.col("seg")).alias("seg"))
+    per_doc = (
+        segs.filter(F.col("seg") != "")
+        .groupBy("source", "doc_id")
+        .agg(
+            F.count("*").alias("n_seg"),
+            F.sum(F.length("seg")).alias("seg_chars"),
+        )
+    )
+    return per_doc.groupBy("source").agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.sum("n_seg").cast("long").alias("n_sentences"),
+        F.sum("seg_chars").cast("long").alias("total_sentence_chars"),
+    )

@@ -1997,3 +1997,39 @@ def joint_degree_profile(graph: NetGraph) -> DataFrame:
     return tagged.groupBy("bits_lo", "bits_hi").agg(
         F.count("*").cast("long").alias("n_edges")
     )
+
+
+def edge_support_histogram(graph: NetGraph) -> DataFrame:
+    """(support, n_edges): distribution of per-edge triangle support —
+    how many undirected edges participate in exactly `support`
+    triangles (support 0 included) — the embeddedness profile that
+    tells a truss/community pass what k is worth asking for before
+    paying for the peel (the census `ktruss_edges` implicitly takes
+    every round, exposed once as its own frame).
+
+    One ordered-edge triangle enumeration (a<b<c, the same join shape
+    as `triangle_counts`/`ktruss_edges`), each triangle fanned out to
+    its three edges, one count per edge, then a left join back to the
+    canonical edge set so triangle-free edges land in the support-0
+    bucket, and a final histogram over the |distinct supports|-sized
+    frame. All joins are vertex-keyed (AQE splits hub skew; bucketed
+    edge storage co-partitions them) and every aggregate is map-side
+    combined — no step ever holds more than the edge set.
+    """
+    und = undirected_edges(graph)
+    e2 = und.select(F.col("a").alias("b"), F.col("b").alias("c"))
+    e3 = und.select("a", F.col("b").alias("c"))
+    tri = und.join(e2, on="b").join(e3, on=["a", "c"])
+    support = (
+        tri.select("a", "b")
+        .unionAll(tri.select(F.col("b").alias("a"), F.col("c").alias("b")))
+        .unionAll(tri.select("a", F.col("c").alias("b")))
+        .groupBy("a", "b")
+        .agg(F.count("*").alias("s"))
+    )
+    per_edge = und.join(support, on=["a", "b"], how="left").select(
+        F.coalesce(F.col("s"), F.lit(0)).cast("long").alias("support")
+    )
+    return per_edge.groupBy("support").agg(
+        F.count("*").cast("long").alias("n_edges")
+    )

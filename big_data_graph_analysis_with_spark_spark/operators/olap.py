@@ -739,3 +739,236 @@ def cheapest_supplier_per_part(lineitem: DataFrame) -> DataFrame:
             F.col("pair_min").cast("double").alias("min_price"),
         )
     )
+
+
+def market_share(
+    lineitem: DataFrame,
+    orders: DataFrame,
+    customer: DataFrame,
+    supplier: DataFrame,
+    nation: DataFrame,
+    region: DataFrame,
+) -> DataFrame:
+    """(cust_region, year, supp_nation, revenue, region_total): yearly
+    discounted revenue each supplier nation earns inside each customer
+    region, alongside that (region, year) market total — the TPC-H Q8
+    national-market-share shape with numerator and denominator exposed
+    as columns instead of a float division (the order_priority_funnel
+    convention: consumers divide, the engine stays hash-exact).
+
+    The ONE fact-sized shuffle is lineitem ⋈ orders on orderkey
+    (co-located when both sides are orderkey-bucketed at 100 TB);
+    supplier, customer, nation, and region dims broadcast. The market
+    total is a window SUM over the already-aggregated (region, year,
+    nation) frame — |regions|×|years|×|nations| rows, never the fact
+    table. Revenue is the exact DECIMAL(28,4) per-item product summed
+    to DECIMAL(38,4) and cast to double once.
+    """
+    rev = (
+        F.col("l_extendedprice").cast("decimal(18,2)")
+        * (F.lit(1).cast("decimal(18,2)") - F.col("l_discount").cast("decimal(18,2)"))
+    ).cast("decimal(28,4)")
+    cust_region = (
+        customer.select("c_custkey", "c_nationkey")
+        .join(
+            F.broadcast(nation.select(
+                F.col("n_nationkey").alias("c_nationkey"),
+                F.col("n_regionkey").alias("r_regionkey"),
+            )),
+            on="c_nationkey",
+        )
+        .join(
+            F.broadcast(region.select("r_regionkey", F.col("r_name").alias("cust_region"))),
+            on="r_regionkey",
+        )
+        .select("c_custkey", "cust_region")
+    )
+    supp_nation = supplier.select("s_suppkey", "s_nationkey").join(
+        F.broadcast(nation.select(
+            F.col("n_nationkey").alias("s_nationkey"),
+            F.col("n_name").alias("supp_nation"),
+        )),
+        on="s_nationkey",
+    ).select("s_suppkey", "supp_nation")
+    grouped = (
+        lineitem.select(
+            "l_orderkey",
+            "l_suppkey",
+            F.year("l_shipdate").alias("year"),
+            rev.alias("rev"),
+        )
+        .join(F.broadcast(supp_nation), on=F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(orders.select("o_orderkey", "o_custkey"),
+              on=F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(cust_region), on=F.col("o_custkey") == F.col("c_custkey"))
+        .groupBy("cust_region", F.col("year").cast("long").alias("year"), "supp_nation")
+        .agg(F.sum("rev").alias("rev_dec"))
+    )
+    w = Window.partitionBy("cust_region", "year")
+    return grouped.select(
+        "cust_region",
+        "year",
+        "supp_nation",
+        F.col("rev_dec").cast("double").alias("revenue"),
+        F.sum("rev_dec").over(w).cast("double").alias("region_total"),
+    )
+
+
+def supplier_nation_margin(
+    lineitem: DataFrame,
+    supplier: DataFrame,
+    part: DataFrame,
+    nation: DataFrame,
+) -> DataFrame:
+    """(nation, year, revenue, retail_cost, n_items): per supplier
+    nation per ship year, discounted revenue and the retail-priced cost
+    of goods shipped (Σ p_retailprice · l_quantity) — the TPC-H Q9
+    product-profit shape with the profit's two terms exposed as exact
+    columns (this corpus has no ps_supplycost; retail cost is the
+    deterministic stand-in, and consumers subtract).
+
+    Supplier, part, and nation dims broadcast; lineitem is aggregated
+    in one pass with no fact-fact join at all (year and suppkey are on
+    the fact row; partkey binds the broadcast retail price), so the
+    only shuffle is the final |nations|×|years| group — at 100 TB this
+    is a map-side-combined scan. Both money columns are DECIMAL sums
+    cast to double once.
+    """
+    rev = (
+        F.col("l_extendedprice").cast("decimal(18,2)")
+        * (F.lit(1).cast("decimal(18,2)") - F.col("l_discount").cast("decimal(18,2)"))
+    ).cast("decimal(28,4)")
+    return (
+        lineitem.select(
+            "l_suppkey", "l_partkey",
+            F.year("l_shipdate").alias("year"),
+            rev.alias("rev"),
+            F.col("l_quantity").cast("decimal(18,2)").alias("qty"),
+        )
+        .join(F.broadcast(part.select("p_partkey", "p_retailprice")),
+              on=F.col("l_partkey") == F.col("p_partkey"))
+        .join(F.broadcast(supplier.select("s_suppkey", "s_nationkey")),
+              on=F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(nation.select(
+            F.col("n_nationkey").alias("s_nationkey"),
+            F.col("n_name").alias("nation"),
+        )), on="s_nationkey")
+        .withColumn("cost", (
+            F.col("p_retailprice").cast("decimal(18,2)") * F.col("qty")
+        ).cast("decimal(28,4)"))
+        .groupBy("nation", F.col("year").cast("long").alias("year"))
+        .agg(
+            F.sum("rev").cast("double").alias("revenue"),
+            F.sum("cost").cast("double").alias("retail_cost"),
+            F.count("*").cast("long").alias("n_items"),
+        )
+    )
+
+
+def top_supplier_by_quarter(
+    lineitem: DataFrame, supplier: DataFrame
+) -> DataFrame:
+    """(quarter, suppkey, s_name, total_revenue): for every calendar
+    quarter (year·10 + q), the supplier(s) with the maximum discounted
+    revenue in that quarter, ties kept — the TPC-H Q15 top-supplier
+    shape generalized to all quarters at once.
+
+    One map-side-combined aggregate takes the fact table down to the
+    (supplier, quarter) frame; the max-selection is a rank window over
+    that dimension-sized frame (|suppliers|×|quarters| rows), never the
+    fact table, and the supplier name binds by broadcast after the
+    cut. Revenue comparisons happen on the exact DECIMAL sum — the
+    double cast is last, so ties are decided exactly.
+    """
+    rev = (
+        F.col("l_extendedprice").cast("decimal(18,2)")
+        * (F.lit(1).cast("decimal(18,2)") - F.col("l_discount").cast("decimal(18,2)"))
+    ).cast("decimal(28,4)")
+    per_quarter = (
+        lineitem.select(
+            "l_suppkey",
+            (F.year("l_shipdate").cast("long") * 10
+             + F.quarter("l_shipdate").cast("long")).alias("quarter"),
+            rev.alias("rev"),
+        )
+        .groupBy("quarter", "l_suppkey")
+        .agg(F.sum("rev").alias("rev_dec"))
+    )
+    w = Window.partitionBy("quarter").orderBy(F.col("rev_dec").desc())
+    return (
+        per_quarter.withColumn("rk", F.rank().over(w))
+        .filter(F.col("rk") == 1)
+        .join(F.broadcast(supplier.select("s_suppkey", "s_name")),
+              on=F.col("l_suppkey") == F.col("s_suppkey"))
+        .select(
+            "quarter",
+            F.col("l_suppkey").alias("suppkey"),
+            "s_name",
+            F.col("rev_dec").cast("double").alias("total_revenue"),
+        )
+    )
+
+
+def monthly_revenue_growth(orders: DataFrame) -> DataFrame:
+    """(month, revenue, prev_revenue, n_orders): total order revenue per
+    calendar month (year·100 + month) with the previous month's total
+    alongside (NULL on the first month) — the month-over-month growth
+    frame with numerator and denominator exposed, no float division.
+
+    The fact table collapses to |months| rows in one map-side-combined
+    aggregate; the LAG window runs over that tiny frame on a single
+    partition — acceptable because the frame is bounded by the
+    calendar, not the data (a century is 1,200 rows). Revenue is the
+    exact DECIMAL(18,2) sum cast to double once, and the lag is taken
+    on the DECIMAL so both columns come from the same exact total.
+    """
+    monthly = (
+        orders.select(
+            (F.year("o_orderdate").cast("long") * 100
+             + F.month("o_orderdate").cast("long")).alias("month"),
+            F.col("o_totalprice").cast("decimal(18,2)").alias("price"),
+        )
+        .groupBy("month")
+        .agg(
+            F.sum("price").alias("rev_dec"),
+            F.count("*").cast("long").alias("n_orders"),
+        )
+    )
+    w = Window.orderBy("month")
+    return monthly.select(
+        "month",
+        F.col("rev_dec").cast("double").alias("revenue"),
+        F.lag("rev_dec").over(w).cast("double").alias("prev_revenue"),
+        "n_orders",
+    )
+
+
+def customer_acquisition(orders: DataFrame) -> DataFrame:
+    """(month, n_new, cum_customers): how many customers place their
+    FIRST-ever order in each calendar month, and the running total of
+    acquired customers — the cohort-acquisition curve.
+
+    Two cheap aggregates: MIN(order month) per customer (one shuffle on
+    custkey, map-side combined; co-located when orders is
+    custkey-bucketed), then a count per first-month; the cumulative sum
+    is a window over the |months|-sized frame. Everything is integer
+    arithmetic — hash-exact by construction.
+    """
+    first_month = (
+        orders.select(
+            "o_custkey",
+            (F.year("o_orderdate").cast("long") * 100
+             + F.month("o_orderdate").cast("long")).alias("month"),
+        )
+        .groupBy("o_custkey")
+        .agg(F.min("month").alias("month"))
+    )
+    monthly = first_month.groupBy("month").agg(
+        F.count("*").cast("long").alias("n_new")
+    )
+    w = Window.orderBy("month").rowsBetween(Window.unboundedPreceding, 0)
+    return monthly.select(
+        "month",
+        "n_new",
+        F.sum("n_new").over(w).cast("long").alias("cum_customers"),
+    )

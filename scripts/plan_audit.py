@@ -61,6 +61,10 @@ AUDIT = [
     "user_activity_pareto", "weekly_active_users", "stopword_coverage",
     "embedding_grid_occupancy", "disjunctive_revenue",
     "cheapest_supplier",
+    # round-7 second batch
+    "market_share", "supplier_nation_margin", "top_supplier_quarter",
+    "monthly_revenue_growth", "customer_acquisition", "hapax_by_source",
+    "sentence_stats", "edge_support_hist",
 ]
 # motif_counts is deliberately NOT in AUDIT: its builder runs the full
 # census via driver-side .count() actions, so the final frame is just a
