@@ -632,6 +632,31 @@ FROM per_edge GROUP BY support
     )
 
 
+def _common_neighbor_sql(max_center_degree: int = 64) -> str:
+    """Twin of graphalg.common_neighbor_histogram — same wedge join,
+    same hub-center cap, same edge-flag left join."""
+    return graph_sql(
+        f""", {_UND_CTES.strip()},
+sym AS (SELECT a, b FROM und UNION ALL SELECT b AS a, a AS b FROM und),
+deg AS (SELECT a AS id, COUNT(*) AS deg FROM sym GROUP BY a),
+wsym AS (
+  SELECT s.a, s.b FROM sym s
+  JOIN deg d ON d.id = s.b AND d.deg <= {max_center_degree}
+),
+pairs AS (
+  SELECT l.a AS u, r.a AS w, COUNT(*) AS n_common
+  FROM wsym l JOIN wsym r ON r.b = l.b AND l.a < r.a
+  GROUP BY 1, 2
+)
+SELECT (e.a IS NOT NULL) AS is_edge,
+       CAST(p.n_common AS BIGINT) AS n_common,
+       CAST(COUNT(*) AS BIGINT) AS n_pairs
+FROM pairs p LEFT JOIN und e ON e.a = p.u AND e.b = p.w
+GROUP BY 1, 2
+"""
+    )
+
+
 def _components_sql() -> str:
     # graph_sql can't host a recursive CTE (RECURSIVE must follow WITH),
     # so compose the preamble by hand
@@ -3342,6 +3367,62 @@ def q_edge_support_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
     return graphalg.edge_support_histogram(og)
 
 
+def q_common_neighbor_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Joint common-neighbor-count distribution over wedge-joined
+    vertex pairs, split edge vs non-edge — the link-prediction
+    calibration table and 4-cycle census."""
+    og, _ = _graphs(spark, sf_dir)
+    return graphalg.common_neighbor_histogram(og)
+
+
+def q_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM segmentation grid: customers binned by bit-length buckets
+    of recency and frequency, exact decimal spend per cell."""
+    from big_data_graph_analysis_with_spark_spark.operators import olap
+
+    return olap.rfm_segments(
+        _prep(spark).read.parquet(f"{sf_dir}/orders.parquet")
+    )
+
+
+def q_part_catalog_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Part catalog at every ROLLUP level — (brand, type), per-brand,
+    grand total — with rolled-up levels labeled 'ALL'."""
+    from big_data_graph_analysis_with_spark_spark.operators import olap
+
+    return olap.part_catalog_rollup(
+        _prep(spark).read.parquet(f"{sf_dir}/part.parquet")
+    )
+
+
+def q_nation_revenue_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quarter-over-quarter revenue per customer nation: exact decimal
+    totals with the previous quarter alongside."""
+    from big_data_graph_analysis_with_spark_spark.operators import olap
+
+    sess = _prep(spark)
+    return olap.nation_revenue_trend(
+        sess.read.parquet(f"{sf_dir}/orders.parquet"),
+        sess.read.parquet(f"{sf_dir}/customer.parquet"),
+        sess.read.parquet(f"{sf_dir}/nation.parquet"),
+    )
+
+
+def q_vocab_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-level vocabulary overlap per source pair: common distinct
+    tokens plus both vocabulary sizes (all-integer)."""
+    from big_data_graph_analysis_with_spark_spark.operators import corpusstats
+
+    return corpusstats.vocab_overlap(_docs(spark, sf_dir))
+
+
+def q_embedding_dot_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise-dot-product histogram over hash-grouped embedding
+    pairs in exact 0.1-wide decimal bands — the similarity-threshold
+    audit."""
+    return similarity.embedding_dot_hist(_embs(spark, sf_dir))
+
+
 def q_walk_kernel(spark: SparkSession, sf_dir: str) -> DataFrame:
     """G2-G4 (rows-only: seeded-random, not SQL-expressible; property
     checks live in tests/test_walks_pipeline.py)."""
@@ -3426,6 +3507,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hapax_by_source": q_hapax_by_source,
         "sentence_stats": q_sentence_stats,
         "edge_support_hist": q_edge_support_hist,
+        # -- NEW in round 7, third batch (all oracle-backed) -----------------
+        "common_neighbor_hist": q_common_neighbor_hist,
+        "rfm_segments": q_rfm_segments,
+        "part_catalog_rollup": q_part_catalog_rollup,
+        "nation_revenue_trend": q_nation_revenue_trend,
+        "vocab_overlap": q_vocab_overlap,
+        "embedding_dot_hist": q_embedding_dot_hist,
         # -- re-verification backfill: stalest green rows (r4 block; the 50-
         #    slot window cuts inside this block — the rest cycle next round) -
         "mixture_sample": q_mixture_sample,
@@ -4250,6 +4338,97 @@ GROUP BY 1, 2
             FROM pd GROUP BY 1
         """,
         "edge_support_hist": _edge_support_sql(),
+        "common_neighbor_hist": _common_neighbor_sql(),
+        "rfm_segments": """
+            WITH pc AS (
+              SELECT o_custkey, MAX(CAST(o_orderdate AS DATE)) AS last_day,
+                     COUNT(*) AS freq,
+                     SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS spend
+              FROM orders GROUP BY 1
+            ),
+            mx AS (SELECT MAX(CAST(o_orderdate AS DATE)) AS max_day
+                   FROM orders)
+            SELECT CAST(length(bin(date_diff('day', last_day, max_day)))
+                        AS BIGINT) AS r_bucket,
+                   CAST(length(bin(freq)) AS BIGINT) AS f_bucket,
+                   CAST(COUNT(*) AS BIGINT) AS n_customers,
+                   CAST(SUM(spend) AS DOUBLE) AS monetary
+            FROM pc, mx GROUP BY 1, 2
+        """,
+        "part_catalog_rollup": """
+            SELECT CASE WHEN GROUPING(p_brand) = 1 THEN 'ALL'
+                        ELSE p_brand END AS brand,
+                   CASE WHEN GROUPING(p_type) = 1 THEN 'ALL'
+                        ELSE p_type END AS type,
+                   CAST(COUNT(*) AS BIGINT) AS n_parts,
+                   CAST(SUM(CAST(p_retailprice AS DECIMAL(18,2)))
+                        AS DOUBLE) AS retail_total,
+                   CAST(SUM(p_size) AS BIGINT) AS size_total
+            FROM part GROUP BY ROLLUP(p_brand, p_type)
+        """,
+        "nation_revenue_trend": """
+            WITH g AS (
+              SELECT n_name AS nation,
+                     year(o_orderdate) * 10 + quarter(o_orderdate) AS q,
+                     SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS rev_dec,
+                     CAST(COUNT(*) AS BIGINT) AS n_orders
+              FROM orders
+              JOIN customer ON o_custkey = c_custkey
+              JOIN nation ON c_nationkey = n_nationkey
+              GROUP BY 1, 2
+            )
+            SELECT nation, CAST(q AS BIGINT) AS quarter,
+                   CAST(rev_dec AS DOUBLE) AS revenue,
+                   CAST(LAG(rev_dec) OVER (PARTITION BY nation ORDER BY q)
+                        AS DOUBLE) AS prev_revenue,
+                   n_orders
+            FROM g
+        """,
+        "vocab_overlap": """
+            WITH v AS (
+              SELECT DISTINCT source, tok FROM (
+                SELECT source, unnest(string_split(text, ' ')) AS tok
+                FROM documents)
+              WHERE tok <> ''
+            ),
+            s AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS v
+                  FROM v GROUP BY 1),
+            c AS (
+              SELECT a.source AS source_a, b.source AS source_b,
+                     CAST(COUNT(*) AS BIGINT) AS n_common
+              FROM v a JOIN v b ON a.tok = b.tok AND a.source < b.source
+              GROUP BY 1, 2
+            )
+            SELECT source_a, source_b, n_common,
+                   sa.v AS vocab_a, sb.v AS vocab_b
+            FROM c JOIN s sa ON sa.source = c.source_a
+            JOIN s sb ON sb.source = c.source_b
+        """,
+        "embedding_dot_hist": f"""
+            WITH comp AS (
+              SELECT vec_id, unnest(range(len(embedding))) AS j,
+                     CAST(CAST(unnest(embedding) AS DOUBLE)
+                          AS DECIMAL(18,9)) AS x
+              FROM embeddings
+            ),
+            grp AS (
+              SELECT vec_id,
+                     ({hash56_sql("vec_id", seed=11)} % 8) AS g
+              FROM embeddings
+            ),
+            dots AS (
+              SELECT a.vec_id AS va, b.vec_id AS vb, SUM(a.x * b.x) AS dot
+              FROM comp a
+              JOIN grp ga ON ga.vec_id = a.vec_id
+              JOIN grp gb ON gb.g = ga.g
+              JOIN comp b ON b.vec_id = gb.vec_id AND b.j = a.j
+                         AND b.vec_id > a.vec_id
+              GROUP BY 1, 2
+            )
+            SELECT CAST(floor(dot * 10) AS BIGINT) AS band,
+                   CAST(COUNT(*) AS BIGINT) AS n_pairs
+            FROM dots GROUP BY 1
+        """,
         "charclass_profile": r"""
             WITH c AS (
               SELECT lang, length(text) AS n,

@@ -571,6 +571,45 @@ def main() -> None:
 
         graphalg.edge_support_histogram(og).count()
 
+    @timed("graph_common_neighbors")
+    def _():
+        # round-7 third batch: wedge-join common-neighbor histogram on
+        # the cached graph (hub-capped, edge-flagged)
+        from big_data_graph_analysis_with_spark_spark.operators import graphalg
+
+        graphalg.common_neighbor_histogram(og).count()
+
+    @timed("olap_segment_grids", iters=2)
+    def _():
+        # round-7 third batch: RFM grid + part-catalog ROLLUP +
+        # nation quarter trend — per-key rollups then dimension-sized
+        # windows/grids only
+        import __spark_entry__ as entrymod
+
+        entrymod.q_rfm_segments(spark, SF_DIR).count()
+        entrymod.q_part_catalog_rollup(spark, SF_DIR).count()
+        entrymod.q_nation_revenue_trend(spark, SF_DIR).count()
+
+    @timed("corpus_vocab_overlap")
+    def _():
+        # round-7 third batch: source-pair vocabulary overlap (distinct
+        # (source, token) before the token-keyed self-join)
+        import __spark_entry__ as entrymod
+
+        entrymod.q_vocab_overlap(spark, SF_DIR).count()
+
+    @timed("similarity_dot_hist")
+    def _():
+        # round-7 third batch: exact-decimal pairwise dot histogram on
+        # a hash-grouped sample (sample_mod thins the sf0.1 vector set
+        # the way n_groups would scale at corpus size)
+        from big_data_graph_analysis_with_spark_spark.operators import similarity
+
+        similarity.embedding_dot_hist(
+            spark.read.parquet(f"{SF_DIR}/embeddings.parquet"),
+            sample_mod=4,
+        ).count()
+
     @timed("graph_degree_profiles", iters=2)
     def _():
         # round-7 degree-profile suite on the cached graph: bucketed

@@ -727,3 +727,52 @@ def sentence_stats(docs: DataFrame) -> DataFrame:
         F.sum("n_seg").cast("long").alias("n_sentences"),
         F.sum("seg_chars").cast("long").alias("total_sentence_chars"),
     )
+
+
+def vocab_overlap(docs: DataFrame) -> DataFrame:
+    """(source_a, source_b, n_common, vocab_a, vocab_b): for every
+    unordered source pair (a < b) sharing at least one vocabulary
+    item, the token-level overlap — common distinct tokens plus both
+    vocabulary sizes, from which consumers read Jaccard / containment.
+    The token-granularity companion to curation.source_overlap_matrix
+    (which matches whole-document digests): two crawls can share zero
+    documents yet near-identical vocabularies (same register, dedup
+    them jointly) or share documents but disjoint tails (different
+    OCR noise) — this frame separates those cases.
+
+    Tokens split on the single-space corpus convention. The stream
+    collapses to distinct (source, token) BEFORE the self-join, so a
+    token in k sources contributes C(k,2) pair rows — bounded by the
+    (tiny) source vocabulary times C(|sources|, 2), never by document
+    count; the join key is the token, the final rollup is
+    |source-pairs|-sized. All-integer output.
+    """
+    vocab = (
+        docs.select(
+            "source", F.explode(F.split(F.col("text"), " ")).alias("tok")
+        )
+        .filter(F.col("tok") != "")
+        .distinct()
+    )
+    sizes = vocab.groupBy("source").agg(F.count("*").cast("long").alias("v"))
+    a = vocab.select(F.col("source").alias("source_a"), "tok")
+    b = vocab.select(F.col("source").alias("source_b"), "tok")
+    common = (
+        a.join(b, on="tok")
+        .filter(F.col("source_a") < F.col("source_b"))
+        .groupBy("source_a", "source_b")
+        .agg(F.count("*").cast("long").alias("n_common"))
+    )
+    return (
+        common.join(
+            F.broadcast(sizes.select(F.col("source").alias("source_a"),
+                                     F.col("v").alias("vocab_a"))),
+            on="source_a",
+        )
+        .join(
+            F.broadcast(sizes.select(F.col("source").alias("source_b"),
+                                     F.col("v").alias("vocab_b"))),
+            on="source_b",
+        )
+        .select("source_a", "source_b", "n_common", "vocab_a", "vocab_b")
+    )

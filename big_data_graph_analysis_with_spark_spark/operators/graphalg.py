@@ -2033,3 +2033,54 @@ def edge_support_histogram(graph: NetGraph) -> DataFrame:
     return per_edge.groupBy("support").agg(
         F.count("*").cast("long").alias("n_edges")
     )
+
+
+def common_neighbor_histogram(
+    graph: NetGraph, max_center_degree: int | None = 64
+) -> DataFrame:
+    """(is_edge, n_common, n_pairs): joint distribution of common-
+    neighbor counts over all vertex pairs with at least one shared
+    neighbor, split by whether the pair is itself an edge — the
+    link-prediction calibration table (how separable are edges from
+    non-edges on the common-neighbor score?) and, via
+    ``Σ C(n_common, 2) / 2`` over both strata, the graph's 4-cycle
+    census (each 4-cycle has exactly two diagonal pairs).
+
+    Candidates come from the same wedge join as
+    :func:`neighbor_jaccard` — every pair (u, w) sharing a counted
+    center v — with the identical `max_center_degree` hub cap
+    (Σ deg² over wedge centers is hub-dominated at scale; the cap is
+    mirrored verbatim in the SQL oracle; None = exact). The edge flag
+    is a left join against the canonical edge set on the already-
+    aggregated pair frame; the final histogram is two integer columns
+    over a |distinct counts|·2-sized frame. The heavy shuffle moves
+    (center, endpoint) longs only — never adjacency lists.
+    """
+    und = undirected_edges(graph)
+    sym = und.unionAll(
+        und.select(F.col("b").alias("a"), F.col("a").alias("b"))
+    )
+    wedge_sym = sym
+    if max_center_degree is not None:
+        deg = sym.groupBy(F.col("a").alias("id")).agg(F.count("*").alias("deg"))
+        ok_center = deg.filter(F.col("deg") <= max_center_degree).select(
+            F.col("id").alias("b")
+        )
+        wedge_sym = sym.join(ok_center, on="b", how="left_semi")
+    left = wedge_sym.select(F.col("b").alias("v"), F.col("a").alias("u"))
+    right = wedge_sym.select(F.col("b").alias("v"), F.col("a").alias("w"))
+    pairs = (
+        left.join(right, on="v")
+        .filter(F.col("u") < F.col("w"))
+        .groupBy(F.col("u").alias("a"), F.col("w").alias("b"))
+        .agg(F.count("*").alias("n_common"))
+    )
+    flagged = pairs.join(
+        und.withColumn("e", F.lit(1)), on=["a", "b"], how="left"
+    ).select(
+        F.col("e").isNotNull().alias("is_edge"),
+        F.col("n_common").cast("long").alias("n_common"),
+    )
+    return flagged.groupBy("is_edge", "n_common").agg(
+        F.count("*").cast("long").alias("n_pairs")
+    )

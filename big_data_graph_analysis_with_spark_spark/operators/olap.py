@@ -972,3 +972,130 @@ def customer_acquisition(orders: DataFrame) -> DataFrame:
         "n_new",
         F.sum("n_new").over(w).cast("long").alias("cum_customers"),
     )
+
+
+def rfm_segments(orders: DataFrame) -> DataFrame:
+    """(r_bucket, f_bucket, n_customers, monetary): the RFM
+    (recency / frequency / monetary) segmentation grid — customers
+    binned by bit-length buckets of days-since-last-order (recency,
+    against the corpus-wide latest order date) and of lifetime order
+    count (frequency), with the exact DECIMAL lifetime spend summed
+    per cell — the marketing-segmentation working set (which cells to
+    re-engage, which to protect) as a |buckets|²-sized frame.
+
+    One custkey-keyed aggregation collapses the fact table to a row
+    per customer (map-side combined; co-located when orders are
+    custkey-bucketed); the corpus max date is a one-row aggregate
+    broadcast to every task; the final grid rollup aggregates the
+    per-customer frame by two small integer keys. Bit-length buckets
+    use the shared `length(conv(x, 10, 2))` ≡ DuckDB `length(bin(x))`
+    convention (degree_clustering/joint_degree_profile), making cell
+    membership hash-exact cross-engine; monetary is DECIMAL(18,2)
+    summed and cast to double once.
+    """
+    per_cust = orders.groupBy("o_custkey").agg(
+        F.max(F.to_date("o_orderdate")).alias("last_day"),
+        F.count("*").alias("freq"),
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias("spend"),
+    )
+    maxd = orders.agg(F.max(F.to_date("o_orderdate")).alias("__max_day__"))
+    return (
+        per_cust.join(F.broadcast(maxd))
+        .withColumn("rec_days", F.datediff(F.col("__max_day__"), F.col("last_day")))
+        .groupBy(
+            F.length(F.conv(F.col("rec_days"), 10, 2)).cast("long").alias("r_bucket"),
+            F.length(F.conv(F.col("freq"), 10, 2)).cast("long").alias("f_bucket"),
+        )
+        .agg(
+            F.count("*").cast("long").alias("n_customers"),
+            F.sum("spend").cast("double").alias("monetary"),
+        )
+    )
+
+
+def part_catalog_rollup(part: DataFrame) -> DataFrame:
+    """(brand, type, n_parts, retail_total, size_total): the part
+    catalog aggregated at every ROLLUP level — (brand, type) leaves,
+    per-brand subtotals, and the grand total — with rolled-up levels
+    labeled 'ALL' instead of NULL so the frame is join- and
+    hash-friendly (NULL grouping keys hash/compare differently across
+    engines; a sentinel string doesn't). The catalog-browse /
+    assortment-audit frame: every drill path precomputed in one pass.
+
+    Spark's native `rollup` runs the three grouping sets in ONE
+    Expand + aggregate over the (dimension-sized) part table — no
+    per-level rescans; all outputs are exact (integer counts and
+    sums, the DECIMAL retail total cast to double once). GROUPING()
+    masks distinguish a real NULL brand from a rolled-up level, so
+    the 'ALL' relabel is exact even on dirty dimensions.
+    """
+    return (
+        part.rollup("p_brand", "p_type")
+        .agg(
+            F.count("*").cast("long").alias("n_parts"),
+            F.sum(F.col("p_retailprice").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("retail_total"),
+            F.sum("p_size").cast("long").alias("size_total"),
+            F.grouping("p_brand").alias("__gb__"),
+            F.grouping("p_type").alias("__gt__"),
+        )
+        .select(
+            F.when(F.col("__gb__") == 1, F.lit("ALL"))
+            .otherwise(F.col("p_brand"))
+            .alias("brand"),
+            F.when(F.col("__gt__") == 1, F.lit("ALL"))
+            .otherwise(F.col("p_type"))
+            .alias("type"),
+            "n_parts",
+            "retail_total",
+            "size_total",
+        )
+    )
+
+
+def nation_revenue_trend(
+    orders: DataFrame, customer: DataFrame, nation: DataFrame
+) -> DataFrame:
+    """(nation, quarter, revenue, prev_revenue, n_orders): per customer
+    nation per calendar quarter, the exact order-revenue total with
+    the nation's previous quarter alongside — the per-market
+    monthly_revenue_growth refinement (quarter-over-quarter trend by
+    geography, numerator pairs exposed, consumers divide).
+
+    customer and nation broadcast onto the orders scan (no fact-sized
+    shuffle for the dimension binding); the fact collapses map-side to
+    the |nations|·|quarters| frame before the single LAG window, whose
+    partitions are nation-sized — never data-sized. The quarter key is
+    the integer yyyy·10+q; LAG runs over the exact DECIMAL sum and
+    both columns cast to double once.
+    """
+    cust_nation = customer.select("c_custkey", "c_nationkey").join(
+        F.broadcast(nation.select(
+            F.col("n_nationkey").alias("c_nationkey"),
+            F.col("n_name").alias("nation"),
+        )),
+        on="c_nationkey",
+    ).select(F.col("c_custkey").alias("o_custkey"), "nation")
+    grouped = (
+        orders.select("o_custkey", "o_totalprice", "o_orderdate")
+        .join(F.broadcast(cust_nation), on="o_custkey")
+        .groupBy(
+            "nation",
+            (F.year("o_orderdate") * 10 + F.quarter("o_orderdate"))
+            .cast("long")
+            .alias("quarter"),
+        )
+        .agg(
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias("rev_dec"),
+            F.count("*").cast("long").alias("n_orders"),
+        )
+    )
+    w = Window.partitionBy("nation").orderBy("quarter")
+    return grouped.select(
+        "nation",
+        "quarter",
+        F.col("rev_dec").cast("double").alias("revenue"),
+        F.lag("rev_dec").over(w).cast("double").alias("prev_revenue"),
+        "n_orders",
+    )

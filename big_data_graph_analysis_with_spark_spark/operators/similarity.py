@@ -843,3 +843,51 @@ def embedding_grid_occupancy(emb: DataFrame, bits: int = 6) -> DataFrame:
         count_alias="n_cells",
         value_alias="q_cell_size",
     )
+
+
+def embedding_dot_hist(
+    emb: DataFrame, n_groups: int = 8, sample_mod: int = 1, seed: int = 11
+) -> DataFrame:
+    """(band, n_pairs): histogram of pairwise embedding dot products
+    in 0.1-wide bands (``band = floor(dot · 10)``) over a
+    deterministic hash-grouped pair sample — the similarity-
+    distribution audit that picks dedup/ANN thresholds: a bimodal
+    histogram separates near-dup mass from background, a flat one
+    says cosine won't discriminate on this corpus.
+
+    Pairs are sampled structurally, never enumerated: vectors land in
+    one of `n_groups` buckets by the shared 56-bit MD5 hash of their
+    id (functions.hashing — bit-identical in the oracle) and only
+    in-bucket pairs are scored, ~N²/n_groups of the N²/2 total;
+    `sample_mod` optionally thins vectors first (``vec_id %
+    sample_mod == 0``, the embedding_coverage convention). At corpus
+    scale n_groups grows ~N so the per-bucket pair count stays flat.
+    Dots are exact DECIMAL(18,9)-component sums (the
+    embedding_cosine_pairs convention — swap in its long fixed-point
+    fast path at production scale), so band membership is hash-exact:
+    floor of an exact decimal, no float division anywhere. Output is
+    a |bands|-sized integer frame.
+    """
+    from ..functions.hashing import hash56
+
+    sub = emb.filter(F.col("vec_id") % sample_mod == 0)
+    comp = _decimal_components(sub)
+    grp = sub.select(
+        "vec_id",
+        (hash56(F.col("vec_id").cast("string"), seed=seed) % n_groups).alias("g"),
+    )
+    ca = comp.join(grp, on="vec_id").select(
+        F.col("vec_id").alias("vec_a"), "g", "j", F.col("x").alias("xa")
+    )
+    cb = comp.join(grp, on="vec_id").select(
+        F.col("vec_id").alias("vec_b"), "g", "j", F.col("x").alias("xb")
+    )
+    dots = (
+        ca.join(cb, on=["g", "j"])
+        .filter(F.col("vec_a") < F.col("vec_b"))
+        .groupBy("vec_a", "vec_b")
+        .agg(F.sum(F.col("xa") * F.col("xb")).alias("dot"))
+    )
+    return dots.groupBy(
+        F.floor(F.col("dot") * 10).cast("long").alias("band")
+    ).agg(F.count("*").cast("long").alias("n_pairs"))

@@ -65,6 +65,9 @@ AUDIT = [
     "market_share", "supplier_nation_margin", "top_supplier_quarter",
     "monthly_revenue_growth", "customer_acquisition", "hapax_by_source",
     "sentence_stats", "edge_support_hist",
+    # round-7 third batch
+    "common_neighbor_hist", "rfm_segments", "part_catalog_rollup",
+    "nation_revenue_trend", "vocab_overlap", "embedding_dot_hist",
 ]
 # motif_counts is deliberately NOT in AUDIT: its builder runs the full
 # census via driver-side .count() actions, so the final frame is just a
