@@ -657,6 +657,33 @@ GROUP BY 1, 2
     )
 
 
+def _transitivity_sql() -> str:
+    """Twin of graphalg.global_transitivity — same ordered triangle
+    join, wedge sum over symmetric degrees, 1-row cross joins."""
+    return graph_sql(
+        f""", {_UND_CTES.strip()},
+tri AS (
+  SELECT COUNT(*) AS n_triangles
+  FROM und e1
+  JOIN und e2 ON e2.a = e1.b
+  JOIN und e3 ON e3.a = e1.a AND e3.b = e2.b
+),
+sym AS (SELECT a, b FROM und UNION ALL SELECT b AS a, a AS b FROM und),
+wed AS (
+  SELECT COALESCE(SUM(deg * (deg - 1) // 2), 0) AS wedges
+  FROM (SELECT COUNT(*) AS deg FROM sym GROUP BY a)
+),
+nv AS (SELECT COUNT(*) AS n_vertices FROM og_vertices),
+ne AS (SELECT COUNT(*) AS n_edges FROM und)
+SELECT CAST(n_vertices AS BIGINT) AS n_vertices,
+       CAST(n_edges AS BIGINT) AS n_edges,
+       CAST(wedges AS BIGINT) AS wedges,
+       CAST(n_triangles * 3 AS BIGINT) AS closed_wedges
+FROM nv, ne, wed, tri
+"""
+    )
+
+
 def _components_sql() -> str:
     # graph_sql can't host a recursive CTE (RECURSIVE must follow WITH),
     # so compose the preamble by hand
@@ -3423,6 +3450,70 @@ def q_embedding_dot_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.embedding_dot_hist(_embs(spark, sf_dir))
 
 
+def q_global_transitivity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-row global clustering summary: vertex/edge counts, wedges,
+    and closed wedges (3 × triangles) as exact BIGINTs."""
+    og, _ = _graphs(spark, sf_dir)
+    return graphalg.global_transitivity(og)
+
+
+def q_sole_returned_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21 accountability shape on the return flag: the only
+    supplier with a returned line in a multi-supplier order."""
+    from big_data_graph_analysis_with_spark_spark.operators import olap
+
+    sess = _prep(spark)
+    return olap.sole_returned_supplier(
+        sess.read.parquet(f"{sf_dir}/lineitem.parquet"),
+        sess.read.parquet(f"{sf_dir}/supplier.parquet"),
+    )
+
+
+def q_supplier_hhi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-nation Herfindahl concentration inputs over supplier
+    revenue: exact numerator pair, consumers divide."""
+    from big_data_graph_analysis_with_spark_spark.operators import olap
+
+    sess = _prep(spark)
+    return olap.supplier_hhi(
+        sess.read.parquet(f"{sf_dir}/lineitem.parquet"),
+        sess.read.parquet(f"{sf_dir}/supplier.parquet"),
+        sess.read.parquet(f"{sf_dir}/nation.parquet"),
+    )
+
+
+def q_order_size_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Basket-size distribution: orders bucketed by exact line count ×
+    status with exact discounted revenue per cell."""
+    from big_data_graph_analysis_with_spark_spark.operators import olap
+
+    sess = _prep(spark)
+    return olap.order_size_profile(
+        sess.read.parquet(f"{sf_dir}/lineitem.parquet"),
+        sess.read.parquet(f"{sf_dir}/orders.parquet"),
+    )
+
+
+def q_activity_streaks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gaps-and-islands: histogram of each user's longest run of
+    consecutive active days."""
+    from big_data_graph_analysis_with_spark_spark.operators import sessions
+
+    return sessions.activity_streaks(
+        _prep(spark).read.parquet(f"{sf_dir}/events.parquet")
+    )
+
+
+def q_daily_autocovariance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per event type, exact integer lag-1/lag-7 autocovariance inputs
+    of the daily count series."""
+    from big_data_graph_analysis_with_spark_spark.operators import drift
+
+    return drift.daily_autocovariance(
+        _prep(spark).read.parquet(f"{sf_dir}/events.parquet")
+    )
+
+
 def q_walk_kernel(spark: SparkSession, sf_dir: str) -> DataFrame:
     """G2-G4 (rows-only: seeded-random, not SQL-expressible; property
     checks live in tests/test_walks_pipeline.py)."""
@@ -3514,6 +3605,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "nation_revenue_trend": q_nation_revenue_trend,
         "vocab_overlap": q_vocab_overlap,
         "embedding_dot_hist": q_embedding_dot_hist,
+        # -- NEW in round 7, fourth batch (all oracle-backed) ----------------
+        "global_transitivity": q_global_transitivity,
+        "sole_returned_supplier": q_sole_returned_supplier,
+        "supplier_hhi": q_supplier_hhi,
+        "order_size_profile": q_order_size_profile,
+        "activity_streaks": q_activity_streaks,
+        "daily_autocovariance": q_daily_autocovariance,
         # -- re-verification backfill: stalest green rows (r4 block; the 50-
         #    slot window cuts inside this block — the rest cycle next round) -
         "mixture_sample": q_mixture_sample,
@@ -4428,6 +4526,126 @@ GROUP BY 1, 2
             SELECT CAST(floor(dot * 10) AS BIGINT) AS band,
                    CAST(COUNT(*) AS BIGINT) AS n_pairs
             FROM dots GROUP BY 1
+        """,
+        "global_transitivity": _transitivity_sql(),
+        "sole_returned_supplier": """
+            WITH per_supp AS (
+              SELECT l_orderkey, l_suppkey,
+                     MAX(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END)
+                       AS had_ret
+              FROM lineitem GROUP BY 1, 2
+            ),
+            per_order AS (
+              SELECT l_orderkey, COUNT(*) AS n_supp, SUM(had_ret) AS n_ret
+              FROM per_supp GROUP BY 1
+            ),
+            q AS (
+              SELECT ps.l_suppkey, COUNT(*) AS n_orders
+              FROM per_supp ps
+              JOIN per_order po ON po.l_orderkey = ps.l_orderkey
+              WHERE ps.had_ret = 1 AND po.n_supp >= 2 AND po.n_ret = 1
+              GROUP BY 1
+            )
+            SELECT s_name AS supplier, CAST(n_orders AS BIGINT) AS n_orders
+            FROM q JOIN supplier ON s_suppkey = q.l_suppkey
+        """,
+        "supplier_hhi": """
+            WITH per_supp AS (
+              SELECT l_suppkey,
+                     SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,2))
+                         * (CAST(1 AS DECIMAL(18,2))
+                            - CAST(l_discount AS DECIMAL(18,2)))
+                         AS DECIMAL(28,4))) AS rev_dec
+              FROM lineitem GROUP BY 1
+            ),
+            sq AS (
+              SELECT l_suppkey, rev_dec,
+                     CAST(CAST(rev_dec * 10000 AS DECIMAL(19,0))
+                          * CAST(rev_dec * 10000 AS DECIMAL(19,0))
+                          AS DECIMAL(38,0)) AS sq_units
+              FROM per_supp
+            )
+            SELECT n_name AS nation,
+                   CAST(COUNT(*) AS BIGINT) AS n_suppliers,
+                   CAST(SUM(rev_dec) AS DOUBLE) AS total_rev,
+                   CAST(SUM(sq_units) AS DOUBLE) AS sum_sq_rev
+            FROM sq
+            JOIN supplier ON s_suppkey = sq.l_suppkey
+            JOIN nation ON n_nationkey = s_nationkey
+            GROUP BY 1
+        """,
+        "order_size_profile": """
+            WITH per_order AS (
+              SELECT l_orderkey, COUNT(*) AS n_lines,
+                     SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,2))
+                         * (CAST(1 AS DECIMAL(18,2))
+                            - CAST(l_discount AS DECIMAL(18,2)))
+                         AS DECIMAL(28,4))) AS rev_dec
+              FROM lineitem GROUP BY 1
+            )
+            SELECT CAST(n_lines AS BIGINT) AS n_lines,
+                   o_orderstatus AS status,
+                   CAST(COUNT(*) AS BIGINT) AS n_orders,
+                   CAST(SUM(rev_dec) AS DOUBLE) AS revenue
+            FROM per_order
+            JOIN orders ON o_orderkey = l_orderkey
+            GROUP BY 1, 2
+        """,
+        "activity_streaks": """
+            WITH days AS (
+              SELECT DISTINCT user_id,
+                     epoch_us(ts) // 86400000000 AS day
+              FROM events
+            ),
+            isl AS (
+              SELECT user_id,
+                     day - ROW_NUMBER() OVER (
+                       PARTITION BY user_id ORDER BY day) AS island
+              FROM days
+            ),
+            runs AS (
+              SELECT user_id, island, COUNT(*) AS run_len
+              FROM isl GROUP BY 1, 2
+            ),
+            best AS (
+              SELECT user_id, MAX(run_len) AS streak_len
+              FROM runs GROUP BY 1
+            )
+            SELECT CAST(streak_len AS BIGINT) AS streak_len,
+                   CAST(COUNT(*) AS BIGINT) AS n_users
+            FROM best GROUP BY 1
+        """,
+        "daily_autocovariance": """
+            WITH daily AS (
+              SELECT event_type, epoch_us(ts) // 86400000000 AS day,
+                     COUNT(*) AS c
+              FROM events GROUP BY 1, 2
+            ),
+            base AS (
+              SELECT event_type, COUNT(*) AS n_days, SUM(c) AS sum_c,
+                     SUM(c * c) AS sum_sq
+              FROM daily GROUP BY 1
+            ),
+            l1 AS (
+              SELECT d.event_type, SUM(d.c * n.c) AS lag1_dot
+              FROM daily d JOIN daily n
+                ON n.event_type = d.event_type AND n.day = d.day + 1
+              GROUP BY 1
+            ),
+            l7 AS (
+              SELECT d.event_type, SUM(d.c * n.c) AS lag7_dot
+              FROM daily d JOIN daily n
+                ON n.event_type = d.event_type AND n.day = d.day + 7
+              GROUP BY 1
+            )
+            SELECT b.event_type, CAST(n_days AS BIGINT) AS n_days,
+                   CAST(sum_c AS BIGINT) AS sum_c,
+                   CAST(sum_sq AS BIGINT) AS sum_sq,
+                   CAST(COALESCE(lag1_dot, 0) AS BIGINT) AS lag1_dot,
+                   CAST(COALESCE(lag7_dot, 0) AS BIGINT) AS lag7_dot
+            FROM base b
+            LEFT JOIN l1 ON l1.event_type = b.event_type
+            LEFT JOIN l7 ON l7.event_type = b.event_type
         """,
         "charclass_profile": r"""
             WITH c AS (

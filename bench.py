@@ -135,7 +135,7 @@ _MODULE_SUITES: dict[str, list[str]] = {
     "corpus_io": ["corpus_", "doc_shaping"],
     "curation": ["corpus_audit", "corpus_triage", "corpus_quality"],
     "chunking": ["doc_shaping"],
-    "sessions": ["event_analytics", "streaming_sessions"],
+    "sessions": ["event_analytics", "streaming_sessions", "activity_rhythms"],
     "sampling": ["corpus_mixture"],
     "cohorts": ["event_analytics"],
     "olap": [
@@ -147,7 +147,7 @@ _MODULE_SUITES: dict[str, list[str]] = {
     "ranges": ["temporal_joins"],
     "jsonops": ["json_analytics"],
     "sketches": ["corpus_audit", "data_management"],
-    "drift": ["drift_monitoring", "streaming_value_hist"],
+    "drift": ["drift_monitoring", "streaming_value_hist", "activity_rhythms"],
     "multimodal": ["multimodal_"],
     "doc_dedup": ["streaming_dedup"],
     "enrich": ["drift_monitoring"],
@@ -610,6 +610,34 @@ def main() -> None:
             sample_mod=4,
         ).count()
 
+    @timed("graph_transitivity")
+    def _():
+        # round-7 fourth batch: 1-row global clustering summary
+        # (counted triangle join + wedge sum) on the cached graph
+        from big_data_graph_analysis_with_spark_spark.operators import graphalg
+
+        graphalg.global_transitivity(og).count()
+
+    @timed("olap_market_structure", iters=2)
+    def _():
+        # round-7 fourth batch: Q21-shaped sole-returner, per-nation
+        # HHI numerators, basket-size profile — orderkey/suppkey
+        # rollups then bounded-key aggregations only
+        import __spark_entry__ as entrymod
+
+        entrymod.q_sole_returned_supplier(spark, SF_DIR).count()
+        entrymod.q_supplier_hhi(spark, SF_DIR).count()
+        entrymod.q_order_size_profile(spark, SF_DIR).count()
+
+    @timed("activity_rhythms", iters=2)
+    def _():
+        # round-7 fourth batch: gaps-and-islands streak histogram +
+        # lag-1/lag-7 daily autocovariance inputs
+        import __spark_entry__ as entrymod
+
+        entrymod.q_activity_streaks(spark, SF_DIR).count()
+        entrymod.q_daily_autocovariance(spark, SF_DIR).count()
+
     @timed("graph_degree_profiles", iters=2)
     def _():
         # round-7 degree-profile suite on the cached graph: bucketed
@@ -825,6 +853,13 @@ def main() -> None:
             f"bench_value_hist_{stream_run[0]}",
             "complete",
         )
+
+    # -- optional smoke filter: SPARK_GRAFT_BENCH_SUITES="a,b" runs only
+    # the named suites (development loop; the driver never sets it)
+    only = os.environ.get("SPARK_GRAFT_BENCH_SUITES")
+    if only:
+        wanted = {s.strip() for s in only.split(",") if s.strip()}
+        suites = [s for s in suites if s[0] in wanted]
 
     # -- run all registered suites in definition order, then A/B any
     # suite that looks slower than the prior round's record: ambient

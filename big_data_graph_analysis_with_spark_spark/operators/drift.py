@@ -124,3 +124,58 @@ def time_profile(events: DataFrame) -> DataFrame:
         F.col("n_events").cast("long").alias("n_events"),
         F.expr("n_events * 1000000 DIV total").alias("share_ppm"),
     )
+
+
+def daily_autocovariance(events: DataFrame) -> DataFrame:
+    """(event_type, n_days, sum_c, sum_sq, lag1_dot, lag7_dot): per
+    event type, the exact integer inputs to lag-1 and lag-7
+    autocorrelation of the daily event-count series — r(L) needs only
+    Σc_t, Σc_t², Σc_t·c_{t+L} and n, all BIGINT here, so the engine
+    stays hash-exact and the monitor divides (the time_profile
+    companion: time_profile says WHEN volume arrives, this says how
+    strongly today predicts tomorrow / next week).
+
+    One map-side-combined aggregation collapses the fact table to the
+    |types|·|days| daily frame; the lag products are equi-joins of that
+    tiny frame against itself on (type, day+L) — absent days are zero
+    counts, and 0·c terms vanish, so calendar gaps need no
+    densification. Day buckets are integer epoch-day quotients (the
+    weekly_active_users convention).
+    """
+    daily = (
+        events.select(event_micros(events).alias("tus"), "event_type")
+        .select("event_type", F.expr("tus div 86400000000").alias("day"))
+        .groupBy("event_type", "day")
+        .agg(F.count("*").alias("c"))
+        .localCheckpoint(eager=False)
+    )
+    base = daily.groupBy("event_type").agg(
+        F.count("*").cast("long").alias("n_days"),
+        F.sum("c").cast("long").alias("sum_c"),
+        F.sum(F.col("c") * F.col("c")).cast("long").alias("sum_sq"),
+    )
+
+    def lag_dot(lag: int, name: str) -> DataFrame:
+        nxt = daily.select(
+            "event_type",
+            (F.col("day") - lag).alias("day"),
+            F.col("c").alias("c_next"),
+        )
+        return (
+            daily.join(nxt, on=["event_type", "day"])
+            .groupBy("event_type")
+            .agg(F.sum(F.col("c") * F.col("c_next")).cast("long").alias(name))
+        )
+
+    return (
+        base.join(lag_dot(1, "lag1_dot"), on="event_type", how="left")
+        .join(lag_dot(7, "lag7_dot"), on="event_type", how="left")
+        .select(
+            "event_type",
+            "n_days",
+            "sum_c",
+            "sum_sq",
+            F.coalesce("lag1_dot", F.lit(0)).cast("long").alias("lag1_dot"),
+            F.coalesce("lag7_dot", F.lit(0)).cast("long").alias("lag7_dot"),
+        )
+    )

@@ -2084,3 +2084,47 @@ def common_neighbor_histogram(
     return flagged.groupBy("is_edge", "n_common").agg(
         F.count("*").cast("long").alias("n_pairs")
     )
+
+
+def global_transitivity(graph: NetGraph) -> DataFrame:
+    """1-row (n_vertices, n_edges, wedges, closed_wedges): the global
+    clustering summary — transitivity is ``closed_wedges / wedges``
+    (consumers divide; both counts stay exact BIGINTs so the frame is
+    hash-stable cross-engine). ``closed_wedges`` is 3 × the triangle
+    total (every triangle closes its three wedges); ``wedges`` is
+    Σ C(deg, 2) over undirected degrees. The one-number health check a
+    clustering / community pass reads before paying for per-vertex
+    `triangle_counts` (reference census scope: Main.scala graph stats;
+    this aggregate is the standard Newman global coefficient).
+
+    Cost: the ordered-edge triangle join (same shape as
+    `triangle_counts`, counted not materialized), one degree
+    aggregation, and three 1-row aggregates combined with broadcast
+    cross joins (benign 1-row nested loops — the plan-audit
+    convention). No step holds more than the edge list; at 100 TB the
+    triangle join rides the same bucketed edge scan as the census ops.
+    """
+    und = undirected_edges(graph)
+    e2 = und.select(F.col("a").alias("b"), F.col("b").alias("c"))
+    e3 = und.select("a", F.col("b").alias("c"))
+    n_tri = und.join(e2, on="b").join(e3, on=["a", "c"]).agg(
+        F.count("*").alias("n_triangles")
+    )
+    sym = und.unionAll(und.select(F.col("b").alias("a"), F.col("a").alias("b")))
+    deg = sym.groupBy("a").agg(F.count("*").alias("deg"))
+    wedges = deg.agg(
+        F.sum(F.expr("deg * (deg - 1) DIV 2")).alias("wedges")
+    )
+    sizes = graph.vertices.select("id").agg(F.count("*").alias("n_vertices"))
+    n_edges = und.agg(F.count("*").alias("n_edges"))
+    return (
+        sizes.crossJoin(F.broadcast(n_edges))
+        .crossJoin(F.broadcast(wedges))
+        .crossJoin(F.broadcast(n_tri))
+        .select(
+            F.col("n_vertices").cast("long").alias("n_vertices"),
+            F.col("n_edges").cast("long").alias("n_edges"),
+            F.coalesce(F.col("wedges"), F.lit(0)).cast("long").alias("wedges"),
+            (F.col("n_triangles") * 3).cast("long").alias("closed_wedges"),
+        )
+    )

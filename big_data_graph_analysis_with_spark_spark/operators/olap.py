@@ -1099,3 +1099,131 @@ def nation_revenue_trend(
         F.lag("rev_dec").over(w).cast("double").alias("prev_revenue"),
         "n_orders",
     )
+
+
+def sole_returned_supplier(
+    lineitem: DataFrame, supplier: DataFrame
+) -> DataFrame:
+    """(supplier, n_orders): suppliers who were the ONLY supplier with
+    a returned line ('R') in a multi-supplier order, counted per
+    supplier — the TPC-H Q21 accountability shape (EXISTS another
+    supplier in the order + NOT EXISTS another supplier who also
+    failed) re-expressed without correlated subqueries. The testdata
+    carries no commit/receipt dates, so "failed" is the return flag;
+    the join topology is the point, not the predicate.
+
+    Both EXISTS collapse into ONE orderkey-keyed aggregation: lineitem
+    groups to (orderkey, suppkey, had_return), then per order counts
+    suppliers and returners; a supplier qualifies where had_return AND
+    n_suppliers ≥ 2 AND n_returners = 1. Two shuffles on orderkey
+    (co-located when lineitem is orderkey-bucketed at 100 TB), one
+    suppkey-keyed count, supplier dim broadcast. No correlated
+    re-scan of the fact table — the classic Q21 plan trap.
+    """
+    per_supp = lineitem.groupBy("l_orderkey", "l_suppkey").agg(
+        F.max((F.col("l_returnflag") == "R").cast("int")).alias("had_ret")
+    )
+    per_order = per_supp.groupBy("l_orderkey").agg(
+        F.count("*").alias("n_supp"), F.sum("had_ret").alias("n_ret")
+    )
+    qualifying = (
+        per_supp.filter(F.col("had_ret") == 1)
+        .join(per_order, on="l_orderkey")
+        .filter((F.col("n_supp") >= 2) & (F.col("n_ret") == 1))
+        .groupBy("l_suppkey")
+        .agg(F.count("*").cast("long").alias("n_orders"))
+    )
+    return qualifying.join(
+        F.broadcast(supplier.select(
+            F.col("s_suppkey").alias("l_suppkey"),
+            F.col("s_name").alias("supplier"),
+        )),
+        on="l_suppkey",
+    ).select("supplier", "n_orders")
+
+
+def supplier_hhi(
+    lineitem: DataFrame, supplier: DataFrame, nation: DataFrame
+) -> DataFrame:
+    """(nation, n_suppliers, total_rev, sum_sq_rev): per supplier
+    nation, the Herfindahl–Hirschman concentration inputs over
+    supplier revenue — HHI = sum_sq_rev / total_rev² (consumers
+    divide; the engine emits the exact numerator pair, the
+    market_share convention). The antitrust-style audit: a nation
+    whose revenue sits in one supplier is a supply-chain risk.
+
+    One suppkey-keyed aggregation collapses the fact table to a row
+    per supplier (map-side combined); squares are taken on the
+    per-supplier DECIMAL(28,4) revenue lifted to exact 0.0001-units
+    as DECIMAL(19,0) — the square then fits DECIMAL(38,0) — and both
+    totals cast to double once at the end. The nation rollup
+    aggregates |suppliers| rows by a broadcast dim key.
+    """
+    rev = (
+        F.col("l_extendedprice").cast("decimal(18,2)")
+        * (F.lit(1).cast("decimal(18,2)") - F.col("l_discount").cast("decimal(18,2)"))
+    ).cast("decimal(28,4)")
+    per_supp = lineitem.groupBy("l_suppkey").agg(F.sum(rev).alias("rev_dec"))
+    units = (F.col("rev_dec") * 10000).cast("decimal(19,0)")
+    return (
+        per_supp.select(
+            "l_suppkey",
+            F.col("rev_dec"),
+            (units * units).cast("decimal(38,0)").alias("sq_units"),
+        )
+        .join(
+            F.broadcast(
+                supplier.select("s_suppkey", "s_nationkey").join(
+                    F.broadcast(nation.select(
+                        F.col("n_nationkey").alias("s_nationkey"),
+                        F.col("n_name").alias("nation"),
+                    )),
+                    on="s_nationkey",
+                ).select(F.col("s_suppkey").alias("l_suppkey"), "nation")
+            ),
+            on="l_suppkey",
+        )
+        .groupBy("nation")
+        .agg(
+            F.count("*").cast("long").alias("n_suppliers"),
+            F.sum("rev_dec").cast("double").alias("total_rev"),
+            F.sum("sq_units").cast("double").alias("sum_sq_rev"),
+        )
+    )
+
+
+def order_size_profile(lineitem: DataFrame, orders: DataFrame) -> DataFrame:
+    """(n_lines, status, n_orders, revenue): the basket-size
+    distribution — orders bucketed by their exact line count, split by
+    order status, with the exact discounted revenue total per cell.
+    The physical-design input for co-purchase / packing operators
+    (how wide is an order, really?) and the Q13-adjacent census on
+    the lineitem side.
+
+    One orderkey-keyed aggregation collapses lineitem to a row per
+    order, then the orderkey join binds the status (co-located when
+    both sides are orderkey-bucketed at 100 TB) and a bounded-key
+    rollup produces the |line-counts|×|statuses| frame. Revenue is
+    the exact DECIMAL(28,4) sum cast to double once.
+    """
+    rev = (
+        F.col("l_extendedprice").cast("decimal(18,2)")
+        * (F.lit(1).cast("decimal(18,2)") - F.col("l_discount").cast("decimal(18,2)"))
+    ).cast("decimal(28,4)")
+    per_order = lineitem.groupBy("l_orderkey").agg(
+        F.count("*").alias("n_lines"), F.sum(rev).alias("rev_dec")
+    )
+    return (
+        per_order.join(
+            orders.select("o_orderkey", "o_orderstatus"),
+            on=F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        .groupBy(
+            F.col("n_lines").cast("long").alias("n_lines"),
+            F.col("o_orderstatus").alias("status"),
+        )
+        .agg(
+            F.count("*").cast("long").alias("n_orders"),
+            F.sum("rev_dec").cast("double").alias("revenue"),
+        )
+    )

@@ -136,3 +136,39 @@ def funnel_steps(
         reached.cast("long").alias("steps_completed"),
         F.col("t0").cast("long").alias("t_first_us"),
     )
+
+
+def activity_streaks(events: DataFrame) -> DataFrame:
+    """(streak_len, n_users): histogram of each user's LONGEST run of
+    consecutive active days — the engagement-depth summary behind
+    "day-N streak" retention features (and the long-horizon complement
+    of olap.top_inactivity_gaps, which profiles the silences between
+    runs).
+
+    Classic gaps-and-islands, shuffled once: distinct (user, epoch-day)
+    pairs — partial-distinct combines map-side, so the exchange carries
+    at most |users|·|days| rows — then ``day − row_number()`` over the
+    per-user day sequence labels each island with a constant, and two
+    bounded aggregations (island length → per-user max → histogram)
+    reuse the same user-keyed partitioning without re-exchanging. Days
+    are pure integer epoch-day quotients (the weekly_active_users
+    convention — never calendar functions), so island membership is
+    hash-exact cross-engine. The bot-user skew cap documented for
+    sessionize_events applies to the same user_id exchange here.
+    """
+    days = (
+        events.select(event_micros(events).alias("tus"), "user_id")
+        .select("user_id", F.expr("tus div 86400000000").alias("day"))
+        .distinct()
+    )
+    w = Window.partitionBy("user_id").orderBy("day")
+    islands = days.select(
+        "user_id", (F.col("day") - F.row_number().over(w)).alias("island")
+    )
+    runs = islands.groupBy("user_id", "island").agg(
+        F.count("*").alias("run_len")
+    )
+    best = runs.groupBy("user_id").agg(F.max("run_len").alias("streak_len"))
+    return best.groupBy(F.col("streak_len").cast("long").alias("streak_len")).agg(
+        F.count("*").cast("long").alias("n_users")
+    )

@@ -68,6 +68,9 @@ AUDIT = [
     # round-7 third batch
     "common_neighbor_hist", "rfm_segments", "part_catalog_rollup",
     "nation_revenue_trend", "vocab_overlap", "embedding_dot_hist",
+    # round-7 fourth batch
+    "global_transitivity", "sole_returned_supplier", "supplier_hhi",
+    "order_size_profile", "activity_streaks", "daily_autocovariance",
 ]
 # motif_counts is deliberately NOT in AUDIT: its builder runs the full
 # census via driver-side .count() actions, so the final frame is just a
