@@ -955,6 +955,10 @@ def main() -> None:
     full_name = (
         "BENCH_LOCAL.json" if base == "sf0.1" else f"bench_local_{base}.json"
     )
+    # A SPARK_GRAFT_BENCH_SUITES smoke run covers a subset — it must
+    # never clobber the committed full record either.
+    if only:
+        full_name = f"bench_smoke_{base}.json"
     (Path(__file__).resolve().parent / full_name).write_text(
         json.dumps(record, indent=1) + "\n"
     )
