@@ -3514,6 +3514,61 @@ def q_daily_autocovariance(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_edge_quality_census(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-row ingest data-quality audit of the raw directed edge
+    list: self-loops, directed dupes, reciprocal pairs."""
+    og, _ = _graphs(spark, sf_dir)
+    return graphalg.edge_quality_census(og)
+
+
+def q_source_corr_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source exact integer sufficient statistics for the
+    char-length ↔ token-count Pearson correlation."""
+    from big_data_graph_analysis_with_spark_spark.operators import corpusstats
+
+    return corpusstats.source_corr_profile(_docs(spark, sf_dir))
+
+
+def q_order_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention triangle on orders: first-order month ×
+    months-since, distinct customers per cell."""
+    from big_data_graph_analysis_with_spark_spark.operators import olap
+
+    return olap.order_cohort_retention(
+        _prep(spark).read.parquet(f"{sf_dir}/orders.parquet")
+    )
+
+
+def q_supply_bipartite_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bipartite degree histograms of the part–supplier network:
+    suppliers per part and parts per supplier."""
+    from big_data_graph_analysis_with_spark_spark.operators import olap
+
+    return olap.supply_bipartite_profile(
+        _prep(spark).read.parquet(f"{sf_dir}/lineitem.parquet")
+    )
+
+
+def q_pricing_knob_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Joint discount × tax grid in exact integer cents with line
+    counts and exact decimal revenue per cell."""
+    from big_data_graph_analysis_with_spark_spark.operators import olap
+
+    return olap.pricing_knob_grid(
+        _prep(spark).read.parquet(f"{sf_dir}/lineitem.parquet")
+    )
+
+
+def q_user_event_type_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Behavioral-breadth histogram: users by count of distinct event
+    types touched."""
+    from big_data_graph_analysis_with_spark_spark.operators import sessions
+
+    return sessions.user_event_type_diversity(
+        _prep(spark).read.parquet(f"{sf_dir}/events.parquet")
+    )
+
+
 def q_walk_kernel(spark: SparkSession, sf_dir: str) -> DataFrame:
     """G2-G4 (rows-only: seeded-random, not SQL-expressible; property
     checks live in tests/test_walks_pipeline.py)."""
@@ -3612,6 +3667,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "order_size_profile": q_order_size_profile,
         "activity_streaks": q_activity_streaks,
         "daily_autocovariance": q_daily_autocovariance,
+        # -- NEW in round 7, fifth batch (all oracle-backed) -----------------
+        "edge_quality_census": q_edge_quality_census,
+        "source_corr_profile": q_source_corr_profile,
+        "order_cohort_retention": q_order_cohort_retention,
+        "supply_bipartite_profile": q_supply_bipartite_profile,
+        "pricing_knob_grid": q_pricing_knob_grid,
+        "user_event_type_diversity": q_user_event_type_diversity,
         # -- re-verification backfill: stalest green rows (r4 block; the 50-
         #    slot window cuts inside this block — the rest cycle next round) -
         "mixture_sample": q_mixture_sample,
@@ -4646,6 +4708,101 @@ GROUP BY 1, 2
             FROM base b
             LEFT JOIN l1 ON l1.event_type = b.event_type
             LEFT JOIN l7 ON l7.event_type = b.event_type
+        """,
+        "edge_quality_census": graph_sql(
+            """, raw AS (SELECT src, dst FROM og_edges),
+dd AS (SELECT DISTINCT src, dst FROM raw),
+dirs AS (
+  SELECT LEAST(src, dst) AS a, GREATEST(src, dst) AS b, COUNT(*) AS n_dir
+  FROM dd WHERE src <> dst GROUP BY 1, 2
+),
+t1 AS (
+  SELECT COUNT(*) AS n_raw,
+         COALESCE(SUM(CASE WHEN src = dst THEN 1 ELSE 0 END), 0)
+           AS n_self_loops
+  FROM raw
+),
+t2 AS (SELECT COUNT(*) AS n_distinct FROM dd),
+t3 AS (
+  SELECT COUNT(*) AS n_undirected,
+         COALESCE(SUM(CASE WHEN n_dir = 2 THEN 1 ELSE 0 END), 0) AS n_recip
+  FROM dirs
+)
+SELECT CAST(n_raw AS BIGINT) AS n_raw,
+       CAST(n_self_loops AS BIGINT) AS n_self_loops,
+       CAST(n_raw - n_distinct AS BIGINT) AS n_dup_directed,
+       CAST(n_recip AS BIGINT) AS n_reciprocal_pairs,
+       CAST(n_undirected AS BIGINT) AS n_undirected
+FROM t1, t2, t3
+"""
+        ),
+        "source_corr_profile": """
+            WITH per AS (
+              SELECT source, length(text) AS len,
+                     len(string_split(text, ' ')) AS tok
+              FROM documents
+            )
+            SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+                   CAST(SUM(len) AS BIGINT) AS sum_len,
+                   CAST(SUM(tok) AS BIGINT) AS sum_tok,
+                   CAST(SUM(len * len) AS BIGINT) AS sum_len_sq,
+                   CAST(SUM(tok * tok) AS BIGINT) AS sum_tok_sq,
+                   CAST(SUM(len * tok) AS BIGINT) AS sum_len_tok
+            FROM per GROUP BY 1
+        """,
+        "order_cohort_retention": """
+            WITH active AS (
+              SELECT DISTINCT o_custkey,
+                     year(o_orderdate) * 12 + month(o_orderdate) AS m
+              FROM orders
+            ),
+            first AS (
+              SELECT o_custkey, MIN(m) AS m0 FROM active GROUP BY 1
+            )
+            SELECT CAST(m0 AS BIGINT) AS cohort_month,
+                   CAST(m - m0 AS BIGINT) AS month_offset,
+                   CAST(COUNT(*) AS BIGINT) AS n_customers
+            FROM active JOIN first USING (o_custkey)
+            GROUP BY 1, 2
+        """,
+        "supply_bipartite_profile": """
+            WITH pairs AS (
+              SELECT DISTINCT l_partkey, l_suppkey FROM lineitem
+            ),
+            pd AS (
+              SELECT l_partkey, COUNT(*) AS n_partners FROM pairs GROUP BY 1
+            ),
+            sd AS (
+              SELECT l_suppkey, COUNT(*) AS n_partners FROM pairs GROUP BY 1
+            )
+            SELECT 'part' AS side, CAST(n_partners AS BIGINT) AS n_partners,
+                   CAST(COUNT(*) AS BIGINT) AS n_keys
+            FROM pd GROUP BY n_partners
+            UNION ALL
+            SELECT 'supplier', CAST(n_partners AS BIGINT),
+                   CAST(COUNT(*) AS BIGINT)
+            FROM sd GROUP BY n_partners
+        """,
+        "pricing_knob_grid": """
+            SELECT CAST(round(l_discount * 100) AS BIGINT) AS disc_cents,
+                   CAST(round(l_tax * 100) AS BIGINT) AS tax_cents,
+                   CAST(COUNT(*) AS BIGINT) AS n_lines,
+                   CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,2))
+                       * (CAST(1 AS DECIMAL(18,2))
+                          - CAST(l_discount AS DECIMAL(18,2)))
+                       AS DECIMAL(28,4))) AS DOUBLE) AS revenue
+            FROM lineitem GROUP BY 1, 2
+        """,
+        "user_event_type_diversity": """
+            WITH pairs AS (
+              SELECT DISTINCT user_id, event_type FROM events
+            ),
+            pu AS (
+              SELECT user_id, COUNT(*) AS n_types FROM pairs GROUP BY 1
+            )
+            SELECT CAST(n_types AS BIGINT) AS n_types,
+                   CAST(COUNT(*) AS BIGINT) AS n_users
+            FROM pu GROUP BY 1
         """,
         "charclass_profile": r"""
             WITH c AS (

@@ -638,6 +638,34 @@ def main() -> None:
         entrymod.q_activity_streaks(spark, SF_DIR).count()
         entrymod.q_daily_autocovariance(spark, SF_DIR).count()
 
+    @timed("graph_edge_quality")
+    def _():
+        # round-7 fifth batch: raw-edge ingest census on the cached
+        # graph (distinct + direction-count rollups)
+        from big_data_graph_analysis_with_spark_spark.operators import graphalg
+
+        graphalg.edge_quality_census(og).count()
+
+    @timed("olap_market_profiles", iters=2)
+    def _():
+        # round-7 fifth batch: cohort retention triangle, bipartite
+        # supply-degree histograms, pricing knob grid — each one
+        # fact-scan + bounded-key rollups
+        import __spark_entry__ as entrymod
+
+        entrymod.q_order_cohort_retention(spark, SF_DIR).count()
+        entrymod.q_supply_bipartite_profile(spark, SF_DIR).count()
+        entrymod.q_pricing_knob_grid(spark, SF_DIR).count()
+
+    @timed("behavior_profiles", iters=2)
+    def _():
+        # round-7 fifth batch: source correlation inputs + event-type
+        # diversity histogram
+        import __spark_entry__ as entrymod
+
+        entrymod.q_source_corr_profile(spark, SF_DIR).count()
+        entrymod.q_user_event_type_diversity(spark, SF_DIR).count()
+
     @timed("graph_degree_profiles", iters=2)
     def _():
         # round-7 degree-profile suite on the cached graph: bucketed

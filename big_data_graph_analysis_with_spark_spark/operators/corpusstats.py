@@ -776,3 +776,33 @@ def vocab_overlap(docs: DataFrame) -> DataFrame:
         )
         .select("source_a", "source_b", "n_common", "vocab_a", "vocab_b")
     )
+
+
+def source_corr_profile(docs: DataFrame) -> DataFrame:
+    """(source, n_docs, sum_len, sum_tok, sum_len_sq, sum_tok_sq,
+    sum_len_tok): per source, the exact integer sufficient statistics
+    for the character-length ↔ token-count correlation — Pearson r
+    needs only these six sums, all BIGINT here, so the engine stays
+    hash-exact and the monitor divides. A source whose r collapses is
+    a tokenizer-health alarm (binary junk, whitespace stripping, CJK
+    arriving in a space-token pipeline).
+
+    One narrow map computes both lengths per row (token count is
+    `size(split(text, ' '))` — the corpus single-space convention, no
+    explode: the token STREAM never materializes), then one map-side
+    combined aggregation keyed by source. Squares of per-doc lengths
+    fit BIGINT beyond any real document; the sums are exact.
+    """
+    n_len = F.length("text").cast("long")
+    n_tok = F.size(F.split(F.col("text"), " ")).cast("long")
+    per = docs.select(
+        "source", n_len.alias("len"), n_tok.alias("tok")
+    )
+    return per.groupBy("source").agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.sum("len").cast("long").alias("sum_len"),
+        F.sum("tok").cast("long").alias("sum_tok"),
+        F.sum(F.col("len") * F.col("len")).cast("long").alias("sum_len_sq"),
+        F.sum(F.col("tok") * F.col("tok")).cast("long").alias("sum_tok_sq"),
+        F.sum(F.col("len") * F.col("tok")).cast("long").alias("sum_len_tok"),
+    )

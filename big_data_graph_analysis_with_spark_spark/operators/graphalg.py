@@ -2128,3 +2128,60 @@ def global_transitivity(graph: NetGraph) -> DataFrame:
             (F.col("n_triangles") * 3).cast("long").alias("closed_wedges"),
         )
     )
+
+
+def edge_quality_census(graph: NetGraph) -> DataFrame:
+    """1-row (n_raw, n_self_loops, n_dup_directed, n_reciprocal_pairs,
+    n_undirected): the ingest data-quality audit of a raw edge list —
+    how many rows the scan delivered, how many are self-loops, how many
+    are exact directed duplicates beyond the first, how many distinct
+    undirected pairs carry BOTH directions, and the canonical
+    undirected edge count every census operator downstream will see.
+    Run this before trusting any graph metric: a doubled loader or a
+    symmetrized dump shows up here, not in pagerank.
+
+    One distinct over directed pairs and one (a, b)-keyed direction
+    count — both map-side combined; the five totals are 1-row
+    aggregates stitched with broadcast cross joins (the plan-audit
+    benign nested-loop convention). Nothing ever holds more than the
+    edge list, and the only shuffled payload is two longs per row.
+    """
+    e = graph.edges.select("src", "dst")
+    n_raw = e.agg(F.count("*").alias("n_raw"))
+    loops = e.agg(
+        F.sum((F.col("src") == F.col("dst")).cast("long")).alias("n_self_loops")
+    )
+    dd = e.distinct()
+    n_dup = dd.agg(F.count("*").alias("n_distinct_directed"))
+    # direction count per canonical non-loop pair: 2 = reciprocal
+    dirs = (
+        dd.filter(F.col("src") != F.col("dst"))
+        .groupBy(
+            F.least("src", "dst").alias("a"), F.greatest("src", "dst").alias("b")
+        )
+        .agg(F.count("*").alias("n_dir"))
+    )
+    und = dirs.agg(
+        F.count("*").alias("n_undirected"),
+        F.sum((F.col("n_dir") == 2).cast("long")).alias("n_reciprocal_pairs"),
+    )
+    return (
+        n_raw.crossJoin(F.broadcast(loops))
+        .crossJoin(F.broadcast(n_dup))
+        .crossJoin(F.broadcast(und))
+        .select(
+            F.col("n_raw").cast("long").alias("n_raw"),
+            F.coalesce(F.col("n_self_loops"), F.lit(0))
+            .cast("long")
+            .alias("n_self_loops"),
+            (F.col("n_raw") - F.col("n_distinct_directed"))
+            .cast("long")
+            .alias("n_dup_directed"),
+            F.coalesce(F.col("n_reciprocal_pairs"), F.lit(0))
+            .cast("long")
+            .alias("n_reciprocal_pairs"),
+            F.coalesce(F.col("n_undirected"), F.lit(0))
+            .cast("long")
+            .alias("n_undirected"),
+        )
+    )

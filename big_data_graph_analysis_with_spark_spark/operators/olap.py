@@ -1227,3 +1227,98 @@ def order_size_profile(lineitem: DataFrame, orders: DataFrame) -> DataFrame:
             F.sum("rev_dec").cast("double").alias("revenue"),
         )
     )
+
+
+def order_cohort_retention(orders: DataFrame) -> DataFrame:
+    """(cohort_month, month_offset, n_customers): the classic cohort
+    retention triangle on the ORDER fact — of the customers whose
+    first order fell in `cohort_month`, how many ordered again
+    `month_offset` months later (offset 0 = the cohort size itself).
+    The purchase-side twin of events_retention; months are the integer
+    ``year·12 + month`` so offsets subtract exactly cross-engine.
+
+    Two custkey-keyed aggregations, both map-side combined: distinct
+    (customer, month) activity — the exchange carries at most
+    |customers|·|months| rows — and the per-customer MIN first month,
+    joined back on custkey (co-located: same partitioning, reused),
+    then one bounded rollup to the |months|² triangle. No per-month
+    rescan of the fact, no window over fact-sized partitions.
+    """
+    mon = (
+        F.year("o_orderdate") * 12 + F.month("o_orderdate")
+    ).cast("long")
+    active = orders.select("o_custkey", mon.alias("m")).distinct()
+    first = active.groupBy("o_custkey").agg(F.min("m").alias("m0"))
+    return (
+        active.join(first, on="o_custkey")
+        .groupBy(
+            F.col("m0").alias("cohort_month"),
+            (F.col("m") - F.col("m0")).alias("month_offset"),
+        )
+        .agg(F.count("*").cast("long").alias("n_customers"))
+    )
+
+
+def supply_bipartite_profile(lineitem: DataFrame) -> DataFrame:
+    """(side, n_partners, n_keys): degree histograms of BOTH sides of
+    the part–supplier bipartite network implied by shipped lines —
+    for side 'part', how many parts have exactly `n_partners` distinct
+    suppliers; for side 'supplier', how many suppliers ship exactly
+    `n_partners` distinct parts. The sourcing-redundancy audit
+    (single-sourced parts are supply risk; the supplier side is
+    catalog breadth) without materializing any per-key partner lists.
+
+    One distinct over (partkey, suppkey) pairs — map-side partial
+    dedup, the exchange carries at most |parts|·|suppliers| rows —
+    then two bounded aggregations per side (partner count → histogram)
+    that reuse the pair frame via an eager-free localCheckpoint. The
+    output is |distinct degrees|·2 rows at any corpus size.
+    """
+    pairs = (
+        lineitem.select("l_partkey", "l_suppkey")
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+
+    def side(key: str, label: str) -> DataFrame:
+        deg = pairs.groupBy(key).agg(F.count("*").alias("n_partners"))
+        return deg.groupBy("n_partners").agg(
+            F.count("*").alias("n_keys")
+        ).select(
+            F.lit(label).alias("side"),
+            F.col("n_partners").cast("long").alias("n_partners"),
+            F.col("n_keys").cast("long").alias("n_keys"),
+        )
+
+    return side("l_partkey", "part").unionAll(side("l_suppkey", "supplier"))
+
+
+def pricing_knob_grid(lineitem: DataFrame) -> DataFrame:
+    """(disc_cents, tax_cents, n_lines, revenue): the joint grid of the
+    two pricing knobs — discount and tax lifted to exact integer cents
+    (``round(x·100)``, the value_drift convention) — with line counts
+    and the exact discounted revenue per cell. The pricing-policy audit:
+    which (discount, tax) combinations actually occur, and what revenue
+    rides each.
+
+    A single map-side-combined aggregation on a bounded integer key
+    pair (both knobs live in [0, 100] cents); revenue is the
+    DECIMAL(28,4) product summed and cast to double once. Nothing
+    shuffles but the ≤101² grid partials.
+    """
+    rev = (
+        F.col("l_extendedprice").cast("decimal(18,2)")
+        * (F.lit(1).cast("decimal(18,2)") - F.col("l_discount").cast("decimal(18,2)"))
+    ).cast("decimal(28,4)")
+    return (
+        lineitem.select(
+            F.round(F.col("l_discount") * 100).cast("long").alias("disc_cents"),
+            F.round(F.col("l_tax") * 100).cast("long").alias("tax_cents"),
+            rev.alias("rev"),
+        )
+        .groupBy("disc_cents", "tax_cents")
+        .agg(
+            F.count("*").cast("long").alias("n_lines"),
+            F.sum("rev").cast("double").alias("revenue"),
+        )
+    )

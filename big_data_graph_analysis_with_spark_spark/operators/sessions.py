@@ -172,3 +172,21 @@ def activity_streaks(events: DataFrame) -> DataFrame:
     return best.groupBy(F.col("streak_len").cast("long").alias("streak_len")).agg(
         F.count("*").cast("long").alias("n_users")
     )
+
+
+def user_event_type_diversity(events: DataFrame) -> DataFrame:
+    """(n_types, n_users): histogram of behavioral breadth — how many
+    users touch exactly `n_types` distinct event types. The working
+    set behind engagement tiers (single-feature users vs power users)
+    and the activity_streaks companion: streaks measure WHEN users
+    show up, this measures HOW WIDELY they act.
+
+    Distinct (user, type) pairs — map-side partial dedup bounds the
+    exchange at |users|·|types| rows — then two bounded aggregations
+    reusing the user-keyed partitioning. Output is ≤|types| rows.
+    """
+    pairs = events.select("user_id", "event_type").distinct()
+    per_user = pairs.groupBy("user_id").agg(F.count("*").alias("n_types"))
+    return per_user.groupBy(
+        F.col("n_types").cast("long").alias("n_types")
+    ).agg(F.count("*").cast("long").alias("n_users"))

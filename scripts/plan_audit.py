@@ -71,6 +71,10 @@ AUDIT = [
     # round-7 fourth batch
     "global_transitivity", "sole_returned_supplier", "supplier_hhi",
     "order_size_profile", "activity_streaks", "daily_autocovariance",
+    # round-7 fifth batch
+    "edge_quality_census", "source_corr_profile", "order_cohort_retention",
+    "supply_bipartite_profile", "pricing_knob_grid",
+    "user_event_type_diversity",
 ]
 # motif_counts is deliberately NOT in AUDIT: its builder runs the full
 # census via driver-side .count() actions, so the final frame is just a
