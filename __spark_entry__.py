@@ -3569,6 +3569,76 @@ def q_user_event_type_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_edge_block_census(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Block structure of the derived graph: edges by (src class,
+    dst class) over the disjoint nation/supplier/customer id ranges."""
+    from big_data_graph_analysis_with_spark_spark.sources.tpch_graph import (
+        CUSTOMER_OFFSET,
+        SUPPLIER_OFFSET,
+    )
+
+    og, _ = _graphs(spark, sf_dir)
+    return graphalg.edge_block_census(
+        og,
+        [
+            ("nation", SUPPLIER_OFFSET),
+            ("supplier", CUSTOMER_OFFSET),
+            ("customer", 1 << 62),
+        ],
+    )
+
+
+def q_segment_revenue_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Yearly order volume and exact revenue per customer market
+    segment."""
+    from big_data_graph_analysis_with_spark_spark.operators import olap
+
+    sess = _prep(spark)
+    return olap.segment_revenue_mix(
+        sess.read.parquet(f"{sf_dir}/orders.parquet"),
+        sess.read.parquet(f"{sf_dir}/customer.parquet"),
+    )
+
+
+def q_supplier_balance_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact p50/p90/p99 of supplier account balance (cents) per
+    nation via the shared value-histogram rank selection."""
+    from big_data_graph_analysis_with_spark_spark.operators import olap
+
+    sess = _prep(spark)
+    return olap.supplier_balance_deciles(
+        sess.read.parquet(f"{sf_dir}/supplier.parquet"),
+        sess.read.parquet(f"{sf_dir}/nation.parquet"),
+    )
+
+
+def q_priority_mix_shift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-priority composition per year with exact ppm shares."""
+    from big_data_graph_analysis_with_spark_spark.operators import olap
+
+    return olap.priority_mix_shift(
+        _prep(spark).read.parquet(f"{sf_dir}/orders.parquet")
+    )
+
+
+def q_leading_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-5 leading tokens per source — the boilerplate/template
+    detector on document openers."""
+    from big_data_graph_analysis_with_spark_spark.operators import corpusstats
+
+    return corpusstats.leading_tokens(_docs(spark, sf_dir))
+
+
+def q_value_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per event type, exact integer moment inputs (cents) for the
+    value column."""
+    from big_data_graph_analysis_with_spark_spark.operators import drift
+
+    return drift.value_moments(
+        _prep(spark).read.parquet(f"{sf_dir}/events.parquet")
+    )
+
+
 def q_walk_kernel(spark: SparkSession, sf_dir: str) -> DataFrame:
     """G2-G4 (rows-only: seeded-random, not SQL-expressible; property
     checks live in tests/test_walks_pipeline.py)."""
@@ -3674,6 +3744,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "supply_bipartite_profile": q_supply_bipartite_profile,
         "pricing_knob_grid": q_pricing_knob_grid,
         "user_event_type_diversity": q_user_event_type_diversity,
+        # -- NEW in round 7, sixth batch (all oracle-backed; the 50-slot
+        #    window is already full of round-7 queries, so these queue
+        #    for the round-8 rotation) ---------------------------------------
+        "edge_block_census": q_edge_block_census,
+        "segment_revenue_mix": q_segment_revenue_mix,
+        "supplier_balance_deciles": q_supplier_balance_deciles,
+        "priority_mix_shift": q_priority_mix_shift,
+        "leading_tokens": q_leading_tokens,
+        "value_moments": q_value_moments,
         # -- re-verification backfill: stalest green rows (r4 block; the 50-
         #    slot window cuts inside this block — the rest cycle next round) -
         "mixture_sample": q_mixture_sample,
@@ -4803,6 +4882,89 @@ FROM t1, t2, t3
             SELECT CAST(n_types AS BIGINT) AS n_types,
                    CAST(COUNT(*) AS BIGINT) AS n_users
             FROM pu GROUP BY 1
+        """,
+        "edge_block_census": graph_sql(
+            """
+SELECT CASE WHEN src < 100 THEN 'nation'
+            WHEN src < 10000 THEN 'supplier'
+            ELSE 'customer' END AS src_class,
+       CASE WHEN dst < 100 THEN 'nation'
+            WHEN dst < 10000 THEN 'supplier'
+            ELSE 'customer' END AS dst_class,
+       CAST(COUNT(*) AS BIGINT) AS n_edges
+FROM og_edges GROUP BY 1, 2
+"""
+        ),
+        "segment_revenue_mix": """
+            SELECT c_mktsegment AS segment,
+                   CAST(year(o_orderdate) AS BIGINT) AS "year",
+                   CAST(COUNT(*) AS BIGINT) AS n_orders,
+                   CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)))
+                        AS DOUBLE) AS revenue
+            FROM orders JOIN customer ON c_custkey = o_custkey
+            GROUP BY 1, 2
+        """,
+        "supplier_balance_deciles": """
+            WITH qs(p_label, num, den) AS (
+              VALUES ('p50', 1, 2), ('p90', 9, 10), ('p99', 99, 100)
+            ),
+            r AS (
+              SELECT n_name AS nation,
+                     CAST(round(s_acctbal * 100) AS BIGINT) AS cents,
+                     ROW_NUMBER() OVER (PARTITION BY n_name
+                       ORDER BY round(s_acctbal * 100), s_suppkey) AS rn,
+                     COUNT(*) OVER (PARTITION BY n_name) AS cnt
+              FROM supplier JOIN nation ON n_nationkey = s_nationkey
+            )
+            SELECT r.nation, q.p_label,
+                   CAST(r.cnt AS BIGINT) AS n_suppliers,
+                   r.cents AS q_cents
+            FROM r, qs q
+            WHERE r.rn - 1 = (r.cnt - 1) * q.num // q.den
+        """,
+        "priority_mix_shift": """
+            WITH counts AS (
+              SELECT year(o_orderdate) AS yr, o_orderpriority AS priority,
+                     COUNT(*) AS n_orders
+              FROM orders GROUP BY 1, 2
+            ),
+            totals AS (
+              SELECT yr, SUM(n_orders) AS y_total FROM counts GROUP BY 1
+            )
+            SELECT CAST(c.yr AS BIGINT) AS "year", c.priority,
+                   CAST(c.n_orders AS BIGINT) AS n_orders,
+                   CAST(c.n_orders * 1000000 // t.y_total AS BIGINT)
+                     AS share_ppm
+            FROM counts c JOIN totals t ON t.yr = c.yr
+        """,
+        "leading_tokens": """
+            WITH counts AS (
+              SELECT source, string_split(text, ' ')[1] AS token,
+                     COUNT(*) AS n_docs
+              FROM documents GROUP BY 1, 2
+            ),
+            rk AS (
+              SELECT source, token, n_docs,
+                     ROW_NUMBER() OVER (PARTITION BY source
+                       ORDER BY n_docs DESC, token) AS rank
+              FROM counts
+            )
+            SELECT source, CAST(rank AS BIGINT) AS rank, token,
+                   CAST(n_docs AS BIGINT) AS n_docs
+            FROM rk WHERE rank <= 5
+        """,
+        "value_moments": """
+            WITH per AS (
+              SELECT event_type,
+                     CAST(round(value * 100) AS BIGINT) AS c
+              FROM events
+            )
+            SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_events,
+                   CAST(SUM(c) AS DOUBLE) AS sum_cents,
+                   CAST(SUM(c * c) AS DOUBLE) AS sum_sq_cents,
+                   CAST(MIN(c) AS BIGINT) AS min_cents,
+                   CAST(MAX(c) AS BIGINT) AS max_cents
+            FROM per GROUP BY 1
         """,
         "charclass_profile": r"""
             WITH c AS (

@@ -666,6 +666,20 @@ def main() -> None:
         entrymod.q_source_corr_profile(spark, SF_DIR).count()
         entrymod.q_user_event_type_diversity(spark, SF_DIR).count()
 
+    @timed("mix_profiles", iters=2)
+    def _():
+        # round-7 sixth batch: block census on the cached graph +
+        # segment/priority mix + balance deciles + leading tokens +
+        # value moments — all bounded-key rollups
+        import __spark_entry__ as entrymod
+
+        entrymod.q_edge_block_census(spark, SF_DIR).count()
+        entrymod.q_segment_revenue_mix(spark, SF_DIR).count()
+        entrymod.q_supplier_balance_deciles(spark, SF_DIR).count()
+        entrymod.q_priority_mix_shift(spark, SF_DIR).count()
+        entrymod.q_leading_tokens(spark, SF_DIR).count()
+        entrymod.q_value_moments(spark, SF_DIR).count()
+
     @timed("graph_degree_profiles", iters=2)
     def _():
         # round-7 degree-profile suite on the cached graph: bucketed

@@ -806,3 +806,34 @@ def source_corr_profile(docs: DataFrame) -> DataFrame:
         F.sum(F.col("tok") * F.col("tok")).cast("long").alias("sum_tok_sq"),
         F.sum(F.col("len") * F.col("tok")).cast("long").alias("sum_len_tok"),
     )
+
+
+def leading_tokens(docs: DataFrame, k: int = 5) -> DataFrame:
+    """(source, rank, token, n_docs): the k most common LEADING tokens
+    per source — document openers are a cheap template detector
+    (boilerplate headers, scraped navigation, form letters all
+    announce themselves in token one) and a dedup-prefilter hint.
+
+    The first token is `split(text, ' ')[1]` — a narrow map, the
+    single-space corpus convention, no explode — then one aggregation
+    on (source, first token) and a rank window over that
+    vocabulary-bounded frame (never the docs). Ties break on the token
+    string so top-k is deterministic cross-engine.
+    """
+    first = F.element_at(F.split(F.col("text"), " "), 1).alias("token")
+    counts = docs.select("source", first).groupBy("source", "token").agg(
+        F.count("*").alias("n_docs")
+    )
+    w = Window.partitionBy("source").orderBy(
+        F.col("n_docs").desc(), F.col("token")
+    )
+    return (
+        counts.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            "source",
+            F.col("rank").cast("long").alias("rank"),
+            "token",
+            F.col("n_docs").cast("long").alias("n_docs"),
+        )
+    )

@@ -179,3 +179,29 @@ def daily_autocovariance(events: DataFrame) -> DataFrame:
             F.coalesce("lag7_dot", F.lit(0)).cast("long").alias("lag7_dot"),
         )
     )
+
+
+def value_moments(events: DataFrame) -> DataFrame:
+    """(event_type, n_events, sum_cents, sum_sq_cents, min_cents,
+    max_cents): per event type, the exact integer moment inputs for
+    mean/variance/range of the value column — values lifted to cents
+    with the shared ``round(value·100)`` convention, squares summed in
+    DECIMAL(38,0) so no corpus size can overflow, both sums cast to
+    double once from the same exact integer on either engine. The
+    value_drift companion: drift compares WINDOWS, this tracks the
+    per-type scale a monitor normalizes by.
+
+    One map-side-combined aggregation on the |types|-bounded key; the
+    only shuffled payload is one partial row per (partition, type).
+    """
+    cents = F.round(F.col("value") * 100).cast("long")
+    per = events.select("event_type", cents.alias("c"))
+    return per.groupBy("event_type").agg(
+        F.count("*").cast("long").alias("n_events"),
+        F.sum(F.col("c").cast("decimal(38,0)")).cast("double").alias("sum_cents"),
+        F.sum((F.col("c") * F.col("c")).cast("decimal(38,0)"))
+        .cast("double")
+        .alias("sum_sq_cents"),
+        F.min("c").cast("long").alias("min_cents"),
+        F.max("c").cast("long").alias("max_cents"),
+    )

@@ -2185,3 +2185,35 @@ def edge_quality_census(graph: NetGraph) -> DataFrame:
             .alias("n_undirected"),
         )
     )
+
+
+def edge_block_census(
+    graph: NetGraph, boundaries: list[tuple[str, int]], default: str = "other"
+) -> DataFrame:
+    """(src_class, dst_class, n_edges): the block structure of a graph
+    whose vertex classes live in disjoint id ranges — edges counted by
+    (source class, destination class) cell, the stochastic-block-model
+    census that says which layers actually talk to each other (and the
+    FK-sanity check for derived graphs: a customer→nation edge here
+    means the loader wired a foreign key backwards).
+
+    ``boundaries`` is [(label, upper_bound), ...] ascending: a vertex
+    with id < upper_bound gets the first matching label, else
+    ``default``. Classification is a chained CASE — pure codegen'd
+    expression on the edge scan, no vertex join — and the single
+    aggregation is map-side combined on a ≤|classes|² key.
+    """
+
+    def cls(col: str):
+        expr = F.lit(default)
+        for label, ub in reversed(boundaries):
+            expr = F.when(F.col(col) < ub, F.lit(label)).otherwise(expr)
+        return expr
+
+    return (
+        graph.edges.select(
+            cls("src").alias("src_class"), cls("dst").alias("dst_class")
+        )
+        .groupBy("src_class", "dst_class")
+        .agg(F.count("*").cast("long").alias("n_edges"))
+    )

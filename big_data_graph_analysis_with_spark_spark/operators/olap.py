@@ -1322,3 +1322,92 @@ def pricing_knob_grid(lineitem: DataFrame) -> DataFrame:
             F.sum("rev").cast("double").alias("revenue"),
         )
     )
+
+
+def segment_revenue_mix(orders: DataFrame, customer: DataFrame) -> DataFrame:
+    """(segment, year, n_orders, revenue): yearly order volume and
+    exact revenue per customer market segment — the demand-mix
+    trendline (is MACHINERY growing at AUTOMOBILE's expense?). The
+    first consumer of c_mktsegment outside filters: segment is a
+    first-class grouping dimension here.
+
+    The customer dim broadcasts onto the orders scan (no fact-sized
+    shuffle), then one map-side-combined rollup on the bounded
+    (segment, year) key. Revenue is the DECIMAL(18,2) order total
+    summed exactly and cast to double once.
+    """
+    seg = customer.select(
+        F.col("c_custkey").alias("o_custkey"),
+        F.col("c_mktsegment").alias("segment"),
+    )
+    return (
+        orders.select("o_custkey", "o_totalprice", "o_orderdate")
+        .join(F.broadcast(seg), on="o_custkey")
+        .groupBy("segment", F.year("o_orderdate").cast("long").alias("year"))
+        .agg(
+            F.count("*").cast("long").alias("n_orders"),
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("revenue"),
+        )
+    )
+
+
+def supplier_balance_deciles(
+    supplier: DataFrame, nation: DataFrame
+) -> DataFrame:
+    """(nation, p_label, n_suppliers, q_cents): exact p50/p90/p99 of
+    supplier account balance (integer cents) per nation, via the
+    shared value-histogram rank selection — the credit-risk spread
+    audit on the supplier dimension.
+
+    Balances lift to cents with the value_drift ``round(x·100)``
+    convention; the only window runs over distinct (nation, cents)
+    values. The nation dim broadcasts onto the supplier scan.
+    """
+    from ..functions.quantiles import histogram_quantiles
+
+    tagged = supplier.select(
+        "s_nationkey",
+        F.round(F.col("s_acctbal") * 100).cast("long").alias("cents"),
+    ).join(
+        F.broadcast(nation.select(
+            F.col("n_nationkey").alias("s_nationkey"),
+            F.col("n_name").alias("nation"),
+        )),
+        on="s_nationkey",
+    )
+    return histogram_quantiles(
+        tagged.select("nation", "cents"),
+        "cents",
+        count_alias="n_suppliers",
+        value_alias="q_cents",
+        group_cols=["nation"],
+    )
+
+
+def priority_mix_shift(orders: DataFrame) -> DataFrame:
+    """(year, priority, n_orders, share_ppm): order-priority
+    composition per year with exact ppm shares within the year — the
+    mix-shift drift view (a rising URGENT share changes downstream
+    SLA load even at flat volume).
+
+    One map-side-combined rollup on the bounded (year, priority) key,
+    then the ppm share joins the |years|-sized totals frame back by
+    broadcast. Integer arithmetic only.
+    """
+    counts = (
+        orders.groupBy(
+            F.year("o_orderdate").cast("long").alias("year"),
+            F.col("o_orderpriority").alias("priority"),
+        )
+        .agg(F.count("*").alias("n_orders"))
+        .localCheckpoint(eager=False)
+    )
+    totals = counts.groupBy("year").agg(F.sum("n_orders").alias("y_total"))
+    return counts.join(F.broadcast(totals), on="year").select(
+        "year",
+        "priority",
+        F.col("n_orders").cast("long").alias("n_orders"),
+        F.expr("n_orders * 1000000 DIV y_total").alias("share_ppm"),
+    )

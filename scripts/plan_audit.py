@@ -75,6 +75,9 @@ AUDIT = [
     "edge_quality_census", "source_corr_profile", "order_cohort_retention",
     "supply_bipartite_profile", "pricing_knob_grid",
     "user_event_type_diversity",
+    # round-7 sixth batch
+    "edge_block_census", "segment_revenue_mix", "supplier_balance_deciles",
+    "priority_mix_shift", "leading_tokens", "value_moments",
 ]
 # motif_counts is deliberately NOT in AUDIT: its builder runs the full
 # census via driver-side .count() actions, so the final frame is just a
