@@ -684,6 +684,37 @@ FROM nv, ne, wed, tri
     )
 
 
+def _component_density_sql() -> str:
+    """Twin of graphalg.component_density_profile — the components
+    recursive CTE plus the one-endpoint edge-label join and the
+    bit-length size bucket."""
+    return f"""
+WITH RECURSIVE {GRAPH_CTES},
+{_UND_CTES.strip()},
+sym AS (SELECT a, b FROM und UNION ALL SELECT b AS a, a AS b FROM und),
+reach(id, r) AS (
+  SELECT id, id FROM og_vertices
+  UNION
+  SELECT s.a, reach.r FROM sym s JOIN reach ON reach.id = s.b
+),
+cc AS (SELECT id, MIN(r) AS component_id FROM reach GROUP BY id),
+sizes AS (SELECT component_id, COUNT(*) AS size FROM cc GROUP BY 1),
+ec AS (
+  SELECT c.component_id, COUNT(*) AS n_e
+  FROM und e JOIN cc c ON c.id = e.a GROUP BY 1
+),
+per AS (
+  SELECT s.size, COALESCE(ec.n_e, 0) AS n_e
+  FROM sizes s LEFT JOIN ec ON ec.component_id = s.component_id
+)
+SELECT CAST(length(bin(size)) AS BIGINT) AS size_bits,
+       CAST(COUNT(*) AS BIGINT) AS n_components,
+       CAST(SUM(size) AS BIGINT) AS n_vertices,
+       CAST(SUM(n_e) AS BIGINT) AS n_internal_edges
+FROM per GROUP BY 1
+"""
+
+
 def _components_sql() -> str:
     # graph_sql can't host a recursive CTE (RECURSIVE must follow WITH),
     # so compose the preamble by hand
@@ -3639,6 +3670,61 @@ def q_value_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_component_density_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Components bucketed by size bit-length with vertex and internal
+    undirected edge totals — clique-or-thread density census."""
+    og, _ = _graphs(spark, sf_dir)
+    return graphalg.component_density_profile(og)
+
+
+def q_fk_integrity_census(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-row referential-integrity audit between orders and
+    lineitem key sets."""
+    from big_data_graph_analysis_with_spark_spark.operators import olap
+
+    sess = _prep(spark)
+    return olap.fk_integrity_census(
+        sess.read.parquet(f"{sf_dir}/orders.parquet"),
+        sess.read.parquet(f"{sf_dir}/lineitem.parquet"),
+    )
+
+
+def q_custbal_order_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-row exact sufficient statistics for the balance ↔
+    order-count correlation over all customers."""
+    from big_data_graph_analysis_with_spark_spark.operators import olap
+
+    sess = _prep(spark)
+    return olap.custbal_order_corr(
+        sess.read.parquet(f"{sf_dir}/orders.parquet"),
+        sess.read.parquet(f"{sf_dir}/customer.parquet"),
+    )
+
+
+def q_brand_price_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-brand retail-price dispersion inputs in exact integer
+    cents."""
+    from big_data_graph_analysis_with_spark_spark.operators import olap
+
+    return olap.brand_price_moments(
+        _prep(spark).read.parquet(f"{sf_dir}/part.parquet")
+    )
+
+
+def q_lang_token_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language exact token-length moment inputs — the
+    bytes-per-token predictor."""
+    from big_data_graph_analysis_with_spark_spark.operators import corpusstats
+
+    return corpusstats.lang_token_moments(_docs(spark, sf_dir))
+
+
+def q_knn_mutuality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mutual-kNN curve per rank over the exact cosine 5-NN slice —
+    the hubness tripwire."""
+    return similarity.knn_mutuality(_embs(spark, sf_dir), k=5, sample_mod=10)
+
+
 def q_walk_kernel(spark: SparkSession, sf_dir: str) -> DataFrame:
     """G2-G4 (rows-only: seeded-random, not SQL-expressible; property
     checks live in tests/test_walks_pipeline.py)."""
@@ -3753,6 +3839,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "priority_mix_shift": q_priority_mix_shift,
         "leading_tokens": q_leading_tokens,
         "value_moments": q_value_moments,
+        # -- NEW in round 7, seventh batch (all oracle-backed; queued for the
+        #    round-8 window like the sixth batch) ----------------------------
+        "component_density_profile": q_component_density_profile,
+        "fk_integrity_census": q_fk_integrity_census,
+        "custbal_order_corr": q_custbal_order_corr,
+        "brand_price_moments": q_brand_price_moments,
+        "lang_token_moments": q_lang_token_moments,
+        "knn_mutuality": q_knn_mutuality,
         # -- re-verification backfill: stalest green rows (r4 block; the 50-
         #    slot window cuts inside this block — the rest cycle next round) -
         "mixture_sample": q_mixture_sample,
@@ -4965,6 +5059,88 @@ FROM og_edges GROUP BY 1, 2
                    CAST(MIN(c) AS BIGINT) AS min_cents,
                    CAST(MAX(c) AS BIGINT) AS max_cents
             FROM per GROUP BY 1
+        """,
+        "component_density_profile": _component_density_sql(),
+        "fk_integrity_census": """
+            WITH ok AS (SELECT DISTINCT o_orderkey AS k FROM orders),
+            lk AS (SELECT DISTINCT l_orderkey AS k FROM lineitem),
+            fj AS (
+              SELECT ok.k AS ko, lk.k AS kl
+              FROM ok FULL OUTER JOIN lk ON lk.k = ok.k
+            )
+            SELECT CAST(COUNT(ko) AS BIGINT) AS n_order_keys,
+                   CAST(COUNT(kl) AS BIGINT) AS n_lineitem_keys,
+                   CAST(SUM(CASE WHEN ko IS NOT NULL AND kl IS NOT NULL
+                            THEN 1 ELSE 0 END) AS BIGINT) AS n_matched,
+                   CAST(SUM(CASE WHEN ko IS NOT NULL AND kl IS NULL
+                            THEN 1 ELSE 0 END) AS BIGINT)
+                     AS n_childless_orders,
+                   CAST(SUM(CASE WHEN ko IS NULL AND kl IS NOT NULL
+                            THEN 1 ELSE 0 END) AS BIGINT)
+                     AS n_orphan_lineitem_keys
+            FROM fj
+        """,
+        "custbal_order_corr": """
+            WITH per_cust AS (
+              SELECT o_custkey, COUNT(*) AS n_ord FROM orders GROUP BY 1
+            ),
+            j AS (
+              SELECT CAST(round(c_acctbal * 100) AS BIGINT) AS bal,
+                     COALESCE(n_ord, 0) AS n_ord
+              FROM customer LEFT JOIN per_cust ON o_custkey = c_custkey
+            )
+            SELECT CAST(COUNT(*) AS BIGINT) AS n_customers,
+                   CAST(SUM(bal) AS BIGINT) AS sum_bal,
+                   CAST(SUM(n_ord) AS BIGINT) AS sum_orders,
+                   CAST(SUM(bal * bal) AS DOUBLE) AS sum_bal_sq,
+                   CAST(SUM(n_ord * n_ord) AS DOUBLE) AS sum_orders_sq,
+                   CAST(SUM(bal * n_ord) AS DOUBLE) AS sum_bal_orders
+            FROM j
+        """,
+        "brand_price_moments": """
+            WITH per AS (
+              SELECT p_brand AS brand,
+                     CAST(round(p_retailprice * 100) AS BIGINT) AS c
+              FROM part
+            )
+            SELECT brand, CAST(COUNT(*) AS BIGINT) AS n_parts,
+                   CAST(SUM(c) AS BIGINT) AS sum_cents,
+                   CAST(SUM(c * c) AS DOUBLE) AS sum_sq_cents,
+                   CAST(MIN(c) AS BIGINT) AS min_cents,
+                   CAST(MAX(c) AS BIGINT) AS max_cents
+            FROM per GROUP BY 1
+        """,
+        "lang_token_moments": """
+            WITH toks AS (
+              SELECT lang,
+                     length(unnest(string_split(text, ' '))) AS n
+              FROM documents
+            ),
+            dp AS (SELECT lang, COUNT(*) AS n_docs FROM documents GROUP BY 1),
+            ts AS (
+              SELECT lang, COUNT(*) AS n_tokens, SUM(n) AS sum_tok_len,
+                     SUM(n * n) AS sum_tok_len_sq
+              FROM toks GROUP BY 1
+            )
+            SELECT dp.lang, CAST(n_docs AS BIGINT) AS n_docs,
+                   CAST(n_tokens AS BIGINT) AS n_tokens,
+                   CAST(sum_tok_len AS BIGINT) AS sum_tok_len,
+                   CAST(sum_tok_len_sq AS BIGINT) AS sum_tok_len_sq
+            FROM dp JOIN ts ON ts.lang = dp.lang
+        """,
+        "knn_mutuality": f"""
+            WITH g AS (
+              SELECT vec_id, neighbor_id, rank FROM (
+                {doc_oracles.knn_graph_sql(k=5, sample_mod=10)}
+              )
+            )
+            SELECT CAST(g.rank AS BIGINT) AS rank,
+                   CAST(COUNT(*) AS BIGINT) AS n_edges,
+                   CAST(SUM(CASE WHEN r.vec_id IS NOT NULL THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n_mutual
+            FROM g LEFT JOIN g r
+              ON r.vec_id = g.neighbor_id AND r.neighbor_id = g.vec_id
+            GROUP BY 1
         """,
         "charclass_profile": r"""
             WITH c AS (

@@ -680,6 +680,27 @@ def main() -> None:
         entrymod.q_leading_tokens(spark, SF_DIR).count()
         entrymod.q_value_moments(spark, SF_DIR).count()
 
+    @timed("integrity_audits", iters=2)
+    def _():
+        # round-7 seventh batch: FK integrity census, correlation
+        # inputs, brand price moments, per-lang token moments, mutual
+        # kNN curve (component density rides the graph suites' CC)
+        import __spark_entry__ as entrymod
+
+        entrymod.q_fk_integrity_census(spark, SF_DIR).count()
+        entrymod.q_custbal_order_corr(spark, SF_DIR).count()
+        entrymod.q_brand_price_moments(spark, SF_DIR).count()
+        entrymod.q_lang_token_moments(spark, SF_DIR).count()
+        entrymod.q_knn_mutuality(spark, SF_DIR).count()
+
+    @timed("graph_component_density")
+    def _():
+        # round-7 seventh batch: CC + one-endpoint edge-label join +
+        # bit-length density rollup on the cached graph
+        from big_data_graph_analysis_with_spark_spark.operators import graphalg
+
+        graphalg.component_density_profile(og).count()
+
     @timed("graph_degree_profiles", iters=2)
     def _():
         # round-7 degree-profile suite on the cached graph: bucketed

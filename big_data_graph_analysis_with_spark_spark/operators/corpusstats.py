@@ -837,3 +837,35 @@ def leading_tokens(docs: DataFrame, k: int = 5) -> DataFrame:
             F.col("n_docs").cast("long").alias("n_docs"),
         )
     )
+
+
+def lang_token_moments(docs: DataFrame) -> DataFrame:
+    """(lang, n_docs, n_tokens, sum_tok_len, sum_tok_len_sq): per
+    language, exact moment inputs of the token-length distribution —
+    mean/variance of token length is the cheapest language-model cost
+    predictor (bytes-per-token) and a mojibake tripwire (a language
+    whose token-length variance jumps grew untokenized junk). The
+    per-language slice token_length_histogram's global view can't
+    give.
+
+    One explode over single-space tokens — the only fact-sized step,
+    a narrow map — then token STRINGS are projected to their integer
+    lengths before the |langs|-bounded aggregation: text never
+    shuffles, partials combine map-side. All sums are exact BIGINTs.
+    """
+    toks = docs.select(
+        "lang", F.explode(F.split(F.col("text"), " ")).alias("tok")
+    ).select("lang", F.length("tok").alias("n"))
+    docs_per = docs.groupBy("lang").agg(F.count("*").alias("n_docs"))
+    tok_stats = toks.groupBy("lang").agg(
+        F.count("*").cast("long").alias("n_tokens"),
+        F.sum("n").cast("long").alias("sum_tok_len"),
+        F.sum(F.col("n") * F.col("n")).cast("long").alias("sum_tok_len_sq"),
+    )
+    return docs_per.join(tok_stats, on="lang").select(
+        "lang",
+        F.col("n_docs").cast("long").alias("n_docs"),
+        "n_tokens",
+        "sum_tok_len",
+        "sum_tok_len_sq",
+    )

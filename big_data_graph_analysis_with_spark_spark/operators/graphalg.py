@@ -2217,3 +2217,39 @@ def edge_block_census(
         .groupBy("src_class", "dst_class")
         .agg(F.count("*").cast("long").alias("n_edges"))
     )
+
+
+def component_density_profile(
+    graph: NetGraph, max_iters: int = 50, sym_edges: DataFrame | None = None
+) -> DataFrame:
+    """(size_bits, n_components, n_vertices, n_internal_edges): the
+    density view of the connectivity fingerprint — components bucketed
+    by the BIT LENGTH of their vertex count (the shared conv/bin
+    convention), with total vertices and total internal undirected
+    edges per bucket. Read against ``C(size, 2)`` it says whether the
+    small components are cliques (near-complete: merged entities) or
+    threads (near-tree: chains) — the census
+    :func:`component_size_histogram` can't distinguish.
+
+    One :func:`connected_components` run (same `sym_edges` stable-scan
+    option), then the canonical edge set binds each edge to its
+    component through ONE endpoint label join (a's component = b's by
+    definition of a component), and two bounded aggregations roll
+    labels and edges into the ≤64-bucket frame.
+    """
+    cc = connected_components(graph, max_iters=max_iters, sym_edges=sym_edges)
+    sizes = cc.groupBy("component_id").agg(F.count("*").alias("size"))
+    e_lab = undirected_edges(graph).join(
+        cc.select(F.col("id").alias("a"), "component_id"), on="a"
+    )
+    e_cnt = e_lab.groupBy("component_id").agg(F.count("*").alias("n_e"))
+    per_comp = sizes.join(e_cnt, on="component_id", how="left").select(
+        "size", F.coalesce("n_e", F.lit(0)).alias("n_e")
+    )
+    return per_comp.groupBy(
+        F.length(F.conv(F.col("size"), 10, 2)).cast("long").alias("size_bits")
+    ).agg(
+        F.count("*").cast("long").alias("n_components"),
+        F.sum("size").cast("long").alias("n_vertices"),
+        F.sum("n_e").cast("long").alias("n_internal_edges"),
+    )

@@ -1411,3 +1411,98 @@ def priority_mix_shift(orders: DataFrame) -> DataFrame:
         F.col("n_orders").cast("long").alias("n_orders"),
         F.expr("n_orders * 1000000 DIV y_total").alias("share_ppm"),
     )
+
+
+def fk_integrity_census(orders: DataFrame, lineitem: DataFrame) -> DataFrame:
+    """1-row (n_order_keys, n_lineitem_keys, n_matched,
+    n_childless_orders, n_orphan_lineitem_keys): the referential-
+    integrity audit between the order header and its lines — distinct
+    keys on each side, keys present on both, headers with no lines,
+    and line keys with no header. The ingest gate every 100 TB
+    pipeline runs before joining fact tables: orphans here mean a
+    partial load or a retention mismatch, and every downstream inner
+    join silently drops them.
+
+    Both sides collapse to DISTINCT key sets map-side (the exchange
+    carries keys only), one co-located full outer join classifies
+    every key, and a single 1-row aggregation counts the three
+    classes. Nothing ever shuffles a payload column.
+    """
+    ok = orders.select(F.col("o_orderkey").alias("k")).distinct().withColumn(
+        "has_o", F.lit(1)
+    )
+    lk = lineitem.select(F.col("l_orderkey").alias("k")).distinct().withColumn(
+        "has_l", F.lit(1)
+    )
+    both = ok.join(lk, on="k", how="full_outer")
+    return both.agg(
+        F.sum(F.coalesce("has_o", F.lit(0))).cast("long").alias("n_order_keys"),
+        F.sum(F.coalesce("has_l", F.lit(0))).cast("long").alias("n_lineitem_keys"),
+        F.sum(
+            (F.col("has_o").isNotNull() & F.col("has_l").isNotNull()).cast("long")
+        ).cast("long").alias("n_matched"),
+        F.sum(
+            (F.col("has_o").isNotNull() & F.col("has_l").isNull()).cast("long")
+        ).cast("long").alias("n_childless_orders"),
+        F.sum(
+            (F.col("has_o").isNull() & F.col("has_l").isNotNull()).cast("long")
+        ).cast("long").alias("n_orphan_lineitem_keys"),
+    )
+
+
+def custbal_order_corr(orders: DataFrame, customer: DataFrame) -> DataFrame:
+    """1-row (n_customers, sum_bal, sum_orders, sum_bal_sq,
+    sum_orders_sq, sum_bal_orders): exact sufficient statistics for
+    the account-balance ↔ order-count correlation over ALL customers
+    (zero-order customers included — dropping them is the classic
+    selection-bias mistake). Balance is integer cents; squares and
+    cross products sum in DECIMAL(38,0) and cast to double once, so
+    no corpus size overflows and both engines round the same integer.
+
+    The fact collapses to per-customer counts map-side; the customer
+    dim left-joins those counts (custkey-co-located at 100 TB), and
+    one 1-row aggregation finishes. The monitor divides.
+    """
+    per_cust = orders.groupBy(F.col("o_custkey").alias("c_custkey")).agg(
+        F.count("*").alias("n_ord")
+    )
+    joined = customer.select(
+        "c_custkey",
+        F.round(F.col("c_acctbal") * 100).cast("long").alias("bal"),
+    ).join(per_cust, on="c_custkey", how="left").select(
+        "bal", F.coalesce("n_ord", F.lit(0)).alias("n_ord")
+    )
+    dec = lambda c: c.cast("decimal(38,0)")  # noqa: E731
+    return joined.agg(
+        F.count("*").cast("long").alias("n_customers"),
+        F.sum("bal").cast("long").alias("sum_bal"),
+        F.sum("n_ord").cast("long").alias("sum_orders"),
+        F.sum(dec(F.col("bal") * F.col("bal"))).cast("double").alias("sum_bal_sq"),
+        F.sum(dec(F.col("n_ord") * F.col("n_ord")))
+        .cast("double")
+        .alias("sum_orders_sq"),
+        F.sum(dec(F.col("bal") * F.col("n_ord")))
+        .cast("double")
+        .alias("sum_bal_orders"),
+    )
+
+
+def brand_price_moments(part: DataFrame) -> DataFrame:
+    """(brand, n_parts, sum_cents, sum_sq_cents, min_cents, max_cents):
+    per-brand retail-price dispersion inputs in exact integer cents —
+    the pricing-consistency audit on the part dimension (a brand whose
+    variance explodes has a mistagged catalog). Same exact-moments
+    convention as drift.value_moments: squares in DECIMAL(38,0), one
+    double cast at the end, one bounded-key aggregation.
+    """
+    cents = F.round(F.col("p_retailprice") * 100).cast("long")
+    per = part.select("p_brand", cents.alias("c"))
+    return per.groupBy(F.col("p_brand").alias("brand")).agg(
+        F.count("*").cast("long").alias("n_parts"),
+        F.sum("c").cast("long").alias("sum_cents"),
+        F.sum((F.col("c") * F.col("c")).cast("decimal(38,0)"))
+        .cast("double")
+        .alias("sum_sq_cents"),
+        F.min("c").cast("long").alias("min_cents"),
+        F.max("c").cast("long").alias("max_cents"),
+    )

@@ -891,3 +891,33 @@ def embedding_dot_hist(
     return dots.groupBy(
         F.floor(F.col("dot") * 10).cast("long").alias("band")
     ).agg(F.count("*").cast("long").alias("n_pairs"))
+
+
+def knn_mutuality(
+    emb: DataFrame, k: int = 5, sample_mod: int | None = None
+) -> DataFrame:
+    """(rank, n_edges, n_mutual): per neighbor rank, how many exact
+    kNN edges are reciprocated at ANY rank ≤ k — the mutual-kNN curve.
+    Rank-1 neighbors of well-clustered data are overwhelmingly mutual;
+    a curve that stays low flags hubness (a few vectors are everyone's
+    neighbor but reciprocate nobody), the classic high-dimensional ANN
+    pathology that IVF/LSH recall inherits.
+
+    Builds :func:`knn_graph` once (decimal-exact cosine ranks on the
+    deterministic slice), lazily localCheckpoints it, and left-joins
+    the edge set against its own reversal on the (vec, neighbor) key
+    pair — never a second all-pairs pass. Output is exactly k rows.
+    """
+    g = knn_graph(emb, k=k, sample_mod=sample_mod).select(
+        "vec_id", "neighbor_id", "rank"
+    ).localCheckpoint(eager=False)
+    rev = g.select(
+        F.col("neighbor_id").alias("vec_id"),
+        F.col("vec_id").alias("neighbor_id"),
+        F.lit(1).alias("mut"),
+    )
+    flagged = g.join(rev, on=["vec_id", "neighbor_id"], how="left")
+    return flagged.groupBy(F.col("rank").cast("long").alias("rank")).agg(
+        F.count("*").cast("long").alias("n_edges"),
+        F.sum(F.coalesce("mut", F.lit(0))).cast("long").alias("n_mutual"),
+    )

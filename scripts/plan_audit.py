@@ -78,6 +78,10 @@ AUDIT = [
     # round-7 sixth batch
     "edge_block_census", "segment_revenue_mix", "supplier_balance_deciles",
     "priority_mix_shift", "leading_tokens", "value_moments",
+    # round-7 seventh batch
+    "component_density_profile", "fk_integrity_census",
+    "custbal_order_corr", "brand_price_moments", "lang_token_moments",
+    "knn_mutuality",
 ]
 # motif_counts is deliberately NOT in AUDIT: its builder runs the full
 # census via driver-side .count() actions, so the final frame is just a
