@@ -3725,6 +3725,61 @@ def q_knn_mutuality(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.knn_mutuality(_embs(spark, sf_dir), k=5, sample_mod=10)
 
 
+def q_perturbation_census(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-row original-vs-perturbed diff totals — the golden-YAML
+    taxonomy (modified/removed/added) as an auditable frame."""
+    og, pg = _graphs(spark, sf_dir)
+    return graphalg.perturbation_census(og, pg)
+
+
+def q_revenue_reconciliation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Header-vs-lines revenue reconciliation census by sign ×
+    bit-length of the exact decimal difference."""
+    from big_data_graph_analysis_with_spark_spark.operators import olap
+
+    sess = _prep(spark)
+    return olap.revenue_reconciliation(
+        sess.read.parquet(f"{sf_dir}/orders.parquet"),
+        sess.read.parquet(f"{sf_dir}/lineitem.parquet"),
+    )
+
+
+def q_linenumber_holes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Line-sequence density census: max(linenumber) − count per
+    order, histogrammed."""
+    from big_data_graph_analysis_with_spark_spark.operators import olap
+
+    return olap.linenumber_holes(
+        _prep(spark).read.parquet(f"{sf_dir}/lineitem.parquet")
+    )
+
+
+def q_entry_exit_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Entry→exit event-type matrix: each user's first and last event
+    type, struct-extreme ordered."""
+    from big_data_graph_analysis_with_spark_spark.operators import sessions
+
+    return sessions.entry_exit_matrix(
+        _prep(spark).read.parquet(f"{sf_dir}/events.parquet")
+    )
+
+
+def q_type_cooccurrence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unordered event-type pairs by (user, day) co-occurrence — the
+    behavioral market basket."""
+    from big_data_graph_analysis_with_spark_spark.operators import sessions
+
+    return sessions.type_cooccurrence(
+        _prep(spark).read.parquet(f"{sf_dir}/events.parquet")
+    )
+
+
+def q_label_norm_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label class balance and exact fixed-point norm range of the
+    embedding table."""
+    return similarity.label_norm_profile(_embs(spark, sf_dir))
+
+
 def q_walk_kernel(spark: SparkSession, sf_dir: str) -> DataFrame:
     """G2-G4 (rows-only: seeded-random, not SQL-expressible; property
     checks live in tests/test_walks_pipeline.py)."""
@@ -3847,6 +3902,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "brand_price_moments": q_brand_price_moments,
         "lang_token_moments": q_lang_token_moments,
         "knn_mutuality": q_knn_mutuality,
+        # -- NEW in round 7, eighth batch (all oracle-backed; queued for the
+        #    round-8 window like batches six and seven) ----------------------
+        "perturbation_census": q_perturbation_census,
+        "revenue_reconciliation": q_revenue_reconciliation,
+        "linenumber_holes": q_linenumber_holes,
+        "entry_exit_matrix": q_entry_exit_matrix,
+        "type_cooccurrence": q_type_cooccurrence,
+        "label_norm_profile": q_label_norm_profile,
         # -- re-verification backfill: stalest green rows (r4 block; the 50-
         #    slot window cuts inside this block — the rest cycle next round) -
         "mixture_sample": q_mixture_sample,
@@ -5141,6 +5204,127 @@ FROM og_edges GROUP BY 1, 2
             FROM g LEFT JOIN g r
               ON r.vec_id = g.neighbor_id AND r.neighbor_id = g.vec_id
             GROUP BY 1
+        """,
+        "perturbation_census": graph_sql(
+            """
+, vd AS (
+  SELECT o.id AS oid, p.id AS pid, o.props AS po, p.props AS pp
+  FROM og_vertices o FULL OUTER JOIN pg_vertices p ON p.id = o.id
+),
+vt AS (
+  SELECT COUNT(oid) AS n_vertices_og, COUNT(pid) AS n_vertices_pg,
+         SUM(CASE WHEN oid IS NOT NULL AND pid IS NULL THEN 1 ELSE 0 END)
+           AS n_removed,
+         SUM(CASE WHEN oid IS NULL AND pid IS NOT NULL THEN 1 ELSE 0 END)
+           AS n_added,
+         SUM(CASE WHEN oid IS NOT NULL AND pid IS NOT NULL
+                  AND po <> pp THEN 1 ELSE 0 END) AS n_modified
+  FROM vd
+),
+oe AS (SELECT DISTINCT src, dst FROM og_edges),
+pe AS (SELECT DISTINCT src, dst FROM pg_edges),
+ed AS (
+  SELECT oe.src AS osrc, pe.src AS psrc
+  FROM oe FULL OUTER JOIN pe ON pe.src = oe.src AND pe.dst = oe.dst
+),
+et AS (
+  SELECT COUNT(osrc) AS n_edges_og, COUNT(psrc) AS n_edges_pg,
+         SUM(CASE WHEN osrc IS NOT NULL AND psrc IS NULL THEN 1 ELSE 0 END)
+           AS n_edges_removed,
+         SUM(CASE WHEN osrc IS NULL AND psrc IS NOT NULL THEN 1 ELSE 0 END)
+           AS n_edges_added
+  FROM ed
+)
+SELECT CAST(n_vertices_og AS BIGINT) AS n_vertices_og,
+       CAST(n_vertices_pg AS BIGINT) AS n_vertices_pg,
+       CAST(COALESCE(n_removed, 0) AS BIGINT) AS n_removed,
+       CAST(COALESCE(n_added, 0) AS BIGINT) AS n_added,
+       CAST(COALESCE(n_modified, 0) AS BIGINT) AS n_modified,
+       CAST(n_edges_og AS BIGINT) AS n_edges_og,
+       CAST(n_edges_pg AS BIGINT) AS n_edges_pg,
+       CAST(COALESCE(n_edges_removed, 0) AS BIGINT) AS n_edges_removed,
+       CAST(COALESCE(n_edges_added, 0) AS BIGINT) AS n_edges_added
+FROM vt, et
+"""
+        ),
+        "revenue_reconciliation": """
+            WITH per_order AS (
+              SELECT l_orderkey,
+                     SUM(CAST(CAST(CAST(l_extendedprice AS DECIMAL(18,2))
+                         * (CAST(1 AS DECIMAL(18,2))
+                            - CAST(l_discount AS DECIMAL(18,2)))
+                         AS DECIMAL(28,4)) * 10000 AS BIGINT)) AS line_u
+              FROM lineitem GROUP BY 1
+            ),
+            j AS (
+              SELECT CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 10000
+                          AS BIGINT) - line_u AS u
+              FROM orders JOIN per_order ON l_orderkey = o_orderkey
+            )
+            SELECT CAST(CASE WHEN u > 0 THEN 1 WHEN u < 0 THEN -1
+                        ELSE 0 END AS BIGINT) AS sign,
+                   CAST(length(bin(abs(u))) AS BIGINT) AS diff_bits,
+                   CAST(COUNT(*) AS BIGINT) AS n_orders
+            FROM j GROUP BY 1, 2
+        """,
+        "linenumber_holes": """
+            WITH per_order AS (
+              SELECT l_orderkey, COUNT(*) AS n_lines,
+                     MAX(l_linenumber) AS max_ln
+              FROM lineitem GROUP BY 1
+            )
+            SELECT CAST(max_ln - n_lines AS BIGINT) AS slack,
+                   CAST(COUNT(*) AS BIGINT) AS n_orders
+            FROM per_order GROUP BY 1
+        """,
+        "entry_exit_matrix": """
+            WITH r AS (
+              SELECT user_id, event_type,
+                     ROW_NUMBER() OVER (PARTITION BY user_id
+                       ORDER BY epoch_us(ts), event_id) AS rf,
+                     ROW_NUMBER() OVER (PARTITION BY user_id
+                       ORDER BY epoch_us(ts) DESC, event_id DESC) AS rl
+              FROM events
+            ),
+            fl AS (
+              SELECT f.user_id, f.event_type AS first_type,
+                     l.event_type AS last_type
+              FROM r f JOIN r l ON l.user_id = f.user_id
+              WHERE f.rf = 1 AND l.rl = 1
+            )
+            SELECT first_type, last_type,
+                   CAST(COUNT(*) AS BIGINT) AS n_users
+            FROM fl GROUP BY 1, 2
+        """,
+        "type_cooccurrence": """
+            WITH t AS (
+              SELECT DISTINCT user_id,
+                     epoch_us(ts) // 86400000000 AS day, event_type
+              FROM events
+            )
+            SELECT a.event_type AS type_a, b.event_type AS type_b,
+                   CAST(COUNT(*) AS BIGINT) AS n_user_days
+            FROM t a JOIN t b
+              ON b.user_id = a.user_id AND b.day = a.day
+             AND a.event_type < b.event_type
+            GROUP BY 1, 2
+        """,
+        "label_norm_profile": """
+            WITH comp AS (
+              SELECT vec_id, label,
+                     CAST(FLOOR(CAST(unnest(embedding) AS DOUBLE) * 1000000)
+                          AS BIGINT) AS nx
+              FROM embeddings
+            ),
+            per AS (
+              SELECT label, SUM(nx * nx) AS nsq
+              FROM comp GROUP BY vec_id, label
+            )
+            SELECT label, CAST(COUNT(*) AS BIGINT) AS n_vecs,
+                   CAST(SUM(nsq) AS DOUBLE) AS sum_norm_sq,
+                   CAST(MIN(nsq) AS BIGINT) AS min_norm_sq,
+                   CAST(MAX(nsq) AS BIGINT) AS max_norm_sq
+            FROM per GROUP BY 1
         """,
         "charclass_profile": r"""
             WITH c AS (

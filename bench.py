@@ -701,6 +701,26 @@ def main() -> None:
 
         graphalg.component_density_profile(og).count()
 
+    @timed("graph_perturbation_census")
+    def _():
+        # round-7 eighth batch: og-vs-pg full-outer diffs on the cached
+        # graph pair — the golden-YAML taxonomy totals
+        from big_data_graph_analysis_with_spark_spark.operators import graphalg
+
+        graphalg.perturbation_census(og, pg).count()
+
+    @timed("reconciliation_audits", iters=2)
+    def _():
+        # round-7 eighth batch: revenue reconciliation, linenumber
+        # holes, entry→exit matrix, type co-occurrence, label norms
+        import __spark_entry__ as entrymod
+
+        entrymod.q_revenue_reconciliation(spark, SF_DIR).count()
+        entrymod.q_linenumber_holes(spark, SF_DIR).count()
+        entrymod.q_entry_exit_matrix(spark, SF_DIR).count()
+        entrymod.q_type_cooccurrence(spark, SF_DIR).count()
+        entrymod.q_label_norm_profile(spark, SF_DIR).count()
+
     @timed("graph_degree_profiles", iters=2)
     def _():
         # round-7 degree-profile suite on the cached graph: bucketed

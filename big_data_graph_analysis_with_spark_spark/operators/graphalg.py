@@ -2253,3 +2253,64 @@ def component_density_profile(
         F.sum("size").cast("long").alias("n_vertices"),
         F.sum("n_e").cast("long").alias("n_internal_edges"),
     )
+
+
+def perturbation_census(og: NetGraph, pg: NetGraph) -> DataFrame:
+    """1-row (n_vertices_og, n_vertices_pg, n_removed, n_added,
+    n_modified, n_edges_og, n_edges_pg, n_edges_removed,
+    n_edges_added): the original-vs-perturbed diff totals — exactly
+    the golden-YAML taxonomy the reference's pipeline consumes
+    (NetGameSim nodes modified/removed/added; reference scope:
+    Main.scala's graph-pair ingest), exposed as one auditable frame.
+    The ground-truth sanity check a matching run reads FIRST: if the
+    census disagrees with the perturbation config, the match-quality
+    stats downstream are meaningless.
+
+    Vertex and edge diffs are two full outer joins on id / (src, dst)
+    — co-located when both graphs share id-bucketed storage — each
+    collapsing directly into 1-row aggregates; `n_modified` compares
+    the one attribute the perturbation taxonomy rewrites (props),
+    NULL-safe. Broadcast cross joins stitch the two rows (plan-audit
+    benign 1-row nested loop).
+    """
+    ov = og.vertices.select("id", F.col("props").alias("p_og"))
+    pv = pg.vertices.select("id", F.col("props").alias("p_pg"))
+    vdiff = ov.join(pv, on="id", how="full_outer").agg(
+        F.sum(F.col("p_og").isNotNull().cast("long")).alias("n_vertices_og"),
+        F.sum(F.col("p_pg").isNotNull().cast("long")).alias("n_vertices_pg"),
+        F.sum(
+            (F.col("p_og").isNotNull() & F.col("p_pg").isNull()).cast("long")
+        ).alias("n_removed"),
+        F.sum(
+            (F.col("p_og").isNull() & F.col("p_pg").isNotNull()).cast("long")
+        ).alias("n_added"),
+        F.sum(
+            (
+                F.col("p_og").isNotNull()
+                & F.col("p_pg").isNotNull()
+                & (F.col("p_og") != F.col("p_pg"))
+            ).cast("long")
+        ).alias("n_modified"),
+    )
+    oe = og.edges.select("src", "dst").distinct().withColumn("in_og", F.lit(1))
+    pe = pg.edges.select("src", "dst").distinct().withColumn("in_pg", F.lit(1))
+    ediff = oe.join(pe, on=["src", "dst"], how="full_outer").agg(
+        F.sum(F.coalesce("in_og", F.lit(0))).alias("n_edges_og"),
+        F.sum(F.coalesce("in_pg", F.lit(0))).alias("n_edges_pg"),
+        F.sum(
+            (F.col("in_og").isNotNull() & F.col("in_pg").isNull()).cast("long")
+        ).alias("n_edges_removed"),
+        F.sum(
+            (F.col("in_og").isNull() & F.col("in_pg").isNotNull()).cast("long")
+        ).alias("n_edges_added"),
+    )
+    return vdiff.crossJoin(F.broadcast(ediff)).select(
+        *[
+            F.coalesce(F.col(c), F.lit(0)).cast("long").alias(c)
+            for c in [
+                "n_vertices_og", "n_vertices_pg", "n_removed", "n_added",
+                "n_modified", "n_edges_og", "n_edges_pg",
+                "n_edges_removed", "n_edges_added",
+            ]
+        ]
+    )

@@ -1506,3 +1506,73 @@ def brand_price_moments(part: DataFrame) -> DataFrame:
         F.min("c").cast("long").alias("min_cents"),
         F.max("c").cast("long").alias("max_cents"),
     )
+
+
+def revenue_reconciliation(orders: DataFrame, lineitem: DataFrame) -> DataFrame:
+    """(sign, diff_bits, n_orders): the header-vs-lines revenue
+    reconciliation census — per order, the exact difference between
+    o_totalprice and the summed discounted line revenue, in integer
+    0.0001-units, bucketed by sign and the bit length of |diff|. The
+    accounting tripwire every warehouse runs: a bucket that grows
+    round-over-round is a loader or currency bug, localized by
+    magnitude before anyone reads a single order.
+
+    Every per-line revenue is an exact DECIMAL(28,4) lifted to integer
+    units BEFORE summation, so both sides reconcile in plain BIGINT
+    arithmetic (no decimal-width growth at any scale — a DECIMAL(38,4)
+    sum cannot be multiplied by 10⁴ without overflowing either
+    engine's 38-digit cap). lineitem collapses map-side to a row per
+    order; the orderkey header join is co-located under orderkey
+    bucketing; the census key is ≤2·64 cells.
+    """
+    rev_units = (
+        (
+            F.col("l_extendedprice").cast("decimal(18,2)")
+            * (F.lit(1).cast("decimal(18,2)") - F.col("l_discount").cast("decimal(18,2)"))
+        ).cast("decimal(28,4)")
+        * 10000
+    ).cast("long")
+    per_order = lineitem.groupBy("l_orderkey").agg(
+        F.sum(rev_units).alias("line_u")
+    )
+    hdr_units = (
+        F.col("o_totalprice").cast("decimal(18,2)") * 10000
+    ).cast("long")
+    joined = orders.select("o_orderkey", hdr_units.alias("hdr_u")).join(
+        per_order, on=F.col("o_orderkey") == F.col("l_orderkey")
+    )
+    u = F.col("hdr_u") - F.col("line_u")
+    return (
+        joined.select(
+            F.when(u > 0, F.lit(1))
+            .when(u < 0, F.lit(-1))
+            .otherwise(F.lit(0))
+            .cast("long")
+            .alias("sign"),
+            F.abs(u).alias("au"),
+        )
+        .groupBy(
+            "sign",
+            F.length(F.conv(F.col("au"), 10, 2)).cast("long").alias("diff_bits"),
+        )
+        .agg(F.count("*").cast("long").alias("n_orders"))
+    )
+
+
+def linenumber_holes(lineitem: DataFrame) -> DataFrame:
+    """(slack, n_orders): per order, ``max(linenumber) − count(lines)``
+    — 0 means the line sequence is dense, positive means holes
+    (deleted lines, partial loads) — rolled into a census histogram.
+    The fk_integrity_census companion one level down: keys can match
+    while the sequence inside an order is still torn.
+
+    One orderkey-keyed aggregation (map-side combined) and one bounded
+    histogram. Only (orderkey, linenumber) ever shuffles.
+    """
+    per_order = lineitem.groupBy("l_orderkey").agg(
+        F.count("*").alias("n_lines"),
+        F.max("l_linenumber").alias("max_ln"),
+    )
+    return per_order.groupBy(
+        (F.col("max_ln").cast("long") - F.col("n_lines")).alias("slack")
+    ).agg(F.count("*").cast("long").alias("n_orders"))

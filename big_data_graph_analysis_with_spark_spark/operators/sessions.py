@@ -190,3 +190,58 @@ def user_event_type_diversity(events: DataFrame) -> DataFrame:
     return per_user.groupBy(
         F.col("n_types").cast("long").alias("n_types")
     ).agg(F.count("*").cast("long").alias("n_users"))
+
+
+def entry_exit_matrix(events: DataFrame) -> DataFrame:
+    """(first_type, last_type, n_users): how users ARRIVE vs how they
+    LEAVE — per user, the event type of their first and last event
+    (ordered by time with the event id breaking ties), rolled into the
+    |types|² entry→exit matrix. The funnel-free churn fingerprint: an
+    exit column dominated by 'error' tells you why the streak ended.
+
+    One user-keyed aggregation: the (time, id, type) triple's MIN and
+    MAX are lexicographic struct extremes — no window, no sort, pure
+    map-side-combinable min/max — then a bounded matrix rollup.
+    """
+    tus = event_micros(events)
+    per_user = events.select(
+        "user_id", F.struct(tus.alias("t"), "event_id", "event_type").alias("s")
+    ).groupBy("user_id").agg(
+        F.min("s").alias("first_s"), F.max("s").alias("last_s")
+    )
+    return per_user.groupBy(
+        F.col("first_s.event_type").alias("first_type"),
+        F.col("last_s.event_type").alias("last_type"),
+    ).agg(F.count("*").cast("long").alias("n_users"))
+
+
+def type_cooccurrence(events: DataFrame) -> DataFrame:
+    """(type_a, type_b, n_user_days): for every unordered event-type
+    pair, on how many (user, day) combinations both types occurred —
+    the behavioral market-basket matrix (which features are used
+    TOGETHER in a session-day) behind cross-feature cohorting.
+
+    Distinct (user, day, type) triples bound the exchange at
+    |users|·|days|·|types|; the pair expansion is a self-join within
+    the (user, day) group — at most C(|types|, 2) pairs per group, a
+    bounded fan-out — and the final rollup key is ≤|types|². Days are
+    integer epoch-day quotients (the shared convention).
+    """
+    triples = (
+        events.select(event_micros(events).alias("tus"), "user_id", "event_type")
+        .select(
+            "user_id",
+            F.expr("tus div 86400000000").alias("day"),
+            "event_type",
+        )
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    left = triples.select("user_id", "day", F.col("event_type").alias("type_a"))
+    right = triples.select("user_id", "day", F.col("event_type").alias("type_b"))
+    return (
+        left.join(right, on=["user_id", "day"])
+        .filter(F.col("type_a") < F.col("type_b"))
+        .groupBy("type_a", "type_b")
+        .agg(F.count("*").cast("long").alias("n_user_days"))
+    )

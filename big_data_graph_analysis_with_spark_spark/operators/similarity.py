@@ -921,3 +921,35 @@ def knn_mutuality(
         F.count("*").cast("long").alias("n_edges"),
         F.sum(F.coalesce("mut", F.lit(0))).cast("long").alias("n_mutual"),
     )
+
+
+def label_norm_profile(emb: DataFrame) -> DataFrame:
+    """(label, n_vecs, sum_norm_sq, min_norm_sq, max_norm_sq): the
+    class-balance and normalization audit per embedding label —
+    skewed class sizes bias centroid/kNN passes, and a label whose
+    norm range strays from the pack came through a different encoder.
+    Norms use the exact micro-unit fixed point of
+    :func:`embedding_norms` (floor(x·1e6) longs, integer Σn²); the
+    per-label sum accumulates in DECIMAL(38,0) and casts to double
+    once, so no corpus size overflows and both engines round the same
+    integer.
+
+    A narrow per-row map (no shuffle) then one |labels|-bounded
+    aggregation.
+    """
+    n = F.transform(
+        F.col("embedding"),
+        lambda x: F.floor(x.cast("double") * 1_000_000).cast("long"),
+    )
+    per = emb.select(
+        "label",
+        F.aggregate(
+            n, F.lit(0).cast("long"), lambda acc, v: acc + v * v
+        ).alias("nsq"),
+    )
+    return per.groupBy("label").agg(
+        F.count("*").cast("long").alias("n_vecs"),
+        F.sum(F.col("nsq").cast("decimal(38,0)")).cast("double").alias("sum_norm_sq"),
+        F.min("nsq").cast("long").alias("min_norm_sq"),
+        F.max("nsq").cast("long").alias("max_norm_sq"),
+    )

@@ -82,6 +82,9 @@ AUDIT = [
     "component_density_profile", "fk_integrity_census",
     "custbal_order_corr", "brand_price_moments", "lang_token_moments",
     "knn_mutuality",
+    # round-7 eighth batch
+    "perturbation_census", "revenue_reconciliation", "linenumber_holes",
+    "entry_exit_matrix", "type_cooccurrence", "label_norm_profile",
 ]
 # motif_counts is deliberately NOT in AUDIT: its builder runs the full
 # census via driver-side .count() actions, so the final frame is just a
