@@ -938,7 +938,9 @@ def main() -> None:
         )
 
     # -- optional smoke filter: SPARK_GRAFT_BENCH_SUITES="a,b" runs only
-    # the named suites (development loop; the driver never sets it)
+    # the named suites (development loop; the driver never sets it).
+    # NOTE: the simrank/best_match/mitm chain shares persisted state in
+    # definition order — smoke those together, not individually
     only = os.environ.get("SPARK_GRAFT_BENCH_SUITES")
     if only:
         wanted = {s.strip() for s in only.split(",") if s.strip()}
@@ -1067,6 +1069,19 @@ def main() -> None:
         if len(line) <= 1900:
             break
         compact.pop(drop, None)
+    # last resort as the suite count grows: 1-decimal timings, then the
+    # slowest-N suites only (the full map is always in BENCH_LOCAL.json)
+    if len(json.dumps(compact, separators=(",", ":"))) > 1900:
+        compact["queries"] = {k: round(v, 1) for k, v in timings.items()}
+    while (
+        len(json.dumps(compact, separators=(",", ":"))) > 1900
+        and len(compact["queries"]) > 10
+    ):
+        keep = sorted(timings, key=timings.get, reverse=True)[
+            : len(compact["queries"]) - 5
+        ]
+        compact["queries"] = {k: round(timings[k], 1) for k in keep}
+        compact["queries_truncated_see"] = "BENCH_LOCAL.json"
     print(json.dumps(compact, separators=(",", ":")), flush=True)
 
 
