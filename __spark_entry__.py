@@ -3780,6 +3780,56 @@ def q_label_norm_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.label_norm_profile(_embs(spark, sf_dir))
 
 
+def q_trailing_revenue_range(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-nation daily revenue with a trailing-7-day RANGE-frame
+    total and next-day LEAD."""
+    from big_data_graph_analysis_with_spark_spark.operators import olap
+
+    sess = _prep(spark)
+    return olap.trailing_revenue_range(
+        sess.read.parquet(f"{sf_dir}/orders.parquet"),
+        sess.read.parquet(f"{sf_dir}/customer.parquet"),
+        sess.read.parquet(f"{sf_dir}/nation.parquet"),
+    )
+
+
+def q_balance_quartile_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Within-nation NTILE(4) balance quartiles with exact cent
+    totals."""
+    from big_data_graph_analysis_with_spark_spark.operators import olap
+
+    sess = _prep(spark)
+    return olap.balance_quartile_mix(
+        sess.read.parquet(f"{sf_dir}/customer.parquet"),
+        sess.read.parquet(f"{sf_dir}/nation.parquet"),
+    )
+
+
+def q_sales_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Four grouping levels in one native GROUPING SETS pass with
+    'ALL' sentinel labels."""
+    from big_data_graph_analysis_with_spark_spark.operators import olap
+
+    sess = _prep(spark)
+    return olap.sales_grouping_sets(
+        sess.read.parquet(f"{sf_dir}/orders.parquet"),
+        sess.read.parquet(f"{sf_dir}/customer.parquet"),
+    )
+
+
+def q_nation_quarter_extremes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-nation first/second/last active-quarter revenue via
+    full-frame window value functions."""
+    from big_data_graph_analysis_with_spark_spark.operators import olap
+
+    sess = _prep(spark)
+    return olap.nation_quarter_extremes(
+        sess.read.parquet(f"{sf_dir}/orders.parquet"),
+        sess.read.parquet(f"{sf_dir}/customer.parquet"),
+        sess.read.parquet(f"{sf_dir}/nation.parquet"),
+    )
+
+
 def q_walk_kernel(spark: SparkSession, sf_dir: str) -> DataFrame:
     """G2-G4 (rows-only: seeded-random, not SQL-expressible; property
     checks live in tests/test_walks_pipeline.py)."""
@@ -3910,6 +3960,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "entry_exit_matrix": q_entry_exit_matrix,
         "type_cooccurrence": q_type_cooccurrence,
         "label_norm_profile": q_label_norm_profile,
+        # -- NEW in round 7, ninth batch (all oracle-backed; window-function
+        #    API coverage: RANGE frames, NTILE, GROUPING SETS, nth_value;
+        #    queued for the round-8 window) ----------------------------------
+        "trailing_revenue_range": q_trailing_revenue_range,
+        "balance_quartile_mix": q_balance_quartile_mix,
+        "sales_grouping_sets": q_sales_grouping_sets,
+        "nation_quarter_extremes": q_nation_quarter_extremes,
         # -- re-verification backfill: stalest green rows (r4 block; the 50-
         #    slot window cuts inside this block — the rest cycle next round) -
         "mixture_sample": q_mixture_sample,
@@ -5325,6 +5382,93 @@ FROM vt, et
                    CAST(MIN(nsq) AS BIGINT) AS min_norm_sq,
                    CAST(MAX(nsq) AS BIGINT) AS max_norm_sq
             FROM per GROUP BY 1
+        """,
+        "trailing_revenue_range": """
+            WITH cn AS (
+              SELECT c_custkey, n_name AS nation
+              FROM customer JOIN nation ON n_nationkey = c_nationkey
+            ),
+            daily AS (
+              SELECT nation,
+                     date_diff('day', DATE '1970-01-01',
+                               CAST(o_orderdate AS DATE)) AS day,
+                     SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS rev_dec
+              FROM orders JOIN cn ON c_custkey = o_custkey
+              GROUP BY 1, 2
+            )
+            SELECT nation, CAST(day AS BIGINT) AS day,
+                   CAST(rev_dec AS DOUBLE) AS revenue,
+                   CAST(SUM(rev_dec) OVER (PARTITION BY nation ORDER BY day
+                        RANGE BETWEEN 6 PRECEDING AND CURRENT ROW)
+                        AS DOUBLE) AS trail7_revenue,
+                   CAST(LEAD(rev_dec) OVER (PARTITION BY nation ORDER BY day)
+                        AS DOUBLE) AS next_revenue
+            FROM daily
+        """,
+        "balance_quartile_mix": """
+            WITH tagged AS (
+              SELECT n_name AS nation, c_custkey,
+                     CAST(round(c_acctbal * 100) AS BIGINT) AS cents
+              FROM customer JOIN nation ON n_nationkey = c_nationkey
+            ),
+            tiled AS (
+              SELECT nation, cents,
+                     NTILE(4) OVER (PARTITION BY nation
+                       ORDER BY cents, c_custkey) AS quartile
+              FROM tagged
+            )
+            SELECT nation, CAST(quartile AS BIGINT) AS quartile,
+                   CAST(COUNT(*) AS BIGINT) AS n_customers,
+                   CAST(SUM(cents) AS BIGINT) AS sum_cents
+            FROM tiled GROUP BY 1, 2
+        """,
+        "sales_grouping_sets": """
+            WITH base AS (
+              SELECT c_mktsegment AS segment,
+                     year(o_orderdate) AS yr,
+                     CAST(o_totalprice AS DECIMAL(18,2)) AS p
+              FROM orders JOIN customer ON c_custkey = o_custkey
+            ),
+            g AS (
+              SELECT segment, yr, COUNT(*) AS n_orders, SUM(p) AS rev,
+                     GROUPING(segment) AS gs, GROUPING(yr) AS gy
+              FROM base
+              GROUP BY GROUPING SETS ((segment, yr), (segment), (yr), ())
+            )
+            SELECT CASE WHEN gs = 1 THEN 'ALL' ELSE segment END AS segment,
+                   CAST(CASE WHEN gy = 1 THEN 0 ELSE yr END AS BIGINT)
+                     AS "year",
+                   CAST(n_orders AS BIGINT) AS n_orders,
+                   CAST(rev AS DOUBLE) AS revenue
+            FROM g
+        """,
+        "nation_quarter_extremes": """
+            WITH cn AS (
+              SELECT c_custkey, n_name AS nation
+              FROM customer JOIN nation ON n_nationkey = c_nationkey
+            ),
+            q AS (
+              SELECT nation,
+                     year(o_orderdate) * 10 + quarter(o_orderdate) AS quarter,
+                     SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS rev_dec
+              FROM orders JOIN cn ON c_custkey = o_custkey
+              GROUP BY 1, 2
+            ),
+            wf AS (
+              SELECT nation,
+                     COUNT(*) OVER w AS n_quarters,
+                     FIRST_VALUE(rev_dec) OVER w AS f,
+                     NTH_VALUE(rev_dec, 2) OVER w AS s,
+                     LAST_VALUE(rev_dec) OVER w AS l
+              FROM q
+              WINDOW w AS (PARTITION BY nation ORDER BY quarter
+                ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+            )
+            SELECT DISTINCT nation, CAST(n_quarters AS BIGINT) AS n_quarters,
+                   CAST(f AS DOUBLE) AS first_rev,
+                   CAST(s AS DOUBLE) AS second_rev,
+                   CAST(l AS DOUBLE) AS last_rev
+            FROM wf
         """,
         "charclass_profile": r"""
             WITH c AS (

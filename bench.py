@@ -721,6 +721,18 @@ def main() -> None:
         entrymod.q_type_cooccurrence(spark, SF_DIR).count()
         entrymod.q_label_norm_profile(spark, SF_DIR).count()
 
+    @timed("window_api_coverage", iters=2)
+    def _():
+        # round-7 ninth batch: RANGE frame, NTILE, GROUPING SETS,
+        # full-frame value functions — all over dimension-bounded
+        # window inputs
+        import __spark_entry__ as entrymod
+
+        entrymod.q_trailing_revenue_range(spark, SF_DIR).count()
+        entrymod.q_balance_quartile_mix(spark, SF_DIR).count()
+        entrymod.q_sales_grouping_sets(spark, SF_DIR).count()
+        entrymod.q_nation_quarter_extremes(spark, SF_DIR).count()
+
     @timed("graph_degree_profiles", iters=2)
     def _():
         # round-7 degree-profile suite on the cached graph: bucketed

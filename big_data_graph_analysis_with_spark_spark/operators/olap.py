@@ -1576,3 +1576,167 @@ def linenumber_holes(lineitem: DataFrame) -> DataFrame:
     return per_order.groupBy(
         (F.col("max_ln").cast("long") - F.col("n_lines")).alias("slack")
     ).agg(F.count("*").cast("long").alias("n_orders"))
+
+
+def trailing_revenue_range(orders: DataFrame, customer: DataFrame,
+                           nation: DataFrame) -> DataFrame:
+    """(nation, day, revenue, trail7_revenue, next_revenue): per
+    customer nation per active day, the exact daily revenue with the
+    trailing-7-day total (a RANGE frame over the integer epoch day —
+    calendar gaps shrink the window by VALUE, which a ROWS frame
+    cannot express) and the next active day's revenue (LEAD). The
+    trendline feeding burn-rate alerts.
+
+    The fact collapses map-side to the |nations|·|days| daily frame
+    (nation dims broadcast); both window passes run over that bounded
+    frame partitioned by nation — never data-sized partitions. Sums
+    stay DECIMAL until one double cast per output column.
+    """
+    cust_nation = customer.select("c_custkey", "c_nationkey").join(
+        F.broadcast(nation.select(
+            F.col("n_nationkey").alias("c_nationkey"),
+            F.col("n_name").alias("nation"),
+        )),
+        on="c_nationkey",
+    ).select(F.col("c_custkey").alias("o_custkey"), "nation")
+    daily = (
+        orders.select(
+            "o_custkey",
+            F.col("o_totalprice").cast("decimal(18,2)").alias("p"),
+            F.unix_date(F.to_date("o_orderdate")).cast("long").alias("day"),
+        )
+        .join(F.broadcast(cust_nation), on="o_custkey")
+        .groupBy("nation", "day")
+        .agg(F.sum("p").alias("rev_dec"))
+    )
+    w_range = (
+        Window.partitionBy("nation").orderBy("day").rangeBetween(-6, 0)
+    )
+    w_lead = Window.partitionBy("nation").orderBy("day")
+    return daily.select(
+        "nation",
+        "day",
+        F.col("rev_dec").cast("double").alias("revenue"),
+        F.sum("rev_dec").over(w_range).cast("double").alias("trail7_revenue"),
+        F.lead("rev_dec").over(w_lead).cast("double").alias("next_revenue"),
+    )
+
+
+def balance_quartile_mix(customer: DataFrame, nation: DataFrame) -> DataFrame:
+    """(nation, quartile, n_customers, sum_cents): customers NTILE'd
+    into account-balance quartiles WITHIN their nation, with exact
+    cent totals per tile — the fairness/credit-mix view (is the top
+    quartile carrying the whole book?). NTILE is deterministic under
+    a total order; ties break on custkey so both engines tile
+    identically.
+
+    The window partitions on nation over the customer DIMENSION (never
+    a fact table); the rollup key is ≤|nations|·4.
+    """
+    tagged = customer.select(
+        "c_custkey",
+        F.round(F.col("c_acctbal") * 100).cast("long").alias("cents"),
+        "c_nationkey",
+    ).join(
+        F.broadcast(nation.select(
+            F.col("n_nationkey").alias("c_nationkey"),
+            F.col("n_name").alias("nation"),
+        )),
+        on="c_nationkey",
+    )
+    w = Window.partitionBy("nation").orderBy("cents", "c_custkey")
+    return (
+        tagged.withColumn("quartile", F.ntile(4).over(w))
+        .groupBy("nation", F.col("quartile").cast("long").alias("quartile"))
+        .agg(
+            F.count("*").cast("long").alias("n_customers"),
+            F.sum("cents").cast("long").alias("sum_cents"),
+        )
+    )
+
+
+def sales_grouping_sets(orders: DataFrame, customer: DataFrame) -> DataFrame:
+    """(segment, year, n_orders, revenue): order volume and exact
+    revenue at FOUR grouping levels in one pass — (segment, year),
+    per-segment, per-year, and the grand total — via native GROUPING
+    SETS (one Expand + aggregate, the general form ROLLUP/CUBE are
+    sugar for; the drill paths a dashboard's filter combinations
+    actually hit). Rolled-up levels are labeled 'ALL' / year 0 with
+    GROUPING() masks, the part_catalog_rollup NULL-proof convention.
+    """
+    seg = customer.select(
+        F.col("c_custkey").alias("o_custkey"),
+        F.col("c_mktsegment").alias("segment"),
+    )
+    base = orders.select("o_custkey", "o_totalprice", "o_orderdate").join(
+        F.broadcast(seg), on="o_custkey"
+    ).select(
+        "segment",
+        F.year("o_orderdate").cast("long").alias("yr"),
+        F.col("o_totalprice").cast("decimal(18,2)").alias("p"),
+    )
+    grouped = base.groupingSets(
+        [["segment", "yr"], ["segment"], ["yr"], []], "segment", "yr"
+    ).agg(
+        F.count("*").cast("long").alias("n_orders"),
+        F.sum("p").cast("double").alias("revenue"),
+        F.grouping("segment").alias("__gs__"),
+        F.grouping("yr").alias("__gy__"),
+    )
+    return grouped.select(
+        F.when(F.col("__gs__") == 1, F.lit("ALL"))
+        .otherwise(F.col("segment"))
+        .alias("segment"),
+        F.when(F.col("__gy__") == 1, F.lit(0))
+        .otherwise(F.col("yr"))
+        .cast("long")
+        .alias("year"),
+        "n_orders",
+        "revenue",
+    )
+
+
+def nation_quarter_extremes(
+    orders: DataFrame, customer: DataFrame, nation: DataFrame
+) -> DataFrame:
+    """(nation, n_quarters, first_rev, second_rev, last_rev): per
+    customer nation, the revenue of its FIRST, SECOND, and LAST
+    active quarter — the trajectory fingerprint (slow start? strong
+    finish?) via first_value / nth_value / last_value over the full
+    partition frame.
+
+    One map-side fact collapse to the |nations|·|quarters| frame, one
+    full-frame window pass over it, one distinct — every step bounded
+    by dimensions. Exact DECIMAL sums, one double cast each.
+    """
+    cust_nation = customer.select("c_custkey", "c_nationkey").join(
+        F.broadcast(nation.select(
+            F.col("n_nationkey").alias("c_nationkey"),
+            F.col("n_name").alias("nation"),
+        )),
+        on="c_nationkey",
+    ).select(F.col("c_custkey").alias("o_custkey"), "nation")
+    q = (
+        orders.select(
+            "o_custkey",
+            F.col("o_totalprice").cast("decimal(18,2)").alias("p"),
+            (F.year("o_orderdate") * 10 + F.quarter("o_orderdate"))
+            .cast("long")
+            .alias("quarter"),
+        )
+        .join(F.broadcast(cust_nation), on="o_custkey")
+        .groupBy("nation", "quarter")
+        .agg(F.sum("p").alias("rev_dec"))
+    )
+    w = (
+        Window.partitionBy("nation")
+        .orderBy("quarter")
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    )
+    return q.select(
+        "nation",
+        F.count("*").over(w).cast("long").alias("n_quarters"),
+        F.first("rev_dec").over(w).cast("double").alias("first_rev"),
+        F.nth_value("rev_dec", 2).over(w).cast("double").alias("second_rev"),
+        F.last("rev_dec").over(w).cast("double").alias("last_rev"),
+    ).distinct()

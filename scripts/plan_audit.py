@@ -85,6 +85,9 @@ AUDIT = [
     # round-7 eighth batch
     "perturbation_census", "revenue_reconciliation", "linenumber_holes",
     "entry_exit_matrix", "type_cooccurrence", "label_norm_profile",
+    # round-7 ninth batch
+    "trailing_revenue_range", "balance_quartile_mix",
+    "sales_grouping_sets", "nation_quarter_extremes",
 ]
 # motif_counts is deliberately NOT in AUDIT: its builder runs the full
 # census via driver-side .count() actions, so the final frame is just a
