@@ -3830,6 +3830,46 @@ def q_nation_quarter_extremes(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_part_metrics_long(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Part numeric columns unpivoted to long form with exact integer
+    stats per metric."""
+    from big_data_graph_analysis_with_spark_spark.operators import olap
+
+    return olap.part_metrics_long(
+        _prep(spark).read.parquet(f"{sf_dir}/part.parquet")
+    )
+
+
+def q_nation_segment_signature(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-nation sorted segment signature — the set-valued rollup
+    pattern that hash-compares cross-engine."""
+    from big_data_graph_analysis_with_spark_spark.operators import olap
+
+    sess = _prep(spark)
+    return olap.nation_segment_signature(
+        sess.read.parquet(f"{sf_dir}/customer.parquet"),
+        sess.read.parquet(f"{sf_dir}/nation.parquet"),
+    )
+
+
+def q_token_class_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source digit/alpha/mixed/other token census on portable
+    anchored regexes."""
+    from big_data_graph_analysis_with_spark_spark.operators import corpusstats
+
+    return corpusstats.token_class_mix(_docs(spark, sf_dir))
+
+
+def q_activity_span_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Histogram of per-user activity span (last − first active
+    day)."""
+    from big_data_graph_analysis_with_spark_spark.operators import sessions
+
+    return sessions.activity_span_hist(
+        _prep(spark).read.parquet(f"{sf_dir}/events.parquet")
+    )
+
+
 def q_walk_kernel(spark: SparkSession, sf_dir: str) -> DataFrame:
     """G2-G4 (rows-only: seeded-random, not SQL-expressible; property
     checks live in tests/test_walks_pipeline.py)."""
@@ -3967,6 +4007,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "balance_quartile_mix": q_balance_quartile_mix,
         "sales_grouping_sets": q_sales_grouping_sets,
         "nation_quarter_extremes": q_nation_quarter_extremes,
+        # -- NEW in round 7, tenth batch (all oracle-backed; UNPIVOT/stack,
+        #    set-signature rollup, token-class census, span histogram;
+        #    queued for the round-8 window) ----------------------------------
+        "part_metrics_long": q_part_metrics_long,
+        "nation_segment_signature": q_nation_segment_signature,
+        "token_class_mix": q_token_class_mix,
+        "activity_span_hist": q_activity_span_hist,
         # -- re-verification backfill: stalest green rows (r4 block; the 50-
         #    slot window cuts inside this block — the rest cycle next round) -
         "mixture_sample": q_mixture_sample,
@@ -5469,6 +5516,63 @@ FROM vt, et
                    CAST(s AS DOUBLE) AS second_rev,
                    CAST(l AS DOUBLE) AS last_rev
             FROM wf
+        """,
+        "part_metrics_long": """
+            WITH lf AS (
+              SELECT 'size' AS metric, CAST(p_size AS BIGINT) AS v FROM part
+              UNION ALL
+              SELECT 'retail_cents',
+                     CAST(round(p_retailprice * 100) AS BIGINT) FROM part
+            )
+            SELECT metric, CAST(COUNT(*) AS BIGINT) AS n_parts,
+                   CAST(SUM(v) AS BIGINT) AS total,
+                   CAST(MIN(v) AS BIGINT) AS min_v,
+                   CAST(MAX(v) AS BIGINT) AS max_v
+            FROM lf GROUP BY 1
+        """,
+        "nation_segment_signature": """
+            SELECT n_name AS nation,
+                   CAST(COUNT(DISTINCT c_mktsegment) AS BIGINT) AS n_segments,
+                   string_agg(DISTINCT c_mktsegment, ','
+                              ORDER BY c_mktsegment) AS signature
+            FROM customer JOIN nation ON n_nationkey = c_nationkey
+            GROUP BY 1
+        """,
+        "token_class_mix": """
+            WITH toks AS (
+              SELECT source, unnest(string_split(text, ' ')) AS tok
+              FROM documents
+            ),
+            c AS (
+              SELECT source,
+                     CASE WHEN regexp_full_match(tok, '[0-9]+') THEN 'digit'
+                          WHEN regexp_full_match(tok, '[A-Za-z]+') THEN 'alpha'
+                          WHEN regexp_full_match(tok, '[A-Za-z0-9]+')
+                            THEN 'mixed'
+                          ELSE 'other' END AS cls
+              FROM toks
+            )
+            SELECT source,
+                   CAST(SUM(CASE WHEN cls = 'digit' THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n_digit,
+                   CAST(SUM(CASE WHEN cls = 'alpha' THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n_alpha,
+                   CAST(SUM(CASE WHEN cls = 'mixed' THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n_mixed,
+                   CAST(SUM(CASE WHEN cls = 'other' THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n_other
+            FROM c GROUP BY 1
+        """,
+        "activity_span_hist": """
+            WITH per_user AS (
+              SELECT user_id,
+                     MAX(epoch_us(ts) // 86400000000)
+                       - MIN(epoch_us(ts) // 86400000000) AS span_days
+              FROM events GROUP BY 1
+            )
+            SELECT CAST(span_days AS BIGINT) AS span_days,
+                   CAST(COUNT(*) AS BIGINT) AS n_users
+            FROM per_user GROUP BY 1
         """,
         "charclass_profile": r"""
             WITH c AS (

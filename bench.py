@@ -733,6 +733,17 @@ def main() -> None:
         entrymod.q_sales_grouping_sets(spark, SF_DIR).count()
         entrymod.q_nation_quarter_extremes(spark, SF_DIR).count()
 
+    @timed("shape_profiles", iters=2)
+    def _():
+        # round-7 tenth batch: stack/UNPIVOT metrics, set-signature
+        # rollup, token-class census, span histogram
+        import __spark_entry__ as entrymod
+
+        entrymod.q_part_metrics_long(spark, SF_DIR).count()
+        entrymod.q_nation_segment_signature(spark, SF_DIR).count()
+        entrymod.q_token_class_mix(spark, SF_DIR).count()
+        entrymod.q_activity_span_hist(spark, SF_DIR).count()
+
     @timed("graph_degree_profiles", iters=2)
     def _():
         # round-7 degree-profile suite on the cached graph: bucketed

@@ -869,3 +869,37 @@ def lang_token_moments(docs: DataFrame) -> DataFrame:
         "sum_tok_len",
         "sum_tok_len_sq",
     )
+
+
+def token_class_mix(docs: DataFrame) -> DataFrame:
+    """(source, n_digit, n_alpha, n_mixed, n_other): per source, how
+    many whitespace tokens are pure digits, pure ASCII letters, mixed
+    alphanumeric, or anything else — the tokenizer-input census one
+    level above charclass_profile (characters say WHAT bytes arrived;
+    token classes say how they clump — a digit-token spike is tables,
+    a mixed spike is identifiers/URLs).
+
+    One explode, then each token reduces to a 4-way CASE on two
+    portable anchored regexes ([0-9]+ / [A-Za-z]+ / [A-Za-z0-9]+ —
+    identical semantics in Java regex and RE2) before the
+    |sources|-bounded aggregation; token strings never shuffle.
+    """
+    toks = docs.select(
+        "source", F.explode(F.split(F.col("text"), " ")).alias("tok")
+    )
+    cls = (
+        F.when(F.col("tok").rlike("^[0-9]+$"), F.lit("digit"))
+        .when(F.col("tok").rlike("^[A-Za-z]+$"), F.lit("alpha"))
+        .when(F.col("tok").rlike("^[A-Za-z0-9]+$"), F.lit("mixed"))
+        .otherwise(F.lit("other"))
+    )
+    return (
+        toks.select("source", cls.alias("c"))
+        .groupBy("source")
+        .agg(
+            F.sum((F.col("c") == "digit").cast("long")).cast("long").alias("n_digit"),
+            F.sum((F.col("c") == "alpha").cast("long")).cast("long").alias("n_alpha"),
+            F.sum((F.col("c") == "mixed").cast("long")).cast("long").alias("n_mixed"),
+            F.sum((F.col("c") == "other").cast("long")).cast("long").alias("n_other"),
+        )
+    )

@@ -1740,3 +1740,56 @@ def nation_quarter_extremes(
         F.nth_value("rev_dec", 2).over(w).cast("double").alias("second_rev"),
         F.last("rev_dec").over(w).cast("double").alias("last_rev"),
     ).distinct()
+
+
+def part_metrics_long(part: DataFrame) -> DataFrame:
+    """(metric, n_parts, total, min_v, max_v): the part table's numeric
+    columns UNPIVOTED to long form — one row per metric with exact
+    integer stats (retail price in cents) — the melt every
+    feature-store export and generic profiler needs, done engine-side
+    with `stack` (one Expand, no per-metric rescans).
+
+    A narrow stack projection then one ≤|metrics|-keyed aggregation;
+    the wide table is scanned once however many metrics are added.
+    """
+    long_form = part.select(
+        F.expr(
+            "stack(2, 'size', CAST(p_size AS BIGINT), "
+            "'retail_cents', CAST(round(p_retailprice * 100) AS BIGINT)) "
+            "AS (metric, v)"
+        )
+    )
+    return long_form.groupBy("metric").agg(
+        F.count("*").cast("long").alias("n_parts"),
+        F.sum("v").cast("long").alias("total"),
+        F.min("v").cast("long").alias("min_v"),
+        F.max("v").cast("long").alias("max_v"),
+    )
+
+
+def nation_segment_signature(customer: DataFrame, nation: DataFrame) -> DataFrame:
+    """(nation, n_segments, signature): per nation, the count of
+    distinct market segments present and their sorted comma-joined
+    signature — the categorical-completeness audit (a nation missing
+    a segment is a sales-coverage gap), and the engine-side pattern
+    for ANY set-valued rollup that must hash-compare cross-engine:
+    collect_set → sort_array → array_join beats shipping raw arrays
+    whose element order no engine guarantees.
+
+    One nation-keyed aggregation over the customer dimension (partial
+    sets merge map-side); the signature string is bounded by
+    |segments|, never customer count.
+    """
+    tagged = customer.select("c_nationkey", "c_mktsegment").join(
+        F.broadcast(nation.select(
+            F.col("n_nationkey").alias("c_nationkey"),
+            F.col("n_name").alias("nation"),
+        )),
+        on="c_nationkey",
+    )
+    return tagged.groupBy("nation").agg(
+        F.countDistinct("c_mktsegment").cast("long").alias("n_segments"),
+        F.array_join(
+            F.sort_array(F.collect_set("c_mktsegment")), ","
+        ).alias("signature"),
+    )

@@ -245,3 +245,26 @@ def type_cooccurrence(events: DataFrame) -> DataFrame:
         .groupBy("type_a", "type_b")
         .agg(F.count("*").cast("long").alias("n_user_days"))
     )
+
+
+def activity_span_hist(events: DataFrame) -> DataFrame:
+    """(span_days, n_users): histogram of each user's activity span —
+    last active day minus first active day, inclusive endpoints
+    implied by +0 (same-day users land in span 0). The lifetime
+    companion to activity_streaks: streaks measure density INSIDE the
+    span, this measures the span itself (tenure for retention
+    denominators).
+
+    One user-keyed MIN/MAX aggregation on integer epoch days (pure
+    map-side-combinable extremes — no distinct, no window) and one
+    bounded histogram.
+    """
+    days = events.select(
+        event_micros(events).alias("tus"), "user_id"
+    ).select("user_id", F.expr("tus div 86400000000").alias("day"))
+    per_user = days.groupBy("user_id").agg(
+        (F.max("day") - F.min("day")).alias("span_days")
+    )
+    return per_user.groupBy(
+        F.col("span_days").cast("long").alias("span_days")
+    ).agg(F.count("*").cast("long").alias("n_users"))

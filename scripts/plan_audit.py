@@ -88,6 +88,9 @@ AUDIT = [
     # round-7 ninth batch
     "trailing_revenue_range", "balance_quartile_mix",
     "sales_grouping_sets", "nation_quarter_extremes",
+    # round-7 tenth batch
+    "part_metrics_long", "nation_segment_signature", "token_class_mix",
+    "activity_span_hist",
 ]
 # motif_counts is deliberately NOT in AUDIT: its builder runs the full
 # census via driver-side .count() actions, so the final frame is just a
