@@ -366,6 +366,92 @@ def q_uncovered_valuable(spark: SparkSession, sf_dir: str) -> DataFrame:
     return matching.uncovered_valuable(best, og)
 
 
+def q_greedy_walk_classes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """G10 made oracle-checkable: per-partition successful/unsuccessful
+    walk counts (`Main.scala:189-202`) over DETERMINISTIC min-neighbor
+    walks instead of the seeded random kernel — the real
+    `stats.classify_walks` + `walk_counts` path (distinct-visited dedup,
+    TP/FP flag joins) verified end to end against SQL, which the
+    rows-only `walk_kernel`/`mitm_pipeline` entries never could."""
+    from big_data_graph_analysis_with_spark_spark.operators import stats
+
+    og, pg = _graphs(spark, sf_dir)
+    best = matching.best_match(simrank.simrank(pg, og, rounds=1), pg, og)
+    classified = matching.classify_matches(best, THRESHOLD)
+    walks = walks_mod.greedy_walks(pg, depth=6, n_partitions=4)
+    return stats.walk_counts(stats.classify_walks(walks, classified))
+
+
+def q_graph_sketch_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact edge/endpoint counts per derived graph plus a verdict that
+    this engine's HLL distinct-source estimate lands within 5% — the
+    sketch-trust audit extended to the graph tables."""
+    from big_data_graph_analysis_with_spark_spark.operators import sketches
+
+    og, pg = _graphs(spark, sf_dir)
+    return sketches.graph_distinct_sketch_audit(og.edges, pg.edges)
+
+
+def q_revenue_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing dyadic-weight EWMA of daily order revenue in exact
+    integer cents — scatter via a literal offsets array, no range
+    join."""
+    from big_data_graph_analysis_with_spark_spark.operators import olap
+
+    sess = _prep(spark)
+    return olap.revenue_ewma(sess.read.parquet(f"{sf_dir}/orders.parquet"))
+
+
+def q_segment_bitmask(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-nation market-segment membership as a bit_or bitmask —
+    fixed-vocabulary set encoding that merges map-side."""
+    from big_data_graph_analysis_with_spark_spark.operators import olap
+
+    sess = _prep(spark)
+    return olap.segment_bitmask(
+        sess.read.parquet(f"{sf_dir}/customer.parquet"),
+        sess.read.parquet(f"{sf_dir}/nation.parquet"),
+    )
+
+
+def q_user_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audience-overlap algebra: click vs error user sets through
+    INTERSECT / EXCEPT / UNION, one row per operator."""
+    from big_data_graph_analysis_with_spark_spark.operators import olap
+
+    sess = _prep(spark)
+    return olap.user_set_ops(sess.read.parquet(f"{sf_dir}/events.parquet"))
+
+
+def q_daily_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Calendar-densified daily event counts: explicit zero rows for
+    gap days via one scalar span aggregate + sequence()."""
+    from big_data_graph_analysis_with_spark_spark.operators import drift
+
+    sess = _prep(spark)
+    return drift.daily_gap_fill(sess.read.parquet(f"{sf_dir}/events.parquet"))
+
+
+def q_value_locf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Last-observation-carried-forward repair of error readings per
+    user timeline (last ignorenulls over an ordered window)."""
+    from big_data_graph_analysis_with_spark_spark.operators import drift
+
+    sess = _prep(spark)
+    return drift.value_locf(sess.read.parquet(f"{sf_dir}/events.parquet"))
+
+
+def q_embedding_clip_census(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-vector clipping audit via array higher-order functions
+    (transform/filter/aggregate), integer-exact after floor(x·1000)."""
+    from big_data_graph_analysis_with_spark_spark.operators import similarity
+
+    sess = _prep(spark)
+    return similarity.embedding_clip_census(
+        sess.read.parquet(f"{sf_dir}/embeddings.parquet")
+    )
+
+
 # ---------------------------------------------------------------------------
 # whole-graph analytics (operators/graphalg.py)
 # ---------------------------------------------------------------------------
@@ -3139,6 +3225,70 @@ def q_nation_trade_flow(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_part_value_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q11 shape: parts whose traded value through EUROPE's
+    suppliers exceeds 1/1000 of the region total. Broadcast region→
+    nation→supplier chain prunes the fact scan; the threshold is a
+    one-row aggregate of the same grouped frame broadcast back in; the
+    share test runs in exact integer cents."""
+    from big_data_graph_analysis_with_spark_spark.operators import olap
+
+    sess = _prep(spark)
+    return olap.part_value_concentration(
+        sess.read.parquet(f"{sf_dir}/lineitem.parquet"),
+        sess.read.parquet(f"{sf_dir}/supplier.parquet"),
+        sess.read.parquet(f"{sf_dir}/nation.parquet"),
+        sess.read.parquet(f"{sf_dir}/region.parquet"),
+    )
+
+
+def q_late_line_census(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q12 shape: per return flag, how many lines shipped >60
+    days after their order date in 1997 belong to critical-priority
+    orders vs not. Date window pushed into the lineitem scan; one
+    orderkey shuffle."""
+    from big_data_graph_analysis_with_spark_spark.operators import olap
+
+    sess = _prep(spark)
+    return olap.late_line_priority_census(
+        sess.read.parquet(f"{sf_dir}/lineitem.parquet"),
+        sess.read.parquet(f"{sf_dir}/orders.parquet"),
+    )
+
+
+def q_bulk_part_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q20 shape: suppliers who moved >50 units of some
+    'small '-prefixed part in 1997 — chained semi-join (part prefix →
+    (supp,part) volume HAVING → supplier), no fact-fact join."""
+    from big_data_graph_analysis_with_spark_spark.operators import olap
+
+    sess = _prep(spark)
+    return olap.bulk_part_suppliers(
+        sess.read.parquet(f"{sf_dir}/lineitem.parquet"),
+        sess.read.parquet(f"{sf_dir}/supplier.parquet"),
+        sess.read.parquet(f"{sf_dir}/part.parquet"),
+        sess.read.parquet(f"{sf_dir}/nation.parquet"),
+    )
+
+
+def q_regional_local_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full TPC-H Q5 shape: 1997 discounted revenue per ASIA nation
+    counting only local trades (supplier nation = customer nation).
+    Region/nation/customer/supplier broadcast; the one fact-fact
+    shuffle is lineitem ⋈ date-pruned orders on orderkey."""
+    from big_data_graph_analysis_with_spark_spark.operators import olap
+
+    sess = _prep(spark)
+    return olap.regional_local_revenue(
+        sess.read.parquet(f"{sf_dir}/lineitem.parquet"),
+        sess.read.parquet(f"{sf_dir}/orders.parquet"),
+        sess.read.parquet(f"{sf_dir}/customer.parquet"),
+        sess.read.parquet(f"{sf_dir}/supplier.parquet"),
+        sess.read.parquet(f"{sf_dir}/nation.parquet"),
+        sess.read.parquet(f"{sf_dir}/region.parquet"),
+    )
+
+
 def q_length_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact Gini-coefficient sufficient statistics over document
     lengths — the corpus length-inequality audit (grouped-lengths rank
@@ -3902,120 +4052,89 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    # Ordering note: the external driver verifies the FIRST 50 insertion-ordered
-    # entries against the DuckDB oracles each round; local parity
+    # Ordering note: the external driver verifies the FIRST 50 insertion-
+    # ordered entries against the DuckDB oracles each round; local parity
     # (tests/test_oracle_parity.py) always covers ALL entries.
     #
-    # Round-7 rotation (executes the round-6 verdict plan): window =
-    # ktruss + source_overlap (positions 1-2: their round-5 fixture
-    # fixes have never had a non-vacuous DRIVER row — r5's were 0=0) +
-    # the 6 queries that shipped oracle-less in the round-6 snapshot,
-    # now oracle-backed and fixture-tested (positions 3-8) + the NEW
-    # round-7 queries (inserted at the head block as they ship — the
-    # standing invariant) + re-verification backfill from the STALEST
-    # green block (r4, last driver-verified in CORRECTNESS_r04; the
-    # window cuts at 50, entries past the cut cycle in next round).
-    # The 9 rows-only tail entries cannot hash-verify by design.
+    # Round-8 rotation policy (lint-enforced by tests/test_registry_lint.py):
+    # the oracle-backed registry is sorted by staleness — never-driver-
+    # verified queries first (newest batch at the head as it ships), then
+    # ascending last-driver-verified round, computed from the committed
+    # CORRECTNESS_r*.json history. The 50-slot window therefore always
+    # holds every never-verified query plus the stalest re-verification
+    # backfill; the 9 rows-only tail entries cannot hash-verify by design
+    # and stay at the tail.
     return {
-        # -- first non-vacuous driver rows (r5 fixture fixes, never driver-
-        #    verified with rows > 0) -----------------------------------------
-        "ktruss": q_ktruss,
-        "source_overlap": q_source_overlap,
-        # -- r6-snapshot queries: oracle-backed + fixture-tested this round --
-        "supplier_pareto": q_supplier_pareto,
-        "part_supplier_variety": q_part_supplier_variety,
-        "idle_customers": q_idle_customers,
-        "nation_trade_flow": q_nation_trade_flow,
-        "length_gini": q_length_gini,
-        "centroid_distances": q_centroid_distances,
-        # -- NEW in round 7 (all oracle-backed; inserted here as they ship) --
-        "degree_clustering": q_degree_clustering,
-        "order_priority_funnel": q_order_priority_funnel,
-        "supplier_leadtime_quantiles": q_supplier_leadtime_quantiles,
-        "large_orders": q_large_orders,
-        "small_lot_revenue": q_small_lot_revenue,
-        "top_inactivity_gaps": q_top_inactivity_gaps,
-        "source_length_quantiles": q_source_length_quantiles,
-        "charclass_profile": q_charclass_profile,
-        "rich_club": q_rich_club,
-        "joint_degree_profile": q_joint_degree_profile,
-        "user_activity_pareto": q_user_activity_pareto,
-        "weekly_active_users": q_weekly_active_users,
-        "stopword_coverage": q_stopword_coverage,
-        "embedding_grid_occupancy": q_embedding_grid_occupancy,
-        "disjunctive_revenue": q_disjunctive_revenue,
-        "cheapest_supplier": q_cheapest_supplier,
-        # -- NEW in round 7, second batch (all oracle-backed) ----------------
-        "market_share": q_market_share,
-        "supplier_nation_margin": q_supplier_nation_margin,
-        "top_supplier_quarter": q_top_supplier_quarter,
-        "monthly_revenue_growth": q_monthly_revenue_growth,
-        "customer_acquisition": q_customer_acquisition,
-        "hapax_by_source": q_hapax_by_source,
-        "sentence_stats": q_sentence_stats,
-        "edge_support_hist": q_edge_support_hist,
-        # -- NEW in round 7, third batch (all oracle-backed) -----------------
-        "common_neighbor_hist": q_common_neighbor_hist,
-        "rfm_segments": q_rfm_segments,
-        "part_catalog_rollup": q_part_catalog_rollup,
-        "nation_revenue_trend": q_nation_revenue_trend,
-        "vocab_overlap": q_vocab_overlap,
-        "embedding_dot_hist": q_embedding_dot_hist,
-        # -- NEW in round 7, fourth batch (all oracle-backed) ----------------
-        "global_transitivity": q_global_transitivity,
-        "sole_returned_supplier": q_sole_returned_supplier,
-        "supplier_hhi": q_supplier_hhi,
-        "order_size_profile": q_order_size_profile,
-        "activity_streaks": q_activity_streaks,
-        "daily_autocovariance": q_daily_autocovariance,
-        # -- NEW in round 7, fifth batch (all oracle-backed) -----------------
-        "edge_quality_census": q_edge_quality_census,
-        "source_corr_profile": q_source_corr_profile,
-        "order_cohort_retention": q_order_cohort_retention,
-        "supply_bipartite_profile": q_supply_bipartite_profile,
-        "pricing_knob_grid": q_pricing_knob_grid,
-        "user_event_type_diversity": q_user_event_type_diversity,
-        # -- NEW in round 7, sixth batch (all oracle-backed; the 50-slot
-        #    window is already full of round-7 queries, so these queue
-        #    for the round-8 rotation) ---------------------------------------
+        # -- NEW in round 8 (all oracle-backed; TPC-H shape-suite
+        #    completion: Q11 / Q12 / Q20 / full Q5) ------------------------
+        "part_value_concentration": q_part_value_concentration,
+        "late_line_census": q_late_line_census,
+        "bulk_part_suppliers": q_bulk_part_suppliers,
+        "regional_local_revenue": q_regional_local_revenue,
+        # -- NEW in round 8, second batch (reference-path G10 oracle +
+        #    graph sketch audit) -------------------------------------------
+        "greedy_walk_classes": q_greedy_walk_classes,
+        "graph_sketch_audit": q_graph_sketch_audit,
+        # -- NEW in round 8, third batch (time-series repair, set algebra,
+        #    bitmask rollup, array higher-order functions) ------------------
+        "revenue_ewma": q_revenue_ewma,
+        "daily_gap_fill": q_daily_gap_fill,
+        "value_locf": q_value_locf,
+        "user_set_ops": q_user_set_ops,
+        "segment_bitmask": q_segment_bitmask,
+        "embedding_clip_census": q_embedding_clip_census,
+        # -- never driver-verified (round-7 batches 6-10 missed the r7 window;
+        #    new round-8 queries insert ABOVE this comment as they ship) --
         "edge_block_census": q_edge_block_census,
         "segment_revenue_mix": q_segment_revenue_mix,
         "supplier_balance_deciles": q_supplier_balance_deciles,
         "priority_mix_shift": q_priority_mix_shift,
         "leading_tokens": q_leading_tokens,
         "value_moments": q_value_moments,
-        # -- NEW in round 7, seventh batch (all oracle-backed; queued for the
-        #    round-8 window like the sixth batch) ----------------------------
         "component_density_profile": q_component_density_profile,
         "fk_integrity_census": q_fk_integrity_census,
         "custbal_order_corr": q_custbal_order_corr,
         "brand_price_moments": q_brand_price_moments,
         "lang_token_moments": q_lang_token_moments,
         "knn_mutuality": q_knn_mutuality,
-        # -- NEW in round 7, eighth batch (all oracle-backed; queued for the
-        #    round-8 window like batches six and seven) ----------------------
         "perturbation_census": q_perturbation_census,
         "revenue_reconciliation": q_revenue_reconciliation,
         "linenumber_holes": q_linenumber_holes,
         "entry_exit_matrix": q_entry_exit_matrix,
         "type_cooccurrence": q_type_cooccurrence,
         "label_norm_profile": q_label_norm_profile,
-        # -- NEW in round 7, ninth batch (all oracle-backed; window-function
-        #    API coverage: RANGE frames, NTILE, GROUPING SETS, nth_value;
-        #    queued for the round-8 window) ----------------------------------
         "trailing_revenue_range": q_trailing_revenue_range,
         "balance_quartile_mix": q_balance_quartile_mix,
         "sales_grouping_sets": q_sales_grouping_sets,
         "nation_quarter_extremes": q_nation_quarter_extremes,
-        # -- NEW in round 7, tenth batch (all oracle-backed; UNPIVOT/stack,
-        #    set-signature rollup, token-class census, span histogram;
-        #    queued for the round-8 window) ----------------------------------
         "part_metrics_long": q_part_metrics_long,
         "nation_segment_signature": q_nation_segment_signature,
         "token_class_mix": q_token_class_mix,
         "activity_span_hist": q_activity_span_hist,
-        # -- re-verification backfill: stalest green rows (r4 block; the 50-
-        #    slot window cuts inside this block — the rest cycle next round) -
+        # -- stalest re-verification backfill: last driver row r3 --
+        "neighbor_sample": q_neighbor_sample,
+        "tfidf_top_terms": q_tfidf_top_terms,
+        "dedup_exact": q_dedup_exact,
+        "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
+        "dedup_minhash_lsh": q_dedup_minhash_lsh,
+        "dedup_groups": q_dedup_groups,
+        "dedup_simhash": q_dedup_simhash,
+        "dedup_embedding_cosine": q_dedup_embedding_cosine,
+        "similarity_topk": q_similarity_topk,
+        "similarity_ann_lsh_exact": q_similarity_ann_lsh_exact,
+        "corpus_clean": q_corpus_clean,
+        "corpus_prepare": q_corpus_prepare,
+        "doc_expectations": q_doc_expectations,
+        "decontaminate": q_decontaminate,
+        "repetition_stats": q_repetition_stats,
+        "pii_redaction": q_pii_redaction,
+        "doc_chunks": q_doc_chunks,
+        "pack_documents": q_pack_documents,
+        "events_sessionized": q_events_sessionized,
+        "sample_hash": q_sample_hash,
+        "sample_stratified": q_sample_stratified,
+        "train_eval_split": q_train_eval_split,
+        # -- last driver row r4 (window cuts inside this block) --
         "mixture_sample": q_mixture_sample,
         "corpus_shards": q_corpus_shards,
         "text_token_stats": q_text_token_stats,
@@ -4058,85 +4177,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "temporal_split": q_temporal_split,
         "hits": q_hits,
         "reciprocity": q_reciprocity,
-        # ^ the 50-slot window cut moves up this block as round-7
-        #   queries land at the head; everything below re-verifies in a
-        #   later rotation.
         "assortativity": q_assortativity,
         "orders_scd2": q_orders_scd2,
         "session_quantiles": q_session_quantiles,
         "language_mix": q_language_mix,
         "user_ltv": q_user_ltv,
         "knn_graph": q_knn_graph,
-        # -- driver-green in CORRECTNESS_r06.json ----------------------------
-        "embedding_coverage": q_embedding_coverage,
-        "length_outliers": q_length_outliers,
-        "length_cdf": q_length_cdf,
-        "time_profile": q_time_profile,
-        "ego_batch": q_ego_batch,
-        "neighbor_jaccard": q_neighbor_jaccard,
-        "resource_allocation": q_resource_allocation,
-        "two_hop_reach": q_two_hop_reach,
-        "component_sizes": q_component_sizes,
-        "char_trigrams": q_char_trigrams,
-        "token_length_hist": q_token_length_hist,
-        "quality_deciles": q_quality_deciles,
-        "text_normalize": q_text_normalize,
-        "promo_revenue_share": q_promo_revenue_share,
-        "customer_order_histogram": q_customer_order_histogram,
-        "late_shipment_priority": q_late_shipment_priority,
-        "embedding_norms": q_embedding_norms,
-        "dim_variance": q_dim_variance,
-        "dedup_cluster_sizes": q_dedup_cluster_sizes,
-        "copurchase_pairs": q_copurchase_pairs,
-        # -- driver-green in CORRECTNESS_r06.json (r3 block re-verified) -----
-        "start_nodes": q_start_nodes,
-        "start_node_stats": q_start_node_stats,
-        "degrees": q_degrees,
-        "valuable_nodes": q_valuable_nodes,
-        "graph_sizes": q_graph_sizes,
-        "parent_map": q_parent_map,
-        "induced_subgraph_edges": q_induced_subgraph_edges,
-        "subgraph_init": q_subgraph_init,
-        "simrank_init": q_simrank_init,
-        "simrank_round1": q_simrank_round1,
-        "simrank_round1_bucketed": q_simrank_round1_bucketed,
-        "simrank_round2": q_simrank_round2,
-        "simrank_fixpoint": q_simrank_fixpoint,
-        "best_match": q_best_match,
-        "match_classes": q_match_classes,
-        "valuable_matches": q_valuable_matches,
-        "uncovered_valuable": q_uncovered_valuable,
-        "triangle_counts": q_triangle_counts,
-        "connected_components": q_connected_components,
-        "pagerank": q_pagerank,
-        "bfs_distances": q_bfs_distances,
-        "kcore": q_kcore,
-        "sssp": q_sssp,
-        "pagerank_personalized": q_pagerank_personalized,
-        # -- rest of the r3-green block (driver rows r3 + r6-local parity) ---
-        "neighbor_sample": q_neighbor_sample,
-        "tfidf_top_terms": q_tfidf_top_terms,
-        "dedup_exact": q_dedup_exact,
-        "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
-        "dedup_minhash_lsh": q_dedup_minhash_lsh,
-        "dedup_groups": q_dedup_groups,
-        "dedup_simhash": q_dedup_simhash,
-        "dedup_embedding_cosine": q_dedup_embedding_cosine,
-        "similarity_topk": q_similarity_topk,
-        "similarity_ann_lsh_exact": q_similarity_ann_lsh_exact,
-        "corpus_clean": q_corpus_clean,
-        "corpus_prepare": q_corpus_prepare,
-        "doc_expectations": q_doc_expectations,
-        "decontaminate": q_decontaminate,
-        "repetition_stats": q_repetition_stats,
-        "pii_redaction": q_pii_redaction,
-        "doc_chunks": q_doc_chunks,
-        "pack_documents": q_pack_documents,
-        "events_sessionized": q_events_sessionized,
-        "sample_hash": q_sample_hash,
-        "sample_stratified": q_sample_stratified,
-        "train_eval_split": q_train_eval_split,
-        # -- driver-green in CORRECTNESS_r05.json ----------------------------
+        # -- last driver row r5 --
         "scc": q_scc,
         "mis": q_mis,
         "closeness": q_closeness,
@@ -4185,8 +4232,104 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "key_skew_profile": q_key_skew_profile,
         "recent_events": q_recent_events,
         "type_purity": q_type_purity,
-        # -- no-oracle (rows-only / seeded-random / codec output): kept at the
-        #    tail so the window is spent on hash-verifiable queries ----------
+        # -- last driver row r6 --
+        "embedding_coverage": q_embedding_coverage,
+        "length_outliers": q_length_outliers,
+        "length_cdf": q_length_cdf,
+        "time_profile": q_time_profile,
+        "ego_batch": q_ego_batch,
+        "neighbor_jaccard": q_neighbor_jaccard,
+        "resource_allocation": q_resource_allocation,
+        "two_hop_reach": q_two_hop_reach,
+        "component_sizes": q_component_sizes,
+        "char_trigrams": q_char_trigrams,
+        "token_length_hist": q_token_length_hist,
+        "quality_deciles": q_quality_deciles,
+        "text_normalize": q_text_normalize,
+        "promo_revenue_share": q_promo_revenue_share,
+        "customer_order_histogram": q_customer_order_histogram,
+        "late_shipment_priority": q_late_shipment_priority,
+        "embedding_norms": q_embedding_norms,
+        "dim_variance": q_dim_variance,
+        "dedup_cluster_sizes": q_dedup_cluster_sizes,
+        "copurchase_pairs": q_copurchase_pairs,
+        "start_nodes": q_start_nodes,
+        "start_node_stats": q_start_node_stats,
+        "degrees": q_degrees,
+        "valuable_nodes": q_valuable_nodes,
+        "graph_sizes": q_graph_sizes,
+        "parent_map": q_parent_map,
+        "induced_subgraph_edges": q_induced_subgraph_edges,
+        "subgraph_init": q_subgraph_init,
+        "simrank_init": q_simrank_init,
+        "simrank_round1": q_simrank_round1,
+        "simrank_round1_bucketed": q_simrank_round1_bucketed,
+        "simrank_round2": q_simrank_round2,
+        "simrank_fixpoint": q_simrank_fixpoint,
+        "best_match": q_best_match,
+        "match_classes": q_match_classes,
+        "valuable_matches": q_valuable_matches,
+        "uncovered_valuable": q_uncovered_valuable,
+        "triangle_counts": q_triangle_counts,
+        "connected_components": q_connected_components,
+        "pagerank": q_pagerank,
+        "bfs_distances": q_bfs_distances,
+        "kcore": q_kcore,
+        "sssp": q_sssp,
+        "pagerank_personalized": q_pagerank_personalized,
+        # -- last driver row r7 --
+        "ktruss": q_ktruss,
+        "source_overlap": q_source_overlap,
+        "supplier_pareto": q_supplier_pareto,
+        "part_supplier_variety": q_part_supplier_variety,
+        "idle_customers": q_idle_customers,
+        "nation_trade_flow": q_nation_trade_flow,
+        "length_gini": q_length_gini,
+        "centroid_distances": q_centroid_distances,
+        "degree_clustering": q_degree_clustering,
+        "order_priority_funnel": q_order_priority_funnel,
+        "supplier_leadtime_quantiles": q_supplier_leadtime_quantiles,
+        "large_orders": q_large_orders,
+        "small_lot_revenue": q_small_lot_revenue,
+        "top_inactivity_gaps": q_top_inactivity_gaps,
+        "source_length_quantiles": q_source_length_quantiles,
+        "charclass_profile": q_charclass_profile,
+        "rich_club": q_rich_club,
+        "joint_degree_profile": q_joint_degree_profile,
+        "user_activity_pareto": q_user_activity_pareto,
+        "weekly_active_users": q_weekly_active_users,
+        "stopword_coverage": q_stopword_coverage,
+        "embedding_grid_occupancy": q_embedding_grid_occupancy,
+        "disjunctive_revenue": q_disjunctive_revenue,
+        "cheapest_supplier": q_cheapest_supplier,
+        "market_share": q_market_share,
+        "supplier_nation_margin": q_supplier_nation_margin,
+        "top_supplier_quarter": q_top_supplier_quarter,
+        "monthly_revenue_growth": q_monthly_revenue_growth,
+        "customer_acquisition": q_customer_acquisition,
+        "hapax_by_source": q_hapax_by_source,
+        "sentence_stats": q_sentence_stats,
+        "edge_support_hist": q_edge_support_hist,
+        "common_neighbor_hist": q_common_neighbor_hist,
+        "rfm_segments": q_rfm_segments,
+        "part_catalog_rollup": q_part_catalog_rollup,
+        "nation_revenue_trend": q_nation_revenue_trend,
+        "vocab_overlap": q_vocab_overlap,
+        "embedding_dot_hist": q_embedding_dot_hist,
+        "global_transitivity": q_global_transitivity,
+        "sole_returned_supplier": q_sole_returned_supplier,
+        "supplier_hhi": q_supplier_hhi,
+        "order_size_profile": q_order_size_profile,
+        "activity_streaks": q_activity_streaks,
+        "daily_autocovariance": q_daily_autocovariance,
+        "edge_quality_census": q_edge_quality_census,
+        "source_corr_profile": q_source_corr_profile,
+        "order_cohort_retention": q_order_cohort_retention,
+        "supply_bipartite_profile": q_supply_bipartite_profile,
+        "pricing_knob_grid": q_pricing_knob_grid,
+        "user_event_type_diversity": q_user_event_type_diversity,
+        # -- no-oracle (rows-only / seeded-random / codec output): kept at
+        #    the tail so the window is spent on hash-verifiable queries --
         "multimodal_features": q_multimodal_features,
         "multimodal_summary": q_multimodal_summary,
         "walk_kernel": q_walk_kernel,
@@ -4201,6 +4344,218 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 def oracle_sql() -> dict[str, str]:
     return {
+        # -- round-8 additions (reference-path G10 + sketch audit) ----------
+        "greedy_walk_classes": _sr_sql(
+            f"""
+            , nxt AS (SELECT src, MIN(dst) AS nxt FROM pg_edges GROUP BY src),
+            starts AS (
+              SELECT id FROM pg_vertices v
+              WHERE NOT EXISTS (SELECT 1 FROM pg_edges e WHERE e.dst = v.id)
+            ),
+            w0 AS (SELECT id AS walk_id, id AS node FROM starts),
+            w1 AS (SELECT w.walk_id, n.nxt AS node FROM w0 w JOIN nxt n ON w.node = n.src),
+            w2 AS (SELECT w.walk_id, n.nxt AS node FROM w1 w JOIN nxt n ON w.node = n.src),
+            w3 AS (SELECT w.walk_id, n.nxt AS node FROM w2 w JOIN nxt n ON w.node = n.src),
+            w4 AS (SELECT w.walk_id, n.nxt AS node FROM w3 w JOIN nxt n ON w.node = n.src),
+            w5 AS (SELECT w.walk_id, n.nxt AS node FROM w4 w JOIN nxt n ON w.node = n.src),
+            w6 AS (SELECT w.walk_id, n.nxt AS node FROM w5 w JOIN nxt n ON w.node = n.src),
+            steps AS (
+              SELECT * FROM w0 UNION ALL SELECT * FROM w1
+              UNION ALL SELECT * FROM w2 UNION ALL SELECT * FROM w3
+              UNION ALL SELECT * FROM w4 UNION ALL SELECT * FROM w5
+              UNION ALL SELECT * FROM w6
+            ),
+            visited AS (SELECT DISTINCT walk_id, node FROM steps),
+            sigs AS (
+              SELECT walk_id, walk_id % 4 AS partition_key,
+                     string_agg(CAST(node AS VARCHAR), ',' ORDER BY node) AS sig
+              FROM visited GROUP BY 1, 2
+            ),
+            kept AS (
+              SELECT MIN(walk_id) AS walk_id FROM sigs
+              GROUP BY partition_key, sig
+            ),
+            thresh AS (
+              SELECT pg_id, (pg_id = og_id) AS is_tp
+              FROM best WHERE score > {THRESHOLD}
+            ),
+            wflags AS (
+              SELECT v.walk_id % 4 AS partition_key, v.walk_id,
+                     MAX(CASE WHEN t.is_tp THEN 1 ELSE 0 END) AS hit_tp,
+                     MAX(CASE WHEN t.is_tp = FALSE THEN 1 ELSE 0 END) AS hit_fp
+              FROM visited v
+              JOIN kept k ON v.walk_id = k.walk_id
+              LEFT JOIN thresh t ON v.node = t.pg_id
+              GROUP BY 1, 2
+            )
+            SELECT CAST(partition_key AS BIGINT) AS partition_key,
+                   CAST(SUM(CASE WHEN hit_tp = 1 AND hit_fp = 0
+                            THEN 1 ELSE 0 END) AS BIGINT) AS n_successful,
+                   CAST(SUM(hit_fp) AS BIGINT) AS n_unsuccessful
+            FROM wflags GROUP BY 1
+            """,
+            rounds=1,
+            best=True,
+        ),
+        "graph_sketch_audit": graph_sql(
+            """
+            SELECT 'og' AS graph, CAST(COUNT(*) AS BIGINT) AS n_edges,
+                   CAST(COUNT(DISTINCT src) AS BIGINT) AS exact_src,
+                   CAST(COUNT(DISTINCT dst) AS BIGINT) AS exact_dst,
+                   ABS(approx_count_distinct(src) - COUNT(DISTINCT src))
+                     * 1000000 <= 50000 * COUNT(DISTINCT src) AS sketch_ok
+            FROM og_edges
+            UNION ALL
+            SELECT 'pg', CAST(COUNT(*) AS BIGINT),
+                   CAST(COUNT(DISTINCT src) AS BIGINT),
+                   CAST(COUNT(DISTINCT dst) AS BIGINT),
+                   ABS(approx_count_distinct(src) - COUNT(DISTINCT src))
+                     * 1000000 <= 50000 * COUNT(DISTINCT src)
+            FROM pg_edges
+            """
+        ),
+        # -- round-8 additions, third batch ----------------------------------
+        "revenue_ewma": """
+            WITH daily AS (
+              SELECT epoch_us(o_orderdate) // 86400000000 AS day,
+                     SUM(CAST(round(o_totalprice*100) AS BIGINT)) AS cents
+              FROM orders GROUP BY 1
+            ),
+            contrib AS (
+              SELECT d.day + t.off AS day,
+                     d.cents * (1 << CAST(7 - t.off AS INTEGER)) AS w
+              FROM daily d, range(8) t(off)
+            )
+            SELECT CAST(d.day AS BIGINT) AS day,
+                   CAST(d.cents AS BIGINT) AS day_cents,
+                   CAST(SUM(c.w) AS BIGINT) AS trail_weighted_cents
+            FROM daily d JOIN contrib c ON c.day = d.day
+            GROUP BY 1, 2
+        """,
+        "daily_gap_fill": """
+            WITH daily AS (
+              SELECT epoch_us(ts) // 86400000000 AS day, COUNT(*) AS n
+              FROM events GROUP BY 1
+            ),
+            span AS (SELECT MIN(day) AS d0, MAX(day) AS d1 FROM daily),
+            cal AS (
+              SELECT unnest(generate_series(d0, d1)) AS day FROM span
+            )
+            SELECT CAST(cal.day AS BIGINT) AS day,
+                   CAST(COALESCE(daily.n, 0) AS BIGINT) AS n_events,
+                   daily.n IS NULL AS is_gap
+            FROM cal LEFT JOIN daily ON cal.day = daily.day
+        """,
+        "value_locf": """
+            SELECT CAST(event_id AS BIGINT) AS event_id,
+                   CAST(user_id AS BIGINT) AS user_id,
+                   LAST_VALUE(CASE WHEN event_type <> 'error' THEN value END
+                              IGNORE NULLS)
+                     OVER (PARTITION BY user_id
+                           ORDER BY epoch_us(ts), event_id
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                     AS filled_value
+            FROM events
+        """,
+        "user_set_ops": """
+            SELECT 'intersect' AS set_op, CAST(COUNT(*) AS BIGINT) AS n_users
+            FROM (SELECT user_id FROM events WHERE event_type = 'click'
+                  INTERSECT
+                  SELECT user_id FROM events WHERE event_type = 'error')
+            UNION ALL
+            SELECT 'except', CAST(COUNT(*) AS BIGINT)
+            FROM (SELECT user_id FROM events WHERE event_type = 'click'
+                  EXCEPT
+                  SELECT user_id FROM events WHERE event_type = 'error')
+            UNION ALL
+            SELECT 'union', CAST(COUNT(*) AS BIGINT)
+            FROM (SELECT user_id FROM events WHERE event_type = 'click'
+                  UNION
+                  SELECT user_id FROM events WHERE event_type = 'error')
+        """,
+        "segment_bitmask": """
+            SELECT n_name AS nation,
+                   CAST(bit_or(CASE c_mktsegment
+                     WHEN 'AUTOMOBILE' THEN 1 WHEN 'BUILDING' THEN 2
+                     WHEN 'FURNITURE' THEN 4 WHEN 'HOUSEHOLD' THEN 8
+                     WHEN 'MACHINERY' THEN 16 ELSE 0 END) AS BIGINT)
+                     AS segment_mask,
+                   CAST(COUNT(*) AS BIGINT) AS n_customers
+            FROM customer JOIN nation ON c_nationkey = n_nationkey
+            GROUP BY 1
+        """,
+        "embedding_clip_census": """
+            SELECT CAST(vec_id AS BIGINT) AS vec_id,
+                   CAST(len(list_filter(embedding,
+                     x -> abs(CAST(floor(CAST(x AS DOUBLE)*1000) AS BIGINT))
+                          > 500)) AS BIGINT) AS n_high,
+                   CAST(list_sum(list_transform(embedding,
+                     x -> greatest(least(
+                            CAST(floor(CAST(x AS DOUBLE)*1000) AS BIGINT),
+                            500), -500))) AS BIGINT) AS clip_milli_sum
+            FROM embeddings
+        """,
+        # -- round-8 additions (TPC-H shape-suite completion) ---------------
+        "part_value_concentration": """
+            WITH per_part AS (
+              SELECT l_partkey AS partkey,
+                     SUM(CAST(round(l_extendedprice*100) AS BIGINT)
+                         * CAST(l_quantity AS BIGINT)) AS value_cents
+              FROM lineitem
+              JOIN supplier ON l_suppkey = s_suppkey
+              JOIN nation ON s_nationkey = n_nationkey
+              JOIN region ON n_regionkey = r_regionkey
+              WHERE r_name = 'EUROPE'
+              GROUP BY 1
+            ), total AS (SELECT SUM(value_cents) AS total_cents FROM per_part)
+            SELECT CAST(partkey AS BIGINT) AS partkey,
+                   CAST(value_cents AS DOUBLE)/100.0 AS supply_value
+            FROM per_part, total
+            WHERE value_cents * 1000 > total_cents
+        """,
+        "late_line_census": """
+            SELECT l_returnflag,
+                   CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH')
+                            THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+                   CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH')
+                            THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count
+            FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+            WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+              AND l_shipdate < TIMESTAMP '1998-01-01'
+              AND l_shipdate > o_orderdate + INTERVAL 60 DAY
+            GROUP BY 1
+        """,
+        "bulk_part_suppliers": """
+            SELECT s_name, n_name AS nation
+            FROM supplier JOIN nation ON s_nationkey = n_nationkey
+            WHERE s_suppkey IN (
+              SELECT l_suppkey FROM lineitem JOIN part ON l_partkey = p_partkey
+              WHERE p_name LIKE 'small %'
+                AND l_shipdate >= TIMESTAMP '1997-01-01'
+                AND l_shipdate < TIMESTAMP '1998-01-01'
+              GROUP BY l_suppkey, l_partkey
+              HAVING SUM(l_quantity) > 50.0
+            )
+        """,
+        "regional_local_revenue": """
+            SELECT n_name AS nation,
+                   CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,2))
+                        * (CAST(1 AS DECIMAL(18,2))
+                           - CAST(l_discount AS DECIMAL(18,2)))
+                        AS DECIMAL(28,4))) AS DOUBLE) AS revenue,
+                   CAST(COUNT(*) AS BIGINT) AS n_lineitems
+            FROM lineitem
+            JOIN orders ON l_orderkey = o_orderkey
+            JOIN customer ON o_custkey = c_custkey
+            JOIN supplier ON l_suppkey = s_suppkey
+                         AND s_nationkey = c_nationkey
+            JOIN nation ON c_nationkey = n_nationkey
+            JOIN region ON n_regionkey = r_regionkey
+            WHERE r_name = 'ASIA'
+              AND o_orderdate >= TIMESTAMP '1997-01-01'
+              AND o_orderdate < TIMESTAMP '1998-01-01'
+            GROUP BY 1
+        """,
         # -- round-6 additions ----------------------------------------------
         "neighbor_jaccard": _neighbor_jaccard_sql(max_center_degree=64),
         "resource_allocation": _resource_allocation_sql(

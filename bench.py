@@ -117,17 +117,17 @@ def _prior_timings() -> dict[str, float]:
 _MODULE_SUITES: dict[str, list[str]] = {
     "graphalg": ["graph_", "pagerank", "cc_", "link_prediction"],
     "topology": ["topology", "graph_ingest", "mitm"],
-    "walks": ["walks_frontier", "mitm"],
+    "walks": ["walks_frontier", "mitm", "graph_walk_audit"],
     "walk_simrank": ["mitm"],
     "simrank": ["simrank", "mitm"],
     "matching": ["best_match", "mitm"],
-    "stats": ["mitm", "topology"],
+    "stats": ["mitm", "topology", "graph_walk_audit"],
     "subgraph": ["mitm"],
     "pipeline": ["mitm"],
     "dedup": ["dedup_"],
     "similarity": [
         "similarity_", "dedup_embedding_cosine", "link_prediction",
-        "activity_profiles",
+        "activity_profiles", "series_repair",
     ],
     "textops": ["text_analysis", "corpus_"],
     "corpusstats": ["corpus_", "text_analysis"],
@@ -140,14 +140,15 @@ _MODULE_SUITES: dict[str, list[str]] = {
     "cohorts": ["event_analytics"],
     "olap": [
         "event_analytics", "data_management", "olap_",
-        "activity_profiles",
+        "activity_profiles", "series_repair",
     ],
     "merge": ["data_management"],
     "asof": ["temporal_joins"],
     "ranges": ["temporal_joins"],
     "jsonops": ["json_analytics"],
-    "sketches": ["corpus_audit", "data_management"],
-    "drift": ["drift_monitoring", "streaming_value_hist", "activity_rhythms"],
+    "sketches": ["corpus_audit", "data_management", "graph_walk_audit"],
+    "drift": ["drift_monitoring", "streaming_value_hist", "activity_rhythms",
+        "series_repair"],
     "multimodal": ["multimodal_"],
     "doc_dedup": ["streaming_dedup"],
     "enrich": ["drift_monitoring"],
@@ -959,6 +960,42 @@ def main() -> None:
             f"bench_value_hist_{stream_run[0]}",
             "complete",
         )
+
+    @timed("olap_shape_completion", iters=2)
+    def _():
+        # round-8: the four shapes that completed the TPC-H suite —
+        # Q11 value concentration (broadcast scalar threshold), Q12
+        # late-line census, Q20 chained semi-join, full Q5 locality
+        import __spark_entry__ as entrymod
+
+        entrymod.q_part_value_concentration(spark, SF_DIR).count()
+        entrymod.q_late_line_census(spark, SF_DIR).count()
+        entrymod.q_bulk_part_suppliers(spark, SF_DIR).count()
+        entrymod.q_regional_local_revenue(spark, SF_DIR).count()
+
+    @timed("series_repair", iters=2)
+    def _():
+        # round-8: time-series repair + set algebra + narrow-map
+        # audits — dyadic EWMA scatter, calendar gap fill, LOCF window,
+        # INTERSECT/EXCEPT/UNION, bit_or bitmask, array HOF clipping
+        import __spark_entry__ as entrymod
+
+        entrymod.q_revenue_ewma(spark, SF_DIR).count()
+        entrymod.q_daily_gap_fill(spark, SF_DIR).count()
+        entrymod.q_value_locf(spark, SF_DIR).count()
+        entrymod.q_user_set_ops(spark, SF_DIR).count()
+        entrymod.q_segment_bitmask(spark, SF_DIR).count()
+        entrymod.q_embedding_clip_census(spark, SF_DIR).count()
+
+    @timed("graph_walk_audit", iters=2)
+    def _():
+        # round-8: deterministic greedy-walk classification (the
+        # oracle-checkable G10 twin — simrank matches + min-neighbor
+        # walks) and the HLL sketch audit over both edge tables
+        import __spark_entry__ as entrymod
+
+        entrymod.q_greedy_walk_classes(spark, SF_DIR).count()
+        entrymod.q_graph_sketch_audit(spark, SF_DIR).count()
 
     # -- optional smoke filter: SPARK_GRAFT_BENCH_SUITES="a,b" runs only
     # the named suites (development loop; the driver never sets it).

@@ -17,4 +17,4 @@ column plumbing.
 __version__ = "0.1.0"
 
 from .model import EDGE_SCHEMA, VERTEX_SCHEMA, NetGraph  # noqa: F401
-from .session import get_spark  # noqa: F401
+from .session import get_spark, quiet_window_warns  # noqa: F401

@@ -205,3 +205,63 @@ def value_moments(events: DataFrame) -> DataFrame:
         F.min("c").cast("long").alias("min_cents"),
         F.max("c").cast("long").alias("max_cents"),
     )
+
+
+def daily_gap_fill(events: DataFrame) -> DataFrame:
+    """(day, n_events, is_gap): the daily event-count series DENSIFIED
+    over the full observed calendar span — days with zero events appear
+    as explicit (day, 0, true) rows, which every downstream
+    time-series consumer (autocovariance, drift monitors, forecasting
+    features) needs but a plain groupBy can never produce.
+
+    The fact table collapses to the bounded daily frame first; the
+    calendar axis comes from ONE scalar min/max aggregate exploded via
+    sequence() — its size is the calendar span, never the data size —
+    and broadcasts into a left join against the daily counts. Epoch-day
+    integer quotients keep the bucketing timezone-free and
+    oracle-exact.
+    """
+    daily = (
+        events.select(event_micros(events).alias("tus"))
+        .select(F.expr("tus div 86400000000").alias("day"))
+        .groupBy("day")
+        .agg(F.count("*").alias("n"))
+    )
+    span = daily.agg(
+        F.min("day").alias("d0"), F.max("day").alias("d1")
+    )
+    calendar = span.select(
+        F.explode(F.sequence(F.col("d0"), F.col("d1"))).alias("day")
+    )
+    return calendar.join(daily, on="day", how="left").select(
+        F.col("day").cast("long").alias("day"),
+        F.coalesce(F.col("n"), F.lit(0)).cast("long").alias("n_events"),
+        F.col("n").isNull().alias("is_gap"),
+    )
+
+
+def value_locf(events: DataFrame, bad_type: str = "error") -> DataFrame:
+    """(event_id, user_id, filled_value): each event's value with
+    `bad_type` readings treated as missing and repaired by
+    last-observation-carried-forward within the user's timeline — the
+    sensor-repair/gap-fill primitive (last(ignorenulls=True) over an
+    ordered per-user frame; a user whose history STARTS with bad
+    readings keeps NULL, there is nothing to carry).
+
+    One window over the user partition, ordered by (event-micros,
+    event_id) so ties break deterministically cross-engine. The value
+    passes through untouched (no arithmetic), so the doubles
+    hash-match bit-for-bit. State per task is one scalar per user —
+    the streaming twin of this operator is the classic stateful LOCF.
+    """
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(event_micros(events).alias("tus"), F.col("event_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    good = F.when(F.col("event_type") != bad_type, F.col("value"))
+    return events.select(
+        F.col("event_id").cast("long").alias("event_id"),
+        F.col("user_id").cast("long").alias("user_id"),
+        F.last(good, ignorenulls=True).over(w).alias("filled_value"),
+    )

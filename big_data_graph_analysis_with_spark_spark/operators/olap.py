@@ -1793,3 +1793,360 @@ def nation_segment_signature(customer: DataFrame, nation: DataFrame) -> DataFram
             F.sort_array(F.collect_set("c_mktsegment")), ","
         ).alias("signature"),
     )
+
+
+def part_value_concentration(
+    lineitem: DataFrame,
+    supplier: DataFrame,
+    nation: DataFrame,
+    region: DataFrame,
+    region_name: str = "EUROPE",
+    fraction_denom: int = 1000,
+) -> DataFrame:
+    """(partkey, supply_value): parts whose traded value through one
+    region's suppliers exceeds ``1/fraction_denom`` of that region's
+    total traded value — the TPC-H Q11 shape (value concentration
+    against a correlated scalar threshold), re-keyed onto lineitem
+    because the testdata has no partsupp table (value ≔ Σ extendedprice
+    × quantity instead of ps_supplycost × ps_availqty; identical plan
+    shape).
+
+    The region's supplier set is a broadcast dim filter pushed into the
+    lineitem scan's join, so the ONE shuffle is the partkey aggregation
+    of the filtered fact. The Q11 HAVING threshold is a one-row
+    aggregate of the SAME grouped frame, broadcast back in — no second
+    fact scan, no correlated subquery. The share test runs in exact
+    integer cents (round(price·100)·qty, the cross-engine lift
+    convention): value_cents·denom > total_cents — bit-identical in
+    both engines; BIGINT carries it to ~sf1000, beyond which lift both
+    sides to DECIMAL(38,0).
+    """
+    suppliers_in_region = (
+        supplier.join(
+            F.broadcast(
+                nation.join(
+                    F.broadcast(
+                        region.filter(F.col("r_name") == region_name).select(
+                            "r_regionkey"
+                        )
+                    ),
+                    on=F.col("n_regionkey") == F.col("r_regionkey"),
+                ).select("n_nationkey")
+            ),
+            on=F.col("s_nationkey") == F.col("n_nationkey"),
+        )
+        .select(F.col("s_suppkey").alias("l_suppkey"))
+    )
+    cents = (
+        F.round(F.col("l_extendedprice") * 100).cast("long")
+        * F.col("l_quantity").cast("long")
+    )
+    per_part = (
+        lineitem.select("l_suppkey", "l_partkey", cents.alias("value_cents"))
+        .join(F.broadcast(suppliers_in_region), on="l_suppkey")
+        .groupBy(F.col("l_partkey").alias("partkey"))
+        .agg(F.sum("value_cents").alias("value_cents"))
+    )
+    total = per_part.agg(F.sum("value_cents").alias("__total_cents__"))
+    return (
+        per_part.join(F.broadcast(total))
+        .filter(
+            F.col("value_cents") * F.lit(fraction_denom)
+            > F.col("__total_cents__")
+        )
+        .select(
+            F.col("partkey").cast("long").alias("partkey"),
+            (F.col("value_cents").cast("double") / 100.0).alias("supply_value"),
+        )
+    )
+
+
+def late_line_priority_census(
+    lineitem: DataFrame,
+    orders: DataFrame,
+    year_start: str = "1997-01-01",
+    year_end: str = "1998-01-01",
+    late_days: int = 60,
+) -> DataFrame:
+    """(l_returnflag, high_line_count, low_line_count): among lines
+    SHIPPED in the window and later than `late_days` after their
+    order date, how many belong to critical-priority orders vs not,
+    per return flag — the TPC-H Q12 shape (shipmode late-line census;
+    returnflag stands in for the shipmode column the testdata lacks,
+    ship-vs-order lag for the commit/receipt lag).
+
+    The date window prunes the lineitem scan (pushed filter), the ONE
+    shuffle is lineitem ⋈ orders on orderkey (co-located when both are
+    orderkey-bucketed), and the lateness predicate runs as soon as both
+    dates are bound so on-time lines never reach the 3-row aggregate.
+    The priority test is Q12's: '1-URGENT' or '2-HIGH' counts high.
+    """
+    shipped = lineitem.filter(
+        (F.col("l_shipdate") >= F.lit(year_start).cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit(year_end).cast("timestamp"))
+    ).select("l_orderkey", "l_returnflag", "l_shipdate")
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        shipped.join(
+            orders.select("o_orderkey", "o_orderdate", "o_orderpriority"),
+            on=F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        .filter(
+            F.col("l_shipdate")
+            > F.col("o_orderdate") + F.expr(f"INTERVAL {int(late_days)} DAYS")
+        )
+        .groupBy("l_returnflag")
+        .agg(
+            F.sum(high.cast("long")).alias("high_line_count"),
+            F.sum((~high).cast("long")).alias("low_line_count"),
+        )
+    )
+
+
+def bulk_part_suppliers(
+    lineitem: DataFrame,
+    supplier: DataFrame,
+    part: DataFrame,
+    nation: DataFrame,
+    name_prefix: str = "small ",
+    year_start: str = "1997-01-01",
+    year_end: str = "1998-01-01",
+    min_qty: float = 50.0,
+) -> DataFrame:
+    """(s_name, nation): suppliers who moved more than `min_qty` units
+    of SOME part whose name starts with `name_prefix` within the year —
+    the TPC-H Q20 shape (nested semi-join: parts → qualifying
+    (supplier, part) volumes → suppliers), availability re-derived from
+    shipped volume because the testdata has no partsupp.availqty.
+
+    Innermost: the part-name prefix filter broadcasts into the
+    date-pruned lineitem scan (both predicates reach the scans).
+    Middle: ONE shuffle groups the surviving lines by (suppkey,
+    partkey); the HAVING keeps bulk volumes. Outermost: the distinct
+    qualifying suppkeys semi-join supplier (broadcast — supplier count
+    ≪ fact count), nation broadcasts for the name. No fact-fact join
+    anywhere, mirroring Q20's correlated-subquery-free plan.
+    """
+    wanted_parts = part.filter(F.col("p_name").startswith(name_prefix)).select(
+        F.col("p_partkey").alias("l_partkey")
+    )
+    bulk_suppliers = (
+        lineitem.filter(
+            (F.col("l_shipdate") >= F.lit(year_start).cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit(year_end).cast("timestamp"))
+        )
+        .select("l_partkey", "l_suppkey", "l_quantity")
+        .join(F.broadcast(wanted_parts), on="l_partkey")
+        .groupBy("l_suppkey", "l_partkey")
+        .agg(F.sum("l_quantity").alias("qty"))
+        .filter(F.col("qty") > min_qty)
+        .select(F.col("l_suppkey").alias("s_suppkey"))
+        .distinct()
+    )
+    return (
+        supplier.join(F.broadcast(bulk_suppliers), on="s_suppkey", how="semi")
+        .join(
+            F.broadcast(
+                nation.select(
+                    F.col("n_nationkey").alias("s_nationkey"),
+                    F.col("n_name").alias("nation"),
+                )
+            ),
+            on="s_nationkey",
+        )
+        .select("s_name", "nation")
+    )
+
+
+def regional_local_revenue(
+    lineitem: DataFrame,
+    orders: DataFrame,
+    customer: DataFrame,
+    supplier: DataFrame,
+    nation: DataFrame,
+    region: DataFrame,
+    region_name: str = "ASIA",
+    year_start: str = "1997-01-01",
+    year_end: str = "1998-01-01",
+) -> DataFrame:
+    """(nation, revenue, n_lineitems): discounted revenue per nation of
+    one region, counting only LOCAL trades — lines whose supplier and
+    ordering customer share the nation — for orders placed in the year:
+    the full TPC-H Q5 shape (the Q5-style `local_supplier_volume`
+    predates this; Q5 proper needs the region dim, the order-date
+    window, and the customer-nation = supplier-nation equality, all
+    present here).
+
+    region→nation→customer/supplier chain broadcasts end to end; the
+    order-date filter prunes the orders side BEFORE the one fact-fact
+    shuffle (lineitem ⋈ orders on orderkey, co-located when bucketed).
+    The locality equality binds as soon as both nationkeys are bound —
+    non-local rows never reach the aggregate. Revenue is the exact
+    DECIMAL(28,4) convention cast to double once.
+    """
+    region_nations = nation.join(
+        F.broadcast(
+            region.filter(F.col("r_name") == region_name).select("r_regionkey")
+        ),
+        on=F.col("n_regionkey") == F.col("r_regionkey"),
+    ).select("n_nationkey", "n_name")
+    rev = (
+        F.col("l_extendedprice").cast("decimal(18,2)")
+        * (
+            F.lit(1).cast("decimal(18,2)")
+            - F.col("l_discount").cast("decimal(18,2)")
+        )
+    ).cast("decimal(28,4)")
+    year_orders = orders.filter(
+        (F.col("o_orderdate") >= F.lit(year_start).cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit(year_end).cast("timestamp"))
+    ).select("o_orderkey", "o_custkey")
+    return (
+        lineitem.select("l_orderkey", "l_suppkey", rev.alias("rev"))
+        .join(year_orders, on=F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(
+            F.broadcast(customer.select("c_custkey", "c_nationkey")),
+            on=F.col("o_custkey") == F.col("c_custkey"),
+        )
+        .join(
+            F.broadcast(supplier.select("s_suppkey", "s_nationkey")),
+            on=(F.col("l_suppkey") == F.col("s_suppkey"))
+            & (F.col("s_nationkey") == F.col("c_nationkey")),
+        )
+        .join(
+            F.broadcast(
+                region_nations.select(
+                    F.col("n_nationkey").alias("c_nationkey"),
+                    F.col("n_name").alias("nation"),
+                )
+            ),
+            on="c_nationkey",
+        )
+        .groupBy("nation")
+        .agg(
+            F.sum("rev").cast("double").alias("revenue"),
+            F.count("*").cast("long").alias("n_lineitems"),
+        )
+    )
+
+
+def revenue_ewma(orders: DataFrame, window_days: int = 8) -> DataFrame:
+    """(day, day_cents, trail_weighted_cents): daily order revenue in
+    exact integer cents plus a trailing exponentially-weighted sum —
+    weight 2^(window_days-1-k) for the revenue k days back — the
+    anomaly-baseline smoother with DYADIC weights so the whole series
+    stays integer-exact cross-engine (float pow() is libm-dependent;
+    powers of two are not).
+
+    Scale shape: the fact table collapses to the bounded daily frame
+    first (ONE map-side-combined aggregation); the trailing window is
+    then a scatter — each day broadcasts its weighted contribution to
+    the next `window_days` calendar slots via a literal offsets array
+    (narrow map + explode, no range join, no per-row window scan) — and
+    a re-aggregation over |days|·window_days tiny rows. Days with no
+    orders contribute nothing and receive nothing, matching the SQL
+    twin exactly.
+    """
+    daily = (
+        orders.select(
+            event_micros(orders, "o_orderdate").alias("tus"),
+            F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+        )
+        .select(F.expr("tus div 86400000000").alias("day"), "cents")
+        .groupBy("day")
+        .agg(F.sum("cents").alias("cents"))
+    )
+    offsets = F.sequence(F.lit(0), F.lit(window_days - 1))
+    contrib = daily.select(
+        F.explode(offsets).alias("off"), "day", "cents"
+    ).select(
+        (F.col("day") + F.col("off")).alias("day"),
+        (
+            F.col("cents")
+            * F.expr(
+                "shiftleft(cast(1 as bigint), "
+                f"cast({window_days - 1} - off as int))"
+            )
+        ).alias("w"),
+    )
+    weighted = contrib.groupBy("day").agg(
+        F.sum("w").alias("trail_weighted_cents")
+    )
+    return daily.join(weighted, on="day").select(
+        F.col("day").cast("long").alias("day"),
+        F.col("cents").cast("long").alias("day_cents"),
+        F.col("trail_weighted_cents").cast("long").alias(
+            "trail_weighted_cents"
+        ),
+    )
+
+
+def segment_bitmask(customer: DataFrame, nation: DataFrame) -> DataFrame:
+    """(nation, segment_mask, n_customers): per nation, the bit-OR of
+    one bit per market segment present — the fixed-vocabulary set
+    membership encoded as an integer bitmask (the compact alternative
+    to the collect_set signature of `nation_segment_signature` when the
+    vocabulary is small and known: 1 bigint vs a string, and bit_or
+    merges map-side).
+
+    One broadcast dim join + one nation-keyed aggregation; bit_or is
+    associative so partial aggregation halves the shuffle like any sum.
+    """
+    seg = F.col("c_mktsegment")
+    bit = (
+        F.when(seg == "AUTOMOBILE", 1)
+        .when(seg == "BUILDING", 2)
+        .when(seg == "FURNITURE", 4)
+        .when(seg == "HOUSEHOLD", 8)
+        .when(seg == "MACHINERY", 16)
+        .otherwise(0)
+        .cast("long")
+    )
+    return (
+        customer.select("c_nationkey", bit.alias("bit"))
+        .join(
+            F.broadcast(
+                nation.select(
+                    F.col("n_nationkey").alias("c_nationkey"),
+                    F.col("n_name").alias("nation"),
+                )
+            ),
+            on="c_nationkey",
+        )
+        .groupBy("nation")
+        .agg(
+            F.bit_or("bit").cast("long").alias("segment_mask"),
+            F.count("*").cast("long").alias("n_customers"),
+        )
+    )
+
+
+def user_set_ops(
+    events: DataFrame, type_a: str = "click", type_b: str = "error"
+) -> DataFrame:
+    """(set_op, n_users): the distinct-user sets of two event types run
+    through INTERSECT / EXCEPT / UNION — the audience-overlap algebra
+    (T1/T2/T3 on the events table) as one oracle-checkable frame.
+
+    Each set is a distinct projection of the pruned fact scan; the set
+    operators are Spark-native (hash aggregates), and the three counts
+    are one-row frames unioned together — nothing data-sized ever sits
+    on the driver.
+    """
+    users_a = events.filter(F.col("event_type") == type_a).select(
+        "user_id"
+    ).distinct()
+    users_b = events.filter(F.col("event_type") == type_b).select(
+        "user_id"
+    ).distinct()
+
+    def one(tag: str, df: DataFrame) -> DataFrame:
+        return df.agg(F.count("*").cast("long").alias("n_users")).select(
+            F.lit(tag).alias("set_op"), "n_users"
+        )
+
+    return (
+        one("intersect", users_a.intersect(users_b))
+        .unionAll(one("except", users_a.subtract(users_b)))
+        .unionAll(one("union", users_a.union(users_b).distinct()))
+    )

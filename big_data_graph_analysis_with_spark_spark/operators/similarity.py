@@ -953,3 +953,39 @@ def label_norm_profile(emb: DataFrame) -> DataFrame:
         F.min("nsq").cast("long").alias("min_norm_sq"),
         F.max("nsq").cast("long").alias("max_norm_sq"),
     )
+
+
+def embedding_clip_census(
+    embeddings: DataFrame, thresh_milli: int = 500
+) -> DataFrame:
+    """(vec_id, n_high, clip_milli_sum): per vector, how many
+    dimensions exceed the clip threshold in magnitude and the sum of
+    all dimensions after clipping — the activation-clipping audit a
+    feature pipeline runs before quantizing embeddings, built entirely
+    from array higher-order functions (transform / filter / aggregate)
+    so the whole expression stays inside codegen, no UDF, no explode.
+
+    Cross-engine exactness: each float widens to double (exact), scales
+    by 1000 (one IEEE multiply), and floors to BIGINT — from there the
+    clip (greatest/least) and the sum are integer ops, so the row
+    hashes identically in any engine. Narrow map, zero shuffles.
+    """
+    milli = F.transform(
+        F.col("embedding"),
+        lambda x: F.floor(x.cast("double") * 1000).cast("long"),
+    )
+    clipped = F.transform(
+        milli,
+        lambda m: F.greatest(
+            F.least(m, F.lit(thresh_milli)), F.lit(-thresh_milli)
+        ),
+    )
+    return embeddings.select(
+        F.col("vec_id").cast("long").alias("vec_id"),
+        F.size(
+            F.filter(milli, lambda m: F.abs(m) > thresh_milli)
+        ).cast("long").alias("n_high"),
+        F.aggregate(
+            clipped, F.lit(0).cast("long"), lambda acc, m: acc + m
+        ).alias("clip_milli_sum"),
+    )

@@ -120,3 +120,37 @@ def quantile_sketch_audit(
             ),
         )
     )
+
+
+def graph_distinct_sketch_audit(
+    og_edges: DataFrame, pg_edges: DataFrame, tol_ppm: int = DISTINCT_TOL_PPM
+) -> DataFrame:
+    """(graph, n_edges, exact_src, exact_dst, sketch_ok): edge count and
+    EXACT distinct endpoint counts per derived graph (og/pg), plus
+    whether this engine's HLL distinct-source estimate lands within
+    `tol_ppm` — the sketch-trust audit extended to the graph tables
+    (round-7 verdict growth item). Each engine checks ITS OWN sketch
+    against the exact value; only exact values and the verdict cross
+    the engine boundary, so the row hash-verifies while the sketch
+    stays engine-local. One aggregation per edge table, integer
+    cross-multiplied tolerance, no float division.
+    """
+    def side(edges: DataFrame, tag: str) -> DataFrame:
+        agg = edges.agg(
+            F.count("*").cast("long").alias("n_edges"),
+            F.countDistinct("src").cast("long").alias("exact_src"),
+            F.countDistinct("dst").cast("long").alias("exact_dst"),
+            F.approx_count_distinct("src").cast("long").alias("approx_src"),
+        )
+        dev = F.abs(F.col("approx_src") - F.col("exact_src"))
+        return agg.select(
+            F.lit(tag).alias("graph"),
+            "n_edges",
+            "exact_src",
+            "exact_dst",
+            (dev * 1_000_000 <= F.lit(tol_ppm) * F.col("exact_src")).alias(
+                "sketch_ok"
+            ),
+        )
+
+    return side(og_edges, "og").unionAll(side(pg_edges, "pg"))

@@ -450,6 +450,54 @@ def walk_visited_sets(walk_steps: DataFrame) -> DataFrame:
     )
 
 
+def greedy_walks(
+    graph: NetGraph, depth: int = 6, n_partitions: int = 4
+) -> DataFrame:
+    """Deterministic min-neighbor walks: from every start node (no
+    in-edges), repeatedly step to the SMALLEST out-neighbor for up to
+    `depth` steps — (partition_key, walk_id, visited array<long>).
+
+    The seeded random kernel (`run_walks`, G3) can never hash-verify
+    against a SQL oracle; this twin walks the same graph with the
+    randomness replaced by argmin, so the downstream G10 classification
+    (`stats.classify_walks` + `walk_counts`, `Main.scala:189-202`)
+    becomes oracle-checkable end to end — the round-7 verdict's "last
+    rows-only reference-path piece".
+
+    Scale: the next-hop map is ONE edge aggregation; each step is a
+    shuffle join keyed by the current position (the BFS frontier
+    pattern, never a collect). A walk with no out-edge stalls in place
+    and stops growing; cycles revisit nodes, which the downstream
+    distinct-visited semantics absorb.
+    """
+    edges = graph.edges.select("src", "dst")
+    nxt = edges.groupBy("src").agg(F.min("dst").alias("nxt"))
+    starts = graph.vertices.select("id").join(
+        edges.select(F.col("dst").alias("id")).distinct(),
+        on="id",
+        how="left_anti",
+    )
+    cur = starts.select(
+        F.col("id").alias("walk_id"),
+        (F.col("id") % n_partitions).cast("long").alias("partition_key"),
+        F.col("id").alias("pos"),
+        F.array(F.col("id")).alias("visited"),
+    )
+    for _ in range(depth):
+        cur = cur.join(nxt, cur["pos"] == nxt["src"], "left").select(
+            "walk_id",
+            "partition_key",
+            F.coalesce("nxt", "pos").alias("pos"),
+            F.when(
+                F.col("nxt").isNotNull(),
+                F.concat("visited", F.array("nxt")),
+            )
+            .otherwise(F.col("visited"))
+            .alias("visited"),
+        )
+    return cur.select("partition_key", "walk_id", "visited")
+
+
 def max_walk_len(cfg: SimConfig, num_vertices: int) -> int:
     """Upper bound on path length (the reference's quota, `:320`)."""
     return math.ceil(cfg.random_walk_coeff * num_vertices)

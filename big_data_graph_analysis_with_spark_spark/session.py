@@ -56,6 +56,29 @@ _DEFAULTS = {
 }
 
 
+def quiet_window_warns(spark: SparkSession) -> None:
+    """Silence WindowExec's "No Partition Defined" WARN storm.
+
+    A handful of queries legitimately run a GLOBAL window over a
+    dimension-bounded or pre-aggregated frame (the Pareto cumulative-
+    share cut, month/quarter LAG frames, quantile ranks over DISTINCT
+    values) — at most a few thousand rows on one task by design, safe
+    at any data scale. Spark WARNs on every such plan, and at 247
+    queries the repetition buries real warnings (round-7 verdict item:
+    `driver_sim_r7.err` was thousands of copies of this one line).
+    Only the WindowExec logger drops to ERROR; everything else keeps
+    WARN so genuine problems still surface.
+    """
+    try:
+        jvm = spark.sparkContext._jvm
+        jvm.org.apache.logging.log4j.core.config.Configurator.setLevel(
+            "org.apache.spark.sql.execution.window.WindowExec",
+            jvm.org.apache.logging.log4j.Level.ERROR,
+        )
+    except Exception:  # pragma: no cover - log4j2 not on classpath
+        pass  # cosmetic only; never fail a run over logging
+
+
 def get_spark(
     app_name: str = "big_data_graph_analysis_with_spark",
     master: str | None = None,

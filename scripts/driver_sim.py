@@ -23,7 +23,10 @@ sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 import duckdb  # noqa: E402
 import numpy as np  # noqa: E402
 
-from big_data_graph_analysis_with_spark_spark import get_spark  # noqa: E402
+from big_data_graph_analysis_with_spark_spark import (  # noqa: E402
+    get_spark,
+    quiet_window_warns,
+)
 
 TABLES = [
     "region", "nation", "customer", "supplier", "part",
@@ -73,6 +76,11 @@ def main() -> int:
         )
     else:
         spark = get_spark(app_name="driver_sim")
+    # WindowExec "No Partition Defined" WARNs come from the queries that
+    # intentionally window a dimension-bounded frame (Pareto cut, LAG
+    # growth frames, quantile ranks over distinct values); suppress just
+    # that logger so this run's stderr surfaces real warnings.
+    quiet_window_warns(spark)
 
     t0 = time.time()
     rows = entry_mod.entry(spark).collect()

@@ -91,6 +91,13 @@ AUDIT = [
     # round-7 tenth batch
     "part_metrics_long", "nation_segment_signature", "token_class_mix",
     "activity_span_hist",
+    # round-8 first batch (TPC-H completion)
+    "part_value_concentration", "late_line_census", "bulk_part_suppliers",
+    "regional_local_revenue",
+    # round-8 second/third batches (greedy_walk_classes excluded: its
+    # simrank side is iterative/checkpointed like the other loop queries)
+    "graph_sketch_audit", "revenue_ewma", "daily_gap_fill", "value_locf",
+    "user_set_ops", "segment_bitmask", "embedding_clip_census",
 ]
 # motif_counts is deliberately NOT in AUDIT: its builder runs the full
 # census via driver-side .count() actions, so the final frame is just a

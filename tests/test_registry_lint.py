@@ -57,6 +57,68 @@ def test_every_oracle_has_a_query():
     assert not missing, f"oracle_sql keys without queries(): {missing}"
 
 
+def _last_driver_verified() -> dict[str, int]:
+    """Per-query last driver-verified round, from the committed
+    CORRECTNESS_r*.json history (round-7 verdict task 5 suggested a
+    separate JSON updated by driver_sim; deriving from the committed
+    driver records instead means the history can never drift from the
+    evidence). Verified = hash-matched with >0 rows — a 0=0 hash match
+    is vacuous (round-5 verdict), and a failed/errored row needs
+    re-verification, so neither counts.
+    """
+    import glob
+    import json
+    import re
+
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    last: dict[str, int] = {}
+    for f in glob.glob(os.path.join(root, "CORRECTNESS_r*.json")):
+        rnd = int(re.search(r"r0*(\d+)", os.path.basename(f)).group(1))
+        with open(f) as fh:
+            for name, row in json.load(fh).items():
+                if (
+                    isinstance(row, dict)
+                    and row.get("hash_match")
+                    and (row.get("spark_rows") or 0) > 0
+                ):
+                    last[name] = max(last.get(name, 0), rnd)
+    return last
+
+
+def test_window_rotation_policy():
+    """The driver verifies only the FIRST 50 entries each round, so the
+    oracle-backed registry must stay sorted by staleness: never-driver-
+    verified queries first (they have no evidence beyond local parity
+    until a driver row lands), then ascending last-verified round. This
+    guarantees (a) every new query reaches the window before anything
+    that already has a driver row, and (b) re-verification backfill
+    always goes to the stalest block (round-7 verdict task 5).
+    """
+    qs = list(entry_mod.queries())
+    oracles = entry_mod.oracle_sql()
+    last = _last_driver_verified()
+    nontail = [n for n in qs if n in oracles]
+    rounds = [last.get(n, 0) for n in nontail]
+    unsorted_at = [
+        (nontail[i - 1], rounds[i - 1], nontail[i], rounds[i])
+        for i in range(1, len(nontail))
+        if rounds[i] < rounds[i - 1]
+    ]
+    assert not unsorted_at, (
+        "registry not staleness-sorted (prev, prev_round, next, "
+        f"next_round): {unsorted_at[:5]} — rotate the window: "
+        "never-verified first, then ascending last-verified round"
+    )
+    never = [n for n in nontail if last.get(n, 0) == 0]
+    outside = [n for n in never if qs.index(n) >= 50]
+    assert not outside, (
+        f"never-driver-verified oracle-backed queries outside the "
+        f"50-slot window: {outside} — they would ship another round "
+        "with no driver evidence; cap new-query growth at the free "
+        "window budget or rotate"
+    )
+
+
 def test_rows_only_entries_trail_the_registry():
     qs = list(entry_mod.queries())
     oracles = entry_mod.oracle_sql()
