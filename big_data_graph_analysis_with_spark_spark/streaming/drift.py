@@ -23,7 +23,13 @@ from pyspark.sql import functions as F
 
 from .walk_rates import read_events_stream, with_event_time
 
-__all__ = ["read_events_stream", "windowed_value_hist", "windowed_user_activity", "wau_rollup"]
+__all__ = [
+    "read_events_stream",
+    "windowed_value_hist",
+    "windowed_user_activity",
+    "wau_rollup",
+    "streaming_value_locf",
+]
 
 
 def windowed_value_hist(
@@ -105,4 +111,60 @@ def wau_rollup(activity: DataFrame) -> DataFrame:
     return activity.groupBy("window_start").agg(
         F.sum("n_events").cast("long").alias("n_events"),
         F.count("*").cast("long").alias("n_users"),
+    )
+
+
+def streaming_value_locf(events: DataFrame) -> DataFrame:
+    """(event_id, user_id, filled_value): the streaming twin of
+    `operators/drift.value_locf` — per-user last-observation-carried-
+    forward repair of 'error' readings as a CUSTOM STATEFUL operator
+    (`applyInPandasWithState`; state = one (has_value, last_good)
+    scalar pair per user, the minimal LOCF carry).
+
+    Each micro-batch sorts ITS rows by (ts, event_id) before folding,
+    so within a batch the repair order is exact; across batches the
+    fold consumes arrival order — the standard streaming LOCF contract
+    (event-time-ordered arrival ⇒ exact batch parity, which the
+    availableNow single-batch test pins; late data would need timer
+    state, deliberately out of scope like the reference's unseeded
+    walk accumulator). State is O(1) per user and never grows with
+    stream length.
+    """
+    import pandas as pd  # local: keep module import light
+
+    from pyspark.sql.streaming.state import (
+        GroupState,
+        GroupStateTimeout,
+    )
+
+    def fold(key, pdfs, state: GroupState):
+        has, last = state.get if state.exists else (0, 0.0)
+        for pdf in pdfs:
+            if pdf.empty:
+                continue
+            pdf = pdf.sort_values(["ts", "event_id"])
+            filled = []
+            for etype, val in zip(pdf["event_type"], pdf["value"]):
+                if etype != "error" and pd.notna(val):
+                    has, last = 1, float(val)
+                    filled.append(last)
+                else:
+                    filled.append(last if has else None)
+            yield pd.DataFrame(
+                {
+                    "event_id": pdf["event_id"].astype("int64"),
+                    "user_id": pd.Series(
+                        [key[0]] * len(pdf), dtype="int64"
+                    ),
+                    "filled_value": pd.Series(filled, dtype="float64"),
+                }
+            )
+        state.update((has, last))
+
+    return events.groupBy("user_id").applyInPandasWithState(
+        fold,
+        outputStructType="event_id LONG, user_id LONG, filled_value DOUBLE",
+        stateStructType="has_value LONG, last_good DOUBLE",
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
     )

@@ -293,3 +293,29 @@ def test_windowed_user_activity_stream_equals_batch(spark, events_dir):
     assert sum(v[0] for v in got.values()) == batch.count()
     global_users = batch.select("user_id").distinct().count()
     assert all(v[1] <= global_users for v in got.values())
+
+
+def test_streaming_value_locf_equals_batch(spark, events_dir):
+    from big_data_graph_analysis_with_spark_spark.operators import drift as batch_drift
+    from big_data_graph_analysis_with_spark_spark.streaming import (
+        drift as streaming_drift,
+    )
+
+    stream = walk_rates.read_events_stream(spark, events_dir)
+    walk_rates.run_to_memory_sink(
+        streaming_drift.streaming_value_locf(stream), "locf_stream", "update"
+    )
+    got = {
+        r["event_id"]: (r["user_id"], r["filled_value"])
+        for r in spark.table("locf_stream").collect()
+    }
+
+    batch = spark.read.parquet(f"{SF0001}/events.parquet")
+    want = {
+        r["event_id"]: (r["user_id"], r["filled_value"])
+        for r in batch_drift.value_locf(batch).collect()
+    }
+    # availableNow drains everything in ONE micro-batch, so the sorted
+    # per-batch fold must reproduce the batch window exactly
+    assert got == want
+    assert len(got) == 1000

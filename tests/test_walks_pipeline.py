@@ -323,3 +323,28 @@ def test_node2vec_frontier_valid_deterministic_and_biased(spark):
     ]
     assert set(path1) == {1, 2}
     assert len(path1) == 13
+
+
+def test_pipeline_graph200_golden_yaml(spark):
+    """Round-7 verdict task 7: the engine is deterministic under a fixed
+    seed (the reference's two recorded runs differ by 20 TPs —
+    BASELINE.md), so (seed=42, Graph200, reference knobs) pins ONE
+    byte-exact MitM-statistics.yaml. Locks G9-G11 semantics (match
+    accumulation → classification → stats assembly → ordered YAML sink)
+    against regression while the pipeline itself stays rows-only.
+    Regenerate the golden ONLY for a deliberate semantic change:
+    python -c "see tests/golden/README-graph200.txt"."""
+    from big_data_graph_analysis_with_spark_spark.config import DEFAULT_CONFIG
+    from big_data_graph_analysis_with_spark_spark.sources.sinks import stats_to_yaml
+    from pathlib import Path
+
+    og = load_graph(spark, f"{REF_INPUT}/Graph200.txt")
+    pg = load_graph(spark, f"{REF_INPUT}/Graph200.txt.perturbed")
+    res = run_pipeline(spark, og, pg, DEFAULT_CONFIG)
+    got = stats_to_yaml(res.stats)
+    golden = Path(__file__).parent / "golden" / "MitM-statistics-graph200-seed42.yaml"
+    assert got == golden.read_text(), (
+        "Graph200 seed=42 pipeline output drifted from the committed "
+        "golden YAML — a G9-G11 semantic change; regenerate the golden "
+        "only if the change is deliberate"
+    )
