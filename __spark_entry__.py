@@ -441,6 +441,21 @@ def q_value_locf(spark: SparkSession, sf_dir: str) -> DataFrame:
     return drift.value_locf(sess.read.parquet(f"{sf_dir}/events.parquet"))
 
 
+def q_balance_outlier_census(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-integer z-score outlier census: |x−μ| > 1.5σ
+    cross-multiplied to 4(n·x−Σ)² > 9(nΣx²−Σ²) in DECIMAL(38,0)/HUGEINT
+    — no float σ, so the boundary customers hash identically
+    cross-engine (1.5σ, not 2σ: bounded-support balances never pass
+    √3σ)."""
+    from big_data_graph_analysis_with_spark_spark.operators import olap
+
+    sess = _prep(spark)
+    return olap.balance_outlier_census(
+        sess.read.parquet(f"{sf_dir}/customer.parquet"),
+        sess.read.parquet(f"{sf_dir}/nation.parquet"),
+    )
+
+
 def q_embedding_clip_census(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-vector clipping audit via array higher-order functions
     (transform/filter/aggregate), integer-exact after floor(x·1000)."""
@@ -4083,6 +4098,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "user_set_ops": q_user_set_ops,
         "segment_bitmask": q_segment_bitmask,
         "embedding_clip_census": q_embedding_clip_census,
+        "balance_outlier_census": q_balance_outlier_census,
         # -- never driver-verified (round-7 batches 6-10 missed the r7 window;
         #    new round-8 queries insert ABOVE this comment as they ship) --
         "edge_block_census": q_edge_block_census,
@@ -4483,6 +4499,40 @@ def oracle_sql() -> dict[str, str]:
                    CAST(COUNT(*) AS BIGINT) AS n_customers
             FROM customer JOIN nation ON c_nationkey = n_nationkey
             GROUP BY 1
+        """,
+        "balance_outlier_census": """
+            WITH base AS (
+              SELECT c_nationkey,
+                     CAST(round(c_acctbal*100) AS BIGINT) AS cents
+              FROM customer
+            ),
+            st AS (
+              SELECT c_nationkey, COUNT(*) AS n,
+                     CAST(SUM(cents) AS BIGINT) AS s1,
+                     CAST(SUM(cents*cents) AS BIGINT) AS s2
+              FROM base GROUP BY 1
+            ),
+            o AS (
+              SELECT b.c_nationkey, b.cents,
+                     CAST(st.n * b.cents - st.s1 AS HUGEINT) AS dev,
+                     CAST(st.n AS HUGEINT) * CAST(st.s2 AS HUGEINT)
+                       - CAST(st.s1 AS HUGEINT) * CAST(st.s1 AS HUGEINT)
+                       AS varn2
+              FROM base b JOIN st USING (c_nationkey)
+            ),
+            outl AS (
+              SELECT c_nationkey, COUNT(*) AS n_outliers,
+                     SUM(cents) AS outlier_cents
+              FROM o WHERE 4*dev*dev > 9*varn2 GROUP BY 1
+            )
+            SELECT n_name AS nation,
+                   CAST(st.n AS BIGINT) AS n_custs,
+                   CAST(COALESCE(outl.n_outliers, 0) AS BIGINT) AS n_outliers,
+                   CAST(COALESCE(outl.outlier_cents, 0) AS BIGINT)
+                     AS outlier_cents
+            FROM st
+            LEFT JOIN outl USING (c_nationkey)
+            JOIN nation ON c_nationkey = n_nationkey
         """,
         "embedding_clip_census": """
             SELECT CAST(vec_id AS BIGINT) AS vec_id,

@@ -986,6 +986,7 @@ def main() -> None:
         entrymod.q_user_set_ops(spark, SF_DIR).count()
         entrymod.q_segment_bitmask(spark, SF_DIR).count()
         entrymod.q_embedding_clip_census(spark, SF_DIR).count()
+        entrymod.q_balance_outlier_census(spark, SF_DIR).count()
 
     @timed("graph_walk_audit", iters=2)
     def _():

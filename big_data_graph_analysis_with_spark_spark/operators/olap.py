@@ -2150,3 +2150,75 @@ def user_set_ops(
         .unionAll(one("except", users_a.subtract(users_b)))
         .unionAll(one("union", users_a.union(users_b).distinct()))
     )
+
+
+def balance_outlier_census(
+    customer: DataFrame, nation: DataFrame, k_num: int = 3, k_den: int = 2
+) -> DataFrame:
+    """(nation, n_custs, n_outliers, outlier_cents): per nation, how
+    many customer balances sit more than k = k_num/k_den population
+    standard deviations from the nation mean, and their total — the
+    z-score outlier census with the float entirely eliminated:
+    |x−μ| > kσ cross-multiplies to k_den²·(n·x − Σ)² > k_num²·(n·Σx² −
+    Σ²), all integer cents, so the boundary is bit-identical in any
+    engine (a float σ comparison would make the census row
+    hash-unstable exactly at the boundary customers it exists to
+    count). k defaults to 3/2 rather than 2 because a bounded-support
+    (uniform-ish) distribution never exceeds √3 ≈ 1.73σ — a 2σ census
+    is structurally vacuous there.
+
+    Two passes over the dimension: one aggregation to the |nations|
+    stats frame, broadcast back, filter, re-aggregate. The squares run
+    in DECIMAL(38,0) (Spark) / HUGEINT (oracle) — bounded by
+    (n·maxcents)² < 10³⁸ up to ~10⁹ customers per nation at 10⁵
+    currency units, i.e. comfortably past the 100 TB point.
+    """
+    cents = F.round(F.col("c_acctbal") * 100).cast("long")
+    base = customer.select("c_nationkey", cents.alias("cents"))
+    stats = base.groupBy("c_nationkey").agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum("cents").alias("s1"),
+        F.sum(F.col("cents") * F.col("cents")).alias("s2"),
+    )
+    dec = "decimal(19,0)"
+    dev = (
+        F.col("n") * F.col("cents") - F.col("s1")
+    ).cast(dec)
+    var_n2 = (
+        F.col("n").cast(dec) * F.col("s2").cast(dec)
+        - F.col("s1").cast(dec) * F.col("s1").cast(dec)
+    )
+    outliers = (
+        base.join(F.broadcast(stats), on="c_nationkey")
+        .filter(
+            F.lit(k_den * k_den).cast("decimal(4,0)") * dev * dev
+            > F.lit(k_num * k_num).cast("decimal(4,0)") * var_n2
+        )
+        .groupBy("c_nationkey")
+        .agg(
+            F.count("*").cast("long").alias("n_outliers"),
+            F.sum("cents").cast("long").alias("outlier_cents"),
+        )
+    )
+    return (
+        stats.join(outliers, on="c_nationkey", how="left")
+        .join(
+            F.broadcast(
+                nation.select(
+                    F.col("n_nationkey").alias("c_nationkey"),
+                    F.col("n_name").alias("nation"),
+                )
+            ),
+            on="c_nationkey",
+        )
+        .select(
+            "nation",
+            F.col("n").cast("long").alias("n_custs"),
+            F.coalesce(F.col("n_outliers"), F.lit(0)).cast("long").alias(
+                "n_outliers"
+            ),
+            F.coalesce(F.col("outlier_cents"), F.lit(0)).cast("long").alias(
+                "outlier_cents"
+            ),
+        )
+    )

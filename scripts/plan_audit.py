@@ -98,6 +98,7 @@ AUDIT = [
     # simrank side is iterative/checkpointed like the other loop queries)
     "graph_sketch_audit", "revenue_ewma", "daily_gap_fill", "value_locf",
     "user_set_ops", "segment_bitmask", "embedding_clip_census",
+    "balance_outlier_census",
 ]
 # motif_counts is deliberately NOT in AUDIT: its builder runs the full
 # census via driver-side .count() actions, so the final frame is just a

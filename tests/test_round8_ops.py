@@ -390,3 +390,30 @@ def test_embedding_clip_census_exact(spark):
     # vec 2: floats 0.1f/-0.1f widen slightly off 0.1; floor gives 100/-101
     assert got[1] == (2, 250)
     assert got[2] == (0, -1)
+
+
+# ------------------------------------------------- balance outlier census
+
+
+def test_balance_outlier_census_exact_boundary(spark):
+    from big_data_graph_analysis_with_spark_spark.operators import olap
+
+    nation = spark.createDataFrame(
+        [(1, "FR"), (2, "DE")], "n_nationkey INT, n_name STRING"
+    )
+    # FR: cents {0, 0, 0, 0, 400}: mean 80, sigma^2 = 5120,
+    #   1.5 sigma ~ 107.3; |400-80|=320 is outside, |0-80|=80 is not.
+    # DE: two equal balances -> sigma 0, deviations 0 -> NO outliers
+    #   (strict > keeps the boundary stable).
+    customer = spark.createDataFrame(
+        [
+            (1, 1, 0.0), (2, 1, 0.0), (3, 1, 0.0), (4, 1, 0.0), (5, 1, 4.0),
+            (6, 2, 7.0), (7, 2, 7.0),
+        ],
+        "c_custkey LONG, c_nationkey INT, c_acctbal DOUBLE",
+    )
+    got = {
+        r["nation"]: (r["n_custs"], r["n_outliers"], r["outlier_cents"])
+        for r in olap.balance_outlier_census(customer, nation).collect()
+    }
+    assert got == {"FR": (5, 1, 400), "DE": (2, 0, 0)}
