@@ -417,3 +417,54 @@ def test_balance_outlier_census_exact_boundary(spark):
         for r in olap.balance_outlier_census(customer, nation).collect()
     }
     assert got == {"FR": (5, 1, 400), "DE": (2, 0, 0)}
+
+
+# ------------------------------------------------------------- edge cases
+
+
+def test_greedy_walks_empty_and_sinkless(spark):
+    from big_data_graph_analysis_with_spark_spark.model import (
+        EDGE_SCHEMA,
+        VERTEX_SCHEMA,
+        NetGraph,
+    )
+    from big_data_graph_analysis_with_spark_spark.operators import walks
+
+    # all-isolated graph: every vertex is a start, every walk length 1
+    g = NetGraph(
+        spark.createDataFrame(
+            [(i, 1, 2, 1, 10, 3, 4, 5, 0.5, False) for i in range(3)],
+            VERTEX_SCHEMA,
+        ),
+        spark.createDataFrame([], EDGE_SCHEMA),
+    )
+    rows = walks.greedy_walks(g, depth=4).collect()
+    assert sorted(list(r["visited"]) for r in rows) == [[0], [1], [2]]
+
+
+def test_revenue_ewma_single_day(spark):
+    import datetime
+
+    from big_data_graph_analysis_with_spark_spark.operators import olap
+
+    orders = spark.createDataFrame(
+        [(1, datetime.datetime(1997, 1, 1), 2.5)],
+        "o_orderkey LONG, o_orderdate TIMESTAMP, o_totalprice DOUBLE",
+    )
+    rows = olap.revenue_ewma(orders, window_days=4).collect()
+    # one day: its own weight is 2^(4-1) = 8
+    assert [(r["day_cents"], r["trail_weighted_cents"]) for r in rows] == [
+        (250, 2000)
+    ]
+
+
+def test_daily_gap_fill_empty(spark):
+    from big_data_graph_analysis_with_spark_spark.operators import drift
+
+    events = spark.createDataFrame(
+        [],
+        "event_id LONG, ts TIMESTAMP, user_id LONG, event_type STRING, "
+        "value DOUBLE",
+    )
+    # no rows -> empty span aggregate yields NULL bounds -> empty calendar
+    assert drift.daily_gap_fill(events).count() == 0
