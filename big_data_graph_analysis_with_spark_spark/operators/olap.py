@@ -27,6 +27,7 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from ..functions.eventtime import event_micros
+from ..functions.joins import maybe_broadcast
 
 #: the testdata's closed event-type vocabulary
 EVENT_TYPES: tuple[str, ...] = ("click", "error", "purchase", "signup", "view")
@@ -296,8 +297,8 @@ def part_supplier_variety(
     p = part.select("p_partkey", "p_brand", "p_size")
     return (
         lineitem.select("l_partkey", "l_suppkey")
-        .join(F.broadcast(bad), on="l_suppkey", how="left_anti")
-        .join(F.broadcast(p), on=F.col("l_partkey") == F.col("p_partkey"))
+        .join(maybe_broadcast(bad), on="l_suppkey", how="left_anti")
+        .join(maybe_broadcast(p), on=F.col("l_partkey") == F.col("p_partkey"))
         .groupBy("p_brand", F.col("p_size").cast("long").alias("p_size"))
         .agg(F.countDistinct("l_suppkey").cast("long").alias("supplier_cnt"))
     )
@@ -371,7 +372,7 @@ def nation_trade_flow(
             rev.alias("rev"),
         )
         .join(
-            F.broadcast(supplier.select("s_suppkey", "s_nationkey")),
+            maybe_broadcast(supplier.select("s_suppkey", "s_nationkey")),
             on=F.col("l_suppkey") == F.col("s_suppkey"),
         )
         .join(
@@ -379,7 +380,7 @@ def nation_trade_flow(
             on=F.col("l_orderkey") == F.col("o_orderkey"),
         )
         .join(
-            F.broadcast(customer.select("c_custkey", "c_nationkey")),
+            maybe_broadcast(customer.select("c_custkey", "c_nationkey")),
             on=F.col("o_custkey") == F.col("c_custkey"),
         )
         .filter(F.col("s_nationkey") != F.col("c_nationkey"))
@@ -531,14 +532,14 @@ def small_lot_revenue(lineitem: DataFrame, part: DataFrame) -> DataFrame:
     ).cast("decimal(28,4)")
     small = (
         lineitem.select("l_partkey", qd.alias("qty"), rev.alias("rev"))
-        .join(F.broadcast(per_part), on=F.col("l_partkey") == F.col("pk"))
+        .join(maybe_broadcast(per_part), on=F.col("l_partkey") == F.col("pk"))
         .filter(
             F.col("qty") * 5 * F.col("qty_n") < F.col("qty_sum")
         )
     )
     return (
         small.join(
-            F.broadcast(part.select("p_partkey", "p_brand")),
+            maybe_broadcast(part.select("p_partkey", "p_brand")),
             on=F.col("l_partkey") == F.col("p_partkey"),
         )
         .groupBy("p_brand")
@@ -685,7 +686,7 @@ def disjunctive_revenue(
         * (F.lit(1).cast("decimal(18,2)") - F.col("l_discount").cast("decimal(18,2)"))
     ).cast("decimal(28,4)")
     joined = lineitem.join(
-        F.broadcast(part.select("p_partkey", "p_brand")),
+        maybe_broadcast(part.select("p_partkey", "p_brand")),
         on=F.col("l_partkey") == F.col("p_partkey"),
     ).select("p_brand", qd.alias("qty"), rev.alias("rev"))
     out = None
@@ -797,10 +798,10 @@ def market_share(
             F.year("l_shipdate").alias("year"),
             rev.alias("rev"),
         )
-        .join(F.broadcast(supp_nation), on=F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(maybe_broadcast(supp_nation), on=F.col("l_suppkey") == F.col("s_suppkey"))
         .join(orders.select("o_orderkey", "o_custkey"),
               on=F.col("l_orderkey") == F.col("o_orderkey"))
-        .join(F.broadcast(cust_region), on=F.col("o_custkey") == F.col("c_custkey"))
+        .join(maybe_broadcast(cust_region), on=F.col("o_custkey") == F.col("c_custkey"))
         .groupBy("cust_region", F.col("year").cast("long").alias("year"), "supp_nation")
         .agg(F.sum("rev").alias("rev_dec"))
     )
@@ -845,9 +846,9 @@ def supplier_nation_margin(
             rev.alias("rev"),
             F.col("l_quantity").cast("decimal(18,2)").alias("qty"),
         )
-        .join(F.broadcast(part.select("p_partkey", "p_retailprice")),
+        .join(maybe_broadcast(part.select("p_partkey", "p_retailprice")),
               on=F.col("l_partkey") == F.col("p_partkey"))
-        .join(F.broadcast(supplier.select("s_suppkey", "s_nationkey")),
+        .join(maybe_broadcast(supplier.select("s_suppkey", "s_nationkey")),
               on=F.col("l_suppkey") == F.col("s_suppkey"))
         .join(F.broadcast(nation.select(
             F.col("n_nationkey").alias("s_nationkey"),
@@ -898,7 +899,7 @@ def top_supplier_by_quarter(
     return (
         per_quarter.withColumn("rk", F.rank().over(w))
         .filter(F.col("rk") == 1)
-        .join(F.broadcast(supplier.select("s_suppkey", "s_name")),
+        .join(maybe_broadcast(supplier.select("s_suppkey", "s_name")),
               on=F.col("l_suppkey") == F.col("s_suppkey"))
         .select(
             "quarter",
@@ -1079,7 +1080,7 @@ def nation_revenue_trend(
     ).select(F.col("c_custkey").alias("o_custkey"), "nation")
     grouped = (
         orders.select("o_custkey", "o_totalprice", "o_orderdate")
-        .join(F.broadcast(cust_nation), on="o_custkey")
+        .join(maybe_broadcast(cust_nation), on="o_custkey")
         .groupBy(
             "nation",
             (F.year("o_orderdate") * 10 + F.quarter("o_orderdate"))
@@ -1134,7 +1135,7 @@ def sole_returned_supplier(
         .agg(F.count("*").cast("long").alias("n_orders"))
     )
     return qualifying.join(
-        F.broadcast(supplier.select(
+        maybe_broadcast(supplier.select(
             F.col("s_suppkey").alias("l_suppkey"),
             F.col("s_name").alias("supplier"),
         )),
@@ -1172,7 +1173,7 @@ def supplier_hhi(
             (units * units).cast("decimal(38,0)").alias("sq_units"),
         )
         .join(
-            F.broadcast(
+            maybe_broadcast(
                 supplier.select("s_suppkey", "s_nationkey").join(
                     F.broadcast(nation.select(
                         F.col("n_nationkey").alias("s_nationkey"),
@@ -1342,7 +1343,7 @@ def segment_revenue_mix(orders: DataFrame, customer: DataFrame) -> DataFrame:
     )
     return (
         orders.select("o_custkey", "o_totalprice", "o_orderdate")
-        .join(F.broadcast(seg), on="o_custkey")
+        .join(maybe_broadcast(seg), on="o_custkey")
         .groupBy("segment", F.year("o_orderdate").cast("long").alias("year"))
         .agg(
             F.count("*").cast("long").alias("n_orders"),
@@ -1605,7 +1606,7 @@ def trailing_revenue_range(orders: DataFrame, customer: DataFrame,
             F.col("o_totalprice").cast("decimal(18,2)").alias("p"),
             F.unix_date(F.to_date("o_orderdate")).cast("long").alias("day"),
         )
-        .join(F.broadcast(cust_nation), on="o_custkey")
+        .join(maybe_broadcast(cust_nation), on="o_custkey")
         .groupBy("nation", "day")
         .agg(F.sum("p").alias("rev_dec"))
     )
@@ -1669,7 +1670,7 @@ def sales_grouping_sets(orders: DataFrame, customer: DataFrame) -> DataFrame:
         F.col("c_mktsegment").alias("segment"),
     )
     base = orders.select("o_custkey", "o_totalprice", "o_orderdate").join(
-        F.broadcast(seg), on="o_custkey"
+        maybe_broadcast(seg), on="o_custkey"
     ).select(
         "segment",
         F.year("o_orderdate").cast("long").alias("yr"),
@@ -1724,7 +1725,7 @@ def nation_quarter_extremes(
             .cast("long")
             .alias("quarter"),
         )
-        .join(F.broadcast(cust_nation), on="o_custkey")
+        .join(maybe_broadcast(cust_nation), on="o_custkey")
         .groupBy("nation", "quarter")
         .agg(F.sum("p").alias("rev_dec"))
     )
@@ -1843,7 +1844,7 @@ def part_value_concentration(
     )
     per_part = (
         lineitem.select("l_suppkey", "l_partkey", cents.alias("value_cents"))
-        .join(F.broadcast(suppliers_in_region), on="l_suppkey")
+        .join(maybe_broadcast(suppliers_in_region), on="l_suppkey")
         .groupBy(F.col("l_partkey").alias("partkey"))
         .agg(F.sum("value_cents").alias("value_cents"))
     )
@@ -1936,7 +1937,7 @@ def bulk_part_suppliers(
             & (F.col("l_shipdate") < F.lit(year_end).cast("timestamp"))
         )
         .select("l_partkey", "l_suppkey", "l_quantity")
-        .join(F.broadcast(wanted_parts), on="l_partkey")
+        .join(maybe_broadcast(wanted_parts), on="l_partkey")
         .groupBy("l_suppkey", "l_partkey")
         .agg(F.sum("l_quantity").alias("qty"))
         .filter(F.col("qty") > min_qty)
@@ -1944,7 +1945,7 @@ def bulk_part_suppliers(
         .distinct()
     )
     return (
-        supplier.join(F.broadcast(bulk_suppliers), on="s_suppkey", how="semi")
+        supplier.join(maybe_broadcast(bulk_suppliers), on="s_suppkey", how="semi")
         .join(
             F.broadcast(
                 nation.select(
@@ -2005,11 +2006,11 @@ def regional_local_revenue(
         lineitem.select("l_orderkey", "l_suppkey", rev.alias("rev"))
         .join(year_orders, on=F.col("l_orderkey") == F.col("o_orderkey"))
         .join(
-            F.broadcast(customer.select("c_custkey", "c_nationkey")),
+            maybe_broadcast(customer.select("c_custkey", "c_nationkey")),
             on=F.col("o_custkey") == F.col("c_custkey"),
         )
         .join(
-            F.broadcast(supplier.select("s_suppkey", "s_nationkey")),
+            maybe_broadcast(supplier.select("s_suppkey", "s_nationkey")),
             on=(F.col("l_suppkey") == F.col("s_suppkey"))
             & (F.col("s_nationkey") == F.col("c_nationkey")),
         )
@@ -2037,6 +2038,14 @@ def revenue_ewma(orders: DataFrame, window_days: int = 8) -> DataFrame:
     anomaly-baseline smoother with DYADIC weights so the whole series
     stays integer-exact cross-engine (float pow() is libm-dependent;
     powers of two are not).
+
+    Semantics note (round-8 ADVICE): `trail_weighted_cents` is the raw
+    WEIGHTED SUM, not a mean — it is never divided by the weight total,
+    and days with zero orders are absent from both the input and the
+    output. A caller wanting the normalized smoother divides by
+    2^window_days - 1 externally (exact, since the weights are dyadic);
+    the column name says "weighted", not "avg", for this reason. The
+    registry key `revenue_ewma` is kept for driver-history continuity.
 
     Scale shape: the fact table collapses to the bounded daily frame
     first (ONE map-side-combined aggregation); the trailing window is

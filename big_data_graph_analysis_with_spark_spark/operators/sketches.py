@@ -17,9 +17,13 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-#: tolerance for the HLL audit, in parts-per-million of the exact count
-#: (5% — comfortably above both engines' default HLL error)
-DISTINCT_TOL_PPM = 50_000
+#: tolerance for the HLL audit, in parts-per-million of the exact count.
+#: Spark's approx_count_distinct default rsd is 5% — a ONE-sigma bound —
+#: so a 50_000 ppm tolerance sits exactly on the boundary and the
+#: verdict would flip on a nontrivial fraction of datasets (round-8
+#: ADVICE). 150_000 ppm ≈ 3 sigma keeps the verdict stable in both
+#: engines while still catching a broken sketch outright.
+DISTINCT_TOL_PPM = 150_000
 
 
 def distinct_sketch_audit(

@@ -157,14 +157,22 @@ def main() -> int:
         )
         pushed = len(re.findall(r"PushedFilters: \[[^\]]", plan))
         scans = len(re.findall(r"Scan parquet", plan))
+        # join-strategy census: broadcast-hash vs shuffle joins actually
+        # chosen at this SF. After round 9's size-gating (forced hints on
+        # sf-proportional tables replaced by functions/joins.maybe_broadcast)
+        # this column is the evidence that small-SF plans still broadcast —
+        # via the gate/AQE, not via an unconditional hint.
+        n_bhj = len(re.findall(r"BroadcastHashJoin", plan))
+        n_smj = len(re.findall(r"SortMergeJoin", plan))
         if fails:
             failures.append((name, fails))
         rows.append(
             (name, n_exchange, n_codegen, arrow, f"{pushed}/{scans}",
-             ", ".join(fails + warns) or "—")
+             f"{n_bhj}/{n_smj}", ", ".join(fails + warns) or "—")
         )
         print(f"[audit] {name}: exch={n_exchange} codegen={n_codegen} "
-              f"arrow={arrow} pushed={pushed}/{scans} "
+              f"arrow={arrow} pushed={pushed}/{scans} bhj={n_bhj} "
+              f"smj={n_smj} "
               f"{'FAIL ' + str(fails) if fails else ''}", file=sys.stderr)
 
     out = Path(__file__).resolve().parent.parent / "PLAN_AUDIT.md"
@@ -177,10 +185,14 @@ def main() -> int:
             "audited per-round by their tests; this table covers the "
             "one-shot declarative plans.\n\n"
             "| query | exchanges | codegen spans | arrow-python ops | "
-            "scans w/ pushdown | flags |\n|---|---|---|---|---|---|\n"
+            "scans w/ pushdown | bcast/smj joins | flags |\n"
+            "|---|---|---|---|---|---|---|\n"
         )
         for r in rows:
-            f.write(f"| {r[0]} | {r[1]} | {r[2]} | {r[3]} | {r[4]} | {r[5]} |\n")
+            f.write(
+                f"| {r[0]} | {r[1]} | {r[2]} | {r[3]} | {r[4]} | {r[5]} "
+                f"| {r[6]} |\n"
+            )
         f.write(
             "\nFAIL patterns (none may appear): CartesianProduct, "
             "BatchEvalPython. Arrow-python ops are the *intended* "
