@@ -4065,6 +4065,39 @@ def q_mitm_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
+def q_skew_salted_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-type above-mean census routed through an explicitly SALTED
+    equi-join on the deliberately skewed event_type key — the round-9
+    demonstration of functions/skew.salted_join as a registry query
+    (output is salt-invariant; the oracle joins unsalted)."""
+    from big_data_graph_analysis_with_spark_spark.operators import olap
+
+    ev = _prep(spark).read.parquet(f"{sf_dir}/events.parquet")
+    return olap.skew_salted_enrich(ev)
+
+
+def q_graph_degree_quantile_audit(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Exact median out-degree per derived graph plus a verdict that
+    this engine's quantile sketch lands inside the exact [p40, p60]
+    rank window — the quantile counterpart of graph_sketch_audit."""
+    from big_data_graph_analysis_with_spark_spark.operators import sketches
+
+    og, pg = _graphs(spark, sf_dir)
+    return sketches.graph_degree_quantile_audit(og.edges, pg.edges)
+
+
+def q_weighted_price_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantity-weighted median extended price per return flag — the
+    weighted-quantile operator (histogram rank selection over DISTINCT
+    (flag, cents) pairs; exact integer unit ranks)."""
+    from big_data_graph_analysis_with_spark_spark.operators import olap
+
+    li = _prep(spark).read.parquet(f"{sf_dir}/lineitem.parquet")
+    return olap.weighted_price_median(li)
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return q_start_node_stats(spark, SF0001)
@@ -4089,6 +4122,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # -- NEW in round 9: new queries insert ABOVE this comment as they
         #    ship (never driver-verified → head of the window) --------------
+        "skew_salted_enrich": q_skew_salted_enrich,
+        "graph_degree_quantile_audit": q_graph_degree_quantile_audit,
+        "weighted_price_median": q_weighted_price_median,
         # -- stalest re-verification backfill: last driver row r3 --
         "corpus_prepare": q_corpus_prepare,
         "doc_expectations": q_doc_expectations,
@@ -4364,6 +4400,92 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 def oracle_sql() -> dict[str, str]:
     return {
+        # -- round-9 additions ------------------------------------------
+        "skew_salted_enrich": """
+            WITH ev AS (
+              SELECT event_type,
+                     CAST(ROUND(value * 100) AS BIGINT) AS cents
+              FROM events
+            ),
+            st AS (
+              SELECT event_type, COUNT(*) AS n,
+                     SUM(CAST(cents AS HUGEINT)) AS sum_cents
+              FROM ev GROUP BY event_type
+            )
+            SELECT ev.event_type,
+                   CAST(COUNT(*) AS BIGINT) AS n_events,
+                   CAST(SUM(CASE WHEN CAST(ev.cents AS HUGEINT) * st.n
+                                      > st.sum_cents
+                            THEN 1 ELSE 0 END) AS BIGINT) AS n_above_mean
+            FROM ev JOIN st USING (event_type)
+            GROUP BY ev.event_type
+        """,
+        "weighted_price_median": """
+            WITH h AS (
+              SELECT l_returnflag AS returnflag,
+                     CAST(ROUND(l_extendedprice * 100) AS BIGINT) AS cents,
+                     SUM(CAST(l_quantity AS BIGINT)) AS w
+              FROM lineitem GROUP BY 1, 2
+            ),
+            c AS (
+              SELECT returnflag, cents, w,
+                     SUM(w) OVER (
+                       PARTITION BY returnflag ORDER BY cents
+                     ) AS cum,
+                     SUM(w) OVER (PARTITION BY returnflag) AS tot
+              FROM h
+            )
+            SELECT returnflag,
+                   CAST(tot AS BIGINT) AS total_units,
+                   cents AS wmedian_price_cents
+            FROM c
+            WHERE cum - w <= (tot - 1) // 2 AND (tot - 1) // 2 < cum
+        """,
+        "graph_degree_quantile_audit": graph_sql(
+            """
+            , deg_og AS (
+              SELECT src, COUNT(*) AS deg FROM og_edges GROUP BY src
+            ),
+            ord_og AS (
+              SELECT deg, ROW_NUMBER() OVER (ORDER BY deg) - 1 AS rn,
+                     COUNT(*) OVER () AS n
+              FROM deg_og
+            ),
+            pick_og AS (
+              SELECT MAX(n) AS n_sources,
+                     MAX(CASE WHEN rn = ((n-1)*1)//2 THEN deg END) AS p50,
+                     MAX(CASE WHEN rn = ((n-1)*2)//5 THEN deg END) AS lo,
+                     MAX(CASE WHEN rn = ((n-1)*3)//5 THEN deg END) AS hi
+              FROM ord_og
+            ),
+            ap_og AS (SELECT approx_quantile(deg, 0.5) AS ap FROM deg_og),
+            deg_pg AS (
+              SELECT src, COUNT(*) AS deg FROM pg_edges GROUP BY src
+            ),
+            ord_pg AS (
+              SELECT deg, ROW_NUMBER() OVER (ORDER BY deg) - 1 AS rn,
+                     COUNT(*) OVER () AS n
+              FROM deg_pg
+            ),
+            pick_pg AS (
+              SELECT MAX(n) AS n_sources,
+                     MAX(CASE WHEN rn = ((n-1)*1)//2 THEN deg END) AS p50,
+                     MAX(CASE WHEN rn = ((n-1)*2)//5 THEN deg END) AS lo,
+                     MAX(CASE WHEN rn = ((n-1)*3)//5 THEN deg END) AS hi
+              FROM ord_pg
+            ),
+            ap_pg AS (SELECT approx_quantile(deg, 0.5) AS ap FROM deg_pg)
+            SELECT 'og' AS graph,
+                   CAST(n_sources AS BIGINT) AS n_sources,
+                   CAST(p50 AS BIGINT) AS exact_p50,
+                   (ap >= lo AND ap <= hi) AS sketch_ok
+            FROM pick_og, ap_og
+            UNION ALL
+            SELECT 'pg', CAST(n_sources AS BIGINT), CAST(p50 AS BIGINT),
+                   (ap >= lo AND ap <= hi)
+            FROM pick_pg, ap_pg
+            """
+        ),
         # -- round-8 additions (reference-path G10 + sketch audit) ----------
         "greedy_walk_classes": _sr_sql(
             f"""

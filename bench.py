@@ -143,15 +143,18 @@ _MODULE_SUITES: dict[str, list[str]] = {
     "cohorts": ["event_analytics"],
     "olap": [
         "event_analytics", "data_management", "olap_",
-        "activity_profiles", "series_repair",
+        "activity_profiles", "series_repair", "skew_quantile_audit",
     ],
+    "joins": ["olap_", "mitm_pipeline_tpch"],
+    "skew": ["skew_quantile_audit", "topology"],
     "merge": ["data_management"],
     "asof": ["temporal_joins"],
     "ranges": ["temporal_joins"],
     "jsonops": ["json_analytics"],
-    "sketches": ["corpus_audit", "data_management", "graph_walk_audit"],
+    "sketches": ["corpus_audit", "data_management", "graph_walk_audit",
+        "skew_quantile_audit"],
     "drift": ["drift_monitoring", "streaming_value_hist", "activity_rhythms",
-        "series_repair"],
+        "series_repair", "streaming_locf_timed"],
     "multimodal": ["multimodal_"],
     "doc_dedup": ["streaming_dedup"],
     "enrich": ["drift_monitoring"],
@@ -1000,6 +1003,35 @@ def main() -> None:
 
         entrymod.q_greedy_walk_classes(spark, SF_DIR).count()
         entrymod.q_graph_sketch_audit(spark, SF_DIR).count()
+
+    @timed("skew_quantile_audit", iters=2)
+    def _():
+        # round-9: salted join exercised on the skewed event_type key,
+        # the graph degree quantile-sketch audit, and the weighted
+        # (quantity-unit) median — all histogram/audit narrow shapes
+        import __spark_entry__ as entrymod
+
+        entrymod.q_skew_salted_enrich(spark, SF_DIR).count()
+        entrymod.q_graph_degree_quantile_audit(spark, SF_DIR).count()
+        entrymod.q_weighted_price_median(spark, SF_DIR).count()
+
+    @timed("streaming_locf_timed")
+    def _():
+        # round-9: timer-state LOCF (late-drop + event-time idle
+        # expiry) over the staged events stream — one availableNow pass
+        from big_data_graph_analysis_with_spark_spark.streaming import (
+            drift as streaming_drift,
+        )
+
+        stream_run[0] += 1
+        ev_stream = walk_rates.read_events_stream(
+            spark, f"{stream_stage}/events"
+        )
+        walk_rates.run_to_memory_sink(
+            streaming_drift.streaming_value_locf_timed(ev_stream),
+            f"bench_locf_timed_{stream_run[0]}",
+            "update",
+        )
 
     # -- optional smoke filter: SPARK_GRAFT_BENCH_SUITES="a,b" runs only
     # the named suites (development loop; the driver never sets it).

@@ -2231,3 +2231,102 @@ def balance_outlier_census(
             ),
         )
     )
+
+
+def skew_salted_enrich(events: DataFrame, salt: int = 16) -> DataFrame:
+    """(event_type, n_events, n_above_mean): per-type event count and
+    how many events exceed their type's mean value — routed through an
+    EXPLICITLY SALTED equi-join (``functions/skew.salted_join``), the
+    one scale technique the engine documents but no registry query
+    exercised before round 9.
+
+    Why salting here: event_type is the canonical deliberately-skewed
+    key (a handful of types carry almost all rows), and the enrich join
+    keys the FACT side on it. An unsalted shuffle join lands every row
+    of a hot type on one reducer; the salted form spreads each key over
+    `salt` buckets by replicating the per-type stats frame ×salt —
+    bounded work per task for ANY key distribution, and the technique
+    that still applies when the build side is too big to broadcast or
+    the skew sits under an aggregation AQE cannot split. The salt
+    column never escapes: the output is salt-invariant (verified by the
+    DuckDB oracle, which joins unsalted).
+
+    Exactness: the above-mean test is the integer cross-multiplication
+    ``cents·n > sum_cents`` on DECIMAL(38,0) — value lifted to cents
+    with the shared round(x·100) convention, no float division, no
+    overflow up to ~1e27 row-cents products.
+    """
+    from ..functions.skew import salted_join
+
+    ev = events.select(
+        "event_type",
+        F.round(F.col("value") * 100).cast("long").alias("cents"),
+    )
+    stats = ev.groupBy("event_type").agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum(F.col("cents").cast("decimal(38,0)")).alias("sum_cents"),
+    )
+    above = (
+        F.col("cents").cast("decimal(38,0)") * F.col("n")
+        > F.col("sum_cents")
+    )
+    return (
+        salted_join(ev, stats, on="event_type", salt=salt)
+        .groupBy("event_type")
+        .agg(
+            F.count("*").cast("long").alias("n_events"),
+            F.sum(above.cast("long")).cast("long").alias("n_above_mean"),
+        )
+    )
+
+
+def weighted_price_median(lineitem: DataFrame) -> DataFrame:
+    """(returnflag, total_units, wmedian_price_cents): per return flag,
+    the QUANTITY-WEIGHTED median extended price in exact integer cents —
+    the weighted-quantile operator (every row counts `l_quantity` units
+    toward the rank) the plain quantile family cannot express.
+
+    Scale shape: same lever as functions/quantiles — the fact table
+    collapses to a (flag, cents) weighted histogram first (map-side
+    combinable, ONE shuffle keyed on the value), and the only window
+    runs over DISTINCT (flag, price) pairs, bounded by price cardinality
+    per flag, never row count. Rank convention extends the shared one to
+    weights: the weighted median is the value whose cumulative-unit
+    range covers 0-indexed unit rank ``(total_units - 1) div 2`` —
+    pure integer arithmetic, bit-identical in the DuckDB twin.
+    """
+    hist = (
+        lineitem.select(
+            F.col("l_returnflag").alias("returnflag"),
+            F.round(F.col("l_extendedprice") * 100).cast("long").alias(
+                "cents"
+            ),
+            F.col("l_quantity").cast("long").alias("units"),
+        )
+        .groupBy("returnflag", "cents")
+        .agg(F.sum("units").alias("w"))
+    )
+    win = Window.partitionBy("returnflag").orderBy("cents")
+    cum = hist.select(
+        "returnflag",
+        "cents",
+        "w",
+        F.sum("w").over(win.rowsBetween(Window.unboundedPreceding, 0)).alias(
+            "cum"
+        ),
+        F.sum("w")
+        .over(
+            win.rowsBetween(
+                Window.unboundedPreceding, Window.unboundedFollowing
+            )
+        )
+        .alias("tot"),
+    )
+    target = F.expr("(tot - 1) div 2")
+    return cum.filter(
+        (F.col("cum") - F.col("w") <= target) & (target < F.col("cum"))
+    ).select(
+        "returnflag",
+        F.col("tot").cast("long").alias("total_units"),
+        F.col("cents").alias("wmedian_price_cents"),
+    )

@@ -158,3 +158,57 @@ def graph_distinct_sketch_audit(
         )
 
     return side(og_edges, "og").unionAll(side(pg_edges, "pg"))
+
+
+def graph_degree_quantile_audit(
+    og_edges: DataFrame, pg_edges: DataFrame
+) -> DataFrame:
+    """(graph, n_sources, exact_p50, sketch_ok): per derived graph, the
+    EXACT median out-degree plus a verdict that this engine's quantile
+    sketch lands inside the exact [p40, p60] rank window — the
+    quantile-sketch counterpart of :func:`graph_distinct_sketch_audit`
+    (round-8 verdict growth item: extend the exact-vs-HLL audit pattern
+    to approximate quantiles).
+
+    Exactness & stability: the exact quantiles come from
+    histogram rank selection (``functions/quantiles`` — the window runs
+    over DISTINCT degree values, never a global row sort), with the
+    shared rank convention ``value at 0-indexed rank (n-1)·num div
+    den``. The sketch verdict compares each engine's OWN estimator
+    (Spark Greenwald-Khanna ``percentile_approx`` at accuracy 10000 =
+    guaranteed rank error ≤ 0.01% ≪ the ±10%-rank window; DuckDB
+    t-digest) against its own exact bounds, so the boolean is stable by
+    construction and only exact values + verdicts cross the engine
+    boundary.
+    """
+    from ..functions.quantiles import histogram_quantiles
+
+    window_qs = (("p40", 2, 5), ("p50", 1, 2), ("p60", 3, 5))
+
+    def side(edges: DataFrame, tag: str) -> DataFrame:
+        deg = edges.groupBy("src").agg(F.count("*").alias("deg"))
+        qs = histogram_quantiles(deg, "deg", quantiles=window_qs)
+        pick = qs.agg(
+            F.max("n_rows").cast("long").alias("n_sources"),
+            F.max(F.when(F.col("p_label") == "p50", F.col("q_value")))
+            .cast("long")
+            .alias("exact_p50"),
+            F.max(F.when(F.col("p_label") == "p40", F.col("q_value")))
+            .alias("__lo"),
+            F.max(F.when(F.col("p_label") == "p60", F.col("q_value")))
+            .alias("__hi"),
+        )
+        approx = deg.agg(
+            F.percentile_approx("deg", 0.5, 10000).alias("__ap")
+        )
+        return pick.join(F.broadcast(approx)).select(
+            F.lit(tag).alias("graph"),
+            "n_sources",
+            "exact_p50",
+            (
+                (F.col("__ap") >= F.col("__lo"))
+                & (F.col("__ap") <= F.col("__hi"))
+            ).alias("sketch_ok"),
+        )
+
+    return side(og_edges, "og").unionAll(side(pg_edges, "pg"))

@@ -142,7 +142,11 @@ def streaming_value_locf(events: DataFrame) -> DataFrame:
         for pdf in pdfs:
             if pdf.empty:
                 continue
-            pdf = pdf.sort_values(["ts", "event_id"])
+            # reset_index: sort_values permutes the pandas index, and
+            # pd.DataFrame({...}) ALIGNS series by index — without the
+            # reset, an unsorted arrival batch would misalign event_id
+            # against the fresh-indexed user_id/filled series (NaN rows)
+            pdf = pdf.sort_values(["ts", "event_id"]).reset_index(drop=True)
             filled = []
             for etype, val in zip(pdf["event_type"], pdf["value"]):
                 if etype != "error" and pd.notna(val):
@@ -167,4 +171,112 @@ def streaming_value_locf(events: DataFrame) -> DataFrame:
         stateStructType="has_value LONG, last_good DOUBLE",
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+def streaming_value_locf_timed(
+    events: DataFrame,
+    lateness_minutes: int = 10,
+    idle_gap_minutes: int = 30,
+) -> DataFrame:
+    """(event_id, user_id, filled_value): :func:`streaming_value_locf`
+    extended with the two timer-state behaviors round 8 documented as
+    out of scope — LATE-DATA handling and bounded-lifetime state:
+
+    * A row whose event time is older than its user's observed
+      high-water minus `lateness_minutes` is DROPPED instead of
+      silently corrupting the carry order (the fold is exact only
+      under event-time-ordered arrival; a straggler from before the
+      carry point cannot be spliced into an already-emitted timeline).
+      The watermark (`lateness_minutes` on event_time) gives Spark the
+      same bound globally; the per-user high-water check applies it
+      deterministically per key within whatever rows reach the fold.
+    * Each user's state carries an EVENT-TIME TIMER `idle_gap_minutes`
+      past its high-water. When the watermark passes it, the state is
+      flushed as a tombstone row ``event_id = -1`` carrying the final
+      LOCF value, then removed — so state is bounded by ACTIVE users,
+      not every user ever seen, and downstream consumers get an
+      explicit end-of-timeline marker.
+
+    State: (has_value, last_good, hw_us) — still O(1) per user.
+    """
+    import pandas as pd  # local: keep module import light
+
+    from pyspark.sql.streaming.state import (
+        GroupState,
+        GroupStateTimeout,
+    )
+
+    late_us = lateness_minutes * 60_000_000
+    gap_ms = idle_gap_minutes * 60_000
+
+    timed = with_event_time(events).withWatermark(
+        "event_time", f"{lateness_minutes} minutes"
+    )
+
+    def fold(key, pdfs, state: GroupState):
+        if state.hasTimedOut:
+            has, last, _ = state.get
+            state.remove()
+            yield pd.DataFrame(
+                {
+                    "event_id": pd.Series([-1], dtype="int64"),
+                    "user_id": pd.Series([key[0]], dtype="int64"),
+                    "filled_value": pd.Series(
+                        [last if has else None], dtype="float64"
+                    ),
+                }
+            )
+            return
+        has, last, hw = state.get if state.exists else (0, 0.0, None)
+        for pdf in pdfs:
+            if pdf.empty:
+                continue
+            tus = pdf["event_time"].astype("int64") // 1_000
+            # reset_index after sort/filter: pd.DataFrame({...}) aligns
+            # series by index, so a permuted/gapped index would misalign
+            # event_id against the fresh-indexed user/filled series
+            pdf = (
+                pdf.assign(__tus=tus)
+                .sort_values(["__tus", "event_id"])
+                .reset_index(drop=True)
+            )
+            if hw is not None:
+                pdf = pdf[pdf["__tus"] >= hw - late_us].reset_index(
+                    drop=True
+                )
+            if pdf.empty:
+                continue
+            batch_max = int(pdf["__tus"].max())
+            hw = batch_max if hw is None else max(hw, batch_max)
+            filled = []
+            for etype, val in zip(pdf["event_type"], pdf["value"]):
+                if etype != "error" and pd.notna(val):
+                    has, last = 1, float(val)
+                    filled.append(last)
+                else:
+                    filled.append(last if has else None)
+            yield pd.DataFrame(
+                {
+                    "event_id": pdf["event_id"].astype("int64"),
+                    "user_id": pd.Series(
+                        [key[0]] * len(pdf), dtype="int64"
+                    ),
+                    "filled_value": pd.Series(filled, dtype="float64"),
+                }
+            )
+        if hw is not None:
+            state.update((has, last, hw))
+            # event-time timer: gap past the high-water, clamped above
+            # the current watermark (Spark rejects timers in the past)
+            state.setTimeoutTimestamp(
+                max(hw // 1_000 + gap_ms, state.getCurrentWatermarkMs() + 1)
+            )
+
+    return timed.groupBy("user_id").applyInPandasWithState(
+        fold,
+        outputStructType="event_id LONG, user_id LONG, filled_value DOUBLE",
+        stateStructType="has_value LONG, last_good DOUBLE, hw_us LONG",
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.EventTimeTimeout,
     )

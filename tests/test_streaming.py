@@ -3,6 +3,7 @@ oracle on the same data; the stateful operator must fold correctly."""
 
 from __future__ import annotations
 
+import os
 import shutil
 
 import pytest
@@ -319,3 +320,81 @@ def test_streaming_value_locf_equals_batch(spark, events_dir):
     # per-batch fold must reproduce the batch window exactly
     assert got == want
     assert len(got) == 1000
+
+
+def test_streaming_value_locf_timed_late_drop_and_expiry(spark, tmp_path):
+    """Timer-state LOCF (round-9): a straggler older than its user's
+    high-water minus the lateness bound is dropped, and an idle user's
+    state is flushed as an event_id=-1 tombstone when the watermark
+    passes its idle timer — exercised over four single-file
+    micro-batches (maxFilesPerTrigger=1 under availableNow)."""
+    import datetime as dt
+
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from big_data_graph_analysis_with_spark_spark.streaming import (
+        drift as streaming_drift,
+    )
+
+    def t(minute):
+        return dt.datetime(2026, 1, 1, 10 + minute // 60, minute % 60)
+
+    batches = [
+        # batch 1: u1 carry chain starts; u2 baseline
+        [(1, t(0), 1, "ok", 5.0), (2, t(5), 1, "error", None),
+         (3, t(20), 1, "ok", 7.0), (10, t(0), 2, "ok", 1.0)],
+        # batch 2: event 4 is LATE for u1 (10:05 < high-water 10:20 - 10m)
+        [(4, t(5), 1, "ok", 99.0), (5, t(25), 1, "error", None),
+         (11, t(26), 2, "ok", 2.0)],
+        # batch 3: u2 jumps ahead -> post-batch watermark 11:20 passes
+        # u1's idle timer (10:25 + 30m = 10:55)
+        [(12, t(90), 2, "ok", 3.0)],
+        # batch 4: any row; u1's timer fires during this batch
+        [(13, t(100), 2, "ok", 4.0)],
+    ]
+    d = tmp_path / "ev"
+    d.mkdir()
+    for i, rows in enumerate(batches):
+        pdf = pd.DataFrame(
+            rows, columns=["event_id", "ts", "user_id", "event_type", "value"]
+        )
+        table = pa.Table.from_pandas(pdf).cast(
+            pa.schema(
+                [
+                    ("event_id", pa.int64()),
+                    ("ts", pa.timestamp("us")),
+                    ("user_id", pa.int64()),
+                    ("event_type", pa.string()),
+                    ("value", pa.float64()),
+                ]
+            )
+        )
+        path = d / f"{i}.parquet"
+        pq.write_table(table, path)
+        os.utime(path, (1000 + 100 * i, 1000 + 100 * i))
+
+    stream = (
+        spark.readStream.schema(spark.read.parquet(str(d)).schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(d))
+    )
+    q = (
+        streaming_drift.streaming_value_locf_timed(stream)
+        .writeStream.format("memory")
+        .queryName("locf_timed")
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = {
+        (r["event_id"], r["user_id"]): r["filled_value"]
+        for r in spark.table("locf_timed").collect()
+    }
+    assert got == {
+        (1, 1): 5.0, (2, 1): 5.0, (3, 1): 7.0, (5, 1): 7.0,
+        (-1, 1): 7.0,                      # idle-expiry tombstone
+        (10, 2): 1.0, (11, 2): 2.0, (12, 2): 3.0, (13, 2): 4.0,
+    }  # event 4 (the straggler) must be absent
