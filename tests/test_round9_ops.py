@@ -149,3 +149,29 @@ class TestWeightedPriceMedian:
         }
         for r in out:
             assert (r["returnflag"], r["wmedian_price_cents"]) in cents
+
+
+def test_no_forced_broadcast_on_sf_proportional_tables():
+    """Regression lint for the round-8 scale finding: customer/supplier/
+    part scale linearly with SF, so a bare F.broadcast() on them is a
+    latent executor OOM (an explicit hint overrides AQE's size check).
+    They must route through functions/joins.maybe_broadcast. Bare hints
+    stay legal for nation/region and bounded frames."""
+    import pathlib
+    import re
+
+    root = pathlib.Path(__file__).resolve().parent.parent
+    pkg = root / "big_data_graph_analysis_with_spark_spark"
+    offenders = []
+    for path in list(pkg.rglob("*.py")) + [root / "__spark_entry__.py"]:
+        src = path.read_text()
+        # collapse whitespace so multi-line F.broadcast(\n  customer...
+        # forms are caught too
+        flat = re.sub(r"\s+", " ", src)
+        for table in ("customer", "supplier", "part"):
+            if re.search(rf"F\.broadcast\( ?{table}\b", flat):
+                offenders.append((str(path.relative_to(root)), table))
+    assert not offenders, (
+        f"bare F.broadcast on sf-proportional tables: {offenders} — "
+        "use functions/joins.maybe_broadcast"
+    )
