@@ -84,13 +84,18 @@ og_indeg AS (SELECT dst, COUNT(*) AS c FROM og_edges GROUP BY dst)
 
 
 def _sr_round_ctes(
-    k: int, prev: str, pruned: bool = False, bucketed: bool = False
+    k: int,
+    prev: str,
+    pruned: bool = False,
+    bucketed: bool = False,
+    bucket_mod: int | None = None,
 ) -> str:
     """One Jacobi round as CTEs: sr_{k} = propagate({prev}). With
     `pruned`, edges into already-matched nodes are excluded (G6),
     mirroring the pushed-down prune in `simrank_round`. With `bucketed`,
     only child pairs agreeing on the G7 tie attributes are scored
-    (candidate pruning, SURVEY.md §7.4.1)."""
+    (candidate pruning, SURVEY.md §7.4.1); `bucket_mod` additionally
+    requires id-residue agreement (the round-9 widened bucket key)."""
     pg_prune = (
         " AND pe.dst NOT IN (SELECT pg_id FROM matched)" if pruned else ""
     )
@@ -103,6 +108,8 @@ def _sr_round_ctes(
             f"pv.{a} = ov.{a}"
             for a in ["children", "props", "max_depth", "max_properties"]
         )
+        if bucket_mod:
+            eq += f" AND pe.dst % {bucket_mod} = oe.dst % {bucket_mod}"
         bucket_join = f"""
   JOIN pg_vertices pv ON pv.id = pe.dst
   JOIN og_vertices ov ON ov.id = oe.dst AND {eq}"""
@@ -4088,6 +4095,21 @@ def q_graph_degree_quantile_audit(
     return sketches.graph_degree_quantile_audit(og.edges, pg.edges)
 
 
+def q_simrank_round1_bucketed_wide(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """G5 candidate pruning with the WIDENED bucket key (tie attributes
+    + id residue class, bucket_mod=8) — the round-9 mitigation for the
+    measured 100×-probe quadratic crossover: each residue class divides
+    the per-bucket pair term by the modulus while keeping every
+    id-equal true match. Surviving pairs score identically to the
+    attr_bucket-only variant (strict row-subset)."""
+    og, pg = _graphs(spark, sf_dir)
+    return simrank.simrank(
+        pg, og, rounds=1, attr_bucket=True, bucket_mod=8
+    )
+
+
 def q_weighted_price_median(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Quantity-weighted median extended price per return flag — the
     weighted-quantile operator (histogram rank selection over DISTINCT
@@ -4125,6 +4147,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "skew_salted_enrich": q_skew_salted_enrich,
         "graph_degree_quantile_audit": q_graph_degree_quantile_audit,
         "weighted_price_median": q_weighted_price_median,
+        "simrank_round1_bucketed_wide": q_simrank_round1_bucketed_wide,
         # -- stalest re-verification backfill: last driver row r3 --
         "corpus_prepare": q_corpus_prepare,
         "doc_expectations": q_doc_expectations,
@@ -6192,6 +6215,13 @@ FROM vt, et
             + SR_BASE_CTES.strip()
             + ","
             + _sr_round_ctes(1, "sr_init", bucketed=True)
+            + " SELECT pg_id, og_id, score FROM sr_1"
+        ),
+        "simrank_round1_bucketed_wide": graph_sql(
+            ", "
+            + SR_BASE_CTES.strip()
+            + ","
+            + _sr_round_ctes(1, "sr_init", bucketed=True, bucket_mod=8)
             + " SELECT pg_id, og_id, score FROM sr_1"
         ),
         "simrank_round2": _sr_sql(

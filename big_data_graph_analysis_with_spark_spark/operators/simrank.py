@@ -71,6 +71,7 @@ def simrank_round(
     og: NetGraph,
     matches: DataFrame | None = None,
     attr_bucket: bool = False,
+    bucket_mod: int | None = None,
 ) -> DataFrame:
     """One Jacobi propagation round. Returns the new (pg_id, og_id, score).
 
@@ -90,6 +91,20 @@ def simrank_round(
       O(|PG|·|OG|), this divides the frontier by the bucket count. This
       is the scale path — pruned pairs score 0, which the reference
       drops from its output anyway (`:264`).
+    * `bucket_mod=m` (requires `attr_bucket`) WIDENS the bucket key
+      with the child-id residue class (`pg_child % m = og_child % m`)
+      — the round-9 scale-probe mitigation. The tie-attribute
+      vocabulary is fixed by the value domain, so per-bucket frontiers
+      grow linearly with SF and candidate pairs quadratically (the
+      measured 100×-probe crossover, SCALING.md §Round 9); each
+      residue class multiplies the bucket vocabulary by m and divides
+      the pair term by m. In the MitM workload the perturbed graph
+      keeps original ids, so true matches are id-equal and always
+      share a residue class — surviving candidates keep every true
+      match, and each SURVIVING pair's score is bit-identical to the
+      `attr_bucket`-only variant's (the restriction drops whole child
+      pairs, never individual contributions): the wide result is a
+      strict row-subset, property-tested and oracle-checked.
     """
     identity = init_scores(pg, og)
 
@@ -143,13 +158,23 @@ def simrank_round(
             on="og_child",
         )
         og_fwd = og_fwd.withColumnRenamed("og_id", "og_parent")
+        residue = []
+        if bucket_mod:
+            pg_fwd = pg_fwd.withColumn(
+                "pb_res", F.col("pg_child") % bucket_mod
+            )
+            og_fwd = og_fwd.withColumn(
+                "ob_res", F.col("og_child") % bucket_mod
+            )
+            residue = [F.col("pb_res") == F.col("ob_res")]
         joined = effective.join(pg_fwd, on="pg_id").join(
             og_fwd,
             on=[F.col("og_id") == F.col("og_parent")]
             + [
                 F.col(f"pb_{a}") == F.col(f"ob_{a}")
                 for a in TIE_SCORE_ATTRS
-            ],
+            ]
+            + residue,
         )
     else:
         joined = effective.join(pg_fwd, on="pg_id").join(og_fwd, on="og_id")
@@ -196,13 +221,21 @@ def simrank(
     rounds: int = 1,
     matches: DataFrame | None = None,
     attr_bucket: bool = False,
+    bucket_mod: int | None = None,
 ) -> DataFrame:
     """`rounds` Jacobi sweeps from the identity seed (the reference does
     exactly one in-place sweep per walk subgraph; more rounds refine the
     fixpoint)."""
     scores = init_scores(pg, og)
     for _ in range(rounds):
-        scores = simrank_round(scores, pg, og, matches, attr_bucket=attr_bucket)
+        scores = simrank_round(
+            scores,
+            pg,
+            og,
+            matches,
+            attr_bucket=attr_bucket,
+            bucket_mod=bucket_mod,
+        )
     return scores
 
 

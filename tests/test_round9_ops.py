@@ -175,3 +175,30 @@ def test_no_forced_broadcast_on_sf_proportional_tables():
         f"bare F.broadcast on sf-proportional tables: {offenders} — "
         "use functions/joins.maybe_broadcast"
     )
+
+
+class TestSimrankBucketModWide:
+    def test_wide_is_strict_subset_with_identical_scores(self, spark):
+        from big_data_graph_analysis_with_spark_spark.operators import simrank
+
+        og, pg = tpch_graph.derive_graphs(spark, SF0001)
+        base = {
+            (r["pg_id"], r["og_id"]): r["score"]
+            for r in simrank.simrank(
+                pg, og, rounds=1, attr_bucket=True
+            ).collect()
+        }
+        wide = {
+            (r["pg_id"], r["og_id"]): r["score"]
+            for r in simrank.simrank(
+                pg, og, rounds=1, attr_bucket=True, bucket_mod=8
+            ).collect()
+        }
+        # the residue restriction drops whole child pairs, never
+        # individual contributions: subset rows, identical scores
+        assert set(wide) <= set(base)
+        assert all(base[k] == v for k, v in wide.items())
+        # id-equal pairs (the true matches in the MitM workload) share
+        # a residue class by construction and must all survive
+        id_equal = {k for k in base if k[0] == k[1]}
+        assert id_equal <= set(wide)
