@@ -4120,6 +4120,111 @@ def q_weighted_price_median(spark: SparkSession, sf_dir: str) -> DataFrame:
     return olap.weighted_price_median(li)
 
 
+def q_segment_priority_chisq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact contingency-table sufficient statistics for the market-
+    segment × order-priority independence test (integer cross-multiplied
+    χ² numerator; the caller divides scalars)."""
+    from big_data_graph_analysis_with_spark_spark.operators import olap
+
+    sp = _prep(spark)
+    cust = sp.read.parquet(f"{sf_dir}/customer.parquet")
+    orders = sp.read.parquet(f"{sf_dir}/orders.parquet")
+    return olap.segment_priority_chisq(cust, orders)
+
+
+def q_discount_trend_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Group-wise OLS sufficient statistics (discount bps on ship epoch
+    days, per return flag) — regression as five exact integers."""
+    from big_data_graph_analysis_with_spark_spark.operators import olap
+
+    li = _prep(spark).read.parquet(f"{sf_dir}/lineitem.parquet")
+    return olap.discount_trend_stats(li)
+
+
+def q_event_value_benford(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benford leading-digit census of positive event-value cents per
+    event type — string-exact digit extraction, no float log10."""
+    from big_data_graph_analysis_with_spark_spark.operators import olap
+
+    ev = _prep(spark).read.parquet(f"{sf_dir}/events.parquet")
+    return olap.event_value_benford(ev)
+
+
+def q_order_gap_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-customer consecutive-order gap histogram bucketed by bit
+    length of the gap in days (the shared conv/bin convention)."""
+    from big_data_graph_analysis_with_spark_spark.operators import olap
+
+    orders = _prep(spark).read.parquet(f"{sf_dir}/orders.parquet")
+    return olap.order_gap_profile(orders)
+
+
+def q_quantity_mode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact modal quantity per (returnflag, linestatus), ties to the
+    smallest value — argmax over the value histogram."""
+    from big_data_graph_analysis_with_spark_spark.operators import olap
+
+    li = _prep(spark).read.parquet(f"{sf_dir}/lineitem.parquet")
+    return olap.quantity_mode(li)
+
+
+def q_user_type_map_census(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user event-type histogram reduced entirely with Spark MAP
+    higher-order functions (map_from_entries / map_values / map_filter /
+    aggregate); plain-integer output so a map-free oracle hash-matches."""
+    from big_data_graph_analysis_with_spark_spark.operators import jsonops
+
+    ev = _prep(spark).read.parquet(f"{sf_dir}/events.parquet")
+    return jsonops.user_type_map_census(ev)
+
+
+def q_word_run_lengths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RLE islands over the token stream: (lang, run_len, n_runs) census
+    of maximal same-word runs — the boilerplate/stuck-generator audit."""
+    from big_data_graph_analysis_with_spark_spark.operators import textops
+
+    return textops.word_run_lengths(_docs(spark, sf_dir))
+
+
+def q_part_name_typo_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Blocked Levenshtein similarity join over distinct catalog names
+    (edit distance ≤ 2 within last-token blocks) with part multiplicity
+    as census weight."""
+    from big_data_graph_analysis_with_spark_spark.operators import dedup
+
+    part = _prep(spark).read.parquet(f"{sf_dir}/part.parquet")
+    return dedup.typo_pair_join(part)
+
+
+def q_local_bridges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Local-bridge census per derived graph: edges whose endpoints
+    share no common neighbor (span > 2) — the zero-support stratum."""
+    og, pg = _graphs(spark, sf_dir)
+    return graphalg.local_bridge_census(og, pg)
+
+
+def q_dyad_census(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Holland–Leinhardt dyad census (mutual / asymmetric / null) per
+    derived directed graph; null dyads by scalar arithmetic."""
+    og, pg = _graphs(spark, sf_dir)
+    return graphalg.dyad_census(og, pg)
+
+
+def q_embedding_sign_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-dimension sign census of the embedding corpus — dead/biased
+    dimension detector; IEEE sign tests are exact cross-engine."""
+    return similarity.embedding_sign_profile(_embs(spark, sf_dir))
+
+
+def q_similarity_ann_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rows-only: product-quantization ANN (m=4 sub-space codebooks,
+    ADC candidate scoring over compressed codes, exact rerank); recall
+    vs the exact baseline asserted in tests/test_round10_ops.py."""
+    emb = _embs(spark, sf_dir)
+    queries_df = emb.filter(F.col("vec_id") < 20)
+    return similarity.ann_pq_topk(emb, queries_df, k=5)
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return q_start_node_stats(spark, SF0001)
@@ -4142,8 +4247,21 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # backfill; the 9 rows-only tail entries cannot hash-verify by design
     # and stay at the tail.
     return {
-        # -- NEW in round 9: new queries insert ABOVE this comment as they
-        #    ship (never driver-verified → head of the window) --------------
+        # -- NEW in round 10: new queries insert ABOVE the round-9 block as
+        #    they ship (never driver-verified → head of the window) ---------
+        "segment_priority_chisq": q_segment_priority_chisq,
+        "discount_trend_stats": q_discount_trend_stats,
+        "event_value_benford": q_event_value_benford,
+        "order_gap_profile": q_order_gap_profile,
+        "quantity_mode": q_quantity_mode,
+        "user_type_map_census": q_user_type_map_census,
+        "word_run_lengths": q_word_run_lengths,
+        "part_name_typo_pairs": q_part_name_typo_pairs,
+        "local_bridges": q_local_bridges,
+        "dyad_census": q_dyad_census,
+        "embedding_sign_profile": q_embedding_sign_profile,
+        # -- round-9 batch: never driver-verified (the r9 record did not
+        #    land), so they stay at the head of the window ------------------
         "skew_salted_enrich": q_skew_salted_enrich,
         "graph_degree_quantile_audit": q_graph_degree_quantile_audit,
         "weighted_price_median": q_weighted_price_median,
@@ -4418,11 +4536,267 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "node2vec_walks": q_node2vec_walks,
         "betweenness": q_betweenness,
         "multimodal_real_codecs": q_multimodal_real_codecs,
+        "similarity_ann_pq": q_similarity_ann_pq,
     }
 
 
 def oracle_sql() -> dict[str, str]:
     return {
+        # -- round-10 additions -----------------------------------------
+        "segment_priority_chisq": """
+            WITH cont AS (
+              SELECT c.c_mktsegment AS segment,
+                     o.o_orderpriority AS priority,
+                     CAST(COUNT(*) AS BIGINT) AS n_obs
+              FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
+              GROUP BY 1, 2
+            )
+            SELECT segment, priority, n_obs,
+                   CAST(SUM(n_obs) OVER (PARTITION BY segment) AS BIGINT)
+                     AS seg_total,
+                   CAST(SUM(n_obs) OVER (PARTITION BY priority) AS BIGINT)
+                     AS pri_total,
+                   CAST(SUM(n_obs) OVER () AS BIGINT) AS grand_total,
+                   CAST(SUM(n_obs) OVER () AS HUGEINT) * n_obs
+                     - CAST(SUM(n_obs) OVER (PARTITION BY segment) AS HUGEINT)
+                       * CAST(SUM(n_obs) OVER (PARTITION BY priority)
+                              AS HUGEINT) AS chi_num
+            FROM cont
+        """,
+        "discount_trend_stats": """
+            WITH li AS (
+              SELECT l_returnflag AS returnflag,
+                     CAST(date_diff('day', DATE '1970-01-01',
+                                    CAST(l_shipdate AS DATE)) AS HUGEINT)
+                       AS x,
+                     CAST(ROUND(l_discount * 10000) AS HUGEINT) AS y
+              FROM lineitem
+            )
+            SELECT returnflag,
+                   CAST(COUNT(*) AS BIGINT) AS n,
+                   SUM(x) AS sum_x,
+                   SUM(y) AS sum_y,
+                   SUM(x * y) AS sum_xy,
+                   SUM(x * x) AS sum_x2
+            FROM li GROUP BY 1
+        """,
+        "event_value_benford": """
+            WITH ev AS (
+              SELECT event_type,
+                     CAST(ROUND(value * 100) AS BIGINT) AS cents
+              FROM events
+            )
+            SELECT event_type,
+                   CAST(substring(CAST(cents AS VARCHAR), 1, 1) AS BIGINT)
+                     AS digit,
+                   CAST(COUNT(*) AS BIGINT) AS n
+            FROM ev WHERE cents > 0
+            GROUP BY 1, 2
+        """,
+        "order_gap_profile": """
+            WITH o AS (
+              SELECT o_custkey, o_orderkey,
+                     date_diff('day', DATE '1970-01-01',
+                               CAST(o_orderdate AS DATE)) AS day
+              FROM orders
+            ),
+            g AS (
+              SELECT day - LAG(day) OVER (
+                       PARTITION BY o_custkey ORDER BY day, o_orderkey
+                     ) AS gap
+              FROM o
+            )
+            SELECT CAST(length(bin(gap)) AS BIGINT) AS gap_bits,
+                   CAST(COUNT(*) AS BIGINT) AS n_gaps,
+                   CAST(MIN(gap) AS BIGINT) AS min_gap_days,
+                   CAST(MAX(gap) AS BIGINT) AS max_gap_days
+            FROM g WHERE gap IS NOT NULL
+            GROUP BY 1
+        """,
+        "quantity_mode": """
+            WITH h AS (
+              SELECT l_returnflag AS returnflag,
+                     l_linestatus AS linestatus,
+                     CAST(l_quantity AS BIGINT) AS qty,
+                     COUNT(*) AS cnt
+              FROM lineitem GROUP BY 1, 2, 3
+            ),
+            r AS (
+              SELECT *, ROW_NUMBER() OVER (
+                       PARTITION BY returnflag, linestatus
+                       ORDER BY cnt DESC, qty ASC) AS rn
+              FROM h
+            )
+            SELECT returnflag, linestatus, qty AS mode_qty,
+                   CAST(cnt AS BIGINT) AS mode_count
+            FROM r WHERE rn = 1
+        """,
+        "user_type_map_census": """
+            WITH pt AS (
+              SELECT user_id, event_type,
+                     CAST(COUNT(*) AS BIGINT) AS cnt
+              FROM events GROUP BY 1, 2
+            ),
+            u AS (
+              SELECT user_id, COUNT(*) AS n_types, SUM(cnt) AS n_events
+              FROM pt GROUP BY 1
+            )
+            SELECT pt.user_id,
+                   CAST(u.n_types AS BIGINT) AS n_types,
+                   CAST(u.n_events AS BIGINT) AS n_events,
+                   CAST(SUM(CASE WHEN pt.cnt * u.n_types > u.n_events
+                                 THEN 1 ELSE 0 END) AS BIGINT)
+                     AS n_above_mean
+            FROM pt JOIN u USING (user_id)
+            GROUP BY 1, 2, 3
+        """,
+        "word_run_lengths": """
+            WITH toks AS (
+              SELECT doc_id, lang,
+                     list_filter(string_split(text, ' '), x -> x <> '')
+                       AS ws
+              FROM documents
+            ),
+            w AS (
+              SELECT doc_id, lang,
+                     unnest(ws) AS word,
+                     generate_subscripts(ws, 1) AS pos
+              FROM toks
+            ),
+            flagged AS (
+              SELECT doc_id, lang, pos,
+                     CASE WHEN LAG(word) OVER win IS NULL
+                               OR LAG(word) OVER win <> word
+                          THEN 1 ELSE 0 END AS chg
+              FROM w
+              WINDOW win AS (PARTITION BY doc_id ORDER BY pos)
+            ),
+            runs AS (
+              SELECT doc_id, lang,
+                     SUM(chg) OVER (
+                       PARTITION BY doc_id ORDER BY pos
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+                     ) AS run_id
+              FROM flagged
+            ),
+            rl AS (
+              SELECT lang, CAST(COUNT(*) AS BIGINT) AS run_len
+              FROM runs GROUP BY doc_id, lang, run_id
+            )
+            SELECT lang, run_len, CAST(COUNT(*) AS BIGINT) AS n_runs
+            FROM rl GROUP BY 1, 2
+        """,
+        "part_name_typo_pairs": """
+            WITH names AS (
+              SELECT p_name AS name,
+                     CAST(COUNT(*) AS BIGINT) AS n_parts,
+                     string_split(p_name, ' ')[-1] AS block
+              FROM part GROUP BY 1
+            )
+            SELECT a.name AS name_a, b.name AS name_b,
+                   CAST(levenshtein(a.name, b.name) AS BIGINT) AS dist,
+                   a.n_parts AS n_parts_a, b.n_parts AS n_parts_b
+            FROM names a JOIN names b
+              ON a.block = b.block AND a.name < b.name
+            WHERE levenshtein(a.name, b.name) <= 2
+        """,
+        "local_bridges": graph_sql(
+            """
+            , und_og AS (
+              SELECT DISTINCT LEAST(src, dst) AS a, GREATEST(src, dst) AS b
+              FROM og_edges WHERE src <> dst
+            ),
+            und_pg AS (
+              SELECT DISTINCT LEAST(src, dst) AS a, GREATEST(src, dst) AS b
+              FROM pg_edges WHERE src <> dst
+            ),
+            sym_og AS (SELECT a, b FROM und_og
+                       UNION ALL SELECT b AS a, a AS b FROM und_og),
+            sym_pg AS (SELECT a, b FROM und_pg
+                       UNION ALL SELECT b AS a, a AS b FROM und_pg),
+            br_og AS (
+              SELECT CAST(COUNT(*) AS BIGINT) AS n FROM und_og e
+              WHERE NOT EXISTS (
+                SELECT 1 FROM sym_og s1 JOIN sym_og s2
+                  ON s2.a = e.b AND s2.b = s1.b
+                WHERE s1.a = e.a AND s1.b <> e.b)
+            ),
+            br_pg AS (
+              SELECT CAST(COUNT(*) AS BIGINT) AS n FROM und_pg e
+              WHERE NOT EXISTS (
+                SELECT 1 FROM sym_pg s1 JOIN sym_pg s2
+                  ON s2.a = e.b AND s2.b = s1.b
+                WHERE s1.a = e.a AND s1.b <> e.b)
+            )
+            SELECT 'og' AS graph,
+                   (SELECT CAST(COUNT(*) AS BIGINT) FROM und_og) AS n_edges,
+                   (SELECT n FROM br_og) AS n_local_bridges
+            UNION ALL
+            SELECT 'pg' AS graph,
+                   (SELECT CAST(COUNT(*) AS BIGINT) FROM und_pg) AS n_edges,
+                   (SELECT n FROM br_pg) AS n_local_bridges
+        """
+        ),
+        "dyad_census": graph_sql(
+            """
+            , e_og AS (
+              SELECT DISTINCT src, dst FROM og_edges WHERE src <> dst
+            ),
+            e_pg AS (
+              SELECT DISTINCT src, dst FROM pg_edges WHERE src <> dst
+            ),
+            p_og AS (
+              SELECT LEAST(src, dst) AS a, GREATEST(src, dst) AS b,
+                     COUNT(*) AS n_dir
+              FROM e_og GROUP BY 1, 2
+            ),
+            p_pg AS (
+              SELECT LEAST(src, dst) AS a, GREATEST(src, dst) AS b,
+                     COUNT(*) AS n_dir
+              FROM e_pg GROUP BY 1, 2
+            ),
+            s_og AS (
+              SELECT COALESCE(SUM(CASE WHEN n_dir = 2 THEN 1 ELSE 0 END), 0)
+                       AS m,
+                     COALESCE(SUM(CASE WHEN n_dir = 1 THEN 1 ELSE 0 END), 0)
+                       AS asym
+              FROM p_og
+            ),
+            s_pg AS (
+              SELECT COALESCE(SUM(CASE WHEN n_dir = 2 THEN 1 ELSE 0 END), 0)
+                       AS m,
+                     COALESCE(SUM(CASE WHEN n_dir = 1 THEN 1 ELSE 0 END), 0)
+                       AS asym
+              FROM p_pg
+            ),
+            v_og AS (SELECT COUNT(*) AS n_v FROM og_vertices),
+            v_pg AS (SELECT COUNT(*) AS n_v FROM pg_vertices)
+            SELECT 'og' AS graph, CAST(m AS BIGINT) AS n_mutual,
+                   CAST(asym AS BIGINT) AS n_asym,
+                   CAST(n_v * (n_v - 1) // 2 - m - asym AS BIGINT) AS n_null
+            FROM s_og, v_og
+            UNION ALL
+            SELECT 'pg' AS graph, CAST(m AS BIGINT) AS n_mutual,
+                   CAST(asym AS BIGINT) AS n_asym,
+                   CAST(n_v * (n_v - 1) // 2 - m - asym AS BIGINT) AS n_null
+            FROM s_pg, v_pg
+        """
+        ),
+        "embedding_sign_profile": """
+            WITH x AS (
+              SELECT unnest(embedding) AS v,
+                     generate_subscripts(embedding, 1) - 1 AS dim
+              FROM embeddings
+            )
+            SELECT CAST(dim AS BIGINT) AS dim,
+                   CAST(SUM(CASE WHEN v < 0 THEN 1 ELSE 0 END) AS BIGINT)
+                     AS n_neg,
+                   CAST(SUM(CASE WHEN v = 0 THEN 1 ELSE 0 END) AS BIGINT)
+                     AS n_zero,
+                   CAST(SUM(CASE WHEN v > 0 THEN 1 ELSE 0 END) AS BIGINT)
+                     AS n_pos
+            FROM x GROUP BY 1
+        """,
         # -- round-9 additions ------------------------------------------
         "skew_salted_enrich": """
             WITH ev AS (

@@ -2314,3 +2314,113 @@ def perturbation_census(og: NetGraph, pg: NetGraph) -> DataFrame:
             ]
         ]
     )
+
+
+def local_bridge_census(og: NetGraph, pg: NetGraph) -> DataFrame:
+    """(graph, n_edges, n_local_bridges): per derived graph, how many
+    undirected edges are LOCAL BRIDGES — edges whose endpoints share no
+    common neighbor (span > 2, Easley–Kleinberg), so deleting one
+    stretches its endpoints apart instead of being absorbed by a
+    triangle. The structural-weakness census that complements
+    `edge_support_hist` (support counts triangles PER edge; this counts
+    the zero-support stratum across graphs, the k-truss frontier).
+
+    Cost shape: the wedge probe is RESTRICTED TO EDGES — edge (a,b)
+    joins the symmetric adjacency on endpoint `a` to propose common
+    neighbors v≠b, and a LEFT SEMI join on (b,v) confirms closure, so
+    the heavy term is Σ deg(a) over edges (the triangle-join term),
+    never an all-pairs wedge enumeration. The anti-join of edges
+    against the confirmed-closed set yields the bridges; two 1-row
+    aggregates per graph close it out. All joins key on vertex-id
+    longs; AQE splits hub skew.
+    """
+
+    def side(graph: NetGraph, tag: str) -> DataFrame:
+        und = undirected_edges(graph).localCheckpoint()
+        sym = und.unionAll(
+            und.select(F.col("b").alias("a"), F.col("a").alias("b"))
+        )
+        cand = und.join(
+            sym.select("a", F.col("b").alias("v")), on="a"
+        ).filter(F.col("v") != F.col("b"))
+        closed = (
+            cand.join(
+                sym.select(F.col("a").alias("b"), F.col("b").alias("v")),
+                on=["b", "v"],
+                how="left_semi",
+            )
+            .select("a", "b")
+            .distinct()
+        )
+        bridges = und.join(closed, on=["a", "b"], how="left_anti")
+        return (
+            und.agg(F.count("*").cast("long").alias("n_edges"))
+            .crossJoin(
+                bridges.agg(
+                    F.count("*").cast("long").alias("n_local_bridges")
+                )
+            )
+            .select(
+                F.lit(tag).alias("graph"), "n_edges", "n_local_bridges"
+            )
+        )
+
+    return side(og, "og").unionAll(side(pg, "pg"))
+
+
+def dyad_census(og: NetGraph, pg: NetGraph) -> DataFrame:
+    """(graph, n_mutual, n_asym, n_null): the Holland–Leinhardt dyad
+    census of each derived DIRECTED graph — unordered vertex pairs
+    split into mutual (both directions present), asymmetric (exactly
+    one), and null (no edge, derived as C(V,2) − mutual − asym, never
+    enumerated). The reciprocity summary (`reciprocity`) is the ratio
+    view of the same structure; the census keeps the three absolute
+    counts the triad-level and null-model comparisons need.
+
+    Cost shape: distinct non-loop directed edges fold to canonical
+    pairs carrying a direction count (1 or 2) — one map-side-combinable
+    shuffle on the pair key — then a 1-row conditional aggregate; the
+    vertex count joins in as a broadcast scalar. Nothing quadratic
+    anywhere: null dyads come from arithmetic on two scalars.
+    """
+
+    def side(graph: NetGraph, tag: str) -> DataFrame:
+        e = (
+            graph.edges.select("src", "dst")
+            .filter(F.col("src") != F.col("dst"))
+            .distinct()
+        )
+        pair_counts = (
+            e.select(
+                F.least("src", "dst").alias("a"),
+                F.greatest("src", "dst").alias("b"),
+            )
+            .groupBy("a", "b")
+            .agg(F.count("*").alias("n_dir"))
+            .agg(
+                F.sum((F.col("n_dir") == 2).cast("long"))
+                .cast("long")
+                .alias("n_mutual"),
+                F.sum((F.col("n_dir") == 1).cast("long"))
+                .cast("long")
+                .alias("n_asym"),
+            )
+        )
+        nv = graph.vertices.agg(F.count("*").cast("long").alias("n_v"))
+        return (
+            pair_counts.crossJoin(nv)
+            .select(
+                F.lit(tag).alias("graph"),
+                F.coalesce("n_mutual", F.lit(0)).alias("n_mutual"),
+                F.coalesce("n_asym", F.lit(0)).alias("n_asym"),
+                (
+                    F.expr("n_v * (n_v - 1) div 2")
+                    - F.coalesce("n_mutual", F.lit(0))
+                    - F.coalesce("n_asym", F.lit(0))
+                )
+                .cast("long")
+                .alias("n_null"),
+            )
+        )
+
+    return side(og, "og").unionAll(side(pg, "pg"))

@@ -65,3 +65,49 @@ def props_histogram(
         .groupBy("event_type", "bucket")
         .agg(F.count("*").alias("n"))
     )
+
+
+def user_type_map_census(events: DataFrame) -> DataFrame:
+    """(user_id, n_types, n_events, n_above_mean): per user, the
+    event-type histogram materialized as a Spark MAP column and reduced
+    entirely with map/array higher-order functions — `map_from_entries`
+    builds type→count, `map_values` + `aggregate` folds the total, and
+    `map_filter` keeps the types whose count exceeds the user's mean
+    (`cnt·n_types > n_events`, the exact cross-multiplied integer test).
+    The map column never leaves the operator: the output is three plain
+    integers per user, so a map-free DuckDB twin hash-matches while the
+    Spark plan exercises the full map-HOF surface (all JVM-side
+    expressions inside codegen — no Python, no explode of the map).
+
+    Scale shape: one map-side-combinable count on (user, type), one
+    shuffle to assemble the per-user entry list; per-user state is
+    bounded by the type vocabulary, not event count.
+    """
+    per_type = events.groupBy("user_id", "event_type").agg(
+        F.count("*").cast("long").alias("cnt")
+    )
+    m = F.map_from_entries(F.collect_list(F.struct("event_type", "cnt")))
+    return (
+        per_type.groupBy("user_id")
+        .agg(m.alias("tmap"))
+        .select(
+            "user_id",
+            F.size("tmap").cast("long").alias("n_types"),
+            F.aggregate(
+                F.map_values("tmap"), F.lit(0).cast("long"), lambda a, v: a + v
+            ).alias("n_events"),
+            F.size(
+                F.map_filter(
+                    "tmap",
+                    lambda k, v: v * F.size("tmap")
+                    > F.aggregate(
+                        F.map_values("tmap"),
+                        F.lit(0).cast("long"),
+                        lambda a, x: a + x,
+                    ),
+                )
+            )
+            .cast("long")
+            .alias("n_above_mean"),
+        )
+    )

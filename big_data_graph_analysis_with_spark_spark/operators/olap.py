@@ -2330,3 +2330,202 @@ def weighted_price_median(lineitem: DataFrame) -> DataFrame:
         F.col("tot").cast("long").alias("total_units"),
         F.col("cents").alias("wmedian_price_cents"),
     )
+
+
+def segment_priority_chisq(customer: DataFrame, orders: DataFrame) -> DataFrame:
+    """(segment, priority, n_obs, seg_total, pri_total, grand_total,
+    chi_num): the EXACT contingency-table sufficient statistics for the
+    market-segment × order-priority independence test. ``chi_num =
+    grand_total·n_obs − seg_total·pri_total`` on DECIMAL(38,0) — the
+    cross-multiplied numerator of (observed − expected), so the caller
+    computes χ² = Σ chi_num² / (grand·seg·pri) with scalar floats only;
+    every engine-side column stays integer and hash-stable.
+
+    Scale shape: ONE fact shuffle — orders joins the 2-column customer
+    projection on custkey (size-gated broadcast: customer is
+    sf-proportional, so the hint is AQE's call, not ours), then a
+    map-side-combinable count to the |segments|·|priorities| ≈ 25-row
+    contingency frame. The marginal totals are windows over that tiny
+    frame, never over facts. Reference census scope: HelperFunction
+    statistics assembly (counts by class); the independence layout is
+    the standard Pearson decomposition.
+    """
+    cust = customer.select(
+        F.col("c_custkey").alias("o_custkey"),
+        F.col("c_mktsegment").alias("segment"),
+    )
+    cont = (
+        orders.select("o_custkey", F.col("o_orderpriority").alias("priority"))
+        .join(maybe_broadcast(cust), on="o_custkey")
+        .groupBy("segment", "priority")
+        .agg(F.count("*").cast("long").alias("n_obs"))
+    )
+    seg_w = Window.partitionBy("segment")
+    pri_w = Window.partitionBy("priority")
+    all_w = Window.partitionBy()
+    d = F.col("n_obs").cast("decimal(38,0)")
+    return (
+        cont.select(
+            "segment",
+            "priority",
+            "n_obs",
+            F.sum("n_obs").over(seg_w).cast("long").alias("seg_total"),
+            F.sum("n_obs").over(pri_w).cast("long").alias("pri_total"),
+            F.sum("n_obs").over(all_w).cast("long").alias("grand_total"),
+        )
+        .select(
+            "segment",
+            "priority",
+            "n_obs",
+            "seg_total",
+            "pri_total",
+            "grand_total",
+            (
+                F.col("grand_total").cast("decimal(38,0)") * d
+                - F.col("seg_total").cast("decimal(38,0)")
+                * F.col("pri_total").cast("decimal(38,0)")
+            )
+            .cast("decimal(38,0)")
+            .alias("chi_num"),
+        )
+    )
+
+
+def discount_trend_stats(lineitem: DataFrame) -> DataFrame:
+    """(returnflag, n, sum_x, sum_y, sum_xy, sum_x2): per return flag,
+    the EXACT group-wise ordinary-least-squares sufficient statistics
+    for the regression of discount (basis points, y) on ship date
+    (epoch days, x). Slope = (n·Σxy − Σx·Σy)/(n·Σx² − (Σx)²) and the
+    intercept follow from the five integers in one scalar float step by
+    the caller — the engine never divides, so the frame hash-matches
+    the DuckDB twin bit for bit (the `custbal_order_corr` convention
+    extended from correlation to regression).
+
+    Scale shape: a pure map over the two pruned fact columns into a
+    map-side-combinable 5-sum aggregate — one shuffle of |flags| rows.
+    DECIMAL(38,0) holds Σx² up to ~1e31 row·day² products.
+    """
+    x = F.datediff(F.col("l_shipdate"), F.lit("1970-01-01").cast("date")).cast(
+        "decimal(38,0)"
+    )
+    y = F.round(F.col("l_discount") * 10000).cast("decimal(38,0)")
+    return (
+        lineitem.select(
+            F.col("l_returnflag").alias("returnflag"),
+            x.alias("x"),
+            y.alias("y"),
+        )
+        .groupBy("returnflag")
+        .agg(
+            F.count("*").cast("long").alias("n"),
+            F.sum("x").cast("decimal(38,0)").alias("sum_x"),
+            F.sum("y").cast("decimal(38,0)").alias("sum_y"),
+            F.sum(F.col("x") * F.col("y")).cast("decimal(38,0)").alias("sum_xy"),
+            F.sum(F.col("x") * F.col("x")).cast("decimal(38,0)").alias("sum_x2"),
+        )
+    )
+
+
+def event_value_benford(events: DataFrame) -> DataFrame:
+    """(event_type, digit, n): leading-decimal-digit census of positive
+    event values in cents — the Benford's-law audit surface for a value
+    column (fabricated or unit-mixed feeds bend the first-digit curve
+    long before moments move). Digit extraction is string-exact on the
+    integer cents (first character of the base-10 rendering), never a
+    float log10, so both engines agree on every row.
+
+    Scale shape: narrow map (round → cast → substr) into one
+    map-side-combinable count keyed on (type, digit) — a ≤ 9·|types|
+    result frame, one shuffle.
+    """
+    cents = F.round(F.col("value") * 100).cast("long")
+    return (
+        events.select(F.col("event_type"), cents.alias("cents"))
+        .filter(F.col("cents") > 0)
+        .select(
+            "event_type",
+            F.substring(F.col("cents").cast("string"), 1, 1)
+            .cast("long")
+            .alias("digit"),
+        )
+        .groupBy("event_type", "digit")
+        .agg(F.count("*").cast("long").alias("n"))
+    )
+
+
+def order_gap_profile(orders: DataFrame) -> DataFrame:
+    """(gap_bits, n_gaps, min_gap_days, max_gap_days): histogram of
+    per-customer consecutive-order gaps, bucketed by the BIT LENGTH of
+    the gap in days (`length(bin(gap))`, the shared conv/bin bucket
+    convention from component_density_profile) — the repeat-purchase
+    cadence fingerprint (mass in low buckets = bursty reorders, a long
+    tail = churn-and-return).
+
+    Scale shape: one hash shuffle on o_custkey with partition-local
+    window sorts (the sessionization cost shape); the lag is exact
+    integer epoch-day arithmetic; the bucket roll-up is ≤ ~15 rows.
+    Ties on the same date break by o_orderkey so both engines see the
+    identical sequence.
+    """
+    w = Window.partitionBy("o_custkey").orderBy("day", "o_orderkey")
+    gaps = (
+        orders.select(
+            "o_custkey",
+            "o_orderkey",
+            F.datediff(
+                F.col("o_orderdate"), F.lit("1970-01-01").cast("date")
+            ).alias("day"),
+        )
+        .select(
+            "o_custkey",
+            (F.col("day") - F.lag("day").over(w)).alias("gap"),
+        )
+        .filter(F.col("gap").isNotNull())
+    )
+    return (
+        gaps.groupBy(
+            F.length(F.conv(F.col("gap"), 10, 2)).cast("long").alias("gap_bits")
+        )
+        .agg(
+            F.count("*").cast("long").alias("n_gaps"),
+            F.min("gap").cast("long").alias("min_gap_days"),
+            F.max("gap").cast("long").alias("max_gap_days"),
+        )
+    )
+
+
+def quantity_mode(lineitem: DataFrame) -> DataFrame:
+    """(returnflag, linestatus, mode_qty, mode_count): the EXACT modal
+    quantity per (return flag, line status) — the one central-tendency
+    aggregate the quantile/median/moment family doesn't cover. Ties
+    break to the SMALLEST quantity so the answer is deterministic and
+    bit-identical in the DuckDB twin (its native mode() leaves ties
+    unspecified, so the oracle uses the same explicit argmax).
+
+    Scale shape: facts collapse to the (flag, status, qty) value
+    histogram first (map-side combinable, one shuffle); the argmax
+    window runs over DISTINCT quantities per group — bounded by value
+    cardinality, never row count.
+    """
+    hist = (
+        lineitem.select(
+            F.col("l_returnflag").alias("returnflag"),
+            F.col("l_linestatus").alias("linestatus"),
+            F.col("l_quantity").cast("long").alias("qty"),
+        )
+        .groupBy("returnflag", "linestatus", "qty")
+        .agg(F.count("*").alias("cnt"))
+    )
+    w = Window.partitionBy("returnflag", "linestatus").orderBy(
+        F.col("cnt").desc(), F.col("qty").asc()
+    )
+    return (
+        hist.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "returnflag",
+            "linestatus",
+            F.col("qty").alias("mode_qty"),
+            F.col("cnt").cast("long").alias("mode_count"),
+        )
+    )

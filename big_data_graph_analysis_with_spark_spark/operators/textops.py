@@ -9,7 +9,7 @@ reproduces them exactly.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from ..functions.hashing import hash56
@@ -268,4 +268,52 @@ def normalize_text(docs: DataFrame) -> DataFrame:
         "doc_id",
         F.md5(norm).alias("norm_digest"),
         F.length(norm).cast("long").alias("n_norm_chars"),
+    )
+
+
+def word_run_lengths(docs: DataFrame) -> DataFrame:
+    """(lang, run_len, n_runs): run-length-encoding census of the token
+    stream — for every maximal run of the SAME consecutive word inside
+    a document, one count toward its (language, length) cell. Long runs
+    are the classic low-quality/boilerplate signature (stuck generators,
+    repeated padding), and run_len=1 mass calibrates the baseline; this
+    is the RLE islands operator (gaps-and-islands over an array column)
+    the window family didn't cover yet.
+
+    Scale shape: posexplode (JVM generator, no Python) → ONE shuffle
+    keyed on doc_id with partition-local window sorts; windows are
+    bounded by document length, never corpus size. The island id is the
+    running sum of change flags — the standard one-pass RLE — and the
+    final (lang, run_len) roll-up is map-side combinable into a
+    vocabulary-bounded frame. Empty tokens (from double spaces) are
+    dropped on both engines before positions are assigned.
+    """
+    words = (
+        docs.select(
+            "doc_id",
+            "lang",
+            F.posexplode(
+                F.filter(F.split(F.col("text"), " "), lambda w: w != "")
+            ).alias("pos", "word"),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    runs = (
+        words.withColumn(
+            "chg",
+            F.when(
+                F.lag("word").over(w).isNull()
+                | (F.lag("word").over(w) != F.col("word")),
+                F.lit(1),
+            ).otherwise(F.lit(0)),
+        )
+        .withColumn(
+            "run_id",
+            F.sum("chg").over(w.rowsBetween(Window.unboundedPreceding, 0)),
+        )
+        .groupBy("doc_id", "lang", "run_id")
+        .agg(F.count("*").cast("long").alias("run_len"))
+    )
+    return runs.groupBy("lang", "run_len").agg(
+        F.count("*").cast("long").alias("n_runs")
     )
