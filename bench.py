@@ -127,12 +127,12 @@ _MODULE_SUITES: dict[str, list[str]] = {
     "stats": ["mitm", "topology", "graph_walk_audit"],
     "subgraph": ["mitm"],
     "pipeline": ["mitm"],
-    "dedup": ["dedup_"],
+    "dedup": ["dedup_", "fuzzy_similarity"],
     "similarity": [
         "similarity_", "dedup_embedding_cosine", "link_prediction",
-        "activity_profiles", "series_repair",
+        "activity_profiles", "series_repair", "fuzzy_similarity",
     ],
-    "textops": ["text_analysis", "corpus_"],
+    "textops": ["text_analysis", "corpus_", "fuzzy_similarity"],
     "corpusstats": ["corpus_", "text_analysis"],
     "corpus": ["doc_shaping", "corpus_"],
     "corpus_io": ["corpus_", "doc_shaping"],
@@ -150,7 +150,7 @@ _MODULE_SUITES: dict[str, list[str]] = {
     "merge": ["data_management"],
     "asof": ["temporal_joins"],
     "ranges": ["temporal_joins"],
-    "jsonops": ["json_analytics"],
+    "jsonops": ["json_analytics", "olap_census_stats"],
     "sketches": ["corpus_audit", "data_management", "graph_walk_audit",
         "skew_quantile_audit"],
     "drift": ["drift_monitoring", "streaming_value_hist", "activity_rhythms",
@@ -1033,6 +1033,41 @@ def main() -> None:
             "update",
         )
 
+    @timed("olap_census_stats", iters=2)
+    def _():
+        # round-10: exact-sufficient-statistics family — contingency χ²
+        # numerators, group-wise OLS, Benford digit census, bit-length
+        # order-gap histogram, deterministic mode, map-HOF type census
+        import __spark_entry__ as entrymod
+
+        entrymod.q_segment_priority_chisq(spark, SF_DIR).count()
+        entrymod.q_discount_trend_stats(spark, SF_DIR).count()
+        entrymod.q_event_value_benford(spark, SF_DIR).count()
+        entrymod.q_order_gap_profile(spark, SF_DIR).count()
+        entrymod.q_quantity_mode(spark, SF_DIR).count()
+        entrymod.q_user_type_map_census(spark, SF_DIR).count()
+
+    @timed("fuzzy_similarity", iters=2)
+    def _():
+        # round-10: blocked Levenshtein typo join, RLE word runs,
+        # per-dim sign census, and the PQ ANN path (codes + ADC +
+        # rerank) end to end
+        import __spark_entry__ as entrymod
+
+        entrymod.q_part_name_typo_pairs(spark, SF_DIR).count()
+        entrymod.q_word_run_lengths(spark, SF_DIR).count()
+        entrymod.q_embedding_sign_profile(spark, SF_DIR).count()
+        entrymod.q_similarity_ann_pq(spark, SF_DIR).count()
+
+    @timed("graph_pair_census", iters=2)
+    def _():
+        # round-10: local-bridge census (edge-restricted wedge probe)
+        # and the dyad census on both derived graphs
+        import __spark_entry__ as entrymod
+
+        entrymod.q_local_bridges(spark, SF_DIR).count()
+        entrymod.q_dyad_census(spark, SF_DIR).count()
+
     # -- optional smoke filter: SPARK_GRAFT_BENCH_SUITES="a,b" runs only
     # the named suites (development loop; the driver never sets it).
     # NOTE: the simrank/best_match/mitm chain shares persisted state in
@@ -1107,6 +1142,7 @@ def main() -> None:
             similarity_ops.ann_lsh_topk(embs, q100, 5, multi_probe=1)
         ),
         "ann_ivf": _recall(similarity_ops.ann_ivf_topk(embs, q100, 5)),
+        "ann_pq": _recall(similarity_ops.ann_pq_topk(embs, q100, 5)),
     }
 
     total = round(sum(timings.values()), 3)
