@@ -2325,31 +2325,29 @@ def local_bridge_census(og: NetGraph, pg: NetGraph) -> DataFrame:
     `edge_support_hist` (support counts triangles PER edge; this counts
     the zero-support stratum across graphs, the k-truss frontier).
 
-    Cost shape: the wedge probe is RESTRICTED TO EDGES — edge (a,b)
-    joins the symmetric adjacency on endpoint `a` to propose common
-    neighbors v≠b, and a LEFT SEMI join on (b,v) confirms closure, so
-    the heavy term is Σ deg(a) over edges (the triangle-join term),
-    never an all-pairs wedge enumeration. The anti-join of edges
-    against the confirmed-closed set yields the bridges; two 1-row
-    aggregates per graph close it out. All joins key on vertex-id
-    longs; AQE splits hub skew.
+    Cost shape: an edge has a common neighbor iff it sits in ≥ 1
+    triangle, so closure comes from the ORDERED triangle join
+    (e1=(a,b), e2=(b,c), e3=(a,c), a<b<c — the `triangle_counts`
+    shape), never from a per-edge wedge probe: the first cut of this
+    operator joined each edge to its endpoint's full adjacency, a
+    Σ deg² hub term that measured 52s at sf0.1 against 7.6s at sf0.01
+    (≈ quadratic in the nation-hub degree — exactly the blowup the
+    100× probe exists to catch). The ordered join's heavy side is the
+    standard edge-iterator bound instead, and each found triangle
+    emits its three edge orientations; a distinct + anti-join yields
+    the zero-triangle stratum. Two 1-row aggregates per graph close it
+    out; the 1-row crossJoin is the audited benign scalar shape.
     """
 
     def side(graph: NetGraph, tag: str) -> DataFrame:
         und = undirected_edges(graph).localCheckpoint()
-        sym = und.unionAll(
-            und.select(F.col("b").alias("a"), F.col("a").alias("b"))
-        )
-        cand = und.join(
-            sym.select("a", F.col("b").alias("v")), on="a"
-        ).filter(F.col("v") != F.col("b"))
+        e2 = und.select(F.col("a").alias("b"), F.col("b").alias("c"))
+        e3 = und.select("a", F.col("b").alias("c"))
+        tri = und.join(e2, on="b").join(e3, on=["a", "c"])
         closed = (
-            cand.join(
-                sym.select(F.col("a").alias("b"), F.col("b").alias("v")),
-                on=["b", "v"],
-                how="left_semi",
-            )
-            .select("a", "b")
+            tri.select("a", "b")
+            .unionAll(tri.select(F.col("b").alias("a"), F.col("c").alias("b")))
+            .unionAll(tri.select("a", F.col("c").alias("b")))
             .distinct()
         )
         bridges = und.join(closed, on=["a", "b"], how="left_anti")

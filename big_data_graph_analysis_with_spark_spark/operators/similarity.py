@@ -1110,7 +1110,7 @@ def ann_pq_topk(
     emb: DataFrame,
     queries: DataFrame,
     k: int = 5,
-    m: int = 8,
+    m: int = 16,
     n_codes: int = 32,
     refine: int = 16,
 ) -> DataFrame:
@@ -1133,14 +1133,17 @@ def ann_pq_topk(
     (IVF-PQ) — the table layout here is exactly the residual-free
     FAISS `IndexPQ`.
 
-    Defaults (m=8 sub-spaces × 32 codes = 40 bits/vector, refine=16):
-    measured recall@5 = 0.93 on the sf0.001 fixture at a 16% candidate
-    fraction; the config sweep put (8,32,8) at 0.78, (16,16,8) at 0.85
-    and (4,16,8) at 0.60 — code bits buy more than refine depth once
-    the rerank window clears ~8·k. `refine·k` is an ABSOLUTE candidate
-    budget, so the exact-rerank cost per query is constant in corpus
-    size (the fraction shrinks as N grows; the ADC scan, m lookups per
-    vector, is the linear term).
+    Defaults (m=16 sub-spaces × 32 codes = 80 bits/vector ≈ 13×
+    compression, refine=16): measured recall@5 = 0.942 at sf0.1 (5k
+    vectors, 1.6% candidate fraction); the sweeps put (8,32,16) at
+    0.71 at sf0.1 and (8,64,32) at 0.90 — code bits buy more than
+    refine depth once the rerank window clears ~8·k, and halving the
+    subvector width (m 8→16) beats doubling the per-space codebook.
+    `refine·k` is an ABSOLUTE candidate budget, so the exact-rerank
+    cost per query is constant in corpus size (the fraction shrinks as
+    N grows; the ADC scan, m lookups per vector, is the linear term —
+    expect recall to decay slowly with N at fixed refine, the
+    documented PQ trade).
     """
     books = pq_codebooks(emb, m=m, n_codes=n_codes)
     codes = pq_assign(emb, codebooks=books)

@@ -99,6 +99,18 @@ AUDIT = [
     "graph_sketch_audit", "revenue_ewma", "daily_gap_fill", "value_locf",
     "user_set_ops", "segment_bitmask", "embedding_clip_census",
     "balance_outlier_census",
+    # round-9 additions (simrank_round1_bucketed_wide excluded with the
+    # rest of the simrank loop family)
+    "skew_salted_enrich", "graph_degree_quantile_audit",
+    "weighted_price_median",
+    # round-10 additions (similarity_ann_pq included deliberately: its
+    # query-side cross join must lower to a bounded-probe-side
+    # BroadcastNestedLoopJoin, never a CartesianProduct)
+    "segment_priority_chisq", "discount_trend_stats",
+    "event_value_benford", "order_gap_profile", "quantity_mode",
+    "user_type_map_census", "word_run_lengths", "part_name_typo_pairs",
+    "local_bridges", "dyad_census", "embedding_sign_profile",
+    "similarity_ann_pq",
 ]
 # motif_counts is deliberately NOT in AUDIT: its builder runs the full
 # census via driver-side .count() actions, so the final frame is just a

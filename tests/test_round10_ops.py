@@ -269,14 +269,14 @@ class TestEmbeddingSignProfile:
 class TestPQAnn:
     def test_codes_shape_and_determinism(self, spark):
         emb = spark.read.parquet(f"{SF0001}/embeddings.parquet")
-        books = similarity.pq_codebooks(emb, m=8, n_codes=32)
-        assert len(books) == 8
-        again = similarity.pq_codebooks(emb, m=8, n_codes=32)
+        books = similarity.pq_codebooks(emb, m=16, n_codes=32)
+        assert len(books) == 16
+        again = similarity.pq_codebooks(emb, m=16, n_codes=32)
         import numpy as np
 
         assert all((a == b).all() for a, b in zip(books, again))
         codes = similarity.pq_assign(emb, books).collect()
-        assert all(len(r["codes"]) == 8 for r in codes)
+        assert all(len(r["codes"]) == 16 for r in codes)
         assert all(0 <= c < 32 for r in codes for c in r["codes"])
 
     def test_recall_vs_exact(self, spark):
@@ -296,7 +296,7 @@ class TestPQAnn:
             for r in similarity.ann_pq_topk(emb, q, k=5).collect()
         }
         recall = len(exact & got) / len(exact)
-        # measured 0.93 at the shipped defaults; 0.8 leaves seed headroom
+        # measured 0.94+ at the shipped defaults; 0.8 leaves seed headroom
         assert recall >= 0.8, f"PQ recall@5 = {recall}"
 
     def test_rank_contract(self, spark):
