@@ -4225,6 +4225,67 @@ def q_similarity_ann_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.ann_pq_topk(emb, queries_df, k=5)
 
 
+def q_value_band_census(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-type census against the GLOBAL exact [p25, p75] value band
+    (histogram rank selection; 1-row broadcast threshold join)."""
+    from big_data_graph_analysis_with_spark_spark.operators import olap
+
+    ev = _prep(spark).read.parquet(f"{sf_dir}/events.parquet")
+    return olap.value_band_census(ev)
+
+
+def q_priority_transition_census(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """First-order Markov transition counts between a customer's
+    consecutive order priorities (event_transitions lifted to orders)."""
+    from big_data_graph_analysis_with_spark_spark.operators import olap
+
+    orders = _prep(spark).read.parquet(f"{sf_dir}/orders.parquet")
+    return olap.priority_transition_census(orders)
+
+
+def q_type_trigram_census(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Second-order sequence census: consecutive event-type trigrams
+    per user stream (two stacked lags, one window exec)."""
+    from big_data_graph_analysis_with_spark_spark.operators import olap
+
+    ev = _prep(spark).read.parquet(f"{sf_dir}/events.parquet")
+    return olap.type_trigram_census(ev)
+
+
+def q_lang_collision_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Simpson/collision sufficient statistics of the token-frequency
+    distribution per language (exact Σ count² in DECIMAL(38,0))."""
+    from big_data_graph_analysis_with_spark_spark.operators import corpusstats
+
+    return corpusstats.lang_collision_stats(_docs(spark, sf_dir))
+
+
+def q_wedge_closure_by_bucket(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Transitivity curve: wedges vs closed wedges per center-degree
+    bit-length bucket — no wedge enumeration (degrees + triangle
+    census only)."""
+    og, _ = _graphs(spark, sf_dir)
+    return graphalg.wedge_closure_by_bucket(og)
+
+
+def q_directed_triangle_census(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cyclic vs transitive 2-path closures per derived directed graph
+    — feed-forward vs feedback structure."""
+    og, pg = _graphs(spark, sf_dir)
+    return graphalg.directed_triangle_census(og, pg)
+
+
+def q_similarity_ann_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rows-only: the composed IVF-PQ index (coarse lists prune rows,
+    PQ codes compress the probed scan, shared exact rerank budget);
+    recall asserted in tests/test_round10_ops.py."""
+    emb = _embs(spark, sf_dir)
+    queries_df = emb.filter(F.col("vec_id") < 20)
+    return similarity.ann_ivfpq_topk(emb, queries_df, k=5)
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return q_start_node_stats(spark, SF0001)
@@ -4249,6 +4310,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # -- NEW in round 10: new queries insert ABOVE the round-9 block as
         #    they ship (never driver-verified → head of the window) ---------
+        "value_band_census": q_value_band_census,
+        "priority_transition_census": q_priority_transition_census,
+        "type_trigram_census": q_type_trigram_census,
+        "lang_collision_stats": q_lang_collision_stats,
+        "wedge_closure_by_bucket": q_wedge_closure_by_bucket,
+        "directed_triangle_census": q_directed_triangle_census,
         "segment_priority_chisq": q_segment_priority_chisq,
         "discount_trend_stats": q_discount_trend_stats,
         "event_value_benford": q_event_value_benford,
@@ -4537,12 +4604,174 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "betweenness": q_betweenness,
         "multimodal_real_codecs": q_multimodal_real_codecs,
         "similarity_ann_pq": q_similarity_ann_pq,
+        "similarity_ann_ivfpq": q_similarity_ann_ivfpq,
     }
 
 
 def oracle_sql() -> dict[str, str]:
     return {
         # -- round-10 additions -----------------------------------------
+        "value_band_census": """
+            WITH ev AS (
+              SELECT event_type,
+                     CAST(ROUND(value * 100) AS BIGINT) AS cents
+              FROM events
+            ),
+            h AS (SELECT cents, COUNT(*) AS hc FROM ev GROUP BY 1),
+            c AS (
+              SELECT cents, hc,
+                     SUM(hc) OVER (ORDER BY cents
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+                     ) AS cum,
+                     SUM(hc) OVER () AS n
+              FROM h
+            ),
+            band AS (
+              SELECT MAX(CASE WHEN cum - hc <= (n - 1) * 1 // 4
+                               AND (n - 1) * 1 // 4 < cum
+                              THEN cents END) AS lo,
+                     MAX(CASE WHEN cum - hc <= (n - 1) * 3 // 4
+                               AND (n - 1) * 3 // 4 < cum
+                              THEN cents END) AS hi
+              FROM c
+            )
+            SELECT event_type,
+                   CAST(SUM(CASE WHEN cents < lo THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n_below,
+                   CAST(SUM(CASE WHEN cents >= lo AND cents <= hi
+                                 THEN 1 ELSE 0 END) AS BIGINT) AS n_in,
+                   CAST(SUM(CASE WHEN cents > hi THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n_above
+            FROM ev, band GROUP BY event_type
+        """,
+        "priority_transition_census": """
+            WITH o AS (
+              SELECT o_custkey, o_orderkey, o_orderpriority,
+                     date_diff('day', DATE '1970-01-01',
+                               CAST(o_orderdate AS DATE)) AS day
+              FROM orders
+            ),
+            l AS (
+              SELECT o_orderpriority AS to_priority,
+                     LAG(o_orderpriority) OVER (
+                       PARTITION BY o_custkey ORDER BY day, o_orderkey
+                     ) AS from_priority
+              FROM o
+            )
+            SELECT from_priority, to_priority,
+                   CAST(COUNT(*) AS BIGINT) AS n
+            FROM l WHERE from_priority IS NOT NULL
+            GROUP BY 1, 2
+        """,
+        "type_trigram_census": """
+            WITH e AS (
+              SELECT user_id, event_id, epoch_us(ts) AS tus, event_type
+              FROM events
+            ),
+            l AS (
+              SELECT event_type AS t3,
+                     LAG(event_type, 1) OVER win AS t2,
+                     LAG(event_type, 2) OVER win AS t1
+              FROM e
+              WINDOW win AS (PARTITION BY user_id ORDER BY tus, event_id)
+            )
+            SELECT t1, t2, t3, CAST(COUNT(*) AS BIGINT) AS n
+            FROM l WHERE t1 IS NOT NULL
+            GROUP BY 1, 2, 3
+        """,
+        "lang_collision_stats": """
+            WITH t AS (
+              SELECT lang, unnest(string_split(text, ' ')) AS tok
+              FROM documents
+            ),
+            g AS (
+              SELECT lang, tok, COUNT(*) AS cnt FROM t GROUP BY 1, 2
+            )
+            SELECT lang,
+                   CAST(SUM(cnt) AS BIGINT) AS n_tokens,
+                   CAST(COUNT(*) AS BIGINT) AS n_types,
+                   SUM(CAST(cnt AS HUGEINT) * cnt) AS sum_sq,
+                   CAST(MAX(cnt) AS BIGINT) AS max_count
+            FROM g GROUP BY 1
+        """,
+        "wedge_closure_by_bucket": graph_sql(
+            """
+            , und AS (
+              SELECT DISTINCT LEAST(src, dst) AS a, GREATEST(src, dst) AS b
+              FROM og_edges WHERE src <> dst
+            ),
+            sym AS (SELECT a, b FROM und
+                    UNION ALL SELECT b AS a, a AS b FROM und),
+            deg AS (SELECT a AS id, COUNT(*) AS deg FROM sym GROUP BY 1),
+            tri AS (
+              SELECT e1.a AS x, e1.b AS y, e2.b AS z
+              FROM und e1
+              JOIN und e2 ON e2.a = e1.b
+              JOIN und e3 ON e3.a = e1.a AND e3.b = e2.b
+            ),
+            mem AS (
+              SELECT x AS id FROM tri
+              UNION ALL SELECT y FROM tri
+              UNION ALL SELECT z FROM tri
+            ),
+            tcnt AS (SELECT id, COUNT(*) AS tri FROM mem GROUP BY 1)
+            SELECT CAST(length(bin(deg)) AS BIGINT) AS degree_bits,
+                   CAST(COUNT(*) AS BIGINT) AS n_vertices,
+                   CAST(SUM(deg * (deg - 1) // 2) AS BIGINT) AS n_wedges,
+                   CAST(SUM(COALESCE(tri, 0)) AS BIGINT) AS n_closed
+            FROM deg LEFT JOIN tcnt USING (id)
+            GROUP BY 1
+        """
+        ),
+        "directed_triangle_census": graph_sql(
+            """
+            , e_og AS (
+              SELECT DISTINCT src, dst FROM og_edges WHERE src <> dst
+            ),
+            e_pg AS (
+              SELECT DISTINCT src, dst FROM pg_edges WHERE src <> dst
+            ),
+            p_og AS (
+              SELECT a.src AS u, a.dst AS v, b.dst AS w
+              FROM e_og a JOIN e_og b ON b.src = a.dst
+              WHERE a.src <> b.dst
+            ),
+            p_pg AS (
+              SELECT a.src AS u, a.dst AS v, b.dst AS w
+              FROM e_pg a JOIN e_pg b ON b.src = a.dst
+              WHERE a.src <> b.dst
+            ),
+            cyc_og AS (
+              SELECT CAST(COUNT(*) AS BIGINT) AS n FROM p_og p
+              WHERE EXISTS (SELECT 1 FROM e_og e
+                            WHERE e.src = p.w AND e.dst = p.u)
+            ),
+            tra_og AS (
+              SELECT CAST(COUNT(*) AS BIGINT) AS n FROM p_og p
+              WHERE EXISTS (SELECT 1 FROM e_og e
+                            WHERE e.src = p.u AND e.dst = p.w)
+            ),
+            cyc_pg AS (
+              SELECT CAST(COUNT(*) AS BIGINT) AS n FROM p_pg p
+              WHERE EXISTS (SELECT 1 FROM e_pg e
+                            WHERE e.src = p.w AND e.dst = p.u)
+            ),
+            tra_pg AS (
+              SELECT CAST(COUNT(*) AS BIGINT) AS n FROM p_pg p
+              WHERE EXISTS (SELECT 1 FROM e_pg e
+                            WHERE e.src = p.u AND e.dst = p.w)
+            )
+            SELECT 'og' AS graph,
+                   (SELECT n FROM cyc_og) AS n_cyclic_paths,
+                   (SELECT n FROM tra_og) AS n_transitive_paths,
+                   CAST((SELECT n FROM cyc_og) // 3 AS BIGINT) AS n_cyclic
+            UNION ALL
+            SELECT 'pg' AS graph,
+                   (SELECT n FROM cyc_pg) AS n_cyclic_paths,
+                   (SELECT n FROM tra_pg) AS n_transitive_paths,
+                   CAST((SELECT n FROM cyc_pg) // 3 AS BIGINT) AS n_cyclic
+        """
+        ),
         "segment_priority_chisq": """
             WITH cont AS (
               SELECT c.c_mktsegment AS segment,

@@ -1046,6 +1046,10 @@ def main() -> None:
         entrymod.q_order_gap_profile(spark, SF_DIR).count()
         entrymod.q_quantity_mode(spark, SF_DIR).count()
         entrymod.q_user_type_map_census(spark, SF_DIR).count()
+        entrymod.q_value_band_census(spark, SF_DIR).count()
+        entrymod.q_priority_transition_census(spark, SF_DIR).count()
+        entrymod.q_type_trigram_census(spark, SF_DIR).count()
+        entrymod.q_lang_collision_stats(spark, SF_DIR).count()
 
     @timed("fuzzy_similarity", iters=2)
     def _():
@@ -1058,6 +1062,7 @@ def main() -> None:
         entrymod.q_word_run_lengths(spark, SF_DIR).count()
         entrymod.q_embedding_sign_profile(spark, SF_DIR).count()
         entrymod.q_similarity_ann_pq(spark, SF_DIR).count()
+        entrymod.q_similarity_ann_ivfpq(spark, SF_DIR).count()
 
     @timed("graph_pair_census", iters=2)
     def _():
@@ -1067,6 +1072,8 @@ def main() -> None:
 
         entrymod.q_local_bridges(spark, SF_DIR).count()
         entrymod.q_dyad_census(spark, SF_DIR).count()
+        entrymod.q_wedge_closure_by_bucket(spark, SF_DIR).count()
+        entrymod.q_directed_triangle_census(spark, SF_DIR).count()
 
     # -- optional smoke filter: SPARK_GRAFT_BENCH_SUITES="a,b" runs only
     # the named suites (development loop; the driver never sets it).

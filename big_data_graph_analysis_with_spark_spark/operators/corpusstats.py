@@ -903,3 +903,32 @@ def token_class_mix(docs: DataFrame) -> DataFrame:
             F.sum((F.col("c") == "other").cast("long")).cast("long").alias("n_other"),
         )
     )
+
+
+def lang_collision_stats(docs: DataFrame) -> DataFrame:
+    """(lang, n_tokens, n_types, sum_sq, max_count): per language, the
+    EXACT sufficient statistics of the token-frequency distribution's
+    collision structure — ``sum_sq = Σ count(tok)²`` gives the Simpson
+    index / collision probability ``(sum_sq − N) / (N·(N−1))`` and the
+    Rényi-2 entropy ``−log(sum_sq/N²)`` in one scalar float step by
+    the caller; `lexical_diversity`'s TTR sees only the type count,
+    not how mass concentrates over types. Everything engine-side stays
+    integer (DECIMAL(38,0) for the square sum), so the frame is
+    hash-stable cross-engine.
+
+    Scale shape: tokens collapse to the per-(lang, token) count first
+    (map-side combinable, one shuffle keyed on the token), then a
+    vocabulary-bounded second aggregation — the token stream itself is
+    never the window input.
+    """
+    toks = docs.select(
+        "lang", F.explode(F.split(F.col("text"), " ")).alias("tok")
+    )
+    counts = toks.groupBy("lang", "tok").agg(F.count("*").alias("cnt"))
+    c = F.col("cnt").cast("decimal(38,0)")
+    return counts.groupBy("lang").agg(
+        F.sum("cnt").cast("long").alias("n_tokens"),
+        F.count("*").cast("long").alias("n_types"),
+        F.sum(c * c).cast("decimal(38,0)").alias("sum_sq"),
+        F.max("cnt").cast("long").alias("max_count"),
+    )

@@ -2422,3 +2422,103 @@ def dyad_census(og: NetGraph, pg: NetGraph) -> DataFrame:
         )
 
     return side(og, "og").unionAll(side(pg, "pg"))
+
+
+def wedge_closure_by_bucket(graph: NetGraph) -> DataFrame:
+    """(degree_bits, n_vertices, n_wedges, n_closed): the transitivity
+    CURVE — global_transitivity's two counts stratified by the wedge
+    center's degree (bit-length buckets, the shared conv/bin
+    convention). Real graphs close low-degree wedges far more often
+    than hub wedges; this census quantifies that falloff, the input to
+    any degree-corrected clustering model.
+
+    Cost shape: NO wedge enumeration anywhere — per vertex,
+    ``wedges(v) = C(deg(v), 2)`` comes from the degree table and
+    ``closed(v) = triangles(v)`` from the ordered-edge triangle census
+    (`triangle_counts`, edge-iterator bound — each triangle closes
+    exactly the one wedge at v spanning its other two vertices, so
+    Σ closed = 3·n_triangles = global_transitivity's closed_wedges); the curve is one
+    join of two per-vertex frames plus a ≤64-bucket roll-up. The naive
+    center-join formulation is the Σ deg² hub term this module
+    deliberately avoids (see local_bridge_census).
+    """
+    und = undirected_edges(graph)
+    deg = (
+        und.select(F.col("a").alias("id"))
+        .unionAll(und.select(F.col("b").alias("id")))
+        .groupBy("id")
+        .agg(F.count("*").alias("deg"))
+    )
+    tri = triangle_counts(graph).withColumnRenamed("n_triangles", "tri")
+    return (
+        deg.join(tri, on="id", how="left")
+        .select(
+            F.length(F.conv(F.col("deg"), 10, 2)).cast("long").alias(
+                "degree_bits"
+            ),
+            F.col("deg").cast("long").alias("deg"),
+            F.coalesce(F.col("tri"), F.lit(0)).cast("long").alias("tri"),
+        )
+        .groupBy("degree_bits")
+        .agg(
+            F.count("*").cast("long").alias("n_vertices"),
+            F.sum(F.expr("deg * (deg - 1) div 2")).cast("long").alias(
+                "n_wedges"
+            ),
+            F.sum("tri").cast("long").alias("n_closed"),
+        )
+    )
+
+
+def directed_triangle_census(og: NetGraph, pg: NetGraph) -> DataFrame:
+    """(graph, n_cyclic_paths, n_transitive_paths, n_cyclic): the
+    directed complement of the undirected triangle census — every
+    2-path u→v→w (u≠w) over distinct non-loop directed edges is closed
+    either cyclically (edge w→u) or transitively (edge u→w), and the
+    two closure counts split feed-forward structure (DAG-like: all
+    transitive) from feedback loops (cyclic mass). `n_cyclic` derives
+    as ``n_cyclic_paths div 3`` — a cyclic triangle is hit once per
+    rotation; a transitive triangle yields exactly one closing path.
+    (With mutual dyads a triangle contributes once per qualifying
+    path-closure configuration — the counts stay well-defined census
+    quantities; the derived triangle count is exact on oriented
+    graphs.)
+
+    Cost shape: the 2-path join and both closure joins key on vertex
+    ids over the distinct edge set — the directed edge-iterator bound,
+    three shuffles, no enumeration beyond paths that actually close.
+    """
+
+    def side(graph: NetGraph, tag: str) -> DataFrame:
+        e = (
+            graph.edges.select("src", "dst")
+            .filter(F.col("src") != F.col("dst"))
+            .distinct()
+            .localCheckpoint()
+        )
+        paths = (
+            e.select(F.col("src").alias("u"), F.col("dst").alias("v"))
+            .join(
+                e.select(F.col("src").alias("v"), F.col("dst").alias("w")),
+                on="v",
+            )
+            .filter(F.col("u") != F.col("w"))
+        )
+        cyc = paths.join(
+            e.select(F.col("src").alias("w"), F.col("dst").alias("u")),
+            on=["u", "w"],
+            how="left_semi",
+        ).agg(F.count("*").cast("long").alias("n_cyclic_paths"))
+        tra = paths.join(
+            e.select(F.col("src").alias("u"), F.col("dst").alias("w")),
+            on=["u", "w"],
+            how="left_semi",
+        ).agg(F.count("*").cast("long").alias("n_transitive_paths"))
+        return cyc.crossJoin(tra).select(
+            F.lit(tag).alias("graph"),
+            "n_cyclic_paths",
+            "n_transitive_paths",
+            F.expr("n_cyclic_paths div 3").cast("long").alias("n_cyclic"),
+        )
+
+    return side(og, "og").unionAll(side(pg, "pg"))

@@ -2529,3 +2529,103 @@ def quantity_mode(lineitem: DataFrame) -> DataFrame:
             F.col("cnt").cast("long").alias("mode_count"),
         )
     )
+
+
+def value_band_census(events: DataFrame) -> DataFrame:
+    """(event_type, n_below, n_in, n_above): per event type, how many
+    event values fall below / inside / above the GLOBAL exact
+    inter-quartile band [p25, p75] of value cents — the band census
+    that says which types drive the tails (a per-type quantile says
+    how a type is shaped; this says how it sits against the corpus).
+
+    Exactness: quartiles come from histogram rank selection
+    (``functions/quantiles``, the shared 0-indexed ``(n−1)·num div
+    den`` convention) on integer cents. The two thresholds join back
+    as a 1-row broadcast scalar frame (the audited benign nested-loop
+    shape), then one map-side-combinable conditional count per type —
+    two shuffles total, both over value-bounded frames.
+    """
+    from ..functions.quantiles import histogram_quantiles
+
+    ev = events.select(
+        "event_type",
+        F.round(F.col("value") * 100).cast("long").alias("cents"),
+    )
+    qs = histogram_quantiles(
+        ev, "cents", quantiles=(("p25", 1, 4), ("p75", 3, 4))
+    )
+    band = qs.groupBy().agg(
+        F.max(F.when(F.col("p_label") == "p25", F.col("q_value"))).alias("lo"),
+        F.max(F.when(F.col("p_label") == "p75", F.col("q_value"))).alias("hi"),
+    )
+    return (
+        ev.crossJoin(F.broadcast(band))
+        .groupBy("event_type")
+        .agg(
+            F.sum((F.col("cents") < F.col("lo")).cast("long"))
+            .cast("long")
+            .alias("n_below"),
+            F.sum(
+                (
+                    (F.col("cents") >= F.col("lo"))
+                    & (F.col("cents") <= F.col("hi"))
+                ).cast("long")
+            )
+            .cast("long")
+            .alias("n_in"),
+            F.sum((F.col("cents") > F.col("hi")).cast("long"))
+            .cast("long")
+            .alias("n_above"),
+        )
+    )
+
+
+def priority_transition_census(orders: DataFrame) -> DataFrame:
+    """(from_priority, to_priority, n): first-order transition counts
+    between a customer's CONSECUTIVE order priorities (date order, ties
+    by o_orderkey) — `event_transitions` lifted from the event stream
+    to the order book, where the diagonal mass answers "do customers
+    keep their urgency class between purchases?".
+
+    One lag window per customer (hash shuffle on o_custkey, local
+    sorts over integer epoch days), then a |priorities|²-bounded
+    aggregation.
+    """
+    w = Window.partitionBy("o_custkey").orderBy("day", "o_orderkey")
+    seq = orders.select(
+        "o_custkey",
+        "o_orderkey",
+        F.col("o_orderpriority").alias("to_priority"),
+        F.datediff(F.col("o_orderdate"), F.lit("1970-01-01").cast("date")).alias(
+            "day"
+        ),
+    )
+    return (
+        seq.withColumn("from_priority", F.lag("to_priority").over(w))
+        .filter(F.col("from_priority").isNotNull())
+        .groupBy("from_priority", "to_priority")
+        .agg(F.count("*").cast("long").alias("n"))
+    )
+
+
+def type_trigram_census(events: DataFrame) -> DataFrame:
+    """(t1, t2, t3, n): second-order sequence census — counts of every
+    CONSECUTIVE event-type trigram inside a user's time-ordered stream
+    (two stacked lags over the same window; Catalyst collapses them
+    into ONE window exec). The step past `event_transitions`' Markov
+    matrix: trigram mass that first-order chains cannot predict is the
+    sequence-mining signal (e.g. view→click→purchase vs
+    view→click→error). Output is bounded by |types|³ ≤ 125 at the
+    testdata vocabulary; one user-keyed shuffle.
+    """
+    ev = events.select(
+        "user_id", "event_id", event_micros(events).alias("tus"), "event_type"
+    )
+    w = Window.partitionBy("user_id").orderBy("tus", "event_id")
+    return (
+        ev.withColumn("t2", F.lag("event_type", 1).over(w))
+        .withColumn("t1", F.lag("event_type", 2).over(w))
+        .filter(F.col("t1").isNotNull())
+        .groupBy("t1", "t2", F.col("event_type").alias("t3"))
+        .agg(F.count("*").cast("long").alias("n"))
+    )

@@ -111,6 +111,11 @@ AUDIT = [
     "user_type_map_census", "word_run_lengths", "part_name_typo_pairs",
     "local_bridges", "dyad_census", "embedding_sign_profile",
     "similarity_ann_pq",
+    # round-10 second batch
+    "value_band_census", "priority_transition_census",
+    "type_trigram_census", "lang_collision_stats",
+    "wedge_closure_by_bucket", "directed_triangle_census",
+    "similarity_ann_ivfpq",
 ]
 # motif_counts is deliberately NOT in AUDIT: its builder runs the full
 # census via driver-side .count() actions, so the final frame is just a

@@ -1,0 +1,191 @@
+"""Round-10 second batch: value band census, priority/trigram sequence
+censuses, collision stats, wedge-closure curve, directed triangles,
+IVF-PQ ANN."""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+
+from big_data_graph_analysis_with_spark_spark.model import NetGraph
+from big_data_graph_analysis_with_spark_spark.operators import (
+    corpusstats,
+    graphalg,
+    olap,
+    similarity,
+)
+
+SF0001 = "/root/testdata/sf0.001"
+
+
+def _graph(spark, vertex_ids, edge_pairs):
+    v = spark.createDataFrame([(int(i),) for i in vertex_ids], "id LONG")
+    e = spark.createDataFrame(
+        [(int(s), int(d)) for s, d in edge_pairs], "src LONG, dst LONG"
+    )
+    return NetGraph(v, e)
+
+
+class TestValueBandCensus:
+    def test_band_against_hand_quartiles(self, spark):
+        # cents: 100..800 (8 values, one each) -> 0-indexed rank 1 (p25)
+        # = 200, rank 5 (p75) = 600
+        rows = [("a", v / 100.0) for v in range(100, 900, 100)]
+        ev = spark.createDataFrame(rows, "event_type string, value double")
+        r = olap.value_band_census(ev).collect()[0]
+        # below 200: 1 row; in [200, 600]: 5 rows; above 600: 2 rows
+        assert (r["n_below"], r["n_in"], r["n_above"]) == (1, 5, 2)
+
+    def test_partition_totals(self, spark):
+        ev = spark.createDataFrame(
+            [("a", 1.0), ("a", 2.0), ("b", 3.0), ("b", 4.0), ("b", 5.0)],
+            "event_type string, value double",
+        )
+        out = olap.value_band_census(ev).collect()
+        totals = {r["event_type"]: r["n_below"] + r["n_in"] + r["n_above"] for r in out}
+        assert totals == {"a": 2, "b": 3}
+
+
+class TestPriorityTransitionCensus:
+    def test_known_transitions(self, spark):
+        rows = [
+            (1, 1, "1970-01-01", "HIGH"),
+            (2, 1, "1970-01-03", "LOW"),
+            (3, 1, "1970-01-05", "LOW"),
+            (4, 2, "1970-01-02", "MED"),
+        ]
+        orders = spark.createDataFrame(
+            rows, "o_orderkey long, o_custkey long, d string, o_orderpriority string"
+        ).withColumn("o_orderdate", F.col("d").cast("timestamp"))
+        got = {
+            (r["from_priority"], r["to_priority"]): r["n"]
+            for r in olap.priority_transition_census(orders).collect()
+        }
+        assert got == {("HIGH", "LOW"): 1, ("LOW", "LOW"): 1}
+
+    def test_same_day_ties_break_by_orderkey(self, spark):
+        rows = [
+            (5, 1, "1970-01-01", "B"),
+            (4, 1, "1970-01-01", "A"),
+        ]
+        orders = spark.createDataFrame(
+            rows, "o_orderkey long, o_custkey long, d string, o_orderpriority string"
+        ).withColumn("o_orderdate", F.col("d").cast("timestamp"))
+        got = [
+            (r["from_priority"], r["to_priority"])
+            for r in olap.priority_transition_census(orders).collect()
+        ]
+        assert got == [("A", "B")]
+
+
+class TestTypeTrigramCensus:
+    def test_known_trigrams(self, spark):
+        rows = [
+            (1, 10, "1970-01-01 00:00:01", "v"),
+            (2, 10, "1970-01-01 00:00:02", "c"),
+            (3, 10, "1970-01-01 00:00:03", "p"),
+            (4, 10, "1970-01-01 00:00:04", "v"),
+            (5, 20, "1970-01-01 00:00:01", "v"),
+            (6, 20, "1970-01-01 00:00:02", "c"),
+        ]
+        ev = spark.createDataFrame(
+            rows, "event_id long, user_id long, t string, event_type string"
+        ).withColumn("ts", F.col("t").cast("timestamp"))
+        got = {
+            (r["t1"], r["t2"], r["t3"]): r["n"]
+            for r in olap.type_trigram_census(ev).collect()
+        }
+        # user 10 stream v,c,p,v -> trigrams (v,c,p), (c,p,v);
+        # user 20 has only 2 events -> none
+        assert got == {("v", "c", "p"): 1, ("c", "p", "v"): 1}
+
+    def test_one_window_exec(self, spark):
+        ev = spark.createDataFrame(
+            [(1, 1, "1970-01-01 00:00:01", "v")],
+            "event_id long, user_id long, t string, event_type string",
+        ).withColumn("ts", F.col("t").cast("timestamp"))
+        plan = (
+            olap.type_trigram_census(ev)
+            ._jdf.queryExecution().executedPlan().toString()
+        )
+        # the two lags share (partition, order) -> Catalyst collapses
+        # them into a single Window operator
+        assert plan.count("Window") - plan.count("WindowGroupLimit") <= 1
+
+
+class TestLangCollisionStats:
+    def test_known_distribution(self, spark):
+        docs = spark.createDataFrame(
+            [(1, "en", "a a a b"), (2, "en", "b c"), (3, "de", "x x")],
+            "doc_id long, lang string, text string",
+        )
+        got = {
+            r["lang"]: (r["n_tokens"], r["n_types"], int(r["sum_sq"]), r["max_count"])
+            for r in corpusstats.lang_collision_stats(docs).collect()
+        }
+        # en: counts a=3, b=2, c=1 -> sum_sq = 9+4+1 = 14
+        assert got == {"en": (6, 3, 14, 3), "de": (2, 1, 4, 2)}
+
+
+class TestWedgeClosureByBucket:
+    def test_triangle_plus_pendant(self, spark):
+        # triangle 1-2-3 plus pendant 3-4: degs = {1:2, 2:2, 3:3, 4:1}
+        g = _graph(spark, [1, 2, 3, 4], [(1, 2), (2, 3), (1, 3), (3, 4)])
+        got = {
+            r["degree_bits"]: (r["n_vertices"], r["n_wedges"], r["n_closed"])
+            for r in graphalg.wedge_closure_by_bucket(g).collect()
+        }
+        # bits(1)=1: vertex 4 -> 0 wedges; bucket bits=2 holds vertices
+        # 1, 2 (1 wedge each, 1 closed each) and 3 (3 wedges, 1 closed:
+        # the triangle closes only the {1,2} wedge at vertex 3)
+        assert got == {1: (1, 0, 0), 2: (3, 5, 3)}
+
+    def test_totals_match_global_transitivity(self, spark):
+        from big_data_graph_analysis_with_spark_spark.sources import tpch_graph
+
+        og, _ = tpch_graph.derive_graphs(spark, SF0001)
+        curve = graphalg.wedge_closure_by_bucket(og).agg(
+            F.sum("n_wedges").alias("w"), F.sum("n_closed").alias("c")
+        ).collect()[0]
+        glob = graphalg.global_transitivity(og).collect()[0]
+        assert curve["w"] == glob["wedges"]
+        assert curve["c"] == glob["closed_wedges"]
+
+
+class TestDirectedTriangleCensus:
+    def test_cyclic_vs_transitive(self, spark):
+        # cyclic: 1->2->3->1 ; transitive: 4->5, 5->6, 4->6
+        g = _graph(
+            spark,
+            [1, 2, 3, 4, 5, 6],
+            [(1, 2), (2, 3), (3, 1), (4, 5), (5, 6), (4, 6)],
+        )
+        out = {r["graph"]: r for r in graphalg.directed_triangle_census(g, g).collect()}
+        r = out["og"]
+        # cyclic triangle: 3 rotations of u->v->w close cyclically;
+        # transitive: exactly 1 path (4->5->6) closes with 4->6
+        assert (r["n_cyclic_paths"], r["n_transitive_paths"], r["n_cyclic"]) == (
+            3, 1, 1,
+        )
+
+
+class TestIvfPqAnn:
+    def test_recall_vs_exact(self, spark):
+        emb = spark.read.parquet(f"{SF0001}/embeddings.parquet")
+        q = emb.filter(F.col("vec_id") < 20)
+        all_pairs = (
+            q.select(F.col("vec_id").alias("query_id"))
+            .crossJoin(emb.select("vec_id"))
+            .filter(F.col("query_id") != F.col("vec_id"))
+        )
+        exact = {
+            (r["query_id"], r["neighbor_id"])
+            for r in similarity._rerank_topk(all_pairs, emb, q, 5).collect()
+        }
+        got = {
+            (r["query_id"], r["neighbor_id"])
+            for r in similarity.ann_ivfpq_topk(emb, q, k=5).collect()
+        }
+        recall = len(exact & got) / len(exact)
+        # the composed index can only lose vs full-scan PQ through list
+        # pruning; 0.7 leaves seed/boundary headroom
+        assert recall >= 0.7, f"IVF-PQ recall@5 = {recall}"
