@@ -4286,6 +4286,22 @@ def q_similarity_ann_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.ann_ivfpq_topk(emb, queries_df, k=5)
 
 
+def q_attribute_mixing_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Categorical mixing matrix over the `children` vertex attribute
+    (canonical class pairs × edge counts — the homophily census)."""
+    og, _ = _graphs(spark, sf_dir)
+    return graphalg.attribute_mixing_matrix(og)
+
+
+def q_value_roundness_census(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing-digit (round-number) bias census of positive event
+    values — the Benford complement, pure modular arithmetic on cents."""
+    from big_data_graph_analysis_with_spark_spark.operators import olap
+
+    ev = _prep(spark).read.parquet(f"{sf_dir}/events.parquet")
+    return olap.value_roundness_census(ev)
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return q_start_node_stats(spark, SF0001)
@@ -4310,6 +4326,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # -- NEW in round 10: new queries insert ABOVE the round-9 block as
         #    they ship (never driver-verified → head of the window) ---------
+        "attribute_mixing_matrix": q_attribute_mixing_matrix,
+        "value_roundness_census": q_value_roundness_census,
         "value_band_census": q_value_band_census,
         "priority_transition_census": q_priority_transition_census,
         "type_trigram_census": q_type_trigram_census,
@@ -4611,6 +4629,42 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 def oracle_sql() -> dict[str, str]:
     return {
         # -- round-10 additions -----------------------------------------
+        "attribute_mixing_matrix": graph_sql(
+            """
+            , und AS (
+              SELECT DISTINCT LEAST(src, dst) AS a, GREATEST(src, dst) AS b
+              FROM og_edges WHERE src <> dst
+            ),
+            lab AS (SELECT id, children AS _lab FROM og_vertices),
+            pairs AS (
+              SELECT la._lab AS xa, lb._lab AS xb
+              FROM und e
+              JOIN lab la ON la.id = e.a
+              JOIN lab lb ON lb.id = e.b
+            )
+            SELECT LEAST(xa, xb) AS attr_a,
+                   GREATEST(xa, xb) AS attr_b,
+                   CAST(COUNT(*) AS BIGINT) AS n_edges
+            FROM pairs GROUP BY 1, 2
+        """
+        ),
+        "value_roundness_census": """
+            WITH ev AS (
+              SELECT event_type,
+                     CAST(ROUND(value * 100) AS BIGINT) AS cents
+              FROM events
+            )
+            SELECT event_type,
+                   CAST(COUNT(*) AS BIGINT) AS n_pos,
+                   CAST(SUM(CASE WHEN cents % 100 = 0 THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n_whole,
+                   CAST(SUM(CASE WHEN cents % 1000 = 0 THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n_tens,
+                   CAST(SUM(CASE WHEN cents % 100 = 50 THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n_half
+            FROM ev WHERE cents > 0
+            GROUP BY event_type
+        """,
         "value_band_census": """
             WITH ev AS (
               SELECT event_type,

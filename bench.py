@@ -1050,6 +1050,7 @@ def main() -> None:
         entrymod.q_priority_transition_census(spark, SF_DIR).count()
         entrymod.q_type_trigram_census(spark, SF_DIR).count()
         entrymod.q_lang_collision_stats(spark, SF_DIR).count()
+        entrymod.q_value_roundness_census(spark, SF_DIR).count()
 
     @timed("fuzzy_similarity", iters=2)
     def _():
@@ -1074,6 +1075,7 @@ def main() -> None:
         entrymod.q_dyad_census(spark, SF_DIR).count()
         entrymod.q_wedge_closure_by_bucket(spark, SF_DIR).count()
         entrymod.q_directed_triangle_census(spark, SF_DIR).count()
+        entrymod.q_attribute_mixing_matrix(spark, SF_DIR).count()
 
     # -- optional smoke filter: SPARK_GRAFT_BENCH_SUITES="a,b" runs only
     # the named suites (development loop; the driver never sets it).

@@ -2522,3 +2522,31 @@ def directed_triangle_census(og: NetGraph, pg: NetGraph) -> DataFrame:
         )
 
     return side(og, "og").unionAll(side(pg, "pg"))
+
+
+def attribute_mixing_matrix(graph: NetGraph, attr: str = "children") -> DataFrame:
+    """(attr_a, attr_b, n_edges): the categorical MIXING MATRIX of the
+    undirected graph over a vertex attribute — how often each
+    (class, class) pair is joined by an edge, the Newman assortative-
+    mixing census (`assortativity_stats` is the scalar DEGREE variant;
+    this is the full matrix over a categorical label, canonical
+    attr_a ≤ attr_b so each undirected edge lands in one cell). The
+    trace-vs-off-diagonal split is the homophily read a label-
+    propagation or community pass starts from.
+
+    Cost shape: two vertex-label joins on the endpoint ids (size-gated
+    — the label frame is a 2-column projection) and one
+    map-side-combinable count into a |classes|²-bounded frame.
+    """
+    und = undirected_edges(graph)
+    lab = graph.vertices.select("id", F.col(attr).alias("_lab"))
+    return (
+        und.join(lab.select(F.col("id").alias("a"), F.col("_lab").alias("la")), on="a")
+        .join(lab.select(F.col("id").alias("b"), F.col("_lab").alias("lb")), on="b")
+        .select(
+            F.least("la", "lb").alias("attr_a"),
+            F.greatest("la", "lb").alias("attr_b"),
+        )
+        .groupBy("attr_a", "attr_b")
+        .agg(F.count("*").cast("long").alias("n_edges"))
+    )

@@ -2629,3 +2629,35 @@ def type_trigram_census(events: DataFrame) -> DataFrame:
         .groupBy("t1", "t2", F.col("event_type").alias("t3"))
         .agg(F.count("*").cast("long").alias("n"))
     )
+
+
+def value_roundness_census(events: DataFrame) -> DataFrame:
+    """(event_type, n_pos, n_whole, n_tens, n_half): round-number bias
+    census of positive event values — counts of values that are whole
+    currency units (cents ≡ 0 mod 100), whole tens, and half units
+    (≡ 50 mod 100). The complement of `event_value_benford`: Benford
+    reads the LEADING digit for fabrication, roundness reads the
+    TRAILING digits for human-entered/price-pointed values (organic
+    measurements are rarely round; a spike in n_whole marks a manual
+    or defaulted feed). Pure integer modular arithmetic on cents.
+
+    Scale shape: narrow map into one map-side-combinable conditional
+    count per type — the `event_value_benford` cost, one shuffle of a
+    |types|-row frame.
+    """
+    cents = F.round(F.col("value") * 100).cast("long")
+    ev = events.select("event_type", cents.alias("cents")).filter(
+        F.col("cents") > 0
+    )
+    return ev.groupBy("event_type").agg(
+        F.count("*").cast("long").alias("n_pos"),
+        F.sum((F.col("cents") % 100 == 0).cast("long"))
+        .cast("long")
+        .alias("n_whole"),
+        F.sum((F.col("cents") % 1000 == 0).cast("long"))
+        .cast("long")
+        .alias("n_tens"),
+        F.sum((F.col("cents") % 100 == 50).cast("long"))
+        .cast("long")
+        .alias("n_half"),
+    )

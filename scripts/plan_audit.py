@@ -115,7 +115,8 @@ AUDIT = [
     "value_band_census", "priority_transition_census",
     "type_trigram_census", "lang_collision_stats",
     "wedge_closure_by_bucket", "directed_triangle_census",
-    "similarity_ann_ivfpq",
+    "similarity_ann_ivfpq", "attribute_mixing_matrix",
+    "value_roundness_census",
 ]
 # motif_counts is deliberately NOT in AUDIT: its builder runs the full
 # census via driver-side .count() actions, so the final frame is just a

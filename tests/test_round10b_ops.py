@@ -189,3 +189,51 @@ class TestIvfPqAnn:
         # the composed index can only lose vs full-scan PQ through list
         # pruning; 0.7 leaves seed/boundary headroom
         assert recall >= 0.7, f"IVF-PQ recall@5 = {recall}"
+
+
+class TestAttributeMixingMatrix:
+    def test_known_labels(self, spark):
+        # edges 1-2, 2-3; attr = id % 2 -> cells (0,1)x2? labels:
+        # 1->1, 2->0, 3->1 ; edges (1,2)->(0,1), (2,3)->(0,1)
+        v = spark.createDataFrame(
+            [(1, 1), (2, 0), (3, 1)], "id long, children long"
+        )
+        e = spark.createDataFrame([(1, 2), (2, 3)], "src long, dst long")
+        g = NetGraph(v, e)
+        got = {
+            (r["attr_a"], r["attr_b"]): r["n_edges"]
+            for r in graphalg.attribute_mixing_matrix(g).collect()
+        }
+        assert got == {(0, 1): 2}
+
+    def test_total_mass_is_edge_count(self, spark):
+        from big_data_graph_analysis_with_spark_spark.sources import tpch_graph
+
+        og, _ = tpch_graph.derive_graphs(spark, SF0001)
+        total = (
+            graphalg.attribute_mixing_matrix(og)
+            .agg(F.sum("n_edges").alias("t"))
+            .collect()[0]["t"]
+        )
+        n_und = graphalg.undirected_edges(og).count()
+        assert total == n_und
+
+
+class TestValueRoundnessCensus:
+    def test_modular_classes(self, spark):
+        ev = spark.createDataFrame(
+            [
+                ("a", 5.00),   # whole, not tens
+                ("a", 10.00),  # whole + tens
+                ("a", 2.50),   # half
+                ("a", 2.37),   # none
+                ("a", -1.00),  # filtered
+            ],
+            "event_type string, value double",
+        )
+        from big_data_graph_analysis_with_spark_spark.operators import olap
+
+        r = olap.value_roundness_census(ev).collect()[0]
+        assert (r["n_pos"], r["n_whole"], r["n_tens"], r["n_half"]) == (
+            4, 2, 1, 1,
+        )
