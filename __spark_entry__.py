@@ -4302,6 +4302,87 @@ def q_value_roundness_census(spark: SparkSession, sf_dir: str) -> DataFrame:
     return olap.value_roundness_census(ev)
 
 
+def q_bowtie_census(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Broder bowtie decomposition (CORE/IN/OUT/OTHER) around the
+    largest SCC of the augmented directed graph — closure-free on the
+    Spark side (SCC labels + two whole-core frontier BFS sweeps); the
+    oracle classifies against the recursive-CTE reachability closure."""
+    og, _ = _graphs(spark, sf_dir)
+    return graphalg.bowtie_census(og, extra_edges=_scc_extra_edges(og))
+
+
+def q_ship_delay_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-to-ship latency distribution per priority — the round's
+    one fact-fact join (lineitem ⋈ 3-column orders projection)."""
+    from big_data_graph_analysis_with_spark_spark.operators import olap
+
+    sp = _prep(spark)
+    orders = sp.read.parquet(f"{sf_dir}/orders.parquet")
+    li = sp.read.parquet(f"{sf_dir}/lineitem.parquet")
+    return olap.ship_delay_histogram(orders, li)
+
+
+def q_repeat_rate_by_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Repeat-purchase integers per market segment (customers / buyers
+    / repeat buyers / orders; all ratios are caller-side scalars)."""
+    from big_data_graph_analysis_with_spark_spark.operators import olap
+
+    sp = _prep(spark)
+    cust = sp.read.parquet(f"{sf_dir}/customer.parquet")
+    orders = sp.read.parquet(f"{sf_dir}/orders.parquet")
+    return olap.repeat_rate_by_segment(cust, orders)
+
+
+def _bowtie_sql() -> str:
+    # the scc oracle's closure skeleton (same fedges augmentation),
+    # extended with the largest-SCC pick (ties -> smallest scc_id) and
+    # reachability classification; fwd/bwd include the core itself, the
+    # CASE precedence resolves it
+    return f"""
+WITH RECURSIVE {GRAPH_CTES},
+fedges AS MATERIALIZED (
+  SELECT DISTINCT src, dst FROM (
+    SELECT src, dst FROM og_edges WHERE src <> dst
+    UNION ALL
+    SELECT dst AS src, src AS dst FROM og_edges
+    WHERE dst % 7 = 0 AND src <> dst)
+),
+reach(s, d) AS (
+  SELECT id, id FROM og_vertices
+  UNION
+  SELECT r.s, e.dst FROM reach r JOIN fedges e ON e.src = r.d
+),
+scc AS (
+  SELECT a.s AS id, MAX(a.d) AS scc_id
+  FROM reach a JOIN reach b ON a.s = b.d AND a.d = b.s
+  GROUP BY a.s
+),
+core_pick AS (
+  SELECT scc_id FROM (
+    SELECT scc_id, COUNT(*) AS n FROM scc GROUP BY 1
+  ) ORDER BY n DESC, scc_id ASC LIMIT 1
+),
+core AS (
+  SELECT id FROM scc WHERE scc_id = (SELECT scc_id FROM core_pick)
+),
+fwd AS (SELECT DISTINCT r.d AS id FROM reach r JOIN core c ON r.s = c.id),
+bwd AS (SELECT DISTINCT r.s AS id FROM reach r JOIN core c ON r.d = c.id),
+cls AS (
+  SELECT v.id,
+         CASE WHEN c.id IS NOT NULL THEN 'CORE'
+              WHEN f.id IS NOT NULL THEN 'OUT'
+              WHEN b.id IS NOT NULL THEN 'IN'
+              ELSE 'OTHER' END AS region
+  FROM og_vertices v
+  LEFT JOIN core c ON c.id = v.id
+  LEFT JOIN fwd f ON f.id = v.id
+  LEFT JOIN bwd b ON b.id = v.id
+)
+SELECT region, CAST(COUNT(*) AS BIGINT) AS n_vertices
+FROM cls GROUP BY 1
+"""
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return q_start_node_stats(spark, SF0001)
@@ -4326,6 +4407,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # -- NEW in round 10: new queries insert ABOVE the round-9 block as
         #    they ship (never driver-verified → head of the window) ---------
+        "bowtie_census": q_bowtie_census,
+        "ship_delay_histogram": q_ship_delay_histogram,
+        "repeat_rate_by_segment": q_repeat_rate_by_segment,
         "attribute_mixing_matrix": q_attribute_mixing_matrix,
         "value_roundness_census": q_value_roundness_census,
         "value_band_census": q_value_band_census,
@@ -4629,6 +4713,29 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 def oracle_sql() -> dict[str, str]:
     return {
         # -- round-10 additions -----------------------------------------
+        "bowtie_census": _bowtie_sql(),
+        "ship_delay_histogram": """
+            SELECT o.o_orderpriority AS priority,
+                   CAST(date_diff('day', CAST(o.o_orderdate AS DATE),
+                                  CAST(l.l_shipdate AS DATE)) AS BIGINT)
+                     AS delay_days,
+                   CAST(COUNT(*) AS BIGINT) AS n_lines
+            FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
+            GROUP BY 1, 2
+        """,
+        "repeat_rate_by_segment": """
+            WITH pc AS (
+              SELECT o_custkey, COUNT(*) AS n_ord FROM orders GROUP BY 1
+            )
+            SELECT c.c_mktsegment AS segment,
+                   CAST(COUNT(*) AS BIGINT) AS n_customers,
+                   CAST(COUNT(pc.n_ord) AS BIGINT) AS n_buyers,
+                   CAST(SUM(CASE WHEN COALESCE(pc.n_ord, 0) > 1
+                                 THEN 1 ELSE 0 END) AS BIGINT) AS n_repeat,
+                   CAST(SUM(COALESCE(pc.n_ord, 0)) AS BIGINT) AS n_orders
+            FROM customer c LEFT JOIN pc ON pc.o_custkey = c.c_custkey
+            GROUP BY 1
+        """,
         "attribute_mixing_matrix": graph_sql(
             """
             , und AS (

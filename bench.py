@@ -1051,6 +1051,8 @@ def main() -> None:
         entrymod.q_type_trigram_census(spark, SF_DIR).count()
         entrymod.q_lang_collision_stats(spark, SF_DIR).count()
         entrymod.q_value_roundness_census(spark, SF_DIR).count()
+        entrymod.q_ship_delay_histogram(spark, SF_DIR).count()
+        entrymod.q_repeat_rate_by_segment(spark, SF_DIR).count()
 
     @timed("fuzzy_similarity", iters=2)
     def _():
@@ -1076,6 +1078,14 @@ def main() -> None:
         entrymod.q_wedge_closure_by_bucket(spark, SF_DIR).count()
         entrymod.q_directed_triangle_census(spark, SF_DIR).count()
         entrymod.q_attribute_mixing_matrix(spark, SF_DIR).count()
+
+    @timed("graph_bowtie", iters=2)
+    def _():
+        # round-10: Broder bowtie decomposition — SCC labels + two
+        # whole-core frontier BFS sweeps (iterative; SCC dominates)
+        import __spark_entry__ as entrymod
+
+        entrymod.q_bowtie_census(spark, SF_DIR).count()
 
     # -- optional smoke filter: SPARK_GRAFT_BENCH_SUITES="a,b" runs only
     # the named suites (development loop; the driver never sets it).

@@ -2550,3 +2550,76 @@ def attribute_mixing_matrix(graph: NetGraph, attr: str = "children") -> DataFram
         .groupBy("attr_a", "attr_b")
         .agg(F.count("*").cast("long").alias("n_edges"))
     )
+
+
+def bowtie_census(
+    graph: NetGraph, extra_edges: DataFrame | None = None
+) -> DataFrame:
+    """(region, n_vertices): the Broder et al. (WWW 2000) BOWTIE
+    decomposition of a directed graph around its largest strongly
+    connected component — CORE (the SCC itself, ties to the smallest
+    scc_id at equal size), IN (reaches the core), OUT (reachable from
+    the core), OTHER (tendrils/tubes/disconnected, merged). The
+    one-look shape summary of any directed corpus: a crawl frontier
+    reads IN/OUT balance, a dependency graph reads OTHER mass as dead
+    code.
+
+    Built closure-free from parts this module already ships:
+    `scc_components` labels (trim + coloring, fixpoint-checked against
+    the oracle's closure), then TWO frontier BFS sweeps from the whole
+    core at once — forward over (src→dst), backward over the flipped
+    edges — each O(diameter) rounds of frontier-sized shuffles,
+    localCheckpointed. IN and OUT are provably disjoint (a vertex in
+    both is mutually reachable with the core, hence in it), so the
+    classification is a pair of semi-join flags, no precedence order.
+    `extra_edges` augments the edge set exactly as in `q_scc` (the
+    TPC-H-derived DAG needs back-edges to have a nontrivial core).
+    """
+    edges = graph.edges.select("src", "dst")
+    if extra_edges is not None:
+        edges = edges.unionAll(extra_edges.select("src", "dst"))
+    edges = (
+        edges.filter(F.col("src") != F.col("dst")).distinct().localCheckpoint()
+    )
+
+    scc = scc_components(graph, extra_edges=extra_edges).localCheckpoint()
+    sizes = scc.groupBy("scc_id").agg(F.count("*").alias("n"))
+    core_id = sizes.orderBy(F.col("n").desc(), F.col("scc_id").asc()).limit(1)
+    core = scc.join(
+        F.broadcast(core_id.select("scc_id")), on="scc_id", how="left_semi"
+    ).select("id")
+
+    def reach(e: DataFrame) -> DataFrame:
+        reached = core.localCheckpoint()
+        frontier = reached
+        while True:
+            nxt = (
+                frontier.join(e, frontier["id"] == e["src"])
+                .select(F.col("dst").alias("id"))
+                .distinct()
+                .join(reached, on="id", how="left_anti")
+                .localCheckpoint()
+            )
+            if nxt.isEmpty():
+                return reached
+            reached = reached.unionAll(nxt).localCheckpoint()
+            frontier = nxt
+
+    fwd = reach(edges)
+    bwd = reach(edges.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+
+    flags = (
+        graph.vertices.select("id")
+        .join(core.withColumn("_c", F.lit(1)), on="id", how="left")
+        .join(fwd.withColumn("_f", F.lit(1)).distinct(), on="id", how="left")
+        .join(bwd.withColumn("_b", F.lit(1)).distinct(), on="id", how="left")
+    )
+    region = (
+        F.when(F.col("_c").isNotNull(), F.lit("CORE"))
+        .when(F.col("_f").isNotNull(), F.lit("OUT"))
+        .when(F.col("_b").isNotNull(), F.lit("IN"))
+        .otherwise(F.lit("OTHER"))
+    )
+    return flags.groupBy(region.alias("region")).agg(
+        F.count("*").cast("long").alias("n_vertices")
+    )

@@ -2661,3 +2661,71 @@ def value_roundness_census(events: DataFrame) -> DataFrame:
         .cast("long")
         .alias("n_half"),
     )
+
+
+def ship_delay_histogram(orders: DataFrame, lineitem: DataFrame) -> DataFrame:
+    """(priority, delay_days, n_lines): distribution of order-to-ship
+    latency — exact integer days between o_orderdate and each line's
+    l_shipdate, per order priority. The fulfilment-SLA histogram: the
+    TPC-H shape family reads delays as filters (Q12's late-line
+    census); this materializes the whole distribution so the SLA
+    threshold is chosen FROM data instead of assumed.
+
+    Scale shape: the one fact-fact join in the round — lineitem joins
+    the 3-column orders projection on l_orderkey (both sides shuffle
+    on the key; at cluster SF this is the classic co-partition/bucket
+    candidate, and AQE handles orderkey skew), then a map-side-
+    combinable count into a (|priorities| × |distinct delays|)-bounded
+    frame.
+    """
+    o = orders.select(
+        F.col("o_orderkey").alias("l_orderkey"),
+        F.col("o_orderpriority").alias("priority"),
+        F.datediff(F.col("o_orderdate"), F.lit("1970-01-01").cast("date")).alias(
+            "oday"
+        ),
+    )
+    li = lineitem.select(
+        "l_orderkey",
+        F.datediff(F.col("l_shipdate"), F.lit("1970-01-01").cast("date")).alias(
+            "sday"
+        ),
+    )
+    return (
+        li.join(o, on="l_orderkey")
+        .select("priority", (F.col("sday") - F.col("oday")).alias("delay_days"))
+        .groupBy("priority", "delay_days")
+        .agg(F.count("*").cast("long").alias("n_lines"))
+    )
+
+
+def repeat_rate_by_segment(customer: DataFrame, orders: DataFrame) -> DataFrame:
+    """(segment, n_customers, n_buyers, n_repeat, n_orders): per market
+    segment, how many customers exist, how many ever ordered, how many
+    ordered MORE than once, and the order total — the four integers
+    behind repeat rate / penetration / orders-per-buyer (all
+    caller-side scalar divisions, so the frame hash-matches exactly).
+
+    Scale shape: orders collapse to per-customer counts first (one
+    fact shuffle on o_custkey, map-side combinable), then join the
+    2-column customer projection (size-gated broadcast) and roll up to
+    the |segments|-row frame.
+    """
+    per_cust = orders.groupBy(F.col("o_custkey").alias("c_custkey")).agg(
+        F.count("*").alias("n_ord")
+    )
+    return (
+        customer.select("c_custkey", F.col("c_mktsegment").alias("segment"))
+        .join(maybe_broadcast(per_cust), on="c_custkey", how="left")
+        .groupBy("segment")
+        .agg(
+            F.count("*").cast("long").alias("n_customers"),
+            F.count("n_ord").cast("long").alias("n_buyers"),
+            F.sum((F.coalesce(F.col("n_ord"), F.lit(0)) > 1).cast("long"))
+            .cast("long")
+            .alias("n_repeat"),
+            F.sum(F.coalesce(F.col("n_ord"), F.lit(0))).cast("long").alias(
+                "n_orders"
+            ),
+        )
+    )

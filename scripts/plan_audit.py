@@ -117,6 +117,9 @@ AUDIT = [
     "wedge_closure_by_bucket", "directed_triangle_census",
     "similarity_ann_ivfpq", "attribute_mixing_matrix",
     "value_roundness_census",
+    # round-10 fourth batch (bowtie_census excluded: SCC fixpoint runs
+    # at plan-construction time, same reason as component_sizes)
+    "ship_delay_histogram", "repeat_rate_by_segment",
 ]
 # motif_counts is deliberately NOT in AUDIT: its builder runs the full
 # census via driver-side .count() actions, so the final frame is just a

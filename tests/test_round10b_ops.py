@@ -237,3 +237,81 @@ class TestValueRoundnessCensus:
         assert (r["n_pos"], r["n_whole"], r["n_tens"], r["n_half"]) == (
             4, 2, 1, 1,
         )
+
+
+class TestBowtieCensus:
+    def test_known_bowtie(self, spark):
+        # core cycle 1->2->3->1; IN: 0->1; OUT: 3->4; OTHER: 5 isolated,
+        # 6->7 a disconnected edge (tendril-free OTHER mass)
+        g = _graph(
+            spark,
+            [0, 1, 2, 3, 4, 5, 6, 7],
+            [(1, 2), (2, 3), (3, 1), (0, 1), (3, 4), (6, 7)],
+        )
+        got = {
+            r["region"]: r["n_vertices"]
+            for r in graphalg.bowtie_census(g).collect()
+        }
+        assert got == {"CORE": 3, "IN": 1, "OUT": 1, "OTHER": 3}
+
+    def test_largest_core_ties_to_smallest_label(self, spark):
+        # two 2-cycles: {1,2} and {8,9}; tie on size -> core is the one
+        # with the smaller scc_id label (max member id: 2 vs 9 -> {1,2})
+        g = _graph(spark, [1, 2, 8, 9], [(1, 2), (2, 1), (8, 9), (9, 8)])
+        got = {
+            r["region"]: r["n_vertices"]
+            for r in graphalg.bowtie_census(g).collect()
+        }
+        assert got == {"CORE": 2, "OTHER": 2}
+
+    def test_regions_partition_vertices(self, spark):
+        from big_data_graph_analysis_with_spark_spark.sources import tpch_graph
+        import __spark_entry__ as entrymod
+
+        og, _ = tpch_graph.derive_graphs(spark, SF0001)
+        out = graphalg.bowtie_census(
+            og, extra_edges=entrymod._scc_extra_edges(og)
+        )
+        total = out.agg(F.sum("n_vertices").alias("t")).collect()[0]["t"]
+        assert total == og.vertices.count()
+
+
+class TestShipDelayHistogram:
+    def test_known_delays(self, spark):
+        orders = spark.createDataFrame(
+            [(1, "H", "1970-01-01"), (2, "L", "1970-01-10")],
+            "o_orderkey long, o_orderpriority string, d string",
+        ).withColumn("o_orderdate", F.col("d").cast("timestamp"))
+        li = spark.createDataFrame(
+            [(1, "1970-01-03"), (1, "1970-01-03"), (2, "1970-01-10")],
+            "l_orderkey long, s string",
+        ).withColumn("l_shipdate", F.col("s").cast("timestamp"))
+        from big_data_graph_analysis_with_spark_spark.operators import olap
+
+        got = {
+            (r["priority"], r["delay_days"]): r["n_lines"]
+            for r in olap.ship_delay_histogram(orders, li).collect()
+        }
+        assert got == {("H", 2): 2, ("L", 0): 1}
+
+
+class TestRepeatRateBySegment:
+    def test_counts(self, spark):
+        cust = spark.createDataFrame(
+            [(1, "A"), (2, "A"), (3, "A"), (4, "B")],
+            "c_custkey long, c_mktsegment string",
+        )
+        orders = spark.createDataFrame(
+            [(10, 1), (11, 1), (12, 2)],
+            "o_orderkey long, o_custkey long",
+        )
+        from big_data_graph_analysis_with_spark_spark.operators import olap
+
+        got = {
+            r["segment"]: (
+                r["n_customers"], r["n_buyers"], r["n_repeat"], r["n_orders"]
+            )
+            for r in olap.repeat_rate_by_segment(cust, orders).collect()
+        }
+        # A: 3 customers, 2 buyers, 1 repeat (cust 1), 3 orders; B: idle
+        assert got == {"A": (3, 2, 1, 3), "B": (1, 0, 0, 0)}
