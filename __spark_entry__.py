@@ -4851,7 +4851,8 @@ def oracle_sql() -> dict[str, str]:
             SELECT lang,
                    CAST(SUM(cnt) AS BIGINT) AS n_tokens,
                    CAST(COUNT(*) AS BIGINT) AS n_types,
-                   SUM(CAST(cnt AS HUGEINT) * cnt) AS sum_sq,
+                   CAST(SUM(CAST(cnt AS HUGEINT) * cnt) AS BIGINT)
+                     AS sum_sq,
                    CAST(MAX(cnt) AS BIGINT) AS max_count
             FROM g GROUP BY 1
         """,
@@ -4947,10 +4948,10 @@ def oracle_sql() -> dict[str, str]:
                    CAST(SUM(n_obs) OVER (PARTITION BY priority) AS BIGINT)
                      AS pri_total,
                    CAST(SUM(n_obs) OVER () AS BIGINT) AS grand_total,
-                   CAST(SUM(n_obs) OVER () AS HUGEINT) * n_obs
+                   CAST(CAST(SUM(n_obs) OVER () AS HUGEINT) * n_obs
                      - CAST(SUM(n_obs) OVER (PARTITION BY segment) AS HUGEINT)
                        * CAST(SUM(n_obs) OVER (PARTITION BY priority)
-                              AS HUGEINT) AS chi_num
+                              AS HUGEINT) AS BIGINT) AS chi_num
             FROM cont
         """,
         "discount_trend_stats": """
@@ -4964,10 +4965,10 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT returnflag,
                    CAST(COUNT(*) AS BIGINT) AS n,
-                   SUM(x) AS sum_x,
-                   SUM(y) AS sum_y,
-                   SUM(x * y) AS sum_xy,
-                   SUM(x * x) AS sum_x2
+                   CAST(SUM(x) AS BIGINT) AS sum_x,
+                   CAST(SUM(y) AS BIGINT) AS sum_y,
+                   CAST(SUM(x * y) AS BIGINT) AS sum_xy,
+                   CAST(SUM(x * x) AS BIGINT) AS sum_x2
             FROM li GROUP BY 1
         """,
         "event_value_benford": """

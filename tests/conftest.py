@@ -52,7 +52,12 @@ def assert_matches_oracle(spark_df, sql: str, sf_dir: str, float_cols=(), tol=0.
     g = got[cols].sort_values(cols, ignore_index=True)
     w = want[cols].sort_values(cols, ignore_index=True)
     for c in cols:
-        if c in float_cols or g[c].dtype.kind == "f":
+        # float path when EITHER side surfaces as float (mirrors
+        # driver_sim: DuckDB returns HUGEINT columns as float64, so a
+        # decimal-vs-hugeint pair must compare numerically, not as
+        # strings) — though oracles should CAST outputs to BIGINT where
+        # driver-SF values fit, keeping the exact string path
+        if c in float_cols or g[c].dtype.kind == "f" or w[c].dtype.kind == "f":
             import numpy as np
 
             assert np.allclose(
