@@ -4383,6 +4383,31 @@ FROM cls GROUP BY 1
 """
 
 
+def q_scc_size_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCC size distribution in bit-length buckets — the directed
+    counterpart of component_density_profile's bucket view."""
+    og, _ = _graphs(spark, sf_dir)
+    return graphalg.scc_size_profile(og, extra_edges=_scc_extra_edges(og))
+
+
+def q_interpolated_median_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PERCENTILE_CONT(0.5) decomposed into exact integers (lo/hi
+    straddling values + their sum = 2× the interpolated median)."""
+    from big_data_graph_analysis_with_spark_spark.operators import olap
+
+    li = _prep(spark).read.parquet(f"{sf_dir}/lineitem.parquet")
+    return olap.interpolated_median_stats(li)
+
+
+def q_repeat_purchase_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Purchase-to-purchase latency histogram per user stream (lead
+    over the type-filtered subset; bit-length second buckets)."""
+    from big_data_graph_analysis_with_spark_spark.operators import olap
+
+    ev = _prep(spark).read.parquet(f"{sf_dir}/events.parquet")
+    return olap.repeat_purchase_latency(ev)
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return q_start_node_stats(spark, SF0001)
@@ -4407,6 +4432,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # -- NEW in round 10: new queries insert ABOVE the round-9 block as
         #    they ship (never driver-verified → head of the window) ---------
+        "scc_size_profile": q_scc_size_profile,
+        "interpolated_median_stats": q_interpolated_median_stats,
+        "repeat_purchase_latency": q_repeat_purchase_latency,
         "bowtie_census": q_bowtie_census,
         "ship_delay_histogram": q_ship_delay_histogram,
         "repeat_rate_by_segment": q_repeat_rate_by_segment,
@@ -4713,6 +4741,83 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 def oracle_sql() -> dict[str, str]:
     return {
         # -- round-10 additions -----------------------------------------
+        "scc_size_profile": f"""
+WITH RECURSIVE {GRAPH_CTES},
+fedges AS MATERIALIZED (
+  SELECT DISTINCT src, dst FROM (
+    SELECT src, dst FROM og_edges WHERE src <> dst
+    UNION ALL
+    SELECT dst AS src, src AS dst FROM og_edges
+    WHERE dst % 7 = 0 AND src <> dst)
+),
+reach(s, d) AS (
+  SELECT id, id FROM og_vertices
+  UNION
+  SELECT r.s, e.dst FROM reach r JOIN fedges e ON e.src = r.d
+),
+scc AS (
+  SELECT a.s AS id, MAX(a.d) AS scc_id
+  FROM reach a JOIN reach b ON a.s = b.d AND a.d = b.s
+  GROUP BY a.s
+),
+sizes AS (SELECT scc_id, COUNT(*) AS size FROM scc GROUP BY 1)
+SELECT CAST(length(bin(size)) AS BIGINT) AS size_bits,
+       CAST(COUNT(*) AS BIGINT) AS n_sccs,
+       CAST(SUM(size) AS BIGINT) AS n_vertices
+FROM sizes GROUP BY 1
+""",
+        "interpolated_median_stats": """
+            WITH h AS (
+              SELECT l_returnflag AS returnflag,
+                     CAST(ROUND(l_extendedprice * 100) AS BIGINT) AS cents,
+                     COUNT(*) AS w
+              FROM lineitem GROUP BY 1, 2
+            ),
+            c AS (
+              SELECT returnflag, cents, w,
+                     SUM(w) OVER (
+                       PARTITION BY returnflag ORDER BY cents
+                     ) AS cum,
+                     SUM(w) OVER (PARTITION BY returnflag) AS n
+              FROM h
+            ),
+            picks AS (
+              SELECT returnflag, cents, w, cum, n,
+                     (cum - w <= (n - 1) // 2 AND (n - 1) // 2 < cum)
+                       AS covers_lo,
+                     (cum - w <= n // 2 AND n // 2 < cum) AS covers_hi
+              FROM c
+            )
+            SELECT returnflag,
+                   CAST(MAX(n) AS BIGINT) AS n,
+                   CAST(MAX(CASE WHEN covers_lo THEN cents END) AS BIGINT)
+                     AS lo_cents,
+                   CAST(MAX(CASE WHEN covers_hi THEN cents END) AS BIGINT)
+                     AS hi_cents,
+                   CAST(MAX(CASE WHEN covers_lo THEN cents END)
+                        + MAX(CASE WHEN covers_hi THEN cents END) AS BIGINT)
+                     AS median_x2_cents
+            FROM picks WHERE covers_lo OR covers_hi
+            GROUP BY returnflag
+        """,
+        "repeat_purchase_latency": """
+            WITH p AS (
+              SELECT user_id, event_id, epoch_us(ts) AS tus
+              FROM events WHERE event_type = 'purchase'
+            ),
+            g AS (
+              SELECT (LEAD(tus) OVER (
+                        PARTITION BY user_id ORDER BY tus, event_id
+                      ) - tus) // 1000000 AS gap_s
+              FROM p
+            )
+            SELECT CAST(length(bin(gap_s)) AS BIGINT) AS gap_bits,
+                   CAST(COUNT(*) AS BIGINT) AS n_gaps,
+                   CAST(MIN(gap_s) AS BIGINT) AS min_gap_s,
+                   CAST(MAX(gap_s) AS BIGINT) AS max_gap_s
+            FROM g WHERE gap_s IS NOT NULL
+            GROUP BY 1
+        """,
         "bowtie_census": _bowtie_sql(),
         "ship_delay_histogram": """
             SELECT o.o_orderpriority AS priority,

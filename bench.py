@@ -1053,6 +1053,8 @@ def main() -> None:
         entrymod.q_value_roundness_census(spark, SF_DIR).count()
         entrymod.q_ship_delay_histogram(spark, SF_DIR).count()
         entrymod.q_repeat_rate_by_segment(spark, SF_DIR).count()
+        entrymod.q_interpolated_median_stats(spark, SF_DIR).count()
+        entrymod.q_repeat_purchase_latency(spark, SF_DIR).count()
 
     @timed("fuzzy_similarity", iters=2)
     def _():
@@ -1086,6 +1088,7 @@ def main() -> None:
         import __spark_entry__ as entrymod
 
         entrymod.q_bowtie_census(spark, SF_DIR).count()
+        entrymod.q_scc_size_profile(spark, SF_DIR).count()
 
     # -- optional smoke filter: SPARK_GRAFT_BENCH_SUITES="a,b" runs only
     # the named suites (development loop; the driver never sets it).

@@ -2623,3 +2623,29 @@ def bowtie_census(
     return flags.groupBy(region.alias("region")).agg(
         F.count("*").cast("long").alias("n_vertices")
     )
+
+
+def scc_size_profile(
+    graph: NetGraph, extra_edges: DataFrame | None = None
+) -> DataFrame:
+    """(size_bits, n_sccs, n_vertices): the strongly-connected-
+    component size distribution, bucketed by bit length of the
+    component size — the DIRECTED counterpart of
+    `component_density_profile`'s bucket view (singleton mass = the
+    DAG part trim resolves; the top bucket is the bowtie core).
+    Composes `scc_components` with two bounded aggregations; the
+    shared conv/bin bucket convention keeps the frame ≤64 rows.
+    """
+    scc = scc_components(graph, extra_edges=extra_edges)
+    sizes = scc.groupBy("scc_id").agg(F.count("*").alias("size"))
+    return (
+        sizes.groupBy(
+            F.length(F.conv(F.col("size"), 10, 2)).cast("long").alias(
+                "size_bits"
+            )
+        )
+        .agg(
+            F.count("*").cast("long").alias("n_sccs"),
+            F.sum("size").cast("long").alias("n_vertices"),
+        )
+    )

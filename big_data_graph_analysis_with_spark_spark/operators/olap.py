@@ -2729,3 +2729,104 @@ def repeat_rate_by_segment(customer: DataFrame, orders: DataFrame) -> DataFrame:
             ),
         )
     )
+
+
+def interpolated_median_stats(lineitem: DataFrame) -> DataFrame:
+    """(returnflag, n, lo_cents, hi_cents, median_x2_cents): the
+    PERCENTILE_CONT(0.5) median decomposed into exact integers — the
+    quantile family's floor-rank convention returns a PRESENT value
+    (percentile_disc); the interpolated median averages the two
+    straddling values on even counts. Emitting ``lo + hi`` (twice the
+    interpolated median) keeps the engine integer-exact and
+    hash-stable; the caller halves a scalar. lo/hi are the values at
+    0-indexed ranks ``(n-1) div 2`` and ``n div 2`` — equal when n is
+    odd, adjacent when even.
+
+    Scale shape: the same ONE value-keyed histogram shuffle as
+    `weighted_price_median`; both rank picks ride a single cumulative
+    window over DISTINCT (flag, cents) pairs.
+    """
+    hist = (
+        lineitem.select(
+            F.col("l_returnflag").alias("returnflag"),
+            F.round(F.col("l_extendedprice") * 100).cast("long").alias("cents"),
+        )
+        .groupBy("returnflag", "cents")
+        .agg(F.count("*").alias("w"))
+    )
+    win = Window.partitionBy("returnflag").orderBy("cents")
+    cum = hist.select(
+        "returnflag",
+        "cents",
+        "w",
+        F.sum("w").over(win.rowsBetween(Window.unboundedPreceding, 0)).alias(
+            "cum"
+        ),
+        F.sum("w")
+        .over(
+            win.rowsBetween(
+                Window.unboundedPreceding, Window.unboundedFollowing
+            )
+        )
+        .alias("n"),
+    )
+    lo_rank = F.expr("(n - 1) div 2")
+    hi_rank = F.expr("n div 2")
+    covers_lo = (F.col("cum") - F.col("w") <= lo_rank) & (
+        lo_rank < F.col("cum")
+    )
+    covers_hi = (F.col("cum") - F.col("w") <= hi_rank) & (
+        hi_rank < F.col("cum")
+    )
+    return (
+        cum.filter(covers_lo | covers_hi)
+        .groupBy("returnflag")
+        .agg(
+            F.max("n").cast("long").alias("n"),
+            F.max(F.when(covers_lo, F.col("cents"))).cast("long").alias(
+                "lo_cents"
+            ),
+            F.max(F.when(covers_hi, F.col("cents"))).cast("long").alias(
+                "hi_cents"
+            ),
+        )
+        .select(
+            "returnflag",
+            "n",
+            "lo_cents",
+            "hi_cents",
+            (F.col("lo_cents") + F.col("hi_cents")).alias("median_x2_cents"),
+        )
+    )
+
+
+def repeat_purchase_latency(events: DataFrame) -> DataFrame:
+    """(gap_bits, n_gaps, min_gap_s, max_gap_s): histogram of the time
+    between a user's CONSECUTIVE purchase events, bucketed by bit
+    length of the gap in whole seconds — the repeat-conversion cadence
+    (the `order_gap_profile` question asked of the event stream, where
+    timestamps are sub-day). Type-filtered BEFORE the window, so the
+    lead sees only purchases; `interarrival_quantiles` profiles the
+    all-event stream and cannot isolate conversions.
+
+    Scale shape: the type filter pushes into the scan, then one
+    user-keyed window shuffle over the purchase subset only.
+    """
+    ev = events.filter(F.col("event_type") == "purchase").select(
+        "user_id", "event_id", event_micros(events).alias("tus")
+    )
+    w = Window.partitionBy("user_id").orderBy("tus", "event_id")
+    gaps = (
+        ev.withColumn("next_tus", F.lead("tus").over(w))
+        .filter(F.col("next_tus").isNotNull())
+        .select(
+            F.expr("(next_tus - tus) div 1000000").cast("long").alias("gap_s")
+        )
+    )
+    return gaps.groupBy(
+        F.length(F.conv(F.col("gap_s"), 10, 2)).cast("long").alias("gap_bits")
+    ).agg(
+        F.count("*").cast("long").alias("n_gaps"),
+        F.min("gap_s").cast("long").alias("min_gap_s"),
+        F.max("gap_s").cast("long").alias("max_gap_s"),
+    )

@@ -120,6 +120,9 @@ AUDIT = [
     # round-10 fourth batch (bowtie_census excluded: SCC fixpoint runs
     # at plan-construction time, same reason as component_sizes)
     "ship_delay_histogram", "repeat_rate_by_segment",
+    # round-10 fifth batch (scc_size_profile excluded with the SCC loop
+    # family)
+    "interpolated_median_stats", "repeat_purchase_latency",
 ]
 # motif_counts is deliberately NOT in AUDIT: its builder runs the full
 # census via driver-side .count() actions, so the final frame is just a

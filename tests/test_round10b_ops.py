@@ -315,3 +315,85 @@ class TestRepeatRateBySegment:
         }
         # A: 3 customers, 2 buyers, 1 repeat (cust 1), 3 orders; B: idle
         assert got == {"A": (3, 2, 1, 3), "B": (1, 0, 0, 0)}
+
+
+class TestSccSizeProfile:
+    def test_two_cycles_and_singletons(self, spark):
+        # 3-cycle {1,2,3}, 2-cycle {4,5}, singletons 6, 7
+        g = _graph(
+            spark,
+            [1, 2, 3, 4, 5, 6, 7],
+            [(1, 2), (2, 3), (3, 1), (4, 5), (5, 4), (6, 7)],
+        )
+        got = {
+            r["size_bits"]: (r["n_sccs"], r["n_vertices"])
+            for r in graphalg.scc_size_profile(g).collect()
+        }
+        # size 1 (bits 1): vertices 6, 7 -> 2 sccs; size 2 and 3 share
+        # bits 2: {4,5} and {1,2,3} -> 2 sccs, 5 vertices
+        assert got == {1: (2, 2), 2: (2, 5)}
+
+
+class TestInterpolatedMedianStats:
+    def test_even_and_odd_counts(self, spark):
+        from big_data_graph_analysis_with_spark_spark.operators import olap
+
+        rows = [
+            # flag A: 4 values 100..400 -> lo rank 1 = 200, hi rank 2 =
+            # 300, median_x2 = 500
+            ("A", 1.0), ("A", 2.0), ("A", 3.0), ("A", 4.0),
+            # flag B: 3 values -> lo = hi = 200, median_x2 = 400
+            ("B", 1.0), ("B", 2.0), ("B", 3.0),
+        ]
+        li = spark.createDataFrame(
+            rows, "l_returnflag string, l_extendedprice double"
+        )
+        got = {
+            r["returnflag"]: (
+                r["n"], r["lo_cents"], r["hi_cents"], r["median_x2_cents"]
+            )
+            for r in olap.interpolated_median_stats(li).collect()
+        }
+        assert got == {"A": (4, 200, 300, 500), "B": (3, 200, 200, 400)}
+
+    def test_matches_percentile_cont_semantics(self, spark):
+        from big_data_graph_analysis_with_spark_spark.operators import olap
+
+        li = spark.read.parquet(f"{SF0001}/lineitem.parquet")
+        out = {r["returnflag"]: r for r in olap.interpolated_median_stats(li).collect()}
+        ref = {
+            r["l_returnflag"]: r["m"]
+            for r in li.groupBy("l_returnflag")
+            .agg(
+                F.expr(
+                    "percentile(cast(round(l_extendedprice * 100) as long), 0.5)"
+                ).alias("m")
+            )
+            .collect()
+        }
+        for flag, r in out.items():
+            assert abs(r["median_x2_cents"] / 2.0 - ref[flag]) < 1e-6
+
+
+class TestRepeatPurchaseLatency:
+    def test_gap_buckets_purchases_only(self, spark):
+        rows = [
+            # user 1: purchases at 0s, 3s, 10s -> gaps 3 (bits 2), 7
+            # (bits 3); an interleaved view must NOT break the chain
+            (1, 1, "1970-01-01 00:00:00", "purchase"),
+            (2, 1, "1970-01-01 00:00:01", "view"),
+            (3, 1, "1970-01-01 00:00:03", "purchase"),
+            (4, 1, "1970-01-01 00:00:10", "purchase"),
+            # user 2: single purchase -> no gap
+            (5, 2, "1970-01-01 00:00:00", "purchase"),
+        ]
+        ev = spark.createDataFrame(
+            rows, "event_id long, user_id long, t string, event_type string"
+        ).withColumn("ts", F.col("t").cast("timestamp"))
+        from big_data_graph_analysis_with_spark_spark.operators import olap
+
+        got = {
+            r["gap_bits"]: (r["n_gaps"], r["min_gap_s"], r["max_gap_s"])
+            for r in olap.repeat_purchase_latency(ev).collect()
+        }
+        assert got == {2: (1, 3, 3), 3: (1, 7, 7)}
