@@ -1053,8 +1053,6 @@ def main() -> None:
         entrymod.q_value_roundness_census(spark, SF_DIR).count()
         entrymod.q_ship_delay_histogram(spark, SF_DIR).count()
         entrymod.q_repeat_rate_by_segment(spark, SF_DIR).count()
-        entrymod.q_interpolated_median_stats(spark, SF_DIR).count()
-        entrymod.q_repeat_purchase_latency(spark, SF_DIR).count()
 
     @timed("fuzzy_similarity", iters=2)
     def _():
@@ -1088,7 +1086,19 @@ def main() -> None:
         import __spark_entry__ as entrymod
 
         entrymod.q_bowtie_census(spark, SF_DIR).count()
-        entrymod.q_scc_size_profile(spark, SF_DIR).count()
+
+    @timed("quantile_latency_census", iters=2)
+    def _():
+        # round-10 fifth batch in its OWN suite: the committed round-10
+        # record predates these two queries, and extending an existing
+        # suite after its record lands fabricates an A/B regression.
+        # scc_size_profile is deliberately unbenched: its kernel
+        # (scc_components) is already timed via graph_structure and
+        # graph_bowtie; the profile adds two bounded aggregations.
+        import __spark_entry__ as entrymod
+
+        entrymod.q_interpolated_median_stats(spark, SF_DIR).count()
+        entrymod.q_repeat_purchase_latency(spark, SF_DIR).count()
 
     # -- optional smoke filter: SPARK_GRAFT_BENCH_SUITES="a,b" runs only
     # the named suites (development loop; the driver never sets it).
