@@ -4408,6 +4408,155 @@ def q_repeat_purchase_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
     return olap.repeat_purchase_latency(ev)
 
 
+def q_mann_whitney_u(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mann-Whitney U sufficient stats (doubled tie-averaged rank sums,
+    exact decimals) on order totals: BUILDING vs MACHINERY."""
+    from big_data_graph_analysis_with_spark_spark.operators import hypotests
+
+    sess = _prep(spark)
+    return hypotests.mann_whitney_u(
+        sess.read.parquet(f"{sf_dir}/orders.parquet"),
+        sess.read.parquet(f"{sf_dir}/customer.parquet"),
+    )
+
+
+def q_ks_two_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sample KS distance (exact cross-multiplied fraction) between
+    even- and odd-source document-length distributions."""
+    from big_data_graph_analysis_with_spark_spark.operators import hypotests
+
+    sess = _prep(spark)
+    return hypotests.ks_two_sample(
+        sess.read.parquet(f"{sf_dir}/documents.parquet")
+    )
+
+
+def q_spearman_rank_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spearman rank-correlation sufficient stats (doubled-rank Σd²)
+    between customer balance and order count."""
+    from big_data_graph_analysis_with_spark_spark.operators import hypotests
+
+    sess = _prep(spark)
+    return hypotests.spearman_rank_corr(
+        sess.read.parquet(f"{sf_dir}/customer.parquet"),
+        sess.read.parquet(f"{sf_dir}/orders.parquet"),
+    )
+
+
+def q_spearman_tie_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Σ(t³−t) tie-correction terms per Spearman variable."""
+    from big_data_graph_analysis_with_spark_spark.operators import hypotests
+
+    sess = _prep(spark)
+    return hypotests.spearman_tie_terms(
+        sess.read.parquet(f"{sf_dir}/customer.parquet"),
+        sess.read.parquet(f"{sf_dir}/orders.parquet"),
+    )
+
+
+def q_mood_median_inputs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mood's median-test contingency inputs per customer segment
+    against the pooled order-total median."""
+    from big_data_graph_analysis_with_spark_spark.operators import hypotests
+
+    sess = _prep(spark)
+    return hypotests.mood_median_inputs(
+        sess.read.parquet(f"{sf_dir}/orders.parquet"),
+        sess.read.parquet(f"{sf_dir}/customer.parquet"),
+    )
+
+
+def q_qq_decile_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact present-value decile Q-Q table: BUILDING vs MACHINERY
+    order totals, 9 integer rows."""
+    from big_data_graph_analysis_with_spark_spark.operators import hypotests
+
+    sess = _prep(spark)
+    return hypotests.qq_decile_table(
+        sess.read.parquet(f"{sf_dir}/orders.parquet"),
+        sess.read.parquet(f"{sf_dir}/customer.parquet"),
+    )
+
+
+def q_size_tie_census(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tie-structure census of part sizes per brand (max tie group,
+    Σ t(t−1)/2 tied pairs)."""
+    from big_data_graph_analysis_with_spark_spark.operators import hypotests
+
+    sess = _prep(spark)
+    return hypotests.size_tie_census(
+        sess.read.parquet(f"{sf_dir}/part.parquet")
+    )
+
+
+def q_percent_rank_band_census(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Suppliers bucketed by integer-exact percent_rank decile of
+    account balance — computed wholly on the distinct-value histogram."""
+    from big_data_graph_analysis_with_spark_spark.operators import hypotests
+
+    sess = _prep(spark)
+    return hypotests.percent_rank_band_census(
+        sess.read.parquet(f"{sf_dir}/supplier.parquet")
+    )
+
+
+def q_revenue_cusum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUSUM changepoint scan of daily revenue, cross-multiplied to
+    exact integers; argmax day with deterministic tie-break."""
+    from big_data_graph_analysis_with_spark_spark.operators import olap
+
+    sess = _prep(spark)
+    return olap.revenue_cusum(sess.read.parquet(f"{sf_dir}/orders.parquet"))
+
+
+def q_revenue_acceleration_census(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Sign census of the second difference of daily revenue, by
+    month."""
+    from big_data_graph_analysis_with_spark_spark.operators import olap
+
+    sess = _prep(spark)
+    return olap.revenue_acceleration_census(
+        sess.read.parquet(f"{sf_dir}/orders.parquet")
+    )
+
+
+def q_revenue_monotone_runs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gaps-and-islands census of strictly-increasing daily-revenue
+    runs, by month of run start."""
+    from big_data_graph_analysis_with_spark_spark.operators import olap
+
+    sess = _prep(spark)
+    return olap.revenue_monotone_runs(
+        sess.read.parquet(f"{sf_dir}/orders.parquet")
+    )
+
+
+def q_supplier_cosupply_degree(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Degree histogram of the supplier co-supply graph (bipartite
+    projection with an explicit per-part fanout cap)."""
+    from big_data_graph_analysis_with_spark_spark.operators import olap
+
+    sess = _prep(spark)
+    return olap.supplier_cosupply_degree(
+        sess.read.parquet(f"{sf_dir}/lineitem.parquet")
+    )
+
+
+def q_hash_sample_estimate_audit(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Deterministic 1/16 hash-sample total estimator audited against
+    the exact per-type value total."""
+    from big_data_graph_analysis_with_spark_spark.operators import sketches
+
+    sess = _prep(spark)
+    return sketches.hash_sample_estimate_audit(
+        sess.read.parquet(f"{sf_dir}/events.parquet")
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return q_start_node_stats(spark, SF0001)
@@ -4432,6 +4581,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # -- NEW in round 10: new queries insert ABOVE the round-9 block as
         #    they ship (never driver-verified → head of the window) ---------
+        # batch 6: distribution-shift / rank-statistic suite ---------------
+        "mann_whitney_u": q_mann_whitney_u,
+        "ks_two_sample": q_ks_two_sample,
+        "spearman_rank_corr": q_spearman_rank_corr,
+        "spearman_tie_terms": q_spearman_tie_terms,
+        "mood_median_inputs": q_mood_median_inputs,
+        "qq_decile_table": q_qq_decile_table,
+        "size_tie_census": q_size_tie_census,
+        "percent_rank_band_census": q_percent_rank_band_census,
+        "revenue_cusum": q_revenue_cusum,
+        "revenue_acceleration_census": q_revenue_acceleration_census,
+        "revenue_monotone_runs": q_revenue_monotone_runs,
+        "supplier_cosupply_degree": q_supplier_cosupply_degree,
+        "hash_sample_estimate_audit": q_hash_sample_estimate_audit,
         "scc_size_profile": q_scc_size_profile,
         "interpolated_median_stats": q_interpolated_median_stats,
         "repeat_purchase_latency": q_repeat_purchase_latency,
@@ -4740,6 +4903,358 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 def oracle_sql() -> dict[str, str]:
     return {
+        # -- batch 6: distribution-shift / rank-statistic suite ----------
+        "mann_whitney_u": """
+            WITH t AS (
+              SELECT CAST(ROUND(o_totalprice * 100) AS BIGINT) AS cents,
+                     c_mktsegment = 'BUILDING' AS is_a
+              FROM orders JOIN customer ON o_custkey = c_custkey
+              WHERE c_mktsegment IN ('BUILDING', 'MACHINERY')
+            ),
+            h AS (
+              SELECT cents,
+                     SUM(CASE WHEN is_a THEN 1 ELSE 0 END) AS cnt_a,
+                     SUM(CASE WHEN NOT is_a THEN 1 ELSE 0 END) AS cnt_b,
+                     COUNT(*) AS cnt
+              FROM t GROUP BY 1
+            ),
+            r AS (
+              SELECT cnt_a, cnt_b, cnt,
+                     COALESCE(SUM(cnt) OVER (
+                       ORDER BY cents
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+                     ), 0) AS cum_before
+              FROM h
+            ),
+            a AS (
+              SELECT CAST(SUM(cnt_a) AS BIGINT) AS n_a,
+                     CAST(SUM(cnt_b) AS BIGINT) AS n_b,
+                     SUM(CAST(cnt_a AS HUGEINT)
+                         * (2 * cum_before + cnt + 1)) AS r2h
+              FROM r
+            )
+            SELECT n_a, n_b,
+                   CAST(r2h AS DECIMAL(38,0)) AS r2_a,
+                   CAST(r2h - CAST(n_a AS HUGEINT) * (n_a + 1)
+                        AS DECIMAL(38,0)) AS u2_a,
+                   CAST(2 * CAST(n_a AS HUGEINT) * n_b - r2h
+                        + CAST(n_a AS HUGEINT) * (n_a + 1)
+                        AS DECIMAL(38,0)) AS u2_b
+            FROM a
+        """,
+        "ks_two_sample": """
+            WITH t AS (
+              SELECT n_chars,
+                     CAST(regexp_extract(source, '(\\d+)', 1) AS BIGINT)
+                       % 2 = 0 AS is_a
+              FROM documents
+            ),
+            h AS (
+              SELECT n_chars,
+                     SUM(CASE WHEN is_a THEN 1 ELSE 0 END) AS cnt_a,
+                     SUM(CASE WHEN NOT is_a THEN 1 ELSE 0 END) AS cnt_b
+              FROM t GROUP BY 1
+            ),
+            c AS (
+              SELECT n_chars,
+                     SUM(cnt_a) OVER (ORDER BY n_chars) AS cum_a,
+                     SUM(cnt_b) OVER (ORDER BY n_chars) AS cum_b,
+                     SUM(cnt_a) OVER () AS n_a,
+                     SUM(cnt_b) OVER () AS n_b
+              FROM h
+            ),
+            d AS (
+              SELECT n_chars, n_a, n_b,
+                     ABS(CAST(cum_a AS HUGEINT) * n_b
+                         - CAST(cum_b AS HUGEINT) * n_a) AS d
+              FROM c
+            ),
+            m AS (SELECT MAX(d) AS d_num FROM d)
+            SELECT CAST(MAX(n_a) AS BIGINT) AS n_a,
+                   CAST(MAX(n_b) AS BIGINT) AS n_b,
+                   CAST(MAX(m.d_num) AS DECIMAL(38,0)) AS d_num,
+                   CAST(MIN(n_chars) AS BIGINT) AS at_chars
+            FROM d JOIN m ON d.d = m.d_num
+        """,
+        "spearman_rank_corr": """
+            WITH pc AS (
+              SELECT CAST(ROUND(c_acctbal * 100) AS BIGINT) AS x,
+                     COALESCE(o.y, 0) AS y
+              FROM customer LEFT JOIN (
+                SELECT o_custkey, COUNT(*) AS y FROM orders GROUP BY 1
+              ) o ON c_custkey = o_custkey
+            ),
+            hx AS (SELECT x, COUNT(*) AS cnt FROM pc GROUP BY 1),
+            rx AS (
+              SELECT x,
+                     2 * COALESCE(SUM(cnt) OVER (
+                       ORDER BY x
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+                     ), 0) + cnt + 1 AS r2_x
+              FROM hx
+            ),
+            hy AS (SELECT y, COUNT(*) AS cnt FROM pc GROUP BY 1),
+            ry AS (
+              SELECT y,
+                     2 * COALESCE(SUM(cnt) OVER (
+                       ORDER BY y
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+                     ), 0) + cnt + 1 AS r2_y
+              FROM hy
+            )
+            SELECT CAST(COUNT(*) AS BIGINT) AS n,
+                   CAST(SUM(CAST(r2_x - r2_y AS HUGEINT)
+                            * (r2_x - r2_y)) AS DECIMAL(38,0)) AS sum_d2
+            FROM pc JOIN rx USING (x) JOIN ry USING (y)
+        """,
+        "spearman_tie_terms": """
+            WITH pc AS (
+              SELECT CAST(ROUND(c_acctbal * 100) AS BIGINT) AS x,
+                     COALESCE(o.y, 0) AS y
+              FROM customer LEFT JOIN (
+                SELECT o_custkey, COUNT(*) AS y FROM orders GROUP BY 1
+              ) o ON c_custkey = o_custkey
+            )
+            SELECT 'x' AS var,
+                   CAST(SUM(CAST(t AS HUGEINT) * t * t - t)
+                        AS DECIMAL(38,0)) AS tie_sum
+            FROM (SELECT x, COUNT(*) AS t FROM pc GROUP BY 1)
+            UNION ALL
+            SELECT 'y' AS var,
+                   CAST(SUM(CAST(t AS HUGEINT) * t * t - t)
+                        AS DECIMAL(38,0)) AS tie_sum
+            FROM (SELECT y, COUNT(*) AS t FROM pc GROUP BY 1)
+        """,
+        "mood_median_inputs": """
+            WITH c0 AS (
+              SELECT o_custkey,
+                     CAST(ROUND(o_totalprice * 100) AS BIGINT) AS cents
+              FROM orders
+            ),
+            h AS (SELECT cents, COUNT(*) AS cnt FROM c0 GROUP BY 1),
+            c AS (
+              SELECT cents, cnt,
+                     SUM(cnt) OVER (ORDER BY cents) AS cum,
+                     SUM(cnt) OVER () AS n
+              FROM h
+            ),
+            med AS (
+              SELECT cents AS median_cents FROM c
+              WHERE cum - cnt <= (n - 1) // 2 AND (n - 1) // 2 < cum
+              LIMIT 1
+            )
+            SELECT c_mktsegment AS segment,
+                   CAST(SUM(CASE WHEN cents < median_cents THEN 1 ELSE 0
+                            END) AS BIGINT) AS n_below,
+                   CAST(SUM(CASE WHEN cents = median_cents THEN 1 ELSE 0
+                            END) AS BIGINT) AS n_equal,
+                   CAST(SUM(CASE WHEN cents > median_cents THEN 1 ELSE 0
+                            END) AS BIGINT) AS n_above,
+                   CAST(MAX(median_cents) AS BIGINT) AS median_cents
+            FROM c0 JOIN customer ON o_custkey = c_custkey, med
+            GROUP BY 1
+        """,
+        "qq_decile_table": """
+            WITH h AS (
+              SELECT c_mktsegment AS seg,
+                     CAST(ROUND(o_totalprice * 100) AS BIGINT) AS cents,
+                     COUNT(*) AS cnt
+              FROM orders JOIN customer ON o_custkey = c_custkey
+              WHERE c_mktsegment IN ('BUILDING', 'MACHINERY')
+              GROUP BY 1, 2
+            ),
+            c AS (
+              SELECT seg, cents, cnt,
+                     SUM(cnt) OVER (
+                       PARTITION BY seg ORDER BY cents
+                     ) AS cum,
+                     SUM(cnt) OVER (PARTITION BY seg) AS n
+              FROM h
+            ),
+            p AS (
+              SELECT c.*, q.decile,
+                     ((n - 1) * q.decile) // 10 AS want
+              FROM c, (SELECT UNNEST(range(1, 10)) AS decile) q
+            ),
+            picks AS (
+              SELECT * FROM p WHERE cum - cnt <= want AND want < cum
+            )
+            SELECT CAST(decile AS BIGINT) AS decile,
+                   CAST(MAX(CASE WHEN seg = 'BUILDING' THEN cents END)
+                        AS BIGINT) AS a_cents,
+                   CAST(MAX(CASE WHEN seg = 'MACHINERY' THEN cents END)
+                        AS BIGINT) AS b_cents,
+                   CAST(MAX(CASE WHEN seg = 'BUILDING' THEN cents END)
+                        - MAX(CASE WHEN seg = 'MACHINERY' THEN cents END)
+                        AS BIGINT) AS diff_cents
+            FROM picks GROUP BY 1
+        """,
+        "size_tie_census": """
+            SELECT p_brand AS brand,
+                   CAST(SUM(t) AS BIGINT) AS n,
+                   CAST(COUNT(*) AS BIGINT) AS n_sizes,
+                   CAST(MAX(t) AS BIGINT) AS max_tie,
+                   CAST(SUM(t * (t - 1) // 2) AS BIGINT) AS tie_pairs
+            FROM (
+              SELECT p_brand, p_size, COUNT(*) AS t
+              FROM part GROUP BY 1, 2
+            ) GROUP BY 1
+        """,
+        "percent_rank_band_census": """
+            WITH h AS (
+              SELECT CAST(ROUND(s_acctbal * 100) AS BIGINT) AS cents,
+                     COUNT(*) AS cnt
+              FROM supplier GROUP BY 1
+            ),
+            r AS (
+              SELECT cents, cnt,
+                     COALESCE(SUM(cnt) OVER (
+                       ORDER BY cents
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+                     ), 0) + 1 AS rnk,
+                     SUM(cnt) OVER () AS n
+              FROM h
+            ),
+            b AS (
+              SELECT cents, cnt,
+                     LEAST(9, ((rnk - 1) * 10) // GREATEST(n - 1, 1))
+                       AS band
+              FROM r
+            )
+            SELECT CAST(band AS BIGINT) AS band,
+                   CAST(SUM(cnt) AS BIGINT) AS n_suppliers,
+                   CAST(MIN(cents) AS BIGINT) AS min_cents,
+                   CAST(MAX(cents) AS BIGINT) AS max_cents
+            FROM b GROUP BY 1
+        """,
+        "revenue_cusum": """
+            WITH daily AS (
+              SELECT epoch_us(o_orderdate) // 86400000000 AS day,
+                     SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT))
+                       AS cents
+              FROM orders GROUP BY 1
+            ),
+            c AS (
+              SELECT day,
+                     ROW_NUMBER() OVER (ORDER BY day) AS k,
+                     SUM(cents) OVER (ORDER BY day) AS cum,
+                     COUNT(*) OVER () AS n,
+                     SUM(cents) OVER () AS total
+              FROM daily
+            ),
+            d AS (
+              SELECT day, n, total,
+                     ABS(CAST(n AS HUGEINT) * cum
+                         - CAST(k AS HUGEINT) * total) AS s_abs
+              FROM c
+            ),
+            m AS (SELECT MAX(s_abs) AS mx FROM d)
+            SELECT CAST(MAX(n) AS BIGINT) AS n_days,
+                   CAST(MAX(total) AS BIGINT) AS total_cents,
+                   CAST(MAX(m.mx) AS DECIMAL(38,0)) AS max_abs_cusum,
+                   CAST(MIN(day) AS BIGINT) AS at_day
+            FROM d JOIN m ON d.s_abs = m.mx
+        """,
+        "revenue_acceleration_census": """
+            WITH daily AS (
+              SELECT epoch_us(o_orderdate) // 86400000000 AS day,
+                     SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT))
+                       AS cents
+              FROM orders GROUP BY 1
+            ),
+            a AS (
+              SELECT day, cents - LAG(cents) OVER (ORDER BY day) AS d1
+              FROM daily
+            ),
+            b AS (
+              SELECT day, d1 - LAG(d1) OVER (ORDER BY day) AS d2 FROM a
+            )
+            SELECT CAST(year(DATE '1970-01-01' + CAST(day AS INTEGER))
+                        * 100
+                        + month(DATE '1970-01-01' + CAST(day AS INTEGER))
+                        AS BIGINT) AS month,
+                   CAST(SUM(CASE WHEN d2 > 0 THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n_up,
+                   CAST(SUM(CASE WHEN d2 < 0 THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n_down,
+                   CAST(SUM(CASE WHEN d2 = 0 THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n_flat
+            FROM b WHERE d2 IS NOT NULL GROUP BY 1
+        """,
+        "revenue_monotone_runs": """
+            WITH daily AS (
+              SELECT epoch_us(o_orderdate) // 86400000000 AS day,
+                     SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT))
+                       AS cents
+              FROM orders GROUP BY 1
+            ),
+            f AS (
+              SELECT day,
+                     ROW_NUMBER() OVER (ORDER BY day) AS rn,
+                     CASE WHEN cents > LAG(cents) OVER (ORDER BY day)
+                          THEN 1 ELSE 0 END AS up
+              FROM daily
+            ),
+            g AS (
+              SELECT day, up,
+                     rn - SUM(up) OVER (
+                       ORDER BY day
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+                     ) AS rid
+              FROM f
+            ),
+            runs AS (
+              SELECT rid, COUNT(*) AS run_len, MIN(day) AS start_day
+              FROM g WHERE up = 1 GROUP BY 1
+            )
+            SELECT CAST(year(DATE '1970-01-01'
+                             + CAST(start_day AS INTEGER)) * 100
+                        + month(DATE '1970-01-01'
+                                + CAST(start_day AS INTEGER))
+                        AS BIGINT) AS month,
+                   CAST(COUNT(*) AS BIGINT) AS n_runs,
+                   CAST(MAX(run_len) AS BIGINT) AS max_run,
+                   CAST(SUM(run_len) AS BIGINT) AS up_days
+            FROM runs GROUP BY 1
+        """,
+        "supplier_cosupply_degree": """
+            WITH ps AS (
+              SELECT DISTINCT l_partkey AS pk, l_suppkey AS sk
+              FROM lineitem
+            ),
+            keepers AS (
+              SELECT pk FROM ps GROUP BY 1 HAVING COUNT(*) <= 64
+            ),
+            k AS (SELECT ps.pk, ps.sk FROM ps JOIN keepers USING (pk)),
+            deg AS (
+              SELECT a.sk, COUNT(DISTINCT b.sk) AS degree
+              FROM k a JOIN k b ON a.pk = b.pk AND a.sk <> b.sk
+              GROUP BY 1
+            )
+            SELECT CAST(degree AS BIGINT) AS degree,
+                   CAST(COUNT(*) AS BIGINT) AS n_suppliers
+            FROM deg GROUP BY 1
+        """,
+        "hash_sample_estimate_audit": """
+            WITH t AS (
+              SELECT event_type,
+                     CAST(ROUND(value * 100) AS BIGINT) AS cents,
+                     (('0x' || substr(md5(CAST(event_id AS VARCHAR)),
+                                      1, 14))::BIGINT) % 16 = 0
+                       AS insample
+              FROM events
+            )
+            SELECT event_type,
+                   CAST(COUNT(*) AS BIGINT) AS n,
+                   CAST(SUM(CASE WHEN insample THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n_sample,
+                   CAST(SUM(cents) AS BIGINT) AS exact_cents,
+                   CAST(SUM(CASE WHEN insample THEN cents ELSE 0 END)
+                        * 16 AS BIGINT) AS est_cents,
+                   CAST(SUM(CASE WHEN insample THEN cents ELSE 0 END)
+                        * 16 - SUM(cents) AS BIGINT) AS err_cents
+            FROM t GROUP BY 1
+        """,
         # -- round-10 additions -----------------------------------------
         "scc_size_profile": f"""
 WITH RECURSIVE {GRAPH_CTES},

@@ -144,7 +144,9 @@ _MODULE_SUITES: dict[str, list[str]] = {
     "olap": [
         "event_analytics", "data_management", "olap_",
         "activity_profiles", "series_repair", "skew_quantile_audit",
+        "hypothesis_tests",
     ],
+    "hypotests": ["hypothesis_tests"],
     "joins": ["olap_", "mitm_pipeline_tpch"],
     "skew": ["skew_quantile_audit", "topology"],
     "merge": ["data_management"],
@@ -152,7 +154,7 @@ _MODULE_SUITES: dict[str, list[str]] = {
     "ranges": ["temporal_joins"],
     "jsonops": ["json_analytics", "olap_census_stats"],
     "sketches": ["corpus_audit", "data_management", "graph_walk_audit",
-        "skew_quantile_audit"],
+        "skew_quantile_audit", "hypothesis_tests"],
     "drift": ["drift_monitoring", "streaming_value_hist", "activity_rhythms",
         "series_repair", "streaming_locf_timed"],
     "multimodal": ["multimodal_"],
@@ -1099,6 +1101,31 @@ def main() -> None:
 
         entrymod.q_interpolated_median_stats(spark, SF_DIR).count()
         entrymod.q_repeat_purchase_latency(spark, SF_DIR).count()
+
+    @timed("hypothesis_tests", iters=2)
+    def _():
+        # batch 6 in its OWN suite (same record-comparability rule as
+        # quantile_latency_census): distribution-shift sufficient
+        # statistics — Mann-Whitney doubled rank sums, exact KS sup,
+        # Spearman Σd² + tie terms, Mood's median split, Q-Q deciles,
+        # percent-rank bands, tie census — plus the CUSUM changepoint,
+        # acceleration/monotone-run censuses, co-supply degree
+        # histogram, and the deterministic hash-sample estimator audit
+        import __spark_entry__ as entrymod
+
+        entrymod.q_mann_whitney_u(spark, SF_DIR).count()
+        entrymod.q_ks_two_sample(spark, SF_DIR).count()
+        entrymod.q_spearman_rank_corr(spark, SF_DIR).count()
+        entrymod.q_spearman_tie_terms(spark, SF_DIR).count()
+        entrymod.q_mood_median_inputs(spark, SF_DIR).count()
+        entrymod.q_qq_decile_table(spark, SF_DIR).count()
+        entrymod.q_size_tie_census(spark, SF_DIR).count()
+        entrymod.q_percent_rank_band_census(spark, SF_DIR).count()
+        entrymod.q_revenue_cusum(spark, SF_DIR).count()
+        entrymod.q_revenue_acceleration_census(spark, SF_DIR).count()
+        entrymod.q_revenue_monotone_runs(spark, SF_DIR).count()
+        entrymod.q_supplier_cosupply_degree(spark, SF_DIR).count()
+        entrymod.q_hash_sample_estimate_audit(spark, SF_DIR).count()
 
     # -- optional smoke filter: SPARK_GRAFT_BENCH_SUITES="a,b" runs only
     # the named suites (development loop; the driver never sets it).

@@ -1,0 +1,470 @@
+"""Distribution-shift and rank-statistic sufficient statistics.
+
+A 100 TB training-data pipeline constantly asks "did this slice drift?"
+— new crawl vs old crawl, source A vs source B, this week's events vs
+last week's. The canonical answers are classical nonparametric tests
+(Mann-Whitney U, two-sample Kolmogorov-Smirnov, Spearman rank
+correlation, Mood's median test), and every one of them reduces to
+rank/CDF arithmetic that a distributed engine can compute EXACTLY in
+integers — no float p-value machinery required engine-side. Each
+operator here emits the test's *sufficient statistics* as
+integer/decimal columns (the caller applies the final closed-form
+normal approximation driver-side on a handful of scalars), so the
+DuckDB oracles verify the heavy distributed part bit-for-bit.
+
+Shared scale shape: every operator first collapses the fact table to a
+DISTINCT-VALUE HISTOGRAM (one map-side-combined aggregation — the only
+fact-sized shuffle), then runs rank windows over that bounded histogram
+rather than over raw rows. Ranks per row are recovered by joining the
+per-value rank back (hash join on the value), never by a global
+per-row window — the same exact-quantile discipline as
+`functions/quantiles.py` and `olap.interpolated_median_stats`.
+
+Tie handling is the textbook convention throughout: average ranks,
+kept integer by DOUBLING (avg rank of a tie group = cum_before +
+(t+1)/2, so 2·rank = 2·cum_before + t + 1 is always integral).
+Columns carrying doubled ranks or their products are named ``*2*`` and
+documented per operator.
+
+Reference scope: the reference repo (punit170/
+Big-Data-Graph-Analysis-with-Spark) has no statistics surface beyond
+its YAML counters (Main.scala:52-214); this module is part of the
+beyond-reference LLM-data-pipeline layer (drift gates between corpus
+snapshots).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+DEC = "decimal(38,0)"
+
+
+def _cents(col: str) -> F.Column:
+    """HALF_UP integer cents — the engine-wide exact-money convention."""
+    return F.round(F.col(col) * 100).cast("long")
+
+
+def _cum_before(order_col: str, *partition: str) -> F.Column:
+    """Count of rows strictly before this histogram row (0 for the
+    first), i.e. the number of values smaller than this one."""
+    w = Window.partitionBy(*partition).orderBy(order_col).rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    return F.coalesce(F.sum("cnt").over(w), F.lit(0))
+
+
+def mann_whitney_u(
+    orders: DataFrame,
+    customer: DataFrame,
+    seg_a: str = "BUILDING",
+    seg_b: str = "MACHINERY",
+) -> DataFrame:
+    """(n_a, n_b, r2_a, u2_a, u2_b): Mann-Whitney U sufficient stats
+    comparing order totals (cents) between two customer segments.
+
+    r2_a = Σ over segment-A orders of the DOUBLED pooled average rank
+    (ties averaged), u2_a = r2_a − n_a(n_a+1) = 2·U_A, and
+    u2_b = 2·n_a·n_b − u2_a = 2·U_B (the identity U_A + U_B = n_a·n_b
+    doubles along). The caller halves and normalizes; everything
+    engine-side is exact DECIMAL(38,0) — rank-sum × count products
+    overflow BIGINT beyond ~sf1000, so the output commits to decimal.
+
+    Scale shape: one fact-sized groupBy(cents) histogram shuffle, one
+    single-partition window over the bounded distinct-cents frame, one
+    scalar aggregate. The segment dimension joins pre-histogram via the
+    orders→customer hash join (customer scales with SF — no broadcast
+    hint; AQE decides).
+    """
+    seg = customer.select("c_custkey", "c_mktsegment").filter(
+        F.col("c_mktsegment").isin(seg_a, seg_b)
+    )
+    tagged = (
+        orders.select("o_custkey", _cents("o_totalprice").alias("cents"))
+        .join(seg, orders.o_custkey == seg.c_custkey)
+        .select("cents", (F.col("c_mktsegment") == seg_a).alias("is_a"))
+    )
+    hist = tagged.groupBy("cents").agg(
+        F.sum(F.when(F.col("is_a"), 1).otherwise(0)).alias("cnt_a"),
+        F.sum(F.when(~F.col("is_a"), 1).otherwise(0)).alias("cnt_b"),
+        F.count("*").alias("cnt"),
+    )
+    ranked = hist.withColumn("cum_before", _cum_before("cents"))
+    # doubled average rank of every row at this value:
+    # 2*cum_before + cnt + 1
+    agg = ranked.agg(
+        F.sum("cnt_a").cast("long").alias("n_a"),
+        F.sum("cnt_b").cast("long").alias("n_b"),
+        F.sum(
+            F.col("cnt_a").cast(DEC)
+            * (2 * F.col("cum_before") + F.col("cnt") + 1).cast(DEC)
+        )
+        .cast(DEC)
+        .alias("r2_a"),
+    )
+    return agg.select(
+        "n_a",
+        "n_b",
+        "r2_a",
+        (
+            F.col("r2_a")
+            - F.col("n_a").cast(DEC) * (F.col("n_a") + 1).cast(DEC)
+        )
+        .cast(DEC)
+        .alias("u2_a"),
+        (
+            2 * F.col("n_a").cast(DEC) * F.col("n_b").cast(DEC)
+            - F.col("r2_a")
+            + F.col("n_a").cast(DEC) * (F.col("n_a") + 1).cast(DEC)
+        )
+        .cast(DEC)
+        .alias("u2_b"),
+    )
+
+
+def ks_two_sample(documents: DataFrame) -> DataFrame:
+    """(n_a, n_b, d_num, at_chars): two-sample Kolmogorov-Smirnov
+    distance between the document-length (n_chars) distributions of
+    the even-numbered and odd-numbered sources, as the EXACT fraction
+    D = d_num / (n_a·n_b) — cross-multiplied so the sup is taken over
+    integers, never floats. `at_chars` is the smallest length at which
+    the sup is attained (deterministic tie-break).
+
+    Scale shape: one histogram shuffle on (n_chars), one
+    single-partition window over the bounded distinct-lengths frame
+    (document lengths are capped by the corpus contract), then a
+    2-round scalar argmax (max, then min-value-attaining filter) — the
+    same pattern as the exact-mode query, no per-row global window.
+    """
+    grp = F.regexp_extract(F.col("source"), r"(\d+)", 1).cast("long") % 2
+    hist = (
+        documents.select(F.col("n_chars"), (grp == 0).alias("is_a"))
+        .groupBy("n_chars")
+        .agg(
+            F.sum(F.when(F.col("is_a"), 1).otherwise(0)).alias("cnt_a"),
+            F.sum(F.when(~F.col("is_a"), 1).otherwise(0)).alias("cnt_b"),
+        )
+    )
+    w = Window.orderBy("n_chars").rowsBetween(Window.unboundedPreceding, 0)
+    cum = hist.select(
+        "n_chars",
+        F.sum("cnt_a").over(w).alias("cum_a"),
+        F.sum("cnt_b").over(w).alias("cum_b"),
+        F.sum("cnt_a")
+        .over(
+            Window.orderBy("n_chars").rowsBetween(
+                Window.unboundedPreceding, Window.unboundedFollowing
+            )
+        )
+        .alias("n_a"),
+        F.sum("cnt_b")
+        .over(
+            Window.orderBy("n_chars").rowsBetween(
+                Window.unboundedPreceding, Window.unboundedFollowing
+            )
+        )
+        .alias("n_b"),
+    )
+    diffs = cum.select(
+        "n_chars",
+        "n_a",
+        "n_b",
+        F.abs(
+            F.col("cum_a").cast(DEC) * F.col("n_b").cast(DEC)
+            - F.col("cum_b").cast(DEC) * F.col("n_a").cast(DEC)
+        )
+        .cast(DEC)
+        .alias("d"),
+    )
+    top = diffs.agg(F.max("d").alias("d_num"))
+    return (
+        diffs.join(top, diffs.d == top.d_num)
+        .groupBy()
+        .agg(
+            F.max("n_a").cast("long").alias("n_a"),
+            F.max("n_b").cast("long").alias("n_b"),
+            F.max("d_num").cast(DEC).alias("d_num"),
+            F.min("n_chars").cast("long").alias("at_chars"),
+        )
+    )
+
+
+def spearman_rank_corr(customer: DataFrame, orders: DataFrame) -> DataFrame:
+    """(n, sum_d2, tie_x, tie_y): Spearman rank-correlation sufficient
+    statistics between customer account balance (cents) and the
+    customer's order count. `sum_d2` is Σ(2·rx − 2·ry)² = 4·Σd² over
+    DOUBLED average ranks (the caller divides by 4); tie_x/tie_y are
+    Σ(t³−t) over the tie groups of each variable, the standard tie
+    correction. Customers with no orders participate with y = 0 (a
+    large, intentional tie group exercising the correction).
+
+    Scale shape: per-variable DISTINCT-VALUE histograms carry the rank
+    windows (bounded frames); per-customer doubled ranks come back via
+    two hash joins on the value — never a global per-row window. The
+    orders→customer count is one map-side-combined aggregation; the
+    left join keeps zero-order customers.
+    """
+    per_cust = (
+        customer.select(
+            "c_custkey", _cents("c_acctbal").alias("x")
+        )
+        .join(
+            orders.groupBy("o_custkey").agg(F.count("*").alias("y")),
+            customer.c_custkey == F.col("o_custkey"),
+            "left",
+        )
+        .select("c_custkey", "x", F.coalesce("y", F.lit(0)).alias("y"))
+    )
+
+    def rank2_map(df: DataFrame, col: str) -> DataFrame:
+        hist = df.groupBy(col).agg(F.count("*").alias("cnt"))
+        return hist.select(
+            col,
+            (2 * _cum_before(col) + F.col("cnt") + 1).alias(f"r2_{col}"),
+        )
+    rx = rank2_map(per_cust, "x")
+    ry = rank2_map(per_cust, "y")
+    joined = per_cust.join(rx, "x").join(ry, "y")
+    return joined.agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum(
+            (
+                (F.col("r2_x") - F.col("r2_y")).cast(DEC)
+                * (F.col("r2_x") - F.col("r2_y")).cast(DEC)
+            )
+        )
+        .cast(DEC)
+        .alias("sum_d2"),
+    )
+
+
+def spearman_tie_terms(customer: DataFrame, orders: DataFrame) -> DataFrame:
+    """(var, tie_sum): Σ(t³−t) per variable for the Spearman tie
+    correction — computed on the distinct-value histograms directly
+    (one row per variable), companion to :func:`spearman_rank_corr`.
+    """
+    per_cust = (
+        customer.select("c_custkey", _cents("c_acctbal").alias("x"))
+        .join(
+            orders.groupBy("o_custkey").agg(F.count("*").alias("y")),
+            customer.c_custkey == F.col("o_custkey"),
+            "left",
+        )
+        .select("x", F.coalesce("y", F.lit(0)).alias("y"))
+    )
+
+    def ties(col: str) -> DataFrame:
+        return (
+            per_cust.groupBy(col)
+            .agg(F.count("*").alias("t"))
+            .agg(
+                F.lit(col).alias("var"),
+                F.sum(
+                    F.col("t").cast(DEC) * F.col("t").cast(DEC) * F.col("t").cast(DEC)
+                    - F.col("t").cast(DEC)
+                )
+                .cast(DEC)
+                .alias("tie_sum"),
+            )
+        )
+    return ties("x").unionByName(ties("y"))
+
+
+def mood_median_inputs(orders: DataFrame, customer: DataFrame) -> DataFrame:
+    """(segment, n_below, n_equal, n_above, median_cents): Mood's
+    median-test contingency inputs — each customer segment's order
+    totals split against the POOLED median (present-value lo
+    convention: the value at 0-indexed rank (n−1) div 2, exactly
+    `percentile_disc(0.5)`). The caller chi-squares the 2×k table;
+    engine-side everything is integer-exact.
+
+    Scale shape: the pooled median rides the usual histogram+window
+    covering-row pick (bounded frame); the scalar joins back via a
+    1-row broadcast cross join; the per-segment split is one
+    map-side-combined aggregation over the orders→customer join.
+    """
+    cents = orders.select(
+        "o_custkey", _cents("o_totalprice").alias("cents")
+    )
+    hist = cents.groupBy("cents").agg(F.count("*").alias("cnt"))
+    w_all = Window.orderBy("cents")
+    cum = hist.select(
+        "cents",
+        "cnt",
+        F.sum("cnt")
+        .over(w_all.rowsBetween(Window.unboundedPreceding, 0))
+        .alias("cum"),
+        F.sum("cnt")
+        .over(
+            w_all.rowsBetween(
+                Window.unboundedPreceding, Window.unboundedFollowing
+            )
+        )
+        .alias("n"),
+    )
+    lo_rank = F.expr("(n - 1) div 2")
+    median = (
+        cum.filter(
+            (F.col("cum") - F.col("cnt") <= lo_rank) & (lo_rank < F.col("cum"))
+        )
+        .select(F.col("cents").alias("median_cents"))
+        .limit(1)
+    )
+    seg = customer.select("c_custkey", "c_mktsegment")
+    tagged = cents.join(seg, cents.o_custkey == seg.c_custkey).crossJoin(
+        F.broadcast(median)
+    )
+    return (
+        tagged.groupBy(F.col("c_mktsegment").alias("segment"))
+        .agg(
+            F.sum(F.when(F.col("cents") < F.col("median_cents"), 1).otherwise(0))
+            .cast("long")
+            .alias("n_below"),
+            F.sum(F.when(F.col("cents") == F.col("median_cents"), 1).otherwise(0))
+            .cast("long")
+            .alias("n_equal"),
+            F.sum(F.when(F.col("cents") > F.col("median_cents"), 1).otherwise(0))
+            .cast("long")
+            .alias("n_above"),
+            F.max("median_cents").cast("long").alias("median_cents"),
+        )
+    )
+
+
+def qq_decile_table(
+    orders: DataFrame,
+    customer: DataFrame,
+    seg_a: str = "BUILDING",
+    seg_b: str = "MACHINERY",
+) -> DataFrame:
+    """(decile, a_cents, b_cents, diff_cents): the Q-Q table — exact
+    present-value deciles (0-indexed rank (n−1)·q div 10, the
+    percentile_disc/type-1 convention) of order totals for two customer
+    segments, side by side. The drift analyst's first plot, as 9 exact
+    integer rows.
+
+    Scale shape: one histogram shuffle per the pooled fact scan, rank
+    windows per segment over bounded distinct-cents frames, a 9-literal
+    explode for the decile probes (no range join), and a 9-row pivot.
+    """
+    seg = customer.select("c_custkey", "c_mktsegment").filter(
+        F.col("c_mktsegment").isin(seg_a, seg_b)
+    )
+    hist = (
+        orders.select("o_custkey", _cents("o_totalprice").alias("cents"))
+        .join(seg, orders.o_custkey == seg.c_custkey)
+        .groupBy(F.col("c_mktsegment").alias("seg"), "cents")
+        .agg(F.count("*").alias("cnt"))
+    )
+    w = Window.partitionBy("seg").orderBy("cents")
+    cum = hist.select(
+        "seg",
+        "cents",
+        "cnt",
+        F.sum("cnt")
+        .over(w.rowsBetween(Window.unboundedPreceding, 0))
+        .alias("cum"),
+        F.sum("cnt")
+        .over(
+            w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+        )
+        .alias("n"),
+    )
+    probes = cum.select(
+        "*", F.explode(F.sequence(F.lit(1), F.lit(9))).alias("decile")
+    ).withColumn("want", F.expr("((n - 1) * decile) div 10"))
+    picks = probes.filter(
+        (F.col("cum") - F.col("cnt") <= F.col("want"))
+        & (F.col("want") < F.col("cum"))
+    )
+    return (
+        picks.groupBy("decile")
+        .agg(
+            F.max(F.when(F.col("seg") == seg_a, F.col("cents")))
+            .cast("long")
+            .alias("a_cents"),
+            F.max(F.when(F.col("seg") == seg_b, F.col("cents")))
+            .cast("long")
+            .alias("b_cents"),
+        )
+        .select(
+            F.col("decile").cast("long").alias("decile"),
+            "a_cents",
+            "b_cents",
+            (F.col("a_cents") - F.col("b_cents")).alias("diff_cents"),
+        )
+    )
+
+
+def size_tie_census(part: DataFrame) -> DataFrame:
+    """(brand, n, n_sizes, max_tie, tie_pairs): tie-structure census of
+    part sizes per brand — n rows, distinct sizes, largest tie group,
+    and Σ t(t−1)/2 tied pairs (the quantity rank-variance corrections
+    need exactly these). All from one two-level aggregation; no window.
+
+    Scale shape: groupBy(brand, size) is map-side-combined down to a
+    bounded frame (brands × 50 sizes) before the per-brand rollup.
+    """
+    by_size = part.groupBy(
+        F.col("p_brand").alias("brand"), F.col("p_size").alias("size")
+    ).agg(F.count("*").alias("t"))
+    return by_size.groupBy("brand").agg(
+        F.sum("t").cast("long").alias("n"),
+        F.count("*").cast("long").alias("n_sizes"),
+        F.max("t").cast("long").alias("max_tie"),
+        F.sum(F.expr("t * (t - 1) div 2")).cast("long").alias("tie_pairs"),
+    )
+
+
+def percent_rank_band_census(supplier: DataFrame) -> DataFrame:
+    """(band, n_suppliers, min_cents, max_cents): suppliers bucketed by
+    the integer-exact percent_rank decile of their account balance —
+    band = ((rank−1)·10) div (n−1) clamped to 9, with rank = the MIN
+    rank of the value (SQL rank() semantics), so every member of a tie
+    lands in the same band. Spelled as explicit integer arithmetic so
+    both engines agree bit-for-bit (float percent_rank() would be
+    libm-identical here, but the integer form removes the question).
+
+    Scale shape: computed entirely on the distinct-balance histogram
+    (rank = cumulative count before + 1); the band census needs no
+    join-back because tie groups share a band by construction.
+    """
+    hist = supplier.select(_cents("s_acctbal").alias("cents")).groupBy(
+        "cents"
+    ).agg(F.count("*").alias("cnt"))
+    w_all = Window.orderBy("cents")
+    ranked = hist.select(
+        "cents",
+        "cnt",
+        (
+            F.coalesce(
+                F.sum("cnt").over(
+                    w_all.rowsBetween(Window.unboundedPreceding, -1)
+                ),
+                F.lit(0),
+            )
+            + 1
+        ).alias("rnk"),
+        F.sum("cnt")
+        .over(
+            w_all.rowsBetween(
+                Window.unboundedPreceding, Window.unboundedFollowing
+            )
+        )
+        .alias("n"),
+    )
+    banded = ranked.select(
+        "cents",
+        "cnt",
+        F.least(
+            F.lit(9),
+            F.expr("((rnk - 1) * 10) div greatest(n - 1, 1)"),
+        ).alias("band"),
+    )
+    return banded.groupBy("band").agg(
+        F.sum("cnt").cast("long").alias("n_suppliers"),
+        F.min("cents").cast("long").alias("min_cents"),
+        F.max("cents").cast("long").alias("max_cents"),
+    ).select(F.col("band").cast("long").alias("band"), "n_suppliers",
+             "min_cents", "max_cents")

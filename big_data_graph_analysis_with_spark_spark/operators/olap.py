@@ -2830,3 +2830,189 @@ def repeat_purchase_latency(events: DataFrame) -> DataFrame:
         F.min("gap_s").cast("long").alias("min_gap_s"),
         F.max("gap_s").cast("long").alias("max_gap_s"),
     )
+
+
+def _daily_revenue_cents(orders: DataFrame) -> DataFrame:
+    """(day, cents): epoch-day daily order revenue in exact integer
+    cents — the shared bounded frame under the time-series operators
+    (same derivation as `revenue_ewma`; days with no orders absent)."""
+    return (
+        orders.select(
+            event_micros(orders, "o_orderdate").alias("tus"),
+            F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+        )
+        .select(F.expr("tus div 86400000000").alias("day"), "cents")
+        .groupBy("day")
+        .agg(F.sum("cents").alias("cents"))
+    )
+
+
+def revenue_cusum(orders: DataFrame) -> DataFrame:
+    """(n_days, total_cents, max_abs_cusum, at_day): CUSUM changepoint
+    scan of daily order revenue — the running deviation from the global
+    mean, cross-multiplied by n_days so it stays integer:
+    s_k = n·Σ_{i≤k} x_i − k·Σx (= n·(cum_k − k·mean)). The day where
+    |s_k| peaks is the classic single-changepoint estimate; the caller
+    divides by n_days to recover the float CUSUM. `at_day` is the
+    smallest peak day (deterministic tie-break).
+
+    Scale shape: the fact table collapses to the bounded daily frame
+    first (one map-side-combined aggregation); the cumulative window,
+    the scalar max, and the argmax filter all run over |days| rows.
+    DECIMAL(38,0) throughout — n·cum products overflow BIGINT beyond
+    ~sf10k.
+    """
+    daily = _daily_revenue_cents(orders)
+    w = Window.orderBy("day")
+    cum = daily.select(
+        "day",
+        F.row_number().over(w).alias("k"),
+        F.sum("cents")
+        .over(w.rowsBetween(Window.unboundedPreceding, 0))
+        .alias("cum"),
+        F.count("*")
+        .over(
+            w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+        )
+        .alias("n"),
+        F.sum("cents")
+        .over(
+            w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+        )
+        .alias("total"),
+    )
+    DEC = "decimal(38,0)"
+    dev = cum.select(
+        "day",
+        "n",
+        "total",
+        F.abs(
+            F.col("n").cast(DEC) * F.col("cum").cast(DEC)
+            - F.col("k").cast(DEC) * F.col("total").cast(DEC)
+        )
+        .cast(DEC)
+        .alias("s_abs"),
+    )
+    top = dev.agg(F.max("s_abs").alias("max_abs_cusum"))
+    return (
+        dev.join(top, dev.s_abs == top.max_abs_cusum)
+        .groupBy()
+        .agg(
+            F.max("n").cast("long").alias("n_days"),
+            F.max("total").cast("long").alias("total_cents"),
+            F.max("max_abs_cusum").cast(DEC).alias("max_abs_cusum"),
+            F.min("day").cast("long").alias("at_day"),
+        )
+    )
+
+
+def revenue_acceleration_census(orders: DataFrame) -> DataFrame:
+    """(month, n_up, n_down, n_flat): sign census of the SECOND
+    difference of daily revenue — is the day-over-day change itself
+    rising or falling — grouped by the month (yyyymm) of the day the
+    acceleration lands on. Differences are taken over consecutive
+    PRESENT days (the gap-fill operator owns calendar densification;
+    this census is deliberately gap-agnostic and says so).
+
+    Scale shape: bounded daily frame, two stacked lag windows over it,
+    one small rollup.
+    """
+    daily = _daily_revenue_cents(orders)
+    w = Window.orderBy("day")
+    accel = (
+        daily.withColumn("d1", F.col("cents") - F.lag("cents").over(w))
+        .withColumn("d2", F.col("d1") - F.lag("d1").over(w))
+        .filter(F.col("d2").isNotNull())
+    )
+    # epoch-day → calendar month via pure DATE arithmetic (no
+    # timestamp, no session-timezone exposure in either engine)
+    month = F.expr(
+        "year(date_add(DATE'1970-01-01', cast(day as int))) * 100 "
+        "+ month(date_add(DATE'1970-01-01', cast(day as int)))"
+    )
+    return accel.groupBy(month.cast("long").alias("month")).agg(
+        F.sum(F.when(F.col("d2") > 0, 1).otherwise(0)).cast("long").alias("n_up"),
+        F.sum(F.when(F.col("d2") < 0, 1).otherwise(0)).cast("long").alias("n_down"),
+        F.sum(F.when(F.col("d2") == 0, 1).otherwise(0)).cast("long").alias("n_flat"),
+    )
+
+
+def revenue_monotone_runs(orders: DataFrame) -> DataFrame:
+    """(month, n_runs, max_run, up_days): gaps-and-islands census of
+    strictly-increasing runs in daily revenue. A run is a maximal block
+    of consecutive PRESENT days each strictly above the previous
+    present day; its month (yyyymm) is that of its first up-day. The
+    island id is the classic row_number − cumulative-up-count
+    difference — constant exactly within a consecutive up block.
+
+    Scale shape: bounded daily frame, one lag + one cumulative window
+    over it, then two small rollups.
+    """
+    daily = _daily_revenue_cents(orders)
+    w = Window.orderBy("day")
+    flagged = daily.select(
+        "day",
+        F.row_number().over(w).alias("rn"),
+        F.when(F.col("cents") > F.lag("cents").over(w), 1)
+        .otherwise(0)
+        .alias("up"),
+    )
+    grouped = flagged.withColumn(
+        "rid",
+        F.col("rn")
+        - F.sum("up").over(w.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+    runs = (
+        grouped.filter(F.col("up") == 1)
+        .groupBy("rid")
+        .agg(F.count("*").alias("run_len"), F.min("day").alias("start_day"))
+    )
+    month = F.expr(
+        "year(date_add(DATE'1970-01-01', cast(start_day as int))) * 100 "
+        "+ month(date_add(DATE'1970-01-01', cast(start_day as int)))"
+    )
+    return runs.groupBy(month.cast("long").alias("month")).agg(
+        F.count("*").cast("long").alias("n_runs"),
+        F.max("run_len").cast("long").alias("max_run"),
+        F.sum("run_len").cast("long").alias("up_days"),
+    )
+
+
+def supplier_cosupply_degree(
+    lineitem: DataFrame, max_part_suppliers: int = 64
+) -> DataFrame:
+    """(degree, n_suppliers): degree histogram of the supplier
+    CO-SUPPLY graph — suppliers are adjacent when they ship the same
+    part. The bipartite-projection census behind supplier-substitution
+    analysis.
+
+    Scale shape: the projection is quadratic in the per-part supplier
+    fanout, so parts whose distinct-supplier count exceeds
+    `max_part_suppliers` are EXCLUDED before pair enumeration — the
+    same explicit hub cap as dedup's `max_shingle_df` (a hub part links
+    everyone to everyone and carries no substitution signal). Within
+    the cap the pair join is a bounded self-equi-join on partkey; the
+    degree count then groups on supplier. Nothing here touches raw
+    lineitem twice: the distinct (part, supplier) projection collapses
+    the fact table first.
+    """
+    ps = lineitem.select(
+        F.col("l_partkey").alias("pk"), F.col("l_suppkey").alias("sk")
+    ).distinct()
+    fanout = ps.groupBy("pk").agg(F.count("*").alias("n_supp"))
+    kept = ps.join(
+        fanout.filter(F.col("n_supp") <= max_part_suppliers).select("pk"),
+        "pk",
+    )
+    other = kept.select(F.col("pk"), F.col("sk").alias("sk2"))
+    deg = (
+        kept.join(other, "pk")
+        .filter(F.col("sk") != F.col("sk2"))
+        .select("sk", "sk2")
+        .distinct()
+        .groupBy("sk")
+        .agg(F.count("*").alias("degree"))
+    )
+    return deg.groupBy(F.col("degree").cast("long").alias("degree")).agg(
+        F.count("*").cast("long").alias("n_suppliers")
+    )

@@ -212,3 +212,40 @@ def graph_degree_quantile_audit(
         )
 
     return side(og_edges, "og").unionAll(side(pg_edges, "pg"))
+
+
+def hash_sample_estimate_audit(
+    events: DataFrame, buckets: int = 16
+) -> DataFrame:
+    """(event_type, n, n_sample, exact_cents, est_cents, err_cents):
+    Horvitz-Thompson-style total estimate from a DETERMINISTIC hash
+    sample (bucket 0 of `buckets` md5-56 buckets on event_id, the
+    engine-wide reproducible-sampling convention) audited against the
+    exact per-type value total. est = buckets · sample_sum, the
+    inverse-inclusion-probability estimator; err is signed so the
+    caller sees bias direction. Because the sample membership is
+    hash-deterministic, BOTH the estimate and the audit hash-match
+    cross-engine — unlike rng sampling, this estimator is replayable.
+
+    Scale shape: one map-side-combined aggregation computing the exact
+    and sampled sums together (the sample sum is a conditional sum, not
+    a second scan); the hash stays inside whole-stage codegen.
+    """
+    from ..functions.hashing import hash56
+
+    cents = F.round(F.col("value") * 100).cast("long")
+    in_sample = hash56(F.col("event_id").cast("string")) % buckets == 0
+    return events.groupBy("event_type").agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum(F.when(in_sample, 1).otherwise(0)).cast("long").alias("n_sample"),
+        F.sum(cents).cast("long").alias("exact_cents"),
+        (F.sum(F.when(in_sample, cents).otherwise(0)) * buckets)
+        .cast("long")
+        .alias("est_cents"),
+        (
+            F.sum(F.when(in_sample, cents).otherwise(0)) * buckets
+            - F.sum(cents)
+        )
+        .cast("long")
+        .alias("err_cents"),
+    )

@@ -123,6 +123,13 @@ AUDIT = [
     # round-10 fifth batch (scc_size_profile excluded with the SCC loop
     # family)
     "interpolated_median_stats", "repeat_purchase_latency",
+    # batch 6: distribution-shift / rank statistics (all one-shot
+    # declarative: histogram shuffles + bounded-frame windows)
+    "mann_whitney_u", "ks_two_sample", "spearman_rank_corr",
+    "spearman_tie_terms", "mood_median_inputs", "qq_decile_table",
+    "size_tie_census", "percent_rank_band_census", "revenue_cusum",
+    "revenue_acceleration_census", "revenue_monotone_runs",
+    "supplier_cosupply_degree", "hash_sample_estimate_audit",
 ]
 # motif_counts is deliberately NOT in AUDIT: its builder runs the full
 # census via driver-side .count() actions, so the final frame is just a
