@@ -4557,6 +4557,95 @@ def q_hash_sample_estimate_audit(
     )
 
 
+def q_kendall_tau_band_inputs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kendall tau-b sufficient stats on the banded (size × price
+    decile) contingency table — pair mass via a bounded cell self-join."""
+    from big_data_graph_analysis_with_spark_spark.operators import hypotests
+
+    sess = _prep(spark)
+    return hypotests.kendall_tau_band_inputs(
+        sess.read.parquet(f"{sf_dir}/part.parquet")
+    )
+
+
+def q_wilcoxon_signed_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wilcoxon signed-rank sufficient stats on paired per-customer
+    annual revenue (1995 → 1996)."""
+    from big_data_graph_analysis_with_spark_spark.operators import hypotests
+
+    sess = _prep(spark)
+    return hypotests.wilcoxon_signed_rank(
+        sess.read.parquet(f"{sf_dir}/orders.parquet")
+    )
+
+
+def q_cvm_two_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cramér–von Mises integrated squared CDF deviation (exact
+    integers) between purchase and click value distributions."""
+    from big_data_graph_analysis_with_spark_spark.operators import hypotests
+
+    sess = _prep(spark)
+    return hypotests.cvm_two_sample(
+        sess.read.parquet(f"{sf_dir}/events.parquet")
+    )
+
+
+def q_ab_proportion_inputs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-proportion z-test inputs for a deterministic md5-56
+    hash-split A/B experiment on the event stream."""
+    from big_data_graph_analysis_with_spark_spark.operators import hypotests
+
+    sess = _prep(spark)
+    return hypotests.ab_proportion_inputs(
+        sess.read.parquet(f"{sf_dir}/events.parquet")
+    )
+
+
+def q_mann_kendall_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mann-Kendall S statistic + tie term over the calendar-bounded
+    daily revenue frame (pairwise join is scale-constant)."""
+    from big_data_graph_analysis_with_spark_spark.operators import hypotests
+
+    sess = _prep(spark)
+    return hypotests.mann_kendall_trend(
+        sess.read.parquet(f"{sf_dir}/orders.parquet")
+    )
+
+
+def q_runs_test_inputs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wald–Wolfowitz runs-test inputs on daily revenue around the
+    pooled daily median."""
+    from big_data_graph_analysis_with_spark_spark.operators import hypotests
+
+    sess = _prep(spark)
+    return hypotests.runs_test_inputs(
+        sess.read.parquet(f"{sf_dir}/orders.parquet")
+    )
+
+
+def q_lorenz_curve_points(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact Lorenz curve of customer revenue concentration (partial
+    tie groups split exactly; zero-revenue customers included)."""
+    from big_data_graph_analysis_with_spark_spark.operators import olap
+
+    sess = _prep(spark)
+    return olap.lorenz_curve_points(
+        sess.read.parquet(f"{sf_dir}/orders.parquet"),
+        sess.read.parquet(f"{sf_dir}/customer.parquet"),
+    )
+
+
+def q_tukey_fence_census(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tukey 1.5·IQR outlier census per return flag (integer-scaled
+    fences, histogram re-aggregation — no second fact scan)."""
+    from big_data_graph_analysis_with_spark_spark.operators import olap
+
+    sess = _prep(spark)
+    return olap.tukey_fence_census(
+        sess.read.parquet(f"{sf_dir}/lineitem.parquet")
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return q_start_node_stats(spark, SF0001)
@@ -4581,6 +4670,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # -- NEW in round 10: new queries insert ABOVE the round-9 block as
         #    they ship (never driver-verified → head of the window) ---------
+        # batch 7: second wave of the shift/rank-statistic suite -----------
+        "kendall_tau_band_inputs": q_kendall_tau_band_inputs,
+        "wilcoxon_signed_rank": q_wilcoxon_signed_rank,
+        "cvm_two_sample": q_cvm_two_sample,
+        "ab_proportion_inputs": q_ab_proportion_inputs,
+        "mann_kendall_trend": q_mann_kendall_trend,
+        "runs_test_inputs": q_runs_test_inputs,
+        "lorenz_curve_points": q_lorenz_curve_points,
+        "tukey_fence_census": q_tukey_fence_census,
         # batch 6: distribution-shift / rank-statistic suite ---------------
         "mann_whitney_u": q_mann_whitney_u,
         "ks_two_sample": q_ks_two_sample,
@@ -4903,6 +5001,280 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 def oracle_sql() -> dict[str, str]:
     return {
+        # -- batch 7: second wave of the shift/rank-statistic suite ------
+        "kendall_tau_band_inputs": """
+            WITH h AS (
+              SELECT CAST(ROUND(p_retailprice * 100) AS BIGINT) AS cents,
+                     COUNT(*) AS cnt
+              FROM part GROUP BY 1
+            ),
+            r AS (
+              SELECT cents,
+                     COALESCE(SUM(cnt) OVER (
+                       ORDER BY cents
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+                     ), 0) + 1 AS rnk,
+                     SUM(cnt) OVER () AS n
+              FROM h
+            ),
+            bands AS (
+              SELECT cents,
+                     LEAST(9, ((rnk - 1) * 10) // GREATEST(n - 1, 1))
+                       AS band
+              FROM r
+            ),
+            cells AS (
+              SELECT p_size AS size, band, COUNT(*) AS m
+              FROM part JOIN bands
+                ON CAST(ROUND(p_retailprice * 100) AS BIGINT) = cents
+              GROUP BY 1, 2
+            ),
+            conc AS (
+              SELECT SUM(CAST(a.m AS HUGEINT) * b.m) AS v
+              FROM cells a JOIN cells b
+                ON b.size > a.size AND b.band > a.band
+            ),
+            disc AS (
+              SELECT SUM(CAST(a.m AS HUGEINT) * b.m) AS v
+              FROM cells a JOIN cells b
+                ON b.size > a.size AND b.band < a.band
+            ),
+            tr AS (
+              SELECT SUM(CAST(t * (t - 1) // 2 AS HUGEINT)) AS v
+              FROM (SELECT size, SUM(m) AS t FROM cells GROUP BY 1)
+            ),
+            tc AS (
+              SELECT SUM(CAST(t * (t - 1) // 2 AS HUGEINT)) AS v
+              FROM (SELECT band, SUM(m) AS t FROM cells GROUP BY 1)
+            ),
+            tot AS (SELECT CAST(SUM(m) AS BIGINT) AS n FROM cells)
+            SELECT tot.n AS n,
+                   CAST(COALESCE(conc.v, 0) AS DECIMAL(38,0)) AS c_pairs,
+                   CAST(COALESCE(disc.v, 0) AS DECIMAL(38,0)) AS d_pairs,
+                   CAST(tr.v AS DECIMAL(38,0)) AS tie_row,
+                   CAST(tc.v AS DECIMAL(38,0)) AS tie_col
+            FROM tot, conc, disc, tr, tc
+        """,
+        "wilcoxon_signed_rank": """
+            WITH ra AS (
+              SELECT o_custkey,
+                     SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT))
+                       AS rev_a
+              FROM orders WHERE year(o_orderdate) = 1995 GROUP BY 1
+            ),
+            rb AS (
+              SELECT o_custkey,
+                     SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT))
+                       AS rev_b
+              FROM orders WHERE year(o_orderdate) = 1996 GROUP BY 1
+            ),
+            d AS (
+              SELECT rb.rev_b - ra.rev_a AS d
+              FROM ra JOIN rb USING (o_custkey)
+            ),
+            nz AS (
+              SELECT ABS(d) AS ad, d > 0 AS pos FROM d WHERE d <> 0
+            ),
+            h AS (SELECT ad, COUNT(*) AS cnt FROM nz GROUP BY 1),
+            r AS (
+              SELECT ad,
+                     2 * COALESCE(SUM(cnt) OVER (
+                       ORDER BY ad
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+                     ), 0) + cnt + 1 AS r2
+              FROM h
+            ),
+            j AS (SELECT nz.pos, r.r2 FROM nz JOIN r USING (ad)),
+            z AS (SELECT COUNT(*) AS n_zero FROM d WHERE d = 0)
+            SELECT CAST(COUNT(*) AS BIGINT) AS n_pairs,
+                   CAST(SUM(CASE WHEN pos THEN 1 ELSE 0 END) AS BIGINT)
+                     AS n_pos,
+                   CAST(SUM(CASE WHEN NOT pos THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n_neg,
+                   CAST(MAX(z.n_zero) AS BIGINT) AS n_zero,
+                   CAST(SUM(CASE WHEN pos THEN CAST(r2 AS HUGEINT)
+                            ELSE 0 END) AS DECIMAL(38,0)) AS w2_pos,
+                   CAST(SUM(CASE WHEN NOT pos THEN CAST(r2 AS HUGEINT)
+                            ELSE 0 END) AS DECIMAL(38,0)) AS w2_neg
+            FROM j, z
+        """,
+        "cvm_two_sample": """
+            WITH h AS (
+              SELECT CAST(ROUND(value * 100) AS BIGINT) AS cents,
+                     SUM(CASE WHEN event_type = 'purchase' THEN 1
+                         ELSE 0 END) AS cnt_a,
+                     SUM(CASE WHEN event_type = 'click' THEN 1
+                         ELSE 0 END) AS cnt_b
+              FROM events WHERE event_type IN ('purchase', 'click')
+              GROUP BY 1
+            ),
+            c AS (
+              SELECT cnt_a, cnt_b,
+                     SUM(cnt_a) OVER (ORDER BY cents) AS cum_a,
+                     SUM(cnt_b) OVER (ORDER BY cents) AS cum_b,
+                     SUM(cnt_a) OVER () AS n_a,
+                     SUM(cnt_b) OVER () AS n_b
+              FROM h
+            )
+            SELECT CAST(MAX(n_a) AS BIGINT) AS n_a,
+                   CAST(MAX(n_b) AS BIGINT) AS n_b,
+                   CAST(SUM(
+                     (CAST(cum_a AS HUGEINT) * n_b
+                      - CAST(cum_b AS HUGEINT) * n_a)
+                     * (CAST(cum_a AS HUGEINT) * n_b
+                        - CAST(cum_b AS HUGEINT) * n_a)
+                     * (cnt_a + cnt_b)
+                   ) AS DECIMAL(38,0)) AS sum_sq_dev
+            FROM c
+        """,
+        "ab_proportion_inputs": """
+            SELECT CAST((('0x' || substr(md5(CAST(user_id AS VARCHAR)),
+                                         1, 14))::BIGINT) % 2 AS BIGINT)
+                     AS arm,
+                   CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users,
+                   CAST(COUNT(*) AS BIGINT) AS n_events,
+                   CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1
+                            ELSE 0 END) AS BIGINT) AS n_purchases
+            FROM events GROUP BY 1
+        """,
+        "mann_kendall_trend": """
+            WITH daily AS (
+              SELECT epoch_us(o_orderdate) // 86400000000 AS day,
+                     SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT))
+                       AS cents
+              FROM orders GROUP BY 1
+            ),
+            s AS (
+              SELECT CAST(SUM(CASE WHEN b.cents > a.cents THEN 1
+                                   WHEN b.cents < a.cents THEN -1
+                                   ELSE 0 END) AS BIGINT) AS s_stat
+              FROM daily a JOIN daily b ON b.day > a.day
+            ),
+            n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_days FROM daily),
+            t AS (
+              SELECT CAST(SUM(t * (t - 1) * (2 * t + 5)) AS BIGINT)
+                       AS tie_term
+              FROM (SELECT cents, COUNT(*) AS t FROM daily GROUP BY 1)
+            )
+            SELECT n.n_days, s.s_stat, t.tie_term FROM n, s, t
+        """,
+        "runs_test_inputs": """
+            WITH daily AS (
+              SELECT epoch_us(o_orderdate) // 86400000000 AS day,
+                     SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT))
+                       AS cents
+              FROM orders GROUP BY 1
+            ),
+            h AS (SELECT cents, COUNT(*) AS cnt FROM daily GROUP BY 1),
+            c AS (
+              SELECT cents, cnt,
+                     SUM(cnt) OVER (ORDER BY cents) AS cum,
+                     SUM(cnt) OVER () AS n
+              FROM h
+            ),
+            med AS (
+              SELECT cents AS med FROM c
+              WHERE cum - cnt <= (n - 1) // 2 AND (n - 1) // 2 < cum
+              LIMIT 1
+            ),
+            sgn AS (
+              SELECT day, cents > med AS above
+              FROM daily, med WHERE cents <> med
+            ),
+            f AS (
+              SELECT above,
+                     CASE WHEN LAG(above) OVER (ORDER BY day) IS NULL
+                            OR above <> LAG(above) OVER (ORDER BY day)
+                          THEN 1 ELSE 0 END AS flip
+              FROM sgn
+            )
+            SELECT CAST(COALESCE(SUM(CASE WHEN above THEN 1 ELSE 0 END),
+                                 0) AS BIGINT) AS n_above,
+                   CAST(COALESCE(SUM(CASE WHEN NOT above THEN 1 ELSE 0
+                                     END), 0) AS BIGINT) AS n_below,
+                   CAST(COALESCE(SUM(flip), 0) AS BIGINT) AS n_runs
+            FROM f
+        """,
+        "lorenz_curve_points": """
+            WITH rev AS (
+              SELECT COALESCE(o.cents, 0) AS cents
+              FROM customer LEFT JOIN (
+                SELECT o_custkey,
+                       SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT))
+                         AS cents
+                FROM orders GROUP BY 1
+              ) o ON c_custkey = o_custkey
+            ),
+            h AS (SELECT cents, COUNT(*) AS cnt FROM rev GROUP BY 1),
+            c AS (
+              SELECT cents, cnt,
+                     SUM(cnt) OVER (ORDER BY cents) AS cum,
+                     COALESCE(SUM(cnt * cents) OVER (
+                       ORDER BY cents
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+                     ), 0) AS cents_before,
+                     SUM(cnt) OVER () AS n,
+                     SUM(cnt * cents) OVER () AS total
+              FROM h
+            ),
+            p AS (
+              SELECT c.*, q.decile, (n * q.decile) // 10 AS k
+              FROM c, (SELECT UNNEST(range(1, 11)) AS decile) q
+            ),
+            picks AS (
+              SELECT * FROM p WHERE cum - cnt < k AND k <= cum
+            )
+            SELECT CAST(decile AS BIGINT) AS decile,
+                   CAST(k AS BIGINT) AS k_customers,
+                   CAST(cents_before + (k - (cum - cnt)) * cents
+                        AS BIGINT) AS cum_cents,
+                   CAST(total AS BIGINT) AS total_cents
+            FROM picks
+        """,
+        "tukey_fence_census": """
+            WITH h AS (
+              SELECT l_returnflag AS returnflag,
+                     CAST(ROUND(l_extendedprice * 100) AS BIGINT)
+                       AS cents,
+                     COUNT(*) AS cnt
+              FROM lineitem GROUP BY 1, 2
+            ),
+            c AS (
+              SELECT returnflag, cents, cnt,
+                     SUM(cnt) OVER (
+                       PARTITION BY returnflag ORDER BY cents
+                     ) AS cum,
+                     SUM(cnt) OVER (PARTITION BY returnflag) AS n
+              FROM h
+            ),
+            q AS (
+              SELECT returnflag, MAX(n) AS n,
+                     MAX(CASE WHEN cum - cnt <= (n - 1) // 4
+                               AND (n - 1) // 4 < cum
+                              THEN cents END) AS q1_cents,
+                     MAX(CASE WHEN cum - cnt <= (3 * (n - 1)) // 4
+                               AND (3 * (n - 1)) // 4 < cum
+                              THEN cents END) AS q3_cents
+              FROM c
+              WHERE (cum - cnt <= (n - 1) // 4 AND (n - 1) // 4 < cum)
+                 OR (cum - cnt <= (3 * (n - 1)) // 4
+                     AND (3 * (n - 1)) // 4 < cum)
+              GROUP BY 1
+            )
+            SELECT h.returnflag,
+                   CAST(MAX(q.n) AS BIGINT) AS n,
+                   CAST(MAX(q.q1_cents) AS BIGINT) AS q1_cents,
+                   CAST(MAX(q.q3_cents) AS BIGINT) AS q3_cents,
+                   CAST(SUM(CASE WHEN 4 * h.cents
+                                      < 10 * q.q1_cents - 6 * q.q3_cents
+                                 THEN h.cnt ELSE 0 END) AS BIGINT)
+                     AS n_low,
+                   CAST(SUM(CASE WHEN 4 * h.cents
+                                      > 10 * q.q3_cents - 6 * q.q1_cents
+                                 THEN h.cnt ELSE 0 END) AS BIGINT)
+                     AS n_high
+            FROM h JOIN q USING (returnflag) GROUP BY 1
+        """,
         # -- batch 6: distribution-shift / rank-statistic suite ----------
         "mann_whitney_u": """
             WITH t AS (

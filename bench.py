@@ -156,7 +156,7 @@ _MODULE_SUITES: dict[str, list[str]] = {
     "sketches": ["corpus_audit", "data_management", "graph_walk_audit",
         "skew_quantile_audit", "hypothesis_tests"],
     "drift": ["drift_monitoring", "streaming_value_hist", "activity_rhythms",
-        "series_repair", "streaming_locf_timed"],
+        "series_repair", "streaming_locf_timed", "streaming_ks_gate"],
     "multimodal": ["multimodal_"],
     "doc_dedup": ["streaming_dedup"],
     "enrich": ["drift_monitoring"],
@@ -1126,6 +1126,49 @@ def main() -> None:
         entrymod.q_revenue_monotone_runs(spark, SF_DIR).count()
         entrymod.q_supplier_cosupply_degree(spark, SF_DIR).count()
         entrymod.q_hash_sample_estimate_audit(spark, SF_DIR).count()
+        # batch 7 extension (added BEFORE any record of this suite
+        # landed, so no A/B fabrication): Kendall banded contingency,
+        # Wilcoxon paired ranks, CvM, hash-split A/B, Mann-Kendall,
+        # runs test, Lorenz points, Tukey fences
+        entrymod.q_kendall_tau_band_inputs(spark, SF_DIR).count()
+        entrymod.q_wilcoxon_signed_rank(spark, SF_DIR).count()
+        entrymod.q_cvm_two_sample(spark, SF_DIR).count()
+        entrymod.q_ab_proportion_inputs(spark, SF_DIR).count()
+        entrymod.q_mann_kendall_trend(spark, SF_DIR).count()
+        entrymod.q_runs_test_inputs(spark, SF_DIR).count()
+        entrymod.q_lorenz_curve_points(spark, SF_DIR).count()
+        entrymod.q_tukey_fence_census(spark, SF_DIR).count()
+
+    @timed("streaming_ks_gate")
+    def _():
+        # batch 7: the streaming KS drift gate end to end — stream the
+        # staged events into per-window histograms, then run the exact
+        # KS reduction against a whole-corpus reference histogram
+        from big_data_graph_analysis_with_spark_spark.streaming import (
+            drift as streaming_drift,
+        )
+
+        stream_run[0] += 1
+        batch = spark.read.parquet(f"{stream_stage}/events")
+        reference = (
+            streaming_drift.windowed_value_hist(
+                batch, window="3650 days", watermark=None
+            )
+            .groupBy("bucket")
+            .agg(F.sum("n_events").alias("n_ref"))
+        )
+        ev_stream = streaming_drift.read_events_stream(
+            spark, f"{stream_stage}/events"
+        )
+        sink = f"bench_ks_gate_{stream_run[0]}"
+        walk_rates.run_to_memory_sink(
+            streaming_drift.windowed_value_hist(ev_stream),
+            sink,
+            "complete",
+        )
+        streaming_drift.windowed_ks_vs_reference(
+            spark.table(sink), reference
+        ).count()
 
     # -- optional smoke filter: SPARK_GRAFT_BENCH_SUITES="a,b" runs only
     # the named suites (development loop; the driver never sets it).

@@ -468,3 +468,343 @@ def percent_rank_band_census(supplier: DataFrame) -> DataFrame:
         F.max("cents").cast("long").alias("max_cents"),
     ).select(F.col("band").cast("long").alias("band"), "n_suppliers",
              "min_cents", "max_cents")
+
+
+def kendall_tau_band_inputs(part: DataFrame) -> DataFrame:
+    """(n, c_pairs, d_pairs, tie_row, tie_col): Kendall tau-b
+    sufficient statistics between part size and the percent-rank decile
+    band of retail price, computed on the BANDED CONTINGENCY TABLE —
+    concordant/discordant pair mass is a self-join over the bounded
+    cell grid (≤ 50 sizes × 10 bands), never over rows. tie_row/tie_col
+    are Σ over marginal tie groups of t(t−1)/2 (the tau-b denominators
+    need exactly these; the cell products go DECIMAL(38,0) since
+    n_ij·n_kl exceeds BIGINT beyond ~sf1000).
+
+    Banding the continuous variable first is the standard scale move:
+    exact tau on raw values needs an O(n log n) inversion count that
+    neither engine exposes declaratively, while tau on the banded table
+    is exact FOR THE BANDED VARIABLES and all arithmetic is integral.
+    """
+    hist = part.select(_cents("p_retailprice").alias("cents")).groupBy(
+        "cents"
+    ).agg(F.count("*").alias("cnt"))
+    w_all = Window.orderBy("cents")
+    ranked = hist.select(
+        "cents",
+        "cnt",
+        (
+            F.coalesce(
+                F.sum("cnt").over(
+                    w_all.rowsBetween(Window.unboundedPreceding, -1)
+                ),
+                F.lit(0),
+            )
+            + 1
+        ).alias("rnk"),
+        F.sum("cnt")
+        .over(
+            w_all.rowsBetween(
+                Window.unboundedPreceding, Window.unboundedFollowing
+            )
+        )
+        .alias("n"),
+    )
+    bands = ranked.select(
+        "cents",
+        F.least(
+            F.lit(9), F.expr("((rnk - 1) * 10) div greatest(n - 1, 1)")
+        ).alias("band"),
+    )
+    cells = (
+        part.select(
+            F.col("p_size").alias("size"), _cents("p_retailprice").alias("cents")
+        )
+        .join(bands, "cents")
+        .groupBy("size", "band")
+        .agg(F.count("*").alias("m"))
+    )
+    a = cells.select(
+        F.col("size").alias("i"), F.col("band").alias("j"), F.col("m").alias("m1")
+    )
+    b = cells.select(
+        F.col("size").alias("k"), F.col("band").alias("l"), F.col("m").alias("m2")
+    )
+    pairs = a.join(b, (F.col("k") > F.col("i")))
+    conc = pairs.filter(F.col("l") > F.col("j"))
+    disc = pairs.filter(F.col("l") < F.col("j"))
+    DECm = (F.col("m1").cast(DEC) * F.col("m2").cast(DEC))
+    c_pairs = conc.agg(F.sum(DECm).cast(DEC).alias("c_pairs"))
+    d_pairs = disc.agg(F.sum(DECm).cast(DEC).alias("d_pairs"))
+    tie_row = (
+        cells.groupBy("size")
+        .agg(F.sum("m").alias("t"))
+        .agg(
+            F.sum(F.expr("t * (t - 1) div 2").cast(DEC)).cast(DEC).alias("tie_row")
+        )
+    )
+    tie_col = (
+        cells.groupBy("band")
+        .agg(F.sum("m").alias("t"))
+        .agg(
+            F.sum(F.expr("t * (t - 1) div 2").cast(DEC)).cast(DEC).alias("tie_col")
+        )
+    )
+    n = cells.agg(F.sum("m").cast("long").alias("n"))
+    return (
+        n.crossJoin(F.broadcast(c_pairs))
+        .crossJoin(F.broadcast(d_pairs))
+        .crossJoin(F.broadcast(tie_row))
+        .crossJoin(F.broadcast(tie_col))
+        .select(
+            "n",
+            F.coalesce(F.col("c_pairs"), F.lit(0).cast(DEC)).alias("c_pairs"),
+            F.coalesce(F.col("d_pairs"), F.lit(0).cast(DEC)).alias("d_pairs"),
+            "tie_row",
+            "tie_col",
+        )
+    )
+
+
+def wilcoxon_signed_rank(
+    orders: DataFrame, year_a: int = 1995, year_b: int = 1996
+) -> DataFrame:
+    """(n_pairs, n_pos, n_neg, n_zero, w2_pos, w2_neg): Wilcoxon
+    signed-rank sufficient statistics on the PAIRED per-customer annual
+    revenue change year_a → year_b (customers active in both years).
+    Zero differences are dropped per the standard convention (counted
+    in n_zero); |d| ranks are doubled tie-averaged, so
+    w2_pos + w2_neg = 2·Σranks = n(n+1) — an identity the tests pin.
+
+    Scale shape: two year-filtered aggregations of the fact table
+    (filters push into the scan), an inner join on customer, then the
+    rank machinery on the DISTINCT |d| histogram with a join-back —
+    the hypotests discipline: windows only over bounded frames.
+    """
+    def year_rev(y: int, alias: str) -> DataFrame:
+        return (
+            orders.filter(F.year("o_orderdate") == y)
+            .groupBy("o_custkey")
+            .agg(F.sum(_cents("o_totalprice")).alias(alias))
+        )
+    paired = year_rev(year_a, "rev_a").join(year_rev(year_b, "rev_b"), "o_custkey")
+    diffs = paired.select(
+        (F.col("rev_b") - F.col("rev_a")).alias("d")
+    )
+    nz = diffs.filter(F.col("d") != 0).select(
+        F.abs(F.col("d")).alias("ad"), (F.col("d") > 0).alias("pos")
+    )
+    hist = nz.groupBy("ad").agg(F.count("*").alias("cnt"))
+    r2 = hist.select(
+        "ad", (2 * _cum_before("ad") + F.col("cnt") + 1).alias("r2")
+    )
+    ranked = nz.join(r2, "ad")
+    zero = diffs.filter(F.col("d") == 0).agg(
+        F.count("*").cast("long").alias("n_zero")
+    )
+    agg = ranked.agg(
+        F.count("*").cast("long").alias("n_pairs"),
+        F.sum(F.when(F.col("pos"), 1).otherwise(0)).cast("long").alias("n_pos"),
+        F.sum(F.when(~F.col("pos"), 1).otherwise(0)).cast("long").alias("n_neg"),
+        F.sum(F.when(F.col("pos"), F.col("r2")).otherwise(0))
+        .cast(DEC)
+        .alias("w2_pos"),
+        F.sum(F.when(~F.col("pos"), F.col("r2")).otherwise(0))
+        .cast(DEC)
+        .alias("w2_neg"),
+    )
+    return agg.crossJoin(F.broadcast(zero)).select(
+        "n_pairs", "n_pos", "n_neg", "n_zero", "w2_pos", "w2_neg"
+    )
+
+
+def cvm_two_sample(
+    events: DataFrame, type_a: str = "purchase", type_b: str = "click"
+) -> DataFrame:
+    """(n_a, n_b, sum_sq_dev): Cramér–von Mises two-sample sufficient
+    statistic — Σ over POOLED observations of (cumA·n_b − cumB·n_a)²,
+    exactly (each distinct value contributes with multiplicity cnt).
+    The companion functional to `ks_two_sample`: KS takes the sup of
+    the same integer deviation process, CvM integrates its square —
+    sensitive to distributed (not just peak) drift. The caller applies
+    the T = U/(n_a·n_b·N) − (4·n_a·n_b − 1)/(6N) normalization on
+    scalars; sum_sq_dev is DECIMAL(38,0) (squared counts).
+
+    Scale shape: identical to ks_two_sample — one value-histogram
+    shuffle, one bounded cumulative window, one scalar aggregate.
+    """
+    cents = F.round(F.col("value") * 100).cast("long")
+    hist = (
+        events.filter(F.col("event_type").isin(type_a, type_b))
+        .select(cents.alias("cents"), (F.col("event_type") == type_a).alias("is_a"))
+        .groupBy("cents")
+        .agg(
+            F.sum(F.when(F.col("is_a"), 1).otherwise(0)).alias("cnt_a"),
+            F.sum(F.when(~F.col("is_a"), 1).otherwise(0)).alias("cnt_b"),
+        )
+    )
+    w = Window.orderBy("cents").rowsBetween(Window.unboundedPreceding, 0)
+    wall = Window.orderBy("cents").rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    cum = hist.select(
+        "cnt_a",
+        "cnt_b",
+        F.sum("cnt_a").over(w).alias("cum_a"),
+        F.sum("cnt_b").over(w).alias("cum_b"),
+        F.sum("cnt_a").over(wall).alias("n_a"),
+        F.sum("cnt_b").over(wall).alias("n_b"),
+    )
+    dev = (
+        F.col("cum_a").cast(DEC) * F.col("n_b").cast(DEC)
+        - F.col("cum_b").cast(DEC) * F.col("n_a").cast(DEC)
+    )
+    return cum.agg(
+        F.max("n_a").cast("long").alias("n_a"),
+        F.max("n_b").cast("long").alias("n_b"),
+        F.sum(dev * dev * (F.col("cnt_a") + F.col("cnt_b")).cast(DEC))
+        .cast(DEC)
+        .alias("sum_sq_dev"),
+    )
+
+
+def ab_proportion_inputs(events: DataFrame, buckets: int = 2) -> DataFrame:
+    """(arm, n_users, n_events, n_purchases): the two-proportion z-test
+    inputs for a DETERMINISTIC hash-split experiment — users land in
+    arm A/B by md5-56 parity of user_id, so the split (unlike an rng
+    assignment) is replayable across engines and reruns; the caller
+    z-tests the purchase-rate difference on four scalars. Event-level
+    purchase share is the metric (every user converts at least once in
+    this corpus, so a user-level conversion flag would be degenerate —
+    documented, not hidden).
+
+    Scale shape: one map-side-combined aggregation; the hash stays in
+    whole-stage codegen. The user count per arm is an exact distinct
+    (one extra shuffle on user_id within the same groupBy).
+    """
+    from ..functions.hashing import hash56
+
+    arm = (hash56(F.col("user_id").cast("string")) % buckets).alias("arm")
+    return (
+        events.groupBy(arm)
+        .agg(
+            F.countDistinct("user_id").cast("long").alias("n_users"),
+            F.count("*").cast("long").alias("n_events"),
+            F.sum(
+                F.when(F.col("event_type") == "purchase", 1).otherwise(0)
+            )
+            .cast("long")
+            .alias("n_purchases"),
+        )
+        .select(F.col("arm").cast("long").alias("arm"), "n_users",
+                "n_events", "n_purchases")
+    )
+
+
+def mann_kendall_trend(orders: DataFrame) -> DataFrame:
+    """(n_days, s_stat, tie_term): Mann-Kendall trend test on daily
+    revenue — S = Σ_{i<j} sign(x_j − x_i) over ALL day pairs, plus the
+    tie correction Σ t(t−1)(2t+5) over tied daily values (the variance
+    denominator). THE standard monotone-trend test for series; exact
+    integers throughout (S is bounded by days², and the day count is
+    CALENDAR-bounded — it does not grow with SF, so the pairwise
+    self-join is scale-constant ~3M pairs, not a data-sized quadratic;
+    the docstring states this invariant because it is load-bearing).
+    """
+    from .olap import _daily_revenue_cents
+
+    daily = _daily_revenue_cents(orders)
+    a = daily.select(F.col("day").alias("di"), F.col("cents").alias("xi"))
+    b = daily.select(F.col("day").alias("dj"), F.col("cents").alias("xj"))
+    s = (
+        a.join(b, F.col("dj") > F.col("di"))
+        .agg(
+            F.sum(
+                F.when(F.col("xj") > F.col("xi"), 1)
+                .when(F.col("xj") < F.col("xi"), -1)
+                .otherwise(0)
+            )
+            .cast("long")
+            .alias("s_stat")
+        )
+    )
+    n = daily.agg(F.count("*").cast("long").alias("n_days"))
+    ties = (
+        daily.groupBy("cents")
+        .agg(F.count("*").alias("t"))
+        .agg(
+            F.sum(F.expr("t * (t - 1) * (2 * t + 5)"))
+            .cast("long")
+            .alias("tie_term")
+        )
+    )
+    return (
+        n.crossJoin(F.broadcast(s))
+        .crossJoin(F.broadcast(ties))
+        .select("n_days", "s_stat", "tie_term")
+    )
+
+
+def runs_test_inputs(orders: DataFrame) -> DataFrame:
+    """(n_above, n_below, n_runs): Wald–Wolfowitz runs-test inputs on
+    daily revenue around the pooled daily median (present-value lo
+    convention; days EQUAL to the median are dropped, the standard
+    continuous-data treatment). A run flips when the above/below sign
+    changes between consecutive retained days; too few runs = trend,
+    too many = oscillation. Caller normalizes on three scalars.
+
+    Scale shape: bounded daily frame; the median pick, the sign lag,
+    and the flip count all ride |days|-row windows.
+    """
+    from .olap import _daily_revenue_cents
+
+    daily = _daily_revenue_cents(orders)
+    hist = daily.groupBy("cents").agg(F.count("*").alias("cnt"))
+    w_all = Window.orderBy("cents")
+    cum = hist.select(
+        "cents",
+        "cnt",
+        F.sum("cnt").over(w_all.rowsBetween(Window.unboundedPreceding, 0)).alias("cum"),
+        F.sum("cnt")
+        .over(
+            w_all.rowsBetween(
+                Window.unboundedPreceding, Window.unboundedFollowing
+            )
+        )
+        .alias("n"),
+    )
+    lo_rank = F.expr("(n - 1) div 2")
+    median = (
+        cum.filter(
+            (F.col("cum") - F.col("cnt") <= lo_rank) & (lo_rank < F.col("cum"))
+        )
+        .select(F.col("cents").alias("med"))
+        .limit(1)
+    )
+    signed = (
+        daily.crossJoin(F.broadcast(median))
+        .filter(F.col("cents") != F.col("med"))
+        .select("day", (F.col("cents") > F.col("med")).alias("above"))
+    )
+    w = Window.orderBy("day")
+    flips = signed.select(
+        "above",
+        F.when(
+            F.lag("above").over(w).isNull()
+            | (F.col("above") != F.lag("above").over(w)),
+            1,
+        )
+        .otherwise(0)
+        .alias("flip"),
+    )
+    # coalesce: when EVERY day equals the median the retained frame is
+    # empty and bare sums would return a single all-NULL row — the
+    # contract is zeros (hypothesis found this; the oracle mirrors it)
+    return flips.agg(
+        F.coalesce(F.sum(F.when(F.col("above"), 1).otherwise(0)), F.lit(0))
+        .cast("long")
+        .alias("n_above"),
+        F.coalesce(F.sum(F.when(~F.col("above"), 1).otherwise(0)), F.lit(0))
+        .cast("long")
+        .alias("n_below"),
+        F.coalesce(F.sum("flip"), F.lit(0)).cast("long").alias("n_runs"),
+    )

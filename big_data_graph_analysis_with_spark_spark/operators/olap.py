@@ -3016,3 +3016,155 @@ def supplier_cosupply_degree(
     return deg.groupBy(F.col("degree").cast("long").alias("degree")).agg(
         F.count("*").cast("long").alias("n_suppliers")
     )
+
+
+def lorenz_curve_points(orders: DataFrame, customer: DataFrame) -> DataFrame:
+    """(decile, k_customers, cum_cents, total_cents): exact Lorenz
+    curve of customer revenue concentration — for each population
+    decile q, the revenue held by the poorest k_q = (n·q) div 10
+    customers, computed on the revenue-value histogram with the partial
+    tie group split exactly: cum_cents(k_q) = Σ full groups below +
+    (k_q − cum_before)·value. Customers with no orders participate at
+    revenue 0 (they are the concentration story's denominator). The
+    Gini coefficient and any Lorenz plot derive from these 10 integer
+    rows caller-side.
+
+    Scale shape: one per-customer revenue aggregation (+ left join to
+    keep zero-revenue customers), one value-histogram shuffle, one
+    bounded cumulative window, a 10-literal probe explode.
+    """
+    rev = (
+        customer.select("c_custkey")
+        .join(
+            orders.groupBy("o_custkey").agg(
+                F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).alias(
+                    "cents"
+                )
+            ),
+            customer.c_custkey == F.col("o_custkey"),
+            "left",
+        )
+        .select(F.coalesce("cents", F.lit(0)).alias("cents"))
+    )
+    hist = rev.groupBy("cents").agg(F.count("*").alias("cnt"))
+    w = Window.orderBy("cents")
+    cum = hist.select(
+        "cents",
+        "cnt",
+        F.sum("cnt")
+        .over(w.rowsBetween(Window.unboundedPreceding, 0))
+        .alias("cum"),
+        F.coalesce(
+            F.sum(F.col("cnt") * F.col("cents")).over(
+                w.rowsBetween(Window.unboundedPreceding, -1)
+            ),
+            F.lit(0),
+        ).alias("cents_before"),
+        F.sum("cnt")
+        .over(
+            w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+        )
+        .alias("n"),
+        F.sum(F.col("cnt") * F.col("cents"))
+        .over(
+            w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+        )
+        .alias("total"),
+    )
+    probes = cum.select(
+        "*", F.explode(F.sequence(F.lit(1), F.lit(10))).alias("decile")
+    ).withColumn("k", F.expr("(n * decile) div 10"))
+    picks = probes.filter(
+        (F.col("cum") - F.col("cnt") < F.col("k")) & (F.col("k") <= F.col("cum"))
+    )
+    return picks.select(
+        F.col("decile").cast("long").alias("decile"),
+        F.col("k").cast("long").alias("k_customers"),
+        (
+            F.col("cents_before")
+            + (F.col("k") - (F.col("cum") - F.col("cnt"))) * F.col("cents")
+        )
+        .cast("long")
+        .alias("cum_cents"),
+        F.col("total").cast("long").alias("total_cents"),
+    )
+
+
+def tukey_fence_census(lineitem: DataFrame) -> DataFrame:
+    """(returnflag, n, q1_cents, q3_cents, n_low, n_high): Tukey
+    1.5·IQR outlier census per return flag on extended price — the
+    robust complement to `balance_outlier_census`'s z-score. Quartiles
+    are present-value (type-1) picks at 0-indexed ranks (n−1) div 4 and
+    (3(n−1)) div 4; the fences are scaled ×4 so the comparison is pure
+    integers: 4·x < 10·q1 − 6·q3 flags low, 4·x > 10·q3 − 6·q1 flags
+    high (both reductions of q1 − 1.5(q3−q1) and q3 + 1.5(q3−q1)).
+
+    Scale shape: one value-histogram shuffle, quartile picks on the
+    bounded per-flag frame, then one conditional re-aggregation of the
+    histogram itself (never a second fact scan — counts ride the cnt
+    column).
+    """
+    cents = F.round(F.col("l_extendedprice") * 100).cast("long")
+    hist = (
+        lineitem.select(F.col("l_returnflag").alias("returnflag"), cents.alias("cents"))
+        .groupBy("returnflag", "cents")
+        .agg(F.count("*").alias("cnt"))
+    )
+    w = Window.partitionBy("returnflag").orderBy("cents")
+    cum = hist.select(
+        "returnflag",
+        "cents",
+        "cnt",
+        F.sum("cnt").over(w.rowsBetween(Window.unboundedPreceding, 0)).alias("cum"),
+        F.sum("cnt")
+        .over(
+            w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+        )
+        .alias("n"),
+    )
+    q1r = F.expr("(n - 1) div 4")
+    q3r = F.expr("(3 * (n - 1)) div 4")
+    quartiles = (
+        cum.filter(
+            ((F.col("cum") - F.col("cnt") <= q1r) & (q1r < F.col("cum")))
+            | ((F.col("cum") - F.col("cnt") <= q3r) & (q3r < F.col("cum")))
+        )
+        .groupBy("returnflag")
+        .agg(
+            F.max("n").alias("n"),
+            F.max(
+                F.when(
+                    (F.col("cum") - F.col("cnt") <= q1r) & (q1r < F.col("cum")),
+                    F.col("cents"),
+                )
+            ).alias("q1_cents"),
+            F.max(
+                F.when(
+                    (F.col("cum") - F.col("cnt") <= q3r) & (q3r < F.col("cum")),
+                    F.col("cents"),
+                )
+            ).alias("q3_cents"),
+        )
+    )
+    flagged = hist.join(quartiles, "returnflag")
+    return flagged.groupBy("returnflag").agg(
+        F.max("n").cast("long").alias("n"),
+        F.max("q1_cents").cast("long").alias("q1_cents"),
+        F.max("q3_cents").cast("long").alias("q3_cents"),
+        F.sum(
+            F.when(
+                4 * F.col("cents") < 10 * F.col("q1_cents") - 6 * F.col("q3_cents"),
+                F.col("cnt"),
+            ).otherwise(0)
+        )
+        .cast("long")
+        .alias("n_low"),
+        F.sum(
+            F.when(
+                4 * F.col("cents") > 10 * F.col("q3_cents") - 6 * F.col("q1_cents"),
+                F.col("cnt"),
+            ).otherwise(0)
+        )
+        .cast("long")
+        .alias("n_high"),
+    )

@@ -29,6 +29,7 @@ __all__ = [
     "windowed_user_activity",
     "wau_rollup",
     "streaming_value_locf",
+    "windowed_ks_vs_reference",
 ]
 
 
@@ -279,4 +280,95 @@ def streaming_value_locf_timed(
         stateStructType="has_value LONG, last_good DOUBLE, hw_us LONG",
         outputMode="update",
         timeoutConf=GroupStateTimeout.EventTimeTimeout,
+    )
+
+
+def windowed_ks_vs_reference(
+    hist: DataFrame, reference: DataFrame, n_buckets: int = 20
+) -> DataFrame:
+    """(window_start, n_window, n_ref, d_num, at_bucket): exact
+    two-sample KS numerator between each window's value histogram and a
+    STATIC reference histogram — the streaming drift gate. `hist` is
+    `windowed_value_hist` output (live: read back from the sink; or the
+    batch twin directly); `reference` is (bucket, n_ref) built once
+    from the reference corpus with the same bucketing. D for window w =
+    d_num / (n_window·n_ref), cross-multiplied so the sup is integral —
+    the same exact-KS contract as `operators/hypotests.ks_two_sample`.
+
+    Deliberately a BATCH reduction over the (bounded) histogram frame,
+    not a streaming stage: a CDF needs an ordered scan of the bucket
+    axis, which Structured Streaming's incremental model cannot express
+    — and does not need to, because the stream half already reduced the
+    unbounded event flow to (open windows × n_buckets) rows. This split
+    (stream maintains bounded sufficient state, a cheap batch pass
+    reads the gate) is the production drift-monitor shape.
+
+    Missing buckets on either side count zero via the dense
+    0..n_buckets−1 spine (clamping in the histogram guarantees no
+    bucket outside it).
+    """
+    # renamed spine key: the spine derives FROM hist, so joining it
+    # back on the same attribute would be a conflicting self-reference
+    wins = hist.select(F.col("window_start").alias("ws")).distinct()
+    spine = wins.crossJoin(
+        F.broadcast(
+            hist.sparkSession.range(n_buckets).select(
+                F.col("id").cast("long").alias("bkt")
+            )
+        )
+    )
+    ref = reference.select(
+        F.col("bucket").cast("long").alias("bkt"),
+        F.col("n_ref").cast("long").alias("n_ref"),
+    )
+    dense = (
+        spine.join(
+            hist,
+            (spine.ws == hist.window_start) & (spine.bkt == hist.bucket),
+            "left",
+        )
+        .join(F.broadcast(ref), "bkt", "left")
+        .select(
+            F.col("ws").alias("window_start"),
+            F.col("bkt").alias("bucket"),
+            F.coalesce("n_events", F.lit(0)).alias("n_w"),
+            F.coalesce("n_ref", F.lit(0)).alias("n_r"),
+        )
+    )
+    from pyspark.sql import Window as W
+
+    w = W.partitionBy("window_start").orderBy("bucket")
+    full = W.partitionBy("window_start").rowsBetween(
+        W.unboundedPreceding, W.unboundedFollowing
+    )
+    cum = dense.select(
+        "window_start",
+        "bucket",
+        F.sum("n_w").over(w.rowsBetween(W.unboundedPreceding, 0)).alias("cum_w"),
+        F.sum("n_r").over(w.rowsBetween(W.unboundedPreceding, 0)).alias("cum_r"),
+        F.sum("n_w").over(full).alias("n_window"),
+        F.sum("n_r").over(full).alias("n_ref"),
+    )
+    dev = cum.select(
+        "window_start",
+        "bucket",
+        "n_window",
+        "n_ref",
+        F.abs(
+            F.col("cum_w").cast("decimal(38,0)") * F.col("n_ref").cast("decimal(38,0)")
+            - F.col("cum_r").cast("decimal(38,0)")
+            * F.col("n_window").cast("decimal(38,0)")
+        ).alias("d"),
+    )
+    top = dev.groupBy("window_start").agg(F.max("d").alias("d_num"))
+    return (
+        dev.join(top, "window_start")
+        .filter(F.col("d") == F.col("d_num"))
+        .groupBy("window_start")
+        .agg(
+            F.max("n_window").cast("long").alias("n_window"),
+            F.max("n_ref").cast("long").alias("n_ref"),
+            F.max("d_num").cast("decimal(38,0)").alias("d_num"),
+            F.min("bucket").cast("long").alias("at_bucket"),
+        )
     )

@@ -130,6 +130,10 @@ AUDIT = [
     "size_tie_census", "percent_rank_band_census", "revenue_cusum",
     "revenue_acceleration_census", "revenue_monotone_runs",
     "supplier_cosupply_degree", "hash_sample_estimate_audit",
+    # batch 7 (all one-shot declarative)
+    "kendall_tau_band_inputs", "wilcoxon_signed_rank", "cvm_two_sample",
+    "ab_proportion_inputs", "mann_kendall_trend", "runs_test_inputs",
+    "lorenz_curve_points", "tukey_fence_census",
 ]
 # motif_counts is deliberately NOT in AUDIT: its builder runs the full
 # census via driver-side .count() actions, so the final frame is just a

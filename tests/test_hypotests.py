@@ -314,3 +314,170 @@ class TestHashSampleAudit:
         assert r["exact_cents"] == sum(cents.values())
         assert r["est_cents"] == 16 * sum(cents[i] for i in sampled)
         assert r["err_cents"] == r["est_cents"] - r["exact_cents"]
+
+
+class TestKendallBands:
+    def test_monotone_all_concordant(self, spark):
+        part = spark.createDataFrame(
+            [(1, 0.10), (2, 0.20), (3, 0.30)],
+            "p_size int, p_retailprice double",
+        )
+        r = hypotests.kendall_tau_band_inputs(part).collect()[0]
+        assert r["n"] == 3
+        assert int(r["c_pairs"]) == 3
+        assert int(r["d_pairs"]) == 0
+        assert int(r["tie_row"]) == 0 and int(r["tie_col"]) == 0
+
+    def test_row_tie_counted(self, spark):
+        # two parts share size 1 -> one tied row pair
+        part = spark.createDataFrame(
+            [(1, 0.10), (1, 0.20), (2, 0.30)],
+            "p_size int, p_retailprice double",
+        )
+        r = hypotests.kendall_tau_band_inputs(part).collect()[0]
+        assert int(r["tie_row"]) == 1
+        # (1,*) vs (2, highest band) are both concordant
+        assert int(r["c_pairs"]) == 2
+
+
+class TestWilcoxon:
+    def test_hand_case(self, spark):
+        rows = [
+            (1, 1.00, "1995-06-01"),
+            (1, 3.00, "1996-06-01"),  # d = +200
+            (2, 2.00, "1995-06-01"),
+            (2, 1.00, "1996-06-01"),  # d = -100
+            (3, 1.00, "1995-06-01"),
+            (3, 1.00, "1996-06-01"),  # d = 0 -> dropped
+        ]
+        orders = _orders(spark, rows)
+        r = hypotests.wilcoxon_signed_rank(orders).collect()[0]
+        assert (r["n_pairs"], r["n_pos"], r["n_neg"], r["n_zero"]) == (2, 1, 1, 1)
+        # |d| ranks doubled: 100 -> 2, 200 -> 4
+        assert int(r["w2_pos"]) == 4
+        assert int(r["w2_neg"]) == 2
+        # identity: w2_pos + w2_neg = n(n+1)
+        assert int(r["w2_pos"]) + int(r["w2_neg"]) == 2 * 3
+
+
+class TestCvm:
+    def test_hand_case(self, spark):
+        ev = spark.createDataFrame(
+            [(1, "purchase", 0.01), (2, "click", 0.02), (3, "error", 9.9)],
+            "event_id long, event_type string, value double",
+        )
+        r = hypotests.cvm_two_sample(ev).collect()[0]
+        assert (r["n_a"], r["n_b"]) == (1, 1)
+        # v=1: dev=1 weight 1; v=2: dev=0 -> sum 1
+        assert int(r["sum_sq_dev"]) == 1
+
+
+class TestAbProportions:
+    def test_python_mirror_split(self, spark):
+        rows = [(i, i % 7, "purchase" if i % 3 == 0 else "view", 1.0)
+                for i in range(60)]
+        ev = spark.createDataFrame(
+            rows, "event_id long, user_id long, event_type string, value double"
+        )
+        out = {r["arm"]: r for r in hypotests.ab_proportion_inputs(ev).collect()}
+
+        def arm_of(uid: int) -> int:
+            h = int(hashlib.md5(str(uid).encode()).hexdigest()[:14], 16)
+            return h % 2
+
+        exp_events = {0: 0, 1: 0}
+        exp_purch = {0: 0, 1: 0}
+        exp_users: dict[int, set] = {0: set(), 1: set()}
+        for i in range(60):
+            a = arm_of(i % 7)
+            exp_events[a] += 1
+            exp_users[a].add(i % 7)
+            if i % 3 == 0:
+                exp_purch[a] += 1
+        for a in (0, 1):
+            if exp_events[a] == 0:
+                assert a not in out
+                continue
+            assert out[a]["n_events"] == exp_events[a]
+            assert out[a]["n_purchases"] == exp_purch[a]
+            assert out[a]["n_users"] == len(exp_users[a])
+
+
+class TestMannKendall:
+    def test_hand_case(self, spark):
+        orders = _orders(
+            spark,
+            [
+                (1, 0.01, "1970-01-01"),
+                (1, 0.03, "1970-01-02"),
+                (1, 0.02, "1970-01-03"),
+            ],
+        )
+        r = hypotests.mann_kendall_trend(orders).collect()[0]
+        assert (r["n_days"], r["s_stat"], r["tie_term"]) == (3, 1, 0)
+
+    def test_tie_term(self, spark):
+        orders = _orders(
+            spark,
+            [(1, 0.01, "1970-01-01"), (1, 0.01, "1970-01-02")],
+        )
+        r = hypotests.mann_kendall_trend(orders).collect()[0]
+        # t=2 -> 2*1*9 = 18; S = 0
+        assert (r["s_stat"], r["tie_term"]) == (0, 18)
+
+
+class TestRunsTest:
+    def test_hand_case(self, spark):
+        # daily [1, 2, 3, 1, 2]; pooled median 2; drop the two 2-days;
+        # remaining signs B, A, B -> 3 runs
+        orders = _orders(
+            spark,
+            [
+                (1, 0.01, "1970-01-01"),
+                (1, 0.02, "1970-01-02"),
+                (1, 0.03, "1970-01-03"),
+                (1, 0.01, "1970-01-04"),
+                (1, 0.02, "1970-01-05"),
+            ],
+        )
+        r = hypotests.runs_test_inputs(orders).collect()[0]
+        assert (r["n_above"], r["n_below"], r["n_runs"]) == (1, 2, 3)
+
+
+class TestLorenz:
+    def test_hand_case(self, spark):
+        # revenues [0, 0, 10, 20, 70]: cum at k=1..5 = 0,0,10,30,100
+        cust = _customers(
+            spark, [(i, 0.0, "B") for i in range(1, 6)]
+        )
+        orders = _orders(
+            spark,
+            [
+                (3, 0.10, "1970-01-01"),
+                (4, 0.20, "1970-01-01"),
+                (5, 0.70, "1970-01-01"),
+            ],
+        )
+        out = {
+            r["decile"]: r
+            for r in olap.lorenz_curve_points(orders, cust).collect()
+        }
+        # k = (5q)//10: decile 1 has k=0 -> no row
+        assert 1 not in out and len(out) == 9
+        assert out[10]["cum_cents"] == 100 and out[10]["total_cents"] == 100
+        assert out[6]["k_customers"] == 3 and out[6]["cum_cents"] == 10
+        assert out[8]["cum_cents"] == 30
+        # partial tie group: two zero-revenue customers at k=2
+        assert out[4]["cum_cents"] == 0
+
+
+class TestTukeyFences:
+    def test_outlier_flagged(self, spark):
+        rows = [("A", v / 100.0) for v in list(range(1, 9)) + [1000]]
+        li = spark.createDataFrame(
+            rows, "l_returnflag string, l_extendedprice double"
+        )
+        r = olap.tukey_fence_census(li).collect()[0]
+        # n=9: q1 at rank 2 -> 3, q3 at rank 6 -> 7; hi fence 13
+        assert (r["n"], r["q1_cents"], r["q3_cents"]) == (9, 3, 7)
+        assert (r["n_low"], r["n_high"]) == (0, 1)

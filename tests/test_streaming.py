@@ -398,3 +398,56 @@ def test_streaming_value_locf_timed_late_drop_and_expiry(spark, tmp_path):
         (-1, 1): 7.0,                      # idle-expiry tombstone
         (10, 2): 1.0, (11, 2): 2.0, (12, 2): 3.0, (13, 2): 4.0,
     }  # event 4 (the straggler) must be absent
+
+
+def test_windowed_ks_vs_reference_stream_equals_batch(spark, events_dir):
+    """The KS drift gate over the STREAMED histograms equals the gate
+    over the batch-twin histograms — and a self-reference window scores
+    D = 0."""
+    from big_data_graph_analysis_with_spark_spark.streaming import drift as sdrift
+
+    batch = spark.read.parquet(events_dir)
+    # reference = the whole corpus bucketed once with the same params
+    reference = (
+        sdrift.windowed_value_hist(
+            batch, lo_cents=0, hi_cents=5_000, n_buckets=10,
+            window="3650 days", watermark=None,
+        )
+        .groupBy("bucket")
+        .agg(F.sum("n_events").alias("n_ref"))
+    )
+
+    stream = sdrift.read_events_stream(spark, events_dir)
+    agg = sdrift.windowed_value_hist(
+        stream, lo_cents=0, hi_cents=5_000, n_buckets=10, window="1 day"
+    )
+    walk_rates.run_to_memory_sink(agg, "ks_hist", "complete")
+    got = {
+        r["window_start"]: (r["n_window"], r["n_ref"], int(r["d_num"]), r["at_bucket"])
+        for r in sdrift.windowed_ks_vs_reference(
+            spark.table("ks_hist"), reference, n_buckets=10
+        ).collect()
+    }
+    want_hist = sdrift.windowed_value_hist(
+        batch, lo_cents=0, hi_cents=5_000, n_buckets=10,
+        window="1 day", watermark=None,
+    )
+    want = {
+        r["window_start"]: (r["n_window"], r["n_ref"], int(r["d_num"]), r["at_bucket"])
+        for r in sdrift.windowed_ks_vs_reference(
+            want_hist, reference, n_buckets=10
+        ).collect()
+    }
+    assert got == want and got
+
+    # a window whose histogram IS the reference scores exactly zero
+    self_ref = sdrift.windowed_ks_vs_reference(
+        reference.select(
+            F.lit("2024-01-01").cast("timestamp").alias("window_start"),
+            "bucket",
+            F.col("n_ref").alias("n_events"),
+        ),
+        reference,
+        n_buckets=10,
+    ).collect()[0]
+    assert int(self_ref["d_num"]) == 0
