@@ -174,3 +174,133 @@ def test_tukey_fences_match_python(spark, xs):
     assert (r["q1_cents"], r["q3_cents"]) == (q1, q3)
     assert r["n_low"] == sum(1 for x in xs if 4 * x < 10 * q1 - 6 * q3)
     assert r["n_high"] == sum(1 for x in xs if 4 * x > 10 * q3 - 6 * q1)
+
+
+@given(a=centss, b=centss)
+@SET
+def test_cvm_matches_python(spark, a, b):
+    rows = [(i, "purchase", v / 100.0) for i, v in enumerate(a)]
+    rows += [(1000 + i, "click", v / 100.0) for i, v in enumerate(b)]
+    ev = spark.createDataFrame(
+        rows, "event_id long, event_type string, value double"
+    )
+    r = hypotests.cvm_two_sample(ev).collect()[0]
+    na, nb = len(a), len(b)
+    ca = cb = tot = 0
+    for v in sorted(set(a + b)):
+        ta, tb = a.count(v), b.count(v)
+        ca += ta
+        cb += tb
+        tot += (ca * nb - cb * na) ** 2 * (ta + tb)
+    assert (r["n_a"], r["n_b"]) == (na, nb)
+    assert int(r["sum_sq_dev"]) == tot
+
+
+@given(
+    xs=st.lists(st.integers(1, 4), min_size=2, max_size=8),
+    ys=st.lists(st.integers(0, 3), min_size=2, max_size=8),
+)
+@SET
+def test_spearman_matches_python(spark, xs, ys):
+    n = min(len(xs), len(ys))
+    xs, ys = xs[:n], ys[:n]
+    cust = spark.createDataFrame(
+        [(i, xs[i] / 100.0, "B") for i in range(n)],
+        "c_custkey long, c_acctbal double, c_mktsegment string",
+    )
+    rows = []
+    for i in range(n):
+        rows += [(i, 1.0, "1970-01-01")] * ys[i]
+    orders = spark.createDataFrame(
+        rows or [(99, 1.0, "1970-01-01")],
+        "o_custkey long, o_totalprice double, d string",
+    ).withColumn("o_orderdate", F.col("d").cast("timestamp"))
+    if not rows:
+        orders = orders.filter(F.lit(False))
+    r = hypotests.spearman_rank_corr(cust, orders).collect()[0]
+    rx = _doubled_ranks(xs)
+    ry = _doubled_ranks(ys)
+    exp = sum((rx[xs[i]] - ry[ys[i]]) ** 2 for i in range(n))
+    assert r["n"] == n
+    assert int(r["sum_d2"]) == exp
+    ties = {
+        row["var"]: int(row["tie_sum"])
+        for row in hypotests.spearman_tie_terms(cust, orders).collect()
+    }
+
+    def tie_sum(vals):
+        return sum(
+            t**3 - t
+            for t in (vals.count(v) for v in set(vals))
+        )
+
+    assert ties == {"x": tie_sum(xs), "y": tie_sum(ys)}
+
+
+@given(
+    da=st.lists(st.integers(-3, 3), min_size=1, max_size=8),
+)
+@SET
+def test_wilcoxon_matches_python(spark, da):
+    # customer i: 1995 revenue = 10, 1996 revenue = 10 + d_i
+    rows = []
+    for i, d in enumerate(da):
+        rows.append((i, 0.10, "1995-06-01"))
+        rows.append((i, (10 + d) / 100.0, "1996-06-01"))
+    orders = spark.createDataFrame(
+        rows, "o_custkey long, o_totalprice double, d string"
+    ).withColumn("o_orderdate", F.col("d").cast("timestamp"))
+    r = hypotests.wilcoxon_signed_rank(orders).collect()[0]
+    nz = [d for d in da if d != 0]
+    r2 = _doubled_ranks([abs(d) for d in nz])
+    w2p = sum(r2[abs(d)] for d in nz if d > 0)
+    w2n = sum(r2[abs(d)] for d in nz if d < 0)
+    assert r["n_pairs"] == len(nz)
+    assert r["n_zero"] == len(da) - len(nz)
+    assert int(r["w2_pos"] or 0) == w2p
+    assert int(r["w2_neg"] or 0) == w2n
+
+
+@given(
+    pts=st.lists(
+        st.tuples(st.integers(1, 3), st.integers(1, 4)),
+        min_size=1,
+        max_size=10,
+    )
+)
+@SET
+def test_kendall_matches_python_on_bands(spark, pts):
+    # prices chosen so every distinct price is its own band cannot be
+    # guaranteed; instead compute expected C/D on the SAME banding the
+    # operator applies (rank-derived deciles over distinct price cents)
+    part = spark.createDataFrame(
+        [(s, p / 100.0) for s, p in pts],
+        "p_size int, p_retailprice double",
+    )
+    r = hypotests.kendall_tau_band_inputs(part).collect()[0]
+    prices = [p for _, p in pts]
+    dist = sorted(set(prices))
+    n = len(prices)
+    # rank of a distinct value = count of strictly smaller + 1
+    band_of = {}
+    seen = 0
+    for v in dist:
+        rnk = seen + 1
+        band_of[v] = min(9, ((rnk - 1) * 10) // max(n - 1, 1))
+        seen += prices.count(v)
+    pairs = [
+        (pts[i], pts[j])
+        for i in range(len(pts))
+        for j in range(i + 1, len(pts))
+    ]
+    c = d = 0
+    for (s1, p1), (s2, p2) in pairs:
+        if s1 == s2 or band_of[p1] == band_of[p2]:
+            continue
+        if (s2 - s1) * (band_of[p2] - band_of[p1]) > 0:
+            c += 1
+        else:
+            d += 1
+    assert r["n"] == len(pts)
+    assert int(r["c_pairs"] or 0) == c
+    assert int(r["d_pairs"] or 0) == d
