@@ -111,3 +111,32 @@ def user_type_map_census(events: DataFrame) -> DataFrame:
             .alias("n_above_mean"),
         )
     )
+
+
+def props_variant_stats(events: DataFrame, field: str = "k") -> DataFrame:
+    """The `props_stats` census — identical output schema — re-expressed
+    through Spark 4's VARIANT path — `parse_json`
+    once into a variant column, then `try_variant_get` per field. For a
+    payload read MANY fields deep, variant parses the JSON text a
+    single time where repeated `get_json_object` calls re-parse per
+    field; for this one-field census the two plans are equivalent, and
+    the equivalence test (vs `props_stats`) is exactly the point: same
+    answers, newer scan path, zero Python. `try_parse_json` (NOT
+    `parse_json`, which is FAILFAST and aborts the scan on the first
+    malformed payload) turns bad records into NULL variants, and
+    `try_variant_get` passes the NULL through — counted out of n_k.
+    """
+    v = F.try_parse_json(F.col("props"))
+    k = F.try_variant_get(v, f"$.{field}", "long")
+    return (
+        events.select("event_type", k.alias("_k"))
+        .groupBy("event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.count("_k").alias("n_with_prop"),
+            F.sum("_k").alias("sum_k"),
+            F.min("_k").alias("min_k"),
+            F.max("_k").alias("max_k"),
+            F.countDistinct("_k").alias("n_distinct_k"),
+        )
+    )

@@ -130,3 +130,164 @@ def snapshot_diff(
         .filter(F.col("change").isNotNull())
         .select(*key, "change")
     )
+
+
+def maintain_group_aggregate(
+    state: DataFrame, cdc: DataFrame, key_col: str = "key"
+) -> DataFrame:
+    """Incremental view maintenance for a grouped COUNT/SUM aggregate:
+    fold a row-level CDC batch into the MATERIALIZED aggregate state
+    without touching the base table — the standard IVM delta algebra.
+
+    `state` is (key, n, sum_cents) — the materialized
+    ``GROUP BY key: COUNT(*), SUM(cents)``. `cdc` is one row per base-
+    table row change: (op, key, old_cents, new_cents) with op ∈
+    {'I','U','D'}: I inserts a row worth new_cents, D deletes a row
+    worth old_cents, U rewrites old_cents → new_cents in place.
+
+    Per key the delta is Δn = #I − #D and Δsum = Σnew(I) + Σ(new−old)(U)
+    − Σold(D); keys whose maintained n reaches 0 leave the state (an
+    aggregate over zero rows has no row, matching recomputation).
+    COUNT and SUM are SELF-MAINTAINABLE under deletes; MIN/MAX are not
+    (a deleted minimum forces a rescan) and are deliberately absent —
+    callers needing them re-aggregate, and the docstring says so
+    instead of shipping a wrong fold.
+
+    Scale shape: the change batch aggregates map-side to per-key
+    deltas, then ONE key-hash shuffle merges state and deltas via
+    union+sum — no join; with key-bucketed state the state side's
+    exchange disappears (same note as `upsert`).
+
+    Equivalence contract (property-tested): for any base and any CDC
+    batch, ``maintain(aggregate(base), cdc) ≡ aggregate(apply(base,
+    cdc))``.
+    """
+    deltas = cdc.groupBy(F.col(key_col)).agg(
+        F.sum(
+            F.when(F.col("op") == "I", 1)
+            .when(F.col("op") == "D", -1)
+            .otherwise(0)
+        ).alias("n"),
+        F.sum(
+            F.when(F.col("op") == "I", F.col("new_cents"))
+            .when(F.col("op") == "D", -F.col("old_cents"))
+            .when(
+                F.col("op") == "U", F.col("new_cents") - F.col("old_cents")
+            )
+            .otherwise(0)
+        ).alias("sum_cents"),
+    )
+    merged = state.select(key_col, "n", "sum_cents").unionByName(deltas)
+    return (
+        merged.groupBy(key_col)
+        .agg(
+            F.sum("n").cast("long").alias("n"),
+            F.sum("sum_cents").cast("long").alias("sum_cents"),
+        )
+        .filter(F.col("n") > 0)
+    )
+
+
+def maintain_distinct_count(
+    aux: DataFrame, cdc: DataFrame, key_col: str = "key"
+) -> tuple[DataFrame, DataFrame]:
+    """Incremental view maintenance for ``COUNT(DISTINCT v) GROUP BY
+    key`` — the canonical NON-self-maintainable aggregate made
+    maintainable with AUXILIARY state: `aux` is (key, v, m) holding the
+    multiplicity of every live (key, value) pair in the base table. A
+    distinct value dies only when its multiplicity reaches zero, which
+    the count alone cannot see — hence the aux relation (textbook IVM;
+    the same reason MIN/MAX needs one).
+
+    `cdc` rows are (op, key, old_v, new_v) with op ∈ {'I','U','D'}
+    over base-table rows. Returns ``(aux', view)``: the maintained
+    auxiliary state and the derived (key, n_distinct) view. Both sides
+    of an update touch the aux (old_v loses a copy, new_v gains one).
+
+    Scale shape: delta aggregation map-side, ONE (key, v) hash shuffle
+    for the aux merge (union+sum, no join), then one key shuffle for
+    the view. Aux size is bounded by live distinct pairs — the same
+    footprint a recompute would shuffle every time; maintenance pays it
+    only on changed keys' values.
+    """
+    gains = cdc.filter(F.col("op").isin("I", "U")).select(
+        F.col(key_col), F.col("new_v").alias("v"), F.lit(1).alias("m")
+    )
+    losses = cdc.filter(F.col("op").isin("D", "U")).select(
+        F.col(key_col), F.col("old_v").alias("v"), F.lit(-1).alias("m")
+    )
+    merged = (
+        aux.select(key_col, "v", "m")
+        .unionByName(gains)
+        .unionByName(losses)
+        .groupBy(key_col, "v")
+        .agg(F.sum("m").cast("long").alias("m"))
+        .filter(F.col("m") > 0)
+    )
+    view = merged.groupBy(key_col).agg(
+        F.count("*").cast("long").alias("n_distinct")
+    )
+    return merged, view
+
+
+def maintain_value_histogram(
+    hist: DataFrame, cdc: DataFrame, key_col: str = "key"
+) -> DataFrame:
+    """IVM for the per-key VALUE HISTOGRAM (key, cents, w) — the state
+    from which every exact-quantile operator in this engine derives its
+    answer. Counts are self-maintainable (I adds a copy of new_cents,
+    D removes one of old_cents, U does both), so maintaining the
+    histogram under CDC gives INCREMENTAL EXACT QUANTILES: fold the
+    batch here, then run `quantile_from_histogram` — no base-table
+    rescan. Zero-weight cells leave the state.
+
+    Scale shape: same union+sum merge as the other IVM folds — ONE
+    (key, cents) hash shuffle, no join. The state is the same
+    distinct-value histogram the batch quantile path builds per query;
+    maintenance amortizes it across queries.
+    """
+    gains = cdc.filter(F.col("op").isin("I", "U")).select(
+        F.col(key_col), F.col("new_cents").alias("cents"), F.lit(1).alias("w")
+    )
+    losses = cdc.filter(F.col("op").isin("D", "U")).select(
+        F.col(key_col), F.col("old_cents").alias("cents"), F.lit(-1).alias("w")
+    )
+    return (
+        hist.select(key_col, "cents", "w")
+        .unionByName(gains)
+        .unionByName(losses)
+        .groupBy(key_col, "cents")
+        .agg(F.sum("w").cast("long").alias("w"))
+        .filter(F.col("w") > 0)
+    )
+
+
+def quantile_from_histogram(
+    hist: DataFrame, q_tenths: int, key_col: str = "key"
+) -> DataFrame:
+    """(key, n, q_cents): the exact present-value quantile (type-1 lo
+    convention, 0-indexed rank ((n−1)·q_tenths) div 10) read off a
+    (key, cents, w) histogram — the consumer of
+    `maintain_value_histogram`, sharing the covering-row pick with
+    every other exact-quantile operator here. `q_tenths` ∈ 1..10."""
+    w = Window.partitionBy(key_col).orderBy("cents")
+    cum = hist.select(
+        key_col,
+        "cents",
+        "w",
+        F.sum("w").over(w.rowsBetween(Window.unboundedPreceding, 0)).alias("cum"),
+        F.sum("w")
+        .over(
+            w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+        )
+        .alias("n"),
+    )
+    want = F.expr(f"((n - 1) * {q_tenths}) div 10")
+    return (
+        cum.filter((F.col("cum") - F.col("w") <= want) & (want < F.col("cum")))
+        .select(
+            key_col,
+            F.col("n").cast("long").alias("n"),
+            F.col("cents").cast("long").alias("q_cents"),
+        )
+    )

@@ -3168,3 +3168,43 @@ def tukey_fence_census(lineitem: DataFrame) -> DataFrame:
         .cast("long")
         .alias("n_high"),
     )
+
+
+def table_profile(df: DataFrame, cols: Sequence[str]) -> DataFrame:
+    """(col_name, n, n_null, n_distinct, min_str, max_str): the
+    data-quality profile every ingestion gate runs — per column: row
+    count, null count, EXACT distinct count (nulls excluded), and
+    lexicographic min/max of the STRINGIFIED values (stringification is
+    the documented contract: one melt handles every dtype uniformly and
+    the profile stays engine-portable; numeric min/max belongs to the
+    typed operators).
+
+    Scale shape: one melt (explode of a per-row struct array — a narrow
+    map producing |cols|·n rows, no shuffle) feeding a single
+    map-side-combined aggregation keyed by col_name; the exact distinct
+    adds the usual two-phase expansion inside the same aggregate. For
+    very wide tables profile in column batches; each batch stays one
+    pass over the scan.
+    """
+    melted = df.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(c).alias("col_name"),
+                        F.col(c).cast("string").alias("v"),
+                    )
+                    for c in cols
+                ]
+            )
+        ).alias("kv")
+    ).select("kv.col_name", "kv.v")
+    return melted.groupBy("col_name").agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum(F.when(F.col("v").isNull(), 1).otherwise(0))
+        .cast("long")
+        .alias("n_null"),
+        F.countDistinct("v").cast("long").alias("n_distinct"),
+        F.min("v").alias("min_str"),
+        F.max("v").alias("max_str"),
+    )

@@ -353,3 +353,160 @@ def ego_batch(
         out = layer if out is None else out.unionAll(layer)
         frontier = layer.select("seed_id", F.col("dst").alias("node")).distinct()
     return out
+
+
+def poisson1_thresholds_56(max_w: int = 10) -> list[int]:
+    """Cumulative Poisson(1) CDF thresholds scaled to the 56-bit hash
+    domain: `w = #{t in thresholds : t <= u}` gives a Poisson(1) weight
+    for u uniform on [0, 2^56). Fixed integer literals — the SAME
+    constants go into the Spark expression and any SQL mirror, so the
+    bootstrap is bit-replayable cross-engine (the float exp() runs once
+    HERE, never per row or per engine)."""
+    import math
+
+    cum, out, p = 0.0, [], math.exp(-1.0)
+    for k in range(max_w):
+        cum += p
+        out.append(min(int(cum * (1 << 56)), (1 << 56) - 1))
+        p /= k + 1
+    return out
+
+
+def poisson_bootstrap_sums(
+    df: DataFrame,
+    n_resamples: int = 32,
+    value_col: str = "value",
+    id_col: str = "event_id",
+) -> DataFrame:
+    """(b, n_rows, n_eff, boot_cents): B deterministic Poisson(1)
+    bootstrap resamples of the cents total in ONE pass — the
+    distributed bootstrap without replication or a driver loop. Row r's
+    weight in resample b is the Poisson(1) inverse CDF at the uniform
+    md5-56 hash of "b:id" (threshold CASE over fixed integer literals),
+    so resamples are independent-ish across b, identical across reruns
+    and engines — rng bootstraps can never be verified cross-engine;
+    this one can. The caller reads the spread of `boot_cents` as the
+    standard error / CI of the total; `n_eff` (Σw) tracks each
+    resample's effective size.
+
+    Scale shape: a B-literal explode over the fact scan (rows × B
+    narrow map — the standard Poisson-bootstrap trick that avoids
+    materializing B copies), then one map-side-combined aggregation to
+    B rows. The hash and the threshold CASE stay in whole-stage
+    codegen.
+    """
+    ts = poisson1_thresholds_56()
+    cents = F.round(F.col(value_col) * 100).cast("long")
+    b = F.explode(F.sequence(F.lit(0), F.lit(n_resamples - 1))).alias("b")
+    u = hash56(
+        F.concat(
+            F.col("b").cast("string"), F.lit(":"), F.col(id_col).cast("string")
+        )
+    )
+    w = F.lit(len(ts))
+    for k in range(len(ts) - 1, -1, -1):
+        w = F.when(u < F.lit(ts[k]), F.lit(k)).otherwise(w)
+    return (
+        df.select(cents.alias("cents"), F.col(id_col), b)
+        .withColumn("w", w)
+        .groupBy("b")
+        .agg(
+            F.count("*").cast("long").alias("n_rows"),
+            F.sum("w").cast("long").alias("n_eff"),
+            F.sum(F.col("w") * F.col("cents")).cast("long").alias("boot_cents"),
+        )
+        .select(F.col("b").cast("long").alias("b"), "n_rows", "n_eff",
+                "boot_cents")
+    )
+
+
+def block_bootstrap_daily_sums(
+    orders: DataFrame, n_resamples: int = 32, block_len: int = 30
+) -> DataFrame:
+    """(b, n_blocks, n_days_eff, boot_cents): circular moving-block
+    bootstrap of the daily revenue total — the time-series counterpart
+    of `poisson_bootstrap_sums`. An iid bootstrap destroys serial
+    correlation, so each resample here concatenates ceil(n/L) blocks of
+    L CONSECUTIVE days whose start offsets are md5-56-deterministic
+    (hash of "b:j" mod n, circular wraparound) — dependence inside a
+    block survives, block starts replay exactly across engines/reruns.
+
+    Scale shape: the fact table collapses to the bounded daily frame
+    once; block sums come from circular PREFIX SUMS (block j's sum =
+    prefix[s+L] − prefix[s], + total on wraparound), so each of the
+    B·ceil(n/L) block picks is two look-ups into a |days|-row map — a
+    bounded join, no per-day explode per resample.
+
+    Contract: ``block_len <= n_days`` (a block wraps the circle at most
+    once; the prefix-sum identity assumes it). The default 30-day block
+    against a multi-year daily frame is far inside it.
+    """
+    from .olap import _daily_revenue_cents
+
+    daily = _daily_revenue_cents(orders)
+    w = Window.orderBy("day")
+    idx = daily.select(
+        (F.row_number().over(w) - 1).alias("i"),
+        F.sum("cents")
+        .over(w.rowsBetween(Window.unboundedPreceding, 0))
+        .alias("prefix"),  # prefix[i] = sum of cents at indices 0..i
+    )
+    scalars = idx.agg(
+        F.count("*").cast("long").alias("n"),
+        F.max("prefix").cast("long").alias("total"),
+    )
+    picks = (
+        scalars.select(
+            "n",
+            "total",
+            F.explode(
+                F.sequence(F.lit(0), F.lit(n_resamples - 1))
+            ).alias("b"),
+        )
+        .select(
+            "n",
+            "total",
+            "b",
+            F.explode(
+                F.expr("sequence(0, cast((n + " f"{block_len}" " - 1) div "
+                       f"{block_len}" " as int) - 1)")
+            ).alias("j"),
+        )
+        .withColumn(
+            "s",
+            hash56(
+                F.concat(
+                    F.col("b").cast("string"), F.lit(":"), F.col("j").cast("string")
+                )
+            )
+            % F.col("n"),
+        )
+        .withColumn("e", F.col("s") + F.lit(block_len))
+    )
+    # block sum = prefix[e-1] - prefix[s-1], circular: indices taken
+    # mod n, plus one full `total` when the block wraps past the end
+    lo = idx.select(F.col("i").alias("lo_i"), F.col("prefix").alias("lo_p"))
+    hi = idx.select(F.col("i").alias("hi_i"), F.col("prefix").alias("hi_p"))
+    joined = (
+        picks.withColumn("lo_i", (F.col("s") - 1 + F.col("n")) % F.col("n"))
+        .withColumn("hi_i", (F.col("e") - 1) % F.col("n"))
+        .join(F.broadcast(lo), "lo_i")
+        .join(F.broadcast(hi), "hi_i")
+        .select(
+            "b",
+            "n",
+            (
+                F.col("hi_p")
+                - F.when(F.col("s") == 0, 0).otherwise(F.col("lo_p"))
+                + F.when(
+                    (F.col("e") - 1) >= F.col("n"), F.col("total")
+                ).otherwise(0)
+            ).alias("block_cents"),
+        )
+    )
+    return joined.groupBy("b").agg(
+        F.count("*").cast("long").alias("n_blocks"),
+        (F.count("*") * block_len).cast("long").alias("n_days_eff"),
+        F.sum("block_cents").cast("long").alias("boot_cents"),
+    ).select(F.col("b").cast("long").alias("b"), "n_blocks",
+             "n_days_eff", "boot_cents")

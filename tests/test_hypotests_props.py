@@ -304,3 +304,295 @@ def test_kendall_matches_python_on_bands(spark, pts):
     assert r["n"] == len(pts)
     assert int(r["c_pairs"] or 0) == c
     assert int(r["d_pairs"] or 0) == d
+
+
+@given(
+    base=st.lists(
+        st.tuples(st.integers(0, 3), st.integers(1, 9)),
+        min_size=0,
+        max_size=8,
+    ),
+    ops=st.lists(st.integers(0, 2), min_size=0, max_size=6),
+    data=st.data(),
+)
+@SET
+def test_ivm_equals_recompute(spark, base, ops, data):
+    """maintain(aggregate(base), cdc) == aggregate(apply(base, cdc))
+    for random bases and random I/U/D batches (merge.py IVM contract)."""
+    from big_data_graph_analysis_with_spark_spark.operators import merge
+
+    rows = list(base)
+    cdc = []
+    for o in ops:
+        if o == 0:  # insert
+            k = data.draw(st.integers(0, 3))
+            v = data.draw(st.integers(1, 9))
+            cdc.append(("I", k, None, v))
+            rows.append((k, v))
+        elif rows:  # update or delete an existing row
+            i = data.draw(st.integers(0, len(rows) - 1))
+            k, old = rows[i]
+            if o == 1:
+                new = data.draw(st.integers(1, 9))
+                cdc.append(("U", k, old, new))
+                rows[i] = (k, new)
+            else:
+                cdc.append(("D", k, old, None))
+                rows.pop(i)
+    state = (
+        spark.createDataFrame(
+            base or [(99, 0)], "key long, cents long"
+        )
+    )
+    if not base:
+        state = state.filter(F.lit(False))
+    agg0 = state.groupBy("key").agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum("cents").cast("long").alias("sum_cents"),
+    )
+    cdc_df = spark.createDataFrame(
+        cdc or [("X", 0, None, None)],
+        "op string, key long, old_cents long, new_cents long",
+    )
+    if not cdc:
+        cdc_df = cdc_df.filter(F.lit(False))
+    got = {
+        r["key"]: (r["n"], r["sum_cents"])
+        for r in merge.maintain_group_aggregate(agg0, cdc_df).collect()
+    }
+    want: dict[int, tuple[int, int]] = {}
+    for k, v in rows:
+        n, s = want.get(k, (0, 0))
+        want[k] = (n + 1, s + v)
+    assert got == want
+
+
+@given(
+    base=st.lists(
+        st.tuples(st.integers(0, 2), st.integers(0, 3)),
+        min_size=0,
+        max_size=8,
+    ),
+    ops=st.lists(st.integers(0, 2), min_size=0, max_size=6),
+    data=st.data(),
+)
+@SET
+def test_distinct_ivm_equals_recompute(spark, base, ops, data):
+    from big_data_graph_analysis_with_spark_spark.operators import merge
+
+    rows = list(base)
+    cdc = []
+    for o in ops:
+        if o == 0:
+            k = data.draw(st.integers(0, 2))
+            v = data.draw(st.integers(0, 3))
+            cdc.append(("I", k, None, v))
+            rows.append((k, v))
+        elif rows:
+            i = data.draw(st.integers(0, len(rows) - 1))
+            k, old = rows[i]
+            if o == 1:
+                new = data.draw(st.integers(0, 3))
+                cdc.append(("U", k, old, new))
+                rows[i] = (k, new)
+            else:
+                cdc.append(("D", k, old, None))
+                rows.pop(i)
+    aux0_rows = {}
+    for k, v in base:
+        aux0_rows[(k, v)] = aux0_rows.get((k, v), 0) + 1
+    aux0 = spark.createDataFrame(
+        [(k, v, m) for (k, v), m in aux0_rows.items()] or [(9, 9, 1)],
+        "key long, v long, m long",
+    )
+    if not aux0_rows:
+        aux0 = aux0.filter(F.lit(False))
+    cdc_df = spark.createDataFrame(
+        cdc or [("X", 0, None, None)],
+        "op string, key long, old_v long, new_v long",
+    )
+    if not cdc:
+        cdc_df = cdc_df.filter(F.lit(False))
+    aux1, view = merge.maintain_distinct_count(aux0, cdc_df)
+    got_aux = {(r["key"], r["v"]): r["m"] for r in aux1.collect()}
+    got_view = {r["key"]: r["n_distinct"] for r in view.collect()}
+    want_aux: dict[tuple[int, int], int] = {}
+    for k, v in rows:
+        want_aux[(k, v)] = want_aux.get((k, v), 0) + 1
+    want_view: dict[int, int] = {}
+    for k, _ in want_aux:
+        want_view[k] = want_view.get(k, 0) + 1
+    assert got_aux == want_aux
+    assert got_view == want_view
+
+
+def test_poisson_bootstrap_python_mirror(spark):
+    """Weights replay exactly from the md5 mirror; totals, effective
+    sizes, and determinism across reruns all pin down."""
+    import hashlib
+
+    from big_data_graph_analysis_with_spark_spark.operators import sampling
+
+    rows = [(i, float(i % 7) + 0.5) for i in range(1, 101)]
+    ev = spark.createDataFrame(rows, "event_id long, value double")
+    out = {
+        r["b"]: (r["n_rows"], r["n_eff"], r["boot_cents"])
+        for r in sampling.poisson_bootstrap_sums(ev, n_resamples=4).collect()
+    }
+    ts = sampling.poisson1_thresholds_56()
+
+    def weight(b: int, eid: int) -> int:
+        u = int(hashlib.md5(f"{b}:{eid}".encode()).hexdigest()[:14], 16)
+        return sum(1 for t in ts if t <= u)
+
+    for b in range(4):
+        n_eff = sum(weight(b, i) for i, _ in rows)
+        boot = sum(
+            weight(b, i) * round(v * 100) for i, v in rows
+        )
+        assert out[b] == (100, n_eff, boot)
+    # mean effective size ~ n (Poisson(1) mean 1): loose sanity band
+    effs = [out[b][1] for b in range(4)]
+    assert 50 <= sum(effs) / 4 <= 150
+    again = {
+        r["b"]: (r["n_rows"], r["n_eff"], r["boot_cents"])
+        for r in sampling.poisson_bootstrap_sums(ev, n_resamples=4).collect()
+    }
+    assert again == out
+
+
+def test_block_bootstrap_python_mirror(spark):
+    import hashlib
+
+    from big_data_graph_analysis_with_spark_spark.operators import sampling
+
+    # daily cents 1..8 on 8 consecutive days
+    rows = [(1, (d + 1) / 100.0, f"1970-01-{d + 1:02d}") for d in range(8)]
+    orders = spark.createDataFrame(
+        rows, "o_custkey long, o_totalprice double, d string"
+    ).withColumn("o_orderdate", F.col("d").cast("timestamp"))
+    out = {
+        r["b"]: (r["n_blocks"], r["n_days_eff"], r["boot_cents"])
+        for r in sampling.block_bootstrap_daily_sums(
+            orders, n_resamples=5, block_len=3
+        ).collect()
+    }
+    daily = list(range(1, 9))
+    n = 8
+
+    def start(b, j):
+        return int(hashlib.md5(f"{b}:{j}".encode()).hexdigest()[:14], 16) % n
+
+    for b in range(5):
+        tot = 0
+        for j in range(3):  # ceil(8/3) = 3 blocks
+            s = start(b, j)
+            tot += sum(daily[(s + k) % n] for k in range(3))
+        assert out[b] == (3, 9, tot)
+
+
+def test_table_profile_exact(spark):
+    from big_data_graph_analysis_with_spark_spark.operators import olap
+
+    df = spark.createDataFrame(
+        [(1, "a", None), (2, "b", 1.5), (3, "a", None), (4, None, 2.5)],
+        "id long, s string, x double",
+    )
+    out = {
+        r["col_name"]: r
+        for r in olap.table_profile(df, ["id", "s", "x"]).collect()
+    }
+    assert out["id"]["n"] == 4 and out["id"]["n_null"] == 0
+    assert out["id"]["n_distinct"] == 4
+    assert (out["s"]["n_null"], out["s"]["n_distinct"]) == (1, 2)
+    assert (out["s"]["min_str"], out["s"]["max_str"]) == ("a", "b")
+    assert (out["x"]["n_null"], out["x"]["n_distinct"]) == (2, 2)
+    assert out["x"]["min_str"] == "1.5"
+
+
+@given(
+    base=st.lists(
+        st.tuples(st.integers(0, 1), st.integers(1, 6)),
+        min_size=0,
+        max_size=8,
+    ),
+    ops=st.lists(st.integers(0, 2), min_size=0, max_size=6),
+    data=st.data(),
+)
+@SET
+def test_histogram_ivm_quantiles_equal_recompute(spark, base, ops, data):
+    """Maintained histogram -> exact median == median recomputed from
+    the applied base rows, for every surviving key."""
+    from big_data_graph_analysis_with_spark_spark.operators import merge
+
+    rows = list(base)
+    cdc = []
+    for o in ops:
+        if o == 0:
+            k = data.draw(st.integers(0, 1))
+            v = data.draw(st.integers(1, 6))
+            cdc.append(("I", k, None, v))
+            rows.append((k, v))
+        elif rows:
+            i = data.draw(st.integers(0, len(rows) - 1))
+            k, old = rows[i]
+            if o == 1:
+                new = data.draw(st.integers(1, 6))
+                cdc.append(("U", k, old, new))
+                rows[i] = (k, new)
+            else:
+                cdc.append(("D", k, old, None))
+                rows.pop(i)
+    h0: dict[tuple[int, int], int] = {}
+    for k, v in base:
+        h0[(k, v)] = h0.get((k, v), 0) + 1
+    hist0 = spark.createDataFrame(
+        [(k, v, w) for (k, v), w in h0.items()] or [(9, 9, 1)],
+        "key long, cents long, w long",
+    )
+    if not h0:
+        hist0 = hist0.filter(F.lit(False))
+    cdc_df = spark.createDataFrame(
+        cdc or [("X", 0, None, None)],
+        "op string, key long, old_cents long, new_cents long",
+    )
+    if not cdc:
+        cdc_df = cdc_df.filter(F.lit(False))
+    hist1 = merge.maintain_value_histogram(hist0, cdc_df)
+    got = {
+        r["key"]: (r["n"], r["q_cents"])
+        for r in merge.quantile_from_histogram(hist1, 5).collect()
+    }
+    want = {}
+    by_key: dict[int, list[int]] = {}
+    for k, v in rows:
+        by_key.setdefault(k, []).append(v)
+    for k, vs in by_key.items():
+        vs.sort()
+        want[k] = (len(vs), vs[((len(vs) - 1) * 5) // 10])
+    assert got == want
+
+
+def test_variant_stats_equal_json_path(spark):
+    """The Spark-4 variant path produces exactly the classic
+    get_json_object census, malformed payloads included."""
+    from big_data_graph_analysis_with_spark_spark.operators import jsonops
+
+    rows = [
+        (1, "a", '{"k": 5}'),
+        (2, "a", '{"k": 7}'),
+        (3, "b", '{"k": null}'),
+        (4, "b", "not json"),
+        (5, "b", '{"other": 1}'),
+    ]
+    ev = spark.createDataFrame(rows, "event_id long, event_type string, props string")
+    classic = {
+        tuple(r) for r in jsonops.props_stats(ev).collect()
+    }
+    variant = {
+        tuple(r) for r in jsonops.props_variant_stats(ev).collect()
+    }
+    assert variant == classic
+    a = {r["event_type"]: r for r in jsonops.props_variant_stats(ev).collect()}
+    assert (a["a"]["n_with_prop"], a["a"]["sum_k"]) == (2, 12)
+    assert a["b"]["n_with_prop"] == 0
