@@ -808,3 +808,132 @@ def runs_test_inputs(orders: DataFrame) -> DataFrame:
         .alias("n_below"),
         F.coalesce(F.sum("flip"), F.lit(0)).cast("long").alias("n_runs"),
     )
+
+
+def pettitt_changepoint(orders: DataFrame) -> DataFrame:
+    """(n_days, max_abs_u, at_day): Pettitt's rank-based changepoint
+    test on daily revenue — the nonparametric sibling of
+    `olap.revenue_cusum` (which tracks the mean; this tracks the rank
+    process, immune to outliers). Uses the rank identity
+    U_t = 2·W_t − t(n+1) with W_t the sum of tie-averaged ranks of the
+    first t days; summing DOUBLED ranks gives W2_t = 2·W_t, so
+    ``u_t = w2_t − t·(n+1)`` is exactly U_t and always integral (the
+    sign-sum definition is integer-valued; ties contribute 0). The
+    property suite verifies this identity implementation against the
+    O(n²) pairwise-sign definition directly.
+
+    `at_day` is the smallest day attaining the max (deterministic);
+    the last day is excluded (U_n ≡ 0 by construction carries no
+    signal).
+
+    Scale shape: ranks from the distinct-value histogram join-back,
+    then one cumulative window over the bounded daily frame — no
+    pairwise join at all, unlike the definition.
+    """
+    from .olap import _daily_revenue_cents
+
+    daily = _daily_revenue_cents(orders)
+    hist = daily.groupBy("cents").agg(F.count("*").alias("cnt"))
+    r2 = hist.select(
+        "cents", (2 * _cum_before("cents") + F.col("cnt") + 1).alias("r2")
+    )
+    w = Window.orderBy("day")
+    ranked = (
+        daily.join(r2, "cents")
+        .select(
+            "day",
+            F.row_number().over(w).alias("t"),
+            F.sum("r2").over(w.rowsBetween(Window.unboundedPreceding, 0)).alias(
+                "w2"
+            ),
+            F.count("*")
+            .over(
+                w.rowsBetween(
+                    Window.unboundedPreceding, Window.unboundedFollowing
+                )
+            )
+            .alias("n"),
+        )
+    )
+    dev = ranked.filter(F.col("t") < F.col("n")).select(
+        "day",
+        "n",
+        F.abs(
+            F.col("w2").cast(DEC)
+            - F.col("t").cast(DEC) * (F.col("n") + 1).cast(DEC)
+        )
+        .cast(DEC)
+        .alias("u_abs"),
+    )
+    top = dev.agg(F.max("u_abs").alias("max_abs_u"))
+    return (
+        dev.join(top, dev.u_abs == top.max_abs_u)
+        .groupBy()
+        .agg(
+            F.max("n").cast("long").alias("n_days"),
+            F.max("max_abs_u").cast(DEC).alias("max_abs_u"),
+            F.min("day").cast("long").alias("at_day"),
+        )
+    )
+
+
+def seasonal_mann_kendall(orders: DataFrame) -> DataFrame:
+    """(month_of_year, n_days, s_stat, tie_term): the seasonal
+    Mann-Kendall decomposition — the trend test run WITHIN each
+    calendar month across years (January days compared only to January
+    days, …), so annual seasonality cannot masquerade as trend. The
+    caller sums s_stat and the variance terms over the 12 rows for the
+    overall seasonal test; per-row values localize which season trends.
+
+    Scale shape: same calendar-bounded pairwise join as
+    `mann_kendall_trend`, further partitioned by month-of-year (the
+    join keys on month, shrinking pair counts ~12×).
+    """
+    from .olap import _daily_revenue_cents
+
+    daily = _daily_revenue_cents(orders).withColumn(
+        "moy",
+        F.expr("month(date_add(DATE'1970-01-01', cast(day as int)))"),
+    )
+    a = daily.select(
+        F.col("moy"), F.col("day").alias("di"), F.col("cents").alias("xi")
+    )
+    b = daily.select(
+        F.col("moy").alias("moy_b"),
+        F.col("day").alias("dj"),
+        F.col("cents").alias("xj"),
+    )
+    s = (
+        a.join(b, (a.moy == b.moy_b) & (F.col("dj") > F.col("di")))
+        .groupBy("moy")
+        .agg(
+            F.sum(
+                F.when(F.col("xj") > F.col("xi"), 1)
+                .when(F.col("xj") < F.col("xi"), -1)
+                .otherwise(0)
+            )
+            .cast("long")
+            .alias("s_stat")
+        )
+    )
+    n = daily.groupBy("moy").agg(F.count("*").cast("long").alias("n_days"))
+    ties = (
+        daily.groupBy("moy", "cents")
+        .agg(F.count("*").alias("t"))
+        .groupBy("moy")
+        .agg(
+            F.sum(F.expr("t * (t - 1) * (2 * t + 5)"))
+            .cast("long")
+            .alias("tie_term")
+        )
+    )
+    return (
+        n.join(s, "moy", "left")
+        .join(ties, "moy")
+        .select(
+            F.col("moy").cast("long").alias("month_of_year"),
+            "n_days",
+            F.coalesce("s_stat", F.lit(0)).cast("long").alias("s_stat"),
+            "tie_term",
+        )
+    )

@@ -30,6 +30,7 @@ __all__ = [
     "wau_rollup",
     "streaming_value_locf",
     "windowed_ks_vs_reference",
+    "streaming_bootstrap_sums",
 ]
 
 
@@ -370,5 +371,64 @@ def windowed_ks_vs_reference(
             F.max("n_ref").cast("long").alias("n_ref"),
             F.max("d_num").cast("decimal(38,0)").alias("d_num"),
             F.min("bucket").cast("long").alias("at_bucket"),
+        )
+    )
+
+
+def streaming_bootstrap_sums(
+    events: DataFrame,
+    n_resamples: int = 8,
+    window: str = "1 day",
+    watermark: str | None = "1 hour",
+) -> DataFrame:
+    """(window_start, b, n_rows, n_eff, boot_cents): the deterministic
+    Poisson(1) bootstrap (`operators/sampling.poisson_bootstrap_sums`)
+    as a STREAMING aggregation — per tumbling event-time window, B
+    resample totals whose spread is the live error bar on the window's
+    revenue. The weight expression (md5-56 inverse-CDF over fixed
+    integer thresholds) is a narrow per-row map, so the whole operator
+    is explode + windowed groupBy — incrementally computable, state
+    bounded by (open windows × B), and byte-replayable against the
+    batch twin (`watermark=None` runs the identical plan on a batch
+    frame; the stream ≡ batch test pins it).
+    """
+    from ..functions.hashing import hash56
+    from ..operators.sampling import poisson1_thresholds_56
+
+    ev = with_event_time(events)
+    if watermark is not None:
+        ev = ev.withWatermark("event_time", watermark)
+    ts = poisson1_thresholds_56()
+    cents = F.round(F.col("value") * 100).cast("long")
+    exploded = ev.filter(cents.isNotNull()).select(
+        "event_time",
+        cents.alias("cents"),
+        F.col("event_id"),
+        F.explode(F.sequence(F.lit(0), F.lit(n_resamples - 1))).alias("b"),
+    )
+    u = hash56(
+        F.concat(
+            F.col("b").cast("string"),
+            F.lit(":"),
+            F.col("event_id").cast("string"),
+        )
+    )
+    w = F.lit(len(ts))
+    for k in range(len(ts) - 1, -1, -1):
+        w = F.when(u < F.lit(ts[k]), F.lit(k)).otherwise(w)
+    return (
+        exploded.withColumn("w", w)
+        .groupBy(F.window("event_time", window).alias("win"), "b")
+        .agg(
+            F.count("*").cast("long").alias("n_rows"),
+            F.sum("w").cast("long").alias("n_eff"),
+            F.sum(F.col("w") * F.col("cents")).cast("long").alias("boot_cents"),
+        )
+        .select(
+            F.col("win.start").alias("window_start"),
+            F.col("b").cast("long").alias("b"),
+            "n_rows",
+            "n_eff",
+            "boot_cents",
         )
     )

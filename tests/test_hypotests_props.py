@@ -596,3 +596,69 @@ def test_variant_stats_equal_json_path(spark):
     a = {r["event_type"]: r for r in jsonops.props_variant_stats(ev).collect()}
     assert (a["a"]["n_with_prop"], a["a"]["sum_k"]) == (2, 12)
     assert a["b"]["n_with_prop"] == 0
+
+
+@given(xs=st.lists(st.integers(1, 5), min_size=2, max_size=10))
+@SET
+def test_pettitt_identity_vs_pairwise_definition(spark, xs):
+    """The rank-identity implementation equals the O(n²) definition
+    U_t = Σ_{i<=t} Σ_{j>t} sgn(x_i − x_j), ties and all."""
+    rows = [
+        (1, x / 100.0, f"1970-01-{d + 1:02d}") for d, x in enumerate(xs)
+    ]
+    df = spark.createDataFrame(
+        rows, "o_custkey long, o_totalprice double, d string"
+    ).withColumn("o_orderdate", F.col("d").cast("timestamp"))
+    r = hypotests.pettitt_changepoint(df).collect()[0]
+    n = len(xs)
+
+    def sgn(v):
+        return (v > 0) - (v < 0)
+
+    best, at = -1, None
+    for t in range(1, n):  # t = size of the prefix, last excluded
+        u = sum(
+            sgn(xs[i] - xs[j]) for i in range(t) for j in range(t, n)
+        )
+        if abs(u) > best:
+            best, at = abs(u), t - 1  # day index of prefix end
+    assert r["n_days"] == n
+    assert int(r["max_abs_u"]) == best
+    assert r["at_day"] == at
+
+
+@given(
+    xs=st.lists(st.integers(1, 4), min_size=2, max_size=12),
+)
+@SET
+def test_seasonal_mk_sums_match_python(spark, xs):
+    # spread days across two months by alternating; compare per-month S
+    rows = []
+    days = []
+    for i, x in enumerate(xs):
+        month = 1 if i % 2 == 0 else 2
+        day = i // 2 + 1
+        rows.append((1, x / 100.0, f"1970-{month:02d}-{day:02d}"))
+        days.append((month, x))
+    df = spark.createDataFrame(
+        rows, "o_custkey long, o_totalprice double, d string"
+    ).withColumn("o_orderdate", F.col("d").cast("timestamp"))
+    out = {
+        r["month_of_year"]: (r["n_days"], r["s_stat"], r["tie_term"])
+        for r in hypotests.seasonal_mann_kendall(df).collect()
+    }
+    for m in (1, 2):
+        series = [x for mm, x in days if mm == m]
+        if not series:
+            assert m not in out
+            continue
+        s = sum(
+            (series[j] > series[i]) - (series[j] < series[i])
+            for i in range(len(series))
+            for j in range(i + 1, len(series))
+        )
+        ties = {}
+        for x in series:
+            ties[x] = ties.get(x, 0) + 1
+        tt = sum(t * (t - 1) * (2 * t + 5) for t in ties.values())
+        assert out[m] == (len(series), s, tt)

@@ -451,3 +451,43 @@ def test_windowed_ks_vs_reference_stream_equals_batch(spark, events_dir):
         n_buckets=10,
     ).collect()[0]
     assert int(self_ref["d_num"]) == 0
+
+
+def test_streaming_bootstrap_stream_equals_batch(spark, events_dir):
+    """Per-window bootstrap resample totals from the stream equal the
+    batch twin's, and each window's b=… rows agree with the one-pass
+    batch bootstrap operator on that window's slice."""
+    from big_data_graph_analysis_with_spark_spark.operators import sampling
+    from big_data_graph_analysis_with_spark_spark.streaming import drift as sdrift
+
+    stream = sdrift.read_events_stream(spark, events_dir)
+    agg = sdrift.streaming_bootstrap_sums(stream, n_resamples=4)
+    walk_rates.run_to_memory_sink(agg, "boot_sums", "complete")
+    got = {
+        (r["window_start"], r["b"]): (r["n_rows"], r["n_eff"], r["boot_cents"])
+        for r in spark.table("boot_sums").collect()
+    }
+    batch = spark.read.parquet(events_dir)
+    want = {
+        (r["window_start"], r["b"]): (r["n_rows"], r["n_eff"], r["boot_cents"])
+        for r in sdrift.streaming_bootstrap_sums(
+            batch, n_resamples=4, watermark=None
+        ).collect()
+    }
+    assert got == want and got
+
+    # one window's rows must equal the standalone batch bootstrap on
+    # exactly that window's event slice
+    some_window = next(iter(got))[0]
+    sliced = batch.filter(
+        (F.col("ts") >= F.lit(some_window))
+        & (F.col("ts") < F.lit(some_window) + F.expr("INTERVAL 1 DAY"))
+    )
+    solo = {
+        r["b"]: (r["n_rows"], r["n_eff"], r["boot_cents"])
+        for r in sampling.poisson_bootstrap_sums(
+            sliced, n_resamples=4
+        ).collect()
+    }
+    for b in range(4):
+        assert got[(some_window, b)] == solo[b]
