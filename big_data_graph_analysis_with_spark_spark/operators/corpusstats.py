@@ -932,3 +932,49 @@ def lang_collision_stats(docs: DataFrame) -> DataFrame:
         F.sum(c * c).cast("decimal(38,0)").alias("sum_sq"),
         F.max("cnt").cast("long").alias("max_count"),
     )
+
+
+def zipf_rank_freq_points(docs: DataFrame) -> DataFrame:
+    """(decile, rank, freq): the Zipf rank-frequency curve read at the
+    decile ranks of the frequency-sorted vocabulary — 10 exact points
+    (plus rank 1 at decile 0) instead of a full vocab dump, enough for
+    the caller to fit the power-law slope in log space. Rank is
+    1-indexed position in (freq DESC, token ASC) order; the probe picks
+    rank = max(1, (V·q) div 10) for q = 0..10 over vocabulary size V.
+
+    Scale shape: token histogram (the only corpus-sized shuffle), then
+    a FREQUENCY histogram (freq, n_tokens_with_freq) whose cumulative
+    window recovers the value at any rank without sorting the vocab —
+    the same covering-row pick as the exact quantiles, applied to
+    frequencies.
+    """
+    words = docs.select(
+        F.explode(F.split(F.lower(F.col("text")), r"\s+")).alias("tok")
+    ).filter(F.col("tok") != "")
+    vocab = words.groupBy("tok").agg(F.count("*").alias("freq"))
+    fhist = vocab.groupBy("freq").agg(F.count("*").alias("cnt"))
+    w = Window.orderBy(F.desc("freq"))
+    cum = fhist.select(
+        "freq",
+        "cnt",
+        F.sum("cnt").over(w.rowsBetween(Window.unboundedPreceding, 0)).alias("cum"),
+        F.sum("cnt")
+        .over(
+            w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+        )
+        .alias("v"),
+    )
+    probes = cum.select(
+        "*", F.explode(F.sequence(F.lit(0), F.lit(10))).alias("decile")
+    ).withColumn(
+        "want", F.greatest(F.lit(1), F.expr("(v * decile) div 10"))
+    )
+    picks = probes.filter(
+        (F.col("cum") - F.col("cnt") < F.col("want"))
+        & (F.col("want") <= F.col("cum"))
+    )
+    return picks.select(
+        F.col("decile").cast("long").alias("decile"),
+        F.col("want").cast("long").alias("rank"),
+        F.col("freq").cast("long").alias("freq"),
+    )

@@ -339,3 +339,37 @@ def quality_deciles(docs: DataFrame) -> DataFrame:
             F.sum("n_tokens").cast("long").alias("sum_tokens"),
         )
     )
+
+
+def l_diversity_census(
+    df: DataFrame, quasi_cols: list[str], sensitive_col: str
+) -> DataFrame:
+    """(l, n_groups, n_rows): histogram of quasi-identifier equivalence
+    classes by their count of DISTINCT sensitive values — the
+    l-diversity complement to :func:`k_anonymity_violations`: a class
+    can be large (k-anonymous) yet expose everyone in it if all its
+    members share one sensitive value (l = 1, the homogeneity attack).
+    A release policy reads this as "how many classes/rows sit below
+    l = 2, 3, …".
+
+    Scale shape: one (quasi, sensitive) distinct-pair aggregation, one
+    quasi-keyed rollup, one bounded histogram — all map-side-
+    combinable; output rows bounded by max distinct sensitive values.
+    """
+    assert quasi_cols, "need at least one quasi-identifier column"
+    per_class = (
+        df.select(*quasi_cols, sensitive_col)
+        .distinct()
+        .groupBy(*quasi_cols)
+        .agg(F.count("*").alias("l"))
+    )
+    sizes = df.groupBy(*quasi_cols).agg(F.count("*").alias("rows"))
+    return (
+        per_class.join(sizes, quasi_cols)
+        .groupBy("l")
+        .agg(
+            F.count("*").cast("long").alias("n_groups"),
+            F.sum("rows").cast("long").alias("n_rows"),
+        )
+        .select(F.col("l").cast("long").alias("l"), "n_groups", "n_rows")
+    )

@@ -3208,3 +3208,124 @@ def table_profile(df: DataFrame, cols: Sequence[str]) -> DataFrame:
         F.min("v").alias("min_str"),
         F.max("v").alias("max_str"),
     )
+
+
+def trimmed_sum_census(lineitem: DataFrame, trim_tenths: int = 1) -> DataFrame:
+    """(returnflag, n, lo_cents, hi_cents, kept_n, kept_sum_cents): the
+    exact grouped TRIMMED-SUM — rows at or below the trim_tenths/10
+    quantile value and at or above the (10−trim_tenths)/10 quantile
+    value are dropped, the interior summed exactly. kept_sum/kept_n is
+    the trimmed mean; pairing with `tukey_fence_census` covers the two
+    standard robust families (quantile-trim vs IQR-fence). Trimming is
+    VALUE-based (the type-1 quantile values bound the kept range), the
+    convention a histogram can honor exactly without per-row ranks.
+
+    Scale shape: one value-histogram shuffle; quantile picks and the
+    conditional re-aggregation both ride the bounded per-flag frame —
+    the fact table is scanned once.
+    """
+    cents = F.round(F.col("l_extendedprice") * 100).cast("long")
+    hist = (
+        lineitem.select(
+            F.col("l_returnflag").alias("returnflag"), cents.alias("cents")
+        )
+        .groupBy("returnflag", "cents")
+        .agg(F.count("*").alias("cnt"))
+    )
+    w = Window.partitionBy("returnflag").orderBy("cents")
+    cum = hist.select(
+        "returnflag",
+        "cents",
+        "cnt",
+        F.sum("cnt").over(w.rowsBetween(Window.unboundedPreceding, 0)).alias("cum"),
+        F.sum("cnt")
+        .over(
+            w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+        )
+        .alias("n"),
+    )
+    lo_r = F.expr(f"((n - 1) * {trim_tenths}) div 10")
+    hi_r = F.expr(f"((n - 1) * {10 - trim_tenths}) div 10")
+    bounds = (
+        cum.filter(
+            ((F.col("cum") - F.col("cnt") <= lo_r) & (lo_r < F.col("cum")))
+            | ((F.col("cum") - F.col("cnt") <= hi_r) & (hi_r < F.col("cum")))
+        )
+        .groupBy("returnflag")
+        .agg(
+            F.max("n").alias("n"),
+            F.max(
+                F.when(
+                    (F.col("cum") - F.col("cnt") <= lo_r) & (lo_r < F.col("cum")),
+                    F.col("cents"),
+                )
+            ).alias("lo_cents"),
+            F.max(
+                F.when(
+                    (F.col("cum") - F.col("cnt") <= hi_r) & (hi_r < F.col("cum")),
+                    F.col("cents"),
+                )
+            ).alias("hi_cents"),
+        )
+    )
+    kept = hist.join(bounds, "returnflag").filter(
+        (F.col("cents") > F.col("lo_cents")) & (F.col("cents") < F.col("hi_cents"))
+    )
+    return (
+        bounds.join(
+            kept.groupBy("returnflag").agg(
+                F.sum("cnt").alias("kept_n"),
+                F.sum(F.col("cnt") * F.col("cents")).alias("kept_sum_cents"),
+            ),
+            "returnflag",
+            "left",
+        )
+        .select(
+            "returnflag",
+            F.col("n").cast("long").alias("n"),
+            F.col("lo_cents").cast("long").alias("lo_cents"),
+            F.col("hi_cents").cast("long").alias("hi_cents"),
+            F.coalesce("kept_n", F.lit(0)).cast("long").alias("kept_n"),
+            F.coalesce("kept_sum_cents", F.lit(0))
+            .cast("long")
+            .alias("kept_sum_cents"),
+        )
+    )
+
+
+def measure_crossproducts(lineitem: DataFrame) -> DataFrame:
+    """(returnflag, n, sum_q, sum_p, sum_d, spp, sqq, sdd, sqp, sqd,
+    spd): the full 3-variable second-moment sufficient-statistic block
+    for (quantity-units, price-cents, discount-bps) per return flag —
+    every pairwise covariance/correlation and the OLS normal equations
+    derive caller-side from these integers. Cross products go
+    DECIMAL(38,0): price-cents × price-cents × row counts overflows
+    BIGINT beyond ~sf100.
+
+    Scale shape: ONE map-side-combined aggregation over the scan;
+    nothing else.
+    """
+    DEC = "decimal(38,0)"
+    q = F.round(F.col("l_quantity")).cast("long")
+    p = F.round(F.col("l_extendedprice") * 100).cast("long")
+    d = F.round(F.col("l_discount") * 10000).cast("long")
+    sel = lineitem.select(
+        F.col("l_returnflag").alias("returnflag"),
+        q.alias("q"),
+        p.alias("p"),
+        d.alias("d"),
+    )
+    def cp(a: str, b: str, name: str):
+        return F.sum(F.col(a).cast(DEC) * F.col(b).cast(DEC)).cast(DEC).alias(name)
+    return sel.groupBy("returnflag").agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum("q").cast("long").alias("sum_q"),
+        F.sum("p").cast("long").alias("sum_p"),
+        F.sum("d").cast("long").alias("sum_d"),
+        cp("p", "p", "spp"),
+        cp("q", "q", "sqq"),
+        cp("d", "d", "sdd"),
+        cp("q", "p", "sqp"),
+        cp("q", "d", "sqd"),
+        cp("p", "d", "spd"),
+    )

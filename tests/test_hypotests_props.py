@@ -662,3 +662,80 @@ def test_seasonal_mk_sums_match_python(spark, xs):
             ties[x] = ties.get(x, 0) + 1
         tt = sum(t * (t - 1) * (2 * t + 5) for t in ties.values())
         assert out[m] == (len(series), s, tt)
+
+
+@given(xs=st.lists(st.integers(1, 50), min_size=5, max_size=15))
+@SET
+def test_trimmed_sum_matches_python(spark, xs):
+    from big_data_graph_analysis_with_spark_spark.operators import olap
+
+    li = spark.createDataFrame(
+        [("A", x / 100.0) for x in xs],
+        "l_returnflag string, l_extendedprice double",
+    )
+    r = olap.trimmed_sum_census(li).collect()[0]
+    srt = sorted(xs)
+    n = len(xs)
+    lo = srt[((n - 1) * 1) // 10]
+    hi = srt[((n - 1) * 9) // 10]
+    kept = [x for x in xs if lo < x < hi]
+    assert (r["lo_cents"], r["hi_cents"]) == (lo, hi)
+    assert (r["kept_n"], r["kept_sum_cents"]) == (len(kept), sum(kept))
+
+
+def test_measure_crossproducts_exact(spark):
+    from big_data_graph_analysis_with_spark_spark.operators import olap
+
+    rows = [("A", 2.0, 0.03, 0.10), ("A", 3.0, 0.05, 0.20), ("B", 1.0, 0.07, 0.00)]
+    li = spark.createDataFrame(
+        rows,
+        "l_returnflag string, l_quantity double, l_extendedprice double, l_discount double",
+    )
+    out = {r["returnflag"]: r for r in olap.measure_crossproducts(li).collect()}
+    a = out["A"]
+    # q = (2,3), p cents = (3,5), d bps = (1000, 2000)
+    assert (a["n"], a["sum_q"], a["sum_p"], a["sum_d"]) == (2, 5, 8, 3000)
+    assert int(a["sqp"]) == 2 * 3 + 3 * 5
+    assert int(a["spp"]) == 9 + 25
+    assert int(a["sdd"]) == 1000**2 + 2000**2
+    assert int(a["spd"]) == 3 * 1000 + 5 * 2000
+    b = out["B"]
+    assert (b["n"], int(b["sqq"])) == (1, 1)
+
+
+def test_l_diversity_census(spark):
+    from big_data_graph_analysis_with_spark_spark.operators import curation
+
+    rows = [
+        ("US", "A", 1), ("US", "A", 1), ("US", "A", 1),   # l=1, 3 rows
+        ("US", "B", 1), ("US", "B", 2),                   # l=2, 2 rows
+        ("DE", "A", 1), ("DE", "A", 2), ("DE", "A", 3),   # l=3, 3 rows
+    ]
+    df = spark.createDataFrame(rows, "nation string, seg string, s long")
+    out = {
+        r["l"]: (r["n_groups"], r["n_rows"])
+        for r in curation.l_diversity_census(
+            df, ["nation", "seg"], "s"
+        ).collect()
+    }
+    assert out == {1: (1, 3), 2: (1, 2), 3: (1, 3)}
+
+
+def test_zipf_points_match_python(spark):
+    from big_data_graph_analysis_with_spark_spark.operators import corpusstats
+
+    docs = spark.createDataFrame(
+        [(1, "a a a a b b b c c d"), (2, "a b c d e f g")],
+        "doc_id long, text string",
+    )
+    out = {
+        r["decile"]: (r["rank"], r["freq"])
+        for r in corpusstats.zipf_rank_freq_points(docs).collect()
+    }
+    # vocab: a:5 b:4 c:3 d:2 e:1 f:1 g:1 -> V=7, freq sorted desc
+    freqs = [5, 4, 3, 2, 1, 1, 1]
+    for q, (rank, freq) in out.items():
+        want_rank = max(1, (7 * q) // 10)
+        assert rank == want_rank
+        assert freq == freqs[want_rank - 1]
+    assert out[0] == (1, 5) and out[10] == (7, 1)
