@@ -7456,12 +7456,12 @@ FROM t1, t2, t3
             FROM pu GROUP BY 1
         """,
         "edge_block_census": graph_sql(
-            """
-SELECT CASE WHEN src < 100 THEN 'nation'
-            WHEN src < 10000 THEN 'supplier'
+            f"""
+SELECT CASE WHEN src < {tpch_graph.SUPPLIER_OFFSET} THEN 'nation'
+            WHEN src < {tpch_graph.CUSTOMER_OFFSET} THEN 'supplier'
             ELSE 'customer' END AS src_class,
-       CASE WHEN dst < 100 THEN 'nation'
-            WHEN dst < 10000 THEN 'supplier'
+       CASE WHEN dst < {tpch_graph.SUPPLIER_OFFSET} THEN 'nation'
+            WHEN dst < {tpch_graph.CUSTOMER_OFFSET} THEN 'supplier'
             ELSE 'customer' END AS dst_class,
        CAST(COUNT(*) AS BIGINT) AS n_edges
 FROM og_edges GROUP BY 1, 2

@@ -44,10 +44,20 @@ TPCH_TABLES = [
     "embeddings",
 ]
 
-#: id-space offsets keeping the three vertex classes disjoint
-SUPPLIER_OFFSET = 100
-CUSTOMER_OFFSET = 10_000
-ADDED_OFFSET = 20_000
+#: id-space offsets keeping the four vertex classes disjoint at EVERY
+#: scale factor. The original values (100 / 10_000 / 20_000) were sized
+#: for sf0.01 and silently COLLIDED at sf0.1: customer ids
+#: (10_000 + c_custkey, max 24_999) overlapped the perturbed graph's
+#: added-vertex range (20_000+), producing duplicate vertex ids whose
+#: modified/added classification diverged between the Spark derivation
+#: (kept BOTH rows) and the oracle CTE (classified by an `id <
+#: ADDED_OFFSET` branch) — caught by the first full-oracle sweep at
+#: sf0.1. 1e12 spacing keeps the classes disjoint while entity keys
+#: stay below 1e12, i.e. up to roughly sf 6e6 (~exabyte scale), with
+#: ids still far inside int64.
+SUPPLIER_OFFSET = 1_000_000_000_000
+CUSTOMER_OFFSET = 2_000_000_000_000
+ADDED_OFFSET = 3_000_000_000_000
 
 #: perturbation moduli (FIXTURES.md §1 taxonomy)
 REMOVE_MOD = 17
@@ -86,7 +96,12 @@ def _vertex_attrs(df: DataFrame) -> DataFrame:
         (i % 5).cast("long").alias("max_depth"),
         (i % 7).cast("long").alias("max_branching_factor"),
         (i % 20).cast("long").alias("max_properties"),
-        (i / F.lit(100.0)).alias("stored_value"),
+        # modulus BEFORE the float division: with 1e12-spaced ids a raw
+        # id/100.0 needs ~17 significant digits at 2 decimals — past
+        # double precision, so decimal-cast mirrors drift in the last
+        # ulp between engines. id % 1e5 keeps stored_value in [0, 1000)
+        # where every 2-decimal value is far inside exact double range.
+        ((i % 100_000) / F.lit(100.0)).alias("stored_value"),
         (i % 3 != 0).alias("valuable_data"),
     )
 
@@ -199,7 +214,7 @@ def _attr_sql(src: str, modified: bool) -> str:
            CAST(id % 5 AS BIGINT) AS max_depth,
            CAST(id % 7 AS BIGINT) AS max_branching_factor,
            CAST(id % 20 AS BIGINT) AS max_properties,
-           id / 100.0 AS stored_value,
+           (id % 100000) / 100.0 AS stored_value,
            id % 3 <> 0 AS valuable_data
     FROM ({src})
     """
