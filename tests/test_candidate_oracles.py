@@ -1,0 +1,432 @@
+"""Oracle-parity tests for NEXT-ROUND registry candidates.
+
+The driver's 50-slot verification window is full this round, so these
+operators cannot take `oracle_sql()` slots yet — but their DuckDB twins
+are written and pinned HERE, with the driver's own comparison
+(tests/conftest.assert_matches_oracle), against the sf0.001 tables.
+Promoting one to the registry next round is a copy-paste of the SQL
+plus a q_ wrapper, with a round of pytest evidence already behind it.
+Each test's callable mirrors exactly what the q_ wrapper will do.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+
+from tests.conftest import SF0001, assert_matches_oracle
+
+
+def _read(spark, sf, name):
+    return spark.read.parquet(f"{sf}/{name}.parquet")
+
+
+class TestStatisticsCandidates:
+    def test_pettitt_changepoint(self, spark):
+        from big_data_graph_analysis_with_spark_spark.operators import hypotests
+
+        df = hypotests.pettitt_changepoint(_read(spark, SF0001, "orders"))
+        assert_matches_oracle(df, """
+            WITH daily AS (
+              SELECT epoch_us(o_orderdate) // 86400000000 AS day,
+                     SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS cents
+              FROM orders GROUP BY 1
+            ),
+            h AS (SELECT cents, COUNT(*) AS cnt FROM daily GROUP BY 1),
+            r2 AS (
+              SELECT cents,
+                     2 * COALESCE(SUM(cnt) OVER (
+                       ORDER BY cents
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+                     ), 0) + cnt + 1 AS r2
+              FROM h
+            ),
+            ranked AS (
+              SELECT d.day,
+                     ROW_NUMBER() OVER (ORDER BY d.day) AS t,
+                     SUM(r2.r2) OVER (ORDER BY d.day) AS w2,
+                     COUNT(*) OVER () AS n
+              FROM daily d JOIN r2 USING (cents)
+            ),
+            dev AS (
+              SELECT day, n,
+                     ABS(CAST(w2 AS HUGEINT) - CAST(t AS HUGEINT) * (n + 1))
+                       AS u_abs
+              FROM ranked WHERE t < n
+            ),
+            m AS (SELECT MAX(u_abs) AS mx FROM dev)
+            SELECT CAST(MAX(n) AS BIGINT) AS n_days,
+                   CAST(MAX(m.mx) AS DECIMAL(38,0)) AS max_abs_u,
+                   CAST(MIN(day) AS BIGINT) AS at_day
+            FROM dev JOIN m ON dev.u_abs = m.mx
+        """, SF0001)
+
+    def test_seasonal_mann_kendall(self, spark):
+        from big_data_graph_analysis_with_spark_spark.operators import hypotests
+
+        df = hypotests.seasonal_mann_kendall(_read(spark, SF0001, "orders"))
+        assert_matches_oracle(df, """
+            WITH daily AS (
+              SELECT epoch_us(o_orderdate) // 86400000000 AS day,
+                     SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS cents
+              FROM orders GROUP BY 1
+            ),
+            md AS (
+              SELECT month(DATE '1970-01-01' + CAST(day AS INTEGER)) AS moy,
+                     day, cents
+              FROM daily
+            ),
+            s AS (
+              SELECT a.moy,
+                     CAST(SUM(CASE WHEN b.cents > a.cents THEN 1
+                                   WHEN b.cents < a.cents THEN -1
+                                   ELSE 0 END) AS BIGINT) AS s_stat
+              FROM md a JOIN md b ON a.moy = b.moy AND b.day > a.day
+              GROUP BY 1
+            ),
+            n AS (SELECT moy, CAST(COUNT(*) AS BIGINT) AS n_days
+                  FROM md GROUP BY 1),
+            t AS (
+              SELECT moy,
+                     CAST(SUM(t * (t - 1) * (2 * t + 5)) AS BIGINT)
+                       AS tie_term
+              FROM (SELECT moy, cents, COUNT(*) AS t FROM md GROUP BY 1, 2)
+              GROUP BY 1
+            )
+            SELECT CAST(n.moy AS BIGINT) AS month_of_year, n.n_days,
+                   CAST(COALESCE(s.s_stat, 0) AS BIGINT) AS s_stat,
+                   t.tie_term
+            FROM n LEFT JOIN s ON s.moy = n.moy JOIN t ON t.moy = n.moy
+        """, SF0001)
+
+    def test_trimmed_sum_census(self, spark):
+        from big_data_graph_analysis_with_spark_spark.operators import olap
+
+        df = olap.trimmed_sum_census(_read(spark, SF0001, "lineitem"))
+        assert_matches_oracle(df, """
+            WITH h AS (
+              SELECT l_returnflag AS returnflag,
+                     CAST(ROUND(l_extendedprice * 100) AS BIGINT) AS cents,
+                     COUNT(*) AS cnt
+              FROM lineitem GROUP BY 1, 2
+            ),
+            c AS (
+              SELECT returnflag, cents, cnt,
+                     SUM(cnt) OVER (PARTITION BY returnflag
+                                    ORDER BY cents) AS cum,
+                     SUM(cnt) OVER (PARTITION BY returnflag) AS n
+              FROM h
+            ),
+            b AS (
+              SELECT returnflag, MAX(n) AS n,
+                     MAX(CASE WHEN cum - cnt <= ((n-1) * 1) // 10
+                               AND ((n-1) * 1) // 10 < cum
+                              THEN cents END) AS lo_cents,
+                     MAX(CASE WHEN cum - cnt <= ((n-1) * 9) // 10
+                               AND ((n-1) * 9) // 10 < cum
+                              THEN cents END) AS hi_cents
+              FROM c
+              WHERE (cum - cnt <= ((n-1) * 1) // 10
+                     AND ((n-1) * 1) // 10 < cum)
+                 OR (cum - cnt <= ((n-1) * 9) // 10
+                     AND ((n-1) * 9) // 10 < cum)
+              GROUP BY 1
+            ),
+            k AS (
+              SELECT h.returnflag, SUM(h.cnt) AS kept_n,
+                     SUM(h.cnt * h.cents) AS kept_sum
+              FROM h JOIN b USING (returnflag)
+              WHERE h.cents > b.lo_cents AND h.cents < b.hi_cents
+              GROUP BY 1
+            )
+            SELECT b.returnflag,
+                   CAST(b.n AS BIGINT) AS n,
+                   CAST(b.lo_cents AS BIGINT) AS lo_cents,
+                   CAST(b.hi_cents AS BIGINT) AS hi_cents,
+                   CAST(COALESCE(k.kept_n, 0) AS BIGINT) AS kept_n,
+                   CAST(COALESCE(k.kept_sum, 0) AS BIGINT)
+                     AS kept_sum_cents
+            FROM b LEFT JOIN k USING (returnflag)
+        """, SF0001)
+
+    def test_measure_crossproducts(self, spark):
+        from big_data_graph_analysis_with_spark_spark.operators import olap
+
+        df = olap.measure_crossproducts(_read(spark, SF0001, "lineitem"))
+        assert_matches_oracle(df, """
+            WITH t AS (
+              SELECT l_returnflag AS returnflag,
+                     CAST(ROUND(l_quantity) AS BIGINT) AS q,
+                     CAST(ROUND(l_extendedprice * 100) AS BIGINT) AS p,
+                     CAST(ROUND(l_discount * 10000) AS BIGINT) AS d
+              FROM lineitem
+            )
+            SELECT returnflag,
+                   CAST(COUNT(*) AS BIGINT) AS n,
+                   CAST(SUM(q) AS BIGINT) AS sum_q,
+                   CAST(SUM(p) AS BIGINT) AS sum_p,
+                   CAST(SUM(d) AS BIGINT) AS sum_d,
+                   CAST(SUM(CAST(p AS HUGEINT) * p) AS DECIMAL(38,0)) AS spp,
+                   CAST(SUM(CAST(q AS HUGEINT) * q) AS DECIMAL(38,0)) AS sqq,
+                   CAST(SUM(CAST(d AS HUGEINT) * d) AS DECIMAL(38,0)) AS sdd,
+                   CAST(SUM(CAST(q AS HUGEINT) * p) AS DECIMAL(38,0)) AS sqp,
+                   CAST(SUM(CAST(q AS HUGEINT) * d) AS DECIMAL(38,0)) AS sqd,
+                   CAST(SUM(CAST(p AS HUGEINT) * d) AS DECIMAL(38,0)) AS spd
+            FROM t GROUP BY 1
+        """, SF0001)
+
+    def test_l_diversity_census(self, spark):
+        from big_data_graph_analysis_with_spark_spark.operators import curation
+
+        cust = _read(spark, SF0001, "customer").select(
+            "c_nationkey",
+            "c_mktsegment",
+            (F.round(F.col("c_acctbal") / 1000).cast("long")).alias("bal_band"),
+        )
+        df = curation.l_diversity_census(
+            cust, ["c_nationkey", "c_mktsegment"], "bal_band"
+        )
+        assert_matches_oracle(df, """
+            WITH t AS (
+              SELECT c_nationkey, c_mktsegment,
+                     CAST(ROUND(c_acctbal / 1000) AS BIGINT) AS bal_band
+              FROM customer
+            ),
+            cls AS (
+              SELECT c_nationkey, c_mktsegment, COUNT(*) AS l
+              FROM (SELECT DISTINCT c_nationkey, c_mktsegment, bal_band
+                    FROM t)
+              GROUP BY 1, 2
+            ),
+            sz AS (
+              SELECT c_nationkey, c_mktsegment, COUNT(*) AS rows_
+              FROM t GROUP BY 1, 2
+            )
+            SELECT CAST(cls.l AS BIGINT) AS l,
+                   CAST(COUNT(*) AS BIGINT) AS n_groups,
+                   CAST(SUM(sz.rows_) AS BIGINT) AS n_rows
+            FROM cls JOIN sz USING (c_nationkey, c_mktsegment)
+            GROUP BY 1
+        """, SF0001)
+
+    def test_zipf_rank_freq_points(self, spark):
+        from big_data_graph_analysis_with_spark_spark.operators import (
+            corpusstats,
+        )
+
+        df = corpusstats.zipf_rank_freq_points(
+            _read(spark, SF0001, "documents")
+        )
+        assert_matches_oracle(df, r"""
+            WITH words AS (
+              SELECT UNNEST(string_split_regex(lower(text), '\s+')) AS tok
+              FROM documents
+            ),
+            vocab AS (
+              SELECT tok, COUNT(*) AS freq FROM words
+              WHERE tok <> '' GROUP BY 1
+            ),
+            fh AS (SELECT freq, COUNT(*) AS cnt FROM vocab GROUP BY 1),
+            c AS (
+              SELECT freq, cnt,
+                     SUM(cnt) OVER (ORDER BY freq DESC) AS cum,
+                     SUM(cnt) OVER () AS v
+              FROM fh
+            ),
+            p AS (
+              SELECT c.*, q.decile,
+                     GREATEST(1, (v * q.decile) // 10) AS want
+              FROM c, (SELECT UNNEST(range(0, 11)) AS decile) q
+            )
+            SELECT CAST(decile AS BIGINT) AS decile,
+                   CAST(want AS BIGINT) AS rank,
+                   CAST(freq AS BIGINT) AS freq
+            FROM p WHERE cum - cnt < want AND want <= cum
+        """, SF0001)
+
+
+class TestIvmCandidates:
+    """End-to-end IVM candidate queries: state materialized from the
+    pre-1998 slice, a CDC insert batch from 1998+, maintained result
+    compared against the plain recompute over ALL orders."""
+
+    def test_ivm_orders_rollup(self, spark):
+        from big_data_graph_analysis_with_spark_spark.operators import merge
+
+        orders = _read(spark, SF0001, "orders")
+        cents = F.round(F.col("o_totalprice") * 100).cast("long")
+        old = orders.filter(F.year("o_orderdate") < 1998)
+        new = orders.filter(F.year("o_orderdate") >= 1998)
+        state = old.groupBy(F.col("o_custkey").alias("key")).agg(
+            F.count("*").cast("long").alias("n"),
+            F.sum(cents).cast("long").alias("sum_cents"),
+        )
+        cdc = new.select(
+            F.lit("I").alias("op"),
+            F.col("o_custkey").alias("key"),
+            F.lit(None).cast("long").alias("old_cents"),
+            cents.alias("new_cents"),
+        )
+        df = merge.maintain_group_aggregate(state, cdc)
+        assert_matches_oracle(df, """
+            SELECT o_custkey AS key,
+                   CAST(COUNT(*) AS BIGINT) AS n,
+                   CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT))
+                        AS BIGINT) AS sum_cents
+            FROM orders GROUP BY 1
+        """, SF0001)
+
+    def test_ivm_distinct_priorities(self, spark):
+        from big_data_graph_analysis_with_spark_spark.operators import merge
+
+        orders = _read(spark, SF0001, "orders")
+        old = orders.filter(F.year("o_orderdate") < 1998)
+        new = orders.filter(F.year("o_orderdate") >= 1998)
+        aux = old.groupBy(
+            F.col("o_custkey").alias("key"),
+            F.col("o_orderpriority").alias("v"),
+        ).agg(F.count("*").cast("long").alias("m"))
+        cdc = new.select(
+            F.lit("I").alias("op"),
+            F.col("o_custkey").alias("key"),
+            F.lit(None).cast("string").alias("old_v"),
+            F.col("o_orderpriority").alias("new_v"),
+        )
+        _, view = merge.maintain_distinct_count(aux, cdc)
+        assert_matches_oracle(view, """
+            SELECT o_custkey AS key,
+                   CAST(COUNT(DISTINCT o_orderpriority) AS BIGINT)
+                     AS n_distinct
+            FROM orders GROUP BY 1
+        """, SF0001)
+
+    def test_ivm_histogram_median(self, spark):
+        from big_data_graph_analysis_with_spark_spark.operators import merge
+
+        orders = _read(spark, SF0001, "orders")
+        cents = F.round(F.col("o_totalprice") * 100).cast("long")
+        old = orders.filter(F.year("o_orderdate") < 1998)
+        new = orders.filter(F.year("o_orderdate") >= 1998)
+        hist = old.groupBy(
+            F.col("o_orderpriority").alias("key"), cents.alias("cents")
+        ).agg(F.count("*").cast("long").alias("w"))
+        cdc = new.select(
+            F.lit("I").alias("op"),
+            F.col("o_orderpriority").alias("key"),
+            F.lit(None).cast("long").alias("old_cents"),
+            cents.alias("new_cents"),
+        )
+        maintained = merge.maintain_value_histogram(hist, cdc)
+        df = merge.quantile_from_histogram(maintained, 5)
+        assert_matches_oracle(df, """
+            WITH h AS (
+              SELECT o_orderpriority AS key,
+                     CAST(ROUND(o_totalprice * 100) AS BIGINT) AS cents,
+                     COUNT(*) AS w
+              FROM orders GROUP BY 1, 2
+            ),
+            c AS (
+              SELECT key, cents, w,
+                     SUM(w) OVER (PARTITION BY key ORDER BY cents) AS cum,
+                     SUM(w) OVER (PARTITION BY key) AS n
+              FROM h
+            )
+            SELECT key, CAST(n AS BIGINT) AS n,
+                   CAST(cents AS BIGINT) AS q_cents
+            FROM c
+            WHERE cum - w <= ((n - 1) * 5) // 10
+              AND ((n - 1) * 5) // 10 < cum
+        """, SF0001)
+
+
+class TestSamplingAndJsonCandidates:
+    def test_poisson_bootstrap_sums(self, spark):
+        from big_data_graph_analysis_with_spark_spark.operators import sampling
+
+        df = sampling.poisson_bootstrap_sums(
+            _read(spark, SF0001, "events"), n_resamples=8
+        )
+        ts = sampling.poisson1_thresholds_56()
+        case = "CASE " + " ".join(
+            f"WHEN u < {t} THEN {k}" for k, t in enumerate(ts)
+        ) + f" ELSE {len(ts)} END"
+        assert_matches_oracle(df, f"""
+            WITH t AS (
+              SELECT CAST(ROUND(value * 100) AS BIGINT) AS cents,
+                     b.b,
+                     (('0x' || substr(md5(
+                        CAST(b.b AS VARCHAR) || ':' ||
+                        CAST(event_id AS VARCHAR)), 1, 14))::BIGINT) AS u
+              FROM events, (SELECT UNNEST(range(0, 8)) AS b) b
+            ),
+            w AS (SELECT b, cents, {case} AS w FROM t)
+            SELECT CAST(b AS BIGINT) AS b,
+                   CAST(COUNT(*) AS BIGINT) AS n_rows,
+                   CAST(SUM(w) AS BIGINT) AS n_eff,
+                   CAST(SUM(w * cents) AS BIGINT) AS boot_cents
+            FROM w GROUP BY 1
+        """, SF0001)
+
+    def test_block_bootstrap_daily_sums(self, spark):
+        from big_data_graph_analysis_with_spark_spark.operators import sampling
+
+        df = sampling.block_bootstrap_daily_sums(
+            _read(spark, SF0001, "orders"), n_resamples=8, block_len=30
+        )
+        assert_matches_oracle(df, """
+            WITH daily AS (
+              SELECT epoch_us(o_orderdate) // 86400000000 AS day,
+                     SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS cents
+              FROM orders GROUP BY 1
+            ),
+            idx AS (
+              SELECT ROW_NUMBER() OVER (ORDER BY day) - 1 AS i,
+                     SUM(cents) OVER (ORDER BY day) AS prefix
+              FROM daily
+            ),
+            sc AS (SELECT COUNT(*) AS n, MAX(prefix) AS total FROM idx),
+            picks AS (
+              SELECT sc.n, sc.total, b.b, j.j,
+                     (('0x' || substr(md5(
+                        CAST(b.b AS VARCHAR) || ':' ||
+                        CAST(j.j AS VARCHAR)), 1, 14))::BIGINT) % sc.n AS s
+              FROM sc,
+                   (SELECT UNNEST(range(0, 8)) AS b) b,
+                   LATERAL (SELECT UNNEST(range(0, CAST((sc.n + 29) // 30
+                            AS BIGINT))) AS j) j
+            ),
+            sums AS (
+              SELECT p.b,
+                     hi.prefix
+                     - CASE WHEN p.s = 0 THEN 0 ELSE lo.prefix END
+                     + CASE WHEN p.s + 29 >= p.n THEN p.total ELSE 0 END
+                       AS block_cents
+              FROM picks p
+              JOIN idx lo ON lo.i = (p.s - 1 + p.n) % p.n
+              JOIN idx hi ON hi.i = (p.s + 29) % p.n
+            )
+            SELECT CAST(b AS BIGINT) AS b,
+                   CAST(COUNT(*) AS BIGINT) AS n_blocks,
+                   CAST(COUNT(*) * 30 AS BIGINT) AS n_days_eff,
+                   CAST(SUM(block_cents) AS BIGINT) AS boot_cents
+            FROM sums GROUP BY 1
+        """, SF0001)
+
+    def test_props_variant_stats(self, spark):
+        from big_data_graph_analysis_with_spark_spark.operators import jsonops
+
+        df = jsonops.props_variant_stats(_read(spark, SF0001, "events"))
+        assert_matches_oracle(df, """
+            WITH t AS (
+              SELECT event_type,
+                     CAST(json_extract(props, '$.k') AS BIGINT) AS k
+              FROM events
+            )
+            SELECT event_type,
+                   CAST(COUNT(*) AS BIGINT) AS n_events,
+                   CAST(COUNT(k) AS BIGINT) AS n_with_prop,
+                   CAST(SUM(k) AS BIGINT) AS sum_k,
+                   CAST(MIN(k) AS BIGINT) AS min_k,
+                   CAST(MAX(k) AS BIGINT) AS max_k,
+                   CAST(COUNT(DISTINCT k) AS BIGINT) AS n_distinct_k
+            FROM t GROUP BY 1
+        """, SF0001)
