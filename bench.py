@@ -1139,6 +1139,64 @@ def main() -> None:
         entrymod.q_lorenz_curve_points(spark, SF_DIR).count()
         entrymod.q_tukey_fence_census(spark, SF_DIR).count()
 
+    @timed("candidate_ops", iters=2)
+    def _():
+        # next-round registry candidates (operators landed this round,
+        # DuckDB twins pinned in tests/test_candidate_oracles.py):
+        # both bootstraps, table profile, Pettitt, seasonal MK,
+        # trimmed sum, cross-moments, l-diversity, Zipf points,
+        # Variant census, and the three end-to-end IVM folds
+        from pyspark.sql import functions as FF
+
+        from big_data_graph_analysis_with_spark_spark.operators import (
+            corpusstats as c_ops,
+            curation as cur_ops,
+            hypotests as h_ops,
+            jsonops as j_ops,
+            merge as m_ops,
+            olap as o_ops,
+            sampling as s_ops,
+        )
+
+        ev = spark.read.parquet(f"{SF_DIR}/events.parquet")
+        orders = spark.read.parquet(f"{SF_DIR}/orders.parquet")
+        li = spark.read.parquet(f"{SF_DIR}/lineitem.parquet")
+        docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+        cust = spark.read.parquet(f"{SF_DIR}/customer.parquet")
+        s_ops.poisson_bootstrap_sums(ev, n_resamples=32).count()
+        s_ops.block_bootstrap_daily_sums(orders, n_resamples=32).count()
+        o_ops.table_profile(
+            li, ["l_orderkey", "l_returnflag", "l_linestatus", "l_quantity"]
+        ).count()
+        h_ops.pettitt_changepoint(orders).count()
+        h_ops.seasonal_mann_kendall(orders).count()
+        o_ops.trimmed_sum_census(li).count()
+        o_ops.measure_crossproducts(li).count()
+        cur_ops.l_diversity_census(
+            cust.select(
+                "c_nationkey", "c_mktsegment",
+                (FF.round(FF.col("c_acctbal") / 1000).cast("long")).alias("bb"),
+            ),
+            ["c_nationkey", "c_mktsegment"],
+            "bb",
+        ).count()
+        c_ops.zipf_rank_freq_points(docs).count()
+        j_ops.props_variant_stats(ev).count()
+        cents = FF.round(FF.col("o_totalprice") * 100).cast("long")
+        old = orders.filter(FF.year("o_orderdate") < 1998)
+        new = orders.filter(FF.year("o_orderdate") >= 1998)
+        state = old.groupBy(FF.col("o_custkey").alias("key")).agg(
+            FF.count("*").cast("long").alias("n"),
+            FF.sum(cents).cast("long").alias("sum_cents"),
+        )
+        cdc = new.select(
+            FF.lit("I").alias("op"),
+            FF.col("o_custkey").alias("key"),
+            FF.lit(None).cast("long").alias("old_cents"),
+            cents.alias("new_cents"),
+        )
+        m_ops.maintain_group_aggregate(state, cdc).count()
+
     @timed("streaming_ks_gate")
     def _():
         # batch 7: the streaming KS drift gate end to end — stream the
