@@ -7218,8 +7218,7 @@ GROUP BY 1, 2
         "embedding_dot_hist": f"""
             WITH comp AS (
               SELECT vec_id, unnest(range(len(embedding))) AS j,
-                     CAST(CAST(unnest(embedding) AS DOUBLE)
-                          AS DECIMAL(18,9)) AS x
+                     CAST(CAST(ROUND(CAST(unnest(embedding) AS DOUBLE) * 1000000000) AS BIGINT) * CAST(0.000000001 AS DECIMAL(10,9)) AS DECIMAL(18,9)) AS x
               FROM embeddings
             ),
             grp AS (
@@ -8156,7 +8155,7 @@ FROM vt, et
         "embedding_covariance": """
             WITH comp AS (
               SELECT vec_id, unnest(range(len(embedding))) AS j,
-                     CAST(CAST(unnest(embedding) AS DOUBLE) AS DECIMAL(18,9)) AS x
+                     CAST(CAST(ROUND(CAST(unnest(embedding) AS DOUBLE) * 1000000000) AS BIGINT) * CAST(0.000000001 AS DECIMAL(10,9)) AS DECIMAL(18,9)) AS x
               FROM embeddings
             ),
             marg AS (SELECT j, SUM(x) AS s FROM comp GROUP BY j),
@@ -9133,7 +9132,7 @@ FROM vt, et
         "embedding_centroids": """
             WITH comp AS (
               SELECT label, unnest(range(len(embedding))) AS j,
-                     CAST(CAST(unnest(embedding) AS DOUBLE) AS DECIMAL(18,9)) AS x
+                     CAST(CAST(ROUND(CAST(unnest(embedding) AS DOUBLE) * 1000000000) AS BIGINT) * CAST(0.000000001 AS DECIMAL(10,9)) AS DECIMAL(18,9)) AS x
               FROM embeddings
             )
             SELECT CAST(label AS BIGINT) AS label,

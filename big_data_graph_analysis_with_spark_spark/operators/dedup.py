@@ -490,13 +490,29 @@ def dedup_keep_best(
 
 
 def _decimal_components(emb: DataFrame, id_col: str = "vec_id") -> DataFrame:
-    """(id, j, x): DECIMAL(18,9)-cast embedding components — the exact
-    fixed-point representation both engines agree on."""
+    """(id, j, x): DECIMAL(18,9) embedding components via integer
+    NANO-UNITS — x = ROUND(xf·1e9)/1e9, constructed as bigint·1e-9 so
+    both engines derive the decimal from the SAME integer. A direct
+    double→decimal(18,9) cast is NOT engine-stable: Spark goes through
+    BigDecimal.valueOf (shortest double repr) while DuckDB expands the
+    exact binary fraction, and one component in ~1e6 lands where the
+    two roundings differ by 1 ulp (caught by the sf0.1 oracle sweep on
+    `embedding_centroids`). ROUND on the shared double product is the
+    engine-agreed primitive the whole cents convention already rests
+    on; |xf·1e9| for unit-scale embeddings sits ~10 significant digits,
+    far inside double-exact range."""
+    from decimal import Decimal
+
+    nanos = F.round(F.col("xf").cast("double") * F.lit(1e9)).cast(
+        "decimal(18,0)"
+    )
     return emb.select(
         F.col(id_col),
         F.posexplode("embedding").alias("j", "xf"),
     ).select(
-        id_col, "j", F.col("xf").cast("double").cast("decimal(18,9)").alias("x")
+        id_col,
+        "j",
+        (nanos * F.lit(Decimal("0.000000001"))).cast("decimal(18,9)").alias("x"),
     )
 
 

@@ -268,3 +268,69 @@ def activity_span_hist(events: DataFrame) -> DataFrame:
     return per_user.groupBy(
         F.col("span_days").cast("long").alias("span_days")
     ).agg(F.count("*").cast("long").alias("n_users"))
+
+
+def km_risk_table(events: DataFrame) -> DataFrame:
+    """(t_days, n_risk, n_events, n_censored): the Kaplan-Meier risk
+    table for time-to-first-purchase — one row per distinct whole-day
+    duration at which a conversion or a censoring happens, carrying the
+    at-risk count (users whose duration ≥ t). The KM survival estimate
+    is Π_{t' ≤ t, event} (1 − n_events/n_risk) — a product of rationals
+    the CALLER folds over these exact integer rows; emitting the
+    sufficient table instead of the float product keeps the engine
+    hash-exact (the established sufficient-statistics discipline).
+
+    Durations: from a user's FIRST event to their FIRST purchase
+    (event = 1); users who never purchase are right-censored at the
+    corpus observation horizon (global max timestamp, event = 0) — the
+    standard single-cohort setup.
+
+    Scale shape: one user-keyed aggregation builds the duration frame,
+    the horizon is a 1-row broadcast scalar, and the risk counts ride a
+    cumulative window over the bounded distinct-duration histogram
+    (suffix count = total − prefix-before).
+    """
+    tus = event_micros(events)
+    per_user = events.select(
+        "user_id",
+        tus.alias("tus"),
+        (F.col("event_type") == "purchase").alias("is_p"),
+    ).groupBy("user_id").agg(
+        F.min("tus").alias("t0"),
+        F.min(F.when(F.col("is_p"), F.col("tus"))).alias("tp"),
+    )
+    horizon = events.select(tus.alias("tus")).agg(
+        F.max("tus").alias("hz")
+    )
+    durations = per_user.crossJoin(F.broadcast(horizon)).select(
+        F.expr(
+            "(coalesce(tp, hz) - t0) div 86400000000"
+        ).alias("t_days"),
+        F.col("tp").isNotNull().alias("event"),
+    )
+    hist = durations.groupBy("t_days").agg(
+        F.sum(F.when(F.col("event"), 1).otherwise(0)).alias("n_events"),
+        F.sum(F.when(~F.col("event"), 1).otherwise(0)).alias("n_censored"),
+    )
+    w = Window.orderBy("t_days")
+    return hist.select(
+        F.col("t_days").cast("long").alias("t_days"),
+        (
+            F.sum(F.col("n_events") + F.col("n_censored"))
+            .over(
+                w.rowsBetween(
+                    Window.unboundedPreceding, Window.unboundedFollowing
+                )
+            )
+            - F.coalesce(
+                F.sum(F.col("n_events") + F.col("n_censored")).over(
+                    w.rowsBetween(Window.unboundedPreceding, -1)
+                ),
+                F.lit(0),
+            )
+        )
+        .cast("long")
+        .alias("n_risk"),
+        F.col("n_events").cast("long").alias("n_events"),
+        F.col("n_censored").cast("long").alias("n_censored"),
+    )

@@ -471,9 +471,20 @@ def label_centroids(emb: DataFrame, label_col: str = "label") -> DataFrame:
     Centroids are the building block for IVF re-training, per-source
     drift monitoring, and class-balanced embedding pruning.
     """
+    # nano-unit decimal construction — see dedup._decimal_components
+    # for why a direct double→decimal cast is not engine-stable
+    from decimal import Decimal
+
+    nanos = F.round(F.col("xf").cast("double") * F.lit(1e9)).cast(
+        "decimal(18,0)"
+    )
     comp = emb.select(
         F.col(label_col).alias("label"), F.posexplode("embedding").alias("j", "xf")
-    ).select("label", "j", F.col("xf").cast("double").cast("decimal(18,9)").alias("x"))
+    ).select(
+        "label",
+        "j",
+        (nanos * F.lit(Decimal("0.000000001"))).cast("decimal(18,9)").alias("x"),
+    )
     return comp.groupBy("label", "j").agg(
         F.count("*").cast("long").alias("n_vecs"),
         F.sum("x").cast("double").alias("sum_x"),

@@ -186,7 +186,7 @@ WHERE bit_count(xor(a.simhash, b.simhash)) <= {max_hamming}
 _COMP_CTES = """
 comp AS (
   SELECT vec_id, unnest(range(len(embedding))) AS j,
-         CAST(CAST(unnest(embedding) AS DOUBLE) AS DECIMAL(18,9)) AS x
+         CAST(CAST(ROUND(CAST(unnest(embedding) AS DOUBLE) * 1000000000) AS BIGINT) * CAST(0.000000001 AS DECIMAL(10,9)) AS DECIMAL(18,9)) AS x
   FROM embeddings
 ),
 norms AS (SELECT vec_id, SUM(x * x) AS nsq FROM comp GROUP BY vec_id)
@@ -322,7 +322,7 @@ def knn_graph_sql(k: int = 5, sample_mod: int = 10) -> str:
 WITH sub AS (SELECT * FROM embeddings WHERE vec_id % {sample_mod} = 0),
 comp AS (
   SELECT vec_id, unnest(range(len(embedding))) AS j,
-         CAST(CAST(unnest(embedding) AS DOUBLE) AS DECIMAL(18,9)) AS x
+         CAST(CAST(ROUND(CAST(unnest(embedding) AS DOUBLE) * 1000000000) AS BIGINT) * CAST(0.000000001 AS DECIMAL(10,9)) AS DECIMAL(18,9)) AS x
   FROM sub
 ),
 norms AS (SELECT vec_id, SUM(x * x) AS nsq FROM comp GROUP BY vec_id),
@@ -899,7 +899,7 @@ def rp_project_sql(out_dims: int = 8) -> str:
     return f"""
 WITH comp AS (
   SELECT vec_id, unnest(range(len(embedding))) AS j,
-         CAST(CAST(unnest(embedding) AS DOUBLE) AS DECIMAL(18,9)) AS x
+         CAST(CAST(ROUND(CAST(unnest(embedding) AS DOUBLE) * 1000000000) AS BIGINT) * CAST(0.000000001 AS DECIMAL(10,9)) AS DECIMAL(18,9)) AS x
   FROM embeddings
 ),
 signs AS (

@@ -430,3 +430,65 @@ class TestSamplingAndJsonCandidates:
                    CAST(COUNT(DISTINCT k) AS BIGINT) AS n_distinct_k
             FROM t GROUP BY 1
         """, SF0001)
+
+
+class TestSurvivalCandidate:
+    def test_km_risk_table(self, spark):
+        from big_data_graph_analysis_with_spark_spark.operators import sessions
+
+        df = sessions.km_risk_table(_read(spark, SF0001, "events"))
+        assert_matches_oracle(df, """
+            WITH pu AS (
+              SELECT user_id,
+                     MIN(epoch_us(ts)) AS t0,
+                     MIN(CASE WHEN event_type = 'purchase'
+                              THEN epoch_us(ts) END) AS tp
+              FROM events GROUP BY 1
+            ),
+            hz AS (SELECT MAX(epoch_us(ts)) AS hz FROM events),
+            d AS (
+              SELECT (COALESCE(tp, hz.hz) - t0) // 86400000000 AS t_days,
+                     tp IS NOT NULL AS event
+              FROM pu, hz
+            ),
+            h AS (
+              SELECT t_days,
+                     SUM(CASE WHEN event THEN 1 ELSE 0 END) AS n_events,
+                     SUM(CASE WHEN NOT event THEN 1 ELSE 0 END)
+                       AS n_censored
+              FROM d GROUP BY 1
+            )
+            SELECT CAST(t_days AS BIGINT) AS t_days,
+                   CAST(SUM(n_events + n_censored) OVER ()
+                        - COALESCE(SUM(n_events + n_censored) OVER (
+                            ORDER BY t_days
+                            ROWS BETWEEN UNBOUNDED PRECEDING
+                                     AND 1 PRECEDING
+                          ), 0) AS BIGINT) AS n_risk,
+                   CAST(n_events AS BIGINT) AS n_events,
+                   CAST(n_censored AS BIGINT) AS n_censored
+            FROM h
+        """, SF0001)
+
+    def test_km_hand_case(self, spark):
+        """3 users: converts day 0, converts day 2, never (censored at
+        the horizon)."""
+        import datetime as dt
+
+        from big_data_graph_analysis_with_spark_spark.operators import sessions
+
+        t = lambda d, h=0: dt.datetime(2024, 1, 1 + d, h)
+        rows = [
+            (1, 1, t(0), "view"), (2, 1, t(0, 2), "purchase"),
+            (3, 2, t(0), "view"), (4, 2, t(2), "purchase"),
+            (5, 3, t(0), "view"), (6, 3, t(3), "click"),
+        ]
+        ev = spark.createDataFrame(
+            rows, "event_id long, user_id long, ts timestamp, event_type string"
+        )
+        out = {
+            r["t_days"]: (r["n_risk"], r["n_events"], r["n_censored"])
+            for r in sessions.km_risk_table(ev).collect()
+        }
+        # durations: u1 = 0 (event), u2 = 2 (event), u3 = 3 (censored)
+        assert out == {0: (3, 1, 0), 2: (2, 1, 0), 3: (1, 0, 1)}
