@@ -406,7 +406,7 @@ def q_revenue_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
     from big_data_graph_analysis_with_spark_spark.operators import olap
 
     sess = _prep(spark)
-    return olap.revenue_ewma(sess.read.parquet(f"{sf_dir}/orders.parquet"))
+    return olap.trailing_dyadic_revenue(sess.read.parquet(f"{sf_dir}/orders.parquet"))
 
 
 def q_segment_bitmask(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -4668,63 +4668,22 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # backfill; the 9 rows-only tail entries cannot hash-verify by design
     # and stay at the tail.
     return {
-        # -- NEW in round 10: new queries insert ABOVE the round-9 block as
-        #    they ship (never driver-verified → head of the window) ---------
-        # batch 7: second wave of the shift/rank-statistic suite -----------
+        # -- ROUND-10 ROTATION (r9 verdict tasks 1+2): consolidation —
+        #    NO new queries this round; the window is spent on the 8
+        #    never-driver-green hash-drift fixes + the r3/r4 staleness
+        #    tail. Oracle-backed entries below are sorted never-verified
+        #    first, then ascending last-driver-verified round (computed
+        #    from the committed CORRECTNESS_r*.json history).
+        # -- never driver-green: the 8 r9 hash-drift fixes (BIGINT oracles) 
         "kendall_tau_band_inputs": q_kendall_tau_band_inputs,
         "wilcoxon_signed_rank": q_wilcoxon_signed_rank,
         "cvm_two_sample": q_cvm_two_sample,
-        "ab_proportion_inputs": q_ab_proportion_inputs,
-        "mann_kendall_trend": q_mann_kendall_trend,
-        "runs_test_inputs": q_runs_test_inputs,
-        "lorenz_curve_points": q_lorenz_curve_points,
-        "tukey_fence_census": q_tukey_fence_census,
-        # batch 6: distribution-shift / rank-statistic suite ---------------
         "mann_whitney_u": q_mann_whitney_u,
         "ks_two_sample": q_ks_two_sample,
         "spearman_rank_corr": q_spearman_rank_corr,
         "spearman_tie_terms": q_spearman_tie_terms,
-        "mood_median_inputs": q_mood_median_inputs,
-        "qq_decile_table": q_qq_decile_table,
-        "size_tie_census": q_size_tie_census,
-        "percent_rank_band_census": q_percent_rank_band_census,
         "revenue_cusum": q_revenue_cusum,
-        "revenue_acceleration_census": q_revenue_acceleration_census,
-        "revenue_monotone_runs": q_revenue_monotone_runs,
-        "supplier_cosupply_degree": q_supplier_cosupply_degree,
-        "hash_sample_estimate_audit": q_hash_sample_estimate_audit,
-        "scc_size_profile": q_scc_size_profile,
-        "interpolated_median_stats": q_interpolated_median_stats,
-        "repeat_purchase_latency": q_repeat_purchase_latency,
-        "bowtie_census": q_bowtie_census,
-        "ship_delay_histogram": q_ship_delay_histogram,
-        "repeat_rate_by_segment": q_repeat_rate_by_segment,
-        "attribute_mixing_matrix": q_attribute_mixing_matrix,
-        "value_roundness_census": q_value_roundness_census,
-        "value_band_census": q_value_band_census,
-        "priority_transition_census": q_priority_transition_census,
-        "type_trigram_census": q_type_trigram_census,
-        "lang_collision_stats": q_lang_collision_stats,
-        "wedge_closure_by_bucket": q_wedge_closure_by_bucket,
-        "directed_triangle_census": q_directed_triangle_census,
-        "segment_priority_chisq": q_segment_priority_chisq,
-        "discount_trend_stats": q_discount_trend_stats,
-        "event_value_benford": q_event_value_benford,
-        "order_gap_profile": q_order_gap_profile,
-        "quantity_mode": q_quantity_mode,
-        "user_type_map_census": q_user_type_map_census,
-        "word_run_lengths": q_word_run_lengths,
-        "part_name_typo_pairs": q_part_name_typo_pairs,
-        "local_bridges": q_local_bridges,
-        "dyad_census": q_dyad_census,
-        "embedding_sign_profile": q_embedding_sign_profile,
-        # -- round-9 batch: never driver-verified (the r9 record did not
-        #    land), so they stay at the head of the window ------------------
-        "skew_salted_enrich": q_skew_salted_enrich,
-        "graph_degree_quantile_audit": q_graph_degree_quantile_audit,
-        "weighted_price_median": q_weighted_price_median,
-        "simrank_round1_bucketed_wide": q_simrank_round1_bucketed_wide,
-        # -- stalest re-verification backfill: last driver row r3 --
+        # -- last driver-verified round 3 --------------------------------
         "corpus_prepare": q_corpus_prepare,
         "doc_expectations": q_doc_expectations,
         "decontaminate": q_decontaminate,
@@ -4736,7 +4695,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sample_hash": q_sample_hash,
         "sample_stratified": q_sample_stratified,
         "train_eval_split": q_train_eval_split,
-        # -- last driver row r4 (window cuts inside this block) --
+        # -- last driver-verified round 4 --------------------------------
         "mixture_sample": q_mixture_sample,
         "corpus_shards": q_corpus_shards,
         "text_token_stats": q_text_token_stats,
@@ -4785,7 +4744,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "language_mix": q_language_mix,
         "user_ltv": q_user_ltv,
         "knn_graph": q_knn_graph,
-        # -- last driver row r5 --
+        # -- last driver-verified round 5 --------------------------------
         "scc": q_scc,
         "mis": q_mis,
         "closeness": q_closeness,
@@ -4834,7 +4793,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "key_skew_profile": q_key_skew_profile,
         "recent_events": q_recent_events,
         "type_purity": q_type_purity,
-        # -- last driver row r6 --
+        # -- last driver-verified round 6 --------------------------------
         "embedding_coverage": q_embedding_coverage,
         "length_outliers": q_length_outliers,
         "length_cdf": q_length_cdf,
@@ -4879,7 +4838,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kcore": q_kcore,
         "sssp": q_sssp,
         "pagerank_personalized": q_pagerank_personalized,
-        # -- last driver row r7 --
+        # -- last driver-verified round 7 --------------------------------
         "ktruss": q_ktruss,
         "source_overlap": q_source_overlap,
         "supplier_pareto": q_supplier_pareto,
@@ -4930,9 +4889,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "supply_bipartite_profile": q_supply_bipartite_profile,
         "pricing_knob_grid": q_pricing_knob_grid,
         "user_event_type_diversity": q_user_event_type_diversity,
-        # -- last driver row r8 (the full r8 window: TPC-H shape completion,
-        #    G10 greedy-walk oracle, sketch audit, series repair, set
-        #    algebra, round-7 batches 6-10, and the r3 re-verified head) --
+        # -- last driver-verified round 8 --------------------------------
         "part_value_concentration": q_part_value_concentration,
         "late_line_census": q_late_line_census,
         "bulk_part_suppliers": q_bulk_part_suppliers,
@@ -4983,8 +4940,51 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "similarity_topk": q_similarity_topk,
         "similarity_ann_lsh_exact": q_similarity_ann_lsh_exact,
         "corpus_clean": q_corpus_clean,
-        # -- no-oracle (rows-only / seeded-random / codec output): kept at
-        #    the tail so the window is spent on hash-verifiable queries --
+        # -- last driver-verified round 9 --------------------------------
+        "ab_proportion_inputs": q_ab_proportion_inputs,
+        "mann_kendall_trend": q_mann_kendall_trend,
+        "runs_test_inputs": q_runs_test_inputs,
+        "lorenz_curve_points": q_lorenz_curve_points,
+        "tukey_fence_census": q_tukey_fence_census,
+        "mood_median_inputs": q_mood_median_inputs,
+        "qq_decile_table": q_qq_decile_table,
+        "size_tie_census": q_size_tie_census,
+        "percent_rank_band_census": q_percent_rank_band_census,
+        "revenue_acceleration_census": q_revenue_acceleration_census,
+        "revenue_monotone_runs": q_revenue_monotone_runs,
+        "supplier_cosupply_degree": q_supplier_cosupply_degree,
+        "hash_sample_estimate_audit": q_hash_sample_estimate_audit,
+        "scc_size_profile": q_scc_size_profile,
+        "interpolated_median_stats": q_interpolated_median_stats,
+        "repeat_purchase_latency": q_repeat_purchase_latency,
+        "bowtie_census": q_bowtie_census,
+        "ship_delay_histogram": q_ship_delay_histogram,
+        "repeat_rate_by_segment": q_repeat_rate_by_segment,
+        "attribute_mixing_matrix": q_attribute_mixing_matrix,
+        "value_roundness_census": q_value_roundness_census,
+        "value_band_census": q_value_band_census,
+        "priority_transition_census": q_priority_transition_census,
+        "type_trigram_census": q_type_trigram_census,
+        "lang_collision_stats": q_lang_collision_stats,
+        "wedge_closure_by_bucket": q_wedge_closure_by_bucket,
+        "directed_triangle_census": q_directed_triangle_census,
+        "segment_priority_chisq": q_segment_priority_chisq,
+        "discount_trend_stats": q_discount_trend_stats,
+        "event_value_benford": q_event_value_benford,
+        "order_gap_profile": q_order_gap_profile,
+        "quantity_mode": q_quantity_mode,
+        "user_type_map_census": q_user_type_map_census,
+        "word_run_lengths": q_word_run_lengths,
+        "part_name_typo_pairs": q_part_name_typo_pairs,
+        "local_bridges": q_local_bridges,
+        "dyad_census": q_dyad_census,
+        "embedding_sign_profile": q_embedding_sign_profile,
+        "skew_salted_enrich": q_skew_salted_enrich,
+        "graph_degree_quantile_audit": q_graph_degree_quantile_audit,
+        "weighted_price_median": q_weighted_price_median,
+        "simrank_round1_bucketed_wide": q_simrank_round1_bucketed_wide,
+        # -- rows-only tail (no SQL oracle by design; driver rows-only
+        #    check) ----------------------------------------------
         "multimodal_features": q_multimodal_features,
         "multimodal_summary": q_multimodal_summary,
         "walk_kernel": q_walk_kernel,
@@ -5049,10 +5049,15 @@ def oracle_sql() -> dict[str, str]:
             ),
             tot AS (SELECT CAST(SUM(m) AS BIGINT) AS n FROM cells)
             SELECT tot.n AS n,
-                   CAST(COALESCE(conc.v, 0) AS DECIMAL(38,0)) AS c_pairs,
-                   CAST(COALESCE(disc.v, 0) AS DECIMAL(38,0)) AS d_pairs,
-                   CAST(tr.v AS DECIMAL(38,0)) AS tie_row,
-                   CAST(tc.v AS DECIMAL(38,0)) AS tie_col
+                   -- BIGINT (not DECIMAL(38,0)): DuckDB surfaces wide
+                   -- decimals as float64 and the driver hash sees
+                   -- "17764676.0" vs Spark's "17764676" (r9 verdict
+                   -- task 1, the 2f0a72b recipe). Values fit BIGINT at
+                   -- every test SF; the Spark side keeps DECIMAL(38,0).
+                   CAST(COALESCE(conc.v, 0) AS BIGINT) AS c_pairs,
+                   CAST(COALESCE(disc.v, 0) AS BIGINT) AS d_pairs,
+                   CAST(tr.v AS BIGINT) AS tie_row,
+                   CAST(tc.v AS BIGINT) AS tie_col
             FROM tot, conc, disc, tr, tc
         """,
         "wilcoxon_signed_rank": """
@@ -5085,18 +5090,29 @@ def oracle_sql() -> dict[str, str]:
               FROM h
             ),
             j AS (SELECT nz.pos, r.r2 FROM nz JOIN r USING (ad)),
-            z AS (SELECT COUNT(*) AS n_zero FROM d WHERE d = 0)
-            SELECT CAST(COUNT(*) AS BIGINT) AS n_pairs,
-                   CAST(SUM(CASE WHEN pos THEN 1 ELSE 0 END) AS BIGINT)
-                     AS n_pos,
-                   CAST(SUM(CASE WHEN NOT pos THEN 1 ELSE 0 END)
-                        AS BIGINT) AS n_neg,
-                   CAST(MAX(z.n_zero) AS BIGINT) AS n_zero,
-                   CAST(SUM(CASE WHEN pos THEN CAST(r2 AS HUGEINT)
-                            ELSE 0 END) AS DECIMAL(38,0)) AS w2_pos,
-                   CAST(SUM(CASE WHEN NOT pos THEN CAST(r2 AS HUGEINT)
-                            ELSE 0 END) AS DECIMAL(38,0)) AS w2_neg
-            FROM j, z
+            z AS (SELECT COUNT(*) AS n_zero FROM d WHERE d = 0),
+            -- aggregate j SEPARATELY and cross join the one-row result
+            -- with z (mirrors the Spark plan's agg.crossJoin(zero)):
+            -- `FROM j, z` would yield n_zero=NULL when j is empty
+            -- (every paired diff zero), diverging from the operator
+            -- (r9 ADVICE). BIGINT, not DECIMAL(38,0), in the final
+            -- columns: driver-hash dtype drift (r9 verdict task 1).
+            ja AS (
+              SELECT CAST(COUNT(*) AS BIGINT) AS n_pairs,
+                     CAST(SUM(CASE WHEN pos THEN 1 ELSE 0 END)
+                          AS BIGINT) AS n_pos,
+                     CAST(SUM(CASE WHEN NOT pos THEN 1 ELSE 0 END)
+                          AS BIGINT) AS n_neg,
+                     CAST(SUM(CASE WHEN pos THEN CAST(r2 AS HUGEINT)
+                              ELSE 0 END) AS BIGINT) AS w2_pos,
+                     CAST(SUM(CASE WHEN NOT pos THEN CAST(r2 AS HUGEINT)
+                              ELSE 0 END) AS BIGINT) AS w2_neg
+              FROM j
+            )
+            SELECT ja.n_pairs, ja.n_pos, ja.n_neg,
+                   CAST(z.n_zero AS BIGINT) AS n_zero,
+                   ja.w2_pos, ja.w2_neg
+            FROM ja, z
         """,
         "cvm_two_sample": """
             WITH h AS (
@@ -5124,7 +5140,7 @@ def oracle_sql() -> dict[str, str]:
                      * (CAST(cum_a AS HUGEINT) * n_b
                         - CAST(cum_b AS HUGEINT) * n_a)
                      * (cnt_a + cnt_b)
-                   ) AS DECIMAL(38,0)) AS sum_sq_dev
+                   ) AS BIGINT) AS sum_sq_dev
             FROM c
         """,
         "ab_proportion_inputs": """
@@ -5306,19 +5322,23 @@ def oracle_sql() -> dict[str, str]:
               FROM r
             )
             SELECT n_a, n_b,
-                   CAST(r2h AS DECIMAL(38,0)) AS r2_a,
+                   CAST(r2h AS BIGINT) AS r2_a,
                    CAST(r2h - CAST(n_a AS HUGEINT) * (n_a + 1)
-                        AS DECIMAL(38,0)) AS u2_a,
+                        AS BIGINT) AS u2_a,
                    CAST(2 * CAST(n_a AS HUGEINT) * n_b - r2h
                         + CAST(n_a AS HUGEINT) * (n_a + 1)
-                        AS DECIMAL(38,0)) AS u2_b
+                        AS BIGINT) AS u2_b
             FROM a
         """,
         "ks_two_sample": """
             WITH t AS (
+              -- TRY_CAST mirrors Spark's cast-to-long semantics: a
+              -- source with no digits yields NULL is_a, and the CASE
+              -- sums count it in neither sample on BOTH engines (a
+              -- plain CAST('' AS BIGINT) errors in DuckDB; r9 ADVICE)
               SELECT n_chars,
-                     CAST(regexp_extract(source, '(\\d+)', 1) AS BIGINT)
-                       % 2 = 0 AS is_a
+                     TRY_CAST(regexp_extract(source, '(\\d+)', 1)
+                              AS BIGINT) % 2 = 0 AS is_a
               FROM documents
             ),
             h AS (
@@ -5344,7 +5364,7 @@ def oracle_sql() -> dict[str, str]:
             m AS (SELECT MAX(d) AS d_num FROM d)
             SELECT CAST(MAX(n_a) AS BIGINT) AS n_a,
                    CAST(MAX(n_b) AS BIGINT) AS n_b,
-                   CAST(MAX(m.d_num) AS DECIMAL(38,0)) AS d_num,
+                   CAST(MAX(m.d_num) AS BIGINT) AS d_num,
                    CAST(MIN(n_chars) AS BIGINT) AS at_chars
             FROM d JOIN m ON d.d = m.d_num
         """,
@@ -5376,7 +5396,7 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT CAST(COUNT(*) AS BIGINT) AS n,
                    CAST(SUM(CAST(r2_x - r2_y AS HUGEINT)
-                            * (r2_x - r2_y)) AS DECIMAL(38,0)) AS sum_d2
+                            * (r2_x - r2_y)) AS BIGINT) AS sum_d2
             FROM pc JOIN rx USING (x) JOIN ry USING (y)
         """,
         "spearman_tie_terms": """
@@ -5389,12 +5409,12 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT 'x' AS var,
                    CAST(SUM(CAST(t AS HUGEINT) * t * t - t)
-                        AS DECIMAL(38,0)) AS tie_sum
+                        AS BIGINT) AS tie_sum
             FROM (SELECT x, COUNT(*) AS t FROM pc GROUP BY 1)
             UNION ALL
             SELECT 'y' AS var,
                    CAST(SUM(CAST(t AS HUGEINT) * t * t - t)
-                        AS DECIMAL(38,0)) AS tie_sum
+                        AS BIGINT) AS tie_sum
             FROM (SELECT y, COUNT(*) AS t FROM pc GROUP BY 1)
         """,
         "mood_median_inputs": """
@@ -5523,7 +5543,7 @@ def oracle_sql() -> dict[str, str]:
             m AS (SELECT MAX(s_abs) AS mx FROM d)
             SELECT CAST(MAX(n) AS BIGINT) AS n_days,
                    CAST(MAX(total) AS BIGINT) AS total_cents,
-                   CAST(MAX(m.mx) AS DECIMAL(38,0)) AS max_abs_cusum,
+                   CAST(MAX(m.mx) AS BIGINT) AS max_abs_cusum,
                    CAST(MIN(day) AS BIGINT) AS at_day
             FROM d JOIN m ON d.s_abs = m.mx
         """,

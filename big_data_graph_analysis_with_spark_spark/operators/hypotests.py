@@ -129,7 +129,10 @@ def ks_two_sample(documents: DataFrame) -> DataFrame:
     the even-numbered and odd-numbered sources, as the EXACT fraction
     D = d_num / (n_a·n_b) — cross-multiplied so the sup is taken over
     integers, never floats. `at_chars` is the smallest length at which
-    the sup is attained (deterministic tie-break).
+    the sup is attained (deterministic tie-break). A source string with
+    no digits casts to NULL → NULL group, and the CASE sums count the
+    row in NEITHER sample (its length still lands in the histogram with
+    zero counts); the DuckDB twin uses TRY_CAST for the same semantics.
 
     Scale shape: one histogram shuffle on (n_chars), one
     single-partition window over the bounded distinct-lengths frame
@@ -628,6 +631,13 @@ def cvm_two_sample(
     sensitive to distributed (not just peak) drift. The caller applies
     the T = U/(n_a·n_b·N) − (4·n_a·n_b − 1)/(6N) normalization on
     scalars; sum_sq_dev is DECIMAL(38,0) (squared counts).
+
+    Exactness bound: sum_sq_dev ~ N·(n_a·n_b)², which exceeds 38
+    digits (Spark: silent NULL; DuckDB HUGEINT: error) around ~1e8
+    rows per sample — ~10 TB of events at this row width. Beyond that,
+    pre-bucket values (the `windowed_ks_vs_reference` discipline) so
+    cum· terms are bounded by bucket counts; at every test SF the
+    statistic is ≤ ~7e16 (fits BIGINT, 2 digits of 38 used).
 
     Scale shape: identical to ks_two_sample — one value-histogram
     shuffle, one bounded cumulative window, one scalar aggregate.

@@ -2031,7 +2031,7 @@ def regional_local_revenue(
     )
 
 
-def revenue_ewma(orders: DataFrame, window_days: int = 8) -> DataFrame:
+def trailing_dyadic_revenue(orders: DataFrame, window_days: int = 8) -> DataFrame:
     """(day, day_cents, trail_weighted_cents): daily order revenue in
     exact integer cents plus a trailing exponentially-weighted sum —
     weight 2^(window_days-1-k) for the revenue k days back — the
@@ -2044,8 +2044,10 @@ def revenue_ewma(orders: DataFrame, window_days: int = 8) -> DataFrame:
     and days with zero orders are absent from both the input and the
     output. A caller wanting the normalized smoother divides by
     2^window_days - 1 externally (exact, since the weights are dyadic);
-    the column name says "weighted", not "avg", for this reason. The
-    registry key `revenue_ewma` is kept for driver-history continuity.
+    the column name says "weighted", not "avg", for this reason, and
+    the function is named for what it computes (r9 ADVICE carry-over:
+    it is NOT an EWMA — no normalization). The registry key
+    `revenue_ewma` is kept for driver-history continuity.
 
     Scale shape: the fact table collapses to the bounded daily frame
     first (ONE map-side-combined aggregation); the trailing window is
@@ -2835,7 +2837,7 @@ def repeat_purchase_latency(events: DataFrame) -> DataFrame:
 def _daily_revenue_cents(orders: DataFrame) -> DataFrame:
     """(day, cents): epoch-day daily order revenue in exact integer
     cents — the shared bounded frame under the time-series operators
-    (same derivation as `revenue_ewma`; days with no orders absent)."""
+    (same derivation as `trailing_dyadic_revenue`; days with no orders absent)."""
     return (
         orders.select(
             event_micros(orders, "o_orderdate").alias("tus"),

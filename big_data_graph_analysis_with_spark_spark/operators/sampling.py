@@ -397,6 +397,12 @@ def poisson_bootstrap_sums(
     """
     ts = poisson1_thresholds_56()
     cents = F.round(F.col(value_col) * 100).cast("long")
+    # NULL values are excluded up front — the same convention as
+    # streaming_bootstrap_sums's cents.isNotNull() filter, so the
+    # stream ≡ batch-slice equivalence holds even when events carry
+    # NULL values (r9 ADVICE: counting them in n_rows while their
+    # weight*cents silently dropped from the sum broke the twin)
+    df = df.filter(cents.isNotNull() & F.col(id_col).isNotNull())
     b = F.explode(F.sequence(F.lit(0), F.lit(n_resamples - 1))).alias("b")
     u = hash56(
         F.concat(

@@ -41,6 +41,26 @@ def oracle(sql: str, sf_dir: str):
     return con.execute(sql).df()
 
 
+def _dtype_drift(got_col, want_col) -> bool:
+    """True iff the oracle surfaces float64 while Spark returns an
+    integral/integral-valued-decimal column — values may be identical
+    but the REAL driver hashes serialized forms ("17764676" vs
+    "17764676.0") and diverges (the 8 red r9 rows). The numeric
+    fallback below would mask it, so it must hard-fail here."""
+    if want_col.dtype.kind != "f":
+        return False
+    if got_col.dtype.kind in "iu":
+        return True
+    if got_col.dtype.kind == "O":
+        from decimal import Decimal
+
+        nonnull = got_col.dropna()
+        return len(nonnull) > 0 and all(
+            isinstance(v, (Decimal, int)) and v == int(v) for v in nonnull
+        )
+    return False
+
+
 def compare(got, want) -> str | None:
     if sorted(got.columns) != sorted(want.columns):
         return f"columns {sorted(got.columns)} != {sorted(want.columns)}"
@@ -51,6 +71,12 @@ def compare(got, want) -> str | None:
     w = want[cols].sort_values(cols, ignore_index=True)
     for c in cols:
         gv, wv = g[c], w[c]
+        if _dtype_drift(gv, wv):
+            return (
+                f"DTYPE DRIFT column {c}: oracle float64 vs Spark "
+                "integral/decimal — driver hash would diverge; cast "
+                "the oracle output to BIGINT"
+            )
         if gv.dtype.kind == "f" or wv.dtype.kind == "f":
             if not np.allclose(
                 gv.astype(float), wv.astype(float), atol=0, rtol=0, equal_nan=True

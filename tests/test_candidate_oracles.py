@@ -55,7 +55,7 @@ class TestStatisticsCandidates:
             ),
             m AS (SELECT MAX(u_abs) AS mx FROM dev)
             SELECT CAST(MAX(n) AS BIGINT) AS n_days,
-                   CAST(MAX(m.mx) AS DECIMAL(38,0)) AS max_abs_u,
+                   CAST(MAX(m.mx) AS BIGINT) AS max_abs_u,
                    CAST(MIN(day) AS BIGINT) AS at_day
             FROM dev JOIN m ON dev.u_abs = m.mx
         """, SF0001)
@@ -165,12 +165,12 @@ class TestStatisticsCandidates:
                    CAST(SUM(q) AS BIGINT) AS sum_q,
                    CAST(SUM(p) AS BIGINT) AS sum_p,
                    CAST(SUM(d) AS BIGINT) AS sum_d,
-                   CAST(SUM(CAST(p AS HUGEINT) * p) AS DECIMAL(38,0)) AS spp,
-                   CAST(SUM(CAST(q AS HUGEINT) * q) AS DECIMAL(38,0)) AS sqq,
-                   CAST(SUM(CAST(d AS HUGEINT) * d) AS DECIMAL(38,0)) AS sdd,
-                   CAST(SUM(CAST(q AS HUGEINT) * p) AS DECIMAL(38,0)) AS sqp,
-                   CAST(SUM(CAST(q AS HUGEINT) * d) AS DECIMAL(38,0)) AS sqd,
-                   CAST(SUM(CAST(p AS HUGEINT) * d) AS DECIMAL(38,0)) AS spd
+                   CAST(SUM(CAST(p AS HUGEINT) * p) AS BIGINT) AS spp,
+                   CAST(SUM(CAST(q AS HUGEINT) * q) AS BIGINT) AS sqq,
+                   CAST(SUM(CAST(d AS HUGEINT) * d) AS BIGINT) AS sdd,
+                   CAST(SUM(CAST(q AS HUGEINT) * p) AS BIGINT) AS sqp,
+                   CAST(SUM(CAST(q AS HUGEINT) * d) AS BIGINT) AS sqd,
+                   CAST(SUM(CAST(p AS HUGEINT) * d) AS BIGINT) AS spd
             FROM t GROUP BY 1
         """, SF0001)
 
@@ -357,6 +357,7 @@ class TestSamplingAndJsonCandidates:
                         CAST(b.b AS VARCHAR) || ':' ||
                         CAST(event_id AS VARCHAR)), 1, 14))::BIGINT) AS u
               FROM events, (SELECT UNNEST(range(0, 8)) AS b) b
+              WHERE value IS NOT NULL AND event_id IS NOT NULL
             ),
             w AS (SELECT b, cents, {case} AS w FROM t)
             SELECT CAST(b AS BIGINT) AS b,

@@ -371,6 +371,14 @@ class TestCvm:
         # v=1: dev=1 weight 1; v=2: dev=0 -> sum 1
         assert int(r["sum_sq_dev"]) == 1
 
+    def test_statistic_non_null_at_fixture_sf(self, spark):
+        # sum_sq_dev ~ N*(n_a*n_b)^2 overflows DECIMAL(38,0) to a
+        # SILENT NULL around ~1e8 rows/sample (documented bound) — pin
+        # that the fixture scales are nowhere near it (r9 ADVICE)
+        ev = spark.read.parquet("/root/testdata/sf0.01/events.parquet")
+        r = hypotests.cvm_two_sample(ev).collect()[0]
+        assert r["sum_sq_dev"] is not None and int(r["sum_sq_dev"]) > 0
+
 
 class TestAbProportions:
     def test_python_mirror_split(self, spark):

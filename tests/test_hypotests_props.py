@@ -461,6 +461,35 @@ def test_poisson_bootstrap_python_mirror(spark):
     assert again == out
 
 
+def test_poisson_bootstrap_null_values_excluded(spark):
+    """NULL-value (or NULL-id) rows are dropped BEFORE counting, the
+    same convention as streaming_bootstrap_sums's isNotNull filter —
+    otherwise n_rows counts rows whose weight*cents silently fell out
+    of the sum and the stream ≡ batch-slice equivalence breaks on any
+    NULL event (r9 ADVICE)."""
+    from big_data_graph_analysis_with_spark_spark.operators import sampling
+
+    rows = [(i, float(i) + 0.5) for i in range(1, 51)]
+    ev = spark.createDataFrame(rows, "event_id long, value double")
+    with_nulls = ev.unionAll(
+        spark.createDataFrame(
+            [(1000, None), (None, 9.5)], "event_id long, value double"
+        )
+    )
+    clean = {
+        r["b"]: (r["n_rows"], r["n_eff"], r["boot_cents"])
+        for r in sampling.poisson_bootstrap_sums(ev, n_resamples=4).collect()
+    }
+    dirty = {
+        r["b"]: (r["n_rows"], r["n_eff"], r["boot_cents"])
+        for r in sampling.poisson_bootstrap_sums(
+            with_nulls, n_resamples=4
+        ).collect()
+    }
+    assert dirty == clean
+    assert all(v[0] == 50 for v in dirty.values())
+
+
 def test_block_bootstrap_python_mirror(spark):
     import hashlib
 

@@ -51,6 +51,31 @@ def test_oracle_nonempty_at_verification_sf(con, name):
     )
 
 
+@pytest.mark.parametrize("name", _oracle_names())
+def test_oracle_output_types_not_wide_integer(con, name):
+    """No oracle may SURFACE a scale-0 DECIMAL or HUGEINT output
+    column: DuckDB hands those to pandas as float64, and the driver's
+    value hash then sees "17764676.0" against Spark's DECIMAL(38,0)
+    "17764676" — the exact serialization drift behind all 8 red r9
+    rows (r9 verdict task 4). Cast final outputs to BIGINT (driver-SF
+    values fit; internal CTE arithmetic may stay HUGEINT/DECIMAL —
+    this checks RESULT types, so intermediates are exempt by
+    construction)."""
+    sql = entry_mod.oracle_sql()[name]
+    rel = con.sql(sql)
+    bad = [
+        (c, str(t))
+        for c, t in zip(rel.columns, rel.types)
+        if str(t) == "HUGEINT"
+        or (str(t).startswith("DECIMAL(") and str(t).endswith(",0)"))
+    ]
+    assert not bad, (
+        f"{name}: wide-integer output columns {bad} surface as float64 "
+        "in pandas and break the driver value hash — CAST(... AS "
+        "BIGINT) in the final SELECT (the 2f0a72b recipe)"
+    )
+
+
 def test_every_oracle_has_a_query():
     qs = entry_mod.queries()
     missing = [n for n in entry_mod.oracle_sql() if n not in qs]

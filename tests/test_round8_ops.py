@@ -249,7 +249,7 @@ def test_revenue_ewma_dyadic_weights(spark):
     )
     got = {
         r["day"]: (r["day_cents"], r["trail_weighted_cents"])
-        for r in olap.revenue_ewma(orders, window_days=8).collect()
+        for r in olap.trailing_dyadic_revenue(orders, window_days=8).collect()
     }
     day0 = 9862
     # day0: only itself, weight 128 -> 1000*128
@@ -451,7 +451,7 @@ def test_revenue_ewma_single_day(spark):
         [(1, datetime.datetime(1997, 1, 1), 2.5)],
         "o_orderkey LONG, o_orderdate TIMESTAMP, o_totalprice DOUBLE",
     )
-    rows = olap.revenue_ewma(orders, window_days=4).collect()
+    rows = olap.trailing_dyadic_revenue(orders, window_days=4).collect()
     # one day: its own weight is 2^(4-1) = 8
     assert [(r["day_cents"], r["trail_weighted_cents"]) for r in rows] == [
         (250, 2000)
