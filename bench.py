@@ -1196,6 +1196,11 @@ def main() -> None:
             cents.alias("new_cents"),
         )
         m_ops.maintain_group_aggregate(state, cdc).count()
+        # round-10 batch (landed mid-freeze; twins pinned):
+        h_ops.mcnemar_inputs(orders).count()
+        h_ops.daily_count_autocorr(orders).count()
+        h_ops.friedman_rank_inputs(orders, cust).count()
+        cur_ops.filter_agreement_census(docs).count()
 
     @timed("streaming_ks_gate")
     def _():

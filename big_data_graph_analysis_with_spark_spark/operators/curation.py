@@ -373,3 +373,44 @@ def l_diversity_census(
         )
         .select(F.col("l").cast("long").alias("l"), "n_groups", "n_rows")
     )
+
+
+def filter_agreement_census(
+    docs: DataFrame, min_chars: int = 500, max_avg_word_len: int = 8
+) -> DataFrame:
+    """(n, n_11, n_10, n_01, n_00): Cohen's-kappa sufficient statistics
+    for the agreement between two deterministic corpus quality filters
+    — A: length ≥ min_chars; B: average word length ≤ max_avg_word_len
+    (kept integral as the cross-multiplied `chars ≤ max·words`, never a
+    float division). Before swapping a quality filter in a curation
+    pipeline, the kappa on these five integers says whether the new
+    filter actually disagrees with the old one beyond chance — two
+    filters with high kappa are redundant, low-kappa ones gate
+    different documents and need a diff review.
+
+    Word count = spaces + 1 on the raw text (the cheapest tokenizer
+    both engines state identically: length(text) − length(replace(
+    text, ' ', '')) + 1); empty text counts one word of length 0.
+
+    Scale shape: ONE map-side-combined conditional-count aggregation
+    over the scan — two length() calls per row, everything in
+    whole-stage codegen. No shuffle beyond the final single-row
+    reduce.
+    """
+    chars = F.length("text")
+    words = chars - F.length(F.expr("replace(text, ' ', '')")) + 1
+    a = chars >= min_chars
+    b = chars <= F.lit(max_avg_word_len) * words
+
+    def cell(fa: bool, fb: bool, name: str):
+        return F.coalesce(
+            F.sum(F.when((a == fa) & (b == fb), 1).otherwise(0)), F.lit(0)
+        ).cast("long").alias(name)
+
+    return docs.agg(
+        F.count("*").cast("long").alias("n"),
+        cell(True, True, "n_11"),
+        cell(True, False, "n_10"),
+        cell(False, True, "n_01"),
+        cell(False, False, "n_00"),
+    )

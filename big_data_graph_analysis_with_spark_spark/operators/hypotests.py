@@ -947,3 +947,160 @@ def seasonal_mann_kendall(orders: DataFrame) -> DataFrame:
             "tie_term",
         )
     )
+
+
+def mcnemar_inputs(
+    orders: DataFrame, year_a: int = 1995, year_b: int = 1996
+) -> DataFrame:
+    """(n_00, n_01, n_10, n_11): the McNemar paired-proportion 2×2
+    census — per-customer activity flags (placed ≥1 order) in year_a
+    vs year_b over every customer appearing in the fact table. The
+    off-diagonal discordant counts n_01 (inactive→active) and n_10
+    (active→inactive) carry the whole test; the caller applies the
+    χ² = (n_01−n_10)²/(n_01+n_10) form on two scalars. The binary
+    companion to `wilcoxon_signed_rank` (same pairing, magnitude
+    dropped): activation drift that revenue-magnitude tests dilute.
+
+    Scale shape: one groupBy(custkey) with two boolean MAX aggregates
+    (map-side combined), then one scalar conditional-count aggregate
+    over the customer-sized frame. No window, no join.
+    """
+    yr = F.year("o_orderdate")
+    flags = (
+        orders.select(
+            "o_custkey",
+            (yr == year_a).alias("in_a"),
+            (yr == year_b).alias("in_b"),
+        )
+        .groupBy("o_custkey")
+        .agg(F.max("in_a").alias("a"), F.max("in_b").alias("b"))
+    )
+
+    def cell(a: bool, b: bool, name: str):
+        return F.coalesce(
+            F.sum(
+                F.when((F.col("a") == a) & (F.col("b") == b), 1).otherwise(0)
+            ),
+            F.lit(0),
+        ).cast("long").alias(name)
+
+    return flags.agg(
+        cell(False, False, "n_00"),
+        cell(False, True, "n_01"),
+        cell(True, False, "n_10"),
+        cell(True, True, "n_11"),
+    )
+
+
+def daily_count_autocorr(orders: DataFrame, max_lag: int = 7) -> DataFrame:
+    """(lag, n_terms, sum_x, sum_y, sum_xx, sum_yy, sum_xy): exact
+    lag-k cross-moment sufficient statistics of the DAILY ORDER COUNT
+    series for k = 1..max_lag — the autocorrelogram (and the
+    Durbin-Watson numerator, Σ(x_t − x_{t+1})² = sum_xx + sum_yy −
+    2·sum_xy at lag 1) derives caller-side per lag. Counts, not cents:
+    the volume series is the drift signal, and count products keep the
+    BIGINT bound generous (~1e7 orders/day × 10k days before overflow;
+    a cents version would overflow BIGINT already at ~sf1 — use
+    `trailing_dyadic_revenue`'s frame with decimal sums for that).
+
+    Pairs run over PRESENT days only (both t and t+k have ≥1 order) —
+    the same gap-agnostic contract as `revenue_acceleration_census`,
+    stated not hidden; at TPC-H-ish densities the daily frame has no
+    gaps anyway.
+
+    Scale shape: the fact collapses to the calendar-bounded daily
+    frame first (ONE map-side-combined aggregation); the lag join then
+    replicates that bounded frame max_lag times and equi-joins on
+    day+k — |days|·max_lag tiny rows, never fact-sized. One final
+    groupBy(lag) over those pairs.
+    """
+    from ..functions.eventtime import event_micros
+
+    daily = (
+        orders.select(event_micros(orders, "o_orderdate").alias("tus"))
+        .select(F.expr("tus div 86400000000").alias("day"))
+        .groupBy("day")
+        .agg(F.count("*").alias("x"))
+    )
+    heads = daily.select(
+        F.explode(F.sequence(F.lit(1), F.lit(max_lag))).alias("lag"),
+        F.col("day").alias("di"),
+        F.col("x").alias("xi"),
+    )
+    tails = daily.select(F.col("day").alias("dj"), F.col("x").alias("xj"))
+    pairs = heads.join(
+        tails, F.col("dj") == F.col("di") + F.col("lag")
+    )
+    return (
+        pairs.groupBy("lag")
+        .agg(
+            F.count("*").cast("long").alias("n_terms"),
+            F.sum("xi").cast("long").alias("sum_x"),
+            F.sum("xj").cast("long").alias("sum_y"),
+            F.sum(F.col("xi") * F.col("xi")).cast("long").alias("sum_xx"),
+            F.sum(F.col("xj") * F.col("xj")).cast("long").alias("sum_yy"),
+            F.sum(F.col("xi") * F.col("xj")).cast("long").alias("sum_xy"),
+        )
+        .select(
+            F.col("lag").cast("long").alias("lag"),
+            "n_terms", "sum_x", "sum_y", "sum_xx", "sum_yy", "sum_xy",
+        )
+    )
+
+
+def friedman_rank_inputs(orders: DataFrame, customer: DataFrame) -> DataFrame:
+    """(segment, n_blocks, r2_sum): Friedman-test rank sums — monthly
+    revenue cells (block = calendar year·100+month, treatment =
+    customer market segment, zero-filled on the full block×segment
+    spine) ranked WITHIN each month across the segments, doubled
+    tie-averaged ranks summed per segment. The repeated-measures "did
+    any segment consistently out/under-earn, month over month?"
+    question, immune to between-month level shifts that a pooled rank
+    test would read as segment drift. Caller applies the Friedman χ²
+    on k ≤ |segments| scalars; Σ r2_sum = n_blocks·k(k+1) (identity
+    the tests pin).
+
+    Scale shape: one fact-sized join+aggregation down to the bounded
+    (months × segments) cell frame; the spine cross join and the
+    within-block rank window run on that tiny frame (block size =
+    |segments| ≤ a handful — the bounded-frame window discipline).
+    """
+    cents = F.round(F.col("o_totalprice") * 100).cast("long")
+    ym = F.year("o_orderdate") * 100 + F.month("o_orderdate")
+    cells = (
+        orders.select("o_custkey", cents.alias("cents"), ym.alias("ym"))
+        .join(
+            customer.select("c_custkey", "c_mktsegment"),
+            F.col("o_custkey") == F.col("c_custkey"),
+        )
+        .groupBy("ym", F.col("c_mktsegment").alias("segment"))
+        .agg(F.sum("cents").alias("v"))
+    )
+    # zero-filled spine: a segment silent in a month still occupies a
+    # rank slot (renamed keys — a spine derived from the frame it
+    # joins back to hits "Conflicting attributes" otherwise)
+    spine = (
+        cells.select(F.col("ym").alias("s_ym")).distinct()
+        .crossJoin(cells.select(F.col("segment").alias("s_seg")).distinct())
+    )
+    full = spine.join(
+        cells,
+        (F.col("s_ym") == F.col("ym")) & (F.col("s_seg") == F.col("segment")),
+        "left",
+    ).select(
+        F.col("s_ym").alias("ym"),
+        F.col("s_seg").alias("segment"),
+        F.coalesce("v", F.lit(0)).alias("v"),
+    )
+    hist = full.groupBy("ym", "v").agg(F.count("*").alias("cnt"))
+    r2 = hist.select(
+        "ym", "v", (2 * _cum_before("v", "ym") + F.col("cnt") + 1).alias("r2")
+    )
+    return (
+        full.join(r2, ["ym", "v"])
+        .groupBy("segment")
+        .agg(
+            F.count("*").cast("long").alias("n_blocks"),
+            F.sum("r2").cast("long").alias("r2_sum"),
+        )
+    )

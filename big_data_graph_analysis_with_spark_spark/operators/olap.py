@@ -3301,8 +3301,12 @@ def measure_crossproducts(lineitem: DataFrame) -> DataFrame:
     for (quantity-units, price-cents, discount-bps) per return flag —
     every pairwise covariance/correlation and the OLS normal equations
     derive caller-side from these integers. Cross products go
-    DECIMAL(38,0): price-cents × price-cents × row counts overflows
-    BIGINT beyond ~sf100.
+    DECIMAL(38,0) ENGINE-side: price-cents × price-cents × row counts
+    overflows BIGINT beyond ~sf100. The DuckDB twin's final BIGINT
+    cast (required: wide-decimal outputs surface as float64 and break
+    the driver hash) holds through sf0.1 with 1.24× headroom
+    (measured: max spp 7.4e18 vs 2^63 ≈ 9.2e18); an oracle run beyond
+    that SF must emit dollars (p/100) instead of cents.
 
     Scale shape: ONE map-side-combined aggregation over the scan;
     nothing else.

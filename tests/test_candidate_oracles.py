@@ -493,3 +493,123 @@ class TestSurvivalCandidate:
         }
         # durations: u1 = 0 (event), u2 = 2 (event), u3 = 3 (censored)
         assert out == {0: (3, 1, 0), 2: (2, 1, 0), 3: (1, 0, 1)}
+
+
+class TestRound10Candidates:
+    """Round-10 batch — landed mid-freeze (r9 verdict task 2), so these
+    wire into the registry only after the staleness tail clears. All
+    final output columns are BIGINT on the oracle side (the dtype-drift
+    lint applies to candidates the moment they are promoted)."""
+
+    def test_mcnemar_inputs(self, spark):
+        from big_data_graph_analysis_with_spark_spark.operators import hypotests
+
+        df = hypotests.mcnemar_inputs(_read(spark, SF0001, "orders"))
+        assert_matches_oracle(df, """
+            WITH flags AS (
+              SELECT o_custkey,
+                     MAX(CASE WHEN year(o_orderdate) = 1995 THEN 1
+                         ELSE 0 END) AS a,
+                     MAX(CASE WHEN year(o_orderdate) = 1996 THEN 1
+                         ELSE 0 END) AS b
+              FROM orders GROUP BY 1
+            )
+            SELECT CAST(COALESCE(SUM(CASE WHEN a = 0 AND b = 0 THEN 1
+                                     ELSE 0 END), 0) AS BIGINT) AS n_00,
+                   CAST(COALESCE(SUM(CASE WHEN a = 0 AND b = 1 THEN 1
+                                     ELSE 0 END), 0) AS BIGINT) AS n_01,
+                   CAST(COALESCE(SUM(CASE WHEN a = 1 AND b = 0 THEN 1
+                                     ELSE 0 END), 0) AS BIGINT) AS n_10,
+                   CAST(COALESCE(SUM(CASE WHEN a = 1 AND b = 1 THEN 1
+                                     ELSE 0 END), 0) AS BIGINT) AS n_11
+            FROM flags
+        """, SF0001)
+
+    def test_daily_count_autocorr(self, spark):
+        from big_data_graph_analysis_with_spark_spark.operators import hypotests
+
+        df = hypotests.daily_count_autocorr(_read(spark, SF0001, "orders"))
+        assert_matches_oracle(df, """
+            WITH daily AS (
+              SELECT epoch_us(o_orderdate) // 86400000000 AS day,
+                     COUNT(*) AS x
+              FROM orders GROUP BY 1
+            ),
+            lags AS (SELECT UNNEST(range(1, 8)) AS lag)
+            SELECT CAST(l.lag AS BIGINT) AS lag,
+                   CAST(COUNT(*) AS BIGINT) AS n_terms,
+                   CAST(SUM(a.x) AS BIGINT) AS sum_x,
+                   CAST(SUM(b.x) AS BIGINT) AS sum_y,
+                   CAST(SUM(a.x * a.x) AS BIGINT) AS sum_xx,
+                   CAST(SUM(b.x * b.x) AS BIGINT) AS sum_yy,
+                   CAST(SUM(a.x * b.x) AS BIGINT) AS sum_xy
+            FROM lags l
+            JOIN daily a ON TRUE
+            JOIN daily b ON b.day = a.day + l.lag
+            GROUP BY 1
+        """, SF0001)
+
+    def test_friedman_rank_inputs(self, spark):
+        from big_data_graph_analysis_with_spark_spark.operators import hypotests
+
+        df = hypotests.friedman_rank_inputs(
+            _read(spark, SF0001, "orders"), _read(spark, SF0001, "customer")
+        )
+        assert_matches_oracle(df, """
+            WITH cells AS (
+              SELECT year(o_orderdate) * 100 + month(o_orderdate) AS ym,
+                     c_mktsegment AS segment,
+                     SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS v
+              FROM orders JOIN customer ON o_custkey = c_custkey
+              GROUP BY 1, 2
+            ),
+            spine AS (
+              SELECT m.ym, s.segment
+              FROM (SELECT DISTINCT ym FROM cells) m,
+                   (SELECT DISTINCT segment FROM cells) s
+            ),
+            full_cells AS (
+              SELECT spine.ym, spine.segment, COALESCE(cells.v, 0) AS v
+              FROM spine LEFT JOIN cells
+                ON spine.ym = cells.ym AND spine.segment = cells.segment
+            ),
+            h AS (
+              SELECT ym, v, COUNT(*) AS cnt FROM full_cells GROUP BY 1, 2
+            ),
+            r2 AS (
+              SELECT ym, v,
+                     2 * COALESCE(SUM(cnt) OVER (
+                       PARTITION BY ym ORDER BY v
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+                     ), 0) + cnt + 1 AS r2
+              FROM h
+            )
+            SELECT f.segment,
+                   CAST(COUNT(*) AS BIGINT) AS n_blocks,
+                   CAST(SUM(r2.r2) AS BIGINT) AS r2_sum
+            FROM full_cells f JOIN r2 ON f.ym = r2.ym AND f.v = r2.v
+            GROUP BY 1
+        """, SF0001)
+
+    def test_filter_agreement_census(self, spark):
+        from big_data_graph_analysis_with_spark_spark.operators import curation
+
+        df = curation.filter_agreement_census(_read(spark, SF0001, "documents"))
+        assert_matches_oracle(df, """
+            WITH f AS (
+              SELECT length(text) >= 500 AS a,
+                     length(text) <= 8 * (length(text)
+                       - length(replace(text, ' ', '')) + 1) AS b
+              FROM documents
+            )
+            SELECT CAST(COUNT(*) AS BIGINT) AS n,
+                   CAST(COALESCE(SUM(CASE WHEN a AND b THEN 1 ELSE 0
+                                     END), 0) AS BIGINT) AS n_11,
+                   CAST(COALESCE(SUM(CASE WHEN a AND NOT b THEN 1 ELSE 0
+                                     END), 0) AS BIGINT) AS n_10,
+                   CAST(COALESCE(SUM(CASE WHEN NOT a AND b THEN 1 ELSE 0
+                                     END), 0) AS BIGINT) AS n_01,
+                   CAST(COALESCE(SUM(CASE WHEN NOT a AND NOT b THEN 1
+                                     ELSE 0 END), 0) AS BIGINT) AS n_00
+            FROM f
+        """, SF0001)
