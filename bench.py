@@ -136,7 +136,8 @@ _MODULE_SUITES: dict[str, list[str]] = {
     "corpusstats": ["corpus_", "text_analysis"],
     "corpus": ["doc_shaping", "corpus_"],
     "corpus_io": ["corpus_", "doc_shaping"],
-    "curation": ["corpus_audit", "corpus_triage", "corpus_quality"],
+    "curation": ["corpus_audit", "corpus_triage", "corpus_quality",
+        "candidate_ops_r10"],
     "chunking": ["doc_shaping"],
     "sessions": ["event_analytics", "streaming_sessions", "activity_rhythms"],
     "sampling": ["corpus_mixture"],
@@ -146,7 +147,7 @@ _MODULE_SUITES: dict[str, list[str]] = {
         "activity_profiles", "series_repair", "skew_quantile_audit",
         "hypothesis_tests",
     ],
-    "hypotests": ["hypothesis_tests"],
+    "hypotests": ["hypothesis_tests", "candidate_ops", "candidate_ops_r10"],
     "joins": ["olap_", "mitm_pipeline_tpch"],
     "skew": ["skew_quantile_audit", "topology"],
     "merge": ["data_management"],
@@ -1196,7 +1197,20 @@ def main() -> None:
             cents.alias("new_cents"),
         )
         m_ops.maintain_group_aggregate(state, cdc).count()
-        # round-10 batch (landed mid-freeze; twins pinned):
+
+    @timed("candidate_ops_r10", iters=2)
+    def _():
+        # round-10 candidate batch in its OWN suite (candidate_ops has
+        # committed records; changing its contents would break
+        # round-over-round comparability — the bench-record discipline)
+        from big_data_graph_analysis_with_spark_spark.operators import (
+            curation as cur_ops,
+            hypotests as h_ops,
+        )
+
+        orders = spark.read.parquet(f"{SF_DIR}/orders.parquet")
+        cust = spark.read.parquet(f"{SF_DIR}/customer.parquet")
+        docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
         h_ops.mcnemar_inputs(orders).count()
         h_ops.daily_count_autocorr(orders).count()
         h_ops.friedman_rank_inputs(orders, cust).count()
