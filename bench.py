@@ -1215,6 +1215,8 @@ def main() -> None:
         h_ops.daily_count_autocorr(orders).count()
         h_ops.friedman_rank_inputs(orders, cust).count()
         cur_ops.filter_agreement_census(docs).count()
+        h_ops.jonckheere_trend_inputs(orders).count()
+        cur_ops.ngram_novelty_profile(docs).count()
 
     @timed("streaming_ks_gate")
     def _():

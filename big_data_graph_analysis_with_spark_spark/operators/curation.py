@@ -414,3 +414,58 @@ def filter_agreement_census(
         cell(False, True, "n_01"),
         cell(False, False, "n_00"),
     )
+
+
+def ngram_novelty_profile(
+    docs: DataFrame, n: int = 3, ref_mod: int = 4
+) -> DataFrame:
+    """(novelty_decile, n_docs, sum_grams, sum_novel): corpus-level
+    novelty profile — per candidate document, the fraction of its
+    distinct word n-grams ABSENT from a deterministic reference split
+    (doc_id % ref_mod == 0), histogrammed by integer novelty decile
+    (n_novel·10 // n_grams, 0..10). The complement of
+    :func:`decontaminate`: that one asks "does training data leak a
+    small BENCHMARK?" (broadcast-able eval set by contract), this one
+    asks "how much of a new crawl is genuinely new against the
+    EXISTING corpus?" — the reference side scales with the corpus, so
+    the shingle join is a plain shuffle hash join, NO broadcast hint
+    (the scale-honest variant; AQE may still pick broadcast at tiny
+    SF).
+
+    Scale shape: two shingle explodes (whole-stage codegen via
+    `dedup.word_shingles`), one distinct on the reference shingles,
+    one shingle-keyed shuffle join, one doc-keyed aggregation, and a
+    final ≤11-row decile rollup. Everything is bounded by total
+    shingle volume — linear in corpus size; no pairwise term anywhere.
+    """
+    from .dedup import word_shingles
+
+    is_ref = F.col("doc_id") % ref_mod == 0
+    ref_grams = (
+        word_shingles(docs.filter(is_ref), n)
+        .select("shingle")
+        .distinct()
+        .withColumn("hit", F.lit(1))
+    )
+    per_doc = (
+        word_shingles(docs.filter(~is_ref), n)
+        .join(ref_grams, on="shingle", how="left")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_grams"),
+            (F.count("*") - F.count("hit")).alias("n_novel"),
+        )
+    )
+    # integer division — a float ratio+floor would hang the bucket id
+    # on libm behavior; `div` stays integer-exact cross-engine
+    decile = F.expr("(n_novel * 10) div n_grams")
+    return (
+        per_doc.select(decile.cast("long").alias("novelty_decile"),
+                       "n_grams", "n_novel")
+        .groupBy("novelty_decile")
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.sum("n_grams").cast("long").alias("sum_grams"),
+            F.sum("n_novel").cast("long").alias("sum_novel"),
+        )
+    )

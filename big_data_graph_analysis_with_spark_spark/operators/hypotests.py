@@ -1104,3 +1104,83 @@ def friedman_rank_inputs(orders: DataFrame, customer: DataFrame) -> DataFrame:
             F.sum("r2").cast("long").alias("r2_sum"),
         )
     )
+
+
+def jonckheere_trend_inputs(orders: DataFrame) -> DataFrame:
+    """(g, h, n_g, n_h, u2): Jonckheere–Terpstra ordered-alternative
+    sufficient statistics — for every ordered pair of order-priority
+    levels g < h (the leading digit of o_orderpriority, 1-URGENT …
+    5-LOW), the DOUBLED Mann-Whitney count
+    u2 = 2·#{x∈g, y∈h : x < y} + #{ties}, on order totals in cents.
+    The caller sums u2/2 over the 10 rows for the J statistic ("do
+    totals rise monotonically with priority?") — the between-group
+    ordered counterpart to `friedman_rank_inputs`' within-block ranks.
+    Identity pinned by tests: u2(g,h) + reversed u2(h,g) = 2·n_g·n_h.
+
+    Scale shape: the fact collapses to a per-(group, value) histogram
+    (one map-side-combined shuffle). Cross-VALUE comparisons then run
+    on the pooled distinct-value GRID replicated per group (values ×
+    G rows, zero-filled), with one per-group cumulative window over
+    that value-domain-bounded frame — NEVER a value×value pairwise
+    join (distinct cents ≈ rows here, so a banded self-join would be
+    quadratic; the grid keeps it linear). The final pair term joins
+    the G-wide grid with itself per value: values × G² tiny rows.
+    """
+    grp = F.substring("o_orderpriority", 1, 1).cast("long")
+    hist = (
+        orders.select(grp.alias("g"), _cents("o_totalprice").alias("cents"))
+        .groupBy("g", "cents")
+        .agg(F.count("*").alias("cnt"))
+    )
+    # zero-filled pooled grid: every group gets a row at every pooled
+    # distinct value (renamed spine keys per the conflicting-attributes
+    # rule), so per-group CDFs are comparable across groups at h's
+    # value points without a cross-value join
+    spine = (
+        hist.select(F.col("cents").alias("s_cents")).distinct()
+        .crossJoin(hist.select(F.col("g").alias("s_g")).distinct())
+    )
+    grid = spine.join(
+        hist,
+        (F.col("s_cents") == F.col("cents")) & (F.col("s_g") == F.col("g")),
+        "left",
+    ).select(
+        F.col("s_g").alias("g"),
+        F.col("s_cents").alias("cents"),
+        F.coalesce("cnt", F.lit(0)).alias("cnt"),
+    )
+    w = (
+        Window.partitionBy("g")
+        .orderBy("cents")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    cum = grid.select(
+        "g", "cents", "cnt",
+        F.coalesce(F.sum("cnt").over(w), F.lit(0)).alias("cum_lt"),
+    )
+    lo = cum.select(
+        F.col("g").alias("g"), "cents",
+        F.col("cnt").alias("cnt_g"), F.col("cum_lt").alias("cumlt_g"),
+    )
+    hi = cum.select(
+        F.col("g").alias("h"),
+        F.col("cents").alias("h_cents"),
+        F.col("cnt").alias("cnt_h"),
+    )
+    sizes = hist.groupBy("g").agg(F.sum("cnt").cast("long").alias("n"))
+    pair_u = (
+        lo.join(hi, (F.col("cents") == F.col("h_cents"))
+                & (F.col("g") < F.col("h")))
+        .groupBy("g", "h")
+        .agg(
+            F.sum(
+                F.col("cnt_h") * (2 * F.col("cumlt_g") + F.col("cnt_g"))
+            ).cast("long").alias("u2")
+        )
+    )
+    return (
+        pair_u.join(sizes.select(F.col("g"), F.col("n").alias("n_g")), "g")
+        .join(sizes.select(F.col("g").alias("h"), F.col("n").alias("n_h")),
+              "h")
+        .select("g", "h", "n_g", "n_h", "u2")
+    )

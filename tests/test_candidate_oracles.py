@@ -613,3 +613,86 @@ class TestRound10Candidates:
                                      ELSE 0 END), 0) AS BIGINT) AS n_00
             FROM f
         """, SF0001)
+
+    def test_jonckheere_trend_inputs(self, spark):
+        from big_data_graph_analysis_with_spark_spark.operators import hypotests
+
+        df = hypotests.jonckheere_trend_inputs(_read(spark, SF0001, "orders"))
+        assert_matches_oracle(df, """
+            WITH hist AS (
+              SELECT CAST(substr(o_orderpriority, 1, 1) AS BIGINT) AS g,
+                     CAST(ROUND(o_totalprice * 100) AS BIGINT) AS cents,
+                     COUNT(*) AS cnt
+              FROM orders GROUP BY 1, 2
+            ),
+            spine AS (
+              SELECT v.cents, gg.g
+              FROM (SELECT DISTINCT cents FROM hist) v,
+                   (SELECT DISTINCT g FROM hist) gg
+            ),
+            grid AS (
+              SELECT spine.g, spine.cents, COALESCE(hist.cnt, 0) AS cnt
+              FROM spine LEFT JOIN hist
+                ON spine.g = hist.g AND spine.cents = hist.cents
+            ),
+            cum AS (
+              SELECT g, cents, cnt,
+                     COALESCE(SUM(cnt) OVER (
+                       PARTITION BY g ORDER BY cents
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+                     ), 0) AS cum_lt
+              FROM grid
+            ),
+            sizes AS (SELECT g, SUM(cnt) AS n FROM hist GROUP BY 1),
+            pair_u AS (
+              SELECT lo.g, hi.g AS h,
+                     SUM(hi.cnt * (2 * lo.cum_lt + lo.cnt)) AS u2
+              FROM cum lo JOIN cum hi
+                ON lo.cents = hi.cents AND lo.g < hi.g
+              GROUP BY 1, 2
+            )
+            SELECT p.g, p.h,
+                   CAST(sg.n AS BIGINT) AS n_g,
+                   CAST(sh.n AS BIGINT) AS n_h,
+                   CAST(p.u2 AS BIGINT) AS u2
+            FROM pair_u p
+            JOIN sizes sg ON sg.g = p.g
+            JOIN sizes sh ON sh.g = p.h
+        """, SF0001)
+
+    def test_ngram_novelty_profile(self, spark):
+        from big_data_graph_analysis_with_spark_spark.operators import curation
+
+        df = curation.ngram_novelty_profile(_read(spark, SF0001, "documents"))
+        assert_matches_oracle(df, """
+            WITH words AS (
+              SELECT doc_id, text, string_split(text, ' ') AS w
+              FROM documents
+            ),
+            shing AS (
+              SELECT DISTINCT doc_id,
+                     unnest(list_transform(range(len(w) - 2),
+                            i -> array_to_string(w[i+1:i+3], ' ')))
+                       AS shingle
+              FROM words WHERE len(w) >= 3
+              UNION ALL
+              SELECT doc_id, text AS shingle FROM words WHERE len(w) < 3
+            ),
+            ref AS (
+              SELECT DISTINCT shingle FROM shing WHERE doc_id % 4 = 0
+            ),
+            per_doc AS (
+              SELECT s.doc_id,
+                     COUNT(*) AS n_grams,
+                     COUNT(*) - COUNT(r.shingle) AS n_novel
+              FROM shing s LEFT JOIN ref r ON r.shingle = s.shingle
+              WHERE s.doc_id % 4 <> 0
+              GROUP BY 1
+            )
+            SELECT CAST((n_novel * 10) // n_grams AS BIGINT)
+                     AS novelty_decile,
+                   CAST(COUNT(*) AS BIGINT) AS n_docs,
+                   CAST(SUM(n_grams) AS BIGINT) AS sum_grams,
+                   CAST(SUM(n_novel) AS BIGINT) AS sum_novel
+            FROM per_doc GROUP BY 1
+        """, SF0001)

@@ -7,6 +7,8 @@ candidates only; their DuckDB twins live in test_candidate_oracles.py.
 
 from __future__ import annotations
 
+import pyspark.sql.functions as F
+
 from big_data_graph_analysis_with_spark_spark.operators import (
     curation,
     hypotests,
@@ -153,3 +155,85 @@ class TestFilterAgreement:
         r = curation.filter_agreement_census(docs).collect()[0]
         assert r["n"] == docs.count()
         assert r["n_11"] + r["n_10"] + r["n_01"] + r["n_00"] == r["n"]
+
+
+class TestJonckheere:
+    def test_hand_case_with_tie(self, spark):
+        rows = [
+            (1, 1, 0.01, "1995-01-01 00:00:00"),
+            (2, 1, 0.02, "1995-01-02 00:00:00"),
+            (3, 1, 0.02, "1995-01-03 00:00:00"),
+            (4, 1, 0.03, "1995-01-04 00:00:00"),
+        ]
+        ords = _orders(spark, rows).withColumn(
+            "o_orderpriority",
+            F.when(F.col("o_orderkey") <= 2, "1-URGENT").otherwise("2-HIGH"),
+        )
+        r = hypotests.jonckheere_trend_inputs(ords).collect()
+        assert len(r) == 1
+        row = r[0]
+        # g={1,2}, h={2,3}: x<y pairs (1,2),(1,3),(2,3); one tie (2,2)
+        assert (row["g"], row["h"], row["n_g"], row["n_h"]) == (1, 2, 2, 2)
+        assert row["u2"] == 2 * 3 + 1
+
+    def test_python_mirror_and_reversal_identity(self, spark):
+        ords = spark.read.parquet("/root/testdata/sf0.001/orders.parquet")
+        got = {
+            (r["g"], r["h"]): (r["n_g"], r["n_h"], r["u2"])
+            for r in hypotests.jonckheere_trend_inputs(ords).collect()
+        }
+        vals = [
+            (int(r["o_orderpriority"][0]), round(r["o_totalprice"] * 100))
+            for r in ords.select("o_orderpriority", "o_totalprice").collect()
+        ]
+        from collections import defaultdict
+
+        by_g = defaultdict(list)
+        for g, v in vals:
+            by_g[g].append(v)
+        import itertools
+
+        for g, h in itertools.combinations(sorted(by_g), 2):
+            lt = ties = 0
+            hs = sorted(by_g[h])
+            import bisect
+
+            for x in by_g[g]:
+                lt += len(hs) - bisect.bisect_right(hs, x)
+                ties += bisect.bisect_right(hs, x) - bisect.bisect_left(hs, x)
+            u2 = 2 * lt + ties
+            n_g, n_h = len(by_g[g]), len(by_g[h])
+            assert got[(g, h)] == (n_g, n_h, u2), (g, h)
+            # reversal identity: u2(g,h) + u2(h,g) = 2 n_g n_h
+            gt = sum(
+                len(hs) - (len(hs) - bisect.bisect_left(hs, x))
+                for x in by_g[g]
+            ) - ties * 0  # gt = #{x>y}
+            assert u2 + (2 * (n_g * n_h - lt - ties) + ties) == 2 * n_g * n_h
+
+
+class TestNgramNovelty:
+    def test_hand_case(self, spark):
+        docs = spark.createDataFrame(
+            [
+                (0, "hello world"),   # reference (0 % 4 == 0)
+                (1, "hello world"),   # 1 shingle, 0 novel -> decile 0
+                (2, "brand new"),     # 1 shingle, 1 novel -> decile 10
+                (3, "hello world brand new thing"),  # 3 shingles, 3 novel
+            ],
+            "doc_id long, text string",
+        )
+        out = {
+            r["novelty_decile"]: (r["n_docs"], r["sum_grams"], r["sum_novel"])
+            for r in curation.ngram_novelty_profile(docs).collect()
+        }
+        assert out[0] == (1, 1, 0)
+        assert out[10] == (2, 4, 4)
+
+    def test_totals_partition_candidates(self, spark):
+        docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+        rows = curation.ngram_novelty_profile(docs).collect()
+        n_cand = docs.filter("doc_id % 4 <> 0").count()
+        assert sum(r["n_docs"] for r in rows) == n_cand
+        assert all(0 <= r["novelty_decile"] <= 10 for r in rows)
+        assert all(r["sum_novel"] <= r["sum_grams"] for r in rows)
