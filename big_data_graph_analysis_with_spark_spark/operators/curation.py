@@ -437,9 +437,24 @@ def ngram_novelty_profile(
     one shingle-keyed shuffle join, one doc-keyed aggregation, and a
     final ≤11-row decile rollup. Everything is bounded by total
     shingle volume — linear in corpus size; no pairwise term anywhere.
+
+    The docs are round-robin repartitioned to the session shuffle
+    width BEFORE the explode: compressed document bytes
+    under-represent post-explode work by the shingle fan-out (~150×
+    for ~1k-char docs), so a corpus that fits in few input splits
+    would otherwise explode on few tasks — measured at the 100× probe,
+    where a 60 MB single-file corpus (< one 128 MB split) put a 75M-
+    shingle explode+aggregate on ONE task for ~25 min while 31 cores
+    idled. One raw-doc shuffle (tiny next to the shingle volume)
+    decouples map parallelism from file layout; on a many-file
+    production corpus it is near-free insurance.
     """
     from .dedup import word_shingles
 
+    width = int(
+        docs.sparkSession.conf.get("spark.sql.shuffle.partitions")
+    )
+    docs = docs.repartition(width)
     is_ref = F.col("doc_id") % ref_mod == 0
     ref_grams = (
         word_shingles(docs.filter(is_ref), n)
