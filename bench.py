@@ -118,7 +118,8 @@ def _prior_timings() -> dict[str, float]:
 #: 1.25x trigger missed graph_centralities at 1.20x with changed
 #: graphalg.py — exactly the suites where a recorded slowdown matters).
 _MODULE_SUITES: dict[str, list[str]] = {
-    "graphalg": ["graph_", "pagerank", "cc_", "link_prediction"],
+    "graphalg": ["graph_", "pagerank", "cc_", "link_prediction",
+        "candidate_ops_r10b"],
     "topology": ["topology", "graph_ingest", "mitm"],
     "walks": ["walks_frontier", "mitm", "graph_walk_audit"],
     "walk_simrank": ["mitm"],
@@ -140,14 +141,15 @@ _MODULE_SUITES: dict[str, list[str]] = {
         "candidate_ops_r10"],
     "chunking": ["doc_shaping"],
     "sessions": ["event_analytics", "streaming_sessions", "activity_rhythms"],
-    "sampling": ["corpus_mixture"],
+    "sampling": ["corpus_mixture", "candidate_ops_r10b"],
     "cohorts": ["event_analytics"],
     "olap": [
         "event_analytics", "data_management", "olap_",
         "activity_profiles", "series_repair", "skew_quantile_audit",
         "hypothesis_tests",
     ],
-    "hypotests": ["hypothesis_tests", "candidate_ops", "candidate_ops_r10"],
+    "hypotests": ["hypothesis_tests", "candidate_ops", "candidate_ops_r10",
+        "candidate_ops_r10b"],
     "joins": ["olap_", "mitm_pipeline_tpch"],
     "skew": ["skew_quantile_audit", "topology"],
     "merge": ["data_management"],
@@ -1217,6 +1219,26 @@ def main() -> None:
         cur_ops.filter_agreement_census(docs).count()
         h_ops.jonckheere_trend_inputs(orders).count()
         cur_ops.ngram_novelty_profile(docs).count()
+
+    @timed("candidate_ops_r10b", iters=2)
+    def _():
+        # round-10 SECOND candidate wave, its own suite (the r10 suite
+        # has a committed record — contents frozen, same discipline)
+        from big_data_graph_analysis_with_spark_spark.operators import (
+            graphalg as g_ops,
+            hypotests as h_ops,
+            sampling as s_ops,
+        )
+
+        orders = spark.read.parquet(f"{SF_DIR}/orders.parquet")
+        cust = spark.read.parquet(f"{SF_DIR}/customer.parquet")
+        docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+        evs = spark.read.parquet(f"{SF_DIR}/events.parquet")
+        h_ops.kruskal_wallis_inputs(orders).count()
+        h_ops.mood_scale_inputs(orders, cust).count()
+        h_ops.cochran_q_inputs(evs).count()
+        s_ops.token_mix_allocation(docs).count()
+        g_ops.kcore_census(og, k=3, rounds=8).count()
 
     @timed("streaming_ks_gate")
     def _():

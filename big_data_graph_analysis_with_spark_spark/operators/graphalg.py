@@ -2649,3 +2649,53 @@ def scc_size_profile(
             F.sum("size").cast("long").alias("n_vertices"),
         )
     )
+
+
+@_narrowed
+def kcore_census(graph: NetGraph, k: int = 3, rounds: int = 8) -> DataFrame:
+    """(n_nodes, n_edges): size of the k-core — the maximal subgraph
+    of the undirected simple graph in which every vertex keeps degree
+    ≥ k — after `rounds` peels (early-exits at the fixpoint, so extra
+    rounds are no-ops and the round-unrolled SQL oracle names the same
+    subgraph). The degree-constrained sibling of `ktruss_edges`
+    (which constrains triangle support): cores are the standard
+    "dense-enough to matter" prefilter before a truss/community pass,
+    at one aggregation per round instead of a triangle join.
+
+    Per round: degree-count the surviving undirected edge set (one
+    map-side-combined aggregation over both endpoint projections),
+    keep vertices with deg ≥ k, semi-join the edge set to kept
+    endpoints on BOTH sides, repeat on the shrunk frame. Each iterate
+    localCheckpointed (the lineage otherwise doubles per round); all
+    joins vertex-keyed, peel cost contracts with the surviving edges.
+    """
+    edges = undirected_edges(graph).localCheckpoint()
+    prev_n = edges.count()
+    for _ in range(rounds):
+        deg = (
+            edges.select(F.col("a").alias("id"))
+            .unionAll(edges.select(F.col("b").alias("id")))
+            .groupBy("id")
+            .agg(F.count("*").alias("deg"))
+        )
+        keep = deg.filter(F.col("deg") >= k).select("id")
+        edges = (
+            edges.join(keep.withColumnRenamed("id", "a"), on="a", how="semi")
+            .join(keep.withColumnRenamed("id", "b"), on="b", how="semi")
+            .select("a", "b")
+            .localCheckpoint()
+        )
+        n = edges.count()
+        if n == prev_n:
+            break
+        prev_n = n
+    nodes = (
+        edges.select(F.col("a").alias("id"))
+        .unionAll(edges.select(F.col("b").alias("id")))
+        .distinct()
+    )
+    return nodes.agg(F.count("*").cast("long").alias("n_nodes")).crossJoin(
+        F.broadcast(
+            edges.agg(F.count("*").cast("long").alias("n_edges"))
+        )
+    )

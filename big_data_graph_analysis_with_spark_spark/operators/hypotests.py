@@ -1184,3 +1184,174 @@ def jonckheere_trend_inputs(orders: DataFrame) -> DataFrame:
               "h")
         .select("g", "h", "n_g", "n_h", "u2")
     )
+
+
+def kruskal_wallis_inputs(orders: DataFrame) -> DataFrame:
+    """(g, n_g, r2_g, t3_minus_t_pooled): Kruskal–Wallis k-sample
+    rank-sum sufficient statistics — order totals (cents) ranked over
+    the POOLED distribution, one row per order-priority level g (the
+    leading digit of o_orderpriority, 1-URGENT … 5-LOW). r2_g is the
+    DOUBLED tie-averaged rank sum of group g (the k-sample
+    generalization of `mann_whitney_u`'s r2_a; halving recovers R_g,
+    and Σ_g R_g = N(N+1)/2 is pinned by tests). t3_minus_t_pooled =
+    Σ over pooled tie groups of (t³ − t), the tie-correction term of
+    the H statistic, repeated on every row (it is a property of the
+    pooled histogram, not of any group). The caller computes
+    H = [12/(N(N+1)) · Σ R_g²/n_g − 3(N+1)] / [1 − Σ(t³−t)/(N³−N)]
+    on k scalars driver-side.
+
+    Scale shape: identical to `mann_whitney_u` with a group key — one
+    fact-sized groupBy(g, cents) histogram shuffle, a pooled rollup of
+    that bounded frame, one cumulative window over distinct cents, and
+    a per-value hash join back (never a per-row rank window). r2_g and
+    the cube term commit to DECIMAL(38,0): rank sums reach n_g·2N
+    (~10²⁵ at sf1000) and tie cubes reach Σt³, both past BIGINT at
+    extreme SF; at every test SF the values fit BIGINT, which is what
+    the oracle casts to.
+    """
+    grp = F.substring("o_orderpriority", 1, 1).cast("long")
+    hist = (
+        orders.select(grp.alias("g"), _cents("o_totalprice").alias("cents"))
+        .groupBy("g", "cents")
+        .agg(F.count("*").alias("cnt_g"))
+    )
+    pooled = hist.groupBy("cents").agg(F.sum("cnt_g").alias("cnt"))
+    ranked = pooled.select(
+        "cents", "cnt", _cum_before("cents").alias("cum_before")
+    )
+    ties = ranked.agg(
+        F.sum(
+            F.col("cnt").cast(DEC) * F.col("cnt").cast(DEC) * F.col("cnt").cast(DEC)
+            - F.col("cnt").cast(DEC)
+        )
+        .cast(DEC)
+        .alias("t3_minus_t_pooled")
+    )
+    per_g = (
+        hist.join(ranked, "cents")
+        .groupBy("g")
+        .agg(
+            F.sum("cnt_g").cast("long").alias("n_g"),
+            F.sum(
+                F.col("cnt_g").cast(DEC)
+                * (2 * F.col("cum_before") + F.col("cnt") + 1).cast(DEC)
+            )
+            .cast(DEC)
+            .alias("r2_g"),
+        )
+    )
+    return per_g.crossJoin(F.broadcast(ties)).select(
+        "g", "n_g", "r2_g", "t3_minus_t_pooled"
+    )
+
+
+def mood_scale_inputs(
+    orders: DataFrame,
+    customer: DataFrame,
+    seg_a: str = "BUILDING",
+    seg_b: str = "MACHINERY",
+) -> DataFrame:
+    """(segment, n_g, m4_g): Mood SCALE-test sufficient statistics —
+    the dispersion companion to `mood_median_inputs` (which tests
+    location). Each order total is scored by its squared deviation
+    from the pooled mid-rank: score_i = (rank_i − (N+1)/2)², with
+    tie-averaged ranks. m4_g = 4·Σ_{i∈g} score_i stays exactly
+    integral because with DOUBLED average ranks a2 (always an integer:
+    2·cum_before + t + 1), 4·score = (a2 − (N+1))². The caller
+    normalizes by the exact moments E[M] = n_g(N²−1)/12 driver-side.
+    A group whose values sit in the tails scores high — drift in
+    spread with equal medians, which the median test cannot see.
+
+    Scale shape: `mann_whitney_u`'s exactly — histogram shuffle,
+    bounded cumulative window, scalar aggregate; the squared doubled
+    rank reaches (2N)² (~10²⁵ at sf1000), so m4_g commits to
+    DECIMAL(38,0); test-SF values fit the oracle's BIGINT cast.
+    """
+    seg = customer.select("c_custkey", "c_mktsegment").filter(
+        F.col("c_mktsegment").isin(seg_a, seg_b)
+    )
+    tagged = (
+        orders.select("o_custkey", _cents("o_totalprice").alias("cents"))
+        .join(seg, orders.o_custkey == seg.c_custkey)
+        .select("cents", F.col("c_mktsegment").alias("segment"))
+    )
+    hist = tagged.groupBy("segment", "cents").agg(F.count("*").alias("cnt_g"))
+    pooled = hist.groupBy("cents").agg(F.sum("cnt_g").alias("cnt"))
+    ranked = pooled.select(
+        "cents",
+        "cnt",
+        _cum_before("cents").alias("cum_before"),
+        F.sum("cnt")
+        .over(
+            Window.orderBy("cents").rowsBetween(
+                Window.unboundedPreceding, Window.unboundedFollowing
+            )
+        )
+        .alias("n_pooled"),
+    )
+    # doubled tie-averaged rank at this value, centered: a2 − (N+1)
+    dev2 = (
+        2 * F.col("cum_before") + F.col("cnt") + 1 - F.col("n_pooled") - 1
+    ).cast(DEC)
+    return (
+        hist.join(ranked, "cents")
+        .groupBy("segment")
+        .agg(
+            F.sum("cnt_g").cast("long").alias("n_g"),
+            F.sum(F.col("cnt_g").cast(DEC) * dev2 * dev2).cast(DEC).alias("m4_g"),
+        )
+    )
+
+
+def cochran_q_inputs(
+    events: DataFrame,
+    types: tuple[str, ...] = ("view", "click", "purchase"),
+) -> DataFrame:
+    """(n_users, k_treatments, sum_r, sum_r2, sum_c2): Cochran's Q
+    sufficient statistics over paired binary outcomes — for each user,
+    a flag per event type in `types` ("did this user ever do t?"), the
+    k-treatment generalization of `mcnemar_inputs`. With row sums R_i
+    (flags per user) and column sums C_j (users per type),
+    Q = (k−1)·(k·ΣC_j² − (ΣC_j)²) / (k·ΣR_i − ΣR_i²); ΣC_j = ΣR_i =
+    sum_r, so the five integers here are sufficient. Users with none
+    of the k types contribute nothing to Q (all-zero rows cancel) and
+    are excluded from n_users — documented, and mirrored exactly by
+    the oracle's post-pivot filter.
+
+    Scale shape: one map-side-combined groupBy(user_id) pivot to k
+    conditional MAX flags (k is a constant), one scalar aggregate —
+    no window, no join. sum_c2 ~ (Σ users)² passes BIGINT around sf10⁴;
+    it commits to DECIMAL(38,0), BIGINT-cast in the oracle at test SF.
+    """
+    flags = [
+        F.max(
+            F.when(F.col("event_type") == t, F.lit(1)).otherwise(F.lit(0))
+        ).alias(f"f{i}")
+        for i, t in enumerate(types)
+    ]
+    per_user = (
+        events.filter(F.col("event_type").isin(*types))
+        .groupBy("user_id")
+        .agg(*flags)
+    )
+    r = sum(F.col(f"f{i}") for i in range(len(types)))
+    rows = per_user.select(
+        r.alias("r_i"),
+        *[F.col(f"f{i}") for i in range(len(types))],
+    )
+    k = len(types)
+    return rows.agg(
+        F.count("*").cast("long").alias("n_users"),
+        F.lit(k).cast("long").alias("k_treatments"),
+        F.coalesce(F.sum("r_i"), F.lit(0)).cast("long").alias("sum_r"),
+        F.coalesce(F.sum(F.col("r_i") * F.col("r_i")), F.lit(0))
+        .cast("long")
+        .alias("sum_r2"),
+        sum(
+            F.coalesce(F.sum(F.col(f"f{i}")), F.lit(0)).cast(DEC)
+            * F.coalesce(F.sum(F.col(f"f{i}")), F.lit(0)).cast(DEC)
+            for i in range(k)
+        )
+        .cast(DEC)
+        .alias("sum_c2"),
+    )

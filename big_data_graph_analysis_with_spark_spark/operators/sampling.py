@@ -516,3 +516,71 @@ def block_bootstrap_daily_sums(
         F.sum("block_cents").cast("long").alias("boot_cents"),
     ).select(F.col("b").cast("long").alias("b"), "n_blocks",
              "n_days_eff", "boot_cents")
+
+
+def token_mix_allocation(
+    docs: DataFrame,
+    budget: int = 1_000_000,
+    weight_col: str = "n_chars",
+    domain_col: str = "lang",
+) -> DataFrame:
+    """(domain, weight, alloc): largest-remainder (Hamilton)
+    apportionment of an integer token `budget` across corpus domains,
+    proportionally to each domain's total `weight_col` — the
+    data-mixing step of a training pipeline ("this run reads 1M tokens;
+    how many from each language, exactly?"). Every alloc is an exact
+    integer, Σ alloc == budget precisely (floor quotas, then +1 to the
+    largest fractional remainders, ties broken by domain ascending —
+    the deterministic textbook method), so downstream per-domain
+    samplers (`hash_sample` at rate alloc/weight) get consistent
+    targets with no float rounding drift between engines.
+
+    Scale shape: the fact table collapses to one row per domain (one
+    map-side-combined aggregation — the only fact-sized shuffle);
+    apportionment then runs windows over the domain-bounded frame
+    (single partition of ~|domains| rows). budget·weight commits to
+    DECIMAL(38,0) before the division — at BIGINT it would overflow
+    around weight ~ 9e18/budget (sf ~10³ at the default budget);
+    alloc itself is ≤ budget and stays long.
+    """
+    b = F.lit(int(budget)).cast(DEC := "decimal(38,0)")
+    per = docs.groupBy(F.col(domain_col).alias("domain")).agg(
+        F.sum(weight_col).cast("long").alias("weight")
+    )
+    w_all = Window.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    scaled = per.select(
+        "domain",
+        "weight",
+        (b * F.col("weight").cast(DEC)).alias("bw"),
+        F.sum(F.col("weight").cast(DEC)).over(w_all).alias("total_w"),
+    ).select(
+        "domain",
+        "weight",
+        # integral `div`, NOT floor(a / b): Spark's decimal `/` rounds
+        # the quotient to its result scale, so floor() of it can step
+        # over a tie boundary; `div` is exact truncating division
+        F.expr("CAST(bw div total_w AS LONG)").alias("quota"),
+        # fractional remainder, kept exact as an integer numerator:
+        # bw mod total_w (both decimal-exact)
+        F.expr("CAST(bw % total_w AS DECIMAL(38,0))").alias("rem_num"),
+    )
+    w_rank = Window.orderBy(F.col("rem_num").desc(), F.col("domain").asc())
+    ranked = scaled.select(
+        "domain",
+        "weight",
+        "quota",
+        F.row_number().over(w_rank).alias("rem_rank"),
+        (F.lit(int(budget)) - F.sum("quota").over(w_all)).alias("leftover"),
+    )
+    return ranked.select(
+        "domain",
+        "weight",
+        (
+            F.col("quota")
+            + F.when(F.col("rem_rank") <= F.col("leftover"), 1).otherwise(0)
+        )
+        .cast("long")
+        .alias("alloc"),
+    )

@@ -696,3 +696,174 @@ class TestRound10Candidates:
                    CAST(SUM(n_novel) AS BIGINT) AS sum_novel
             FROM per_doc GROUP BY 1
         """, SF0001)
+
+
+class TestRound10CandidatesB:
+    """Round-10 second wave — same freeze discipline as
+    TestRound10Candidates: twins pinned here with the driver's own
+    comparison, promoted to `queries()`/`oracle_sql()` only once the
+    staleness tail clears. All final oracle columns BIGINT."""
+
+    def test_kruskal_wallis_inputs(self, spark):
+        from big_data_graph_analysis_with_spark_spark.operators import hypotests
+
+        df = hypotests.kruskal_wallis_inputs(_read(spark, SF0001, "orders"))
+        got = {r["g"]: r for r in df.collect()}
+        # rank-sum identity: sum of halved doubled rank sums over all
+        # groups is N(N+1)/2
+        n = sum(r["n_g"] for r in got.values())
+        assert sum(int(r["r2_g"]) for r in got.values()) == n * (n + 1)
+        assert_matches_oracle(df, """
+            WITH vals AS (
+              SELECT CAST(SUBSTRING(o_orderpriority, 1, 1) AS BIGINT) AS g,
+                     CAST(ROUND(o_totalprice * 100) AS BIGINT) AS cents
+              FROM orders
+            ),
+            hist AS (SELECT g, cents, COUNT(*) AS cnt_g FROM vals GROUP BY 1, 2),
+            pooled AS (SELECT cents, SUM(cnt_g) AS cnt FROM hist GROUP BY 1),
+            ranked AS (
+              SELECT cents, cnt,
+                     COALESCE(SUM(cnt) OVER (ORDER BY cents
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                       0) AS cb
+              FROM pooled
+            ),
+            ties AS (SELECT SUM(cnt * cnt * cnt - cnt) AS t3 FROM pooled)
+            SELECT h.g,
+                   CAST(SUM(h.cnt_g) AS BIGINT) AS n_g,
+                   CAST(SUM(h.cnt_g * (2 * r.cb + r.cnt + 1)) AS BIGINT) AS r2_g,
+                   CAST(t.t3 AS BIGINT) AS t3_minus_t_pooled
+            FROM hist h JOIN ranked r USING (cents), ties t
+            GROUP BY h.g, t.t3
+        """, SF0001)
+
+    def test_mood_scale_inputs(self, spark):
+        from big_data_graph_analysis_with_spark_spark.operators import hypotests
+
+        df = hypotests.mood_scale_inputs(
+            _read(spark, SF0001, "orders"), _read(spark, SF0001, "customer")
+        )
+        assert_matches_oracle(df, """
+            WITH seg AS (
+              SELECT c_custkey, c_mktsegment FROM customer
+              WHERE c_mktsegment IN ('BUILDING', 'MACHINERY')
+            ),
+            tagged AS (
+              SELECT CAST(ROUND(o_totalprice * 100) AS BIGINT) AS cents,
+                     c_mktsegment AS segment
+              FROM orders JOIN seg ON o_custkey = c_custkey
+            ),
+            hist AS (
+              SELECT segment, cents, COUNT(*) AS cnt_g
+              FROM tagged GROUP BY 1, 2
+            ),
+            pooled AS (SELECT cents, SUM(cnt_g) AS cnt FROM hist GROUP BY 1),
+            ranked AS (
+              SELECT cents, cnt,
+                     COALESCE(SUM(cnt) OVER (ORDER BY cents
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                       0) AS cb,
+                     SUM(cnt) OVER () AS n
+              FROM pooled
+            )
+            SELECT h.segment,
+                   CAST(SUM(h.cnt_g) AS BIGINT) AS n_g,
+                   CAST(SUM(h.cnt_g * (2 * r.cb + r.cnt - r.n)
+                            * (2 * r.cb + r.cnt - r.n)) AS BIGINT) AS m4_g
+            FROM hist h JOIN ranked r USING (cents)
+            GROUP BY h.segment
+        """, SF0001)
+
+    def test_cochran_q_inputs(self, spark):
+        from big_data_graph_analysis_with_spark_spark.operators import hypotests
+
+        df = hypotests.cochran_q_inputs(_read(spark, SF0001, "events"))
+        assert_matches_oracle(df, """
+            WITH per_user AS (
+              SELECT user_id,
+                     MAX(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS f0,
+                     MAX(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS f1,
+                     MAX(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS f2
+              FROM events
+              WHERE event_type IN ('view', 'click', 'purchase')
+              GROUP BY 1
+            )
+            SELECT CAST(COUNT(*) AS BIGINT) AS n_users,
+                   CAST(3 AS BIGINT) AS k_treatments,
+                   CAST(COALESCE(SUM(f0 + f1 + f2), 0) AS BIGINT) AS sum_r,
+                   CAST(COALESCE(SUM((f0 + f1 + f2) * (f0 + f1 + f2)), 0)
+                        AS BIGINT) AS sum_r2,
+                   CAST(COALESCE(SUM(f0), 0) * COALESCE(SUM(f0), 0)
+                        + COALESCE(SUM(f1), 0) * COALESCE(SUM(f1), 0)
+                        + COALESCE(SUM(f2), 0) * COALESCE(SUM(f2), 0)
+                        AS BIGINT) AS sum_c2
+            FROM per_user
+        """, SF0001)
+
+    def test_token_mix_allocation(self, spark):
+        from big_data_graph_analysis_with_spark_spark.operators import sampling
+
+        df = sampling.token_mix_allocation(_read(spark, SF0001, "documents"))
+        # exact-apportionment invariant: allocations sum to the budget
+        assert sum(r["alloc"] for r in df.collect()) == 1_000_000
+        assert_matches_oracle(df, """
+            WITH per AS (
+              SELECT lang AS domain, CAST(SUM(n_chars) AS BIGINT) AS weight
+              FROM documents GROUP BY 1
+            ),
+            tot AS (SELECT SUM(weight) AS total_w FROM per),
+            scaled AS (
+              SELECT domain, weight,
+                     (1000000 * weight) // total_w AS quota,
+                     (1000000 * weight) % total_w AS rem_num
+              FROM per, tot
+            ),
+            ranked AS (
+              SELECT *,
+                     ROW_NUMBER() OVER (ORDER BY rem_num DESC, domain ASC)
+                       AS rem_rank,
+                     1000000 - SUM(quota) OVER () AS leftover
+              FROM scaled
+            )
+            SELECT domain, CAST(weight AS BIGINT) AS weight,
+                   CAST(quota + CASE WHEN rem_rank <= leftover THEN 1
+                                ELSE 0 END AS BIGINT) AS alloc
+            FROM ranked
+        """, SF0001)
+
+    def test_kcore_census(self, spark):
+        from big_data_graph_analysis_with_spark_spark.operators import graphalg
+        from big_data_graph_analysis_with_spark_spark.sources import tpch_graph
+        from big_data_graph_analysis_with_spark_spark.sources.tpch_graph import (
+            graph_sql,
+        )
+
+        og, _ = tpch_graph.derive_graphs(spark, SF0001)
+        df = graphalg.kcore_census(og, k=3, rounds=8)
+        ctes = """
+und AS (
+  SELECT DISTINCT LEAST(src, dst) AS a, GREATEST(src, dst) AS b
+  FROM og_edges WHERE src <> dst
+),
+e_0 AS MATERIALIZED (SELECT a, b FROM und)"""
+        for r in range(1, 9):
+            ctes += f""",
+deg_{r} AS (
+  SELECT id, COUNT(*) AS deg FROM (
+    SELECT a AS id FROM e_{r - 1}
+    UNION ALL SELECT b FROM e_{r - 1}
+  ) GROUP BY id
+),
+keep_{r} AS (SELECT id FROM deg_{r} WHERE deg >= 3),
+e_{r} AS MATERIALIZED (
+  SELECT e.a, e.b FROM e_{r - 1} e
+  JOIN keep_{r} ka ON ka.id = e.a
+  JOIN keep_{r} kb ON kb.id = e.b
+)"""
+        body = f""", {ctes.strip()}
+SELECT CAST((SELECT COUNT(*) FROM
+              (SELECT a AS id FROM e_8 UNION SELECT b FROM e_8)) AS BIGINT)
+         AS n_nodes,
+       CAST((SELECT COUNT(*) FROM e_8) AS BIGINT) AS n_edges
+"""
+        assert_matches_oracle(df, graph_sql(body), SF0001)
