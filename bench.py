@@ -1324,29 +1324,42 @@ def main() -> None:
     # -- ANN answer quality at bench scale: recall@5 vs the exact top-k
     # on the same corpus/queries. Not a timing — recorded in the same
     # JSON so a speedup that silently trades recall away is visible.
-    print("[bench] measuring ANN recall ...", file=sys.stderr, flush=True)
-    q100 = embs.filter(F.col("vec_id") < 100)
-    exact_nn = {
-        (r["query_id"], r["neighbor_id"])
-        for r in similarity_ops.cosine_topk(embs, q100, 5).collect()
-    }
+    # SKIPPED on scale-probe replicas (non-numeric sf dirs): the probe
+    # stripes near-identical copies of every query vector, so recall
+    # reads a meaningless 1.0 there, while the exact brute-force
+    # reference is O(|queries|·|corpus|·dims) — ~1.3e9 decimal ops at
+    # 100×, minutes of untimed wall that polluted every probe run.
+    _sf_tag = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
+    try:
+        float(_sf_tag)
+        _measure_recall = True
+    except ValueError:
+        _measure_recall = False
+    recalls = {}
+    if _measure_recall:
+        print("[bench] measuring ANN recall ...", file=sys.stderr, flush=True)
+        q100 = embs.filter(F.col("vec_id") < 100)
+        exact_nn = {
+            (r["query_id"], r["neighbor_id"])
+            for r in similarity_ops.cosine_topk(embs, q100, 5).collect()
+        }
 
-    def _recall(df):
-        got = {(r["query_id"], r["neighbor_id"]) for r in df.collect()}
-        return round(len(exact_nn & got) / len(exact_nn), 4)
+        def _recall(df):
+            got = {(r["query_id"], r["neighbor_id"]) for r in df.collect()}
+            return round(len(exact_nn & got) / len(exact_nn), 4)
 
-    recalls = {
-        # "ann_lsh" stays the cheap exact-bucket config (multi_probe=0,
-        # now an explicit opt-out); "ann_lsh_mp1" is the library default
-        "ann_lsh": _recall(
-            similarity_ops.ann_lsh_topk(embs, q100, 5, multi_probe=0)
-        ),
-        "ann_lsh_mp1": _recall(
-            similarity_ops.ann_lsh_topk(embs, q100, 5, multi_probe=1)
-        ),
-        "ann_ivf": _recall(similarity_ops.ann_ivf_topk(embs, q100, 5)),
-        "ann_pq": _recall(similarity_ops.ann_pq_topk(embs, q100, 5)),
-    }
+        recalls = {
+            # "ann_lsh" stays the cheap exact-bucket config (multi_probe=0,
+            # now an explicit opt-out); "ann_lsh_mp1" is the library default
+            "ann_lsh": _recall(
+                similarity_ops.ann_lsh_topk(embs, q100, 5, multi_probe=0)
+            ),
+            "ann_lsh_mp1": _recall(
+                similarity_ops.ann_lsh_topk(embs, q100, 5, multi_probe=1)
+            ),
+            "ann_ivf": _recall(similarity_ops.ann_ivf_topk(embs, q100, 5)),
+            "ann_pq": _recall(similarity_ops.ann_pq_topk(embs, q100, 5)),
+        }
 
     total = round(sum(timings.values()), 3)
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]

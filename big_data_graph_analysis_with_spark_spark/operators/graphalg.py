@@ -2665,11 +2665,26 @@ def kcore_census(graph: NetGraph, k: int = 3, rounds: int = 8) -> DataFrame:
     Per round: degree-count the surviving undirected edge set (one
     map-side-combined aggregation over both endpoint projections),
     keep vertices with deg ≥ k, semi-join the edge set to kept
-    endpoints on BOTH sides, repeat on the shrunk frame. Each iterate
-    localCheckpointed (the lineage otherwise doubles per round); all
-    joins vertex-keyed, peel cost contracts with the surviving edges.
+    endpoints on BOTH sides, repeat on the shrunk frame; all joins
+    vertex-keyed, peel cost contracts with the surviving edges.
+
+    Iterate persistence is DISK_ONLY with an EXPLICIT unpersist of the
+    consumed round, not localCheckpoint: the iterates here are
+    EDGE-sized (60M rows at the 100× probe, where vertex-frame loops
+    like `pagerank`'s are fine with memory checkpoints), and
+    localCheckpointed rounds pile up in the storage region until the
+    ContextCleaner's ASYNC sweep gets to them — measured at 100×: the
+    peel dies with UNABLE_TO_ACQUIRE_MEMORY in an 8g local[32] JVM
+    because accumulated round blocks squeeze execution memory.
+    persist() is CacheManager-managed, so the unpersist after the next
+    round materializes is deterministic; DISK_ONLY keeps the whole
+    peel's footprint out of the memory region (each round reads the
+    previous round's spill — sequential, compressed, and at cluster
+    scale the normal home for edge-sized iterates).
     """
-    edges = undirected_edges(graph).localCheckpoint()
+    from pyspark.storagelevel import StorageLevel
+
+    edges = undirected_edges(graph).persist(StorageLevel.DISK_ONLY)
     prev_n = edges.count()
     for _ in range(rounds):
         deg = (
@@ -2679,13 +2694,18 @@ def kcore_census(graph: NetGraph, k: int = 3, rounds: int = 8) -> DataFrame:
             .agg(F.count("*").alias("deg"))
         )
         keep = deg.filter(F.col("deg") >= k).select("id")
-        edges = (
+        new_edges = (
             edges.join(keep.withColumnRenamed("id", "a"), on="a", how="semi")
             .join(keep.withColumnRenamed("id", "b"), on="b", how="semi")
             .select("a", "b")
-            .localCheckpoint()
+            .persist(StorageLevel.DISK_ONLY)
         )
-        n = edges.count()
+        n = new_edges.count()
+        # the consumed round's blocks are dead the moment the new round
+        # is materialized; free them NOW (blocking=False: the drop can
+        # overlap the next round's compute)
+        edges.unpersist()
+        edges = new_edges
         if n == prev_n:
             break
         prev_n = n

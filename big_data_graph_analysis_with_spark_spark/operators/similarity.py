@@ -50,8 +50,19 @@ def cosine_topk(
     `emb`: (vec_id, embedding); `queries`: same schema (usually a small
     filtered subset — it broadcasts). Self-matches excluded.
     Returns (query_id, neighbor_id, rank, cosine).
+
+    The corpus side is round-robin repartitioned to the session shuffle
+    width BEFORE the component explode (the explode-heavy-operator rule
+    from `curation.ngram_novelty_profile`): Catalyst broadcasts the
+    tiny query side INTO the corpus scan stage, so the whole
+    |queries|·|corpus| partial aggregation runs in the scan's map tasks
+    — with a few-file corpus that is a handful of tasks doing ~1e9
+    decimal multiply-adds (measured at the 100× probe: one 28-minute
+    task while 31 cores idled). The repartition decouples that fan-out
+    from file layout for one corpus-sized shuffle.
     """
-    comp = _decimal_components(emb)
+    width = int(emb.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+    comp = _decimal_components(emb.repartition(width))
     qcomp = _decimal_components(queries).select(
         F.col("vec_id").alias("query_id"), "j", F.col("x").alias("qx")
     )
