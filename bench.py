@@ -119,7 +119,7 @@ def _prior_timings() -> dict[str, float]:
 #: graphalg.py — exactly the suites where a recorded slowdown matters).
 _MODULE_SUITES: dict[str, list[str]] = {
     "graphalg": ["graph_", "pagerank", "cc_", "link_prediction",
-        "candidate_ops_r10b"],
+        "candidate_ops_r10b", "candidate_ops_r10c"],
     "topology": ["topology", "graph_ingest", "mitm"],
     "walks": ["walks_frontier", "mitm", "graph_walk_audit"],
     "walk_simrank": ["mitm"],
@@ -149,7 +149,7 @@ _MODULE_SUITES: dict[str, list[str]] = {
         "hypothesis_tests",
     ],
     "hypotests": ["hypothesis_tests", "candidate_ops", "candidate_ops_r10",
-        "candidate_ops_r10b"],
+        "candidate_ops_r10b", "candidate_ops_r10c"],
     "joins": ["olap_", "mitm_pipeline_tpch"],
     "skew": ["skew_quantile_audit", "topology"],
     "merge": ["data_management"],
@@ -1239,6 +1239,21 @@ def main() -> None:
         h_ops.cochran_q_inputs(evs).count()
         s_ops.token_mix_allocation(docs).count()
         g_ops.kcore_census(og, k=3, rounds=8).count()
+
+    @timed("candidate_ops_r10c", iters=2)
+    def _():
+        # round-10 THIRD candidate wave, its own suite (same freeze
+        # discipline: earlier candidate suites have committed records)
+        from big_data_graph_analysis_with_spark_spark.operators import (
+            graphalg as g_ops,
+            hypotests as h_ops,
+        )
+
+        orders = spark.read.parquet(f"{SF_DIR}/orders.parquet")
+        cust = spark.read.parquet(f"{SF_DIR}/customer.parquet")
+        g_ops.degree_assortativity_inputs(og).count()
+        g_ops.rich_club_census(og).count()
+        h_ops.brunner_munzel_inputs(orders, cust).count()
 
     @timed("streaming_ks_gate")
     def _():

@@ -2719,3 +2719,112 @@ def kcore_census(graph: NetGraph, k: int = 3, rounds: int = 8) -> DataFrame:
             edges.agg(F.count("*").cast("long").alias("n_edges"))
         )
     )
+
+
+@_narrowed
+def degree_assortativity_inputs(graph: NetGraph) -> DataFrame:
+    """(n_edges, s_sum, s_prod, s_sq): Newman degree-assortativity
+    sufficient statistics over the undirected simple graph — for every
+    edge with endpoint degrees (da, db): Σ(da+db), Σ(da·db), and
+    Σ(da²+db²), all exact integers. The caller computes the Pearson
+    degree correlation r = [Sp/M − (Ss/2M)²] / [Sq/2M − (Ss/2M)²] on
+    four scalars (positive r: hubs attach to hubs — assortative social
+    shape; negative: hub-to-leaf, the disassortative
+    technological/biological shape). The scalar complement to
+    `attribute_mixing_matrix` (categorical) on the DEGREE attribute.
+
+    Scale shape: one degree aggregation over both endpoint projections,
+    two vertex-keyed hash joins to annotate edges, one scalar
+    aggregate — all linear in E, no windows. Products commit to
+    DECIMAL(38,0): Σ da·db reaches E·(max deg)² — past BIGINT for hub
+    degrees ≳ 3e4 at probe-scale edge counts; test-SF values fit the
+    oracle's BIGINT cast.
+    """
+    edges = undirected_edges(graph)
+    deg = (
+        edges.select(F.col("a").alias("id"))
+        .unionAll(edges.select(F.col("b").alias("id")))
+        .groupBy("id")
+        .agg(F.count("*").alias("deg"))
+    )
+    annotated = edges.join(
+        deg.select(F.col("id").alias("a"), F.col("deg").alias("da")), on="a"
+    ).join(deg.select(F.col("id").alias("b"), F.col("deg").alias("db")), on="b")
+    DEC = "decimal(38,0)"
+    return annotated.agg(
+        F.count("*").cast("long").alias("n_edges"),
+        F.coalesce(F.sum((F.col("da") + F.col("db")).cast(DEC)), F.lit(0))
+        .cast(DEC)
+        .alias("s_sum"),
+        F.coalesce(
+            F.sum(F.col("da").cast(DEC) * F.col("db").cast(DEC)), F.lit(0)
+        )
+        .cast(DEC)
+        .alias("s_prod"),
+        F.coalesce(
+            F.sum(
+                F.col("da").cast(DEC) * F.col("da").cast(DEC)
+                + F.col("db").cast(DEC) * F.col("db").cast(DEC)
+            ),
+            F.lit(0),
+        )
+        .cast(DEC)
+        .alias("s_sq"),
+    )
+
+
+@_narrowed
+def rich_club_census(graph: NetGraph) -> DataFrame:
+    """(degree_bits, n_nodes_ge, n_edges_ge): rich-club sufficient
+    statistics at bit-length degree thresholds — for each occupied
+    bucket b, the number of vertices whose undirected degree has bit
+    length ≥ b and the number of edges whose BOTH endpoints do
+    (min(da, db) bit length ≥ b). The caller derives the rich-club
+    coefficient φ(b) = 2·E_b / (N_b·(N_b−1)) per threshold ("do the
+    top-degree vertices wire to each other more than chance?" — the
+    hub-solidarity summary `degree_assortativity_inputs` gives one
+    global scalar for). Thresholds follow the engine-wide
+    `length(bin(·))` bucket convention (`degree_distribution`,
+    `order_gap_profile`).
+
+    Scale shape: degree aggregation + two vertex-keyed joins (linear
+    in E, shared with the assortativity plan), then two bounded
+    bit-length histograms (≤64 rows) with suffix-sum windows over that
+    tiny frame — never a per-threshold rescan of the graph.
+    """
+    from pyspark.sql import Window
+
+    edges = undirected_edges(graph)
+    deg = (
+        edges.select(F.col("a").alias("id"))
+        .unionAll(edges.select(F.col("b").alias("id")))
+        .groupBy("id")
+        .agg(F.count("*").alias("deg"))
+    )
+    node_hist = deg.groupBy(
+        F.length(F.bin("deg")).alias("degree_bits")
+    ).agg(F.count("*").alias("n_nodes"))
+    edge_min = edges.join(
+        deg.select(F.col("id").alias("a"), F.col("deg").alias("da")), on="a"
+    ).join(deg.select(F.col("id").alias("b"), F.col("deg").alias("db")), on="b")
+    edge_hist = edge_min.groupBy(
+        F.length(F.bin(F.least("da", "db"))).alias("degree_bits")
+    ).agg(F.count("*").alias("n_edges"))
+    # suffix sums over the ≤64-row bucket frames: count at-or-above
+    # each occupied threshold
+    merged = (
+        node_hist.join(edge_hist, on="degree_bits", how="outer")
+        .select(
+            "degree_bits",
+            F.coalesce("n_nodes", F.lit(0)).alias("n_nodes"),
+            F.coalesce("n_edges", F.lit(0)).alias("n_edges"),
+        )
+    )
+    w_ge = Window.orderBy(F.col("degree_bits").desc()).rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    return merged.select(
+        F.col("degree_bits").cast("long").alias("degree_bits"),
+        F.sum("n_nodes").over(w_ge).cast("long").alias("n_nodes_ge"),
+        F.sum("n_edges").over(w_ge).cast("long").alias("n_edges_ge"),
+    )

@@ -1355,3 +1355,73 @@ def cochran_q_inputs(
         .cast(DEC)
         .alias("sum_c2"),
     )
+
+
+def brunner_munzel_inputs(
+    orders: DataFrame,
+    customer: DataFrame,
+    seg_a: str = "BUILDING",
+    seg_b: str = "MACHINERY",
+) -> DataFrame:
+    """(segment, n_g, sum_p2, sum_p2_sq): Brunner–Munzel placement
+    sufficient statistics — for each observation, its DOUBLED placement
+    in the OTHER group: p2 = 2·(# other-group values below) + (# ties),
+    always an exact integer (the per-observation refinement of
+    `mann_whitney_u`, whose r2 is Σ placements + within-group rank
+    mass). Σp2 and Σp2² per group are the first two placement moments;
+    the caller assembles the BM studentized statistic — the
+    heteroscedasticity-robust alternative to Mann-Whitney that stays
+    valid when the two segments have different spreads (where plain
+    MWU's variance assumption breaks).
+
+    Scale shape: `mann_whitney_u`'s exactly — one fact-sized
+    groupBy(cents) histogram carrying both per-group counts, one
+    cumulative window over distinct cents, one scalar aggregate per
+    group. p2 ≤ 2N so Σp2² reaches n_g·4N² (~10²⁹ at sf1000):
+    DECIMAL(38,0), BIGINT-cast in the oracle at test SF.
+    """
+    seg = customer.select("c_custkey", "c_mktsegment").filter(
+        F.col("c_mktsegment").isin(seg_a, seg_b)
+    )
+    tagged = (
+        orders.select("o_custkey", _cents("o_totalprice").alias("cents"))
+        .join(seg, orders.o_custkey == seg.c_custkey)
+        .select("cents", F.col("c_mktsegment").alias("segment"))
+    )
+    hist = tagged.groupBy("cents").agg(
+        F.sum(F.when(F.col("segment") == seg_a, 1).otherwise(0)).alias("cnt_a"),
+        F.sum(F.when(F.col("segment") == seg_b, 1).otherwise(0)).alias("cnt_b"),
+    )
+    w = Window.orderBy("cents").rowsBetween(Window.unboundedPreceding, -1)
+    cum = hist.select(
+        "cents",
+        "cnt_a",
+        "cnt_b",
+        F.coalesce(F.sum("cnt_a").over(w), F.lit(0)).alias("cuma_lt"),
+        F.coalesce(F.sum("cnt_b").over(w), F.lit(0)).alias("cumb_lt"),
+    )
+    # doubled placement of an A-observation at this value among B:
+    # 2·(B strictly below) + (B tied here); symmetric for B among A
+    p2_a = (2 * F.col("cumb_lt") + F.col("cnt_b")).cast(DEC)
+    p2_b = (2 * F.col("cuma_lt") + F.col("cnt_a")).cast(DEC)
+    side_a = cum.agg(
+        F.lit(seg_a).alias("segment"),
+        F.sum("cnt_a").cast("long").alias("n_g"),
+        F.coalesce(F.sum(F.col("cnt_a").cast(DEC) * p2_a), F.lit(0))
+        .cast(DEC)
+        .alias("sum_p2"),
+        F.coalesce(F.sum(F.col("cnt_a").cast(DEC) * p2_a * p2_a), F.lit(0))
+        .cast(DEC)
+        .alias("sum_p2_sq"),
+    )
+    side_b = cum.agg(
+        F.lit(seg_b).alias("segment"),
+        F.sum("cnt_b").cast("long").alias("n_g"),
+        F.coalesce(F.sum(F.col("cnt_b").cast(DEC) * p2_b), F.lit(0))
+        .cast(DEC)
+        .alias("sum_p2"),
+        F.coalesce(F.sum(F.col("cnt_b").cast(DEC) * p2_b * p2_b), F.lit(0))
+        .cast(DEC)
+        .alias("sum_p2_sq"),
+    )
+    return side_a.unionAll(side_b)

@@ -867,3 +867,143 @@ SELECT CAST((SELECT COUNT(*) FROM
        CAST((SELECT COUNT(*) FROM e_8) AS BIGINT) AS n_edges
 """
         assert_matches_oracle(df, graph_sql(body), SF0001)
+
+
+class TestRound10CandidatesC:
+    """Round-10 third wave — same freeze discipline. All final oracle
+    columns BIGINT."""
+
+    _GRAPH = None
+
+    def _graph(self, spark):
+        from big_data_graph_analysis_with_spark_spark.sources import tpch_graph
+
+        if TestRound10CandidatesC._GRAPH is None:
+            TestRound10CandidatesC._GRAPH = tpch_graph.derive_graphs(
+                spark, SF0001
+            )[0]
+        return TestRound10CandidatesC._GRAPH
+
+    _DEG_CTES = """
+und AS (
+  SELECT DISTINCT LEAST(src, dst) AS a, GREATEST(src, dst) AS b
+  FROM og_edges WHERE src <> dst
+),
+deg AS (
+  SELECT id, COUNT(*) AS deg FROM (
+    SELECT a AS id FROM und UNION ALL SELECT b FROM und
+  ) GROUP BY id
+),
+annotated AS (
+  SELECT u.a, u.b, x.deg AS da, y.deg AS db
+  FROM und u JOIN deg x ON x.id = u.a JOIN deg y ON y.id = u.b
+)"""
+
+    def test_degree_assortativity_inputs(self, spark):
+        from big_data_graph_analysis_with_spark_spark.operators import graphalg
+        from big_data_graph_analysis_with_spark_spark.sources.tpch_graph import (
+            graph_sql,
+        )
+
+        df = graphalg.degree_assortativity_inputs(self._graph(spark))
+        assert_matches_oracle(df, graph_sql(f""", {self._DEG_CTES.strip()}
+SELECT CAST(COUNT(*) AS BIGINT) AS n_edges,
+       CAST(COALESCE(SUM(da + db), 0) AS BIGINT) AS s_sum,
+       CAST(COALESCE(SUM(da * db), 0) AS BIGINT) AS s_prod,
+       CAST(COALESCE(SUM(da * da + db * db), 0) AS BIGINT) AS s_sq
+FROM annotated
+"""), SF0001)
+
+    def test_rich_club_census(self, spark):
+        from big_data_graph_analysis_with_spark_spark.operators import graphalg
+        from big_data_graph_analysis_with_spark_spark.sources.tpch_graph import (
+            graph_sql,
+        )
+
+        df = graphalg.rich_club_census(self._graph(spark))
+        assert_matches_oracle(df, graph_sql(f""", {self._DEG_CTES.strip()},
+node_hist AS (
+  SELECT length(bin(deg)) AS degree_bits, COUNT(*) AS n_nodes
+  FROM deg GROUP BY 1
+),
+edge_hist AS (
+  SELECT length(bin(LEAST(da, db))) AS degree_bits, COUNT(*) AS n_edges
+  FROM annotated GROUP BY 1
+),
+merged AS (
+  SELECT COALESCE(n.degree_bits, e.degree_bits) AS degree_bits,
+         COALESCE(n.n_nodes, 0) AS n_nodes,
+         COALESCE(e.n_edges, 0) AS n_edges
+  FROM node_hist n FULL OUTER JOIN edge_hist e USING (degree_bits)
+)
+SELECT CAST(degree_bits AS BIGINT) AS degree_bits,
+       CAST(SUM(n_nodes) OVER (ORDER BY degree_bits DESC
+         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+         AS n_nodes_ge,
+       CAST(SUM(n_edges) OVER (ORDER BY degree_bits DESC
+         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+         AS n_edges_ge
+FROM merged
+"""), SF0001)
+
+    def test_brunner_munzel_inputs(self, spark):
+        from big_data_graph_analysis_with_spark_spark.operators import hypotests
+
+        df = hypotests.brunner_munzel_inputs(
+            _read(spark, SF0001, "orders"), _read(spark, SF0001, "customer")
+        )
+        rows = {r["segment"]: r for r in df.collect()}
+        # placement identity: doubled cross-pair mass counted from both
+        # sides is every (a, b) pair twice
+        na = rows["BUILDING"]["n_g"]
+        nb = rows["MACHINERY"]["n_g"]
+        assert (
+            int(rows["BUILDING"]["sum_p2"]) + int(rows["MACHINERY"]["sum_p2"])
+            == 2 * na * nb
+        )
+        assert_matches_oracle(df, """
+            WITH seg AS (
+              SELECT c_custkey, c_mktsegment FROM customer
+              WHERE c_mktsegment IN ('BUILDING', 'MACHINERY')
+            ),
+            tagged AS (
+              SELECT CAST(ROUND(o_totalprice * 100) AS BIGINT) AS cents,
+                     c_mktsegment AS segment
+              FROM orders JOIN seg ON o_custkey = c_custkey
+            ),
+            hist AS (
+              SELECT cents,
+                     SUM(CASE WHEN segment = 'BUILDING' THEN 1 ELSE 0 END)
+                       AS cnt_a,
+                     SUM(CASE WHEN segment = 'MACHINERY' THEN 1 ELSE 0 END)
+                       AS cnt_b
+              FROM tagged GROUP BY 1
+            ),
+            cum AS (
+              SELECT cents, cnt_a, cnt_b,
+                     COALESCE(SUM(cnt_a) OVER (ORDER BY cents
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                       0) AS cuma_lt,
+                     COALESCE(SUM(cnt_b) OVER (ORDER BY cents
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                       0) AS cumb_lt
+              FROM hist
+            )
+            SELECT 'BUILDING' AS segment,
+                   CAST(SUM(cnt_a) AS BIGINT) AS n_g,
+                   CAST(COALESCE(SUM(cnt_a * (2 * cumb_lt + cnt_b)), 0)
+                        AS BIGINT) AS sum_p2,
+                   CAST(COALESCE(SUM(cnt_a * (2 * cumb_lt + cnt_b)
+                                     * (2 * cumb_lt + cnt_b)), 0)
+                        AS BIGINT) AS sum_p2_sq
+            FROM cum
+            UNION ALL
+            SELECT 'MACHINERY' AS segment,
+                   CAST(SUM(cnt_b) AS BIGINT) AS n_g,
+                   CAST(COALESCE(SUM(cnt_b * (2 * cuma_lt + cnt_a)), 0)
+                        AS BIGINT) AS sum_p2,
+                   CAST(COALESCE(SUM(cnt_b * (2 * cuma_lt + cnt_a)
+                                     * (2 * cuma_lt + cnt_a)), 0)
+                        AS BIGINT) AS sum_p2_sq
+            FROM cum
+        """, SF0001)
