@@ -149,7 +149,7 @@ _MODULE_SUITES: dict[str, list[str]] = {
         "hypothesis_tests",
     ],
     "hypotests": ["hypothesis_tests", "candidate_ops", "candidate_ops_r10",
-        "candidate_ops_r10b", "candidate_ops_r10c"],
+        "candidate_ops_r10b", "candidate_ops_r10c", "candidate_ops_r10d"],
     "joins": ["olap_", "mitm_pipeline_tpch"],
     "skew": ["skew_quantile_audit", "topology"],
     "merge": ["data_management"],
@@ -157,7 +157,7 @@ _MODULE_SUITES: dict[str, list[str]] = {
     "ranges": ["temporal_joins"],
     "jsonops": ["json_analytics", "olap_census_stats"],
     "sketches": ["corpus_audit", "data_management", "graph_walk_audit",
-        "skew_quantile_audit", "hypothesis_tests"],
+        "skew_quantile_audit", "hypothesis_tests", "candidate_ops_r10d"],
     "drift": ["drift_monitoring", "streaming_value_hist", "activity_rhythms",
         "series_repair", "streaming_locf_timed", "streaming_ks_gate"],
     "multimodal": ["multimodal_"],
@@ -1254,6 +1254,18 @@ def main() -> None:
         g_ops.degree_assortativity_inputs(og).count()
         g_ops.rich_club_census(og).count()
         h_ops.brunner_munzel_inputs(orders, cust).count()
+
+    @timed("candidate_ops_r10d", iters=2)
+    def _():
+        # round-10 FOURTH candidate wave, its own suite
+        from big_data_graph_analysis_with_spark_spark.operators import (
+            hypotests as h_ops,
+            sketches as sk_ops,
+        )
+
+        evs = spark.read.parquet(f"{SF_DIR}/events.parquet")
+        sk_ops.count_min_audit(evs).count()
+        h_ops.ks_one_sample_uniform(evs).count()
 
     @timed("streaming_ks_gate")
     def _():

@@ -1425,3 +1425,71 @@ def brunner_munzel_inputs(
         .alias("sum_p2_sq"),
     )
     return side_a.unionAll(side_b)
+
+
+def ks_one_sample_uniform(
+    events: DataFrame, event_type: str = "purchase"
+) -> DataFrame:
+    """(n, lo_cents, span, d_num, d_arg_cents): one-sample
+    Kolmogorov–Smirnov sufficient statistics against the DISCRETE
+    uniform on the observed cent span — the theoretical-reference
+    complement to `ks_two_sample` (two empirical samples). For each
+    distinct value v: the exact cross-multiplied deviation
+    |cum(v)·span − (v − lo + 1)·n|; d_num is its maximum and
+    d_arg_cents the smallest value attaining it (deterministic
+    argmax). D = d_num/(n·span) caller-side. High D against uniform is
+    the value-gridding detector: synthetic or templated event values
+    cluster on round numbers and step the empirical CDF far from the
+    flat reference (`value_roundness_census` counts the modular
+    classes; this scores the whole-distribution distance).
+
+    Scale shape: `ks_two_sample`'s exactly — one fact-sized
+    groupBy(cents) histogram, one bounded cumulative window, one
+    scalar aggregate. cum·span reaches n·span (~10¹⁷ at sf1000 —
+    inside BIGINT but documented; the deviation products commit to
+    DECIMAL(38,0) engine-side, BIGINT in the oracle at test SF).
+    """
+    cents = F.round(F.col("value") * 100).cast("long")
+    hist = (
+        events.filter(F.col("event_type") == event_type)
+        .select(cents.alias("cents"))
+        .groupBy("cents")
+        .agg(F.count("*").alias("cnt"))
+    )
+    wall = Window.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    cum = hist.select(
+        "cents",
+        (F.coalesce(
+            F.sum("cnt").over(
+                Window.orderBy("cents").rowsBetween(
+                    Window.unboundedPreceding, 0
+                )
+            ),
+            F.lit(0),
+        )).alias("cum"),
+        F.sum("cnt").over(wall).alias("n"),
+        F.min("cents").over(wall).alias("lo"),
+        F.max("cents").over(wall).alias("hi"),
+    )
+    dev = F.abs(
+        F.col("cum").cast(DEC) * (F.col("hi") - F.col("lo") + 1).cast(DEC)
+        - (F.col("cents") - F.col("lo") + 1).cast(DEC) * F.col("n").cast(DEC)
+    )
+    scored = cum.select(
+        "cents", "n", "lo", (F.col("hi") - F.col("lo") + 1).alias("span"),
+        dev.alias("dev"),
+    )
+    w_pick = Window.orderBy(F.col("dev").desc(), F.col("cents").asc())
+    return (
+        scored.withColumn("rk", F.row_number().over(w_pick))
+        .filter(F.col("rk") == 1)
+        .select(
+            F.col("n").cast("long").alias("n"),
+            F.col("lo").cast("long").alias("lo_cents"),
+            F.col("span").cast("long").alias("span"),
+            F.col("dev").cast(DEC).alias("d_num"),
+            F.col("cents").cast("long").alias("d_arg_cents"),
+        )
+    )

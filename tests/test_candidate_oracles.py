@@ -1007,3 +1007,74 @@ FROM merged
                         AS BIGINT) AS sum_p2_sq
             FROM cum
         """, SF0001)
+
+
+class TestRound10CandidatesD:
+    """Round-10 fourth wave — same freeze discipline. All final oracle
+    columns BIGINT."""
+
+    def test_count_min_audit(self, spark):
+        from big_data_graph_analysis_with_spark_spark.operators import sketches
+
+        df = sketches.count_min_audit(_read(spark, SF0001, "events"))
+        rows = df.collect()
+        # CMS deterministic guarantee: never undercounts
+        assert all(r["cms_n"] >= r["exact_n"] for r in rows)
+        h = ("(('0x' || substr(md5(CAST((CAST(r AS VARCHAR) || ':' || "
+             "CAST(user_id AS VARCHAR)) AS VARCHAR)), 1, 14))::BIGINT) % 256")
+        assert_matches_oracle(df, f"""
+            WITH hist AS (
+              SELECT user_id, COUNT(*) AS n FROM events GROUP BY 1
+            ),
+            rows_r AS (SELECT UNNEST(range(4)) AS r),
+            cells AS (
+              SELECT r, {h} AS b, SUM(n) AS cell
+              FROM hist, rows_r GROUP BY 1, 2
+            ),
+            tracked AS (
+              SELECT user_id, n FROM hist
+              ORDER BY n DESC, user_id ASC LIMIT 8
+            ),
+            probes AS (
+              SELECT t.user_id, t.n, r.r, {h.replace("user_id", "t.user_id").replace("AS VARCHAR) || ':'", "AS VARCHAR) || ':'")} AS b
+              FROM tracked t, rows_r r
+            )
+            SELECT p.user_id,
+                   CAST(p.n AS BIGINT) AS exact_n,
+                   CAST(MIN(c.cell) AS BIGINT) AS cms_n
+            FROM probes p JOIN cells c ON c.r = p.r AND c.b = p.b
+            GROUP BY 1, 2
+        """, SF0001)
+
+    def test_ks_one_sample_uniform(self, spark):
+        from big_data_graph_analysis_with_spark_spark.operators import hypotests
+
+        df = hypotests.ks_one_sample_uniform(_read(spark, SF0001, "events"))
+        assert_matches_oracle(df, """
+            WITH hist AS (
+              SELECT CAST(ROUND(value * 100) AS BIGINT) AS cents,
+                     COUNT(*) AS cnt
+              FROM events WHERE event_type = 'purchase' GROUP BY 1
+            ),
+            cum AS (
+              SELECT cents,
+                     SUM(cnt) OVER (ORDER BY cents
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                       AS cum,
+                     SUM(cnt) OVER () AS n,
+                     MIN(cents) OVER () AS lo,
+                     MAX(cents) OVER () AS hi
+              FROM hist
+            ),
+            scored AS (
+              SELECT cents, n, lo, hi - lo + 1 AS span,
+                     ABS(cum * (hi - lo + 1) - (cents - lo + 1) * n) AS dev
+              FROM cum
+            )
+            SELECT CAST(n AS BIGINT) AS n,
+                   CAST(lo AS BIGINT) AS lo_cents,
+                   CAST(span AS BIGINT) AS span,
+                   CAST(dev AS BIGINT) AS d_num,
+                   CAST(cents AS BIGINT) AS d_arg_cents
+            FROM scored ORDER BY dev DESC, cents ASC LIMIT 1
+        """, SF0001)
