@@ -4668,65 +4668,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # backfill; the 9 rows-only tail entries cannot hash-verify by design
     # and stay at the tail.
     return {
-        # -- ROUND-10 ROTATION (r9 verdict tasks 1+2): consolidation —
-        #    NO new queries this round; the window is spent on the 8
-        #    never-driver-green hash-drift fixes + the r3/r4 staleness
-        #    tail. Oracle-backed entries below are sorted never-verified
-        #    first, then ascending last-driver-verified round (computed
-        #    from the committed CORRECTNESS_r*.json history).
-        # -- never driver-green: the 8 r9 hash-drift fixes (BIGINT oracles) 
-        "kendall_tau_band_inputs": q_kendall_tau_band_inputs,
-        "wilcoxon_signed_rank": q_wilcoxon_signed_rank,
-        "cvm_two_sample": q_cvm_two_sample,
-        "mann_whitney_u": q_mann_whitney_u,
-        "ks_two_sample": q_ks_two_sample,
-        "spearman_rank_corr": q_spearman_rank_corr,
-        "spearman_tie_terms": q_spearman_tie_terms,
-        "revenue_cusum": q_revenue_cusum,
-        # -- last driver-verified round 3 --------------------------------
-        "corpus_prepare": q_corpus_prepare,
-        "doc_expectations": q_doc_expectations,
-        "decontaminate": q_decontaminate,
-        "repetition_stats": q_repetition_stats,
-        "pii_redaction": q_pii_redaction,
-        "doc_chunks": q_doc_chunks,
-        "pack_documents": q_pack_documents,
-        "events_sessionized": q_events_sessionized,
-        "sample_hash": q_sample_hash,
-        "sample_stratified": q_sample_stratified,
-        "train_eval_split": q_train_eval_split,
-        # -- last driver-verified round 4 --------------------------------
-        "mixture_sample": q_mixture_sample,
-        "corpus_shards": q_corpus_shards,
-        "text_token_stats": q_text_token_stats,
-        "text_quality": q_text_quality,
-        "text_language_id": q_text_language_id,
-        "doc_fingerprints": q_doc_fingerprints,
-        "events_windowed": q_events_windowed,
-        "events_asof": q_events_asof,
-        "events_sliding": q_events_sliding,
-        "events_rolling": q_events_rolling,
-        "events_pivot": q_events_pivot,
-        "event_transitions": q_event_transitions,
-        "top_ngrams": q_top_ngrams,
-        "token_quantiles": q_token_quantiles,
-        "embedding_centroids": q_embedding_centroids,
-        "embedding_quantize": q_embedding_quantize,
-        "events_cube": q_events_cube,
-        "events_range_join": q_events_range_join,
-        "salted_supplier_revenue": q_salted_supplier_revenue,
-        "shipping_priority": q_shipping_priority,
-        "local_supplier_volume": q_local_supplier_volume,
-        "orders_upsert": q_orders_upsert,
-        "pricing_summary": q_pricing_summary,
-        "top_customers_per_nation": q_top_customers_per_nation,
-        "events_rollup": q_events_rollup,
-        "dedup_keep_best": q_dedup_keep_best,
-        "dedup_incremental": q_dedup_incremental,
-        "events_funnel": q_events_funnel,
-        "length_buckets": q_length_buckets,
-        "clustering_coefficient": q_clustering_coefficient,
-        "label_propagation": q_label_propagation,
+        # -- ROUND-11 ROTATION (r10 verdict task 1): final consolidation --
+        #    NO new queries; the registry stays frozen at 312 and the full
+        #    50-slot window goes to the evidence tail: all 17 r4-stale
+        #    queries + the 33 stalest r5 entries. After this round lands,
+        #    no oracle-backed query's last green driver row is older than
+        #    r5 (round-8's bar met). Sorted ascending by last-driver-
+        #    verified round from the committed CORRECTNESS_r*.json history.
+        # -- last driver-verified round 4 ---------------------------
         "link_prediction": q_link_prediction,
         "degree_histogram": q_degree_histogram,
         "events_retention": q_events_retention,
@@ -4744,7 +4693,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "language_mix": q_language_mix,
         "user_ltv": q_user_ltv,
         "knn_graph": q_knn_graph,
-        # -- last driver-verified round 5 --------------------------------
+        # -- last driver-verified round 5 ---------------------------
         "scc": q_scc,
         "mis": q_mis,
         "closeness": q_closeness,
@@ -4793,7 +4742,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "key_skew_profile": q_key_skew_profile,
         "recent_events": q_recent_events,
         "type_purity": q_type_purity,
-        # -- last driver-verified round 6 --------------------------------
+        # -- last driver-verified round 6 ---------------------------
         "embedding_coverage": q_embedding_coverage,
         "length_outliers": q_length_outliers,
         "length_cdf": q_length_cdf,
@@ -4838,7 +4787,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kcore": q_kcore,
         "sssp": q_sssp,
         "pagerank_personalized": q_pagerank_personalized,
-        # -- last driver-verified round 7 --------------------------------
+        # -- last driver-verified round 7 ---------------------------
         "ktruss": q_ktruss,
         "source_overlap": q_source_overlap,
         "supplier_pareto": q_supplier_pareto,
@@ -4889,7 +4838,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "supply_bipartite_profile": q_supply_bipartite_profile,
         "pricing_knob_grid": q_pricing_knob_grid,
         "user_event_type_diversity": q_user_event_type_diversity,
-        # -- last driver-verified round 8 --------------------------------
+        # -- last driver-verified round 8 ---------------------------
         "part_value_concentration": q_part_value_concentration,
         "late_line_census": q_late_line_census,
         "bulk_part_suppliers": q_bulk_part_suppliers,
@@ -4940,7 +4889,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "similarity_topk": q_similarity_topk,
         "similarity_ann_lsh_exact": q_similarity_ann_lsh_exact,
         "corpus_clean": q_corpus_clean,
-        # -- last driver-verified round 9 --------------------------------
+        # -- last driver-verified round 9 ---------------------------
         "ab_proportion_inputs": q_ab_proportion_inputs,
         "mann_kendall_trend": q_mann_kendall_trend,
         "runs_test_inputs": q_runs_test_inputs,
@@ -4983,6 +4932,57 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_degree_quantile_audit": q_graph_degree_quantile_audit,
         "weighted_price_median": q_weighted_price_median,
         "simrank_round1_bucketed_wide": q_simrank_round1_bucketed_wide,
+        # -- last driver-verified round 10 --------------------------
+        "kendall_tau_band_inputs": q_kendall_tau_band_inputs,
+        "wilcoxon_signed_rank": q_wilcoxon_signed_rank,
+        "cvm_two_sample": q_cvm_two_sample,
+        "mann_whitney_u": q_mann_whitney_u,
+        "ks_two_sample": q_ks_two_sample,
+        "spearman_rank_corr": q_spearman_rank_corr,
+        "spearman_tie_terms": q_spearman_tie_terms,
+        "revenue_cusum": q_revenue_cusum,
+        "corpus_prepare": q_corpus_prepare,
+        "doc_expectations": q_doc_expectations,
+        "decontaminate": q_decontaminate,
+        "repetition_stats": q_repetition_stats,
+        "pii_redaction": q_pii_redaction,
+        "doc_chunks": q_doc_chunks,
+        "pack_documents": q_pack_documents,
+        "events_sessionized": q_events_sessionized,
+        "sample_hash": q_sample_hash,
+        "sample_stratified": q_sample_stratified,
+        "train_eval_split": q_train_eval_split,
+        "mixture_sample": q_mixture_sample,
+        "corpus_shards": q_corpus_shards,
+        "text_token_stats": q_text_token_stats,
+        "text_quality": q_text_quality,
+        "text_language_id": q_text_language_id,
+        "doc_fingerprints": q_doc_fingerprints,
+        "events_windowed": q_events_windowed,
+        "events_asof": q_events_asof,
+        "events_sliding": q_events_sliding,
+        "events_rolling": q_events_rolling,
+        "events_pivot": q_events_pivot,
+        "event_transitions": q_event_transitions,
+        "top_ngrams": q_top_ngrams,
+        "token_quantiles": q_token_quantiles,
+        "embedding_centroids": q_embedding_centroids,
+        "embedding_quantize": q_embedding_quantize,
+        "events_cube": q_events_cube,
+        "events_range_join": q_events_range_join,
+        "salted_supplier_revenue": q_salted_supplier_revenue,
+        "shipping_priority": q_shipping_priority,
+        "local_supplier_volume": q_local_supplier_volume,
+        "orders_upsert": q_orders_upsert,
+        "pricing_summary": q_pricing_summary,
+        "top_customers_per_nation": q_top_customers_per_nation,
+        "events_rollup": q_events_rollup,
+        "dedup_keep_best": q_dedup_keep_best,
+        "dedup_incremental": q_dedup_incremental,
+        "events_funnel": q_events_funnel,
+        "length_buckets": q_length_buckets,
+        "clustering_coefficient": q_clustering_coefficient,
+        "label_propagation": q_label_propagation,
         # -- rows-only tail (no SQL oracle by design; driver rows-only
         #    check) ----------------------------------------------
         "multimodal_features": q_multimodal_features,
