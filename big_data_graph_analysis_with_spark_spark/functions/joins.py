@@ -54,3 +54,37 @@ def maybe_broadcast(df: DataFrame) -> DataFrame:
     if 0 <= size <= BROADCAST_BUDGET_BYTES:
         return F.broadcast(df)
     return df
+
+
+def shuffle_width(df: DataFrame) -> int:
+    """The session's shuffle width as an int, with a safe fallback.
+
+    ``spark.sql.shuffle.partitions`` may be non-numeric on managed
+    deployments (e.g. ``"auto"`` under Databricks AQE); parse failure
+    falls back to the cluster's default parallelism rather than
+    raising (round-10 advice on ``cosine_topk``).
+    """
+    try:
+        return int(df.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+    except (TypeError, ValueError):
+        return df.sparkSession.sparkContext.defaultParallelism
+
+
+def spread_before_explode(df: DataFrame) -> DataFrame:
+    """Round-robin repartition to the session shuffle width, applied to
+    a frame about to be fanned out ≥~10× (shingle/component ``explode``,
+    or a broadcast join INTO its scan stage).
+
+    Why this is a named rule and not an ad-hoc tweak: compressed input
+    bytes under-represent post-fan-out work by up to two orders of
+    magnitude, so a corpus that fits in few input splits runs its whole
+    fan-out on few map tasks regardless of cluster size. Two round-10
+    100× probes hit exactly this — a 60 MB single-file corpus put a
+    75M-shingle explode on ONE task for ~25 min
+    (`curation.ngram_novelty_profile`), and a 100-query broadcast into
+    a few-split corpus scan ran 1.3e9 decimal ops in ~4 tasks
+    (`similarity.cosine_topk`). One raw-row shuffle (tiny next to the
+    fan-out volume) decouples map parallelism from file layout; on a
+    many-file production corpus it is near-free insurance.
+    """
+    return df.repartition(shuffle_width(df))

@@ -450,11 +450,9 @@ def ngram_novelty_profile(
     production corpus it is near-free insurance.
     """
     from .dedup import word_shingles
+    from ..functions.joins import spread_before_explode
 
-    width = int(
-        docs.sparkSession.conf.get("spark.sql.shuffle.partitions")
-    )
-    docs = docs.repartition(width)
+    docs = spread_before_explode(docs)
     is_ref = F.col("doc_id") % ref_mod == 0
     ref_grams = (
         word_shingles(docs.filter(is_ref), n)

@@ -2709,15 +2709,24 @@ def kcore_census(graph: NetGraph, k: int = 3, rounds: int = 8) -> DataFrame:
         if n == prev_n:
             break
         prev_n = n
-    nodes = (
+    # Both outputs are scalars and the edge count is already in hand
+    # (prev_n tracks the surviving frame on every exit path), so count
+    # the nodes eagerly and RELEASE the final round's DISK_ONLY blocks
+    # before returning — a lazy return over the persisted frame leaked
+    # the last persist (and the initial one when rounds=0) for the
+    # session lifetime; bench runs this twice per iteration,
+    # accumulating spill (round-10 advice).
+    n_nodes = (
         edges.select(F.col("a").alias("id"))
         .unionAll(edges.select(F.col("b").alias("id")))
         .distinct()
+        .count()
     )
-    return nodes.agg(F.count("*").cast("long").alias("n_nodes")).crossJoin(
-        F.broadcast(
-            edges.agg(F.count("*").cast("long").alias("n_edges"))
-        )
+    spark = edges.sparkSession
+    edges.unpersist()
+    return spark.range(1).select(
+        F.lit(n_nodes).cast("long").alias("n_nodes"),
+        F.lit(prev_n).cast("long").alias("n_edges"),
     )
 
 

@@ -1434,10 +1434,19 @@ def ks_one_sample_uniform(
     Kolmogorov–Smirnov sufficient statistics against the DISCRETE
     uniform on the observed cent span — the theoretical-reference
     complement to `ks_two_sample` (two empirical samples). For each
-    distinct value v: the exact cross-multiplied deviation
-    |cum(v)·span − (v − lo + 1)·n|; d_num is its maximum and
-    d_arg_cents the smallest value attaining it (deterministic
-    argmax). D = d_num/(n·span) caller-side. High D against uniform is
+    distinct value v BOTH one-sided deviations are scored exactly
+    (cross-multiplied, integer): the post-jump D⁺ candidate
+    |cum(v)·span − (v − lo + 1)·n| and the pre-jump D⁻ candidate
+    |(cum(v) − cnt(v))·span − (v − lo)·n| (F_n just below v against
+    F₀ just below v). The pre-jump term also covers support GAPS:
+    within a gap F_n is constant while F₀ rises monotonically, so the
+    sup over the gap lands just below the next observed value — the
+    next row's D⁻ candidate. Omitting it understates D on exactly the
+    gridded/clustered inputs this detector exists for (1 obs at lo +
+    9 at hi: D⁺ alone reports ~0.1, true D ~0.9). d_num is the max
+    over both candidates and d_arg_cents the smallest value attaining
+    it (deterministic argmax). D = d_num/(n·span) caller-side. High D
+    against uniform is
     the value-gridding detector: synthetic or templated event values
     cluster on round numbers and step the empirical CDF far from the
     flat reference (`value_roundness_census` counts the modular
@@ -1461,6 +1470,7 @@ def ks_one_sample_uniform(
     )
     cum = hist.select(
         "cents",
+        "cnt",
         (F.coalesce(
             F.sum("cnt").over(
                 Window.orderBy("cents").rowsBetween(
@@ -1473,13 +1483,19 @@ def ks_one_sample_uniform(
         F.min("cents").over(wall).alias("lo"),
         F.max("cents").over(wall).alias("hi"),
     )
-    dev = F.abs(
-        F.col("cum").cast(DEC) * (F.col("hi") - F.col("lo") + 1).cast(DEC)
-        - (F.col("cents") - F.col("lo") + 1).cast(DEC) * F.col("n").cast(DEC)
+    span = (F.col("hi") - F.col("lo") + 1).cast(DEC)
+    n = F.col("n").cast(DEC)
+    dev_post = F.abs(
+        F.col("cum").cast(DEC) * span
+        - (F.col("cents") - F.col("lo") + 1).cast(DEC) * n
+    )
+    dev_pre = F.abs(
+        (F.col("cum") - F.col("cnt")).cast(DEC) * span
+        - (F.col("cents") - F.col("lo")).cast(DEC) * n
     )
     scored = cum.select(
         "cents", "n", "lo", (F.col("hi") - F.col("lo") + 1).alias("span"),
-        dev.alias("dev"),
+        F.greatest(dev_post, dev_pre).alias("dev"),
     )
     w_pick = Window.orderBy(F.col("dev").desc(), F.col("cents").asc())
     return (

@@ -33,6 +33,7 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 from pyspark.sql.functions import pandas_udf
 
+from ..functions.joins import spread_before_explode
 from .dedup import _decimal_components, srp_signatures_decimal
 
 #: OR-construction: L tables × r planes each. A pair is a candidate if
@@ -61,8 +62,7 @@ def cosine_topk(
     task while 31 cores idled). The repartition decouples that fan-out
     from file layout for one corpus-sized shuffle.
     """
-    width = int(emb.sparkSession.conf.get("spark.sql.shuffle.partitions"))
-    comp = _decimal_components(emb.repartition(width))
+    comp = _decimal_components(spread_before_explode(emb))
     qcomp = _decimal_components(queries).select(
         F.col("vec_id").alias("query_id"), "j", F.col("x").alias("qx")
     )

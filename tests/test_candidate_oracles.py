@@ -1057,7 +1057,7 @@ class TestRound10CandidatesD:
               FROM events WHERE event_type = 'purchase' GROUP BY 1
             ),
             cum AS (
-              SELECT cents,
+              SELECT cents, cnt,
                      SUM(cnt) OVER (ORDER BY cents
                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
                        AS cum,
@@ -1067,8 +1067,14 @@ class TestRound10CandidatesD:
               FROM hist
             ),
             scored AS (
+              -- max of the post-jump D+ and pre-jump D- candidates; the
+              -- D- term also covers support gaps (sup lands just below
+              -- the next observed value)
               SELECT cents, n, lo, hi - lo + 1 AS span,
-                     ABS(cum * (hi - lo + 1) - (cents - lo + 1) * n) AS dev
+                     GREATEST(
+                       ABS(cum * (hi - lo + 1) - (cents - lo + 1) * n),
+                       ABS((cum - cnt) * (hi - lo + 1) - (cents - lo) * n)
+                     ) AS dev
               FROM cum
             )
             SELECT CAST(n AS BIGINT) AS n,
@@ -1078,3 +1084,18 @@ class TestRound10CandidatesD:
                    CAST(cents AS BIGINT) AS d_arg_cents
             FROM scored ORDER BY dev DESC, cents ASC LIMIT 1
         """, SF0001)
+
+    def test_ks_one_sample_uniform_sparse_support(self, spark):
+        """The r10-advice counterexample: 1 obs at lo, 9 at hi. The sup
+        of |F_n − F₀| sits just BELOW hi (F_n = 1/10 while F₀ ≈ 1), so
+        the pre-jump D⁻ candidate must win: with lo=100, hi=1099
+        (span=1000, n=10) the true d_num is |1·1000 − 999·10| = 8990
+        (D = 0.899), not the post-jump-only 990 (D = 0.099)."""
+        from big_data_graph_analysis_with_spark_spark.operators import hypotests
+
+        rows = [(1.00, "purchase")] + [(10.99, "purchase")] * 9
+        ev = spark.createDataFrame(rows, "value double, event_type string")
+        got = hypotests.ks_one_sample_uniform(ev).collect()[0]
+        assert (got["n"], got["lo_cents"], got["span"]) == (10, 100, 1000)
+        assert int(got["d_num"]) == 8990
+        assert got["d_arg_cents"] == 1099
