@@ -451,10 +451,31 @@ def ktruss_edges(graph: NetGraph, k: int = 4, rounds: int = 5) -> DataFrame:
     edges, count per-edge support, drop edges under k−2, repeat on the
     shrunk edge set — cost contracts every round with the surviving
     edges. Early-exits at the fixpoint, so the round-unrolled SQL
-    oracle (extra rounds are no-ops) names the same subgraph. Each
-    iterate localCheckpointed; all joins are vertex-keyed (AQE handles
-    hub skew; bucketed storage co-partitions them)."""
-    edges = undirected_edges(graph).localCheckpoint()
+    oracle (extra rounds are no-ops) names the same subgraph. All
+    joins are vertex-keyed (AQE handles hub skew; bucketed storage
+    co-partitions them).
+
+    Iterates are EDGE-sized, so they follow the `kcore_census`
+    persistence rule: persist(DISK_ONLY) + explicit unpersist of the
+    consumed round, never localCheckpoint — measured at the 100×
+    probe (60.3M undirected edges), the checkpointed variant finished
+    its first call in 62s but left ~6 edge-sized iterates pinned in
+    the storage region until the ASYNC ContextCleaner sweep, and the
+    NEXT call on the same session crawled past 500s under GC-locker
+    thrash; with disk persistence + deterministic release both calls
+    run ≈60s (SCALING.md round-11 section).
+
+    Triangle enumeration stays the ID-ordered join (a<b<c), NOT the
+    textbook degree-ordered orientation: measured on the sf0.1 derived
+    graph, ID order does 0.59M wedge lookups where lo-deg→hi-deg
+    orientation would do 13.1M (22× more) — the entity-typed id layout
+    makes hubs one-sided in ID order (a hub with an extremal id serves
+    as wedge CENTER for ~0 ordered pairs), which beats the generic
+    O(Σ outdeg²) bound this graph family never stresses.
+    """
+    from pyspark.storagelevel import StorageLevel
+
+    edges = undirected_edges(graph).persist(StorageLevel.DISK_ONLY)
     prev_n = edges.count()
     for _ in range(rounds):
         e1 = edges.select("a", "b")
@@ -468,18 +489,22 @@ def ktruss_edges(graph: NetGraph, k: int = 4, rounds: int = 5) -> DataFrame:
             .groupBy("a", "b")
             .agg(F.count("*").alias("s"))
         )
-        edges = (
+        new_edges = (
             support.filter(F.col("s") >= k - 2)
             .select("a", "b")
-            .localCheckpoint()
+            .persist(StorageLevel.DISK_ONLY)
         )
-        n = edges.count()
+        n = new_edges.count()
+        edges.unpersist()
+        edges = new_edges
         if n == prev_n:
             break
         prev_n = n
-    return edges.select(
+    out = edges.select(
         F.col("a").cast("long").alias("a"), F.col("b").cast("long").alias("b")
-    )
+    ).localCheckpoint()
+    edges.unpersist()
+    return out
 
 
 @_narrowed

@@ -153,3 +153,30 @@ class TestKcoreCensusNoLeak:
         full = graphalg.undirected_edges(og).count()
         assert row["n_edges"] == full
         assert not (after - before)
+
+
+class TestKtrussPersistence:
+    def test_no_disk_blocks_survive_and_result_unchanged(self, spark):
+        """ktruss_edges now follows the kcore edge-sized-iterate rule
+        (DISK_ONLY + explicit unpersist, never localCheckpoint): at the
+        100× probe the checkpointed variant's leaked iterates made the
+        SECOND call on the same session crawl >500s (SCALING.md round
+        11). All disk blocks must be released by return, and repeat
+        calls must agree."""
+        from big_data_graph_analysis_with_spark_spark.operators import graphalg
+        from big_data_graph_analysis_with_spark_spark.sources import tpch_graph
+
+        og, _pg = tpch_graph.derive_graphs(spark, SF0001)
+        before = _disk_only_rdd_ids(spark)
+        first = {
+            (r["a"], r["b"])
+            for r in graphalg.ktruss_edges(og, k=3, rounds=5).collect()
+        }
+        mid = _disk_only_rdd_ids(spark)
+        second = {
+            (r["a"], r["b"])
+            for r in graphalg.ktruss_edges(og, k=3, rounds=5).collect()
+        }
+        after = _disk_only_rdd_ids(spark)
+        assert first == second and first
+        assert not (mid - before) and not (after - before)
