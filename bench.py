@@ -946,6 +946,7 @@ def main() -> None:
             doc_dedup.streaming_exact_dedup(docs_stream),
             f"bench_doc_dedup_{stream_run[0]}",
             "append",
+            drop_table=True,
         )
 
     @timed("streaming_sessions")
@@ -956,6 +957,7 @@ def main() -> None:
             streaming_sessions.session_window_counts(ev_stream),
             f"bench_sessions_{stream_run[0]}",
             "complete",
+            drop_table=True,
         )
 
     @timed("streaming_value_hist")
@@ -970,6 +972,7 @@ def main() -> None:
             streaming_drift.windowed_value_hist(ev_stream),
             f"bench_value_hist_{stream_run[0]}",
             "complete",
+            drop_table=True,
         )
 
     @timed("olap_shape_completion", iters=2)
@@ -1036,6 +1039,7 @@ def main() -> None:
             streaming_drift.streaming_value_locf_timed(ev_stream),
             f"bench_locf_timed_{stream_run[0]}",
             "update",
+            drop_table=True,
         )
 
     @timed("olap_census_stats", iters=2)
@@ -1297,6 +1301,7 @@ def main() -> None:
         streaming_drift.windowed_ks_vs_reference(
             spark.table(sink), reference
         ).count()
+        spark.catalog.dropTempView(sink)
 
     # -- optional smoke filter: SPARK_GRAFT_BENCH_SUITES="a,b" runs only
     # the named suites (development loop; the driver never sets it).

@@ -45,6 +45,17 @@ _DEFAULTS = {
     # let Spark disambiguate instead of erroring.
     "spark.sql.analyzer.failAmbiguousSelfJoinResolution": "false",
     "spark.sql.shuffle.partitions": "32",
+    # Streaming state lives in RocksDB (native memory + local disk),
+    # not the default HDFS-backed provider's on-heap maps. Measured at
+    # the 100× probe (SCALING.md round 11): session-window state over
+    # 10M events under the default provider OOM'd the 8g JVM on the
+    # SECOND availableNow drain in one session (old query runs'
+    # providers linger until the async maintenance sweep); with RocksDB
+    # four back-to-back drains run flat (21.4/17.3/15.8/15.3s). At
+    # cluster scale this is the standard large-state configuration.
+    "spark.sql.streaming.stateStore.providerClass":
+        "org.apache.spark.sql.execution.streaming.state."
+        "RocksDBStateStoreProvider",
     # Long-lived many-query processes (bench, the driver's verify pass)
     # generate thousands of codegen classes and stages; keep the UI's
     # event bookkeeping off and leave the JIT room to keep compiling —

@@ -123,11 +123,21 @@ def running_user_totals(events: DataFrame) -> DataFrame:
 
 
 def run_to_memory_sink(
-    stream_df: DataFrame, table_name: str, output_mode: str = "complete"
+    stream_df: DataFrame,
+    table_name: str,
+    output_mode: str = "complete",
+    drop_table: bool = False,
 ) -> None:
     """Drain a stream into an in-memory table with availableNow (test /
     backfill harness: process everything currently available, then
-    stop)."""
+    stop).
+
+    ``drop_table=True`` drops the sink's temp view after the drain —
+    for callers that only measure the drain (bench): a complete-mode
+    memory sink holds the FULL result on the driver heap per query
+    name, and repeated drains in one session accumulate until GC churn
+    (measured at the 100× probe: the 4th same-session drain crept
+    17→40s with the tables kept; flat with them dropped)."""
     q = (
         stream_df.writeStream.format("memory")
         .queryName(table_name)
@@ -136,3 +146,5 @@ def run_to_memory_sink(
         .start()
     )
     q.awaitTermination()
+    if drop_table:
+        stream_df.sparkSession.catalog.dropTempView(table_name)
