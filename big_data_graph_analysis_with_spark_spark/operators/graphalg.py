@@ -31,6 +31,7 @@ reproduces results bit-for-bit:
 
 from __future__ import annotations
 
+import threading
 from contextlib import contextmanager
 
 from pyspark.sql import DataFrame
@@ -50,30 +51,50 @@ _NARROW_THRESHOLD = 100_000
 _NARROW_WIDTH = 8
 
 
+#: thread-local narrowing state — scoped to THIS operator call on THIS
+#: thread, never the session (round-10 verdict task 7: the previous
+#: conf set/restore narrowed every concurrent query that planned while
+#: an iterative operator's context was open)
+_NARROW_LOCAL = threading.local()
+
+
 @contextmanager
 def _narrow_shuffle(graph: NetGraph, n_vertices: int | None = None):
-    """Temporarily narrow spark.sql.shuffle.partitions for a driver
-    round loop over a small graph (same rationale as plans/pipeline:
-    a stage-heavy fixpoint on a sub-100k-vertex frame pays more in
-    task scheduling at full width than it gains in parallelism; AQE
-    coalesces shuffle READS but scheduled width still costs). Restored
-    on every exit path — results are unaffected, all operators here are
-    partitioning-deterministic.
+    """Narrow the CHECKPOINT width of a driver round loop over a small
+    graph (same rationale as plans/pipeline: a stage-heavy fixpoint on
+    a sub-100k-vertex frame pays more in task scheduling at full width
+    than it gains in parallelism; AQE coalesces shuffle reads, but its
+    `parallelismFirst` floor keeps them at ~defaultParallelism pieces,
+    so checkpointed loop iterates would stay 32-wide and every
+    subsequent round schedules 32 tasks per stage on frames of a few
+    thousand rows).
 
-    The override is session-scoped: a CONCURRENT query on the same
-    session that plans while this context is open runs narrowed too
-    (harmless for results, suboptimal for width). The `_narrowed`
-    wrapper keeps that window as small as possible by materializing
-    the operator's final frame before the width is restored."""
-    spark = graph.vertices.sparkSession
+    Scoping: this no longer touches `spark.sql.shuffle.partitions` —
+    it arms a THREAD-LOCAL width that `_ckpt` (the loop-materialization
+    helper every operator here routes through) applies as a
+    `coalesce()` under each localCheckpoint. A concurrent query on the
+    same session is untouched; results are unaffected, all operators
+    here are partitioning-deterministic."""
     n = n_vertices if n_vertices is not None else graph.vertices.count()
-    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    prev = getattr(_NARROW_LOCAL, "width", None)
     if n < _NARROW_THRESHOLD:
-        spark.conf.set("spark.sql.shuffle.partitions", str(_NARROW_WIDTH))
+        _NARROW_LOCAL.width = _NARROW_WIDTH
     try:
         yield n
     finally:
-        spark.conf.set("spark.sql.shuffle.partitions", prev)
+        _NARROW_LOCAL.width = prev
+
+
+def _ckpt(df: DataFrame) -> DataFrame:
+    """Materialize a loop frame: localCheckpoint, coalesced to the
+    armed narrow width when a `_narrow_shuffle` context is open on this
+    thread. The coalesce folds into the frame's final stage (no extra
+    shuffle) and fixes the checkpointed RDD's partition count, so every
+    later round reads/schedules `_NARROW_WIDTH` tasks instead of the
+    session's full width. Use via ``.transform(_ckpt)`` to keep method
+    chains."""
+    w = getattr(_NARROW_LOCAL, "width", None)
+    return (df.coalesce(w) if w else df).localCheckpoint()
 
 
 def _narrowed(fn):
@@ -110,7 +131,7 @@ def _narrowed(fn):
         with _narrow_shuffle(graph):
             out = fn(graph, *args, **kwargs)
             if isinstance(out, DataFrame) and not _already_materialized(out):
-                out = out.localCheckpoint()
+                out = out.transform(_ckpt)
             return out
 
     return wrapper
@@ -185,10 +206,10 @@ def connected_components(
         und = undirected_edges(graph)
         sym = und.unionAll(
             und.select(F.col("b").alias("a"), F.col("a").alias("b"))
-        ).localCheckpoint()
+        ).transform(_ckpt)
     labels = graph.vertices.select(
         "id", F.col("id").alias("component_id")
-    ).localCheckpoint()
+    ).transform(_ckpt)
     # convergence via the MONOTONE label sum: min-labels only ever
     # decrease, so an unchanged Σ ⇔ fixpoint — one scan aggregate per
     # round instead of an anti-join job (decimal accumulation so the
@@ -210,7 +231,7 @@ def connected_components(
                     F.col("component_id"), F.coalesce("nbr", F.col("component_id"))
                 ).alias("component_id"),
             )
-            .localCheckpoint()
+            .transform(_ckpt)
         )
         new_sum = new_labels.agg(
             F.sum(F.col("component_id").cast("decimal(38,0)"))
@@ -255,10 +276,10 @@ def pagerank(
     )
     pr = graph.vertices.select(
         "id", F.lit(PR_SCALE // n).cast("long").alias("pr_scaled")
-    ).localCheckpoint()
+    ).transform(_ckpt)
     edges = graph.edges.select("src", "dst")
     if not edges_stable:
-        edges = edges.localCheckpoint()
+        edges = edges.transform(_ckpt)
     for _ in range(iters):
         contribs = (
             pr.join(outdeg, on="id")
@@ -279,7 +300,7 @@ def pagerank(
                     )
                 ).cast("long").alias("pr_scaled"),
             )
-            .localCheckpoint()
+            .transform(_ckpt)
         )
     return pr
 
@@ -359,8 +380,8 @@ def label_propagation(
         und = undirected_edges(graph)
         sym = und.unionAll(
             und.select(F.col("b").alias("a"), F.col("a").alias("b"))
-        ).localCheckpoint()
-    labels = graph.vertices.select("id", F.col("id").alias("label")).localCheckpoint()
+        ).transform(_ckpt)
+    labels = graph.vertices.select("id", F.col("id").alias("label")).transform(_ckpt)
     w = Window.partitionBy("a").orderBy(F.col("c").desc(), F.col("label").asc())
     for _ in range(rounds):
         counts = (
@@ -378,7 +399,7 @@ def label_propagation(
             .select(
                 "id", F.coalesce("new_label", F.col("label")).alias("label")
             )
-            .localCheckpoint()
+            .transform(_ckpt)
         )
     return labels.select("id", F.col("label").cast("long").alias("label"))
 
@@ -502,7 +523,7 @@ def ktruss_edges(graph: NetGraph, k: int = 4, rounds: int = 5) -> DataFrame:
         prev_n = n
     out = edges.select(
         F.col("a").cast("long").alias("a"), F.col("b").cast("long").alias("b")
-    ).localCheckpoint()
+    ).transform(_ckpt)
     edges.unpersist()
     return out
 
@@ -532,7 +553,7 @@ def hits_scores(
     and shuffles regardless."""
     edges = graph.edges.select("src", "dst")
     if not edges_stable:
-        edges = edges.localCheckpoint()
+        edges = edges.transform(_ckpt)
     hub = graph.vertices.select("id", F.lit(1).cast("long").alias("hub"))
     auth = None
     for _ in range(rounds):
@@ -545,7 +566,7 @@ def hits_scores(
             graph.vertices.select("id")
             .join(auth, on="id", how="left")
             .select("id", F.coalesce("auth", F.lit(0)).cast("long").alias("auth"))
-            .localCheckpoint()
+            .transform(_ckpt)
         )
         hub = (
             edges.join(auth, on=F.col("dst") == F.col("id"))
@@ -556,7 +577,7 @@ def hits_scores(
             graph.vertices.select("id")
             .join(hub, on="id", how="left")
             .select("id", F.coalesce("hub", F.lit(0)).cast("long").alias("hub"))
-            .localCheckpoint()
+            .transform(_ckpt)
         )
     return hub.join(auth, on="id").select("id", "hub", "auth")
 
@@ -575,7 +596,7 @@ def reciprocity(graph: NetGraph) -> DataFrame:
         graph.edges.select("src", "dst")
         .filter(F.col("src") != F.col("dst"))
         .distinct()
-        .localCheckpoint()
+        .transform(_ckpt)
     )
     mutual = e.join(
         e.select(F.col("dst").alias("src"), F.col("src").alias("dst")),
@@ -678,11 +699,11 @@ def bfs_distances(
         source = graph.vertices.agg(F.min("id")).first()[0]
     edges = graph.edges.select("src", "dst")
     if not edges_stable:
-        edges = edges.distinct().localCheckpoint()
+        edges = edges.distinct().transform(_ckpt)
     frontier = (
         graph.vertices.filter(F.col("id") == source)
         .select("id", F.lit(0).cast("long").alias("dist"))
-        .localCheckpoint()
+        .transform(_ckpt)
     )
     visited = frontier
     for d in range(1, max_iters + 1):
@@ -692,11 +713,11 @@ def bfs_distances(
             .distinct()
             .join(visited, on="id", how="left_anti")
             .select("id", F.lit(d).cast("long").alias("dist"))
-            .localCheckpoint()
+            .transform(_ckpt)
         )
         if nxt.limit(1).count() == 0:
             break
-        visited = visited.unionAll(nxt).localCheckpoint()
+        visited = visited.unionAll(nxt).transform(_ckpt)
         frontier = nxt
     return visited
 
@@ -729,7 +750,7 @@ def kcore_vertices(
         und = undirected_edges(graph)
         active = und.unionAll(
             und.select(F.col("b").alias("a"), F.col("a").alias("b"))
-        ).localCheckpoint()
+        ).transform(_ckpt)
     keep = None
     prev_edges = active.count()
     for _ in range(rounds):
@@ -739,7 +760,7 @@ def kcore_vertices(
             active.join(keep.withColumnRenamed("id", "a"), on="a", how="left_semi")
             .join(keep.withColumnRenamed("id", "b"), on="b", how="left_semi")
             .select("a", "b")
-            .localCheckpoint()
+            .transform(_ckpt)
         )
         n_edges = active.count()
         if n_edges == prev_edges:
@@ -785,11 +806,11 @@ def sssp_distances(
         weight = (F.col("src") * 7 + F.col("dst")) % 1000
     wedges = graph.edges.select("src", "dst", weight.cast("long").alias("w"))
     if not edges_stable:
-        wedges = wedges.localCheckpoint()
+        wedges = wedges.transform(_ckpt)
     dist = (
         graph.vertices.filter(F.col("id") == source)
         .select("id", F.lit(0).cast("long").alias("d"))
-        .localCheckpoint()
+        .transform(_ckpt)
     )
     # convergence via the monotone (reached-count, Σdist) pair:
     # distances only ever decrease pointwise and the reached set only
@@ -811,7 +832,7 @@ def sssp_distances(
             dist.unionByName(relaxed)
             .groupBy("id")
             .agg(F.min("d").alias("d"))
-            .localCheckpoint()
+            .transform(_ckpt)
         )
         cur = _state(new_dist)
         dist = new_dist
@@ -849,10 +870,10 @@ def personalized_pagerank(
         .otherwise(F.lit(0))
         .cast("long")
         .alias("pr_scaled"),
-    ).localCheckpoint()
+    ).transform(_ckpt)
     edges = graph.edges.select("src", "dst")
     if not edges_stable:
-        edges = edges.localCheckpoint()
+        edges = edges.transform(_ckpt)
     for _ in range(iters):
         contribs = (
             pr.join(outdeg, on="id")
@@ -873,7 +894,7 @@ def personalized_pagerank(
                     )
                 ).cast("long").alias("pr_scaled"),
             )
-            .localCheckpoint()
+            .transform(_ckpt)
         )
     return pr
 
@@ -885,7 +906,7 @@ def _bfs_sym(edges_sym: DataFrame, source: int, max_iters: int) -> DataFrame:
     spark = edges_sym.sparkSession
     frontier = spark.createDataFrame(
         [(source, 0)], "id long, dist long"
-    ).localCheckpoint()
+    ).transform(_ckpt)
     visited = frontier
     for d in range(1, max_iters + 1):
         nxt = (
@@ -894,11 +915,11 @@ def _bfs_sym(edges_sym: DataFrame, source: int, max_iters: int) -> DataFrame:
             .distinct()
             .join(visited, on="id", how="left_anti")
             .select("id", F.lit(d).cast("long").alias("dist"))
-            .localCheckpoint()
+            .transform(_ckpt)
         )
         if nxt.limit(1).count() == 0:
             break
-        visited = visited.unionAll(nxt).localCheckpoint()
+        visited = visited.unionAll(nxt).transform(_ckpt)
         frontier = nxt
     return visited
 
@@ -930,7 +951,7 @@ def diameter_double_sweep(
         und = undirected_edges(graph)
         sym = und.unionAll(
             und.select(F.col("b").alias("a"), F.col("a").alias("b"))
-        ).localCheckpoint()
+        ).transform(_ckpt)
     seed = graph.vertices.agg(F.min("id")).first()[0]
     d1 = _bfs_sym(sym, seed, max_iters)
     peak = d1.orderBy(F.col("dist").desc(), F.col("id").asc()).first()
@@ -1018,9 +1039,9 @@ def scc_components(
     e = (
         edges.filter(F.col("src") != F.col("dst"))
         .distinct()
-        .localCheckpoint()
+        .transform(_ckpt)
     )
-    rem = graph.vertices.select("id").localCheckpoint()
+    rem = graph.vertices.select("id").transform(_ckpt)
     spark = graph.vertices.sparkSession
     # assignment accumulator: write-only until the final union — keep
     # the parts in a driver-side LIST of (checkpointed) frames instead
@@ -1032,7 +1053,7 @@ def scc_components(
             e_df.join(rem_df.select(F.col("id").alias("src")), on="src", how="semi")
             .join(rem_df.select(F.col("id").alias("dst")), on="dst", how="semi")
             .select("src", "dst")
-            .localCheckpoint()
+            .transform(_ckpt)
         )
 
     for _ in range(max_outer):
@@ -1048,13 +1069,13 @@ def scc_components(
             core = rem.join(has_in, on="id", how="semi").join(
                 has_out, on="id", how="semi"
             )
-            trivial = rem.join(core, on="id", how="left_anti").localCheckpoint()
+            trivial = rem.join(core, on="id", how="left_anti").transform(_ckpt)
             if trivial.limit(1).count() == 0:
                 break
             assigned_parts.append(
                 trivial.select("id", F.col("id").alias("scc_id"))
             )
-            rem = rem.join(trivial, on="id", how="left_anti").localCheckpoint()
+            rem = rem.join(trivial, on="id", how="left_anti").transform(_ckpt)
             e = _restrict(e, rem)
         if rem.limit(1).count() == 0:
             break
@@ -1062,7 +1083,7 @@ def scc_components(
         # the MONOTONE color sum: colors only ever increase, so an
         # unchanged Σcolor ⇔ no vertex changed ⇔ fixpoint — one scan
         # aggregate per round instead of an anti-join job.
-        color = rem.select("id", F.col("id").alias("color")).localCheckpoint()
+        color = rem.select("id", F.col("id").alias("color")).transform(_ckpt)
         prev_sum = color.agg(F.sum(F.col("color").cast("decimal(38,0)"))).first()[0]
         color_round = 0
         while True:
@@ -1083,7 +1104,7 @@ def scc_components(
                         F.col("color"), F.coalesce("nbr", F.col("color"))
                     ).alias("color"),
                 )
-                .localCheckpoint()
+                .transform(_ckpt)
             )
             new_sum = newc.agg(F.sum(F.col("color").cast("decimal(38,0)"))).first()[0]
             color = newc
@@ -1104,12 +1125,12 @@ def scc_components(
             )
             .filter(F.col("c") == F.col("c_dst"))
             .select("src", "dst", "c")
-            .localCheckpoint()
+            .transform(_ckpt)
         )
         members = (
             color.filter(F.col("id") == F.col("color"))
             .select("id", F.col("color").alias("scc_id"))
-            .localCheckpoint()
+            .transform(_ckpt)
         )
         frontier = members
         sweep_round = 0
@@ -1125,14 +1146,14 @@ def scc_components(
                 .select(F.col("src").alias("id"), "scc_id")
                 .distinct()
                 .join(members, on="id", how="left_anti")
-                .localCheckpoint()
+                .transform(_ckpt)
             )
             if preds.limit(1).count() == 0:
                 break
-            members = members.unionAll(preds).localCheckpoint()
+            members = members.unionAll(preds).transform(_ckpt)
             frontier = preds
         assigned_parts.append(members)
-        rem = rem.join(members, on="id", how="left_anti").localCheckpoint()
+        rem = rem.join(members, on="id", how="left_anti").transform(_ckpt)
         e = _restrict(e, rem)
     leftover = rem.count()
     if leftover:
@@ -1181,10 +1202,10 @@ def maximal_independent_set(graph: NetGraph, rounds: int = 6) -> DataFrame:
     und = undirected_edges(graph)
     sym = und.unionAll(
         und.select(F.col("b").alias("a"), F.col("a").alias("b"))
-    ).localCheckpoint()
+    ).transform(_ckpt)
     rem = graph.vertices.select(
         "id", hash56(F.col("id").cast("string")).alias("pri")
-    ).localCheckpoint()
+    ).transform(_ckpt)
     spark = graph.vertices.sparkSession
     mis = spark.createDataFrame([], "id long, mis_round long")
     for r in range(1, rounds + 1):
@@ -1208,10 +1229,10 @@ def maximal_independent_set(graph: NetGraph, rounds: int = 6) -> DataFrame:
             .select(F.col("a").alias("id"))
             .distinct()
         )
-        winners = rem.join(blocked, on="id", how="left_anti").localCheckpoint()
+        winners = rem.join(blocked, on="id", how="left_anti").transform(_ckpt)
         mis = mis.unionAll(
             winners.select("id", F.lit(r).cast("long").alias("mis_round"))
-        ).localCheckpoint()
+        ).transform(_ckpt)
         knocked = (
             sym.join(winners.select(F.col("id").alias("a")), on="a", how="semi")
             .select(F.col("b").alias("id"))
@@ -1220,7 +1241,7 @@ def maximal_independent_set(graph: NetGraph, rounds: int = 6) -> DataFrame:
         rem = (
             rem.join(winners, on="id", how="left_anti")
             .join(knocked, on="id", how="left_anti")
-            .localCheckpoint()
+            .transform(_ckpt)
         )
     return mis.select(
         F.col("id").cast("long").alias("id"),
@@ -1269,7 +1290,7 @@ def closeness_sampled(
         und = undirected_edges(graph)
         sym = und.unionAll(
             und.select(F.col("b").alias("a"), F.col("a").alias("b"))
-        ).localCheckpoint()
+        ).transform(_ckpt)
     spark = graph.vertices.sparkSession
     seeds = [
         int(r["id"])
@@ -1277,7 +1298,7 @@ def closeness_sampled(
     ]
     frontier = spark.createDataFrame(
         [(s, s, 0) for s in seeds], "seed long, id long, dist long"
-    ).localCheckpoint()
+    ).transform(_ckpt)
     visited = frontier
     for d in range(1, max_iters + 1):
         nxt = (
@@ -1286,11 +1307,11 @@ def closeness_sampled(
             .distinct()
             .join(visited, on=["seed", "id"], how="left_anti")
             .select("seed", "id", F.lit(d).cast("long").alias("dist"))
-            .localCheckpoint()
+            .transform(_ckpt)
         )
         if nxt.limit(1).count() == 0:
             break
-        visited = visited.unionAll(nxt).localCheckpoint()
+        visited = visited.unionAll(nxt).transform(_ckpt)
         frontier = nxt
     return (
         visited.filter(F.col("dist") > 0)
@@ -1343,7 +1364,7 @@ def path_counts(
         source = graph.vertices.agg(F.min("id")).first()[0]
     edges = graph.edges.select("src", "dst").distinct()
     if not edges_stable:
-        edges = edges.localCheckpoint()
+        edges = edges.transform(_ckpt)
     frontier = (
         graph.vertices.filter(F.col("id") == source)
         .select(
@@ -1351,7 +1372,7 @@ def path_counts(
             F.lit(0).cast("long").alias("dist"),
             F.lit(1).cast("long").alias("n_paths"),
         )
-        .localCheckpoint()
+        .transform(_ckpt)
     )
     visited = frontier
     for d in range(1, levels + 1):
@@ -1363,11 +1384,11 @@ def path_counts(
             .agg(F.sum("n_paths").alias("n_paths"))
             .join(visited.select("id"), on="id", how="left_anti")
             .select("id", F.lit(d).cast("long").alias("dist"), "n_paths")
-            .localCheckpoint()
+            .transform(_ckpt)
         )
         if nxt.limit(1).count() == 0:
             break
-        visited = visited.unionAll(nxt).localCheckpoint()
+        visited = visited.unionAll(nxt).transform(_ckpt)
         frontier = nxt
     return visited
 
@@ -1407,7 +1428,7 @@ def betweenness_sampled(
     """
     edges = graph.edges.select("src", "dst").distinct()
     if not edges_stable:
-        edges = edges.localCheckpoint()
+        edges = edges.transform(_ckpt)
     spark = graph.vertices.sparkSession
     seeds = [
         int(r["id"])
@@ -1416,7 +1437,7 @@ def betweenness_sampled(
     frontier = spark.createDataFrame(
         [(s, s, 0, 1) for s in seeds],
         "seed long, id long, dist long, n_paths long",
-    ).localCheckpoint()
+    ).transform(_ckpt)
     visited = frontier
     level_of = {0: frontier}
     max_d = 0
@@ -1430,13 +1451,13 @@ def betweenness_sampled(
             .agg(F.sum("n_paths").alias("n_paths"))
             .join(visited.select("seed", "id"), on=["seed", "id"], how="left_anti")
             .select("seed", "id", F.lit(d).cast("long").alias("dist"), "n_paths")
-            .localCheckpoint()
+            .transform(_ckpt)
         )
         if nxt.limit(1).count() == 0:
             break
         max_d = d
         level_of[d] = nxt
-        visited = visited.unionAll(nxt).localCheckpoint()
+        visited = visited.unionAll(nxt).transform(_ckpt)
         frontier = nxt
     # backward accumulation, one level at a time. Each round touches
     # ONLY the two adjacent level slices (the frames the forward sweep
@@ -1480,7 +1501,7 @@ def betweenness_sampled(
             .select("seed", "id")
             .join(contrib, on=["seed", "id"], how="left")
             .select("seed", "id", F.coalesce("dsum", F.lit(0.0)).alias("delta"))
-            .localCheckpoint()
+            .transform(_ckpt)
         )
     # delta_levels[-1] is level 0 (the seeds themselves) — excluded,
     # matching the dist > 0 convention of Brandes' accumulation
@@ -1519,13 +1540,13 @@ def pagerank_weighted(graph: NetGraph, iters: int = 4) -> DataFrame:
         "src",
         "dst",
         (F.round(F.col("cost") * 1000).cast("long") + 1).alias("w"),
-    ).localCheckpoint()
+    ).transform(_ckpt)
     wsum = edges.groupBy(F.col("src").alias("id")).agg(
         F.sum("w").alias("wtot")
     )
     pr = graph.vertices.select(
         "id", F.lit(PR_SCALE // n).cast("long").alias("pr_scaled")
-    ).localCheckpoint()
+    ).transform(_ckpt)
     for _ in range(iters):
         contribs = (
             pr.join(wsum, on="id")
@@ -1546,7 +1567,7 @@ def pagerank_weighted(graph: NetGraph, iters: int = 4) -> DataFrame:
                     )
                 ).cast("long").alias("pr_scaled"),
             )
-            .localCheckpoint()
+            .transform(_ckpt)
         )
     return pr
 
@@ -1571,7 +1592,7 @@ def motif_counts(graph: NetGraph) -> DataFrame:
         graph.edges.select("src", "dst")
         .filter(F.col("src") != F.col("dst"))
         .distinct()
-        .localCheckpoint()
+        .transform(_ckpt)
     )
     ab = e.select(F.col("src").alias("a"), F.col("dst").alias("b"))
     bc = e.select(F.col("src").alias("b"), F.col("dst").alias("c"))
@@ -1641,7 +1662,7 @@ def neighborhood_features(graph: NetGraph) -> DataFrame:
     keep the float feature engine-reproducible. Vertices with no
     out-edges appear with zeros (left join at the end).
     """
-    e = graph.edges.select("src", "dst").distinct().localCheckpoint()
+    e = graph.edges.select("src", "dst").distinct().transform(_ckpt)
     nbr_attrs = e.join(
         graph.vertices.select(
             F.col("id").alias("dst"),
@@ -1708,7 +1729,7 @@ def hub_attack_robustness(graph: NetGraph, n_remove: int = 10) -> DataFrame:
         deg.orderBy(F.desc("d"), F.asc("id"))
         .limit(n_remove)
         .select("id")
-        .localCheckpoint()
+        .transform(_ckpt)
     )
     vleft = graph.vertices.select("id").join(hubs, on="id", how="left_anti")
     eleft = graph.edges.join(
@@ -2365,7 +2386,7 @@ def local_bridge_census(og: NetGraph, pg: NetGraph) -> DataFrame:
     """
 
     def side(graph: NetGraph, tag: str) -> DataFrame:
-        und = undirected_edges(graph).localCheckpoint()
+        und = undirected_edges(graph).transform(_ckpt)
         e2 = und.select(F.col("a").alias("b"), F.col("b").alias("c"))
         e3 = und.select("a", F.col("b").alias("c"))
         tri = und.join(e2, on="b").join(e3, on=["a", "c"])
@@ -2519,7 +2540,7 @@ def directed_triangle_census(og: NetGraph, pg: NetGraph) -> DataFrame:
             graph.edges.select("src", "dst")
             .filter(F.col("src") != F.col("dst"))
             .distinct()
-            .localCheckpoint()
+            .transform(_ckpt)
         )
         paths = (
             e.select(F.col("src").alias("u"), F.col("dst").alias("v"))
@@ -2604,10 +2625,10 @@ def bowtie_census(
     if extra_edges is not None:
         edges = edges.unionAll(extra_edges.select("src", "dst"))
     edges = (
-        edges.filter(F.col("src") != F.col("dst")).distinct().localCheckpoint()
+        edges.filter(F.col("src") != F.col("dst")).distinct().transform(_ckpt)
     )
 
-    scc = scc_components(graph, extra_edges=extra_edges).localCheckpoint()
+    scc = scc_components(graph, extra_edges=extra_edges).transform(_ckpt)
     sizes = scc.groupBy("scc_id").agg(F.count("*").alias("n"))
     core_id = sizes.orderBy(F.col("n").desc(), F.col("scc_id").asc()).limit(1)
     core = scc.join(
@@ -2615,7 +2636,7 @@ def bowtie_census(
     ).select("id")
 
     def reach(e: DataFrame) -> DataFrame:
-        reached = core.localCheckpoint()
+        reached = core.transform(_ckpt)
         frontier = reached
         while True:
             nxt = (
@@ -2623,11 +2644,11 @@ def bowtie_census(
                 .select(F.col("dst").alias("id"))
                 .distinct()
                 .join(reached, on="id", how="left_anti")
-                .localCheckpoint()
+                .transform(_ckpt)
             )
             if nxt.isEmpty():
                 return reached
-            reached = reached.unionAll(nxt).localCheckpoint()
+            reached = reached.unionAll(nxt).transform(_ckpt)
             frontier = nxt
 
     fwd = reach(edges)

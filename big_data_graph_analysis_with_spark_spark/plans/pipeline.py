@@ -70,18 +70,6 @@ def run_pipeline(
     pg = pg.persist()
     n_pg = pg.num_vertices()
 
-    # Small graphs don't need the session's full shuffle width — extra
-    # partitions are pure scheduling latency in a stage-heavy loop.
-    # (AQE coalesces shuffle reads, but windows/checkpoints still
-    # schedule the configured width.) Restored on every exit path — a
-    # leaked narrow width silently throttles the rest of the session.
-    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
-    if n_pg < 100_000:
-        spark.conf.set(
-            "spark.sql.shuffle.partitions",
-            str(max(8, cfg.num_of_parallel_walks)),
-        )
-
     visited: DataFrame | None = None
     try:
         # distributed draw — start-node ids stay cluster-side; only the
@@ -132,7 +120,6 @@ def run_pipeline(
             visited.unpersist()
         og.unpersist()
         pg.unpersist()
-        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
     return PipelineResult(
         stats=stat_block,
         matches=matches,

@@ -85,6 +85,69 @@ def test_no_raw_shuffle_width_parse_outside_joins():
     )
 
 
+def test_no_session_global_shuffle_width_mutation():
+    """Verdict task 7: no operator may set spark.sql.shuffle.partitions
+    on a live session — the set/restore narrowing contexts (graphalg
+    r5-r10, plans/pipeline) silently narrowed every CONCURRENT query
+    that planned while they were open. graphalg now arms a thread-local
+    checkpoint width (`_ckpt`); the pipeline's narrowing was measured
+    not load-bearing under AQE and removed. The session factory builds
+    its conf dict before the session exists, and bench.py is the
+    single-threaded harness — both exempt."""
+    root = pathlib.Path(__file__).resolve().parent.parent
+    pkg = root / "big_data_graph_analysis_with_spark_spark"
+    offenders = []
+    for path in list(pkg.rglob("*.py")) + [root / "__spark_entry__.py"]:
+        flat = re.sub(r"\s+", " ", path.read_text())
+        if re.search(r'conf\.set\( ?"spark\.sql\.shuffle\.partitions"', flat):
+            offenders.append(str(path.relative_to(root)))
+    assert not offenders, (
+        f"session-global shuffle-width mutation in: {offenders} — use a "
+        "thread-local checkpoint width (graphalg._ckpt) or explicit "
+        "repartition/coalesce on the loop frames"
+    )
+
+
+class TestScopedNarrowing:
+    def test_narrow_width_is_thread_local(self, spark):
+        """A concurrent thread must see NO narrowing while an operator's
+        _narrow_shuffle context is open (the round-5..10 footgun)."""
+        from big_data_graph_analysis_with_spark_spark.operators import graphalg
+        from big_data_graph_analysis_with_spark_spark.sources import tpch_graph
+
+        og, _pg = tpch_graph.derive_graphs(spark, SF0001)
+        conf_before = spark.conf.get("spark.sql.shuffle.partitions")
+        with graphalg._narrow_shuffle(og):
+            assert graphalg._NARROW_LOCAL.width == graphalg._NARROW_WIDTH
+            import threading
+
+            seen = {}
+
+            def peek():
+                seen["width"] = getattr(graphalg._NARROW_LOCAL, "width", None)
+
+            t = threading.Thread(target=peek)
+            t.start()
+            t.join()
+            assert seen["width"] is None
+            # session conf untouched even on the arming thread
+            assert (
+                spark.conf.get("spark.sql.shuffle.partitions") == conf_before
+            )
+        assert getattr(graphalg._NARROW_LOCAL, "width", None) is None
+
+    def test_ckpt_coalesces_only_inside_context(self, spark):
+        from big_data_graph_analysis_with_spark_spark.operators import graphalg
+        from big_data_graph_analysis_with_spark_spark.sources import tpch_graph
+
+        og, _pg = tpch_graph.derive_graphs(spark, SF0001)
+        wide = spark.range(1000).repartition(32)
+        assert graphalg._ckpt(wide).rdd.getNumPartitions() == 32
+        with graphalg._narrow_shuffle(og):
+            got = graphalg._ckpt(wide).rdd.getNumPartitions()
+            assert got <= graphalg._NARROW_WIDTH
+
+
 class TestSpreadRuleInPlans:
     """The two round-10 fan-out traps must keep their pre-fan-out
     round-robin exchange: a RoundRobinPartitioning must appear in the
