@@ -128,7 +128,7 @@ _MODULE_SUITES: dict[str, list[str]] = {
     "stats": ["mitm", "topology", "graph_walk_audit"],
     "subgraph": ["mitm"],
     "pipeline": ["mitm"],
-    "dedup": ["dedup_", "fuzzy_similarity"],
+    "dedup": ["dedup_", "fuzzy_similarity", "candidate_ops_r11"],
     "similarity": [
         "similarity_", "dedup_embedding_cosine", "link_prediction",
         "activity_profiles", "series_repair", "fuzzy_similarity",
@@ -149,7 +149,8 @@ _MODULE_SUITES: dict[str, list[str]] = {
         "hypothesis_tests",
     ],
     "hypotests": ["hypothesis_tests", "candidate_ops", "candidate_ops_r10",
-        "candidate_ops_r10b", "candidate_ops_r10c", "candidate_ops_r10d"],
+        "candidate_ops_r10b", "candidate_ops_r10c", "candidate_ops_r10d",
+        "candidate_ops_r11"],
     "joins": ["olap_", "mitm_pipeline_tpch"],
     "skew": ["skew_quantile_audit", "topology"],
     "merge": ["data_management"],
@@ -157,7 +158,8 @@ _MODULE_SUITES: dict[str, list[str]] = {
     "ranges": ["temporal_joins"],
     "jsonops": ["json_analytics", "olap_census_stats"],
     "sketches": ["corpus_audit", "data_management", "graph_walk_audit",
-        "skew_quantile_audit", "hypothesis_tests", "candidate_ops_r10d"],
+        "skew_quantile_audit", "hypothesis_tests", "candidate_ops_r10d",
+        "candidate_ops_r11"],
     "drift": ["drift_monitoring", "streaming_value_hist", "activity_rhythms",
         "series_repair", "streaming_locf_timed", "streaming_ks_gate"],
     "multimodal": ["multimodal_"],
@@ -1270,6 +1272,24 @@ def main() -> None:
         evs = spark.read.parquet(f"{SF_DIR}/events.parquet")
         sk_ops.count_min_audit(evs).count()
         h_ops.ks_one_sample_uniform(evs).count()
+
+    @timed("candidate_ops_r11", iters=2)
+    def _():
+        # round-11 candidate wave, its own suite (frozen once recorded)
+        from big_data_graph_analysis_with_spark_spark.operators import (
+            dedup as dd_ops,
+            hypotests as h_ops,
+            sketches as sk_ops,
+        )
+
+        orders = spark.read.parquet(f"{SF_DIR}/orders.parquet")
+        cust = spark.read.parquet(f"{SF_DIR}/customer.parquet")
+        evs = spark.read.parquet(f"{SF_DIR}/events.parquet")
+        docs_r11 = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+        h_ops.page_trend_inputs(orders).count()
+        h_ops.dominance_census(orders, cust).count()
+        sk_ops.bloom_filter_audit(evs).count()
+        dd_ops.winnow_overlap_pairs(docs_r11).count()
 
     @timed("streaming_ks_gate")
     def _():

@@ -1509,3 +1509,124 @@ def ks_one_sample_uniform(
             F.col("cents").cast("long").alias("d_arg_cents"),
         )
     )
+
+
+def page_trend_inputs(orders: DataFrame) -> DataFrame:
+    """(priority, n_blocks, r2_sum, l2_term): Page's L trend test
+    sufficient statistics — monthly revenue cells (block = calendar
+    year·100+month, treatment = order-priority level 1..5, the leading
+    digit of o_orderpriority) ranked WITHIN each month across the five
+    levels (doubled tie-averaged ranks on the zero-filled spine, the
+    `friedman_rank_inputs` discipline), summed per level, and weighted
+    by the level's a-priori position: l2_term = priority·r2_sum. The
+    caller sums l2_term/2 for Page's L — the ORDERED-alternative
+    refinement of Friedman ("does monthly revenue rise monotonically
+    with priority?"), the blocked counterpart of
+    `jonckheere_trend_inputs`' unblocked between-group statistic.
+    Identity pinned by tests: Σ r2_sum = n_blocks·k·(k+1).
+
+    Scale shape: one fact-sized aggregation down to the bounded
+    (months × 5) cell frame; spine cross join and the within-block rank
+    window run on that tiny frame (block size = 5)."""
+    cents = _cents("o_totalprice")
+    ym = F.year("o_orderdate") * 100 + F.month("o_orderdate")
+    prio = F.substring("o_orderpriority", 1, 1).cast("long")
+    cells = (
+        orders.select(cents.alias("cents"), ym.alias("ym"), prio.alias("prio"))
+        .groupBy("ym", "prio")
+        .agg(F.sum("cents").alias("v"))
+    )
+    spine = (
+        cells.select(F.col("ym").alias("s_ym")).distinct()
+        .crossJoin(cells.select(F.col("prio").alias("s_prio")).distinct())
+    )
+    full = spine.join(
+        cells,
+        (F.col("s_ym") == F.col("ym")) & (F.col("s_prio") == F.col("prio")),
+        "left",
+    ).select(
+        F.col("s_ym").alias("ym"),
+        F.col("s_prio").alias("prio"),
+        F.coalesce("v", F.lit(0)).alias("v"),
+    )
+    hist = full.groupBy("ym", "v").agg(F.count("*").alias("cnt"))
+    r2 = hist.select(
+        "ym", "v", (2 * _cum_before("v", "ym") + F.col("cnt") + 1).alias("r2")
+    )
+    return (
+        full.join(r2, ["ym", "v"])
+        .groupBy(F.col("prio").alias("priority"))
+        .agg(
+            F.count("*").cast("long").alias("n_blocks"),
+            F.sum("r2").cast("long").alias("r2_sum"),
+        )
+        .select(
+            "priority",
+            "n_blocks",
+            "r2_sum",
+            (F.col("priority") * F.col("r2_sum")).cast("long").alias("l2_term"),
+        )
+    )
+
+
+def dominance_census(
+    orders: DataFrame,
+    customer: DataFrame,
+    seg_a: str = "BUILDING",
+    seg_b: str = "MACHINERY",
+) -> DataFrame:
+    """(n_values, n_a, n_b, a_dominated, b_dominated, cdf_ties): the
+    SIGN structure of the two-sample CDF difference — at every distinct
+    pooled order-total value, compare the segments' empirical CDFs by
+    exact cross-multiplication (cum_a·n_b vs cum_b·n_a) and count
+    values where A's CDF is strictly above (A stochastically SMALLER —
+    a_dominated), strictly below, or tied. First-order stochastic
+    dominance holds iff one strict count is zero; `ks_two_sample`
+    reports only the sup |difference| and is blind to whether the CDFs
+    cross — this census is the crossing detector (a one-sided shift
+    shows (m, 0); a scale change shows both counts positive).
+
+    Scale shape: `ks_two_sample`'s exactly — one fact-sized
+    groupBy(cents) histogram with per-segment conditional counts, one
+    bounded cumulative window, one scalar aggregate. Cross products
+    reach n_a·n_b (~10¹⁴ at sf1000, inside BIGINT; DECIMAL(38,0)
+    engine-side regardless)."""
+    seg = customer.select("c_custkey", "c_mktsegment").filter(
+        F.col("c_mktsegment").isin(seg_a, seg_b)
+    )
+    tagged = (
+        orders.select("o_custkey", _cents("o_totalprice").alias("cents"))
+        .join(seg, orders.o_custkey == seg.c_custkey)
+        .select("cents", F.col("c_mktsegment").alias("segment"))
+    )
+    hist = tagged.groupBy("cents").agg(
+        F.sum(F.when(F.col("segment") == seg_a, 1).otherwise(0)).alias("cnt_a"),
+        F.sum(F.when(F.col("segment") == seg_b, 1).otherwise(0)).alias("cnt_b"),
+    )
+    w = Window.orderBy("cents").rowsBetween(Window.unboundedPreceding, 0)
+    wall = Window.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    cum = hist.select(
+        "cents",
+        F.sum("cnt_a").over(w).alias("cum_a"),
+        F.sum("cnt_b").over(w).alias("cum_b"),
+        F.sum("cnt_a").over(wall).alias("n_a"),
+        F.sum("cnt_b").over(wall).alias("n_b"),
+    )
+    lhs = F.col("cum_a").cast(DEC) * F.col("n_b").cast(DEC)
+    rhs = F.col("cum_b").cast(DEC) * F.col("n_a").cast(DEC)
+    return cum.agg(
+        F.count("*").cast("long").alias("n_values"),
+        F.max("n_a").cast("long").alias("n_a"),
+        F.max("n_b").cast("long").alias("n_b"),
+        F.sum(F.when(lhs > rhs, 1).otherwise(0)).cast("long").alias(
+            "a_dominated"
+        ),
+        F.sum(F.when(lhs < rhs, 1).otherwise(0)).cast("long").alias(
+            "b_dominated"
+        ),
+        F.sum(F.when(lhs == rhs, 1).otherwise(0)).cast("long").alias(
+            "cdf_ties"
+        ),
+    )

@@ -316,3 +316,85 @@ def count_min_audit(
             F.min("cell").cast("long").alias("cms_n"),
         )
     )
+
+
+def bloom_filter_audit(
+    events: DataFrame, depth: int = 3, width: int = 512, k: int = 8
+) -> DataFrame:
+    """(probe_id, is_member, bloom_hit): Bloom-filter audit — the
+    MEMBERSHIP companion to `count_min_audit`. A depth×width bloom
+    filter is built over the distinct event user_ids (bit (r, b) set
+    iff some member's seeded md5-56 hash lands there), then probed with
+    the `k` heaviest users (members — the no-false-negative guarantee
+    says bloom_hit must be 1 for every one) and `k` synthetic
+    NON-members (max_user_id + 1 … + k — ids provably outside the
+    table), whose hits are the measured false-positive census against
+    the (1 − e^{−dn/w})^d expectation a pipeline sizes its filters by.
+
+    Like Count-Min (and unlike the HLL audit), a bloom filter is
+    order-independent integer arithmetic over the SHARED seeded hash
+    (functions/hashing.hash56): bits are an OR — a distinct over
+    (row, bucket) — so both engines build the identical filter and
+    every output column hash-matches exactly.
+
+    Scale shape: one distinct over user ids (fact-sized shuffle), then
+    `depth` re-keyings collapsed to ≤ depth·width bit rows
+    (broadcastable anywhere); probes are 2k·depth rows joined against
+    the tiny bit frame.
+    """
+    from ..functions.hashing import hash56
+
+    ids = events.select("user_id").distinct()
+    bit_parts = [
+        ids.select(
+            F.lit(r).alias("r"),
+            (hash56(F.col("user_id").cast("string"), seed=r) % width).alias("b"),
+        )
+        for r in range(depth)
+    ]
+    bits = bit_parts[0]
+    for p in bit_parts[1:]:
+        bits = bits.unionAll(p)
+    bits = bits.distinct().withColumn("hit", F.lit(1))
+
+    heavy = (
+        events.groupBy("user_id")
+        .agg(F.count("*").alias("n"))
+        .orderBy(F.col("n").desc(), F.col("user_id").asc())
+        .limit(k)
+        .select(F.col("user_id").alias("probe_id"), F.lit(1).alias("is_member"))
+    )
+    mx = ids.agg(F.max("user_id").alias("mx"))
+    spark = events.sparkSession
+    outsiders = (
+        spark.range(1, k + 1)
+        .crossJoin(F.broadcast(mx))
+        .select(
+            (F.col("mx") + F.col("id")).alias("probe_id"),
+            F.lit(0).alias("is_member"),
+        )
+    )
+    probes = heavy.unionAll(outsiders)
+    probe_parts = [
+        probes.select(
+            "probe_id",
+            "is_member",
+            F.lit(r).alias("r"),
+            (hash56(F.col("probe_id").cast("string"), seed=r) % width).alias("b"),
+        )
+        for r in range(depth)
+    ]
+    probe = probe_parts[0]
+    for p in probe_parts[1:]:
+        probe = probe.unionAll(p)
+    return (
+        probe.join(F.broadcast(bits), on=["r", "b"], how="left")
+        .groupBy("probe_id")
+        .agg(
+            F.first("is_member").cast("long").alias("is_member"),
+            F.when(F.sum(F.coalesce("hit", F.lit(0))) == depth, 1)
+            .otherwise(0)
+            .cast("long")
+            .alias("bloom_hit"),
+        )
+    )

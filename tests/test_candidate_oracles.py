@@ -1099,3 +1099,223 @@ class TestRound10CandidatesD:
         assert (got["n"], got["lo_cents"], got["span"]) == (10, 100, 1000)
         assert int(got["d_num"]) == 8990
         assert got["d_arg_cents"] == 1099
+
+
+class TestRound11Candidates:
+    """Round-11 wave — registry stays frozen at 312 (r10 verdict task
+    1), so these land as candidates: module operators + DuckDB twins
+    pinned here with the driver's own comparison, promotable in r12.
+    All final oracle columns BIGINT."""
+
+    def test_page_trend_inputs(self, spark):
+        from big_data_graph_analysis_with_spark_spark.operators import hypotests
+
+        df = hypotests.page_trend_inputs(_read(spark, SF0001, "orders"))
+        rows = df.collect()
+        # Friedman rank identity on the doubled ranks, k = 5 levels
+        k = len(rows)
+        assert sum(r["r2_sum"] for r in rows) == rows[0]["n_blocks"] * k * (k + 1)
+        assert all(r["l2_term"] == r["priority"] * r["r2_sum"] for r in rows)
+        assert_matches_oracle(df, """
+            WITH cells AS (
+              SELECT year(o_orderdate) * 100 + month(o_orderdate) AS ym,
+                     CAST(substr(o_orderpriority, 1, 1) AS BIGINT) AS prio,
+                     SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS v
+              FROM orders GROUP BY 1, 2
+            ),
+            spine AS (
+              SELECT m.ym, s.prio
+              FROM (SELECT DISTINCT ym FROM cells) m,
+                   (SELECT DISTINCT prio FROM cells) s
+            ),
+            full_cells AS (
+              SELECT spine.ym, spine.prio, COALESCE(cells.v, 0) AS v
+              FROM spine LEFT JOIN cells
+                ON spine.ym = cells.ym AND spine.prio = cells.prio
+            ),
+            h AS (
+              SELECT ym, v, COUNT(*) AS cnt FROM full_cells GROUP BY 1, 2
+            ),
+            r2 AS (
+              SELECT ym, v,
+                     2 * COALESCE(SUM(cnt) OVER (
+                       PARTITION BY ym ORDER BY v
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+                     ), 0) + cnt + 1 AS r2
+              FROM h
+            ),
+            sums AS (
+              SELECT f.prio AS priority,
+                     CAST(COUNT(*) AS BIGINT) AS n_blocks,
+                     CAST(SUM(r2.r2) AS BIGINT) AS r2_sum
+              FROM full_cells f JOIN r2 ON f.ym = r2.ym AND f.v = r2.v
+              GROUP BY 1
+            )
+            SELECT priority, n_blocks, r2_sum,
+                   CAST(priority * r2_sum AS BIGINT) AS l2_term
+            FROM sums
+        """, SF0001)
+
+    def test_dominance_census(self, spark):
+        from big_data_graph_analysis_with_spark_spark.operators import hypotests
+
+        df = hypotests.dominance_census(
+            _read(spark, SF0001, "orders"), _read(spark, SF0001, "customer")
+        )
+        row = df.collect()[0]
+        assert (
+            row["a_dominated"] + row["b_dominated"] + row["cdf_ties"]
+            == row["n_values"]
+        )
+        assert_matches_oracle(df, """
+            WITH tagged AS (
+              SELECT CAST(ROUND(o_totalprice * 100) AS BIGINT) AS cents,
+                     c_mktsegment AS segment
+              FROM orders JOIN customer ON o_custkey = c_custkey
+              WHERE c_mktsegment IN ('BUILDING', 'MACHINERY')
+            ),
+            hist AS (
+              SELECT cents,
+                     SUM(CASE WHEN segment = 'BUILDING' THEN 1 ELSE 0
+                         END) AS cnt_a,
+                     SUM(CASE WHEN segment = 'MACHINERY' THEN 1 ELSE 0
+                         END) AS cnt_b
+              FROM tagged GROUP BY 1
+            ),
+            cum AS (
+              SELECT cents,
+                     SUM(cnt_a) OVER (ORDER BY cents
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                       AS cum_a,
+                     SUM(cnt_b) OVER (ORDER BY cents
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                       AS cum_b,
+                     SUM(cnt_a) OVER () AS n_a,
+                     SUM(cnt_b) OVER () AS n_b
+              FROM hist
+            )
+            SELECT CAST(COUNT(*) AS BIGINT) AS n_values,
+                   CAST(MAX(n_a) AS BIGINT) AS n_a,
+                   CAST(MAX(n_b) AS BIGINT) AS n_b,
+                   CAST(COALESCE(SUM(CASE WHEN CAST(cum_a AS HUGEINT) * n_b
+                       > CAST(cum_b AS HUGEINT) * n_a THEN 1 ELSE 0 END), 0)
+                       AS BIGINT) AS a_dominated,
+                   CAST(COALESCE(SUM(CASE WHEN CAST(cum_a AS HUGEINT) * n_b
+                       < CAST(cum_b AS HUGEINT) * n_a THEN 1 ELSE 0 END), 0)
+                       AS BIGINT) AS b_dominated,
+                   CAST(COALESCE(SUM(CASE WHEN CAST(cum_a AS HUGEINT) * n_b
+                       = CAST(cum_b AS HUGEINT) * n_a THEN 1 ELSE 0 END), 0)
+                       AS BIGINT) AS cdf_ties
+            FROM cum
+        """, SF0001)
+
+    def test_bloom_filter_audit(self, spark):
+        from big_data_graph_analysis_with_spark_spark.operators import sketches
+
+        df = sketches.bloom_filter_audit(_read(spark, SF0001, "events"))
+        rows = df.collect()
+        # no-false-negative guarantee: every member probe hits
+        assert all(r["bloom_hit"] == 1 for r in rows if r["is_member"] == 1)
+        assert len(rows) == 16
+        h = ("(('0x' || substr(md5(CAST(r AS VARCHAR) || ':' || "
+             "CAST({x} AS VARCHAR)), 1, 14))::BIGINT) % 512")
+        assert_matches_oracle(df, f"""
+            WITH ids AS (SELECT DISTINCT user_id FROM events),
+            rws AS (SELECT UNNEST(range(3)) AS r),
+            bits AS (
+              SELECT DISTINCT r, {h.format(x="user_id")} AS b
+              FROM ids, rws
+            ),
+            heavy AS (
+              SELECT user_id AS probe_id, 1 AS is_member
+              FROM events GROUP BY user_id
+              ORDER BY COUNT(*) DESC, user_id ASC LIMIT 8
+            ),
+            outsiders AS (
+              SELECT mx + x AS probe_id, 0 AS is_member
+              FROM (SELECT MAX(user_id) AS mx FROM ids),
+                   (SELECT UNNEST(range(1, 9)) AS x)
+            ),
+            probes AS (
+              SELECT * FROM heavy UNION ALL SELECT * FROM outsiders
+            ),
+            pb AS (
+              SELECT probe_id, is_member, r,
+                     {h.format(x="probe_id")} AS b
+              FROM probes, rws
+            )
+            SELECT pb.probe_id,
+                   CAST(MAX(pb.is_member) AS BIGINT) AS is_member,
+                   CAST(CASE WHEN COUNT(bits.b) = 3 THEN 1 ELSE 0
+                        END AS BIGINT) AS bloom_hit
+            FROM pb LEFT JOIN bits ON bits.r = pb.r AND bits.b = pb.b
+            GROUP BY 1
+        """, SF0001)
+
+    def test_winnow_overlap_pairs(self, spark):
+        from big_data_graph_analysis_with_spark_spark.operators import dedup
+
+        df = dedup.winnow_overlap_pairs(_read(spark, SF0001, "documents"))
+        assert_matches_oracle(df, """
+            WITH d AS (
+              SELECT doc_id, text FROM documents
+              WHERE text IS NOT NULL AND length(text) > 0
+            ),
+            pos AS (
+              SELECT doc_id, text,
+                     GREATEST(length(text) - 7, 1) AS n_grams,
+                     UNNEST(generate_series(1,
+                       GREATEST(length(text) - 7, 1))) AS i
+              FROM d
+            ),
+            grams AS (
+              SELECT doc_id, i, n_grams,
+                     ('0x' || substr(md5(substr(text, CAST(i AS INT), 8)),
+                       1, 14))::BIGINT AS h
+              FROM pos
+            ),
+            wins AS (
+              SELECT doc_id, i, n_grams,
+                     MIN(h) OVER (PARTITION BY doc_id ORDER BY i
+                       ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS wmin
+              FROM grams
+            ),
+            fps AS (
+              SELECT DISTINCT doc_id, wmin AS fp
+              FROM wins WHERE i <= GREATEST(n_grams - 3, 1)
+            ),
+            keep AS (
+              SELECT fp FROM fps GROUP BY fp HAVING COUNT(*) <= 64
+            ),
+            kfps AS (SELECT doc_id, fp FROM fps JOIN keep USING (fp))
+            SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                   CAST(COUNT(*) AS BIGINT) AS n_shared
+            FROM kfps a JOIN kfps b
+              ON a.fp = b.fp AND a.doc_id < b.doc_id
+            GROUP BY 1, 2 HAVING COUNT(*) >= 2
+        """, SF0001)
+
+    def test_winnow_guarantee_planted_overlap(self, spark):
+        """The winnowing contract: a shared substring of length
+        ≥ k + w − 1 (= 11 at the defaults) yields at least one shared
+        fingerprint — even when the surrounding documents differ
+        completely."""
+        from big_data_graph_analysis_with_spark_spark.operators import dedup
+
+        shared = "qwertyuiopasdfghjkl"  # 19 chars >= k + w - 1
+        docs = spark.createDataFrame(
+            [
+                (1, "zzzz1111 " + shared + " 2222yyyy"),
+                (2, "mmmm3333 " + shared + " 4444nnnn"),
+                (3, "completely unrelated content here"),
+            ],
+            "doc_id long, text string",
+        )
+        fps = dedup.winnow_fingerprints(docs)
+        by_doc = {
+            r["doc_id"]: set()
+            for r in docs.select("doc_id").collect()
+        }
+        for r in fps.collect():
+            by_doc[r["doc_id"]].add(r["fp"])
+        assert by_doc[1] & by_doc[2], "planted overlap lost"
