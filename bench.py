@@ -1279,6 +1279,7 @@ def main() -> None:
         from big_data_graph_analysis_with_spark_spark.operators import (
             dedup as dd_ops,
             hypotests as h_ops,
+            olap as o_ops,
             sketches as sk_ops,
         )
 
@@ -1290,6 +1291,7 @@ def main() -> None:
         h_ops.dominance_census(orders, cust).count()
         sk_ops.bloom_filter_audit(evs).count()
         dd_ops.winnow_overlap_pairs(docs_r11).count()
+        o_ops.revenue_cube(orders).count()
 
     @timed("streaming_ks_gate")
     def _():

@@ -3335,3 +3335,48 @@ def measure_crossproducts(lineitem: DataFrame) -> DataFrame:
         cp("q", "d", "sqd"),
         cp("p", "d", "spd"),
     )
+
+
+def revenue_cube(orders: DataFrame) -> DataFrame:
+    """(gid, year, priority, n, revenue_cents): the full CUBE over
+    (order year × priority level) of order counts and revenue — all
+    four grouping-set layers (cells, per-year totals, per-priority
+    totals, grand total) in ONE aggregation pass. The missing OLAP
+    shape next to the TPC-H suite's fixed-grain rollups: a reporting
+    layer asks for every marginal at once, and expressing it as a cube
+    lets Spark compute the expanded grouping sets with a single
+    shuffle (the Expand operator replicates each input row once per
+    set, all layers map-side-combined) instead of 4 separate scans.
+
+    `gid` is Spark's `grouping_id()` (bit per dimension, first listed
+    = MSB: 0 = cell, 1 = priority rolled up, 2 = year rolled up,
+    3 = grand total) — the DuckDB twin's GROUPING(year, priority)
+    follows the identical convention. Rolled-up dimension values are
+    COALESCEd to −1 (a sentinel outside both domains) so the output
+    carries no NULLs into the driver's value hash.
+
+    Scale shape: the Expand doubles-per-dimension the aggregation
+    input (4× here), but every layer partial-aggregates map-side, so
+    the shuffle carries ≤ (years+1)·(priorities+1) cells per map task
+    — the classic cube trade and the reason to keep cube dimensions
+    LOW-cardinality (this one is ~8×5)."""
+    year = F.year("o_orderdate").cast("long")
+    prio = F.substring("o_orderpriority", 1, 1).cast("long")
+    cents = F.round(F.col("o_totalprice") * 100).cast("long")
+    return (
+        orders.select(year.alias("year"), prio.alias("priority"),
+                      cents.alias("cents"))
+        .cube("year", "priority")
+        .agg(
+            F.grouping_id().cast("long").alias("gid"),
+            F.count("*").cast("long").alias("n"),
+            F.sum("cents").cast("long").alias("revenue_cents"),
+        )
+        .select(
+            "gid",
+            F.coalesce("year", F.lit(-1)).cast("long").alias("year"),
+            F.coalesce("priority", F.lit(-1)).cast("long").alias("priority"),
+            "n",
+            "revenue_cents",
+        )
+    )

@@ -1319,3 +1319,35 @@ class TestRound11Candidates:
         for r in fps.collect():
             by_doc[r["doc_id"]].add(r["fp"])
         assert by_doc[1] & by_doc[2], "planted overlap lost"
+
+    def test_revenue_cube(self, spark):
+        from big_data_graph_analysis_with_spark_spark.operators import olap
+
+        df = olap.revenue_cube(_read(spark, SF0001, "orders"))
+        rows = df.collect()
+        # layer identities: the grand total equals the sum of each
+        # single-dimension layer, which equals the sum of the cells
+        total = [r for r in rows if r["gid"] == 3]
+        assert len(total) == 1
+        for gid in (0, 1, 2):
+            layer = [r for r in rows if r["gid"] == gid]
+            assert sum(r["n"] for r in layer) == total[0]["n"]
+            assert (
+                sum(r["revenue_cents"] for r in layer)
+                == total[0]["revenue_cents"]
+            )
+        assert_matches_oracle(df, """
+            SELECT CAST(GROUPING(year, priority) AS BIGINT) AS gid,
+                   CAST(COALESCE(year, -1) AS BIGINT) AS year,
+                   CAST(COALESCE(priority, -1) AS BIGINT) AS priority,
+                   CAST(COUNT(*) AS BIGINT) AS n,
+                   CAST(SUM(cents) AS BIGINT) AS revenue_cents
+            FROM (
+              SELECT year(o_orderdate) AS year,
+                     CAST(substr(o_orderpriority, 1, 1) AS BIGINT)
+                       AS priority,
+                     CAST(ROUND(o_totalprice * 100) AS BIGINT) AS cents
+              FROM orders
+            )
+            GROUP BY CUBE (year, priority)
+        """, SF0001)
