@@ -1292,6 +1292,7 @@ def main() -> None:
         sk_ops.bloom_filter_audit(evs).count()
         dd_ops.winnow_overlap_pairs(docs_r11).count()
         o_ops.revenue_cube(orders).count()
+        dd_ops.source_copy_matrix(docs_r11).count()
 
     @timed("streaming_ks_gate")
     def _():

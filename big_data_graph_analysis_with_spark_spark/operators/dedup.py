@@ -1051,3 +1051,49 @@ def winnow_overlap_pairs(
         .agg(F.count("*").cast("long").alias("n_shared"))
         .filter(F.col("n_shared") >= min_shared)
     )
+
+
+def source_copy_matrix(
+    docs: DataFrame,
+    k: int = 8,
+    w: int = 4,
+    max_fp_df: int | None = 64,
+) -> DataFrame:
+    """(source_a, source_b, n_pairs, n_shared_fps): the cross-source
+    contamination matrix — winnowing-fingerprint overlap
+    (`winnow_overlap_pairs`'s pair stream) rolled up to ordered SOURCE
+    pairs: how many cross-source document pairs share fingerprints and
+    how many fingerprint co-occurrences they share in total. The
+    corpus-governance complement of `dup_rate_by_source` (which counts
+    within-corpus duplicates per source): before mixing source B into
+    a training set that already contains source A, this matrix says
+    how much of B is textually derivative of A — mutually-copied spans
+    surface here even when neither document is a whole-document
+    duplicate. source_a < source_b lexicographically; same-source
+    pairs excluded (that is `dup_rate_by_source`'s job).
+
+    Scale shape: `winnow_overlap_pairs`' shape (scan-linear gram
+    hashing behind `spread_before_explode`, `max_fp_df`-capped
+    fingerprint buckets) plus one broadcastable doc→source annotation
+    join on each pair side and a source²-bounded rollup."""
+    pairs = winnow_overlap_pairs(
+        docs, k=k, w=w, min_shared=1, max_fp_df=max_fp_df
+    )
+    src = docs.select("doc_id", "source")
+    a = src.select(F.col("doc_id").alias("doc_a"), F.col("source").alias("sa"))
+    b = src.select(F.col("doc_id").alias("doc_b"), F.col("source").alias("sb"))
+    return (
+        pairs.join(a, on="doc_a")
+        .join(b, on="doc_b")
+        .filter(F.col("sa") != F.col("sb"))
+        .select(
+            F.least("sa", "sb").alias("source_a"),
+            F.greatest("sa", "sb").alias("source_b"),
+            "n_shared",
+        )
+        .groupBy("source_a", "source_b")
+        .agg(
+            F.count("*").cast("long").alias("n_pairs"),
+            F.sum("n_shared").cast("long").alias("n_shared_fps"),
+        )
+    )

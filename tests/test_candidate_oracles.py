@@ -1351,3 +1351,61 @@ class TestRound11Candidates:
             )
             GROUP BY CUBE (year, priority)
         """, SF0001)
+
+    def test_source_copy_matrix(self, spark):
+        from big_data_graph_analysis_with_spark_spark.operators import dedup
+
+        df = dedup.source_copy_matrix(_read(spark, SF0001, "documents"))
+        assert_matches_oracle(df, """
+            WITH d AS (
+              SELECT doc_id, text, source FROM documents
+              WHERE text IS NOT NULL AND length(text) > 0
+            ),
+            pos AS (
+              SELECT doc_id, text,
+                     GREATEST(length(text) - 7, 1) AS n_grams,
+                     UNNEST(generate_series(1,
+                       GREATEST(length(text) - 7, 1))) AS i
+              FROM d
+            ),
+            grams AS (
+              SELECT doc_id, i, n_grams,
+                     ('0x' || substr(md5(substr(text, CAST(i AS INT), 8)),
+                       1, 14))::BIGINT AS h
+              FROM pos
+            ),
+            wins AS (
+              SELECT doc_id, i, n_grams,
+                     MIN(h) OVER (PARTITION BY doc_id ORDER BY i
+                       ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS wmin
+              FROM grams
+            ),
+            fps AS (
+              SELECT DISTINCT doc_id, wmin AS fp
+              FROM wins WHERE i <= GREATEST(n_grams - 3, 1)
+            ),
+            keep AS (
+              SELECT fp FROM fps GROUP BY fp HAVING COUNT(*) <= 64
+            ),
+            kfps AS (SELECT doc_id, fp FROM fps JOIN keep USING (fp)),
+            pairs AS (
+              SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                     COUNT(*) AS n_shared
+              FROM kfps a JOIN kfps b
+                ON a.fp = b.fp AND a.doc_id < b.doc_id
+              GROUP BY 1, 2
+            ),
+            tagged AS (
+              SELECT LEAST(sa.source, sb.source) AS source_a,
+                     GREATEST(sa.source, sb.source) AS source_b,
+                     p.n_shared
+              FROM pairs p
+              JOIN d sa ON sa.doc_id = p.doc_a
+              JOIN d sb ON sb.doc_id = p.doc_b
+              WHERE sa.source <> sb.source
+            )
+            SELECT source_a, source_b,
+                   CAST(COUNT(*) AS BIGINT) AS n_pairs,
+                   CAST(SUM(n_shared) AS BIGINT) AS n_shared_fps
+            FROM tagged GROUP BY 1, 2
+        """, SF0001)
