@@ -768,3 +768,76 @@ def test_zipf_points_match_python(spark):
         assert rank == want_rank
         assert freq == freqs[want_rank - 1]
     assert out[0] == (1, 5) and out[10] == (7, 1)
+
+
+@given(a=centss, b=centss)
+@SET
+def test_dominance_census_matches_python(spark, a, b):
+    cust = spark.createDataFrame(
+        [(1, 0.0, "BUILDING"), (2, 0.0, "MACHINERY")],
+        "c_custkey long, c_acctbal double, c_mktsegment string",
+    )
+    r = hypotests.dominance_census(_orders_for(spark, a, b), cust).collect()[0]
+    pooled = sorted(set(a + b))
+    na, nb = len(a), len(b)
+    adom = bdom = ties = 0
+    for v in pooled:
+        ca = sum(1 for x in a if x <= v)
+        cb = sum(1 for x in b if x <= v)
+        if ca * nb > cb * na:
+            adom += 1
+        elif ca * nb < cb * na:
+            bdom += 1
+        else:
+            ties += 1
+    assert (r["n_values"], r["n_a"], r["n_b"]) == (len(pooled), na, nb)
+    assert (r["a_dominated"], r["b_dominated"], r["cdf_ties"]) == (
+        adom, bdom, ties,
+    )
+
+
+#: per-(month, priority) cent values — small grids with tie mass
+page_cells = st.lists(
+    st.tuples(
+        st.integers(min_value=1, max_value=3),   # month
+        st.integers(min_value=1, max_value=3),   # priority level
+        st.integers(min_value=1, max_value=5),   # cents
+    ),
+    min_size=1,
+    max_size=15,
+)
+
+
+@given(cells=page_cells)
+@SET
+def test_page_trend_matches_python(spark, cells):
+    rows = [
+        (1, c / 100.0, f"1970-0{m}-01", f"{p}-X")
+        for (m, p, c) in cells
+    ]
+    df = spark.createDataFrame(
+        rows, "o_custkey long, o_totalprice double, d string, o_orderpriority string"
+    ).withColumn("o_orderdate", F.col("d").cast("timestamp"))
+    got = {
+        r["priority"]: r for r in hypotests.page_trend_inputs(df).collect()
+    }
+    # python mirror: zero-filled month x priority sums, within-month
+    # doubled tie-averaged ranks, per-priority sums
+    months = sorted({m for m, _, _ in cells})
+    prios = sorted({p for _, p, _ in cells})
+    sums: dict[tuple[int, int], int] = {}
+    for m, p, c in cells:
+        sums[(m, p)] = sums.get((m, p), 0) + c
+    exp_r2 = {p: 0 for p in prios}
+    for m in months:
+        vals = [sums.get((m, p), 0) for p in prios]
+        r2 = _doubled_ranks(vals)
+        for p in prios:
+            exp_r2[p] += r2[sums.get((m, p), 0)]
+    k = len(prios)
+    assert set(got) == set(prios)
+    for p in prios:
+        assert got[p]["n_blocks"] == len(months)
+        assert int(got[p]["r2_sum"]) == exp_r2[p]
+        assert int(got[p]["l2_term"]) == p * exp_r2[p]
+    assert sum(int(got[p]["r2_sum"]) for p in prios) == len(months) * k * (k + 1)
