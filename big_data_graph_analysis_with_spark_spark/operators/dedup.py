@@ -1033,7 +1033,13 @@ def winnow_overlap_pairs(
     `max_shingle_df` lever: a gram every document contains — boilerplate
     headers, whitespace runs — carries no overlap signal and its
     inverted-index bucket is quadratic)."""
-    fps = winnow_fingerprints(docs, k=k, w=w)
+    # The fingerprint frame feeds the df-cap aggregate AND both sides of
+    # the pair self-join — without materialization the char-gram explode
+    # + per-doc window subtree runs up to three times (r11 advice).
+    # localCheckpoint (eager, MEMORY_AND_DISK) computes it once and
+    # truncates the lineage; blocks are ContextCleaner-freed when the
+    # frame is dropped, per the repo's iterate-persistence rules.
+    fps = winnow_fingerprints(docs, k=k, w=w).localCheckpoint()
     if max_fp_df is not None:
         keep = (
             fps.groupBy("fp")

@@ -77,8 +77,12 @@ def _narrow_shuffle(graph: NetGraph, n_vertices: int | None = None):
     here are partitioning-deterministic."""
     n = n_vertices if n_vertices is not None else graph.vertices.count()
     prev = getattr(_NARROW_LOCAL, "width", None)
-    if n < _NARROW_THRESHOLD:
-        _NARROW_LOCAL.width = _NARROW_WIDTH
+    # Arm OR DISARM explicitly: a nested call on a ≥-threshold graph
+    # inside an outer small-graph context must not inherit the outer
+    # narrow width, or _ckpt would coalesce edge-sized iterates of the
+    # big graph to _NARROW_WIDTH partitions (r11 advice). `prev` is
+    # still restored in `finally`, so the outer context is unaffected.
+    _NARROW_LOCAL.width = _NARROW_WIDTH if n < _NARROW_THRESHOLD else None
     try:
         yield n
     finally:

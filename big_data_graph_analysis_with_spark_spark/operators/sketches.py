@@ -364,7 +364,12 @@ def bloom_filter_audit(
         .limit(k)
         .select(F.col("user_id").alias("probe_id"), F.lit(1).alias("is_member"))
     )
-    mx = ids.agg(F.max("user_id").alias("mx"))
+    # COALESCE: on an empty events frame MAX(user_id) is NULL and all k
+    # outsider probe_ids would collapse into one NULL group, silently
+    # shrinking the output from 2k rows (r11 advice). With 0 as the
+    # anchor the k outsiders stay distinct (and are trivially
+    # non-members of an empty filter). Mirrored in the DuckDB twin.
+    mx = ids.agg(F.coalesce(F.max("user_id"), F.lit(0)).alias("mx"))
     spark = events.sparkSession
     outsiders = (
         spark.range(1, k + 1)

@@ -1233,7 +1233,7 @@ class TestRound11Candidates:
             ),
             outsiders AS (
               SELECT mx + x AS probe_id, 0 AS is_member
-              FROM (SELECT MAX(user_id) AS mx FROM ids),
+              FROM (SELECT COALESCE(MAX(user_id), 0) AS mx FROM ids),
                    (SELECT UNNEST(range(1, 9)) AS x)
             ),
             probes AS (
