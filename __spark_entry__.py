@@ -4646,6 +4646,380 @@ def q_tukey_fence_census(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------------------------
+# round-12 registration: the nine candidate waves accumulated during the
+# r9-r11 registry freeze (tests/test_candidate_oracles.py) promoted to
+# first-class registry entries. Each wrapper mirrors its candidate test's
+# construction exactly; the oracle SQL strings below are the pinned DuckDB
+# twins, verbatim.
+# ---------------------------------------------------------------------------
+
+
+def _tbl(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return _prep(spark).read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def q_pettitt_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pettitt change-point inputs over daily revenue: rank-based U_t
+    via the doubled-rank histogram discipline (no per-row windows)."""
+    from big_data_graph_analysis_with_spark_spark.operators import hypotests
+
+    return hypotests.pettitt_changepoint(_tbl(spark, sf_dir, "orders"))
+
+
+def q_seasonal_mann_kendall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seasonal Mann-Kendall S statistic per month-of-year over daily
+    revenue (day count is SF-invariant, so the in-season pair join is
+    bounded)."""
+    from big_data_graph_analysis_with_spark_spark.operators import hypotests
+
+    return hypotests.seasonal_mann_kendall(_tbl(spark, sf_dir, "orders"))
+
+
+def q_trimmed_sum_census(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """10%-trimmed revenue sum per returnflag from the value histogram
+    (two rank selections + one histogram re-aggregation)."""
+    from big_data_graph_analysis_with_spark_spark.operators import olap
+
+    return olap.trimmed_sum_census(_tbl(spark, sf_dir, "lineitem"))
+
+
+def q_measure_crossproducts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact integer moment/cross-product matrix (covariance inputs)
+    per returnflag — one scan, decimal-exact."""
+    from big_data_graph_analysis_with_spark_spark.operators import olap
+
+    return olap.measure_crossproducts(_tbl(spark, sf_dir, "lineitem"))
+
+
+def q_l_diversity_census(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """l-diversity histogram of the sensitive balance band over
+    (nation, segment) quasi-identifier groups — k_anonymity's
+    sensitive-attribute companion."""
+    from big_data_graph_analysis_with_spark_spark.operators import curation
+
+    cust = _tbl(spark, sf_dir, "customer").select(
+        "c_nationkey",
+        "c_mktsegment",
+        (F.round(F.col("c_acctbal") / 1000).cast("long")).alias("bal_band"),
+    )
+    return curation.l_diversity_census(
+        cust, ["c_nationkey", "c_mktsegment"], "bal_band"
+    )
+
+
+def q_zipf_rank_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zipf rank-frequency curve at 11 decile ranks of the vocabulary —
+    frequency-histogram rank selection, never a global per-token sort."""
+    from big_data_graph_analysis_with_spark_spark.operators import corpusstats
+
+    return corpusstats.zipf_rank_freq_points(_tbl(spark, sf_dir, "documents"))
+
+
+def _ivm_orders_split(spark: SparkSession, sf_dir: str):
+    orders = _tbl(spark, sf_dir, "orders")
+    cents = F.round(F.col("o_totalprice") * 100).cast("long")
+    old = orders.filter(F.year("o_orderdate") < 1998)
+    new = orders.filter(F.year("o_orderdate") >= 1998)
+    return old, new, cents
+
+
+def q_ivm_orders_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVM end-to-end: per-customer count/sum state from the pre-1998
+    slice, maintained through a 1998+ CDC insert batch; oracle is the
+    plain recompute over ALL orders."""
+    from big_data_graph_analysis_with_spark_spark.operators import merge
+
+    old, new, cents = _ivm_orders_split(spark, sf_dir)
+    state = old.groupBy(F.col("o_custkey").alias("key")).agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum(cents).cast("long").alias("sum_cents"),
+    )
+    cdc = new.select(
+        F.lit("I").alias("op"),
+        F.col("o_custkey").alias("key"),
+        F.lit(None).cast("long").alias("old_cents"),
+        cents.alias("new_cents"),
+    )
+    return merge.maintain_group_aggregate(state, cdc)
+
+
+def q_ivm_distinct_priorities(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVM distinct-count view (auxiliary per-(key,value) multiset)
+    maintained through the 1998+ insert batch."""
+    from big_data_graph_analysis_with_spark_spark.operators import merge
+
+    old, new, _ = _ivm_orders_split(spark, sf_dir)
+    aux = old.groupBy(
+        F.col("o_custkey").alias("key"),
+        F.col("o_orderpriority").alias("v"),
+    ).agg(F.count("*").cast("long").alias("m"))
+    cdc = new.select(
+        F.lit("I").alias("op"),
+        F.col("o_custkey").alias("key"),
+        F.lit(None).cast("string").alias("old_v"),
+        F.col("o_orderpriority").alias("new_v"),
+    )
+    return merge.maintain_distinct_count(aux, cdc)[1]
+
+
+def q_ivm_histogram_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVM median via maintained value histogram + rank selection —
+    quantiles stay incrementally maintainable when the state is the
+    histogram, not the sorted list."""
+    from big_data_graph_analysis_with_spark_spark.operators import merge
+
+    old, new, cents = _ivm_orders_split(spark, sf_dir)
+    hist = old.groupBy(
+        F.col("o_orderpriority").alias("key"), cents.alias("cents")
+    ).agg(F.count("*").cast("long").alias("w"))
+    cdc = new.select(
+        F.lit("I").alias("op"),
+        F.col("o_orderpriority").alias("key"),
+        F.lit(None).cast("long").alias("old_cents"),
+        cents.alias("new_cents"),
+    )
+    maintained = merge.maintain_value_histogram(hist, cdc)
+    return merge.quantile_from_histogram(maintained, 5)
+
+
+def q_poisson_bootstrap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """8-resample Poisson(1) bootstrap of the revenue sum — seeded
+    md5-56 weights, single scan × B, no resampled row materialization."""
+    from big_data_graph_analysis_with_spark_spark.operators import sampling
+
+    return sampling.poisson_bootstrap_sums(
+        _tbl(spark, sf_dir, "events"), n_resamples=8
+    )
+
+
+def q_block_bootstrap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Circular block bootstrap of daily revenue (block length 30) from
+    the daily prefix-sum index — each block is two prefix lookups."""
+    from big_data_graph_analysis_with_spark_spark.operators import sampling
+
+    return sampling.block_bootstrap_daily_sums(
+        _tbl(spark, sf_dir, "orders"), n_resamples=8, block_len=30
+    )
+
+
+def q_props_variant_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Typed stats of the JSON props '$.k' variant field per event
+    type (presence, sum, min/max, distinct)."""
+    from big_data_graph_analysis_with_spark_spark.operators import jsonops
+
+    return jsonops.props_variant_stats(_tbl(spark, sf_dir, "events"))
+
+
+def q_km_risk_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kaplan-Meier risk table for first-purchase conversion: per
+    duration day, number at risk / events / censored."""
+    from big_data_graph_analysis_with_spark_spark.operators import sessions
+
+    return sessions.km_risk_table(_tbl(spark, sf_dir, "events"))
+
+
+def q_mcnemar_inputs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """McNemar paired-proportion contingency cells: per-customer 1995
+    vs 1996 activity flags."""
+    from big_data_graph_analysis_with_spark_spark.operators import hypotests
+
+    return hypotests.mcnemar_inputs(_tbl(spark, sf_dir, "orders"))
+
+
+def q_daily_count_autocorr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lag-1..7 autocorrelation inputs of the daily order count (day
+    spine is SF-invariant; the lag join is spine-sized)."""
+    from big_data_graph_analysis_with_spark_spark.operators import hypotests
+
+    return hypotests.daily_count_autocorr(_tbl(spark, sf_dir, "orders"))
+
+
+def q_friedman_rank_inputs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Friedman test rank sums: blocks = order months, treatments =
+    market segments, doubled-rank histogram per block."""
+    from big_data_graph_analysis_with_spark_spark.operators import hypotests
+
+    return hypotests.friedman_rank_inputs(
+        _tbl(spark, sf_dir, "orders"), _tbl(spark, sf_dir, "customer")
+    )
+
+
+def q_filter_agreement_census(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """2×2 agreement census between two document-quality filters
+    (length gate vs chars-per-token gate)."""
+    from big_data_graph_analysis_with_spark_spark.operators import curation
+
+    return curation.filter_agreement_census(_tbl(spark, sf_dir, "documents"))
+
+
+def q_jonckheere_trend_inputs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Jonckheere-Terpstra ordered-alternative inputs over priority
+    groups: per ordered group pair, doubled Mann-Whitney U from the
+    pooled distinct-value grid (never a value-band join)."""
+    from big_data_graph_analysis_with_spark_spark.operators import hypotests
+
+    return hypotests.jonckheere_trend_inputs(_tbl(spark, sf_dir, "orders"))
+
+
+def q_ngram_novelty_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Novelty deciles of non-reference documents against the
+    reference-quarter shingle set (doc_id % 4 == 0 holdout)."""
+    from big_data_graph_analysis_with_spark_spark.operators import curation
+
+    return curation.ngram_novelty_profile(_tbl(spark, sf_dir, "documents"))
+
+
+def q_kruskal_wallis_inputs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kruskal-Wallis inputs over the 5 priority groups: pooled-rank
+    sums (doubled) + pooled tie term, all from value histograms."""
+    from big_data_graph_analysis_with_spark_spark.operators import hypotests
+
+    return hypotests.kruskal_wallis_inputs(_tbl(spark, sf_dir, "orders"))
+
+
+def q_mood_scale_inputs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mood scale-test inputs (BUILDING vs MACHINERY): squared centered
+    doubled ranks per group from the pooled histogram."""
+    from big_data_graph_analysis_with_spark_spark.operators import hypotests
+
+    return hypotests.mood_scale_inputs(
+        _tbl(spark, sf_dir, "orders"), _tbl(spark, sf_dir, "customer")
+    )
+
+
+def q_cochran_q_inputs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cochran's Q inputs: per-user binary flags for 3 funnel event
+    types, row/column sum-of-squares."""
+    from big_data_graph_analysis_with_spark_spark.operators import hypotests
+
+    return hypotests.cochran_q_inputs(_tbl(spark, sf_dir, "events"))
+
+
+def q_token_mix_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Largest-remainder apportionment of a 1M-token budget across
+    languages by character mass — exact-integer (div/mod), allocations
+    provably sum to the budget."""
+    from big_data_graph_analysis_with_spark_spark.operators import sampling
+
+    return sampling.token_mix_allocation(_tbl(spark, sf_dir, "documents"))
+
+
+def q_kcore_census(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(n_nodes, n_edges) of the 3-core after 8 peel rounds — the
+    fixed-round census twin of the converging `kcore` (G12); iterates
+    persist DISK_ONLY with eager unpersist per the r10/r11 scale rules."""
+    from big_data_graph_analysis_with_spark_spark.operators import graphalg
+
+    og, _ = _graphs(spark, sf_dir)
+    return graphalg.kcore_census(og, k=3, rounds=8)
+
+
+def q_degree_assortativity_inputs(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Exact integer moments for the degree-assortativity coefficient
+    over the undirected simple graph (one degree join per edge side)."""
+    from big_data_graph_analysis_with_spark_spark.operators import graphalg
+
+    og, _ = _graphs(spark, sf_dir)
+    return graphalg.degree_assortativity_inputs(og)
+
+
+def q_rich_club_census(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rich-club census on log2 degree tiers: nodes and edges wholly
+    inside each ≥-degree tier (suffix-cumulative histograms)."""
+    from big_data_graph_analysis_with_spark_spark.operators import graphalg
+
+    og, _ = _graphs(spark, sf_dir)
+    return graphalg.rich_club_census(og)
+
+
+def q_brunner_munzel_inputs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brunner-Munzel placement sums (BUILDING vs MACHINERY) from the
+    shared value histogram — doubled placements and their squares."""
+    from big_data_graph_analysis_with_spark_spark.operators import hypotests
+
+    return hypotests.brunner_munzel_inputs(
+        _tbl(spark, sf_dir, "orders"), _tbl(spark, sf_dir, "customer")
+    )
+
+
+def q_count_min_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-Min sketch audit: exact vs CMS estimate for the 8 heaviest
+    users — cells are order-independent sums over the shared seeded
+    md5-56 hash, so both engines build the identical sketch."""
+    from big_data_graph_analysis_with_spark_spark.operators import sketches
+
+    return sketches.count_min_audit(_tbl(spark, sf_dir, "events"))
+
+
+def q_ks_one_sample_uniform(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-integer one-sample KS statistic vs the discrete uniform on
+    the observed span — both one-sided deviations scored per distinct
+    value (the r10-advice D⁻ fix is regression-pinned)."""
+    from big_data_graph_analysis_with_spark_spark.operators import hypotests
+
+    return hypotests.ks_one_sample_uniform(_tbl(spark, sf_dir, "events"))
+
+
+def q_page_trend_inputs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Page's L ordered-alternative inputs: per-priority doubled
+    Friedman rank sums and their L-statistic terms."""
+    from big_data_graph_analysis_with_spark_spark.operators import hypotests
+
+    return hypotests.page_trend_inputs(_tbl(spark, sf_dir, "orders"))
+
+
+def q_dominance_census(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order stochastic dominance census between two segments'
+    revenue CDFs — cross-multiplied integer CDF comparison per distinct
+    value, no floats."""
+    from big_data_graph_analysis_with_spark_spark.operators import hypotests
+
+    return hypotests.dominance_census(
+        _tbl(spark, sf_dir, "orders"), _tbl(spark, sf_dir, "customer")
+    )
+
+
+def q_bloom_filter_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-filter audit: membership probes for the 8 heaviest users
+    (no-false-negative guarantee) + 8 provably-outside ids (measured
+    false-positive census); bit_or bitmap is order-independent so every
+    column hash-matches the twin."""
+    from big_data_graph_analysis_with_spark_spark.operators import sketches
+
+    return sketches.bloom_filter_audit(_tbl(spark, sf_dir, "events"))
+
+
+def q_winnow_overlap_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing-fingerprint overlap pairs (k=8, w=4): the MOSS-style
+    partial-overlap detector whole-document shingling misses. Honest
+    scan-linear floor (every character is hashed) — gram fan-out routed
+    through spread_before_explode, pair buckets capped by max_fp_df."""
+    from big_data_graph_analysis_with_spark_spark.operators import dedup
+
+    return dedup.winnow_overlap_pairs(_tbl(spark, sf_dir, "documents"))
+
+
+def q_revenue_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE(year, priority) revenue grouping sets in one Expand pass —
+    shuffle carries ≤ (years+1)·(priorities+1) cells."""
+    from big_data_graph_analysis_with_spark_spark.operators import olap
+
+    return olap.revenue_cube(_tbl(spark, sf_dir, "orders"))
+
+
+def q_source_copy_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-source contamination matrix: winnowing-overlap pair stream
+    rolled up to ordered source pairs (how much of source B is
+    textually derivative of source A before mixing both into a
+    training set)."""
+    from big_data_graph_analysis_with_spark_spark.operators import dedup
+
+    return dedup.source_copy_matrix(_tbl(spark, sf_dir, "documents"))
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return q_start_node_stats(spark, SF0001)
@@ -4665,68 +5039,53 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ascending last-driver-verified round, computed from the committed
     # CORRECTNESS_r*.json history. The 50-slot window therefore always
     # holds every never-verified query plus the stalest re-verification
-    # backfill; the 9 rows-only tail entries cannot hash-verify by design
+    # backfill; the 11 rows-only tail entries cannot hash-verify by design
     # and stay at the tail.
     return {
-        # -- ROUND-11 ROTATION (r10 verdict task 1): final consolidation --
-        #    NO new queries; the registry stays frozen at 312 and the full
-        #    50-slot window goes to the evidence tail: all 17 r4-stale
-        #    queries + the 33 stalest r5 entries. After this round lands,
-        #    no oracle-backed query's last green driver row is older than
-        #    r5 (round-8's bar met). Sorted ascending by last-driver-
-        #    verified round from the committed CORRECTNESS_r*.json history.
-        # -- last driver-verified round 4 ---------------------------
-        "link_prediction": q_link_prediction,
-        "degree_histogram": q_degree_histogram,
-        "events_retention": q_events_retention,
-        "events_topk_window": q_events_topk_window,
-        "events_anomaly_days": q_events_anomaly_days,
-        "vocab_coverage": q_vocab_coverage,
-        "winsorize_lengths": q_winsorize_lengths,
-        "term_cooccurrence": q_term_cooccurrence,
-        "temporal_split": q_temporal_split,
-        "hits": q_hits,
-        "reciprocity": q_reciprocity,
-        "assortativity": q_assortativity,
-        "orders_scd2": q_orders_scd2,
-        "session_quantiles": q_session_quantiles,
-        "language_mix": q_language_mix,
-        "user_ltv": q_user_ltv,
-        "knn_graph": q_knn_graph,
+        # -- ROUND-12 REGISTRATION (r11 verdict task 1): the nine
+        #    candidate waves accumulated during the r9-r11 freeze enter
+        #    the registry. 35 never-driver-verified entries head the
+        #    window; the remaining 15 slots are the full r5 evidence
+        #    tail (r11 verdict task 2), so after this round lands the
+        #    oracle-backed staleness floor is r6. Sorted ascending by
+        #    last-driver-verified round from CORRECTNESS_r*.json.
+        # -- never driver-verified (round-12 registration) ----------
+        "pettitt_changepoint": q_pettitt_changepoint,
+        "seasonal_mann_kendall": q_seasonal_mann_kendall,
+        "trimmed_sum_census": q_trimmed_sum_census,
+        "measure_crossproducts": q_measure_crossproducts,
+        "l_diversity_census": q_l_diversity_census,
+        "zipf_rank_freq": q_zipf_rank_freq,
+        "ivm_orders_rollup": q_ivm_orders_rollup,
+        "ivm_distinct_priorities": q_ivm_distinct_priorities,
+        "ivm_histogram_median": q_ivm_histogram_median,
+        "poisson_bootstrap": q_poisson_bootstrap,
+        "block_bootstrap": q_block_bootstrap,
+        "props_variant_stats": q_props_variant_stats,
+        "km_risk_table": q_km_risk_table,
+        "mcnemar_inputs": q_mcnemar_inputs,
+        "daily_count_autocorr": q_daily_count_autocorr,
+        "friedman_rank_inputs": q_friedman_rank_inputs,
+        "filter_agreement_census": q_filter_agreement_census,
+        "jonckheere_trend_inputs": q_jonckheere_trend_inputs,
+        "ngram_novelty_profile": q_ngram_novelty_profile,
+        "kruskal_wallis_inputs": q_kruskal_wallis_inputs,
+        "mood_scale_inputs": q_mood_scale_inputs,
+        "cochran_q_inputs": q_cochran_q_inputs,
+        "token_mix_allocation": q_token_mix_allocation,
+        "kcore_census": q_kcore_census,
+        "degree_assortativity_inputs": q_degree_assortativity_inputs,
+        "rich_club_census": q_rich_club_census,
+        "brunner_munzel_inputs": q_brunner_munzel_inputs,
+        "count_min_audit": q_count_min_audit,
+        "ks_one_sample_uniform": q_ks_one_sample_uniform,
+        "page_trend_inputs": q_page_trend_inputs,
+        "dominance_census": q_dominance_census,
+        "bloom_filter_audit": q_bloom_filter_audit,
+        "winnow_overlap_pairs": q_winnow_overlap_pairs,
+        "revenue_cube": q_revenue_cube,
+        "source_copy_matrix": q_source_copy_matrix,
         # -- last driver-verified round 5 ---------------------------
-        "scc": q_scc,
-        "mis": q_mis,
-        "closeness": q_closeness,
-        "path_counts": q_path_counts,
-        "pagerank_weighted": q_pagerank_weighted,
-        "hub_attack": q_hub_attack,
-        "motif_counts": q_motif_counts,
-        "bloom_pruned_join": q_bloom_pruned_join,
-        "ngram_novelty": q_ngram_novelty,
-        "bpe_merges": q_bpe_merges,
-        "orders_point_in_time": q_orders_point_in_time,
-        "condensation": q_condensation,
-        "neighborhood_features": q_neighborhood_features,
-        "churned_users": q_churned_users,
-        "attributed_purchases": q_attributed_purchases,
-        "vocab_growth": q_vocab_growth,
-        "knn_label_prop": q_knn_label_prop,
-        "user_sequences": q_user_sequences,
-        "forecast_revenue": q_forecast_revenue,
-        "returned_items": q_returned_items,
-        "snapshot_diff": q_snapshot_diff,
-        "k_anonymity": q_k_anonymity,
-        "type_projection": q_type_projection,
-        "grid_clusters": q_grid_clusters,
-        "quality_filter": q_quality_filter,
-        "active_users": q_active_users,
-        "interarrival_quantiles": q_interarrival_quantiles,
-        "token_mad": q_token_mad,
-        "events_zorder": q_events_zorder,
-        "embedding_covariance": q_embedding_covariance,
-        "sketch_audit_distinct": q_sketch_audit_distinct,
-        "sketch_audit_quantile": q_sketch_audit_quantile,
-        "dedup_sorted_neighborhood": q_dedup_sorted_neighborhood,
         "dedup_prefix_containment": q_prefix_containment,
         "length_matched_resample": q_length_matched_resample,
         "rp_project": q_rp_project,
@@ -4932,7 +5291,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_degree_quantile_audit": q_graph_degree_quantile_audit,
         "weighted_price_median": q_weighted_price_median,
         "simrank_round1_bucketed_wide": q_simrank_round1_bucketed_wide,
-        # -- last driver-verified round 10 --------------------------
+        # -- last driver-verified round 10 ---------------------------
         "kendall_tau_band_inputs": q_kendall_tau_band_inputs,
         "wilcoxon_signed_rank": q_wilcoxon_signed_rank,
         "cvm_two_sample": q_cvm_two_sample,
@@ -4983,8 +5342,60 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "length_buckets": q_length_buckets,
         "clustering_coefficient": q_clustering_coefficient,
         "label_propagation": q_label_propagation,
+        # -- last driver-verified round 11 ---------------------------
+        "link_prediction": q_link_prediction,
+        "degree_histogram": q_degree_histogram,
+        "events_retention": q_events_retention,
+        "events_topk_window": q_events_topk_window,
+        "events_anomaly_days": q_events_anomaly_days,
+        "vocab_coverage": q_vocab_coverage,
+        "winsorize_lengths": q_winsorize_lengths,
+        "term_cooccurrence": q_term_cooccurrence,
+        "temporal_split": q_temporal_split,
+        "hits": q_hits,
+        "reciprocity": q_reciprocity,
+        "assortativity": q_assortativity,
+        "orders_scd2": q_orders_scd2,
+        "session_quantiles": q_session_quantiles,
+        "language_mix": q_language_mix,
+        "user_ltv": q_user_ltv,
+        "knn_graph": q_knn_graph,
+        "scc": q_scc,
+        "mis": q_mis,
+        "closeness": q_closeness,
+        "path_counts": q_path_counts,
+        "pagerank_weighted": q_pagerank_weighted,
+        "hub_attack": q_hub_attack,
+        "motif_counts": q_motif_counts,
+        "bloom_pruned_join": q_bloom_pruned_join,
+        "ngram_novelty": q_ngram_novelty,
+        "bpe_merges": q_bpe_merges,
+        "orders_point_in_time": q_orders_point_in_time,
+        "condensation": q_condensation,
+        "neighborhood_features": q_neighborhood_features,
+        "churned_users": q_churned_users,
+        "attributed_purchases": q_attributed_purchases,
+        "vocab_growth": q_vocab_growth,
+        "knn_label_prop": q_knn_label_prop,
+        "user_sequences": q_user_sequences,
+        "forecast_revenue": q_forecast_revenue,
+        "returned_items": q_returned_items,
+        "snapshot_diff": q_snapshot_diff,
+        "k_anonymity": q_k_anonymity,
+        "type_projection": q_type_projection,
+        "grid_clusters": q_grid_clusters,
+        "quality_filter": q_quality_filter,
+        "active_users": q_active_users,
+        "interarrival_quantiles": q_interarrival_quantiles,
+        "token_mad": q_token_mad,
+        "events_zorder": q_events_zorder,
+        "embedding_covariance": q_embedding_covariance,
+        "sketch_audit_distinct": q_sketch_audit_distinct,
+        "sketch_audit_quantile": q_sketch_audit_quantile,
+        "dedup_sorted_neighborhood": q_dedup_sorted_neighborhood,
         # -- rows-only tail (no SQL oracle by design; driver rows-only
-        #    check) ----------------------------------------------
+        #    check). Keep LAST: the 50-slot window must hold only
+        #    hash-verifiable queries.
         "multimodal_features": q_multimodal_features,
         "multimodal_summary": q_multimodal_summary,
         "walk_kernel": q_walk_kernel,
@@ -4997,6 +5408,125 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "similarity_ann_pq": q_similarity_ann_pq,
         "similarity_ann_ivfpq": q_similarity_ann_ivfpq,
     }
+
+
+# -- round-12 registration oracle helpers (graph CTEs + seeded-hash SQL
+#    built programmatically, mirroring tests/test_candidate_oracles.py) ----
+
+#: shared undirected-degree CTE preamble for the graph-census twins
+_DEG_CTES = """
+und AS (
+  SELECT DISTINCT LEAST(src, dst) AS a, GREATEST(src, dst) AS b
+  FROM og_edges WHERE src <> dst
+),
+deg AS (
+  SELECT id, COUNT(*) AS deg FROM (
+    SELECT a AS id FROM und UNION ALL SELECT b FROM und
+  ) GROUP BY id
+),
+annotated AS (
+  SELECT u.a, u.b, x.deg AS da, y.deg AS db
+  FROM und u JOIN deg x ON x.id = u.a JOIN deg y ON y.id = u.b
+)"""
+
+
+def _kcore_census_sql(k: int = 3, rounds: int = 8) -> str:
+    ctes = """
+und AS (
+  SELECT DISTINCT LEAST(src, dst) AS a, GREATEST(src, dst) AS b
+  FROM og_edges WHERE src <> dst
+),
+e_0 AS MATERIALIZED (SELECT a, b FROM und)"""
+    for r in range(1, rounds + 1):
+        ctes += f""",
+deg_{r} AS (
+  SELECT id, COUNT(*) AS deg FROM (
+    SELECT a AS id FROM e_{r - 1}
+    UNION ALL SELECT b FROM e_{r - 1}
+  ) GROUP BY id
+),
+keep_{r} AS (SELECT id FROM deg_{r} WHERE deg >= {k}),
+e_{r} AS MATERIALIZED (
+  SELECT e.a, e.b FROM e_{r - 1} e
+  JOIN keep_{r} ka ON ka.id = e.a
+  JOIN keep_{r} kb ON kb.id = e.b
+)"""
+    return graph_sql(f""", {ctes.strip()}
+SELECT CAST((SELECT COUNT(*) FROM
+              (SELECT a AS id FROM e_{rounds}
+               UNION SELECT b FROM e_{rounds})) AS BIGINT) AS n_nodes,
+       CAST((SELECT COUNT(*) FROM e_{rounds}) AS BIGINT) AS n_edges
+""")
+
+
+def _poisson_bootstrap_sql(n_resamples: int = 8) -> str:
+    from big_data_graph_analysis_with_spark_spark.operators.sampling import (
+        poisson1_thresholds_56,
+    )
+
+    ts = poisson1_thresholds_56()
+    case = "CASE " + " ".join(
+        f"WHEN u < {t} THEN {k}" for k, t in enumerate(ts)
+    ) + f" ELSE {len(ts)} END"
+    return f"""
+        WITH t AS (
+          SELECT CAST(ROUND(value * 100) AS BIGINT) AS cents,
+                 b.b,
+                 (('0x' || substr(md5(
+                    CAST(b.b AS VARCHAR) || ':' ||
+                    CAST(event_id AS VARCHAR)), 1, 14))::BIGINT) AS u
+          FROM events, (SELECT UNNEST(range(0, {n_resamples})) AS b) b
+          WHERE value IS NOT NULL AND event_id IS NOT NULL
+        ),
+        w AS (SELECT b, cents, {case} AS w FROM t)
+        SELECT CAST(b AS BIGINT) AS b,
+               CAST(COUNT(*) AS BIGINT) AS n_rows,
+               CAST(SUM(w) AS BIGINT) AS n_eff,
+               CAST(SUM(w * cents) AS BIGINT) AS boot_cents
+        FROM w GROUP BY 1
+    """
+
+
+#: seeded md5-56 bucket hash shared by the sketch-audit twins
+_CMS_H = (
+    "(('0x' || substr(md5(CAST((CAST(r AS VARCHAR) || ':' || "
+    "CAST(user_id AS VARCHAR)) AS VARCHAR)), 1, 14))::BIGINT) % 256"
+)
+_BLOOM_H = (
+    "(('0x' || substr(md5(CAST(r AS VARCHAR) || ':' || "
+    "CAST({x} AS VARCHAR)), 1, 14))::BIGINT) % 512"
+)
+
+#: winnowing fingerprint pipeline (k=8, w=4, df-cap 64) shared by the
+#: winnow_overlap_pairs and source_copy_matrix twins
+_WINNOW_KFPS_CTES = """
+            pos AS (
+              SELECT doc_id, text,
+                     GREATEST(length(text) - 7, 1) AS n_grams,
+                     UNNEST(generate_series(1,
+                       GREATEST(length(text) - 7, 1))) AS i
+              FROM d
+            ),
+            grams AS (
+              SELECT doc_id, i, n_grams,
+                     ('0x' || substr(md5(substr(text, CAST(i AS INT), 8)),
+                       1, 14))::BIGINT AS h
+              FROM pos
+            ),
+            wins AS (
+              SELECT doc_id, i, n_grams,
+                     MIN(h) OVER (PARTITION BY doc_id ORDER BY i
+                       ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS wmin
+              FROM grams
+            ),
+            fps AS (
+              SELECT DISTINCT doc_id, wmin AS fp
+              FROM wins WHERE i <= GREATEST(n_grams - 3, 1)
+            ),
+            keep AS (
+              SELECT fp FROM fps GROUP BY fp HAVING COUNT(*) <= 64
+            ),
+            kfps AS (SELECT doc_id, fp FROM fps JOIN keep USING (fp))"""
 
 
 def oracle_sql() -> dict[str, str]:
@@ -9329,4 +9859,866 @@ FROM vt, et
                    (SELECT CAST(COUNT(*) AS BIGINT) FROM pg_edges)
             """
         ),
+        # -- round-12 registration: the pinned candidate twins, verbatim
+        #    from tests/test_candidate_oracles.py ------------------------
+        "pettitt_changepoint": """
+            WITH daily AS (
+              SELECT epoch_us(o_orderdate) // 86400000000 AS day,
+                     SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS cents
+              FROM orders GROUP BY 1
+            ),
+            h AS (SELECT cents, COUNT(*) AS cnt FROM daily GROUP BY 1),
+            r2 AS (
+              SELECT cents,
+                     2 * COALESCE(SUM(cnt) OVER (
+                       ORDER BY cents
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+                     ), 0) + cnt + 1 AS r2
+              FROM h
+            ),
+            ranked AS (
+              SELECT d.day,
+                     ROW_NUMBER() OVER (ORDER BY d.day) AS t,
+                     SUM(r2.r2) OVER (ORDER BY d.day) AS w2,
+                     COUNT(*) OVER () AS n
+              FROM daily d JOIN r2 USING (cents)
+            ),
+            dev AS (
+              SELECT day, n,
+                     ABS(CAST(w2 AS HUGEINT) - CAST(t AS HUGEINT) * (n + 1))
+                       AS u_abs
+              FROM ranked WHERE t < n
+            ),
+            m AS (SELECT MAX(u_abs) AS mx FROM dev)
+            SELECT CAST(MAX(n) AS BIGINT) AS n_days,
+                   CAST(MAX(m.mx) AS BIGINT) AS max_abs_u,
+                   CAST(MIN(day) AS BIGINT) AS at_day
+            FROM dev JOIN m ON dev.u_abs = m.mx
+        """,
+        "seasonal_mann_kendall": """
+            WITH daily AS (
+              SELECT epoch_us(o_orderdate) // 86400000000 AS day,
+                     SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS cents
+              FROM orders GROUP BY 1
+            ),
+            md AS (
+              SELECT month(DATE '1970-01-01' + CAST(day AS INTEGER)) AS moy,
+                     day, cents
+              FROM daily
+            ),
+            s AS (
+              SELECT a.moy,
+                     CAST(SUM(CASE WHEN b.cents > a.cents THEN 1
+                                   WHEN b.cents < a.cents THEN -1
+                                   ELSE 0 END) AS BIGINT) AS s_stat
+              FROM md a JOIN md b ON a.moy = b.moy AND b.day > a.day
+              GROUP BY 1
+            ),
+            n AS (SELECT moy, CAST(COUNT(*) AS BIGINT) AS n_days
+                  FROM md GROUP BY 1),
+            t AS (
+              SELECT moy,
+                     CAST(SUM(t * (t - 1) * (2 * t + 5)) AS BIGINT)
+                       AS tie_term
+              FROM (SELECT moy, cents, COUNT(*) AS t FROM md GROUP BY 1, 2)
+              GROUP BY 1
+            )
+            SELECT CAST(n.moy AS BIGINT) AS month_of_year, n.n_days,
+                   CAST(COALESCE(s.s_stat, 0) AS BIGINT) AS s_stat,
+                   t.tie_term
+            FROM n LEFT JOIN s ON s.moy = n.moy JOIN t ON t.moy = n.moy
+        """,
+        "trimmed_sum_census": """
+            WITH h AS (
+              SELECT l_returnflag AS returnflag,
+                     CAST(ROUND(l_extendedprice * 100) AS BIGINT) AS cents,
+                     COUNT(*) AS cnt
+              FROM lineitem GROUP BY 1, 2
+            ),
+            c AS (
+              SELECT returnflag, cents, cnt,
+                     SUM(cnt) OVER (PARTITION BY returnflag
+                                    ORDER BY cents) AS cum,
+                     SUM(cnt) OVER (PARTITION BY returnflag) AS n
+              FROM h
+            ),
+            b AS (
+              SELECT returnflag, MAX(n) AS n,
+                     MAX(CASE WHEN cum - cnt <= ((n-1) * 1) // 10
+                               AND ((n-1) * 1) // 10 < cum
+                              THEN cents END) AS lo_cents,
+                     MAX(CASE WHEN cum - cnt <= ((n-1) * 9) // 10
+                               AND ((n-1) * 9) // 10 < cum
+                              THEN cents END) AS hi_cents
+              FROM c
+              WHERE (cum - cnt <= ((n-1) * 1) // 10
+                     AND ((n-1) * 1) // 10 < cum)
+                 OR (cum - cnt <= ((n-1) * 9) // 10
+                     AND ((n-1) * 9) // 10 < cum)
+              GROUP BY 1
+            ),
+            k AS (
+              SELECT h.returnflag, SUM(h.cnt) AS kept_n,
+                     SUM(h.cnt * h.cents) AS kept_sum
+              FROM h JOIN b USING (returnflag)
+              WHERE h.cents > b.lo_cents AND h.cents < b.hi_cents
+              GROUP BY 1
+            )
+            SELECT b.returnflag,
+                   CAST(b.n AS BIGINT) AS n,
+                   CAST(b.lo_cents AS BIGINT) AS lo_cents,
+                   CAST(b.hi_cents AS BIGINT) AS hi_cents,
+                   CAST(COALESCE(k.kept_n, 0) AS BIGINT) AS kept_n,
+                   CAST(COALESCE(k.kept_sum, 0) AS BIGINT)
+                     AS kept_sum_cents
+            FROM b LEFT JOIN k USING (returnflag)
+        """,
+        "measure_crossproducts": """
+            WITH t AS (
+              SELECT l_returnflag AS returnflag,
+                     CAST(ROUND(l_quantity) AS BIGINT) AS q,
+                     CAST(ROUND(l_extendedprice * 100) AS BIGINT) AS p,
+                     CAST(ROUND(l_discount * 10000) AS BIGINT) AS d
+              FROM lineitem
+            )
+            SELECT returnflag,
+                   CAST(COUNT(*) AS BIGINT) AS n,
+                   CAST(SUM(q) AS BIGINT) AS sum_q,
+                   CAST(SUM(p) AS BIGINT) AS sum_p,
+                   CAST(SUM(d) AS BIGINT) AS sum_d,
+                   CAST(SUM(CAST(p AS HUGEINT) * p) AS BIGINT) AS spp,
+                   CAST(SUM(CAST(q AS HUGEINT) * q) AS BIGINT) AS sqq,
+                   CAST(SUM(CAST(d AS HUGEINT) * d) AS BIGINT) AS sdd,
+                   CAST(SUM(CAST(q AS HUGEINT) * p) AS BIGINT) AS sqp,
+                   CAST(SUM(CAST(q AS HUGEINT) * d) AS BIGINT) AS sqd,
+                   CAST(SUM(CAST(p AS HUGEINT) * d) AS BIGINT) AS spd
+            FROM t GROUP BY 1
+        """,
+        "l_diversity_census": """
+            WITH t AS (
+              SELECT c_nationkey, c_mktsegment,
+                     CAST(ROUND(c_acctbal / 1000) AS BIGINT) AS bal_band
+              FROM customer
+            ),
+            cls AS (
+              SELECT c_nationkey, c_mktsegment, COUNT(*) AS l
+              FROM (SELECT DISTINCT c_nationkey, c_mktsegment, bal_band
+                    FROM t)
+              GROUP BY 1, 2
+            ),
+            sz AS (
+              SELECT c_nationkey, c_mktsegment, COUNT(*) AS rows_
+              FROM t GROUP BY 1, 2
+            )
+            SELECT CAST(cls.l AS BIGINT) AS l,
+                   CAST(COUNT(*) AS BIGINT) AS n_groups,
+                   CAST(SUM(sz.rows_) AS BIGINT) AS n_rows
+            FROM cls JOIN sz USING (c_nationkey, c_mktsegment)
+            GROUP BY 1
+        """,
+        "zipf_rank_freq": r"""
+            WITH words AS (
+              SELECT UNNEST(string_split_regex(lower(text), '\s+')) AS tok
+              FROM documents
+            ),
+            vocab AS (
+              SELECT tok, COUNT(*) AS freq FROM words
+              WHERE tok <> '' GROUP BY 1
+            ),
+            fh AS (SELECT freq, COUNT(*) AS cnt FROM vocab GROUP BY 1),
+            c AS (
+              SELECT freq, cnt,
+                     SUM(cnt) OVER (ORDER BY freq DESC) AS cum,
+                     SUM(cnt) OVER () AS v
+              FROM fh
+            ),
+            p AS (
+              SELECT c.*, q.decile,
+                     GREATEST(1, (v * q.decile) // 10) AS want
+              FROM c, (SELECT UNNEST(range(0, 11)) AS decile) q
+            )
+            SELECT CAST(decile AS BIGINT) AS decile,
+                   CAST(want AS BIGINT) AS rank,
+                   CAST(freq AS BIGINT) AS freq
+            FROM p WHERE cum - cnt < want AND want <= cum
+        """,
+        "ivm_orders_rollup": """
+            SELECT o_custkey AS key,
+                   CAST(COUNT(*) AS BIGINT) AS n,
+                   CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT))
+                        AS BIGINT) AS sum_cents
+            FROM orders GROUP BY 1
+        """,
+        "ivm_distinct_priorities": """
+            SELECT o_custkey AS key,
+                   CAST(COUNT(DISTINCT o_orderpriority) AS BIGINT)
+                     AS n_distinct
+            FROM orders GROUP BY 1
+        """,
+        "ivm_histogram_median": """
+            WITH h AS (
+              SELECT o_orderpriority AS key,
+                     CAST(ROUND(o_totalprice * 100) AS BIGINT) AS cents,
+                     COUNT(*) AS w
+              FROM orders GROUP BY 1, 2
+            ),
+            c AS (
+              SELECT key, cents, w,
+                     SUM(w) OVER (PARTITION BY key ORDER BY cents) AS cum,
+                     SUM(w) OVER (PARTITION BY key) AS n
+              FROM h
+            )
+            SELECT key, CAST(n AS BIGINT) AS n,
+                   CAST(cents AS BIGINT) AS q_cents
+            FROM c
+            WHERE cum - w <= ((n - 1) * 5) // 10
+              AND ((n - 1) * 5) // 10 < cum
+        """,
+        "poisson_bootstrap": _poisson_bootstrap_sql(8),
+        "block_bootstrap": """
+            WITH daily AS (
+              SELECT epoch_us(o_orderdate) // 86400000000 AS day,
+                     SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS cents
+              FROM orders GROUP BY 1
+            ),
+            idx AS (
+              SELECT ROW_NUMBER() OVER (ORDER BY day) - 1 AS i,
+                     SUM(cents) OVER (ORDER BY day) AS prefix
+              FROM daily
+            ),
+            sc AS (SELECT COUNT(*) AS n, MAX(prefix) AS total FROM idx),
+            picks AS (
+              SELECT sc.n, sc.total, b.b, j.j,
+                     (('0x' || substr(md5(
+                        CAST(b.b AS VARCHAR) || ':' ||
+                        CAST(j.j AS VARCHAR)), 1, 14))::BIGINT) % sc.n AS s
+              FROM sc,
+                   (SELECT UNNEST(range(0, 8)) AS b) b,
+                   LATERAL (SELECT UNNEST(range(0, CAST((sc.n + 29) // 30
+                            AS BIGINT))) AS j) j
+            ),
+            sums AS (
+              SELECT p.b,
+                     hi.prefix
+                     - CASE WHEN p.s = 0 THEN 0 ELSE lo.prefix END
+                     + CASE WHEN p.s + 29 >= p.n THEN p.total ELSE 0 END
+                       AS block_cents
+              FROM picks p
+              JOIN idx lo ON lo.i = (p.s - 1 + p.n) % p.n
+              JOIN idx hi ON hi.i = (p.s + 29) % p.n
+            )
+            SELECT CAST(b AS BIGINT) AS b,
+                   CAST(COUNT(*) AS BIGINT) AS n_blocks,
+                   CAST(COUNT(*) * 30 AS BIGINT) AS n_days_eff,
+                   CAST(SUM(block_cents) AS BIGINT) AS boot_cents
+            FROM sums GROUP BY 1
+        """,
+        "props_variant_stats": """
+            WITH t AS (
+              SELECT event_type,
+                     CAST(json_extract(props, '$.k') AS BIGINT) AS k
+              FROM events
+            )
+            SELECT event_type,
+                   CAST(COUNT(*) AS BIGINT) AS n_events,
+                   CAST(COUNT(k) AS BIGINT) AS n_with_prop,
+                   CAST(SUM(k) AS BIGINT) AS sum_k,
+                   CAST(MIN(k) AS BIGINT) AS min_k,
+                   CAST(MAX(k) AS BIGINT) AS max_k,
+                   CAST(COUNT(DISTINCT k) AS BIGINT) AS n_distinct_k
+            FROM t GROUP BY 1
+        """,
+        "km_risk_table": """
+            WITH pu AS (
+              SELECT user_id,
+                     MIN(epoch_us(ts)) AS t0,
+                     MIN(CASE WHEN event_type = 'purchase'
+                              THEN epoch_us(ts) END) AS tp
+              FROM events GROUP BY 1
+            ),
+            hz AS (SELECT MAX(epoch_us(ts)) AS hz FROM events),
+            d AS (
+              SELECT (COALESCE(tp, hz.hz) - t0) // 86400000000 AS t_days,
+                     tp IS NOT NULL AS event
+              FROM pu, hz
+            ),
+            h AS (
+              SELECT t_days,
+                     SUM(CASE WHEN event THEN 1 ELSE 0 END) AS n_events,
+                     SUM(CASE WHEN NOT event THEN 1 ELSE 0 END)
+                       AS n_censored
+              FROM d GROUP BY 1
+            )
+            SELECT CAST(t_days AS BIGINT) AS t_days,
+                   CAST(SUM(n_events + n_censored) OVER ()
+                        - COALESCE(SUM(n_events + n_censored) OVER (
+                            ORDER BY t_days
+                            ROWS BETWEEN UNBOUNDED PRECEDING
+                                     AND 1 PRECEDING
+                          ), 0) AS BIGINT) AS n_risk,
+                   CAST(n_events AS BIGINT) AS n_events,
+                   CAST(n_censored AS BIGINT) AS n_censored
+            FROM h
+        """,
+        "mcnemar_inputs": """
+            WITH flags AS (
+              SELECT o_custkey,
+                     MAX(CASE WHEN year(o_orderdate) = 1995 THEN 1
+                         ELSE 0 END) AS a,
+                     MAX(CASE WHEN year(o_orderdate) = 1996 THEN 1
+                         ELSE 0 END) AS b
+              FROM orders GROUP BY 1
+            )
+            SELECT CAST(COALESCE(SUM(CASE WHEN a = 0 AND b = 0 THEN 1
+                                     ELSE 0 END), 0) AS BIGINT) AS n_00,
+                   CAST(COALESCE(SUM(CASE WHEN a = 0 AND b = 1 THEN 1
+                                     ELSE 0 END), 0) AS BIGINT) AS n_01,
+                   CAST(COALESCE(SUM(CASE WHEN a = 1 AND b = 0 THEN 1
+                                     ELSE 0 END), 0) AS BIGINT) AS n_10,
+                   CAST(COALESCE(SUM(CASE WHEN a = 1 AND b = 1 THEN 1
+                                     ELSE 0 END), 0) AS BIGINT) AS n_11
+            FROM flags
+        """,
+        "daily_count_autocorr": """
+            WITH daily AS (
+              SELECT epoch_us(o_orderdate) // 86400000000 AS day,
+                     COUNT(*) AS x
+              FROM orders GROUP BY 1
+            ),
+            lags AS (SELECT UNNEST(range(1, 8)) AS lag)
+            SELECT CAST(l.lag AS BIGINT) AS lag,
+                   CAST(COUNT(*) AS BIGINT) AS n_terms,
+                   CAST(SUM(a.x) AS BIGINT) AS sum_x,
+                   CAST(SUM(b.x) AS BIGINT) AS sum_y,
+                   CAST(SUM(a.x * a.x) AS BIGINT) AS sum_xx,
+                   CAST(SUM(b.x * b.x) AS BIGINT) AS sum_yy,
+                   CAST(SUM(a.x * b.x) AS BIGINT) AS sum_xy
+            FROM lags l
+            JOIN daily a ON TRUE
+            JOIN daily b ON b.day = a.day + l.lag
+            GROUP BY 1
+        """,
+        "friedman_rank_inputs": """
+            WITH cells AS (
+              SELECT year(o_orderdate) * 100 + month(o_orderdate) AS ym,
+                     c_mktsegment AS segment,
+                     SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS v
+              FROM orders JOIN customer ON o_custkey = c_custkey
+              GROUP BY 1, 2
+            ),
+            spine AS (
+              SELECT m.ym, s.segment
+              FROM (SELECT DISTINCT ym FROM cells) m,
+                   (SELECT DISTINCT segment FROM cells) s
+            ),
+            full_cells AS (
+              SELECT spine.ym, spine.segment, COALESCE(cells.v, 0) AS v
+              FROM spine LEFT JOIN cells
+                ON spine.ym = cells.ym AND spine.segment = cells.segment
+            ),
+            h AS (
+              SELECT ym, v, COUNT(*) AS cnt FROM full_cells GROUP BY 1, 2
+            ),
+            r2 AS (
+              SELECT ym, v,
+                     2 * COALESCE(SUM(cnt) OVER (
+                       PARTITION BY ym ORDER BY v
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+                     ), 0) + cnt + 1 AS r2
+              FROM h
+            )
+            SELECT f.segment,
+                   CAST(COUNT(*) AS BIGINT) AS n_blocks,
+                   CAST(SUM(r2.r2) AS BIGINT) AS r2_sum
+            FROM full_cells f JOIN r2 ON f.ym = r2.ym AND f.v = r2.v
+            GROUP BY 1
+        """,
+        "filter_agreement_census": """
+            WITH f AS (
+              SELECT length(text) >= 500 AS a,
+                     length(text) <= 8 * (length(text)
+                       - length(replace(text, ' ', '')) + 1) AS b
+              FROM documents
+            )
+            SELECT CAST(COUNT(*) AS BIGINT) AS n,
+                   CAST(COALESCE(SUM(CASE WHEN a AND b THEN 1 ELSE 0
+                                     END), 0) AS BIGINT) AS n_11,
+                   CAST(COALESCE(SUM(CASE WHEN a AND NOT b THEN 1 ELSE 0
+                                     END), 0) AS BIGINT) AS n_10,
+                   CAST(COALESCE(SUM(CASE WHEN NOT a AND b THEN 1 ELSE 0
+                                     END), 0) AS BIGINT) AS n_01,
+                   CAST(COALESCE(SUM(CASE WHEN NOT a AND NOT b THEN 1
+                                     ELSE 0 END), 0) AS BIGINT) AS n_00
+            FROM f
+        """,
+        "jonckheere_trend_inputs": """
+            WITH hist AS (
+              SELECT CAST(substr(o_orderpriority, 1, 1) AS BIGINT) AS g,
+                     CAST(ROUND(o_totalprice * 100) AS BIGINT) AS cents,
+                     COUNT(*) AS cnt
+              FROM orders GROUP BY 1, 2
+            ),
+            spine AS (
+              SELECT v.cents, gg.g
+              FROM (SELECT DISTINCT cents FROM hist) v,
+                   (SELECT DISTINCT g FROM hist) gg
+            ),
+            grid AS (
+              SELECT spine.g, spine.cents, COALESCE(hist.cnt, 0) AS cnt
+              FROM spine LEFT JOIN hist
+                ON spine.g = hist.g AND spine.cents = hist.cents
+            ),
+            cum AS (
+              SELECT g, cents, cnt,
+                     COALESCE(SUM(cnt) OVER (
+                       PARTITION BY g ORDER BY cents
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+                     ), 0) AS cum_lt
+              FROM grid
+            ),
+            sizes AS (SELECT g, SUM(cnt) AS n FROM hist GROUP BY 1),
+            pair_u AS (
+              SELECT lo.g, hi.g AS h,
+                     SUM(hi.cnt * (2 * lo.cum_lt + lo.cnt)) AS u2
+              FROM cum lo JOIN cum hi
+                ON lo.cents = hi.cents AND lo.g < hi.g
+              GROUP BY 1, 2
+            )
+            SELECT p.g, p.h,
+                   CAST(sg.n AS BIGINT) AS n_g,
+                   CAST(sh.n AS BIGINT) AS n_h,
+                   CAST(p.u2 AS BIGINT) AS u2
+            FROM pair_u p
+            JOIN sizes sg ON sg.g = p.g
+            JOIN sizes sh ON sh.g = p.h
+        """,
+        "ngram_novelty_profile": """
+            WITH words AS (
+              SELECT doc_id, text, string_split(text, ' ') AS w
+              FROM documents
+            ),
+            shing AS (
+              SELECT DISTINCT doc_id,
+                     unnest(list_transform(range(len(w) - 2),
+                            i -> array_to_string(w[i+1:i+3], ' ')))
+                       AS shingle
+              FROM words WHERE len(w) >= 3
+              UNION ALL
+              SELECT doc_id, text AS shingle FROM words WHERE len(w) < 3
+            ),
+            ref AS (
+              SELECT DISTINCT shingle FROM shing WHERE doc_id % 4 = 0
+            ),
+            per_doc AS (
+              SELECT s.doc_id,
+                     COUNT(*) AS n_grams,
+                     COUNT(*) - COUNT(r.shingle) AS n_novel
+              FROM shing s LEFT JOIN ref r ON r.shingle = s.shingle
+              WHERE s.doc_id % 4 <> 0
+              GROUP BY 1
+            )
+            SELECT CAST((n_novel * 10) // n_grams AS BIGINT)
+                     AS novelty_decile,
+                   CAST(COUNT(*) AS BIGINT) AS n_docs,
+                   CAST(SUM(n_grams) AS BIGINT) AS sum_grams,
+                   CAST(SUM(n_novel) AS BIGINT) AS sum_novel
+            FROM per_doc GROUP BY 1
+        """,
+        "kruskal_wallis_inputs": """
+            WITH vals AS (
+              SELECT CAST(SUBSTRING(o_orderpriority, 1, 1) AS BIGINT) AS g,
+                     CAST(ROUND(o_totalprice * 100) AS BIGINT) AS cents
+              FROM orders
+            ),
+            hist AS (SELECT g, cents, COUNT(*) AS cnt_g FROM vals GROUP BY 1, 2),
+            pooled AS (SELECT cents, SUM(cnt_g) AS cnt FROM hist GROUP BY 1),
+            ranked AS (
+              SELECT cents, cnt,
+                     COALESCE(SUM(cnt) OVER (ORDER BY cents
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                       0) AS cb
+              FROM pooled
+            ),
+            ties AS (SELECT SUM(cnt * cnt * cnt - cnt) AS t3 FROM pooled)
+            SELECT h.g,
+                   CAST(SUM(h.cnt_g) AS BIGINT) AS n_g,
+                   CAST(SUM(h.cnt_g * (2 * r.cb + r.cnt + 1)) AS BIGINT) AS r2_g,
+                   CAST(t.t3 AS BIGINT) AS t3_minus_t_pooled
+            FROM hist h JOIN ranked r USING (cents), ties t
+            GROUP BY h.g, t.t3
+        """,
+        "mood_scale_inputs": """
+            WITH seg AS (
+              SELECT c_custkey, c_mktsegment FROM customer
+              WHERE c_mktsegment IN ('BUILDING', 'MACHINERY')
+            ),
+            tagged AS (
+              SELECT CAST(ROUND(o_totalprice * 100) AS BIGINT) AS cents,
+                     c_mktsegment AS segment
+              FROM orders JOIN seg ON o_custkey = c_custkey
+            ),
+            hist AS (
+              SELECT segment, cents, COUNT(*) AS cnt_g
+              FROM tagged GROUP BY 1, 2
+            ),
+            pooled AS (SELECT cents, SUM(cnt_g) AS cnt FROM hist GROUP BY 1),
+            ranked AS (
+              SELECT cents, cnt,
+                     COALESCE(SUM(cnt) OVER (ORDER BY cents
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                       0) AS cb,
+                     SUM(cnt) OVER () AS n
+              FROM pooled
+            )
+            SELECT h.segment,
+                   CAST(SUM(h.cnt_g) AS BIGINT) AS n_g,
+                   CAST(SUM(h.cnt_g * (2 * r.cb + r.cnt - r.n)
+                            * (2 * r.cb + r.cnt - r.n)) AS BIGINT) AS m4_g
+            FROM hist h JOIN ranked r USING (cents)
+            GROUP BY h.segment
+        """,
+        "cochran_q_inputs": """
+            WITH per_user AS (
+              SELECT user_id,
+                     MAX(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS f0,
+                     MAX(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS f1,
+                     MAX(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS f2
+              FROM events
+              WHERE event_type IN ('view', 'click', 'purchase')
+              GROUP BY 1
+            )
+            SELECT CAST(COUNT(*) AS BIGINT) AS n_users,
+                   CAST(3 AS BIGINT) AS k_treatments,
+                   CAST(COALESCE(SUM(f0 + f1 + f2), 0) AS BIGINT) AS sum_r,
+                   CAST(COALESCE(SUM((f0 + f1 + f2) * (f0 + f1 + f2)), 0)
+                        AS BIGINT) AS sum_r2,
+                   CAST(COALESCE(SUM(f0), 0) * COALESCE(SUM(f0), 0)
+                        + COALESCE(SUM(f1), 0) * COALESCE(SUM(f1), 0)
+                        + COALESCE(SUM(f2), 0) * COALESCE(SUM(f2), 0)
+                        AS BIGINT) AS sum_c2
+            FROM per_user
+        """,
+        "token_mix_allocation": """
+            WITH per AS (
+              SELECT lang AS domain, CAST(SUM(n_chars) AS BIGINT) AS weight
+              FROM documents GROUP BY 1
+            ),
+            tot AS (SELECT SUM(weight) AS total_w FROM per),
+            scaled AS (
+              SELECT domain, weight,
+                     (1000000 * weight) // total_w AS quota,
+                     (1000000 * weight) % total_w AS rem_num
+              FROM per, tot
+            ),
+            ranked AS (
+              SELECT *,
+                     ROW_NUMBER() OVER (ORDER BY rem_num DESC, domain ASC)
+                       AS rem_rank,
+                     1000000 - SUM(quota) OVER () AS leftover
+              FROM scaled
+            )
+            SELECT domain, CAST(weight AS BIGINT) AS weight,
+                   CAST(quota + CASE WHEN rem_rank <= leftover THEN 1
+                                ELSE 0 END AS BIGINT) AS alloc
+            FROM ranked
+        """,
+        "kcore_census": _kcore_census_sql(k=3, rounds=8),
+        "degree_assortativity_inputs": graph_sql(f""", {_DEG_CTES.strip()}
+SELECT CAST(COUNT(*) AS BIGINT) AS n_edges,
+       CAST(COALESCE(SUM(da + db), 0) AS BIGINT) AS s_sum,
+       CAST(COALESCE(SUM(da * db), 0) AS BIGINT) AS s_prod,
+       CAST(COALESCE(SUM(da * da + db * db), 0) AS BIGINT) AS s_sq
+FROM annotated
+"""),
+        "rich_club_census": graph_sql(f""", {_DEG_CTES.strip()},
+node_hist AS (
+  SELECT length(bin(deg)) AS degree_bits, COUNT(*) AS n_nodes
+  FROM deg GROUP BY 1
+),
+edge_hist AS (
+  SELECT length(bin(LEAST(da, db))) AS degree_bits, COUNT(*) AS n_edges
+  FROM annotated GROUP BY 1
+),
+merged AS (
+  SELECT COALESCE(n.degree_bits, e.degree_bits) AS degree_bits,
+         COALESCE(n.n_nodes, 0) AS n_nodes,
+         COALESCE(e.n_edges, 0) AS n_edges
+  FROM node_hist n FULL OUTER JOIN edge_hist e USING (degree_bits)
+)
+SELECT CAST(degree_bits AS BIGINT) AS degree_bits,
+       CAST(SUM(n_nodes) OVER (ORDER BY degree_bits DESC
+         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+         AS n_nodes_ge,
+       CAST(SUM(n_edges) OVER (ORDER BY degree_bits DESC
+         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+         AS n_edges_ge
+FROM merged
+"""),
+        "brunner_munzel_inputs": """
+            WITH seg AS (
+              SELECT c_custkey, c_mktsegment FROM customer
+              WHERE c_mktsegment IN ('BUILDING', 'MACHINERY')
+            ),
+            tagged AS (
+              SELECT CAST(ROUND(o_totalprice * 100) AS BIGINT) AS cents,
+                     c_mktsegment AS segment
+              FROM orders JOIN seg ON o_custkey = c_custkey
+            ),
+            hist AS (
+              SELECT cents,
+                     SUM(CASE WHEN segment = 'BUILDING' THEN 1 ELSE 0 END)
+                       AS cnt_a,
+                     SUM(CASE WHEN segment = 'MACHINERY' THEN 1 ELSE 0 END)
+                       AS cnt_b
+              FROM tagged GROUP BY 1
+            ),
+            cum AS (
+              SELECT cents, cnt_a, cnt_b,
+                     COALESCE(SUM(cnt_a) OVER (ORDER BY cents
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                       0) AS cuma_lt,
+                     COALESCE(SUM(cnt_b) OVER (ORDER BY cents
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                       0) AS cumb_lt
+              FROM hist
+            )
+            SELECT 'BUILDING' AS segment,
+                   CAST(SUM(cnt_a) AS BIGINT) AS n_g,
+                   CAST(COALESCE(SUM(cnt_a * (2 * cumb_lt + cnt_b)), 0)
+                        AS BIGINT) AS sum_p2,
+                   CAST(COALESCE(SUM(cnt_a * (2 * cumb_lt + cnt_b)
+                                     * (2 * cumb_lt + cnt_b)), 0)
+                        AS BIGINT) AS sum_p2_sq
+            FROM cum
+            UNION ALL
+            SELECT 'MACHINERY' AS segment,
+                   CAST(SUM(cnt_b) AS BIGINT) AS n_g,
+                   CAST(COALESCE(SUM(cnt_b * (2 * cuma_lt + cnt_a)), 0)
+                        AS BIGINT) AS sum_p2,
+                   CAST(COALESCE(SUM(cnt_b * (2 * cuma_lt + cnt_a)
+                                     * (2 * cuma_lt + cnt_a)), 0)
+                        AS BIGINT) AS sum_p2_sq
+            FROM cum
+        """,
+        "count_min_audit": f"""
+            WITH hist AS (
+              SELECT user_id, COUNT(*) AS n FROM events GROUP BY 1
+            ),
+            rows_r AS (SELECT UNNEST(range(4)) AS r),
+            cells AS (
+              SELECT r, {_CMS_H} AS b, SUM(n) AS cell
+              FROM hist, rows_r GROUP BY 1, 2
+            ),
+            tracked AS (
+              SELECT user_id, n FROM hist
+              ORDER BY n DESC, user_id ASC LIMIT 8
+            ),
+            probes AS (
+              SELECT t.user_id, t.n, r.r, {_CMS_H.replace("user_id", "t.user_id")} AS b
+              FROM tracked t, rows_r r
+            )
+            SELECT p.user_id,
+                   CAST(p.n AS BIGINT) AS exact_n,
+                   CAST(MIN(c.cell) AS BIGINT) AS cms_n
+            FROM probes p JOIN cells c ON c.r = p.r AND c.b = p.b
+            GROUP BY 1, 2
+        """,
+        "ks_one_sample_uniform": """
+            WITH hist AS (
+              SELECT CAST(ROUND(value * 100) AS BIGINT) AS cents,
+                     COUNT(*) AS cnt
+              FROM events WHERE event_type = 'purchase' GROUP BY 1
+            ),
+            cum AS (
+              SELECT cents, cnt,
+                     SUM(cnt) OVER (ORDER BY cents
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                       AS cum,
+                     SUM(cnt) OVER () AS n,
+                     MIN(cents) OVER () AS lo,
+                     MAX(cents) OVER () AS hi
+              FROM hist
+            ),
+            scored AS (
+              -- max of the post-jump D+ and pre-jump D- candidates; the
+              -- D- term also covers support gaps (sup lands just below
+              -- the next observed value)
+              SELECT cents, n, lo, hi - lo + 1 AS span,
+                     GREATEST(
+                       ABS(cum * (hi - lo + 1) - (cents - lo + 1) * n),
+                       ABS((cum - cnt) * (hi - lo + 1) - (cents - lo) * n)
+                     ) AS dev
+              FROM cum
+            )
+            SELECT CAST(n AS BIGINT) AS n,
+                   CAST(lo AS BIGINT) AS lo_cents,
+                   CAST(span AS BIGINT) AS span,
+                   CAST(dev AS BIGINT) AS d_num,
+                   CAST(cents AS BIGINT) AS d_arg_cents
+            FROM scored ORDER BY dev DESC, cents ASC LIMIT 1
+        """,
+        "page_trend_inputs": """
+            WITH cells AS (
+              SELECT year(o_orderdate) * 100 + month(o_orderdate) AS ym,
+                     CAST(substr(o_orderpriority, 1, 1) AS BIGINT) AS prio,
+                     SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS v
+              FROM orders GROUP BY 1, 2
+            ),
+            spine AS (
+              SELECT m.ym, s.prio
+              FROM (SELECT DISTINCT ym FROM cells) m,
+                   (SELECT DISTINCT prio FROM cells) s
+            ),
+            full_cells AS (
+              SELECT spine.ym, spine.prio, COALESCE(cells.v, 0) AS v
+              FROM spine LEFT JOIN cells
+                ON spine.ym = cells.ym AND spine.prio = cells.prio
+            ),
+            h AS (
+              SELECT ym, v, COUNT(*) AS cnt FROM full_cells GROUP BY 1, 2
+            ),
+            r2 AS (
+              SELECT ym, v,
+                     2 * COALESCE(SUM(cnt) OVER (
+                       PARTITION BY ym ORDER BY v
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+                     ), 0) + cnt + 1 AS r2
+              FROM h
+            ),
+            sums AS (
+              SELECT f.prio AS priority,
+                     CAST(COUNT(*) AS BIGINT) AS n_blocks,
+                     CAST(SUM(r2.r2) AS BIGINT) AS r2_sum
+              FROM full_cells f JOIN r2 ON f.ym = r2.ym AND f.v = r2.v
+              GROUP BY 1
+            )
+            SELECT priority, n_blocks, r2_sum,
+                   CAST(priority * r2_sum AS BIGINT) AS l2_term
+            FROM sums
+        """,
+        "dominance_census": """
+            WITH tagged AS (
+              SELECT CAST(ROUND(o_totalprice * 100) AS BIGINT) AS cents,
+                     c_mktsegment AS segment
+              FROM orders JOIN customer ON o_custkey = c_custkey
+              WHERE c_mktsegment IN ('BUILDING', 'MACHINERY')
+            ),
+            hist AS (
+              SELECT cents,
+                     SUM(CASE WHEN segment = 'BUILDING' THEN 1 ELSE 0
+                         END) AS cnt_a,
+                     SUM(CASE WHEN segment = 'MACHINERY' THEN 1 ELSE 0
+                         END) AS cnt_b
+              FROM tagged GROUP BY 1
+            ),
+            cum AS (
+              SELECT cents,
+                     SUM(cnt_a) OVER (ORDER BY cents
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                       AS cum_a,
+                     SUM(cnt_b) OVER (ORDER BY cents
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                       AS cum_b,
+                     SUM(cnt_a) OVER () AS n_a,
+                     SUM(cnt_b) OVER () AS n_b
+              FROM hist
+            )
+            SELECT CAST(COUNT(*) AS BIGINT) AS n_values,
+                   CAST(MAX(n_a) AS BIGINT) AS n_a,
+                   CAST(MAX(n_b) AS BIGINT) AS n_b,
+                   CAST(COALESCE(SUM(CASE WHEN CAST(cum_a AS HUGEINT) * n_b
+                       > CAST(cum_b AS HUGEINT) * n_a THEN 1 ELSE 0 END), 0)
+                       AS BIGINT) AS a_dominated,
+                   CAST(COALESCE(SUM(CASE WHEN CAST(cum_a AS HUGEINT) * n_b
+                       < CAST(cum_b AS HUGEINT) * n_a THEN 1 ELSE 0 END), 0)
+                       AS BIGINT) AS b_dominated,
+                   CAST(COALESCE(SUM(CASE WHEN CAST(cum_a AS HUGEINT) * n_b
+                       = CAST(cum_b AS HUGEINT) * n_a THEN 1 ELSE 0 END), 0)
+                       AS BIGINT) AS cdf_ties
+            FROM cum
+        """,
+        "bloom_filter_audit": f"""
+            WITH ids AS (SELECT DISTINCT user_id FROM events),
+            rws AS (SELECT UNNEST(range(3)) AS r),
+            bits AS (
+              SELECT DISTINCT r, {_BLOOM_H.format(x="user_id")} AS b
+              FROM ids, rws
+            ),
+            heavy AS (
+              SELECT user_id AS probe_id, 1 AS is_member
+              FROM events GROUP BY user_id
+              ORDER BY COUNT(*) DESC, user_id ASC LIMIT 8
+            ),
+            outsiders AS (
+              SELECT mx + x AS probe_id, 0 AS is_member
+              FROM (SELECT COALESCE(MAX(user_id), 0) AS mx FROM ids),
+                   (SELECT UNNEST(range(1, 9)) AS x)
+            ),
+            probes AS (
+              SELECT * FROM heavy UNION ALL SELECT * FROM outsiders
+            ),
+            pb AS (
+              SELECT probe_id, is_member, r,
+                     {_BLOOM_H.format(x="probe_id")} AS b
+              FROM probes, rws
+            )
+            SELECT pb.probe_id,
+                   CAST(MAX(pb.is_member) AS BIGINT) AS is_member,
+                   CAST(CASE WHEN COUNT(bits.b) = 3 THEN 1 ELSE 0
+                        END AS BIGINT) AS bloom_hit
+            FROM pb LEFT JOIN bits ON bits.r = pb.r AND bits.b = pb.b
+            GROUP BY 1
+        """,
+        "winnow_overlap_pairs": f"""
+            WITH d AS (
+              SELECT doc_id, text FROM documents
+              WHERE text IS NOT NULL AND length(text) > 0
+            ),{_WINNOW_KFPS_CTES}
+            SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                   CAST(COUNT(*) AS BIGINT) AS n_shared
+            FROM kfps a JOIN kfps b
+              ON a.fp = b.fp AND a.doc_id < b.doc_id
+            GROUP BY 1, 2 HAVING COUNT(*) >= 2
+        """,
+        "revenue_cube": """
+            SELECT CAST(GROUPING(year, priority) AS BIGINT) AS gid,
+                   CAST(COALESCE(year, -1) AS BIGINT) AS year,
+                   CAST(COALESCE(priority, -1) AS BIGINT) AS priority,
+                   CAST(COUNT(*) AS BIGINT) AS n,
+                   CAST(SUM(cents) AS BIGINT) AS revenue_cents
+            FROM (
+              SELECT year(o_orderdate) AS year,
+                     CAST(substr(o_orderpriority, 1, 1) AS BIGINT)
+                       AS priority,
+                     CAST(ROUND(o_totalprice * 100) AS BIGINT) AS cents
+              FROM orders
+            )
+            GROUP BY CUBE (year, priority)
+        """,
+        "source_copy_matrix": f"""
+            WITH d AS (
+              SELECT doc_id, text, source FROM documents
+              WHERE text IS NOT NULL AND length(text) > 0
+            ),{_WINNOW_KFPS_CTES},
+            pairs AS (
+              SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                     COUNT(*) AS n_shared
+              FROM kfps a JOIN kfps b
+                ON a.fp = b.fp AND a.doc_id < b.doc_id
+              GROUP BY 1, 2
+            ),
+            tagged AS (
+              SELECT LEAST(sa.source, sb.source) AS source_a,
+                     GREATEST(sa.source, sb.source) AS source_b,
+                     p.n_shared
+              FROM pairs p
+              JOIN d sa ON sa.doc_id = p.doc_a
+              JOIN d sb ON sb.doc_id = p.doc_b
+              WHERE sa.source <> sb.source
+            )
+            SELECT source_a, source_b,
+                   CAST(COUNT(*) AS BIGINT) AS n_pairs,
+                   CAST(SUM(n_shared) AS BIGINT) AS n_shared_fps
+            FROM tagged GROUP BY 1, 2
+        """,
     }

@@ -1078,10 +1078,19 @@ def friedman_rank_inputs(orders: DataFrame, customer: DataFrame) -> DataFrame:
     )
     # zero-filled spine: a segment silent in a month still occupies a
     # rank slot (renamed keys — a spine derived from the frame it
-    # joins back to hits "Conflicting attributes" otherwise)
+    # joins back to hits "Conflicting attributes" otherwise). The
+    # segment side is broadcast explicitly: it is value-bounded (≤ the
+    # handful of market segments), but its lineage runs through the
+    # customer join so Catalyst's size estimate can't see that — and an
+    # un-broadcast cross join of two non-tiny-estimated sides lowers to
+    # a CartesianProduct (caught by plan_audit at r12 registration).
     spine = (
         cells.select(F.col("ym").alias("s_ym")).distinct()
-        .crossJoin(cells.select(F.col("segment").alias("s_seg")).distinct())
+        .crossJoin(
+            F.broadcast(
+                cells.select(F.col("segment").alias("s_seg")).distinct()
+            )
+        )
     )
     full = spine.join(
         cells,

@@ -134,6 +134,24 @@ AUDIT = [
     "kendall_tau_band_inputs", "wilcoxon_signed_rank", "cvm_two_sample",
     "ab_proportion_inputs", "mann_kendall_trend", "runs_test_inputs",
     "lorenz_curve_points", "tukey_fence_census",
+    # round-12 registration (kcore_census excluded: its peel census
+    # counts eagerly and returns a literal frame, same reason as
+    # motif_counts; winnow_overlap_pairs / source_copy_matrix audit the
+    # post-checkpoint cap+join+rollup plan — the fingerprint subtree is
+    # materialized at plan construction by design, r11 advice)
+    "pettitt_changepoint", "seasonal_mann_kendall", "trimmed_sum_census",
+    "measure_crossproducts", "l_diversity_census", "zipf_rank_freq",
+    "ivm_orders_rollup", "ivm_distinct_priorities", "ivm_histogram_median",
+    "poisson_bootstrap", "block_bootstrap", "props_variant_stats",
+    "km_risk_table", "mcnemar_inputs", "daily_count_autocorr",
+    "friedman_rank_inputs", "filter_agreement_census",
+    "jonckheere_trend_inputs", "ngram_novelty_profile",
+    "kruskal_wallis_inputs", "mood_scale_inputs", "cochran_q_inputs",
+    "token_mix_allocation", "degree_assortativity_inputs",
+    "rich_club_census", "brunner_munzel_inputs", "count_min_audit",
+    "ks_one_sample_uniform", "page_trend_inputs", "dominance_census",
+    "bloom_filter_audit", "winnow_overlap_pairs", "revenue_cube",
+    "source_copy_matrix",
 ]
 # motif_counts is deliberately NOT in AUDIT: its builder runs the full
 # census via driver-side .count() actions, so the final frame is just a
