@@ -721,7 +721,10 @@ def bfs_distances(
         )
         if nxt.limit(1).count() == 0:
             break
-        visited = visited.unionAll(nxt).transform(_ckpt)
+        # nxt is checkpointed; the cumulative set is a flat union of
+        # checkpointed parts (re-checkpointing it copied O(reached)
+        # rows per round — r12)
+        visited = visited.unionAll(nxt)
         frontier = nxt
     return visited
 
@@ -923,7 +926,10 @@ def _bfs_sym(edges_sym: DataFrame, source: int, max_iters: int) -> DataFrame:
         )
         if nxt.limit(1).count() == 0:
             break
-        visited = visited.unionAll(nxt).transform(_ckpt)
+        # nxt is checkpointed; the cumulative set is a flat union of
+        # checkpointed parts (re-checkpointing it copied O(reached)
+        # rows per round — r12)
+        visited = visited.unionAll(nxt)
         frontier = nxt
     return visited
 
@@ -1063,23 +1069,35 @@ def scc_components(
     for _ in range(max_outer):
         if rem.limit(1).count() == 0:
             break
-        # -- 1. trim singleton SCCs (in-deg 0 or out-deg 0 in the core)
+        # -- 1. trim singleton SCCs (in-deg 0 or out-deg 0 in the core).
+        # One endpoint-role aggregation replaces the previous
+        # two-distinct + two-semi-join shape (r12 guide §2.3/§2.4: one
+        # map-side-combinable shuffle instead of two distinct
+        # exchanges), and rem∖core / rem∩core come out of ONE
+        # checkpointed flag frame instead of two anti-join
+        # materializations — 2 jobs per trim round, down from 3.
         trim_round = 0
         while True:
             _soft_cap("trim", trim_round)
             trim_round += 1
-            has_in = e.select(F.col("dst").alias("id")).distinct()
-            has_out = e.select(F.col("src").alias("id")).distinct()
-            core = rem.join(has_in, on="id", how="semi").join(
-                has_out, on="id", how="semi"
+            roles = (
+                e.select(F.col("dst").alias("id"), F.lit(1).alias("i"), F.lit(0).alias("o"))
+                .unionAll(
+                    e.select(F.col("src").alias("id"), F.lit(0).alias("i"), F.lit(1).alias("o"))
+                )
+                .groupBy("id")
+                .agg(F.max("i").alias("has_in"), F.max("o").alias("has_out"))
+                .filter((F.col("has_in") == 1) & (F.col("has_out") == 1))
+                .select("id", F.lit(True).alias("_core"))
             )
-            trivial = rem.join(core, on="id", how="left_anti").transform(_ckpt)
+            flagged = rem.join(roles, on="id", how="left").transform(_ckpt)
+            trivial = flagged.filter(F.col("_core").isNull()).select("id")
             if trivial.limit(1).count() == 0:
                 break
             assigned_parts.append(
                 trivial.select("id", F.col("id").alias("scc_id"))
             )
-            rem = rem.join(trivial, on="id", how="left_anti").transform(_ckpt)
+            rem = flagged.filter(F.col("_core").isNotNull()).select("id")
             e = _restrict(e, rem)
         if rem.limit(1).count() == 0:
             break
@@ -1131,12 +1149,20 @@ def scc_components(
             .select("src", "dst", "c")
             .transform(_ckpt)
         )
-        members = (
+        # members accumulates as a UNION OF CHECKPOINTED PARTS — every
+        # part (roots, then each round's preds) is already
+        # materialized, so re-checkpointing the growing union each
+        # round would copy O(|SCC|) rows per round for nothing (r12:
+        # the anti-join probe reads the flat union just as well;
+        # lineage depth is the union fan-in, bounded by sweep rounds).
+        roots = (
             color.filter(F.col("id") == F.col("color"))
             .select("id", F.col("color").alias("scc_id"))
             .transform(_ckpt)
         )
-        frontier = members
+        member_parts = [roots]
+        members = roots
+        frontier = roots
         sweep_round = 0
         while True:
             _soft_cap("backward sweep", sweep_round)
@@ -1154,9 +1180,10 @@ def scc_components(
             )
             if preds.limit(1).count() == 0:
                 break
-            members = members.unionAll(preds).transform(_ckpt)
+            member_parts.append(preds)
+            members = members.unionAll(preds)
             frontier = preds
-        assigned_parts.append(members)
+        assigned_parts.extend(member_parts)
         rem = rem.join(members, on="id", how="left_anti").transform(_ckpt)
         e = _restrict(e, rem)
     leftover = rem.count()
@@ -1211,7 +1238,10 @@ def maximal_independent_set(graph: NetGraph, rounds: int = 6) -> DataFrame:
         "id", hash56(F.col("id").cast("string")).alias("pri")
     ).transform(_ckpt)
     spark = graph.vertices.sparkSession
-    mis = spark.createDataFrame([], "id long, mis_round long")
+    # winners are checkpointed per round; the cumulative MIS is a flat
+    # union of those parts (re-checkpointing the union each round
+    # copied the whole set per round for nothing — r12)
+    mis_parts: list[DataFrame] = []
     for r in range(1, rounds + 1):
         if rem.limit(1).count() == 0:
             break
@@ -1234,9 +1264,9 @@ def maximal_independent_set(graph: NetGraph, rounds: int = 6) -> DataFrame:
             .distinct()
         )
         winners = rem.join(blocked, on="id", how="left_anti").transform(_ckpt)
-        mis = mis.unionAll(
+        mis_parts.append(
             winners.select("id", F.lit(r).cast("long").alias("mis_round"))
-        ).transform(_ckpt)
+        )
         knocked = (
             sym.join(winners.select(F.col("id").alias("a")), on="a", how="semi")
             .select(F.col("b").alias("id"))
@@ -1247,6 +1277,9 @@ def maximal_independent_set(graph: NetGraph, rounds: int = 6) -> DataFrame:
             .join(knocked, on="id", how="left_anti")
             .transform(_ckpt)
         )
+    mis = spark.createDataFrame([], "id long, mis_round long")
+    for part in mis_parts:
+        mis = mis.unionAll(part)
     return mis.select(
         F.col("id").cast("long").alias("id"),
         F.col("mis_round").cast("long").alias("mis_round"),
@@ -1304,6 +1337,7 @@ def closeness_sampled(
         [(s, s, 0) for s in seeds], "seed long, id long, dist long"
     ).transform(_ckpt)
     visited = frontier
+
     for d in range(1, max_iters + 1):
         nxt = (
             sym.join(frontier, on=sym.b == frontier.id)
@@ -1315,7 +1349,14 @@ def closeness_sampled(
         )
         if nxt.limit(1).count() == 0:
             break
-        visited = visited.unionAll(nxt).transform(_ckpt)
+        # nxt is checkpointed; the cumulative set is a flat union of
+        # checkpointed parts (re-checkpointing it copied O(reached)
+        # rows per round — r12). Two-levels-per-checkpoint was
+        # prototyped here and measured SLOWER (6.1→8.5s warm at
+        # sf0.1): the chained level re-executes the first level's
+        # subtree (exchange reuse does not cover the anti-join) and
+        # the two levels serialize anyway — r12, do not re-try.
+        visited = visited.unionAll(nxt)
         frontier = nxt
     return (
         visited.filter(F.col("dist") > 0)
@@ -1392,7 +1433,10 @@ def path_counts(
         )
         if nxt.limit(1).count() == 0:
             break
-        visited = visited.unionAll(nxt).transform(_ckpt)
+        # nxt is checkpointed; the cumulative set is a flat union of
+        # checkpointed parts (re-checkpointing it copied O(reached)
+        # rows per round — r12)
+        visited = visited.unionAll(nxt)
         frontier = nxt
     return visited
 
@@ -1461,7 +1505,10 @@ def betweenness_sampled(
             break
         max_d = d
         level_of[d] = nxt
-        visited = visited.unionAll(nxt).transform(_ckpt)
+        # nxt is checkpointed; the cumulative set is a flat union of
+        # checkpointed parts (re-checkpointing it copied O(reached)
+        # rows per round — r12)
+        visited = visited.unionAll(nxt)
         frontier = nxt
     # backward accumulation, one level at a time. Each round touches
     # ONLY the two adjacent level slices (the frames the forward sweep
@@ -2433,18 +2480,25 @@ def dyad_census(og: NetGraph, pg: NetGraph) -> DataFrame:
     """
 
     def side(graph: NetGraph, tag: str) -> DataFrame:
-        e = (
-            graph.edges.select("src", "dst")
-            .filter(F.col("src") != F.col("dst"))
-            .distinct()
+        # ONE pair-keyed shuffle (r12, guide §2.3/§2.4): per canonical
+        # pair, n_dir = max(forward seen) + max(backward seen) ∈ {1,2}
+        # — plain MAX aggregates get map-side partials and absorb
+        # parallel duplicate edges, so this equals the former
+        # distinct-edges-then-count formulation (2 data-sized
+        # Exchanges) with a single Exchange on the pair key.
+        e = graph.edges.select("src", "dst").filter(
+            F.col("src") != F.col("dst")
         )
         pair_counts = (
             e.select(
                 F.least("src", "dst").alias("a"),
                 F.greatest("src", "dst").alias("b"),
+                (F.col("src") < F.col("dst")).cast("int").alias("fwd"),
             )
             .groupBy("a", "b")
-            .agg(F.count("*").alias("n_dir"))
+            .agg(
+                (F.max("fwd") + F.max(1 - F.col("fwd"))).alias("n_dir")
+            )
             .agg(
                 F.sum((F.col("n_dir") == 2).cast("long"))
                 .cast("long")
@@ -2652,7 +2706,7 @@ def bowtie_census(
             )
             if nxt.isEmpty():
                 return reached
-            reached = reached.unionAll(nxt).transform(_ckpt)
+            reached = reached.unionAll(nxt)  # parts checkpointed (r12)
             frontier = nxt
 
     fwd = reach(edges)

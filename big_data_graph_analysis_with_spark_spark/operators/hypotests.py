@@ -180,9 +180,15 @@ def ks_two_sample(documents: DataFrame) -> DataFrame:
         .cast(DEC)
         .alias("d"),
     )
-    top = diffs.agg(F.max("d").alias("d_num"))
+    # global-window argmax over the bounded distinct-lengths frame —
+    # the scalar-max self-join re-executed the documents→histogram→
+    # cumulative subtree twice per call (r12, same fix as pettitt)
+    mx = Window.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
     return (
-        diffs.join(top, diffs.d == top.d_num)
+        diffs.withColumn("d_num", F.max("d").over(mx))
+        .filter(F.col("d") == F.col("d_num"))
         .groupBy()
         .agg(
             F.max("n_a").cast("long").alias("n_a"),
@@ -722,7 +728,7 @@ def mann_kendall_trend(orders: DataFrame) -> DataFrame:
     """
     from .olap import _daily_revenue_cents
 
-    daily = _daily_revenue_cents(orders)
+    daily = _daily_revenue_cents(orders).localCheckpoint()
     a = daily.select(F.col("day").alias("di"), F.col("cents").alias("xi"))
     b = daily.select(F.col("day").alias("dj"), F.col("cents").alias("xj"))
     s = (
@@ -767,7 +773,7 @@ def runs_test_inputs(orders: DataFrame) -> DataFrame:
     """
     from .olap import _daily_revenue_cents
 
-    daily = _daily_revenue_cents(orders)
+    daily = _daily_revenue_cents(orders).localCheckpoint()
     hist = daily.groupBy("cents").agg(F.count("*").alias("cnt"))
     w_all = Window.orderBy("cents")
     cum = hist.select(
@@ -842,7 +848,7 @@ def pettitt_changepoint(orders: DataFrame) -> DataFrame:
     """
     from .olap import _daily_revenue_cents
 
-    daily = _daily_revenue_cents(orders)
+    daily = _daily_revenue_cents(orders).localCheckpoint()
     hist = daily.groupBy("cents").agg(F.count("*").alias("cnt"))
     r2 = hist.select(
         "cents", (2 * _cum_before("cents") + F.col("cnt") + 1).alias("r2")
@@ -875,9 +881,16 @@ def pettitt_changepoint(orders: DataFrame) -> DataFrame:
         .cast(DEC)
         .alias("u_abs"),
     )
-    top = dev.agg(F.max("u_abs").alias("max_abs_u"))
+    # argmax via ONE global window over the day-bounded dev frame
+    # (≤ date-range days at any SF) instead of a scalar-max self-join:
+    # the join form re-executed the whole daily→hist→rank subtree
+    # twice — orders was scanned 4× per call (r12, plan-verified)
+    mx = Window.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
     return (
-        dev.join(top, dev.u_abs == top.max_abs_u)
+        dev.withColumn("max_abs_u", F.max("u_abs").over(mx))
+        .filter(F.col("u_abs") == F.col("max_abs_u"))
         .groupBy()
         .agg(
             F.max("n").cast("long").alias("n_days"),
@@ -901,7 +914,7 @@ def seasonal_mann_kendall(orders: DataFrame) -> DataFrame:
     """
     from .olap import _daily_revenue_cents
 
-    daily = _daily_revenue_cents(orders).withColumn(
+    daily = _daily_revenue_cents(orders).localCheckpoint().withColumn(
         "moy",
         F.expr("month(date_add(DATE'1970-01-01', cast(day as int)))"),
     )
@@ -1021,6 +1034,7 @@ def daily_count_autocorr(orders: DataFrame, max_lag: int = 7) -> DataFrame:
         .select(F.expr("tus div 86400000000").alias("day"))
         .groupBy("day")
         .agg(F.count("*").alias("x"))
+        .localCheckpoint()  # feeds both lag-join sides (r12)
     )
     heads = daily.select(
         F.explode(F.sequence(F.lit(1), F.lit(max_lag))).alias("lag"),
@@ -1544,6 +1558,9 @@ def page_trend_inputs(orders: DataFrame) -> DataFrame:
         orders.select(cents.alias("cents"), ym.alias("ym"), prio.alias("prio"))
         .groupBy("ym", "prio")
         .agg(F.sum("cents").alias("v"))
+        # bounded (months x 5) cell frame feeds the spine (x2) and the
+        # zero-fill join; one fact scan instead of three (r12)
+        .localCheckpoint()
     )
     spine = (
         cells.select(F.col("ym").alias("s_ym")).distinct()

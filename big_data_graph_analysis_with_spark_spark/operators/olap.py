@@ -2895,9 +2895,15 @@ def revenue_cusum(orders: DataFrame) -> DataFrame:
         .cast(DEC)
         .alias("s_abs"),
     )
-    top = dev.agg(F.max("s_abs").alias("max_abs_cusum"))
+    # global-window argmax over the day-bounded dev frame — the
+    # scalar-max self-join re-executed the daily-revenue subtree twice
+    # per call (r12, same fix as hypotests.pettitt_changepoint)
+    mxw = Window.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
     return (
-        dev.join(top, dev.s_abs == top.max_abs_cusum)
+        dev.withColumn("max_abs_cusum", F.max("s_abs").over(mxw))
+        .filter(F.col("s_abs") == F.col("max_abs_cusum"))
         .groupBy()
         .agg(
             F.max("n").cast("long").alias("n_days"),
@@ -2998,22 +3004,35 @@ def supplier_cosupply_degree(
     lineitem twice: the distinct (part, supplier) projection collapses
     the fact table first.
     """
-    ps = lineitem.select(
-        F.col("l_partkey").alias("pk"), F.col("l_suppkey").alias("sk")
-    ).distinct()
+    # materialize the distinct projection and the capped frame ONCE:
+    # ps feeds both the fanout cap and the pair join, and kept feeds
+    # both join sides — lazily that re-executed the fact-table scan 4×
+    # per call (8 parquet scans in the physical plan, r12); now the
+    # fact is scanned once and the ≤|distinct (part,supplier)| frames
+    # are checkpointed (same discipline as winnow_overlap_pairs)
+    ps = (
+        lineitem.select(
+            F.col("l_partkey").alias("pk"), F.col("l_suppkey").alias("sk")
+        )
+        .distinct()
+        .localCheckpoint()
+    )
     fanout = ps.groupBy("pk").agg(F.count("*").alias("n_supp"))
     kept = ps.join(
         fanout.filter(F.col("n_supp") <= max_part_suppliers).select("pk"),
         "pk",
-    )
+    ).localCheckpoint()
     other = kept.select(F.col("pk"), F.col("sk").alias("sk2"))
+    # degree = COUNT(DISTINCT partner): the two-phase distinct
+    # aggregate dedups (sk, sk2) MAP-SIDE before the exchange, where
+    # the former distinct-then-count shape shuffled the full Σ fanout²
+    # pair enumeration twice (r12, guide §2.3 "aggregate before you
+    # shuffle"; 18M pairs → ≤|S|² after the partial pass at sf0.1)
     deg = (
         kept.join(other, "pk")
         .filter(F.col("sk") != F.col("sk2"))
-        .select("sk", "sk2")
-        .distinct()
         .groupBy("sk")
-        .agg(F.count("*").alias("degree"))
+        .agg(F.countDistinct("sk2").alias("degree"))
     )
     return deg.groupBy(F.col("degree").cast("long").alias("degree")).agg(
         F.count("*").cast("long").alias("n_suppliers")
@@ -3107,10 +3126,14 @@ def tukey_fence_census(lineitem: DataFrame) -> DataFrame:
     column).
     """
     cents = F.round(F.col("l_extendedprice") * 100).cast("long")
+    # the histogram feeds the quartile window AND the fence
+    # re-aggregation; materialize it once so the fact table is scanned
+    # once per call instead of twice (r12, guide §5 caching)
     hist = (
         lineitem.select(F.col("l_returnflag").alias("returnflag"), cents.alias("cents"))
         .groupBy("returnflag", "cents")
         .agg(F.count("*").alias("cnt"))
+        .localCheckpoint()
     )
     w = Window.partitionBy("returnflag").orderBy("cents")
     cum = hist.select(

@@ -41,6 +41,8 @@ def walk_simrank_round(
     og: NetGraph,
     walk_nodes: DataFrame,
     matches: DataFrame | None = None,
+    identity: DataFrame | None = None,
+    og_indeg: DataFrame | None = None,
 ) -> DataFrame:
     """One Jacobi sweep per walk subgraph, all walks at once.
 
@@ -52,8 +54,17 @@ def walk_simrank_round(
     `matches` plays the accumulator: fallback scores for parent pairs
     (`HelperFunction.scala:246-247`) and G6 pruning of already-matched
     nodes, pushed into the edge tables before the propagation join.
+
+    `identity` / `og_indeg` optionally supply the ROUND-INVARIANT
+    frames precomputed (and materialized) by the caller: the identity
+    seed appears 3-4× in every round's plan and the og in-degree table
+    once — a round loop that recomputes them pays the 10-attribute
+    vertex join and the og edge aggregation num_rounds× for nothing
+    (r12, guide §5 caching). Semantics are identical: both default to
+    the same in-plan derivation.
     """
-    identity = init_scores(pg, og)  # (pg_id, og_id, 1.0)
+    if identity is None:
+        identity = init_scores(pg, og)  # (pg_id, og_id, 1.0)
 
     # per-walk identity seed: restrict to nodes the walk visited
     walk_identity = walk_nodes.join(
@@ -102,7 +113,8 @@ def walk_simrank_round(
     walk_indeg = induced.groupBy("walk_id", "dst").agg(
         F.count("*").alias("dp")
     )
-    og_indeg = og.edges.groupBy("dst").agg(F.count("*").alias("dn"))
+    if og_indeg is None:
+        og_indeg = og.edges.groupBy("dst").agg(F.count("*").alias("dn"))
 
     contrib = (
         scores.join(

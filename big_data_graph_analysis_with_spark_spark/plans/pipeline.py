@@ -85,6 +85,18 @@ def run_pipeline(
 
         visited = walks.walk_visited_sets(walk_steps).persist()
 
+        # round-invariant SimRank inputs, materialized ONCE: the
+        # identity seed (10-attribute fingerprint join) appears 3-4×
+        # in every round's plan and the og in-degree table once per
+        # round — recomputing them num_rounds× was pure redundant
+        # work (r12, guide §5; results identical by construction)
+        from ..operators.simrank import init_scores
+
+        identity = init_scores(pg, og).localCheckpoint()
+        og_indeg = (
+            og.edges.groupBy("dst").agg(F.count("*").alias("dn"))
+        ).localCheckpoint()
+
         matches: DataFrame | None = None
         per_round_counts: list[int] = []
         for rnd in range(cfg.num_rounds):
@@ -98,7 +110,10 @@ def run_pipeline(
                     F.explode("visited").alias("id"),
                 )
             )
-            scores = walk_simrank.walk_simrank_round(pg, og, round_nodes, matches)
+            scores = walk_simrank.walk_simrank_round(
+                pg, og, round_nodes, matches,
+                identity=identity, og_indeg=og_indeg,
+            )
             candidates = scores.select("pg_id", "og_id", "score")
             best = matching.best_match(candidates, pg, og)
             valuable = matching.valuable_matches(best, og)  # G8 before accumulate

@@ -36,7 +36,8 @@ def main() -> None:
     import __spark_entry__ as entry
     from big_data_graph_analysis_with_spark_spark import get_spark
 
-    spark = get_spark(app_name="r12_micro")
+    extra = json.loads(os.environ.get("R12_EXTRA_CONF", "{}"))
+    spark = get_spark(app_name="r12_micro", extra_conf=extra or None)
     spark.sparkContext.setLogLevel("ERROR")
 
     if not cold:
