@@ -328,9 +328,16 @@ def q_simrank_round2(spark: SparkSession, sf_dir: str) -> DataFrame:
     pruning is what keeps round 2 sparse: without it the propagation
     frontier is O(Σ outdeg²) dense pairs."""
     og, pg = _graphs(spark, sf_dir)
-    r1 = simrank.simrank(pg, og, rounds=1)
+    # materialize the round-1 table and the accumulator once: the
+    # round-2 plan references r1 directly AND through the matches
+    # filter (itself referenced 4x inside simrank_round for fallback +
+    # both prunes), so the lazy chain re-executed round 1 + best_match
+    # many times over — the physical plan carried 956 parquet scans
+    # before this (r12). Results identical; this mirrors what the
+    # pipeline's round loop always did with its match table.
+    r1 = simrank.simrank(pg, og, rounds=1).localCheckpoint()
     best = matching.best_match(r1, pg, og)
-    matches = best.filter(F.col("score") > THRESHOLD)
+    matches = best.filter(F.col("score") > THRESHOLD).localCheckpoint()
     return simrank.simrank_round(r1, pg, og, matches=matches)
 
 
@@ -369,7 +376,12 @@ def q_valuable_matches(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_uncovered_valuable(spark: SparkSession, sf_dir: str) -> DataFrame:
     """T1/G11: valuable original nodes with no match — the blind spot."""
     og, pg = _graphs(spark, sf_dir)
-    best = matching.best_match(simrank.simrank(pg, og, rounds=1), pg, og)
+    # best feeds the anti-join diff via multiple references — one
+    # materialization instead of re-running round1+argmax per
+    # reference (282 parquet scans in the lazy plan, r12)
+    best = matching.best_match(
+        simrank.simrank(pg, og, rounds=1), pg, og
+    ).localCheckpoint()
     return matching.uncovered_valuable(best, og)
 
 
@@ -383,7 +395,11 @@ def q_greedy_walk_classes(spark: SparkSession, sf_dir: str) -> DataFrame:
     from big_data_graph_analysis_with_spark_spark.operators import stats
 
     og, pg = _graphs(spark, sf_dir)
-    best = matching.best_match(simrank.simrank(pg, og, rounds=1), pg, og)
+    # the TP/FP flag joins reference the classified matches twice —
+    # materialize best once (200 parquet scans in the lazy plan, r12)
+    best = matching.best_match(
+        simrank.simrank(pg, og, rounds=1), pg, og
+    ).localCheckpoint()
     classified = matching.classify_matches(best, THRESHOLD)
     walks = walks_mod.greedy_walks(pg, depth=6, n_partitions=4)
     return stats.walk_counts(stats.classify_walks(walks, classified))

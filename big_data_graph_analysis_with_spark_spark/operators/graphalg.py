@@ -275,9 +275,12 @@ def pagerank(
     """
     n = graph.vertices.count()
     base = (PR_DAMP_DEN - PR_DAMP_NUM) * PR_SCALE // (PR_DAMP_DEN * n)
+    # loop-invariant: materialized once so the per-iteration join does
+    # not re-run the edge aggregation (r12; pagerank_weighted already
+    # checkpointed its weighted equivalent)
     outdeg = graph.edges.groupBy(F.col("src").alias("id")).agg(
         F.count("*").alias("out_deg")
-    )
+    ).transform(_ckpt)
     pr = graph.vertices.select(
         "id", F.lit(PR_SCALE // n).cast("long").alias("pr_scaled")
     ).transform(_ckpt)
@@ -868,9 +871,12 @@ def personalized_pagerank(
     base_col = (
         F.when(F.col("id") == source, F.lit(base)).otherwise(F.lit(0))
     ).cast("long")
+    # loop-invariant: materialized once so the per-iteration join does
+    # not re-run the edge aggregation (r12; pagerank_weighted already
+    # checkpointed its weighted equivalent)
     outdeg = graph.edges.groupBy(F.col("src").alias("id")).agg(
         F.count("*").alias("out_deg")
-    )
+    ).transform(_ckpt)
     pr = graph.vertices.select(
         "id",
         F.when(F.col("id") == source, F.lit(PR_SCALE))

@@ -227,7 +227,15 @@ def simrank(
     exactly one in-place sweep per walk subgraph; more rounds refine the
     fixpoint)."""
     scores = init_scores(pg, og)
-    for _ in range(rounds):
+    for i in range(rounds):
+        if i > 0:
+            # materialize between rounds: a round's plan references its
+            # input 3+ times (seed, prune, anti-join, union), so lazy
+            # chaining compounds the plan per round — q_simrank_round2's
+            # physical plan carried 956 parquet scans before this (r12;
+            # simrank_fixpoint already checkpoints per iterate). The
+            # single-round call — the bench path — is untouched.
+            scores = scores.localCheckpoint()
         scores = simrank_round(
             scores,
             pg,
