@@ -728,7 +728,7 @@ def mann_kendall_trend(orders: DataFrame) -> DataFrame:
     """
     from .olap import _daily_revenue_cents
 
-    daily = _daily_revenue_cents(orders).localCheckpoint()
+    daily = _daily_revenue_cents(orders)
     a = daily.select(F.col("day").alias("di"), F.col("cents").alias("xi"))
     b = daily.select(F.col("day").alias("dj"), F.col("cents").alias("xj"))
     s = (
@@ -773,7 +773,7 @@ def runs_test_inputs(orders: DataFrame) -> DataFrame:
     """
     from .olap import _daily_revenue_cents
 
-    daily = _daily_revenue_cents(orders).localCheckpoint()
+    daily = _daily_revenue_cents(orders)
     hist = daily.groupBy("cents").agg(F.count("*").alias("cnt"))
     w_all = Window.orderBy("cents")
     cum = hist.select(
@@ -848,7 +848,7 @@ def pettitt_changepoint(orders: DataFrame) -> DataFrame:
     """
     from .olap import _daily_revenue_cents
 
-    daily = _daily_revenue_cents(orders).localCheckpoint()
+    daily = _daily_revenue_cents(orders)
     hist = daily.groupBy("cents").agg(F.count("*").alias("cnt"))
     r2 = hist.select(
         "cents", (2 * _cum_before("cents") + F.col("cnt") + 1).alias("r2")
@@ -914,7 +914,7 @@ def seasonal_mann_kendall(orders: DataFrame) -> DataFrame:
     """
     from .olap import _daily_revenue_cents
 
-    daily = _daily_revenue_cents(orders).localCheckpoint().withColumn(
+    daily = _daily_revenue_cents(orders).withColumn(
         "moy",
         F.expr("month(date_add(DATE'1970-01-01', cast(day as int)))"),
     )
@@ -1034,7 +1034,6 @@ def daily_count_autocorr(orders: DataFrame, max_lag: int = 7) -> DataFrame:
         .select(F.expr("tus div 86400000000").alias("day"))
         .groupBy("day")
         .agg(F.count("*").alias("x"))
-        .localCheckpoint()  # feeds both lag-join sides (r12)
     )
     heads = daily.select(
         F.explode(F.sequence(F.lit(1), F.lit(max_lag))).alias("lag"),
@@ -1558,9 +1557,6 @@ def page_trend_inputs(orders: DataFrame) -> DataFrame:
         orders.select(cents.alias("cents"), ym.alias("ym"), prio.alias("prio"))
         .groupBy("ym", "prio")
         .agg(F.sum("cents").alias("v"))
-        # bounded (months x 5) cell frame feeds the spine (x2) and the
-        # zero-fill join; one fact scan instead of three (r12)
-        .localCheckpoint()
     )
     spine = (
         cells.select(F.col("ym").alias("s_ym")).distinct()

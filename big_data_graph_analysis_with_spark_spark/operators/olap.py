@@ -3126,14 +3126,10 @@ def tukey_fence_census(lineitem: DataFrame) -> DataFrame:
     column).
     """
     cents = F.round(F.col("l_extendedprice") * 100).cast("long")
-    # the histogram feeds the quartile window AND the fence
-    # re-aggregation; materialize it once so the fact table is scanned
-    # once per call instead of twice (r12, guide §5 caching)
     hist = (
         lineitem.select(F.col("l_returnflag").alias("returnflag"), cents.alias("cents"))
         .groupBy("returnflag", "cents")
         .agg(F.count("*").alias("cnt"))
-        .localCheckpoint()
     )
     w = Window.partitionBy("returnflag").orderBy("cents")
     cum = hist.select(

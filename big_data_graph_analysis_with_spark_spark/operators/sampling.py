@@ -456,7 +456,7 @@ def block_bootstrap_daily_sums(
         F.sum("cents")
         .over(w.rowsBetween(Window.unboundedPreceding, 0))
         .alias("prefix"),  # prefix[i] = sum of cents at indices 0..i
-    ).localCheckpoint()  # feeds scalars + both block-end probes (r12)
+    )
     scalars = idx.agg(
         F.count("*").cast("long").alias("n"),
         F.max("prefix").cast("long").alias("total"),
