@@ -5,8 +5,11 @@ row-group filters) is not exposed as a SQL-callable function, so this
 builds the same capability from public primitives: the filter is ONE
 ROW holding a map<int, long> of 64-bit words (bit i of word w set ⇒
 some key hashed to position w·64+i), aggregated with bit_or — fully
-JVM-side, broadcastable, and engine-reproducible because the k hash
-functions are the shared seeded 56-bit MD5 family (functions/hashing).
+JVM-side and broadcastable. The k hash functions are seeded native
+xxhash64: the filter is engine-LOCAL (its correctness contract — no
+false negatives — only needs build and probe to hash identically, and
+the bloom_pruned_join oracle compares the UNPRUNED join), so it does
+not pay the md5-string hash56 family's per-row cost.
 
 Use case — semi-join pruning without a shuffle: build the filter over
 the SMALL side's keys (one aggregation to a KB-scale row), broadcast
@@ -31,16 +34,17 @@ DEFAULT_M_BITS = 1 << 17
 DEFAULT_K = 4
 
 
-def _hash56_expr(col_expr: str, seed: int) -> str:
-    """Spark-SQL string form of functions.hashing.hash56 (seeded)."""
-    return (
-        f"cast(conv(substring(md5(cast(concat('{seed}:', cast(({col_expr}) as string))"
-        f" as string)), 1, 14), 16, 10) as bigint)"
-    )
-
-
 def _positions(col_expr: str, m_bits: int, k: int) -> list[str]:
-    return [f"({_hash56_expr(col_expr, seed=j)} % {m_bits})" for j in range(k)]
+    """k seeded bit positions per key — native xxhash64, NOT the md5
+    hash56 family: the filter never crosses engines (the
+    bloom_pruned_join oracle compares the UNPRUNED join, and the
+    no-false-negative safety only needs build and probe to hash
+    identically), while the md5 path cost a string concat + md5 + hex
+    conv PER ROW PER HASH on the 100 TB probe side (and twice that in
+    might_contain, whose word and bit tests each inline the position)."""
+    return [
+        f"pmod(xxhash64({j}L, ({col_expr})), {m_bits})" for j in range(k)
+    ]
 
 
 def build_bloom(

@@ -261,13 +261,24 @@ def type_projection(events: DataFrame, max_types_per_user: int = 64) -> DataFram
     signal). One distinct + one self-join keyed on user_id + one
     aggregation; the projection never touches event payloads.
     """
-    ut = events.select("user_id", "event_type").distinct()
+    # the distinct (user, type) relation feeds the cap aggregate and
+    # both self-join sides; a lazy localCheckpoint materializes the
+    # scan+distinct shuffle once instead of four times per plan (lazy —
+    # no extra job: it fills on the first action, the
+    # retention_cohorts pattern)
+    ut = (
+        events.select("user_id", "event_type")
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
     caps = ut.groupBy("user_id").agg(F.count("*").alias("nt"))
+    # the capped relation is BOTH self-join sides — checkpoint it too
+    # (lazy) so the cap aggregate + semi join run once, not twice
     ut = ut.join(
         caps.filter(F.col("nt") <= max_types_per_user).select("user_id"),
         on="user_id",
         how="semi",
-    )
+    ).localCheckpoint(eager=False)
     a = ut.select("user_id", F.col("event_type").alias("type_a"))
     b = ut.select("user_id", F.col("event_type").alias("type_b"))
     return (
@@ -290,7 +301,10 @@ def churned_users(events: DataFrame, split: tuple[int, int] = (1, 2)) -> DataFra
     on user_id only.
     """
     num, den = split
-    d = _days(events)
+    # (user, day) feeds the range aggregate and both halves of the
+    # split — lazy checkpoint so the scan+distinct runs once per action
+    # instead of three times (the retention_cohorts pattern)
+    d = _days(events).localCheckpoint(eager=False)
     rng = d.agg(
         F.min("day").alias("lo"), F.max("day").alias("hi")
     )

@@ -153,9 +153,19 @@ def term_cooccurrence(
     restricted to the broadcast top-vocabulary BEFORE the per-doc
     self-join — never a free n² over full documents. The vocabulary cut
     itself is a TakeOrderedAndProject heavy-hitter pass."""
-    toks = docs.select(
-        "doc_id", F.explode(F.split(F.col("text"), " ")).alias("token")
-    ).distinct()
+    # the distinct (doc, token) relation feeds the heavy-hitter cut AND
+    # both self-join sides — three lazy re-executions of the
+    # scan+explode+distinct shuffle per plan in a bare session (the
+    # three consumers' exchanges are not identical, so AQE stage reuse
+    # does not cover them). Lazy checkpoint: materialized once at the
+    # first action, no extra eager job, downstream plan stays visible.
+    toks = (
+        docs.select(
+            "doc_id", F.explode(F.split(F.col("text"), " ")).alias("token")
+        )
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
     top = (
         toks.groupBy("token")
         .agg(F.count("*").cast("long").alias("df"))

@@ -262,7 +262,10 @@ def quality_percentile_filter(
     qs = quality_scores(docs).select(
         "doc_id",
         (F.round(F.col("quality") * 1_000_000)).cast("long").alias("quality_ppm"),
-    )
+    ).localCheckpoint(eager=False)
+    # lazy checkpoint: the scored frame feeds the histogram AND the
+    # final gate — one scoring pass per action instead of two, with no
+    # extra eager job
     hist = qs.groupBy("quality_ppm").agg(F.count("*").alias("cnt"))
     w = Window.orderBy("quality_ppm").rowsBetween(
         Window.unboundedPreceding, 0

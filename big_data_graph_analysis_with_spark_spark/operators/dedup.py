@@ -189,9 +189,17 @@ def ngram_jaccard_pairs(
     the property tests/test_dataops.py asserts. Off by default and off
     in the oracle-checked query; at 100 TB it is mandatory.
     """
-    shingles = word_shingles(docs, n)
+    # the shingle relation feeds every downstream consumer (df cap,
+    # both inverted-index sides, size table, both verify sides) — up to
+    # SIX lazy re-executions of the scan+explode subtree per plan in a
+    # bare session. Same persist discipline as minhash_lsh_pairs: pin
+    # it, run the (bounded-output) dedup eagerly, drop the cache before
+    # returning so it never outlives the call.
+    shingles = word_shingles(docs, n).persist()
     if max_shingle_df is None:
-        return _pair_jaccard(shingles, threshold)
+        result = _pair_jaccard(shingles, threshold).localCheckpoint()
+        shingles.unpersist()
+        return result
     rare = (
         shingles.groupBy("shingle")
         .agg(F.count("*").alias("df"))
@@ -207,7 +215,9 @@ def ngram_jaccard_pairs(
         .select("doc_a", "doc_b")
         .distinct()
     )
-    return _verify_jaccard(cands, shingles, threshold)
+    result = _verify_jaccard(cands, shingles, threshold).localCheckpoint()
+    shingles.unpersist()
+    return result
 
 
 def minhash_signatures(shingles: DataFrame, num_hashes: int = NUM_HASHES) -> DataFrame:
@@ -243,6 +253,15 @@ def minhash_lsh_pairs(
     sigs = minhash_signatures(shingles, num_hashes)
     rpb = num_hashes // num_bands
 
+    # NOTE (r12, measured): this union-of-band-selects looks like it
+    # re-runs the minhash aggregation once per band per join side, but
+    # AQE's runtime stage reuse dedups the identical signature
+    # exchange, so the duplication is plan-cosmetic. Rewriting it as a
+    # single aggregation + band-array explode (with or without an
+    # eager signature checkpoint) measured 1.5-1.6× SLOWER end-to-end
+    # (min-of-5, paired processes: 4.6s → 7.3s) — the explode variant
+    # adds a materialization barrier the reused stages never pay. Do
+    # not re-try.
     bands = None
     for b in range(num_bands):
         cols = [F.col(f"mh_{b * rpb + r}") for r in range(rpb)]
@@ -280,19 +299,20 @@ def minhash_lsh_pairs(
 def simhash_signatures(docs: DataFrame, bits: int = SIMHASH_BITS) -> DataFrame:
     """(doc_id, simhash): 56-bit SimHash over token-frequency weights.
 
-    Each bit k is the sign of Σ_tokens cnt·(2·bit_k(hash(token))−1).
-    The 56 signed sums are plain aggregate columns — no explode, one
-    shuffle on doc_id with map-side partial aggregation.
+    Each bit k is the sign of Σ_tokens cnt·(2·bit_k(hash(token))−1),
+    computed directly over token OCCURRENCES: summing (2·bit−1) per
+    occurrence is integer-identical to the cnt-weighted sum over
+    distinct words, and it drops the former (doc_id, w) pre-count —
+    a full shuffle of the token stream — leaving ONE doc_id shuffle
+    whose map-side partial aggregation emits a single 56-column row
+    per document per map partition.
     """
-    tok = (
-        docs.select("doc_id", F.explode(F.split("text", " ")).alias("w"))
-        .groupBy("doc_id", "w")
-        .agg(F.count("*").alias("cnt"))
-        .withColumn("h", hash56("w"))
-    )
+    tok = docs.select(
+        "doc_id", F.explode(F.split("text", " ")).alias("w")
+    ).select("doc_id", hash56("w").alias("h"))
     sums = tok.groupBy("doc_id").agg(
         *[
-            F.sum(F.col("cnt") * (bit_of(F.col("h"), k) * 2 - 1)).alias(f"s{k}")
+            F.sum(bit_of(F.col("h"), k) * 2 - 1).alias(f"s{k}")
             for k in range(bits)
         ]
     )

@@ -62,8 +62,19 @@ def cosine_topk(
     task while 31 cores idled). The repartition decouples that fan-out
     from file layout for one corpus-sized shuffle.
     """
-    comp = _decimal_components(spread_before_explode(emb))
-    qcomp = _decimal_components(queries).select(
+    # the exploded decimal components feed the norm aggregation AND the
+    # dot join (and the query side feeds two more consumers) — without
+    # a materialization each consumer re-runs scan+posexplode+cast in a
+    # bare session (8 parquet scans in the audited plan). Same lever as
+    # embedding_cosine_pairs: checkpoint the N·d component frame once.
+    comp = _decimal_components(spread_before_explode(emb)).localCheckpoint()
+    if queries is emb:
+        # knn_graph passes the corpus as its own query set — reuse the
+        # materialized components instead of re-deriving them
+        qsrc = comp
+    else:
+        qsrc = _decimal_components(queries)
+    qcomp = qsrc.select(
         F.col("vec_id").alias("query_id"), "j", F.col("x").alias("qx")
     )
     norms = comp.groupBy("vec_id").agg(F.sum(F.col("x") * F.col("x")).alias("nsq"))
@@ -520,16 +531,51 @@ def embedding_covariance(emb: DataFrame) -> DataFrame:
     All sums run in DECIMAL(18,9) fixed point (`_decimal_components`),
     so the statistics are partition-order-independent and the DuckDB
     oracle hash-matches — the audit property a drift monitor needs.
-    Cost: one self-join on vec_id expanding each vector to its
-    d·(d+1)/2 component pairs, then a partial-aggregated groupBy on
-    (j, l) — each map task emits at most 2,080 pre-combined rows
-    regardless of N."""
-    comp = _decimal_components(emb)
-    a = comp.select("vec_id", F.col("j"), F.col("x"))
-    b = comp.select(
-        "vec_id", F.col("j").alias("l"), F.col("x").alias("y")
+    Cost: the d·(d+1)/2 component pairs are generated PER ROW by a
+    codegen'd nested transform over the embedding array (the former
+    vec_id self-join shuffled the N·d exploded component table twice
+    just to pair a row with itself), then a partial-aggregated groupBy
+    on (j, l) — each map task emits at most 2,080 pre-combined rows
+    regardless of N, and no exchange ever carries row-proportional
+    data."""
+    from decimal import Decimal
+
+    def _dec(xf):
+        # identical expression to _decimal_components: nano-unit
+        # integer → DECIMAL(18,9), so sums are bit-identical to the
+        # former exploded formulation
+        nanos = F.round(xf.cast("double") * F.lit(1e9)).cast("decimal(18,0)")
+        return (nanos * F.lit(Decimal("0.000000001"))).cast("decimal(18,9)")
+
+    # the component array is projected into a REAL column before any
+    # element_at touches it — indexing the transform expression itself
+    # would re-evaluate the whole per-element decimal conversion on
+    # every access (O(d³) per row)
+    base = emb.select(F.transform(F.col("embedding"), _dec).alias("c"))
+    last = F.size("c") - 1
+    pair_rows = F.flatten(
+        F.transform(
+            F.sequence(F.lit(0), last),
+            lambda j: F.transform(
+                F.sequence(j, last),
+                lambda l: F.struct(
+                    j.cast("int").alias("j"),
+                    l.cast("int").alias("l"),
+                    F.element_at(F.col("c"), j + 1).alias("x"),
+                    F.element_at(F.col("c"), l + 1).alias("y"),
+                ),
+            ),
+        )
     )
-    pairs = a.join(b, on="vec_id").filter(F.col("j") <= F.col("l"))
+    empty_pairs = F.array().cast(
+        "array<struct<j:int,l:int,x:decimal(18,9),y:decimal(18,9)>>"
+    )
+    pairs = base.select(
+        F.explode(
+            F.when(F.size("c") > 0, pair_rows).otherwise(empty_pairs)
+        ).alias("p")
+    ).select(F.col("p.j").alias("j"), F.col("p.l").alias("l"), "p.x", "p.y")
+    comp = _decimal_components(emb)
     marg = comp.groupBy("j").agg(F.sum("x").alias("s"))
     stats = pairs.groupBy("j", "l").agg(
         F.count("*").cast("long").alias("n_vecs"),
