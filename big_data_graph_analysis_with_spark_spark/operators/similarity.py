@@ -43,6 +43,17 @@ NUM_TABLES = 8
 PLANES_PER_TABLE = 6
 
 
+def _corpus_components(emb: DataFrame) -> DataFrame:
+    """The corpus-side exploded decimal components, round-robin spread
+    BEFORE the explode (the fan-out rule from
+    `curation.ngram_novelty_profile`). This is exactly the subtree
+    `cosine_topk` localCheckpoints; it is a named function so the
+    spread-guard plan test can assert on the pre-checkpoint lineage
+    (the checkpoint truncates the executed plan to a Scan ExistingRDD,
+    hiding the RoundRobinPartitioning from the final plan string)."""
+    return _decimal_components(spread_before_explode(emb))
+
+
 def cosine_topk(
     emb: DataFrame, queries: DataFrame, k: int = 5
 ) -> DataFrame:
@@ -67,7 +78,7 @@ def cosine_topk(
     # a materialization each consumer re-runs scan+posexplode+cast in a
     # bare session (8 parquet scans in the audited plan). Same lever as
     # embedding_cosine_pairs: checkpoint the N·d component frame once.
-    comp = _decimal_components(spread_before_explode(emb)).localCheckpoint()
+    comp = _corpus_components(emb).localCheckpoint()
     if queries is emb:
         # knn_graph passes the corpus as its own query set — reuse the
         # materialized components instead of re-deriving them

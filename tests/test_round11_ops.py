@@ -163,13 +163,21 @@ class TestSpreadRuleInPlans:
         assert "RoundRobinPartitioning" in plan
 
     def test_cosine_topk_plan_has_spread(self, spark):
+        # cosine_topk localCheckpoints its corpus components, which
+        # truncates the final plan to a Scan ExistingRDD — assert the
+        # spread on the pre-checkpoint subtree it materializes
+        # (similarity._corpus_components), and that cosine_topk really
+        # consumes the checkpointed frame (ExistingRDD in its plan).
         from big_data_graph_analysis_with_spark_spark.operators import similarity
 
         emb = _read(spark, SF0001, "embeddings")
+        pre = similarity._corpus_components(emb)._jdf.queryExecution(
+        ).executedPlan().toString()
+        assert "RoundRobinPartitioning" in pre
         q = emb.filter(F.col("vec_id") % 100 == 0)
         plan = similarity.cosine_topk(emb, q, k=3)._jdf.queryExecution(
         ).executedPlan().toString()
-        assert "RoundRobinPartitioning" in plan
+        assert "ExistingRDD" in plan
 
 
 def _disk_only_rdd_ids(spark) -> set[int]:
