@@ -31,6 +31,7 @@ reproduces results bit-for-bit:
 
 from __future__ import annotations
 
+import os
 import threading
 from contextlib import contextmanager
 
@@ -89,16 +90,55 @@ def _narrow_shuffle(graph: NetGraph, n_vertices: int | None = None):
         _NARROW_LOCAL.width = prev
 
 
+# r12 A/B knob (temporary): "1" restores the pre-r12 eager checkpoint
+# behavior in `_ckpt_lazy`/`_empty` for paired measurement.
+_CKPT_EAGER = os.environ.get("R12_CKPT_EAGER", "0") == "1"
+
+
 def _ckpt(df: DataFrame) -> DataFrame:
-    """Materialize a loop frame: localCheckpoint, coalesced to the
-    armed narrow width when a `_narrow_shuffle` context is open on this
-    thread. The coalesce folds into the frame's final stage (no extra
-    shuffle) and fixes the checkpointed RDD's partition count, so every
-    later round reads/schedules `_NARROW_WIDTH` tasks instead of the
-    session's full width. Use via ``.transform(_ckpt)`` to keep method
-    chains."""
+    """Materialize a shared frame EAGERLY: localCheckpoint, coalesced
+    to the armed narrow width when a `_narrow_shuffle` context is open
+    on this thread. The coalesce folds into the frame's final stage (no
+    extra shuffle) and fixes the checkpointed RDD's partition count, so
+    every later round reads/schedules `_NARROW_WIDTH` tasks instead of
+    the session's full width. Use via ``.transform(_ckpt)`` to keep
+    method chains.
+
+    Eager is the right shape for frames consumed MORE THAN ONCE inside
+    a single downstream job (self-joins, multi-branch summaries like
+    `reciprocity`): a lazily-marked RDD first touched by two branches
+    of one job can be computed per branch before the block lands. Loop
+    iterates whose very next action is their own probe use
+    `_ckpt_lazy` instead."""
     w = getattr(_NARROW_LOCAL, "width", None)
     return (df.coalesce(w) if w else df).localCheckpoint()
+
+
+def _ckpt_lazy(df: DataFrame) -> DataFrame:
+    """`_ckpt` for LOOP ITERATES: the checkpoint is lazy, so the
+    round's own probe action (`_empty`, the convergence sum) — or, in
+    probe-less fixed-iteration loops, the next round's single consumer
+    — is the job that fills it. Each round then costs one driver
+    action instead of an eager-checkpoint job plus the probe job; the
+    logical plan is truncated to a LogicalRDD exactly as with `_ckpt`.
+    Only safe where the first job that touches the frame references it
+    once (loop iterates do; shared self-join frames do not — use
+    `_ckpt`)."""
+    w = getattr(_NARROW_LOCAL, "width", None)
+    return (df.coalesce(w) if w else df).localCheckpoint(eager=_CKPT_EAGER)
+
+
+def _empty(df: DataFrame) -> bool:
+    """Loop emptiness probe, paired with `_ckpt_lazy`: a FULL count
+    materializes every partition of the lazily-checkpointed frame
+    inside the probe job (a limit(1) take would compute a partition
+    subset and leave the checkpoint fill to a follow-up job, recreating
+    the two-job round). Frontier/iterate frames here are
+    vertex-bounded, so the full count of a frame the round must
+    materialize anyway is not extra work."""
+    if _CKPT_EAGER:
+        return df.limit(1).count() == 0
+    return df.count() == 0
 
 
 def _narrowed(fn):
@@ -210,10 +250,10 @@ def connected_components(
         und = undirected_edges(graph)
         sym = und.unionAll(
             und.select(F.col("b").alias("a"), F.col("a").alias("b"))
-        ).transform(_ckpt)
+        ).transform(_ckpt_lazy)
     labels = graph.vertices.select(
         "id", F.col("id").alias("component_id")
-    ).transform(_ckpt)
+    ).transform(_ckpt_lazy)
     # convergence via the MONOTONE label sum: min-labels only ever
     # decrease, so an unchanged Σ ⇔ fixpoint — one scan aggregate per
     # round instead of an anti-join job (decimal accumulation so the
@@ -235,7 +275,7 @@ def connected_components(
                     F.col("component_id"), F.coalesce("nbr", F.col("component_id"))
                 ).alias("component_id"),
             )
-            .transform(_ckpt)
+            .transform(_ckpt_lazy)
         )
         new_sum = new_labels.agg(
             F.sum(F.col("component_id").cast("decimal(38,0)"))
@@ -283,7 +323,7 @@ def pagerank(
     ).transform(_ckpt)
     pr = graph.vertices.select(
         "id", F.lit(PR_SCALE // n).cast("long").alias("pr_scaled")
-    ).transform(_ckpt)
+    ).transform(_ckpt_lazy)
     edges = graph.edges.select("src", "dst")
     if not edges_stable:
         edges = edges.transform(_ckpt)
@@ -307,7 +347,7 @@ def pagerank(
                     )
                 ).cast("long").alias("pr_scaled"),
             )
-            .transform(_ckpt)
+            .transform(_ckpt_lazy)
         )
     return pr
 
@@ -691,8 +731,9 @@ def bfs_distances(
     Frontier BFS: each round joins the current frontier to the edge
     list and anti-joins the visited set — one shuffle per round,
     O(diameter) rounds, frontier-bounded traffic (never the whole
-    graph). Iterates are localCheckpointed so lineage stays flat; the
-    per-round emptiness probe is limit(1).count(), not a full count.
+    graph). Iterates are lazily localCheckpointed so lineage stays
+    flat; the per-round emptiness probe (`_empty`) is the job that
+    materializes each frontier.
 
     ``edges_stable=True`` declares `graph.edges` is already a
     materialized table scan (e.g. the src-bucketed catalog tables from
@@ -706,7 +747,7 @@ def bfs_distances(
         source = graph.vertices.agg(F.min("id")).first()[0]
     edges = graph.edges.select("src", "dst")
     if not edges_stable:
-        edges = edges.distinct().transform(_ckpt)
+        edges = edges.distinct().transform(_ckpt_lazy)
     frontier = (
         graph.vertices.filter(F.col("id") == source)
         .select("id", F.lit(0).cast("long").alias("dist"))
@@ -720,9 +761,9 @@ def bfs_distances(
             .distinct()
             .join(visited, on="id", how="left_anti")
             .select("id", F.lit(d).cast("long").alias("dist"))
-            .transform(_ckpt)
+            .transform(_ckpt_lazy)
         )
-        if nxt.limit(1).count() == 0:
+        if _empty(nxt):
             break
         # nxt is checkpointed; the cumulative set is a flat union of
         # checkpointed parts (re-checkpointing it copied O(reached)
@@ -760,7 +801,7 @@ def kcore_vertices(
         und = undirected_edges(graph)
         active = und.unionAll(
             und.select(F.col("b").alias("a"), F.col("a").alias("b"))
-        ).transform(_ckpt)
+        ).transform(_ckpt_lazy)
     keep = None
     prev_edges = active.count()
     for _ in range(rounds):
@@ -770,7 +811,7 @@ def kcore_vertices(
             active.join(keep.withColumnRenamed("id", "a"), on="a", how="left_semi")
             .join(keep.withColumnRenamed("id", "b"), on="b", how="left_semi")
             .select("a", "b")
-            .transform(_ckpt)
+            .transform(_ckpt_lazy)
         )
         n_edges = active.count()
         if n_edges == prev_edges:
@@ -816,11 +857,11 @@ def sssp_distances(
         weight = (F.col("src") * 7 + F.col("dst")) % 1000
     wedges = graph.edges.select("src", "dst", weight.cast("long").alias("w"))
     if not edges_stable:
-        wedges = wedges.transform(_ckpt)
+        wedges = wedges.transform(_ckpt_lazy)
     dist = (
         graph.vertices.filter(F.col("id") == source)
         .select("id", F.lit(0).cast("long").alias("d"))
-        .transform(_ckpt)
+        .transform(_ckpt_lazy)
     )
     # convergence via the monotone (reached-count, Σdist) pair:
     # distances only ever decrease pointwise and the reached set only
@@ -842,7 +883,7 @@ def sssp_distances(
             dist.unionByName(relaxed)
             .groupBy("id")
             .agg(F.min("d").alias("d"))
-            .transform(_ckpt)
+            .transform(_ckpt_lazy)
         )
         cur = _state(new_dist)
         dist = new_dist
@@ -883,7 +924,7 @@ def personalized_pagerank(
         .otherwise(F.lit(0))
         .cast("long")
         .alias("pr_scaled"),
-    ).transform(_ckpt)
+    ).transform(_ckpt_lazy)
     edges = graph.edges.select("src", "dst")
     if not edges_stable:
         edges = edges.transform(_ckpt)
@@ -907,7 +948,7 @@ def personalized_pagerank(
                     )
                 ).cast("long").alias("pr_scaled"),
             )
-            .transform(_ckpt)
+            .transform(_ckpt_lazy)
         )
     return pr
 
@@ -919,7 +960,7 @@ def _bfs_sym(edges_sym: DataFrame, source: int, max_iters: int) -> DataFrame:
     spark = edges_sym.sparkSession
     frontier = spark.createDataFrame(
         [(source, 0)], "id long, dist long"
-    ).transform(_ckpt)
+    ).transform(_ckpt_lazy)
     visited = frontier
     for d in range(1, max_iters + 1):
         nxt = (
@@ -928,9 +969,9 @@ def _bfs_sym(edges_sym: DataFrame, source: int, max_iters: int) -> DataFrame:
             .distinct()
             .join(visited, on="id", how="left_anti")
             .select("id", F.lit(d).cast("long").alias("dist"))
-            .transform(_ckpt)
+            .transform(_ckpt_lazy)
         )
-        if nxt.limit(1).count() == 0:
+        if _empty(nxt):
             break
         # nxt is checkpointed; the cumulative set is a flat union of
         # checkpointed parts (re-checkpointing it copied O(reached)
@@ -967,7 +1008,7 @@ def diameter_double_sweep(
         und = undirected_edges(graph)
         sym = und.unionAll(
             und.select(F.col("b").alias("a"), F.col("a").alias("b"))
-        ).transform(_ckpt)
+        ).transform(_ckpt_lazy)
     seed = graph.vertices.agg(F.min("id")).first()[0]
     d1 = _bfs_sym(sym, seed, max_iters)
     peak = d1.orderBy(F.col("dist").desc(), F.col("id").asc()).first()
@@ -1057,7 +1098,7 @@ def scc_components(
         .distinct()
         .transform(_ckpt)
     )
-    rem = graph.vertices.select("id").transform(_ckpt)
+    rem = graph.vertices.select("id").transform(_ckpt_lazy)
     spark = graph.vertices.sparkSession
     # assignment accumulator: write-only until the final union — keep
     # the parts in a driver-side LIST of (checkpointed) frames instead
@@ -1073,7 +1114,7 @@ def scc_components(
         )
 
     for _ in range(max_outer):
-        if rem.limit(1).count() == 0:
+        if _empty(rem):
             break
         # -- 1. trim singleton SCCs (in-deg 0 or out-deg 0 in the core).
         # One endpoint-role aggregation replaces the previous
@@ -1096,22 +1137,22 @@ def scc_components(
                 .filter((F.col("has_in") == 1) & (F.col("has_out") == 1))
                 .select("id", F.lit(True).alias("_core"))
             )
-            flagged = rem.join(roles, on="id", how="left").transform(_ckpt)
+            flagged = rem.join(roles, on="id", how="left").transform(_ckpt_lazy)
             trivial = flagged.filter(F.col("_core").isNull()).select("id")
-            if trivial.limit(1).count() == 0:
+            if _empty(trivial):
                 break
             assigned_parts.append(
                 trivial.select("id", F.col("id").alias("scc_id"))
             )
             rem = flagged.filter(F.col("_core").isNotNull()).select("id")
             e = _restrict(e, rem)
-        if rem.limit(1).count() == 0:
+        if _empty(rem):
             break
         # -- 2. forward max-color fixpoint. Convergence is detected by
         # the MONOTONE color sum: colors only ever increase, so an
         # unchanged Σcolor ⇔ no vertex changed ⇔ fixpoint — one scan
         # aggregate per round instead of an anti-join job.
-        color = rem.select("id", F.col("id").alias("color")).transform(_ckpt)
+        color = rem.select("id", F.col("id").alias("color")).transform(_ckpt_lazy)
         prev_sum = color.agg(F.sum(F.col("color").cast("decimal(38,0)"))).first()[0]
         color_round = 0
         while True:
@@ -1132,7 +1173,7 @@ def scc_components(
                         F.col("color"), F.coalesce("nbr", F.col("color"))
                     ).alias("color"),
                 )
-                .transform(_ckpt)
+                .transform(_ckpt_lazy)
             )
             new_sum = newc.agg(F.sum(F.col("color").cast("decimal(38,0)"))).first()[0]
             color = newc
@@ -1153,7 +1194,7 @@ def scc_components(
             )
             .filter(F.col("c") == F.col("c_dst"))
             .select("src", "dst", "c")
-            .transform(_ckpt)
+            .transform(_ckpt_lazy)
         )
         # members accumulates as a UNION OF CHECKPOINTED PARTS — every
         # part (roots, then each round's preds) is already
@@ -1164,7 +1205,7 @@ def scc_components(
         roots = (
             color.filter(F.col("id") == F.col("color"))
             .select("id", F.col("color").alias("scc_id"))
-            .transform(_ckpt)
+            .transform(_ckpt_lazy)
         )
         member_parts = [roots]
         members = roots
@@ -1182,9 +1223,9 @@ def scc_components(
                 .select(F.col("src").alias("id"), "scc_id")
                 .distinct()
                 .join(members, on="id", how="left_anti")
-                .transform(_ckpt)
+                .transform(_ckpt_lazy)
             )
-            if preds.limit(1).count() == 0:
+            if _empty(preds):
                 break
             member_parts.append(preds)
             members = members.unionAll(preds)
@@ -1242,14 +1283,14 @@ def maximal_independent_set(graph: NetGraph, rounds: int = 6) -> DataFrame:
     ).transform(_ckpt)
     rem = graph.vertices.select(
         "id", hash56(F.col("id").cast("string")).alias("pri")
-    ).transform(_ckpt)
+    ).transform(_ckpt_lazy)
     spark = graph.vertices.sparkSession
     # winners are checkpointed per round; the cumulative MIS is a flat
     # union of those parts (re-checkpointing the union each round
     # copied the whole set per round for nothing — r12)
     mis_parts: list[DataFrame] = []
     for r in range(1, rounds + 1):
-        if rem.limit(1).count() == 0:
+        if _empty(rem):
             break
         pairs = (
             sym.join(
@@ -1281,7 +1322,7 @@ def maximal_independent_set(graph: NetGraph, rounds: int = 6) -> DataFrame:
         rem = (
             rem.join(winners, on="id", how="left_anti")
             .join(knocked, on="id", how="left_anti")
-            .transform(_ckpt)
+            .transform(_ckpt_lazy)
         )
     mis = spark.createDataFrame([], "id long, mis_round long")
     for part in mis_parts:
@@ -1333,7 +1374,7 @@ def closeness_sampled(
         und = undirected_edges(graph)
         sym = und.unionAll(
             und.select(F.col("b").alias("a"), F.col("a").alias("b"))
-        ).transform(_ckpt)
+        ).transform(_ckpt_lazy)
     spark = graph.vertices.sparkSession
     seeds = [
         int(r["id"])
@@ -1341,7 +1382,7 @@ def closeness_sampled(
     ]
     frontier = spark.createDataFrame(
         [(s, s, 0) for s in seeds], "seed long, id long, dist long"
-    ).transform(_ckpt)
+    ).transform(_ckpt_lazy)
     visited = frontier
 
     for d in range(1, max_iters + 1):
@@ -1351,9 +1392,9 @@ def closeness_sampled(
             .distinct()
             .join(visited, on=["seed", "id"], how="left_anti")
             .select("seed", "id", F.lit(d).cast("long").alias("dist"))
-            .transform(_ckpt)
+            .transform(_ckpt_lazy)
         )
-        if nxt.limit(1).count() == 0:
+        if _empty(nxt):
             break
         # nxt is checkpointed; the cumulative set is a flat union of
         # checkpointed parts (re-checkpointing it copied O(reached)
@@ -1415,7 +1456,7 @@ def path_counts(
         source = graph.vertices.agg(F.min("id")).first()[0]
     edges = graph.edges.select("src", "dst").distinct()
     if not edges_stable:
-        edges = edges.transform(_ckpt)
+        edges = edges.transform(_ckpt_lazy)
     frontier = (
         graph.vertices.filter(F.col("id") == source)
         .select(
@@ -1435,9 +1476,9 @@ def path_counts(
             .agg(F.sum("n_paths").alias("n_paths"))
             .join(visited.select("id"), on="id", how="left_anti")
             .select("id", F.lit(d).cast("long").alias("dist"), "n_paths")
-            .transform(_ckpt)
+            .transform(_ckpt_lazy)
         )
-        if nxt.limit(1).count() == 0:
+        if _empty(nxt):
             break
         # nxt is checkpointed; the cumulative set is a flat union of
         # checkpointed parts (re-checkpointing it copied O(reached)
@@ -1482,7 +1523,7 @@ def betweenness_sampled(
     """
     edges = graph.edges.select("src", "dst").distinct()
     if not edges_stable:
-        edges = edges.transform(_ckpt)
+        edges = edges.transform(_ckpt_lazy)
     spark = graph.vertices.sparkSession
     seeds = [
         int(r["id"])
@@ -1491,7 +1532,7 @@ def betweenness_sampled(
     frontier = spark.createDataFrame(
         [(s, s, 0, 1) for s in seeds],
         "seed long, id long, dist long, n_paths long",
-    ).transform(_ckpt)
+    ).transform(_ckpt_lazy)
     visited = frontier
     level_of = {0: frontier}
     max_d = 0
@@ -1505,9 +1546,9 @@ def betweenness_sampled(
             .agg(F.sum("n_paths").alias("n_paths"))
             .join(visited.select("seed", "id"), on=["seed", "id"], how="left_anti")
             .select("seed", "id", F.lit(d).cast("long").alias("dist"), "n_paths")
-            .transform(_ckpt)
+            .transform(_ckpt_lazy)
         )
-        if nxt.limit(1).count() == 0:
+        if _empty(nxt):
             break
         max_d = d
         level_of[d] = nxt
@@ -1598,12 +1639,14 @@ def pagerank_weighted(graph: NetGraph, iters: int = 4) -> DataFrame:
         "dst",
         (F.round(F.col("cost") * 1000).cast("long") + 1).alias("w"),
     ).transform(_ckpt)
+    # loop-invariant like pagerank's outdeg: materialized once so the
+    # per-iteration join does not re-aggregate the weight sums (r12)
     wsum = edges.groupBy(F.col("src").alias("id")).agg(
         F.sum("w").alias("wtot")
-    )
+    ).transform(_ckpt)
     pr = graph.vertices.select(
         "id", F.lit(PR_SCALE // n).cast("long").alias("pr_scaled")
-    ).transform(_ckpt)
+    ).transform(_ckpt_lazy)
     for _ in range(iters):
         contribs = (
             pr.join(wsum, on="id")
@@ -1624,7 +1667,7 @@ def pagerank_weighted(graph: NetGraph, iters: int = 4) -> DataFrame:
                     )
                 ).cast("long").alias("pr_scaled"),
             )
-            .transform(_ckpt)
+            .transform(_ckpt_lazy)
         )
     return pr
 
@@ -2689,10 +2732,12 @@ def bowtie_census(
     if extra_edges is not None:
         edges = edges.unionAll(extra_edges.select("src", "dst"))
     edges = (
-        edges.filter(F.col("src") != F.col("dst")).distinct().transform(_ckpt)
+        edges.filter(F.col("src") != F.col("dst"))
+        .distinct()
+        .transform(_ckpt_lazy)
     )
 
-    scc = scc_components(graph, extra_edges=extra_edges).transform(_ckpt)
+    scc = scc_components(graph, extra_edges=extra_edges).transform(_ckpt_lazy)
     sizes = scc.groupBy("scc_id").agg(F.count("*").alias("n"))
     core_id = sizes.orderBy(F.col("n").desc(), F.col("scc_id").asc()).limit(1)
     core = scc.join(
@@ -2700,7 +2745,7 @@ def bowtie_census(
     ).select("id")
 
     def reach(e: DataFrame) -> DataFrame:
-        reached = core.transform(_ckpt)
+        reached = core.transform(_ckpt_lazy)
         frontier = reached
         while True:
             nxt = (
@@ -2708,9 +2753,9 @@ def bowtie_census(
                 .select(F.col("dst").alias("id"))
                 .distinct()
                 .join(reached, on="id", how="left_anti")
-                .transform(_ckpt)
+                .transform(_ckpt_lazy)
             )
-            if nxt.isEmpty():
+            if _empty(nxt):
                 return reached
             reached = reached.unionAll(nxt)  # parts checkpointed (r12)
             frontier = nxt

@@ -197,7 +197,7 @@ def bpe_merges(docs: DataFrame, rounds: int = 4, sep: str = "_") -> DataFrame:
     spark = docs.sparkSession
     t = docs.select(
         F.concat(F.lit(" "), F.col("text"), F.lit(" ")).alias("t")
-    ).localCheckpoint()
+    ).localCheckpoint(eager=False)
     out: list[tuple[int, str, str, int]] = []
     for r in range(1, rounds + 1):
         words = F.split(F.trim(F.col("t")), " ")
@@ -232,12 +232,15 @@ def bpe_merges(docs: DataFrame, rounds: int = 4, sep: str = "_") -> DataFrame:
         # containing a quote/backslash round-trips exactly (the DuckDB
         # oracle never splices literals either, so both engines see the
         # identical byte sequence); the per-round localCheckpoint keeps
-        # plan depth at one replace regardless of `rounds`
+        # plan depth at one replace regardless of `rounds`. Lazy: the
+        # next round's pair count is the action that fills it, so the
+        # rewrite costs no standalone job — and the final round's
+        # rewrite (which nothing consumes) never runs at all.
         t = t.select(
             F.replace(
                 F.col("t"), F.lit(f" {pair} "), F.lit(f" {merged} ")
             ).alias("t")
-        ).localCheckpoint()
+        ).localCheckpoint(eager=False)
     return spark.createDataFrame(
         out, "round long, pair string, merged string, n_occ long"
     )

@@ -151,12 +151,14 @@ def sample_start_assignments_dist(
     start-node derivation (an anti-join over the full edge table) runs
     exactly once — counting and then re-deriving for the rank join
     would execute that anti-join twice, and on a stage-heavy pipeline
-    the second execution is pure latency.
+    the second execution is pure latency. The checkpoint is lazy: the
+    count is the action that fills it, so derivation + materialization
+    + count are ONE job instead of two.
     """
     ranked = (
         start_nodes.select("id")
         .withColumn("rank", F.row_number().over(Window.orderBy("id")) - 1)
-        .localCheckpoint()
+        .localCheckpoint(eager=False)
     )
     n = ranked.count()
     if n == 0:
@@ -353,18 +355,22 @@ def run_walks_frontier(
         # child-map recomputation per hop on the tier meant for graphs
         # too big to index per-worker). A caller-supplied frame (e.g. a
         # bucketed catalog table) is used as-is.
-        else topology.child_map(pg).localCheckpoint()
+        else topology.child_map(pg).localCheckpoint(eager=False)
     ).select(F.col("id").alias("__cm_id"), "children")
 
-    starts = assignments.select("partition_key", "start_id").localCheckpoint()
+    starts = assignments.select("partition_key", "start_id").localCheckpoint(
+        eager=False
+    )
     # per-step frontiers are already materialized by their own
     # localCheckpoint; accumulate the frames driver-side and union once
     # at the end instead of re-checkpointing the growing walk prefix
-    # every hop (which copied O(max_len^2) rows per walk)
+    # every hop (which copied O(max_len^2) rows per walk). All loop
+    # checkpoints are lazy — the first consuming job materializes each
+    # one exactly once; no standalone checkpoint jobs.
     all_frames: list[DataFrame] = []
     visited = spark.createDataFrame(
         [], "partition_key LONG, node_id LONG"
-    ).localCheckpoint()
+    ).localCheckpoint(eager=False)
 
     for walk_id in range(n_iters):
         frontier = starts.select(
@@ -372,7 +378,7 @@ def run_walks_frontier(
             F.lit(walk_id).cast("long").alias("walk_id"),
             F.lit(0).cast("long").alias("step"),
             F.col("start_id").alias("node_id"),
-        ).localCheckpoint()
+        ).localCheckpoint(eager=False)
         walk_frames = [frontier]
         for step in range(1, max_len):
             ch = frontier.join(
@@ -415,6 +421,9 @@ def run_walks_frontier(
                     F.lit(str(step)),
                 )
             )
+            # lazy checkpoint + full count: the emptiness probe IS the
+            # materializing action, so each step costs one job, not an
+            # eager-checkpoint job plus a limit(1) probe job
             frontier = pools.select(
                 "partition_key",
                 F.lit(walk_id).cast("long").alias("walk_id"),
@@ -422,8 +431,8 @@ def run_walks_frontier(
                 F.element_at(
                     pool, (F.pmod(h, F.size(pool)) + 1).cast("int")
                 )["child"].alias("node_id"),
-            ).localCheckpoint()
-            if frontier.limit(1).count() == 0:
+            ).localCheckpoint(eager=False)
+            if frontier.count() == 0:
                 break
             walk_frames.append(frontier)
         all_frames.extend(walk_frames)
@@ -435,7 +444,9 @@ def run_walks_frontier(
             [f.select("partition_key", "node_id") for f in walk_frames],
         )
         visited = (
-            visited.unionAll(walk_nodes).distinct().localCheckpoint()
+            visited.unionAll(walk_nodes)
+            .distinct()
+            .localCheckpoint(eager=False)
         )
     if not all_frames:
         return spark.createDataFrame([], WALK_SCHEMA)
@@ -662,7 +673,7 @@ def node2vec_walks_frontier(
         child_map_df
         if child_map_df is not None
         # materialized once — both per-step probes (cur + prev) reuse it
-        else topology.child_map(pg).localCheckpoint()
+        else topology.child_map(pg).localCheckpoint(eager=False)
     ).select(F.col("id").alias("__cm_id"), "children")
     w_back = max(1, round(1_000_000 / float(p)))
     w_common = 1_000_000
@@ -683,9 +694,11 @@ def node2vec_walks_frontier(
             F.lit(None).cast("long").alias("prev"),
             F.col("start_id").alias("cur"),
         )
-        .localCheckpoint()
+        .localCheckpoint(eager=False)
     )
-    # each step's state frame is materialized by its own localCheckpoint;
+    # each step's state frame is materialized by its own (lazy)
+    # localCheckpoint — the emptiness count is the filling action, so a
+    # step costs one job, not an eager-checkpoint job plus a probe job;
     # collect the per-step output frames driver-side and union once at
     # the end instead of re-checkpointing the growing corpus every hop
     out_frames = [
@@ -763,8 +776,8 @@ def node2vec_walks_frontier(
             "rep",
             F.col("cur").alias("prev"),
             F.element_at("cur_ch", chosen + F.lit(1)).alias("cur"),
-        ).localCheckpoint()
-        if state.limit(1).count() == 0:
+        ).localCheckpoint(eager=False)
+        if state.count() == 0:
             break
         out_frames.append(
             state.select(
